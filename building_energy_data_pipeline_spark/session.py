@@ -1,0 +1,67 @@
+"""SparkSession factory.
+
+Replaces the reference's config + connection-pool bootstrap
+(``src/configuration_managing/config_manager.py:80-149``,
+``src/postgres_managing/postgres_manager.py:29-65``): Spark manages
+executors/memory itself, so the only engine-level knobs we own are the
+SQL-planner ones below.
+
+Scale posture: every default here is chosen to survive a 1000-executor
+cluster — AQE re-plans shuffle partition counts at runtime, skew-join
+splitting handles hot keys, and the session timezone is pinned UTC so
+timestamp semantics are cluster-independent (and DuckDB-oracle
+comparable).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "building_energy_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    On a real cluster the ``master``/memory settings come from
+    spark-submit; everything set here is cluster-size agnostic.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # AQE: runtime shuffle-partition coalescing, skew-join splitting,
+        # runtime broadcast conversion — the scale levers.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for every pandas<->Spark boundary (Pandas UDFs, toPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic, oracle-comparable timestamp semantics.
+        .config("spark.sql.session.timeZone", "UTC")
+        # ANSI off: reference semantics are coerce-to-null (pandas
+        # to_numeric(errors="coerce")), matched by try_* functions.
+        .config("spark.sql.ansi.enabled", "false")
+        # Parquet TIMESTAMP(NANOS) (e.g. testdata events.ts) is
+        # unsupported by the vectorized reader; surface as
+        # nanos-since-epoch LongType and convert in the loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,116 @@
+"""Readers / source discovery (SURVEY §2.1 S1–S7).
+
+The reference streams pandas chunks
+(``src/data_transformation/data_transformer.py:121-123``,
+``src/utility/file_utils.py:317-355``); in Spark a partitioned scan is
+the native equivalent — chunking, batch iteration, and row-group
+pruning are all handled by the Parquet vectorized reader, and filters /
+projections push down via Catalyst.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: the driver's synthetic star-schema tables (TESTDATA.md)
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Plain ``spark.read.parquet`` — column
+    pruning and predicate pushdown reach the scan automatically.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); under
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a nanos
+    LongType and is truncated here to microsecond TimestampType —
+    the same semantics as ANSI/DuckDB ``CAST(ts_ns AS TIMESTAMP)``.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_parquet(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """S2/S3: Parquet scan. ``df.limit(n)`` on the result is the
+    row-group-pruned bounded read (``file_utils.py:331-343``)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    infer: bool = False,
+    **options: str,
+) -> DataFrame:
+    """S1: CSV scan (chunked-read equivalent; partitions replace chunks).
+
+    Prefer an explicit ``schema``; ``infer`` costs an extra pass and is
+    only for interactive exploration (the schema subsystem in
+    ``schema/`` is the production inference path).
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_any(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """S6: file-type dispatch by extension (.parquet/.csv/.txt/.json),
+    mirroring ``FileReader.get_file_type_and_reader``
+    (``src/utility/file_utils.py:317-355``)."""
+    suffix = Path(path).suffix.lower()
+    if suffix == ".parquet":
+        return read_parquet(spark, path)
+    if suffix in (".csv", ".txt"):
+        return read_csv(spark, path, infer=True, **options)
+    if suffix in (".json", ".jsonl", ".ndjson"):
+        return spark.read.json(path)
+    raise ValueError(f"unsupported file type: {suffix!r} ({path})")
+
+
+def find_sources(root: str, extension: str) -> dict[str, list[str]]:
+    """S7: recursive source discovery — ``{folder: [files]}`` like
+    ``find_folders_with_extension`` (``src/utility/file_utils.py:253-285``).
+
+    Driver-side; for the actual scan pass the whole directory (or a
+    glob) to ``spark.read`` so Spark's InMemoryFileIndex parallelizes
+    listing on large trees.
+    """
+    ext = extension if extension.startswith(".") else f".{extension}"
+    out: dict[str, list[str]] = {}
+    for dirpath, _dirnames, filenames in os.walk(root):
+        hits = sorted(
+            os.path.join(dirpath, f) for f in filenames if f.endswith(ext)
+        )
+        if hits:
+            out[dirpath] = hits
+    return out

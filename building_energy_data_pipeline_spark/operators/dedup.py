@@ -1,0 +1,320 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (content-hash groupBy), MinHash+LSH (shingle → signature → band
+→ bucket join → exact-Jaccard verify), SimHash, and n-gram Jaccard.
+The reference repo's only dedup is the UNIQUE-constraint overlap gate
+(``src/data_loading/data_loader.py:377-529``) — these are the scale
+extensions a 100 TB corpus needs.
+
+Design for scale
+----------------
+- Signatures are computed with **higher-order array functions**
+  (``transform``/``aggregate``/``array_min``) in one narrow
+  projection: no explode, no shuffle, no Python — the per-document
+  cost is bounded by token count and stays inside whole-stage codegen.
+- The only shuffle in the LSH path is the band-bucket self-join, whose
+  key (``band#``) is uniform by construction; AQE handles residual
+  skew from degenerate corpora (e.g. millions of empty documents).
+- Candidate verification joins back to the shingle sets **after** the
+  bucket join has cut the pair space from O(n²) to near-linear.
+- Hashes are md5-based for DuckDB-oracle portability
+  (``functions/hashing.py``); pass ``portable=False`` to swap in
+  ``xxhash64`` at identical plan shape for production throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import spark_hash32, spark_xxhash32
+
+# defaults sized for near-dup detection at Jaccard ≥ ~0.5
+NUM_HASHES = 16
+BANDS = 4  # 4 rows/band → s-curve threshold ≈ (1/4)^(1/4) ≈ 0.71
+
+
+def _hash_lambda(portable: bool) -> str:
+    """Hash-of-``x`` with lambda-variable seed ``s`` (SQL fragment)."""
+    if portable:
+        return (
+            "cast(conv(substring(md5(concat(x, ':', cast(s as string))), 1, 8),"
+            " 16, 10) as bigint)"
+        )
+    return "(xxhash64(concat(x, ':', cast(s as string))) & 4294967295)"
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+
+def shingles_expr(tokens_expr: str, k: int) -> str:
+    """Spark SQL: distinct k-token shingles of a token array (whole
+    document as a single shingle when shorter than ``k``)."""
+    return (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size({tokens_expr}) - {k} + 1, 1)),"
+        f" i -> array_join(slice({tokens_expr}, i, {k}), ' ')))"
+    )
+
+
+def duck_shingles_sql(tokens_expr: str, k: int) -> str:
+    """DuckDB twin of :func:`shingles_expr`."""
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({tokens_expr}) - {k} + 1, 1) + 1),"
+        f" i -> array_to_string(list_slice({tokens_expr}, i, i + {k} - 1), ' ')))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, content_col: str
+) -> DataFrame:
+    """Content-hash exact dedup: one row per distinct content with the
+    smallest id as the canonical survivor plus the duplicate count.
+
+    Shuffle key is ``md5(content)`` — uniform, no skew; map-side
+    partial aggregation means only one (hash, min, count) tuple per
+    distinct content per partition crosses the wire.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(content_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    tokens_expr: str,
+    k: int = 3,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    portable: bool = True,
+) -> DataFrame:
+    """Per-document MinHash signature and LSH band keys.
+
+    Output: ``id_col``, ``shingles array<string>``,
+    ``sig array<bigint>`` (length ``num_hashes``), ``band_keys
+    array<string>`` (length ``bands``; each key embeds the band index
+    so buckets never collide across bands).
+
+    Hash family is Kirsch-Mitzenmacher: ONE md5 per shingle split
+    into two 32-bit halves ``(h1, h2)``; hash function ``s`` is the
+    affine combination ``(h1 + s·h2) mod 2³²`` — integer ops only, so
+    the crypto cost is O(|shingles|) not O(|shingles|·num_hashes).
+    Each derived column lives in its own projection stage (md5s →
+    h1s/h2s → sig) so multiply-referenced arrays are computed once
+    per row, never inlined.
+
+    One narrow map — zero shuffle.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sh = shingles_expr(tokens_expr, k)
+    if portable:
+        md5s = "transform(shingles, x -> md5(x))"
+        h1s = "transform(md5s, m -> cast(conv(substring(m, 1, 8), 16, 10) as bigint))"
+        h2s = "transform(md5s, m -> cast(conv(substring(m, 9, 8), 16, 10) as bigint))"
+    else:
+        md5s = "transform(shingles, x -> xxhash64(x))"
+        h1s = "transform(md5s, m -> m & 4294967295)"
+        h2s = "transform(md5s, m -> shiftright(m, 32) & 4294967295)"
+    sig = (
+        f"transform(sequence(0, {num_hashes - 1}),"
+        f" s -> array_min(zip_with(h1s, h2s,"
+        f" (a, b) -> (a + s * b) % 4294967296)))"
+    )
+    band_keys = (
+        f"transform(sequence(0, {bands - 1}),"
+        f" b -> md5(concat(cast(b as string), '|',"
+        f" array_join(transform(slice(sig, b * {rows} + 1, {rows}),"
+        f" v -> cast(v as string)), ','))))"
+    )
+    return (
+        df.select(F.col(id_col), F.expr(sh).alias("shingles"))
+        .withColumn("md5s", F.expr(md5s))
+        .withColumn("h1s", F.expr(h1s))
+        .withColumn("h2s", F.expr(h2s))
+        .withColumn("sig", F.expr(sig))
+        .withColumn("band_keys", F.expr(band_keys))
+        .drop("md5s", "h1s", "h2s")
+    )
+
+
+def duck_minhash_sql(
+    tokens_sql: str,
+    k: int = 3,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> dict[str, str]:
+    """DuckDB twins of :func:`minhash_signatures` (portable mode),
+    keyed by output column; ``sig`` references the ``shingles`` alias
+    and ``band_keys`` the ``sig`` alias (compose with nested selects).
+    """
+    rows = num_hashes // bands
+    h1 = "CAST(concat('0x', substring(md5(x), 1, 8)) AS BIGINT)"
+    h2 = "CAST(concat('0x', substring(md5(x), 9, 8)) AS BIGINT)"
+    return {
+        "shingles": duck_shingles_sql(tokens_sql, k),
+        "sig": (
+            f"list_transform(range(0, {num_hashes}),"
+            f" s -> list_min(list_transform(shingles,"
+            f" x -> ({h1} + s * {h2}) % 4294967296)))"
+        ),
+        "band_keys": (
+            f"list_transform(range(0, {bands}),"
+            f" b -> md5(concat(CAST(b AS VARCHAR), '|',"
+            f" array_to_string(list_transform("
+            f"list_slice(sig, b * {rows} + 1, b * {rows} + {rows}),"
+            f" v -> CAST(v AS VARCHAR)), ','))))"
+        ),
+    }
+
+
+def jaccard_expr(a: str, b: str) -> F.Column:
+    """Exact Jaccard similarity of two distinct-element string arrays."""
+    return F.expr(
+        f"round(size(array_intersect({a}, {b}))"
+        f" / cast(size(array_union({a}, {b})) as double), 4)"
+    )
+
+
+def duck_jaccard_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`jaccard_expr` (distinct inputs assumed)."""
+    inter = f"len(list_filter({a}, x -> list_contains({b}, x)))"
+    union = f"(len({a}) + len({b}) - {inter})"
+    return f"round(CAST({inter} AS DOUBLE) / {union}, 4)"
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """LSH candidate pairs (≥1 shared band bucket) verified with exact
+    Jaccard on the shingle sets.
+
+    Output: ``id_a < id_b``, ``est_sim`` (signature agreement
+    fraction), ``jaccard`` (exact, ≥ ``min_jaccard``).
+
+    Scale: the self-join key is the band bucket — near-dup clusters
+    land in the same bucket, everything else never pairs. The
+    ``dropDuplicates`` collapses multi-band matches before the
+    (expensive) exact verify.
+
+    Plan hygiene (load-bearing, do not "simplify"):
+
+    - ``repartition(id_col)`` inserts an exchange right after the
+      signature computation; both self-join branches then read the
+      SAME materialized exchange (ReuseExchange) instead of each
+      re-evaluating the md5 pipeline.
+    - ``explode_outer`` (not ``explode``): plain explode lets
+      ``InferFiltersFromGenerate`` push a ``size(band_keys) > 0``
+      filter to the scan with the whole signature expression tree
+      inlined — observed ~35× slowdown. ``band_keys`` has fixed
+      length ``bands`` ≥ 1, so outer semantics are identical.
+    """
+    n = NUM_HASHES  # signature length is carried in the array itself
+    bands = sigs.repartition(F.col(id_col)).select(
+        F.col(id_col),
+        F.col("shingles"),
+        F.col("sig"),
+        F.explode_outer("band_keys").alias("bk"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+        "bk",
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+        "bk",
+    )
+    pairs = (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.expr(
+        "round(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+        f" / cast({n} as double), 4)"
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            est.alias("est_sim"),
+            jaccard_expr("sh_a", "sh_b").alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    tokens_expr: str,
+    portable: bool = True,
+) -> DataFrame:
+    """32-bit SimHash over the distinct token set (unit weights).
+
+    Token hashes are computed once into an array, then each output bit
+    is the sign of the per-bit ±1 vote sum — all higher-order array
+    expressions, no shuffle, no Python.
+    """
+    h = _hash_lambda(portable).replace("cast(s as string)", "'0'")
+    th = f"transform(array_distinct({tokens_expr}), x -> {h})"
+    sh = (
+        f"aggregate(sequence(0, {SIMHASH_BITS - 1}), 0L, (acc, i) -> acc +"
+        f" CASE WHEN aggregate(th, 0L,"
+        f" (a, t) -> a + (shiftright(t, i) & 1) * 2 - 1) >= 0"
+        f" THEN shiftleft(1L, i) ELSE 0L END)"
+    )
+    return (
+        df.select(F.col(id_col), F.expr(th).alias("th"))
+        .withColumn("simhash", F.expr(sh))
+        .drop("th")
+    )
+
+
+def duck_simhash_sql(tokens_sql: str) -> str:
+    """DuckDB twin of :func:`simhash` (portable mode); references a
+    ``th`` alias holding the token-hash list."""
+    return (
+        f"CAST(list_sum(list_transform(range(0, {SIMHASH_BITS}), i ->"
+        f" CASE WHEN CAST(list_sum(list_transform(th,"
+        f" t -> ((t >> i) & 1) * 2 - 1)) AS BIGINT) >= 0"
+        f" THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT)"
+    )
+
+
+DUCK_TOKEN_HASHES = (
+    "list_transform(list_distinct({tokens}), x ->"
+    " CAST(concat('0x', substring(md5(concat(x, ':', '0')), 1, 8)) AS BIGINT))"
+)

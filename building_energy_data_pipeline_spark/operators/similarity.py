@@ -1,0 +1,265 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the exactness baseline, plus an
+IVF-bucketed variant as the 100 TB scale path. The reference repo has
+no vector subsystem (its ``src/analytics/`` is an empty stub); these
+are the BASELINE.md training-data extensions.
+
+Determinism & oracle comparability
+----------------------------------
+Dot products are computed as an explicit **left-to-right double fold**
+(``aggregate`` in Spark, ``list_reduce`` in DuckDB) over per-element
+products of double-cast floats. IEEE ops on identical inputs in an
+identical order are bit-identical across engines, so ranks computed on
+the raw cosine agree exactly; displayed values are rounded to 6.
+
+Design for scale
+----------------
+- The query set is tiny relative to the corpus → ``broadcast()`` it;
+  the brute-force pass is then a map-only scan of the corpus (no
+  shuffle) followed by a per-query top-k (shuffle of |corpus|·|Q|
+  *candidate rows already filtered by the window* — bounded by AQE).
+- Corpus norms are precomputed once in the same projection, so each
+  pair costs one fused zip_with/aggregate, inside codegen.
+- IVF: k centroid rows broadcast twice (assignment + probe); the
+  bucket join is an equi-join on ``centroid_id`` — co-partitioned,
+  pruning the pair space from O(|corpus|·|Q|) to O(|corpus|·|Q|/k)
+  with the usual IVF recall trade-off (nprobe=1 here; raise by
+  unioning more probe buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Cosine primitives (Spark SQL + DuckDB twins)
+# ---------------------------------------------------------------------------
+
+
+def dot_expr(a: str, b: str) -> str:
+    """Spark SQL: left-to-right double fold of the element products."""
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        f" (x, y) -> cast(x as double) * cast(y as double)),"
+        f" 0D, (acc, v) -> acc + v)"
+    )
+
+
+def duck_dot_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`dot_expr` (1-based list indexing)."""
+    prods = (
+        f"list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))"
+    )
+    # list_reduce folds left-to-right with the first element as init;
+    # prepending 0.0 reproduces Spark's `0D` seed (0.0 + x == x exactly).
+    return f"list_reduce(list_prepend(0.0, {prods}), (acc, v) -> acc + v)"
+
+
+def cosine_expr(a: str, b: str, norm_a: str, norm_b: str) -> str:
+    """Spark SQL: cosine from a precomputed dot and L2 norms."""
+    return f"({dot_expr(a, b)} / ({norm_a} * {norm_b}))"
+
+
+def norm_expr(a: str) -> str:
+    """Spark SQL: L2 norm of a float array (double fold, then sqrt)."""
+    return f"sqrt({dot_expr(a, a)})"
+
+
+def duck_norm_sql(a: str) -> str:
+    return f"sqrt({duck_dot_sql(a, a)})"
+
+
+# ---------------------------------------------------------------------------
+# Brute-force top-k (exactness baseline)
+# ---------------------------------------------------------------------------
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Exact cosine top-k neighbors of each query vector.
+
+    Output: ``query_id, neighbor_id, rank, cos`` (cos rounded to 6;
+    rank on the raw double, ties broken by neighbor id).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.expr(norm_expr(vec_col)).alias("cnorm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.expr(norm_expr(vec_col)).alias("qnorm"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.withColumn(
+        "cos_raw", F.expr(cosine_expr("cvec", "qvec", "cnorm", "qnorm"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cos_raw", 6).alias("cos"),
+        )
+    )
+
+
+def duck_topk_sql(
+    corpus: str = "embeddings",
+    query_pred: str = "vec_id % 50 = 0",
+    k: int = 3,
+) -> str:
+    """DuckDB twin of :func:`brute_force_topk` with the query set
+    defined by ``query_pred`` over the same corpus table."""
+    cos = (
+        f"{duck_dot_sql('c.embedding', 'q.embedding')}"
+        f" / ({duck_norm_sql('c.embedding')} * {duck_norm_sql('q.embedding')})"
+    )
+    return f"""
+    SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cos
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {cos} AS cos_raw,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {cos} DESC, c.vec_id) AS rank
+      FROM {corpus} c, (SELECT * FROM {corpus} WHERE {query_pred}) q
+      WHERE c.vec_id != q.vec_id
+    ) WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+
+def assign_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (max cosine,
+    ties by centroid id). Centroids are broadcast; one map-only pass.
+
+    Output: corpus columns + ``centroid_id``.
+    """
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cent_vec"),
+        F.expr(norm_expr(vec_col)).alias("cent_norm"),
+    )
+    scored = (
+        corpus.withColumn("vnorm", F.expr(norm_expr(vec_col)))
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "ccos",
+            F.expr(cosine_expr(vec_col, "cent_vec", "vnorm", "cent_norm")),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .drop("cent_vec", "cent_norm", "ccos", "crank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """IVF ANN: probe only the query's centroid bucket (nprobe=1).
+
+    Output: ``query_id, neighbor_id, rank, cos`` — approximate
+    (recall < 1 when true neighbors live in other buckets).
+    """
+    c = assign_centroids(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col("vnorm").alias("cnorm"),
+        "centroid_id",
+    )
+    q = assign_centroids(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
+        "centroid_id",
+    )
+    pairs = c.join(q, "centroid_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.withColumn(
+        "cos_raw", F.expr(cosine_expr("cvec", "qvec", "cnorm", "qnorm"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cos_raw", 6).alias("cos"),
+        )
+    )
+
+
+def duck_ivf_topk_sql(
+    corpus: str = "embeddings",
+    centroid_pred: str = "vec_id < 8",
+    query_pred: str = "vec_id % 50 = 0",
+    k: int = 3,
+) -> str:
+    """DuckDB twin of :func:`ivf_topk`."""
+    assign_cos = (
+        f"{duck_dot_sql('v.embedding', 'ct.embedding')}"
+        f" / ({duck_norm_sql('v.embedding')} * {duck_norm_sql('ct.embedding')})"
+    )
+    pair_cos = (
+        f"{duck_dot_sql('c.embedding', 'q.embedding')}"
+        f" / ({duck_norm_sql('c.embedding')} * {duck_norm_sql('q.embedding')})"
+    )
+    return f"""
+    WITH assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT v.vec_id, v.embedding, ct.vec_id AS centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {assign_cos} DESC, ct.vec_id) AS crank
+        FROM {corpus} v, (SELECT * FROM {corpus} WHERE {centroid_pred}) ct
+      ) WHERE crank = 1
+    )
+    SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cos
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {pair_cos} AS cos_raw,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {pair_cos} DESC, c.vec_id) AS rank
+      FROM assigned c
+      JOIN (SELECT * FROM assigned WHERE {query_pred}) q USING (centroid_id)
+      WHERE c.vec_id != q.vec_id
+    ) WHERE rank <= {k}
+    """

@@ -1,0 +1,231 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (stopword heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting over a
+``documents(doc_id, text, ...)`` table.
+
+Everything is built from ``pyspark.sql.functions`` expressions —
+JVM-side, codegen-friendly, no Python UDFs — so the per-document cost
+is a single narrow map over the scan: no shuffle, scales linearly to
+100 TB. Each Spark expression has a DuckDB SQL twin (same formula)
+used by the oracle queries in ``plans/training_queries.py``.
+
+The reference repo has no text subsystem (its `src/analytics/` is an
+empty stub); these are the BASELINE.md north-star extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenization (shared substrate)
+# ---------------------------------------------------------------------------
+
+#: Spark SQL / DuckDB twin expressions: lowercase whitespace tokens,
+#: empties dropped (leading/trailing whitespace produces '' entries).
+SPARK_TOKENS = r"filter(split(lower({col}), '\\s+'), t -> t != '')"
+DUCK_TOKENS = r"list_filter(regexp_split_to_array(lower({col}), '\s+'), t -> t != '')"
+
+#: BPE-ish sub-token regex: letter runs, digit runs, single other chars.
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\\\s]"
+_BPE_RE_DUCK = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def tokens(col: str = "text") -> Column:
+    """Lowercased whitespace tokens as ``array<string>``."""
+    return F.expr(SPARK_TOKENS.format(col=col))
+
+
+def duck_tokens_sql(col: str = "text") -> str:
+    return DUCK_TOKENS.format(col=col)
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish)
+# ---------------------------------------------------------------------------
+
+
+def token_counts(df: DataFrame, col: str = "text") -> DataFrame:
+    """Append ``n_ws_tokens`` (whitespace) and ``n_bpe_tokens``
+    (letter-run / digit-run / punct regex) counts."""
+    return df.withColumns(
+        {
+            "n_ws_tokens": F.size(tokens(col)),
+            "n_bpe_tokens": F.size(
+                F.expr(f"regexp_extract_all(lower({col}), '{_BPE_RE}', 0)")
+            ),
+        }
+    )
+
+
+def token_counts_sql(col: str = "text") -> dict[str, str]:
+    """DuckDB twins keyed by output column name."""
+    return {
+        "n_ws_tokens": f"len({duck_tokens_sql(col)})",
+        "n_bpe_tokens": f"len(regexp_extract_all(lower({col}), '{_BPE_RE_DUCK}'))",
+    }
+
+
+# ---------------------------------------------------------------------------
+# Language ID (stopword-hit heuristic)
+# ---------------------------------------------------------------------------
+
+#: tiny built-in stopword lists; a real deployment swaps in fastText —
+#: the *plumbing* (broadcast list, argmax over per-language hit counts)
+#: is the part that matters at scale.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "un", "une", "pour", "dans"),
+    "es": ("el", "la", "los", "las", "es", "no", "un", "una", "por", "para"),
+}
+
+#: minimum fraction of tokens that must be stopword hits to claim a
+#: language, expressed as the exact rational 1/LANG_RATIO_DEN so the
+#: threshold compare stays in integers (a float multiply here would
+#: put Spark-double vs DuckDB-decimal semantics on the boundary).
+LANG_RATIO_DEN = 20
+
+
+def _hits(tok: str, lang: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"size(filter({tok}, t -> t in ({inlist})))"
+
+
+def _hits_duck(tok: str, lang: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({tok}, t -> t in ({inlist})))"
+
+
+def lang_id(df: DataFrame, col: str = "text") -> DataFrame:
+    """Append ``lang_pred``: argmax over per-language stopword hit
+    counts (ties broken by language-code order), ``'und'`` when the
+    best ratio is below :data:`LANG_MIN_RATIO`.
+
+    One narrow projection — the stopword lists are expression
+    literals, i.e. broadcast inside the plan for free.
+    """
+    tok = SPARK_TOKENS.format(col=col)
+    langs = sorted(STOPWORDS)
+    hit_cols = {f"hits_{lg}": F.expr(_hits(tok, lg)) for lg in langs}
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.when(
+        best * F.lit(LANG_RATIO_DEN) < F.size(tokens(col)), F.lit("und")
+    )
+    for lg in langs:
+        pred = pred.when(F.col(f"hits_{lg}") == best, F.lit(lg))
+    return (
+        df.withColumns(hit_cols)
+        .withColumn("lang_pred", pred)
+        .drop(*hit_cols.keys())
+    )
+
+
+def lang_id_sql(col: str = "text") -> str:
+    """DuckDB twin of :func:`lang_id` → a ``lang_pred`` expression."""
+    tok = duck_tokens_sql(col)
+    langs = sorted(STOPWORDS)
+    hits = {lg: _hits_duck(tok, lg) for lg in langs}
+    best = f"greatest({', '.join(hits.values())})"
+    whens = "\n         ".join(
+        f"WHEN {hits[lg]} = {best} THEN '{lg}'" for lg in langs
+    )
+    return (
+        f"CASE WHEN {best} * {LANG_RATIO_DEN} < len({tok}) THEN 'und'\n"
+        f"         {whens} END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+
+def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
+    """Append per-document quality features + a composite score:
+
+    - ``n_chars_q`` / ``n_tokens`` / ``distinct_ratio`` (vocab richness)
+    - ``avg_token_len``
+    - ``alpha_ratio`` — share of [a-z ] chars (garbage detector)
+    - ``stop_ratio`` — English stopword share (fluency proxy)
+    - ``quality_score`` ∈ [0,1]: mean of three clamped signals.
+    """
+    tok = SPARK_TOKENS.format(col=col)
+    n_tok = f"size({tok})"
+    exprs = {
+        "n_chars_q": F.expr(f"length({col})"),
+        "n_tokens": F.expr(n_tok),
+        "distinct_ratio": F.expr(
+            f"round(size(array_distinct({tok})) / greatest({n_tok}, 1), 4)"
+        ),
+        "avg_token_len": F.expr(
+            f"round(aggregate({tok}, 0L, (a, t) -> a + length(t))"
+            f" / cast(greatest({n_tok}, 1) as double), 4)"
+        ),
+        "alpha_ratio": F.expr(
+            f"round(length(regexp_replace(lower({col}), '[^a-z ]', ''))"
+            f" / cast(greatest(length({col}), 1) as double), 4)"
+        ),
+        "stop_ratio": F.expr(
+            f"round({_hits(tok, 'en')} / cast(greatest({n_tok}, 1) as double), 4)"
+        ),
+    }
+    score = F.expr(
+        "round((least(n_tokens / 50.0, 1.0) + alpha_ratio"
+        " + least(stop_ratio * 10.0, 1.0)) / 3.0, 4)"
+    )
+    return df.withColumns(exprs).withColumn("quality_score", score)
+
+
+def quality_features_sql(col: str = "text") -> dict[str, str]:
+    """DuckDB twins keyed by output column (compose in a wrapping
+    SELECT for the score, which references the feature aliases)."""
+    tok = duck_tokens_sql(col)
+    n_tok = f"len({tok})"
+    return {
+        "n_chars_q": f"length({col})",
+        "n_tokens": n_tok,
+        "distinct_ratio": (
+            f"round(CAST(len(list_distinct({tok})) AS DOUBLE)"
+            f" / greatest({n_tok}, 1), 4)"
+        ),
+        "avg_token_len": (
+            f"round(CAST(list_sum(list_transform({tok}, t -> length(t)))"
+            f" AS DOUBLE) / greatest({n_tok}, 1), 4)"
+        ),
+        "alpha_ratio": (
+            f"round(CAST(length(regexp_replace(lower({col}), '[^a-z ]', '', 'g'))"
+            f" AS DOUBLE) / greatest(length({col}), 1), 4)"
+        ),
+        "stop_ratio": (
+            f"round(CAST({_hits_duck(tok, 'en')} AS DOUBLE)"
+            f" / greatest({n_tok}, 1), 4)"
+        ),
+        "quality_score": (
+            "round((least(n_tokens / 50.0, 1.0) + alpha_ratio"
+            " + least(stop_ratio * 10.0, 1.0)) / 3.0, 4)"
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
+    """Append ``fp``: md5 over the sorted distinct token set — an
+    order/whitespace/case-insensitive content fingerprint (the
+    canonical-form half of winnowing; the shingle half is
+    ``dedup.minhash_signatures``)."""
+    tok = SPARK_TOKENS.format(col=col)
+    return df.withColumn(
+        "fp", F.expr(f"md5(array_join(array_sort(array_distinct({tok})), ' '))")
+    )
+
+
+def fingerprint_sql(col: str = "text") -> str:
+    tok = duck_tokens_sql(col)
+    return f"md5(array_to_string(list_sort(list_distinct({tok})), ' '))"

@@ -1,1 +1,5 @@
-from .queries import HEADLINE, REGISTRY, QuerySpec  # noqa: F401
+"""Importing this package registers every query module's specs."""
+
+from .registry import HEADLINE, QuerySpec, REGISTRY  # noqa: F401
+from . import queries  # noqa: F401  (relational surface q01–q25)
+from . import training_queries  # noqa: F401  (dedup/similarity/text q26+)

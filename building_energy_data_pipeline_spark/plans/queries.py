@@ -18,39 +18,15 @@ Reproducibility rules (see ``functions/scalar.py`` for the why):
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.scalar import dec_avg, dec_avg_sql, dec_sum, dec_sum_sql
 from ..sources.readers import load_table
+from .registry import HEADLINE, QuerySpec, REGISTRY, query
 
-
-@dataclass(frozen=True)
-class QuerySpec:
-    name: str
-    doc: str
-    spark: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # None → non-SQL-expressible, rows-only check
-
-
-REGISTRY: dict[str, QuerySpec] = {}
-
-#: queries timed by bench.py
-HEADLINE: list[str] = []
-
-
-def query(name: str, oracle: str | None, headline: bool = False):
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(name, fn.__doc__ or "", fn, oracle)
-        if headline:
-            HEADLINE.append(name)
-        return fn
-
-    return deco
+__all__ = ["HEADLINE", "QuerySpec", "REGISTRY", "query"]
 
 
 # ---------------------------------------------------------------------------

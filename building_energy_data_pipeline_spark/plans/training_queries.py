@@ -1,0 +1,299 @@
+"""Training-data pipeline queries (dedup / text / similarity) —
+q26 onward.
+
+The reference repo stops at relational ETL (its only dedup is the
+UNIQUE-constraint overlap gate, ``src/data_loading/data_loader.py:377-529``,
+and ``src/analytics/`` is an empty stub). These queries are the
+BASELINE.md north-star extensions a 100 TB training corpus needs,
+expressed over the driver's ``documents`` / ``embeddings`` tables with
+DuckDB oracles generated from the same expression templates
+(``operators/dedup.py``, ``operators/text.py``,
+``operators/similarity.py``) so the twins cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, text
+from ..sources.readers import load_table
+from .registry import query
+
+TOK = text.SPARK_TOKENS.format(col="text")
+DTOK = text.DUCK_TOKENS.format(col="text")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q26_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q26_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup: canonical survivor + copy count.
+
+    Scale: shuffle key is md5(text) — uniform; map-side partial agg
+    sends one tuple per distinct content per partition.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text")
+
+
+@query(
+    "q27_fingerprint_dedup",
+    oracle=f"""
+    SELECT {text.fingerprint_sql("text")} AS fp,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q27_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order/case/whitespace-insensitive dedup on the sorted distinct
+    token-set fingerprint — catches shuffled near-copies exact dedup
+    misses, same single-shuffle plan shape as q26."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.fingerprint(docs, "text")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def _minhash_oracle() -> str:
+    dk = dedup.duck_minhash_sql(DTOK, k=3)
+    n = dedup.NUM_HASHES
+    jac = dedup.duck_jaccard_sql("sa.shingles", "sb.shingles")
+    return f"""
+    WITH sigs AS (
+      SELECT doc_id, shingles, sig, {dk["band_keys"]} AS band_keys FROM (
+        SELECT doc_id, shingles, {dk["sig"]} AS sig FROM (
+          SELECT doc_id, {dk["shingles"]} AS shingles FROM documents))),
+    banded AS (
+      SELECT doc_id, unnest(band_keys) AS bk FROM sigs),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+    SELECT * FROM (
+      SELECT id_a, id_b,
+             round(CAST(len(list_filter(range(1, {n} + 1),
+                   i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / {n}, 4) AS est_sim,
+             {jac} AS jaccard
+      FROM pairs
+      JOIN sigs sa ON sa.doc_id = id_a
+      JOIN sigs sb ON sb.doc_id = id_b
+    ) WHERE jaccard >= 0.5
+    """
+
+
+@query("q28_minhash_lsh_pairs", oracle=_minhash_oracle(), headline=True)
+def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: shingle → 16-hash signature → 4
+    band buckets → bucket self-join → exact-Jaccard verify (≥0.5).
+
+    Scale: the only shuffle is the band-bucket join; near-dup clusters
+    share buckets, everything else never pairs, so the pair space is
+    near-linear instead of O(n²). The expensive exact verify runs only
+    on LSH candidates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", TOK, k=3)
+    return dedup.minhash_lsh_pairs(sigs, "doc_id", min_jaccard=0.5)
+
+
+@query(
+    "q29_simhash",
+    oracle=f"""
+    SELECT doc_id, {dedup.duck_simhash_sql("th")} AS simhash
+    FROM (SELECT doc_id,
+                 {dedup.DUCK_TOKEN_HASHES.format(tokens=DTOK)} AS th
+          FROM documents)
+    """,
+)
+def q29_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (unit token weights) — the
+    Hamming-distance dedup substrate; one narrow codegen projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", TOK)
+
+
+def _bigram_oracle() -> str:
+    sh = dedup.duck_shingles_sql(DTOK, 2)
+    jac = dedup.duck_jaccard_sql("a.sh", "b.sh")
+    return f"""
+    WITH s AS (SELECT doc_id, source, {sh} AS sh FROM documents)
+    SELECT * FROM (
+      SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+             {jac} AS jaccard
+      FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.3
+    """
+
+
+@query("q30_ngram_jaccard", oracle=_bigram_oracle())
+def q30_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard near-dup pairs within each source partition.
+
+    Scale: the self-join key is `source` — the blocking attribute
+    bounds the pair space to Σ|group|²; skewed sources are split by
+    AQE. (Unblocked exact Jaccard is q28's LSH job.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id", "source", F.expr(dedup.shingles_expr(TOK, 2)).alias("sh")
+    )
+    a = s.select(
+        F.col("source"),
+        F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = s.select(
+        F.col("source"),
+        F.col("doc_id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    return (
+        a.join(b, "source")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "source",
+            "id_a",
+            "id_b",
+            dedup.jaccard_expr("sh_a", "sh_b").alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def _token_counts_oracle() -> str:
+    tc = text.token_counts_sql("text")
+    return f"""
+    SELECT doc_id,
+           {tc["n_ws_tokens"]} AS n_ws_tokens,
+           {tc["n_bpe_tokens"]} AS n_bpe_tokens
+    FROM documents
+    """
+
+
+@query("q31_token_counts", oracle=_token_counts_oracle())
+def q31_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish (letter-run/digit-run/punct) token counts
+    per document — pure codegen expressions, no Python, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_counts(docs, "text").select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens"
+    )
+
+
+@query(
+    "q32_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {text.lang_id_sql("text")} AS lang_pred
+    FROM documents
+    """,
+)
+def q32_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (argmax over per-language hit counts,
+    'und' below 1/20 hit ratio) next to the labeled `lang` column.
+
+    The stopword lists ride inside the plan as expression literals —
+    broadcast for free, map-only at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_id(docs, "text").select("doc_id", "lang", "lang_pred")
+
+
+def _quality_oracle() -> str:
+    qf = text.quality_features_sql("text")
+    feats = ",\n           ".join(
+        f"{sql} AS {name}" for name, sql in qf.items() if name != "quality_score"
+    )
+    return f"""
+    SELECT doc_id, n_chars_q, n_tokens, distinct_ratio, avg_token_len,
+           alpha_ratio, stop_ratio,
+           {qf["quality_score"]} AS quality_score
+    FROM (SELECT doc_id, {feats} FROM documents)
+    """
+
+
+@query("q33_quality_scores", oracle=_quality_oracle(), headline=True)
+def q33_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length, vocab richness, alpha
+    ratio, stopword ratio) + composite score ∈ [0,1] — the C4/Gopher
+    -style filter substrate, all JVM-side expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_features(docs, "text").select(
+        "doc_id",
+        "n_chars_q",
+        "n_tokens",
+        "distinct_ratio",
+        "avg_token_len",
+        "alpha_ratio",
+        "stop_ratio",
+        "quality_score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+#: every 50th vector is a query point (10 queries at sf0.001/sf0.01)
+ANN_QUERY_PRED = "vec_id % 50 = 0"
+ANN_CENTROID_PRED = "vec_id < 8"
+ANN_K = 3
+
+
+@query(
+    "q34_ann_bruteforce",
+    oracle=similarity.duck_topk_sql("embeddings", ANN_QUERY_PRED, ANN_K),
+    headline=True,
+)
+def q34_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k neighbors for the query subset (brute force
+    — the recall=1 baseline the IVF path is judged against).
+
+    Scale: queries broadcast; corpus scan is map-only, the only
+    shuffle is the per-query top-k window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(ANN_QUERY_PRED))
+    return similarity.brute_force_topk(emb, queries, "vec_id", "embedding", ANN_K)
+
+
+@query(
+    "q35_ann_ivf",
+    oracle=similarity.duck_ivf_topk_sql(
+        "embeddings", ANN_CENTROID_PRED, ANN_QUERY_PRED, ANN_K
+    ),
+)
+def q35_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (nprobe=1): assign corpus + queries to the
+    nearest of 8 broadcast centroids, probe only the query's bucket.
+
+    Scale: cuts the pair space by ~#centroids vs q34 at the usual IVF
+    recall cost; the bucket join is a co-partitioned equi-join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.expr(ANN_CENTROID_PRED))
+    queries = emb.filter(F.expr(ANN_QUERY_PRED))
+    return similarity.ivf_topk(
+        emb, centroids, queries, "vec_id", "embedding", ANN_K
+    )

@@ -1,0 +1,89 @@
+"""Sampling strategies (SURVEY §2.9 T6–T9) — the reference's
+random / systematic / stratified file samplers
+(``src/schema_generator/sampling_strategies.py:45-313``) as
+DataFrame operators.
+
+Reference constants kept (``sampling_strategies.py:13-19``):
+max 100 000 rows, ratio 0.005, seed 42.
+
+Scale: `df.sample` is a per-partition Bernoulli filter (no shuffle);
+systematic sampling needs a global row order so it windows over a
+user-supplied order column — on a real cluster run it per partition
+key or accept the sort. Stratified uses `sampleBy` (per-stratum
+Bernoulli, no shuffle) with fractions from one small groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MAX_ROWS = 100_000
+SAMPLING_RATIO = 0.005
+SEED = 42
+
+
+def random_sample(
+    df: DataFrame,
+    n: int,
+    order_col: str | None = None,
+    seed: int = SEED,
+) -> DataFrame:
+    """T6: ~``n``-row Bernoulli sample that always keeps the first and
+    last row (the reference's endpoint guarantee,
+    ``sampling_strategies.py:79-81``), in ``order_col`` order when
+    given (else file order via ``monotonically_increasing_id``).
+
+    Row count is approximate (Bernoulli), exact ≤ cap semantics of
+    the reference (min of n, MAX_ROWS, ratio·total) are preserved.
+    """
+    total = df.count()
+    if total <= n:
+        return df
+    target = max(2, min(n, MAX_ROWS, int(total * SAMPLING_RATIO)))
+    ordered = (
+        df.withColumn("__ord", F.monotonically_increasing_id())
+        if order_col is None
+        else df.withColumn("__ord", F.col(order_col))
+    )
+    middle = ordered.sample(fraction=(target - 2) / total, seed=seed)
+    first = ordered.orderBy(F.asc("__ord")).limit(1)
+    last = ordered.orderBy(F.desc("__ord")).limit(1)
+    return (
+        middle.unionByName(first)
+        .unionByName(last)
+        .dropDuplicates(["__ord"])
+        .drop("__ord")
+    )
+
+
+def systematic_sample(df: DataFrame, n: int, order_col: str) -> DataFrame:
+    """T7: every ``total/n``-th row in ``order_col`` order
+    (``sampling_strategies.py:156-210``)."""
+    total = df.count()
+    if total <= n:
+        return df
+    step = total // n
+    w = Window.orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.pmod(F.col("__rn") - 1, F.lit(step)) == 0)
+        .drop("__rn")
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, n: int, seed: int = SEED
+) -> DataFrame:
+    """T8: ~equal per-stratum quota (``n / #strata`` each, capped by
+    stratum size — ``sampling_strategies.py:213-313``) via
+    ``sampleBy`` fractions computed from one small groupBy."""
+    sizes = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(F.count("*")).collect()
+    }
+    if not sizes:
+        return df
+    quota = max(1, n // len(sizes))
+    fractions = {k: min(1.0, quota / size) for k, size in sizes.items()}
+    return df.sampleBy(strata_col, fractions, seed)

@@ -1,0 +1,244 @@
+"""Multimodal columns (BASELINE.md training-data extension).
+
+Image / audio / video ride through the engine as opaque ``binary``
+columns with a typed metadata struct — the pattern that scales to
+100 TB because Spark never interprets the payload until a Pandas UDF
+asks it to:
+
+- storage: Parquet binary + struct (columnar, dictionary-encodable
+  metadata, payload pages compressed independently);
+- partitioning: media rows are FAT — size partitions by bytes, not
+  rows (``repartition_for_payload``), or scans OOM on 10 MB videos
+  long before row counts look large;
+- compute: decode / feature-extract / resize / frame-sample are
+  ``mapInPandas`` stages — Arrow moves the bytes zero-copy into
+  Python once per batch, not per row.
+
+The actual codecs (PIL/libsndfile/ffmpeg) are NOT in this
+environment, so ``decode_image`` is **STUBBED**: with
+``use_real_codec=True`` it raises ``NotImplementedError`` unless PIL
+is importable; the default is a **deterministic fake decoder**
+(content-hash-seeded pixels) so every piece of Spark-side plumbing —
+schema, UDF signatures, Arrow batch shapes, partitioning — is real
+and tested end-to-end. Swapping in the real codec changes one
+function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: canonical media-table schema: payload + typed metadata
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("codec", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+#: target bytes per task when repartitioning fat binary rows
+PAYLOAD_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def repartition_for_payload(df: DataFrame, avg_row_bytes: int) -> DataFrame:
+    """Size partitions by PAYLOAD bytes (≈128 MB/task), not row count
+    — the knob that keeps a video table from putting 10 000 × 10 MB
+    rows in one task. Uses a count job; pass a known estimate at
+    scale to skip it."""
+    rows_per_part = max(1, PAYLOAD_PARTITION_BYTES // max(1, avg_row_bytes))
+    n = max(1, df.count() // rows_per_part)
+    return df.repartition(int(n))
+
+
+def decode_image(
+    content: bytes, use_real_codec: bool = False
+) -> np.ndarray:
+    """Decode an image payload to an (h, w, 3) uint8 array.
+
+    STUB: the real path needs PIL (absent here); the fake path is a
+    deterministic pseudo-image seeded by the content hash — stable
+    across runs/executors, so tests can assert exact features.
+    """
+    if use_real_codec:
+        try:
+            import io
+
+            from PIL import Image  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "real image decoding requires PIL, which is not "
+                "available in this environment; use the deterministic "
+                "fake decoder (use_real_codec=False)"
+            ) from exc
+        return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+    seed = int.from_bytes(hashlib.md5(content).digest()[:4], "big")
+    rng = np.random.default_rng(seed)
+    h, w = 8 + seed % 8, 8 + (seed >> 4) % 8
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "media_id long, height int, width int, mean_r double, mean_g double,"
+    " mean_b double, brightness double"
+)
+
+
+def extract_image_features(
+    df: DataFrame, use_real_codec: bool = False
+) -> DataFrame:
+    """Per-image channel statistics via ``mapInPandas``: one Arrow
+    batch in, one feature frame out — the payload never leaves the
+    executor, only ~40 bytes of features shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = decode_image(bytes(content), use_real_codec)
+                means = arr.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "height": arr.shape[0],
+                        "width": arr.shape[1],
+                        "mean_r": float(means[0]),
+                        "mean_g": float(means[1]),
+                        "mean_b": float(means[2]),
+                        "brightness": float(means.mean()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "height", "width", "mean_r", "mean_g",
+                "mean_b", "brightness",
+            ])
+
+    return df.select("media_id", "content").mapInPandas(
+        run, IMAGE_FEATURE_SCHEMA
+    )
+
+
+RESIZED_SCHEMA = "media_id long, height int, width int, content binary"
+
+
+def resize_images(
+    df: DataFrame, out_h: int, out_w: int, use_real_codec: bool = False
+) -> DataFrame:
+    """Nearest-neighbor resize to (out_h, out_w); output payload is
+    the raw RGB buffer. Same mapInPandas shape as feature extraction
+    — decode stays stubbed, the resize math and plumbing are real."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = decode_image(bytes(content), use_real_codec)
+                ys = (np.arange(out_h) * arr.shape[0] // out_h).clip(0, arr.shape[0] - 1)
+                xs = (np.arange(out_w) * arr.shape[1] // out_w).clip(0, arr.shape[1] - 1)
+                resized = arr[ys][:, xs]
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "height": out_h,
+                        "width": out_w,
+                        "content": resized.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "height", "width", "content"]
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frame_plan(df: DataFrame, every_ms: int) -> DataFrame:
+    """Video frame-sampling PLAN: one row per frame to extract,
+    derived from ``meta.duration_ms`` with pure Spark expressions
+    (sequence + explode — a generator, no shuffle). The actual frame
+    decode would consume this plan in a mapInPandas stage exactly
+    like :func:`extract_image_features`; ffmpeg is absent, so that
+    stage is :func:`decode_frames`."""
+    return (
+        df.filter(F.col("media_type") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.col("meta.duration_ms") - 1,
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+        .withColumn(
+            "frame_idx",
+            (F.col("frame_ts_ms") / F.lit(every_ms)).cast("int"),
+        )
+    )
+
+
+def decode_frames(df: DataFrame) -> DataFrame:
+    """STUB: real video frame extraction requires ffmpeg bindings,
+    absent in this environment."""
+    raise NotImplementedError(
+        "video frame decoding requires ffmpeg, not available here; "
+        "sample_frame_plan() produces the distributed work plan this "
+        "stage would consume"
+    )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, n_samples long, rms double, peak double"
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Audio features over int16-PCM payloads (RMS/peak). Real codec
+    parsing (wav headers etc.) would use libsndfile — absent — so
+    payloads are interpreted as raw little-endian PCM, which the test
+    synthesizer also emits; the distributed plumbing is identical."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                pcm = np.frombuffer(bytes(content), dtype="<i2").astype(np.float64)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_samples": len(pcm),
+                        "rms": float(np.sqrt((pcm**2).mean())) if len(pcm) else 0.0,
+                        "peak": float(np.abs(pcm).max()) if len(pcm) else 0.0,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "rms", "peak"]
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        run, AUDIO_FEATURE_SCHEMA
+    )

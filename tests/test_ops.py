@@ -1,0 +1,73 @@
+"""Ops layer tests: small-file compaction, table health stats,
+EXPLAIN capture, query history ring buffer + cache."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from building_energy_data_pipeline_spark.ops import (
+    QueryHistory,
+    compact,
+    explain_str,
+    table_health,
+)
+
+
+class TestMaintenance:
+    def test_health_and_compaction(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        # 64 partitions of a small table → 64 tiny files
+        spark.range(10_000).withColumn("part", F.col("id") % 2).repartition(
+            64
+        ).write.partitionBy("part").parquet(p)
+
+        before = table_health(p)
+        assert before.n_files > 60
+        assert before.small_files == before.n_files
+        assert set(before.partitions) == {"part=0", "part=1"}
+        assert before.skew_ratio >= 1.0
+
+        n_after = compact(spark, p)
+        assert n_after < before.n_files
+        after = table_health(p)
+        assert after.n_files == n_after
+        # data preserved through the swap
+        assert spark.read.parquet(p).count() == 10_000
+
+    def test_health_empty_dir(self, tmp_path):
+        (tmp_path / "empty").mkdir()
+        h = table_health(str(tmp_path / "empty"))
+        assert h.n_files == 0 and h.skew_ratio == 0.0
+
+
+class TestObserve:
+    def test_explain_capture(self, spark):
+        df = spark.range(10).filter(F.col("id") > 5).select("id")
+        plan = explain_str(df, "formatted")
+        assert "Range" in plan
+        plan_ext = explain_str(df, "extended")
+        assert "Parsed Logical Plan" in plan_ext
+
+    def test_history_records_and_stats(self, spark):
+        h = QueryHistory(maxlen=3)
+        for i in range(5):
+            h.run(f"q{i}", lambda: spark.range(10))
+        assert len(h.records) == 3  # ring buffer capped
+        assert [r.name for r in h.records] == ["q2", "q3", "q4"]
+        s = h.stats()
+        assert s["n_queries"] == 3 and s["max_s"] >= s["p50_s"]
+
+    def test_history_cache_reuses_df(self, spark):
+        h = QueryHistory()
+        builds = []
+
+        def build():
+            builds.append(1)
+            return spark.range(100)
+
+        assert h.run("q", build, cache=True) == 100
+        assert h.run("q", build, cache=True) == 100
+        assert len(builds) == 2  # fn called, but...
+        assert len(h._cached) == 1  # ...the cached DataFrame is reused
+        h.clear_cache()
+        assert not h._cached

@@ -1,0 +1,83 @@
+"""As-of (most-recent-prior) join — the time-series alignment
+operator the reference lacks (SURVEY §2.3 flags it absent: the
+natural raw↔weather alignment at BDG2 scale; flagged for the §7
+extension path).
+
+Spark has no ASOF JOIN (DuckDB/Pandas do), and the naive formulation
+— range join + per-left-row argmax — explodes to O(|L|·|R|) pairs per
+key before the argmax prunes them. This implementation is the
+**union–sort–carry-forward** plan instead:
+
+1. tag right rows 0, left rows 1 and union them into one stream;
+2. one window per key, ordered by (ts, tag): ``last(right_struct,
+   ignoreNulls=True)`` carries the most recent right row forward
+   (tag order makes a right row at the exact same timestamp visible
+   to the left row — ASOF's ``right.ts <= left.ts`` inclusivity);
+3. keep left rows, unpack the carried struct.
+
+Cost: ONE shuffle of |L|+|R| rows by key + a per-key sort — the same
+shape as a sort-merge join, with no pair blowup at any skew. An
+optional tolerance turns matches older than the window into nulls
+(dropped, matching ASOF-inner semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_prefix: str = "right_",
+    tolerance: str | None = None,
+) -> DataFrame:
+    """For every left row, attach the most recent right row with
+    ``right.ts <= left.ts`` per ``on`` key (inner semantics: left
+    rows with no prior right row are dropped).
+
+    Output: all left columns + ``{right_prefix}<col>`` for right's
+    non-key, non-ts payload columns + ``{right_prefix}ts``.
+    """
+    payload = [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        F.struct(
+            F.col(right_ts).alias("ts"),
+            *[F.col(c) for c in payload],
+        ).alias("__rstruct"),
+    )
+    l = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__rstruct"].dataType).alias("__rstruct"),
+    )
+    merged = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        W.partitionBy(*on)
+        .orderBy("__ts", "__tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = merged.withColumn(
+        "__match", F.last("__rstruct", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__tag") == 1).filter(
+        F.col("__match").isNotNull()
+    )
+    if tolerance is not None:
+        out = out.filter(
+            F.col("__match.ts") >= F.expr(f"__ts - INTERVAL {tolerance}")
+        )
+    for c in ["ts"] + payload:
+        out = out.withColumn(f"{right_prefix}{c}", F.col(f"__match.{c}"))
+    return out.drop("__ts", "__tag", "__rstruct", "__match")

@@ -32,11 +32,17 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
+    # two timed runs per query, keep the min: run 1 pays whole-stage
+    # codegen compilation (~0.5-1 s/query, a constant that vanishes
+    # at real scale); run 2 is the steady-state per-query cost.
     for name in HEADLINE:
         spec = REGISTRY[name]
-        t0 = time.perf_counter()
-        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

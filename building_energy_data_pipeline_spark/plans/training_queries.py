@@ -154,7 +154,9 @@ def q30_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     s = docs.select(
-        "doc_id", "source", F.expr(dedup.shingles_expr(TOK, 2)).alias("sh")
+        "doc_id", "source", F.expr(TOK).alias("__toks")
+    ).select(
+        "doc_id", "source", F.expr(dedup.shingles_expr("__toks", 2)).alias("sh")
     )
     a = s.select(
         F.col("source"),

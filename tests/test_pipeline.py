@@ -1,0 +1,156 @@
+"""End-to-end pipeline facade tests: CSV corpus → transform →
+load (schema files + idempotent warehouse writes) → reload skips;
+plus writer/acquisition utilities.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+import pytest
+
+from building_energy_data_pipeline_spark.pipeline import Pipeline
+from building_energy_data_pipeline_spark.sources.acquire import (
+    download_from_zenodo,
+    get_parquet_info,
+    unzip_folders,
+)
+from building_energy_data_pipeline_spark.sources.writers import (
+    csv_to_parquet,
+    parquet_to_csv,
+    write_parquet,
+)
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    raw = tmp_path / "src" / "raw"
+    meta = tmp_path / "src" / "metadata"
+    raw.mkdir(parents=True)
+    meta.mkdir(parents=True)
+    (raw / "electricity.csv").write_text(
+        "timestamp,b1,b2\n2016-01-01 00:00:00,1.0,2.0\n2016-01-01 01:00:00,3.0,4.0\n"
+    )
+    (meta / "metadata.csv").write_text("building_id,sqft\nb1,100\nb2,200\n")
+    return tmp_path
+
+
+def make_pipeline(spark, tmp_path):
+    return Pipeline(
+        spark,
+        {
+            "data_sources_path": str(tmp_path / "src"),
+            "parquet_output_path": str(tmp_path / "parquet"),
+            "warehouse_path": str(tmp_path / "warehouse"),
+            "project_data": {
+                "record_id": "3887306",
+                "file_name": "data.zip",
+                "raw_data_file_path": str(tmp_path / "zips"),
+                "unique_columns": {
+                    "raw": ["timestamp", "building_id", "meter"],
+                    "metadata": ["building_id"],
+                },
+            },
+        },
+    )
+
+
+class TestPipelineEndToEnd:
+    def test_transform_then_load_then_idempotent_reload(self, spark, corpus):
+        p = make_pipeline(spark, corpus)
+
+        out = p.transform_data()
+        assert set(out) == {"raw", "metadata"}
+
+        results = p.load_data()
+        assert set(results) == {"raw", "metadata"}
+        assert not results["raw"].has_overlap
+        assert not results["metadata"].has_overlap
+
+        # warehouse tables exist, raw partitioned by meter
+        raw = spark.table if False else spark.read.parquet(
+            str(corpus / "warehouse" / "raw")
+        )
+        assert raw.count() == 4
+        assert "meter=electricity" in os.listdir(str(corpus / "warehouse" / "raw"))
+
+        # DDL files frozen (§3.1 step 2)
+        schemas = os.listdir(str(corpus / "warehouse" / "_schemas"))
+        assert sorted(schemas) == ["metadata_schema.sql", "raw_schema.sql"]
+        ddl = (corpus / "warehouse" / "_schemas" / "raw_schema.sql").read_text()
+        assert 'CREATE TABLE IF NOT EXISTS "raw"' in ddl
+
+        # reload: the overlap gate rejects every table, nothing doubles
+        results2 = p.load_data()
+        assert results2["raw"].has_overlap
+        assert results2["metadata"].has_overlap
+        assert spark.read.parquet(str(corpus / "warehouse" / "raw")).count() == 4
+
+    def test_parquet_info(self, spark, corpus):
+        p = make_pipeline(spark, corpus)
+        p.transform_data()
+        info = p.read_parquet_info()
+        assert info  # one entry per part file
+        first = next(iter(info.values()))
+        assert first["num_rows"] >= 0 and first["num_columns"] >= 2
+
+
+class TestWriters:
+    def test_csv_parquet_roundtrip(self, spark, tmp_path):
+        src = tmp_path / "in.csv"
+        src.write_text("a,b\n1,x\n2,y\n")
+        pq_dir = str(tmp_path / "t.parquet")
+        csv_to_parquet(spark, str(src), pq_dir)
+        assert spark.read.parquet(pq_dir).count() == 2
+
+        csv_dir = str(tmp_path / "out.csv")
+        parquet_to_csv(spark, pq_dir, csv_dir)
+        files = [f for f in os.listdir(csv_dir) if f.endswith(".csv")]
+        assert len(files) == 1  # single-file export contract
+
+    def test_partitioned_write(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, part string")
+        write_parquet(df, str(tmp_path / "t"), partition_by=["part"])
+        assert sorted(
+            d for d in os.listdir(tmp_path / "t") if d.startswith("part=")
+        ) == ["part=a", "part=b"]
+
+
+class TestAcquire:
+    def test_download_skips_existing(self, tmp_path):
+        # no network: the skip-if-exists path (zenodo_client.py:44-50)
+        dest = tmp_path / "zips"
+        dest.mkdir()
+        (dest / "data.zip").write_bytes(b"cached")
+        got = download_from_zenodo("0000", "data.zip", str(dest))
+        assert got == str(dest / "data.zip")
+
+    def test_unzip_selective_folders(self, tmp_path):
+        z = tmp_path / "a.zip"
+        with zipfile.ZipFile(z, "w") as zf:
+            zf.writestr("raw/electricity.csv", "ts,b1\n")
+            zf.writestr("weather/weather.csv", "ts,site\n")
+            zf.writestr("junk/skip.txt", "no")
+        got = unzip_folders(str(z), str(tmp_path / "out"), ["raw", "weather"])
+        assert sorted(got) == ["raw/electricity.csv", "weather/weather.csv"]
+        assert (tmp_path / "out" / "raw" / "electricity.csv").exists()
+        assert not (tmp_path / "out" / "junk").exists()
+
+    def test_unzip_all_when_no_filter(self, tmp_path):
+        z = tmp_path / "a.zip"
+        with zipfile.ZipFile(z, "w") as zf:
+            zf.writestr("raw/x.csv", "1")
+            zf.writestr("other/y.csv", "2")
+        got = unzip_folders(str(z), str(tmp_path / "out"))
+        assert len(got) == 2
+
+    def test_parquet_footer_info(self, spark, tmp_path):
+        p = str(tmp_path / "t.parquet")
+        spark.range(100).coalesce(1).write.parquet(p)
+        part = next(
+            os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+        )
+        info = get_parquet_info(part)
+        assert info["num_rows"] == 100
+        assert info["columns"] == {"id": "INT64"}

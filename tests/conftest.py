@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 
 from building_energy_data_pipeline_spark.session import get_spark
@@ -14,6 +16,10 @@ def spark():
         app_name="bedp-spark-tests",
         master="local[4]",
         shuffle_partitions=4,
+        extra_conf={
+            # saveAsTable targets (bucketing tests) go to a tmp dir
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-"),
+        },
     )
     yield s
 

@@ -1,0 +1,89 @@
+"""Scale-technique tests asserting PLAN SHAPE, not just results:
+bucketed joins must not re-shuffle; salted joins must spread a hot
+key across salt partitions and still produce exact join results.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from building_energy_data_pipeline_spark.operators.scale import (
+    salted_join,
+    write_bucketed,
+)
+from building_energy_data_pipeline_spark.ops import explain_str
+
+
+class TestBucketing:
+    @pytest.fixture()
+    def bucketed_pair(self, spark):
+        # warehouse dir is a tmp dir set at session build (conftest)
+        facts = spark.range(1_000).select(
+            (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+        )
+        dims = spark.range(50).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), "id").alias("name")
+        )
+        write_bucketed(facts, "facts_b", ["k"], num_buckets=8)
+        write_bucketed(dims, "dims_b", ["k"], num_buckets=8)
+        yield spark.table("facts_b"), spark.table("dims_b")
+        spark.sql("DROP TABLE IF EXISTS facts_b")
+        spark.sql("DROP TABLE IF EXISTS dims_b")
+
+    def test_bucketed_join_is_exchange_free(self, spark, bucketed_pair):
+        facts, dims = bucketed_pair
+        # disable auto-broadcast so the join would normally shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = facts.join(dims, "k")
+            plan = explain_str(joined)
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 1_000
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+
+    def test_bucketed_agg_is_exchange_free(self, spark, bucketed_pair):
+        facts, _ = bucketed_pair
+        plan = explain_str(facts.groupBy("k").agg(F.sum("v")))
+        assert "Exchange" not in plan, plan
+
+
+class TestSalting:
+    def test_salted_join_matches_plain_join(self, spark):
+        # one hot key (90% of rows) + a uniform tail
+        skewed = spark.range(10_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        small = spark.range(100).select(
+            F.col("id").alias("k"), F.concat(F.lit("n"), "id").alias("name")
+        )
+        plain = skewed.join(small, ["k"]).agg(
+            F.count("*"), F.sum("v")
+        ).first()
+        salted = salted_join(skewed, small, ["k"], salt=8).agg(
+            F.count("*"), F.sum("v")
+        ).first()
+        assert plain == salted
+
+    def test_salt_spreads_hot_key(self, spark):
+        hot = spark.range(1_000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+        small = spark.range(1).select(F.col("id").alias("k"))
+        out = salted_join(hot, small, ["k"], salt=8)
+        # the hot key's rows now carry ≥ 4 distinct salt partitions
+        n_salts = (
+            hot.withColumn(
+                "__salt",
+                F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(8)),
+            )
+            .select("__salt")
+            .distinct()
+            .count()
+        )
+        assert n_salts >= 4
+        assert out.count() == 1_000

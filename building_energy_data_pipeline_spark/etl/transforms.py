@@ -103,11 +103,15 @@ def coerce_int64(df: DataFrame, cols: list[str]) -> DataFrame:
     nullable 64-bit ints. ``try_cast`` gives the coerce-to-null
     semantics Spark's ANSI cast would reject. Applies only to columns
     actually present (P2, ``data_loader.py:582-604``).
+
+    ``bround`` (HALF_EVEN), not ``round`` (HALF_UP): pandas/numpy
+    ``.round()`` is banker's rounding, so '0.5' must coerce to 0 —
+    found by the hypothesis property test against ``to_numeric``.
     """
     present = [c for c in cols if c in df.columns]
     return df.withColumns(
         {
-            c: F.round(F.col(c).try_cast("double")).cast("long")
+            c: F.bround(F.col(c).try_cast("double")).cast("long")
             for c in present
         }
     )

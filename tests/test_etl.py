@@ -124,14 +124,15 @@ class TestNormalize:
 class TestCoerce:
     def test_coerce_semantics(self, spark):
         # pandas to_numeric(errors="coerce") parity: invalid → null,
-        # floats rounded half-up, ints preserved
+        # floats rounded HALF-EVEN (banker's, like numpy), ints kept
         df = spark.createDataFrame(
-            [("1", "x"), ("2.6", "y"), ("oops", "z"), (None, "w")],
+            [("1", "x"), ("2.6", "y"), ("oops", "z"), (None, "w"),
+             ("0.5", "u"), ("1.5", "v2")],
             ["v", "k"],
         )
         out = coerce_int64(df, ["v", "not_present"])
-        got = [r["v"] for r in out.orderBy("k").collect()]  # k: w,x,y,z
-        assert got == [None, 1, 3, None]
+        got = [r["v"] for r in out.orderBy("k").collect()]  # k: u,v2,w,x,y,z
+        assert got == [0, 2, None, 1, 3, None]
         assert dict(out.dtypes)["v"] == "bigint"
 
 

@@ -1,0 +1,139 @@
+"""Property-based tests (hypothesis) — the verification layer the
+reference suite lacks entirely (SURVEY §5). Each property checks a
+custom operator against an independent naive implementation on
+randomized inputs.
+
+Spark jobs are slow per-example, so properties run few, fat examples:
+hypothesis generates whole tables, not rows.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from building_energy_data_pipeline_spark.operators.asof import asof_join
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+keys = st.integers(min_value=0, max_value=3)
+offsets = st.integers(min_value=0, max_value=1000)
+
+
+@st.composite
+def asof_tables(draw):
+    left = draw(
+        st.lists(st.tuples(keys, offsets), min_size=1, max_size=25)
+    )
+    right = draw(
+        st.lists(st.tuples(keys, offsets), min_size=1, max_size=25)
+    )
+    return left, right
+
+
+def naive_asof(left, right):
+    """Reference semantics: per left row, the right row with the
+    greatest ts <= left ts for the same key (None if absent)."""
+    out = []
+    for lk, lts in left:
+        candidates = [rts for rk, rts in right if rk == lk and rts <= lts]
+        if candidates:
+            out.append((lk, lts, max(candidates)))
+    return sorted(out)
+
+
+class TestAsofProperty:
+    @SLOW
+    @given(asof_tables())
+    def test_matches_naive_argmax(self, spark, tables):
+        left_rows, right_rows = tables
+        left = spark.createDataFrame(
+            [
+                (k, T0 + dt.timedelta(seconds=s), i)
+                for i, (k, s) in enumerate(left_rows)
+            ],
+            "k int, ts timestamp, lid int",
+        )
+        right = spark.createDataFrame(
+            [(k, T0 + dt.timedelta(seconds=s)) for k, s in right_rows],
+            "k int, ts timestamp",
+        )
+        got = sorted(
+            (
+                r["k"],
+                int((r["ts"] - T0).total_seconds()),
+                int((r["right_ts"] - T0).total_seconds()),
+            )
+            for r in asof_join(left, right, on=["k"]).collect()
+        )
+        assert got == naive_asof(
+            [(k, s) for k, s in left_rows], right_rows
+        )
+
+
+class TestJaccardProperty:
+    @SLOW
+    @given(
+        st.lists(st.text(alphabet="abc", min_size=1, max_size=3), min_size=1, max_size=12),
+        st.lists(st.text(alphabet="abc", min_size=1, max_size=3), min_size=1, max_size=12),
+    )
+    def test_matches_python_sets(self, spark, xs, ys):
+        from building_energy_data_pipeline_spark.operators.dedup import (
+            jaccard_expr,
+        )
+
+        df = spark.createDataFrame(
+            [(sorted(set(xs)), sorted(set(ys)))],
+            "a array<string>, b array<string>",
+        )
+        got = df.select(jaccard_expr("a", "b").alias("j")).first()["j"]
+        expect = round(
+            len(set(xs) & set(ys)) / len(set(xs) | set(ys)), 4
+        )
+        assert got == pytest.approx(expect, abs=1e-9)
+
+
+class TestCoerceProperty:
+    @SLOW
+    @given(
+        st.lists(
+            st.one_of(
+                st.integers(min_value=-(2**40), max_value=2**40).map(str),
+                st.floats(
+                    allow_nan=False,
+                    allow_infinity=False,
+                    min_value=-1e12,
+                    max_value=1e12,
+                ).map(lambda f: repr(round(f, 3))),
+                st.text(alphabet="xyz!", min_size=1, max_size=4),
+                st.none(),
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def test_matches_pandas_to_numeric(self, spark, values):
+        import pandas as pd
+
+        from building_energy_data_pipeline_spark.etl import coerce_int64
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(values)], "i int, v string"
+        )
+        got = {
+            r["i"]: r["v"] for r in coerce_int64(df, ["v"]).collect()
+        }
+        ref = pd.to_numeric(pd.Series(values), errors="coerce").round(0)
+        for i, v in enumerate(values):
+            expect = None if pd.isna(ref[i]) else int(ref[i])
+            assert got[i] == expect, (v, got[i], expect)

@@ -1,0 +1,175 @@
+"""Window/time-series queries (q41+): moving averages, gap-based
+sessionization, pivot, and near-dup cluster assignment.
+
+Sessionization and dedup clustering are the two operations every
+training-data pipeline runs between "raw events" and "examples";
+neither exists in the reference (SURVEY §2.5: no window functions at
+all) — both are expressed here with windows / iterative joins and
+oracle-checked (the cluster query against a DuckDB RECURSIVE CTE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators.graph import connected_components
+from ..sources.readers import load_table
+from .registry import query
+from .training_queries import TOK  # noqa: F401  (shared token expr)
+from ..operators import dedup
+
+
+@query(
+    "q41_moving_average",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           round(AVG(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3,
+           round(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS running_total
+    FROM events
+    """,
+)
+def q41_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 3-row moving average + running total — bounded-frame
+    windows (frame order fixed by (ts, event_id) so the float sums
+    accumulate in the same order on both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    frame = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(F.avg("value").over(frame.rowsBetween(-2, 0)), 4).alias("ma3"),
+        F.round(
+            F.sum("value").over(
+                frame.rowsBetween(W.unboundedPreceding, 0)
+            ),
+            4,
+        ).alias("running_total"),
+    )
+
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "q42_sessionize",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS BIGINT) AS session_no
+      FROM gaps)
+    SELECT user_id, session_no,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def q42_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle timeout): lag → boundary
+    flag → running sum = session number → per-session rollup. The
+    batch twin of streaming session windows; one shuffle on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap <= SESSION_GAP_MIN * 60, F.lit(0)).otherwise(F.lit(1)),
+    )
+    sessions = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "q43_type_pivot",
+    oracle="""
+    SELECT user_id,
+           round(COALESCE(SUM(value) FILTER (event_type = 'click'), 0), 4)
+             AS click_value,
+           round(COALESCE(SUM(value) FILTER (event_type = 'view'), 0), 4)
+             AS view_value,
+           round(COALESCE(SUM(value) FILTER (event_type = 'error'), 0), 4)
+             AS error_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q43_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide, the inverse of T1's melt) as conditional
+    aggregation — map-side combinable, unlike `df.groupBy().pivot()`
+    whose value discovery needs an extra pass."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def bucket(t: str):
+        return F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == t, F.col("value"))),
+                F.lit(0),
+            ),
+            4,
+        ).alias(f"{t}_value")
+
+    return ev.groupBy("user_id").agg(
+        bucket("click"),
+        bucket("view"),
+        bucket("error"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def _cluster_oracle() -> str:
+    # transitive min-label closure over the q28 near-dup edges,
+    # as a DuckDB RECURSIVE CTE (Spark side: iterative join loop)
+    pair_sql = "SELECT id_a, id_b FROM (" + __import__(
+        "building_energy_data_pipeline_spark.plans.training_queries",
+        fromlist=["_minhash_oracle"],
+    )._minhash_oracle() + ")"
+    return f"""
+    WITH RECURSIVE pairs AS ({pair_sql}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(node, other) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.other FROM edges e JOIN reach r ON e.v = r.node)
+    SELECT node, MIN(other) AS component
+    FROM reach GROUP BY node
+    """
+
+
+@query("q44_neardup_clusters", oracle=_cluster_oracle())
+def q44_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: q28's LSH pairs → connected components →
+    (node, component=min reachable doc_id). Iterative min-label
+    propagation (``operators/graph.py``); oracle is a DuckDB
+    recursive-CTE transitive closure — two entirely different
+    algorithms, same fixpoint."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", TOK, k=3)
+    pairs = dedup.minhash_lsh_pairs(sigs, "doc_id", min_jaccard=0.5)
+    return connected_components(pairs)

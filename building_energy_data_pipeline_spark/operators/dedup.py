@@ -114,50 +114,80 @@ def minhash_signatures(
     array<string>`` (length ``bands``; each key embeds the band index
     so buckets never collide across bands).
 
-    Hash family is Kirsch-Mitzenmacher: ONE md5 per shingle split
+    Hash family is Kirsch-Mitzenmacher: ONE hash per shingle split
     into two 32-bit halves ``(h1, h2)``; hash function ``s`` is the
     affine combination ``(h1 + s·h2) mod 2³²`` — integer ops only, so
     the crypto cost is O(|shingles|) not O(|shingles|·num_hashes).
-    Each derived column lives in its own projection stage (tokens →
-    shingles → md5s → h1s/h2s → sig) so multiply-referenced arrays
-    are computed once per row, never inlined — ``shingles_expr``
-    references its token input twice and higher-order functions are
-    evaluated interpreted (no CSE), so staging the tokens column
-    alone is a measured 3× on the signature job.
 
-    One narrow map — zero shuffle.
+    Two physical strategies, same logical output:
+
+    - ``portable=True`` (md5, DuckDB-comparable): **explode +
+      groupBy**. Spark evaluates lambda bodies of higher-order
+      functions interpreted (no whole-stage codegen), and md5 is
+      expensive enough that the interpreted penalty dominates —
+      measured 3.7× slower than running md5 as a top-level codegen'd
+      projection over exploded shingles. The groupBy's map-side
+      partial aggregation collapses each document back to one row
+      *before* the exchange (a document's shingles never span
+      partitions — they come from one input row), so the shuffle
+      carries one row per document, ≈ input size.
+    - ``portable=False`` (xxhash64, production): pure higher-order
+      array expressions in one narrow projection — **zero shuffle**.
+      xxhash64 is cheap enough that the interpreted HOF path wins by
+      staying shuffle-free.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sh = shingles_expr("__toks", k)
-    if portable:
-        md5s = "transform(shingles, x -> md5(x))"
-        h1s = "transform(md5s, m -> cast(conv(substring(m, 1, 8), 16, 10) as bigint))"
-        h2s = "transform(md5s, m -> cast(conv(substring(m, 9, 8), 16, 10) as bigint))"
-    else:
-        md5s = "transform(shingles, x -> xxhash64(x))"
-        h1s = "transform(md5s, m -> m & 4294967295)"
-        h2s = "transform(md5s, m -> shiftright(m, 32) & 4294967295)"
-    sig = (
-        f"transform(sequence(0, {num_hashes - 1}),"
-        f" s -> array_min(zip_with(h1s, h2s,"
-        f" (a, b) -> (a + s * b) % 4294967296)))"
-    )
     band_keys = (
         f"transform(sequence(0, {bands - 1}),"
         f" b -> md5(concat(cast(b as string), '|',"
         f" array_join(transform(slice(sig, b * {rows} + 1, {rows}),"
         f" v -> cast(v as string)), ','))))"
     )
+    base = df.select(F.col(id_col), F.expr(tokens_expr).alias("__toks")).select(
+        F.col(id_col), F.expr(sh).alias("shingles")
+    )
+    if portable:
+        # explode_outer, not explode: plain explode lets
+        # InferFiltersFromGenerate push a size()>0 filter into the
+        # scan with the whole shingle expression tree inlined
+        # (double-computing it); shingles has ≥1 element by
+        # construction so outer semantics are identical.
+        ex = base.select(id_col, F.explode_outer("shingles").alias("x")).select(
+            id_col,
+            "x",
+            F.expr("cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint)").alias("h1"),
+            F.expr("cast(conv(substring(md5(x), 9, 8), 16, 10) as bigint)").alias("h2"),
+        )
+        mins = [
+            F.min(F.expr(f"(h1 + {s} * h2) % 4294967296")).alias(f"__m{s}")
+            for s in range(num_hashes)
+        ]
+        return (
+            ex.groupBy(id_col)
+            .agg(*mins, F.collect_list("x").alias("shingles"))
+            .select(
+                id_col,
+                "shingles",
+                F.array(*[f"__m{s}" for s in range(num_hashes)]).alias("sig"),
+            )
+            .withColumn("band_keys", F.expr(band_keys))
+        )
+    h1s = "transform(hs, m -> m & 4294967295)"
+    h2s = "transform(hs, m -> shiftright(m, 32) & 4294967295)"
+    sig = (
+        f"transform(sequence(0, {num_hashes - 1}),"
+        f" s -> array_min(zip_with(h1s, h2s,"
+        f" (a, b) -> (a + s * b) % 4294967296)))"
+    )
     return (
-        df.select(F.col(id_col), F.expr(tokens_expr).alias("__toks"))
-        .select(F.col(id_col), F.expr(sh).alias("shingles"))
-        .withColumn("md5s", F.expr(md5s))
+        base.withColumn("hs", F.expr("transform(shingles, x -> xxhash64(x))"))
         .withColumn("h1s", F.expr(h1s))
         .withColumn("h2s", F.expr(h2s))
         .withColumn("sig", F.expr(sig))
         .withColumn("band_keys", F.expr(band_keys))
-        .drop("md5s", "h1s", "h2s")
+        .drop("hs", "h1s", "h2s")
     )
 
 

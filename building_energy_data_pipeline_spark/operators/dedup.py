@@ -126,11 +126,13 @@ def minhash_signatures(
       functions interpreted (no whole-stage codegen), and md5 is
       expensive enough that the interpreted penalty dominates —
       measured 3.7× slower than running md5 as a top-level codegen'd
-      projection over exploded shingles. The groupBy's map-side
-      partial aggregation collapses each document back to one row
-      *before* the exchange (a document's shingles never span
-      partitions — they come from one input row), so the shuffle
-      carries one row per document, ≈ input size.
+      projection over exploded shingles. The documents are
+      repartitioned by ``id_col`` BEFORE the explode: that (a) frees
+      the hash stage from the input's row-group parallelism (a single
+      giant row group would otherwise hash on one task), and (b)
+      satisfies the groupBy's required distribution, so the explode →
+      md5 → aggregate chain runs exchange-free — the only shuffle in
+      the whole signature job moves the compact pre-explode rows.
     - ``portable=False`` (xxhash64, production): pure higher-order
       array expressions in one narrow projection — **zero shuffle**.
       xxhash64 is cheap enough that the interpreted HOF path wins by
@@ -154,7 +156,14 @@ def minhash_signatures(
         # scan with the whole shingle expression tree inlined
         # (double-computing it); shingles has ≥1 element by
         # construction so outer semantics are identical.
-        ex = base.select(id_col, F.explode_outer("shingles").alias("x")).select(
+        # explicit partition count: a bare repartition(col) is
+        # AQE-coalesced by shuffle-read *bytes*, which under-provisions
+        # this CPU-bound (md5-per-shingle) stage — a few MB of compact
+        # docs can explode into seconds of hashing on one core.
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        ex = base.repartition(n_part, F.col(id_col)).select(
+            id_col, F.explode_outer("shingles").alias("x")
+        ).select(
             id_col,
             "x",
             F.expr("cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint)").alias("h1"),

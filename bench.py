@@ -32,13 +32,14 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
-    # two timed runs per query, keep the min: run 1 pays whole-stage
+    # three timed runs per query, keep the min: run 1 pays whole-stage
     # codegen compilation (~0.5-1 s/query, a constant that vanishes
-    # at real scale); run 2 is the steady-state per-query cost.
+    # at real scale); the min of the rest is the steady-state
+    # per-query cost, robust to co-tenant noise on the machine.
     for name in HEADLINE:
         spec = REGISTRY[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -1,0 +1,87 @@
+"""Streaming query through the driver contract (q52): the SAME
+windowed-rollup logic the batch engine runs, executed as a Structured
+Streaming job (file source → watermark → tumbling window → memory
+sink) and hash-compared to the DuckDB batch oracle.
+
+The reference is batch-only (SURVEY §2.11); this is the §7 phase-7
+upgrade surfaced as a first-class, oracle-checked capability: the
+streaming execution of a static input must produce byte-identical
+results to the batch SQL — Spark's unified batch/streaming semantics,
+demonstrated rather than asserted.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import dec_sum, dec_sum_sql
+from .registry import query
+
+
+@query(
+    "q52_streaming_hourly_rollup",
+    oracle=f"""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dec_sum_sql("value")} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q52_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup executed as a STREAM: ``readStream``
+    file source over the static events table, 1-hour watermark (the
+    reference's ±1 h tolerance, ``data_loader.py:389``), windowed
+    aggregate, ``availableNow`` trigger, memory sink — then the sink
+    table is returned as the (batch) result for oracle comparison.
+
+    ``complete`` output mode so the trailing window — which the
+    watermark never passes on a finite source — is still emitted;
+    at true streaming scale the production sink runs ``append`` and
+    flushes windows as the watermark crosses them
+    (``streaming/ingest.windowed_rollup``).
+
+    Scale: state = one row per (window, event_type) inside the
+    watermark horizon; the file source lists incrementally, so a
+    100 TB backlog is throttled with ``maxFilesPerTrigger``, not
+    loaded in one batch.
+    """
+    # events.ts is TIMESTAMP(NANOS) → LongType nanos under the
+    # session's nanosAsLong (see sources/readers.load_table)
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    # the streaming file source requires a DIRECTORY base path;
+    # pathGlobFilter narrows the listing to the one events file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dec_sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"q52_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q52_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -34,6 +34,7 @@ from .registry import query
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
     """,
+    headline=True,
 )
 def q45_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP region → nation → grand total in ONE pass
@@ -136,6 +137,7 @@ _BANDS = [
       ON p_retailprice >= lo AND p_retailprice < hi
     GROUP BY band
     """,
+    headline=True,
 )
 def q48_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval range join via bin bucketing

@@ -1,0 +1,96 @@
+"""Multimodal queries through the driver contract (q53–q54).
+
+The media table is synthesized deterministically from ``documents``
+(payload = UTF-8 bytes of the text; metadata derived from stable
+columns) so the binary-column plumbing — Parquet binary + typed
+struct, Arrow batches into ``mapInPandas``, feature-only shuffle —
+runs end-to-end on driver-visible queries:
+
+- q53: image feature extraction. Rows-only check: the stub decoder's
+  content-hash-seeded pixels are not SQL-expressible (by design — the
+  real codec wouldn't be either); determinism is covered by
+  ``tests/test_multimodal.py``.
+- q54: video frame-sampling plan. Fully oracle-checked — the plan
+  stage is pure Spark expressions (sequence + explode), so DuckDB
+  reproduces it with generate_series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal
+from ..sources.readers import load_table
+from .registry import query
+
+
+def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → MEDIA_SCHEMA-shaped table (deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "video")
+        .when(F.col("doc_id") % 3 == 1, "image")
+        .otherwise("audio")
+        .alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            (F.col("n_chars") % 64 + 16).cast("int").alias("width"),
+            (F.col("n_chars") % 48 + 16).cast("int").alias("height"),
+            ((F.col("n_chars") % 10 + 1) * 1000).cast("int").alias("duration_ms"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+@query("q53_multimodal_image_features", oracle=None)
+def q53_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-feature extraction over binary media columns
+    (``operators/multimodal.extract_image_features``): decode (stubbed
+    deterministic), per-channel means, brightness — one Arrow batch
+    per partition into Python, ~40 bytes of features back out per
+    row. Returned sorted-free; rows-only driver check, exact-value
+    determinism asserted in unit tests.
+    """
+    media = _media_from_documents(spark, sf_dir).filter(
+        F.col("media_type") == "image"
+    )
+    feats = multimodal.extract_image_features(media)
+    return feats.select(
+        "media_id",
+        "height",
+        "width",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("brightness", 4).alias("brightness"),
+    )
+
+
+@query(
+    "q54_frame_sample_plan",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(0, ((n_chars % 10) + 1) * 1000, 400)) AS BIGINT)
+               AS frame_ts_ms,
+           CAST(unnest(range(0, ((n_chars % 10) + 1) * 1000, 400)) / 400 AS INT)
+               AS frame_idx
+    FROM documents
+    WHERE doc_id % 3 = 0
+    """,
+)
+def q54_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling work plan
+    (``operators/multimodal.sample_frame_plan``): one row per frame to
+    decode, derived from ``meta.duration_ms`` with sequence + explode
+    — a generator stage, no shuffle, no Python. The ffmpeg-backed
+    decode stage would consume exactly this plan; the plan itself is
+    oracle-checked.
+    """
+    media = _media_from_documents(spark, sf_dir)
+    plan = multimodal.sample_frame_plan(media, every_ms=400)
+    return plan.select(
+        "media_id", F.col("frame_ts_ms").cast("long"), "frame_idx"
+    )

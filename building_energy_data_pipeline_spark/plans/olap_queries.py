@@ -225,6 +225,46 @@ def q50_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: order-independent AVG threshold (see functions/scalar.dec_avg)
+_AVG_BAL = (
+    "CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(28,6))), 4) AS DOUBLE)"
+    " / COUNT(c_acctbal)"
+)
+_AVG_PRICE = (
+    "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 4) AS DOUBLE)"
+    " / COUNT(o_totalprice)"
+)
+
+_Q55_SQL = f"""
+    SELECT c_custkey, c_acctbal
+    FROM {{cust}}
+    WHERE c_acctbal > (SELECT {_AVG_BAL} FROM {{cust}})
+      AND EXISTS (
+        SELECT 1 FROM {{orders}} o
+        WHERE o.o_custkey = c_custkey
+          AND o.o_totalprice > (SELECT {_AVG_PRICE} FROM {{orders}})
+      )
+"""
+
+
+@query(
+    "q55_correlated_subqueries",
+    oracle=_Q55_SQL.format(cust="customer", orders="orders"),
+)
+def q55_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + correlated-EXISTS subqueries through the SQL front
+    door — the reference ships every subquery to PostgreSQL
+    (``postgres_manager.py:388-416``); here Catalyst decorrelates the
+    EXISTS to a left-semi join and plans the scalar aggregates as
+    broadcast-reused subquery results (one scan each, not per-row).
+    The IDENTICAL query text runs on both engines: only the table
+    names are bound.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q55_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q55_orders")
+    return spark.sql(_Q55_SQL.format(cust="q55_customer", orders="q55_orders"))
+
+
 @query("q51_approx_distinct", oracle=None)
 def q51_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type: HyperLogLog++

@@ -265,6 +265,42 @@ def q55_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q55_SQL.format(cust="q55_customer", orders="q55_orders"))
 
 
+@query(
+    "q56_salted_skew_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           {dec_sum_sql("l_extendedprice")} AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q56_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact-dimension join (``operators/scale.salted_join``)
+    aggregated per priority — the oracle is the PLAIN join, proving
+    salting is a pure physical rewrite with identical semantics.
+
+    Scale: a hot ``l_orderkey`` would pile one shuffle partition onto
+    one task; the salt spreads each key across ``salt`` partitions at
+    the cost of replicating the (small) build side ``salt``×. AQE's
+    skew-join split handles moderate skew automatically — explicit
+    salting is the deterministic-layout fallback for extreme keys.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    from ..operators.scale import salted_join
+
+    joined = salted_join(li, orders, on=["l_orderkey"], salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        dec_sum("l_extendedprice").alias("sum_price"),
+    )
+
+
 @query("q51_approx_distinct", oracle=None)
 def q51_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type: HyperLogLog++

@@ -301,6 +301,85 @@ def q56_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q57_SQL = """
+    SELECT n_nationkey,
+           CAST(cust.n_cust AS DOUBLE) AS n_cust,
+           CAST(supp.n_supp AS DOUBLE) AS n_supp
+    FROM (SELECT c_nationkey AS n_nationkey, COUNT(*) AS n_cust
+          FROM {customer} WHERE c_acctbal > 9800 GROUP BY 1) cust
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS n_nationkey, COUNT(*) AS n_supp
+          FROM {supplier} WHERE s_acctbal > 7000 GROUP BY 1) supp
+    USING (n_nationkey)
+"""
+
+
+@query(
+    "q57_full_outer_join",
+    oracle=_Q57_SQL.format(customer="customer", supplier="supplier"),
+)
+def q57_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN — absent from the reference's issued SQL
+    (SURVEY §2.3 absent-list: "no full outer"), exposed as a
+    first-class capability. High-balance customer nations vs
+    high-balance supplier nations: rows null on either side are
+    nations present in only one input (both directions occur at
+    sf0.01). ``USING`` coalesces the key, so ``n_nationkey`` is
+    never null. IDENTICAL query text runs on both engines.
+
+    Scale: both inputs pre-aggregate to ≤25 rows before the join —
+    the full outer joins the *aggregates*, not the base tables, so
+    the shuffle moves two tiny keyed sets (and AQE plans a broadcast
+    full-outer is impossible — full outer needs both sides
+    partitioned — but 25-row sides make the exchange free).
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q57_customer")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("q57_supplier")
+    return spark.sql(_Q57_SQL.format(customer="q57_customer", supplier="q57_supplier"))
+
+
+_Q58_SQL = """
+    WITH RECURSIVE spine(month_start) AS (
+      SELECT CAST('1995-01-01' AS DATE)
+      UNION ALL
+      SELECT CAST(month_start + INTERVAL 1 MONTH AS DATE) FROM spine
+      WHERE month_start < CAST('2001-08-01' AS DATE)
+    ),
+    monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             COUNT(*) AS n_orders
+      FROM {orders}
+      GROUP BY 1
+    )
+    SELECT CAST(s.month_start AS TIMESTAMP) AS month_start,
+           COALESCE(m.n_orders, 0) AS n_orders
+    FROM spine s LEFT JOIN monthly m ON s.month_start = m.month_start
+"""
+
+
+@query(
+    "q58_recursive_spine",
+    oracle=_Q58_SQL.format(orders="orders"),
+)
+def q58_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``WITH RECURSIVE`` (Spark 4) generating a dense month
+    spine, left-joined to monthly order counts so empty months
+    surface as zero rows. SURVEY C7 flags recursive traversal as
+    "driver-side BFS until Spark 4 recursive CTE" — this engine runs
+    on Spark 4, so the recursion executes inside Catalyst with the
+    IDENTICAL query text on both engines (the reference ships its
+    one ``WITH RECURSIVE`` to PostgreSQL,
+    ``postgres_manager.py:718``).
+
+    Scale: the recursive branch produces 80 rows on the driver-side
+    loop of the CTE execution — recursion depth is bounded by the
+    calendar, not the data; the only data-sized work is the monthly
+    pre-aggregation, one map-side-combined shuffle of ~80 groups.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q58_orders")
+    return spark.sql(_Q58_SQL.format(orders="q58_orders"))
+
+
 @query("q51_approx_distinct", oracle=None)
 def q51_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type: HyperLogLog++

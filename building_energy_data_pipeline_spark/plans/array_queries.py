@@ -1,0 +1,151 @@
+"""Array / lateral / pivot surface (q59–q61): explode (the UDTF
+surface), higher-order array functions, and native SQL PIVOT.
+
+SURVEY.md §2.8 notes the reference has "no map functions, no explode"
+— melt (T1) is its only reshaping op — and §2.4 notes pivot-style
+conditional aggregation is absent. These are first-class Spark
+capabilities a training-data pipeline leans on constantly (token
+explosion, embedding math, wide feature matrices), so the engine
+exposes them as oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .registry import query
+
+
+@query(
+    "q59_explode_tokens",
+    oracle="""
+    SELECT tok, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n_occurrences DESC, tok
+    LIMIT 20
+    """,
+)
+def q59_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token explosion — ``explode(split(...))``, the LATERAL
+    VIEW / UDTF surface the reference lacks entirely (SURVEY §2.8:
+    "no explode"; its only reshape is melt, T1). Top-20 corpus
+    vocabulary with document frequency, the first step of any
+    TF/IDF- or BPE-style pipeline over the ``documents`` table.
+
+    Scale: explode is a narrow transformation — each input row
+    expands within its partition, no shuffle until the groupBy, which
+    partial-aggregates map-side so the exchange carries one row per
+    (partition, token), not one per token occurrence. The top-20 is
+    a TakeOrdered over the aggregated set, never a global sort of
+    the exploded data.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "tok")
+        .limit(20)
+    )
+
+
+@query(
+    "q60_vector_norms",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(ROUND(list_sum(list_transform(embedding,
+                x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))),
+                6) AS DOUBLE) AS sq_norm,
+           CAST(ROUND(list_sum(list_transform(embedding,
+                x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12)))),
+                6) AS DOUBLE) AS sum_comp
+    FROM embeddings
+    """,
+)
+def q60_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — ``transform`` + ``aggregate``
+    lambda expressions over the ``embedding`` column, entirely
+    JVM-side (no UDF). Computes the squared L2 norm and component
+    sum per vector, the primitives under cosine similarity and
+    embedding normalization (SURVEY §2.8 absent-list: the reference
+    has no array functions beyond ``ANY``/``array_agg``).
+
+    Determinism: each element is cast to DECIMAL(28,12) before the
+    fold, so the accumulation is exact and order-independent on both
+    engines (the functions/scalar.py convention applied element-wise).
+
+    Scale: pure narrow projection — no shuffle, no state; whole-stage
+    codegen keeps the fold in the JVM, and at 100 TB this runs at
+    scan speed with column pruning down to (vec_id, embedding).
+    """
+    zero = F.lit(0).cast("decimal(28,12)")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding",
+        zero,
+        lambda acc, x: (
+            acc + (x.cast("double") * x.cast("double")).cast("decimal(28,12)")
+        ).cast("decimal(28,12)"),
+    )
+    sm = F.aggregate(
+        "embedding",
+        zero,
+        lambda acc, x: (acc + x.cast("double").cast("decimal(28,12)")).cast(
+            "decimal(28,12)"
+        ),
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(sq, 6).cast("double").alias("sq_norm"),
+        F.round(sm, 6).cast("double").alias("sum_comp"),
+    )
+
+
+@query(
+    "q61_sql_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q61_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native SQL ``PIVOT`` — long→wide reshaping, the inverse of the
+    reference's melt (T1, its ONLY reshape op). Order counts by
+    priority × status as a wide matrix; the oracle states the same
+    contract as portable conditional aggregation (``COUNT(*) FILTER``),
+    which is also exactly what Catalyst lowers PIVOT to — one
+    aggregation pass, not one scan per output column.
+
+    Scale: single shuffle on o_orderpriority (5 groups); the pivot
+    value list is explicit (O/F/P), so no extra distinct-values job
+    runs to discover columns — at 100 TB an *implicit* pivot column
+    list would cost a full extra scan.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q61_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COALESCE(st_o, 0) AS n_open,
+               COALESCE(st_f, 0) AS n_filled,
+               COALESCE(st_p, 0) AS n_pending
+        FROM (SELECT o_orderpriority, o_orderstatus FROM q61_orders)
+        PIVOT (COUNT(*) FOR o_orderstatus IN ('O' AS st_o, 'F' AS st_f, 'P' AS st_p))
+        ORDER BY o_orderpriority
+        """
+    )

@@ -1,7 +1,7 @@
-"""Streaming query through the driver contract (q52): the SAME
-windowed-rollup logic the batch engine runs, executed as a Structured
-Streaming job (file source → watermark → tumbling window → memory
-sink) and hash-compared to the DuckDB batch oracle.
+"""Streaming queries through the driver contract (q52, q62): the SAME
+logic the batch engine runs, executed as Structured Streaming jobs
+(file source → watermark → tumbling/session window → memory sink) and
+hash-compared to DuckDB batch oracles.
 
 The reference is batch-only (SURVEY §2.11); this is the §7 phase-7
 upgrade surfaced as a first-class, oracle-checked capability: the
@@ -80,6 +80,89 @@ def q52_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .outputMode("complete")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="q52_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query(
+    "q62_streaming_session_window",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ev
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events,
+           {dec_sum_sql("value")} AS sum_value
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+)
+def q62_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (dynamic-gap session windows) run as
+    a STREAM — the streaming twin of the batch gap-sessionization
+    (q42), but using Spark's built-in session-window state store
+    instead of window functions. The oracle derives the identical
+    sessions relationally: a new session starts when the gap to the
+    previous event is ≥ 30 min (session_window's window end is
+    exclusive, so two events exactly one gap apart do NOT merge).
+
+    SURVEY §2.11: the reference is batch-only; session windows are
+    the §7 extension the driver contract's "Structured Streaming"
+    north star calls for.
+
+    Scale: session-window state is per (user, open session) and is
+    evicted as the watermark passes session end — bounded by active
+    users within the watermark horizon, not by history. The merge of
+    adjacent windows happens inside the state store, shuffled once on
+    user_id.
+    """
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "sum_value"
+        )
+    )
+    name = f"q62_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q62_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )

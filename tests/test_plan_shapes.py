@@ -87,3 +87,41 @@ class TestJoinShapes:
         body = plan.split("== Physical Plan ==")[-1]
         shuffles = body.count("Exchange hashpartitioning")
         assert shuffles <= 1, f"expected ≤1 shuffle, saw {shuffles}"
+
+    def test_q57_full_outer_joins_preaggregates(self, plan_of):
+        # the full outer must join the two ≤25-row aggregates, never
+        # the base tables: each join input carries a partial_count
+        # aggregate below it, and no cartesian/BNLJ appears
+        plan = plan_of("q57_full_outer_join")
+        assert "FullOuter" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("partial_count") >= 2
+
+
+class TestArrayAndPivotShapes:
+    def test_q59_explode_partial_aggregates(self, plan_of):
+        # explode is narrow; the groupBy must map-side combine so the
+        # exchange carries (partition × token), not token occurrences
+        plan = plan_of("q59_explode_tokens")
+        assert "explode(split(" in plan  # Generate node, narrow
+        assert "partial_" in plan
+        assert "TakeOrderedAndProject" in plan  # top-20, no global sort
+
+    def test_q60_higher_order_fold_no_shuffle(self, plan_of):
+        # pure narrow projection: no exchange of any kind, and the
+        # scan reads only (vec_id, embedding)
+        plan = plan_of("q60_vector_norms")
+        body = plan.split("== Physical Plan ==")[-1]
+        assert "Exchange" not in body
+        read = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "label" not in read
+
+    def test_q61_pivot_single_aggregation_pass(self, plan_of):
+        # explicit pivot value list → one aggregate over one scan of
+        # orders; an implicit list would add a distinct-values job
+        plan = plan_of("q61_sql_pivot")
+        # one file scan feeds the whole pivot (Location: appears once
+        # per scan in the formatted detail section)
+        assert plan.count("Location:") == 1
+        assert "pivotfirst" in plan

@@ -1,5 +1,5 @@
-"""Array / lateral / pivot surface (q59–q61): explode (the UDTF
-surface), higher-order array functions, and native SQL PIVOT.
+"""Array / map / lateral / pivot surface (q59–q63): explode (the UDTF
+surface), higher-order array and map functions, and native SQL PIVOT.
 
 SURVEY.md §2.8 notes the reference has "no map functions, no explode"
 — melt (T1) is its only reshaping op — and §2.4 notes pivot-style
@@ -148,4 +148,82 @@ def q61_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         PIVOT (COUNT(*) FOR o_orderstatus IN ('O' AS st_o, 'F' AS st_f, 'P' AS st_p))
         ORDER BY o_orderpriority
         """
+    )
+
+
+@query(
+    "q63_map_functions",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type,
+             COUNT(*) AS n_hours,
+             CAST(SUM(n) AS BIGINT) AS total,
+             CAST(MAX(CASE WHEN hr = 12 THEN n END) AS BIGINT) AS midday_n
+      FROM hourly
+      GROUP BY 1
+    )
+    SELECT h.event_type, t.n_hours, t.total, t.midday_n, h.hr, h.n
+    FROM hourly h JOIN tot t USING (event_type)
+    WHERE h.n * t.n_hours > t.total
+    ORDER BY h.event_type, h.hr
+    """,
+)
+def q63_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns end to end — SURVEY §2.8 absent-note: the
+    reference has "no map functions". Builds an hour→count map per
+    event type (``map_from_entries`` over sorted entries), folds
+    ``map_values`` for the total (exact bigint fold), probes
+    ``element_at`` for the midday count (null-safe when absent),
+    keeps only above-average hours with ``map_filter`` (its lambda
+    captures the row's own n_hours/total — integer math, so the
+    predicate is scale-adaptive AND engine-exact), and ``explode``\\ s
+    the surviving map back to rows. The oracle states the identical
+    contract relationally (hourly CTE ⋈ totals).
+
+    Scale: two shuffles (hour rollup, then per-type map build); the
+    map is bounded at 24 entries per type so `collect_list` state is
+    O(1) per group — maps here are a *row-local* structure, never an
+    unbounded aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    asmap = hourly.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("hr", "n")))
+        ).alias("by_hr")
+    )
+    enriched = asmap.select(
+        "event_type",
+        F.size("by_hr").alias("n_hours"),
+        F.aggregate(
+            F.map_values("by_hr"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total"),
+        F.element_at("by_hr", F.lit(12)).alias("midday_n"),
+        "by_hr",
+    )
+    return (
+        enriched.select(
+            "event_type",
+            "n_hours",
+            "total",
+            "midday_n",
+            F.explode(
+                F.map_filter(
+                    "by_hr",
+                    lambda k, v: v * F.col("n_hours") > F.col("total"),
+                )
+            ).alias("hr", "n"),
+        )
+        .orderBy("event_type", "hr")
     )

@@ -16,6 +16,7 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.scalar import dec_sum, dec_sum_sql
@@ -168,3 +169,82 @@ def q62_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "q64_stateful_gap_tracker",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                   (PARTITION BY user_id, event_type
+                    ORDER BY CAST(ts AS TIMESTAMP)) AS gap_us
+      FROM events
+    )
+    SELECT user_id, event_type,
+           COUNT(*) AS n_events,
+           CAST(COALESCE(MAX(gap_us), 0) AS BIGINT) AS max_gap_us
+    FROM gaps
+    GROUP BY user_id, event_type
+    """,
+)
+def q64_stateful_gap_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator through the driver
+    contract — ``applyInPandasWithState`` tracking per-key event
+    count and largest inter-event gap (``streaming/stateful.py
+    event_gap_stats``), the streaming generalization of the batch
+    lag-gap window (q07) and of the reference's monotonicity probe
+    (``schema_analyzer.py:88``).
+
+    Unlike typical custom-state ops this one IS oracle-checked: the
+    fold runs in exact int64 microseconds, so after the finite
+    source drains, the per-key state equals the relational
+    lag()/MAX() oracle bit-for-bit (single-event keys emit gap 0 ↔
+    COALESCE(MAX, 0)).
+
+    Scale: state = one 3-int tuple per (user, event_type); Arrow
+    batches stream through the Python worker per key-partition
+    (shuffled once on the grouping key), and eviction at true scale
+    is a state timeout — memory tracks ACTIVE keys, not history.
+    """
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    from ..streaming.stateful import event_gap_stats
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("ts div 1000").cast("long").alias("ts_us"),
+        )
+    )
+    name = f"q64_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        event_gap_stats(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q64_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update-mode sink: one row per key per micro-batch it appeared
+    # in — keep each key's FINAL state. n_events grows strictly with
+    # every emission for a key, so max-n_events IS the last state,
+    # independent of sink row order or how the file source batches.
+    sink = spark.table(name)
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("n_events").desc()
+    )
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

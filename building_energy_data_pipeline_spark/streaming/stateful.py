@@ -80,3 +80,67 @@ def meter_gap_stats(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer variant — oracle-checkable through the driver contract
+# ---------------------------------------------------------------------------
+
+GAP_US_OUTPUT_SCHEMA = (
+    "user_id long, event_type string, n_events long, max_gap_us long"
+)
+GAP_US_STATE_SCHEMA = "last_us long, n long, max_gap long"
+
+
+def _gap_us_update(
+    key: Tuple[Any, ...],
+    batches: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    """Integer-microsecond twin of :func:`_gap_update`: the fold runs
+    entirely in int64 (no float epoch conversion), so the emitted
+    max-gap is bit-exact against a relational lag/max oracle — this
+    is what lets a CUSTOM stateful operator be hash-compared to SQL
+    instead of settling for a rows-only check."""
+    import pandas as pd
+
+    if state.exists:
+        last_us, n, max_gap = state.get
+    else:
+        last_us, n, max_gap = None, 0, 0
+
+    for pdf in batches:
+        # ts arrives as int64 microseconds (caller projects
+        # unix_micros / `ts div 1000`); ties sort adjacent and
+        # contribute gap 0, so tiebreak order is irrelevant
+        for t in sorted(int(v) for v in pdf["ts_us"]):
+            if last_us is not None and t - last_us > max_gap:
+                max_gap = t - last_us
+            last_us = t
+            n += 1
+
+    state.update((int(last_us), int(n), int(max_gap)))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": key[0],
+                "event_type": key[1],
+                "n_events": n,
+                "max_gap_us": max_gap,
+            }
+        ]
+    )
+
+
+def event_gap_stats(stream: DataFrame) -> DataFrame:
+    """Per (user_id, event_type) running count + largest gap, exact
+    to the microsecond. Requires columns ``user_id, event_type,
+    ts_us`` (int64 µs). State per key is one 3-int tuple — O(active
+    keys) memory, watermark/timeout-evictable in production."""
+    return stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        _gap_us_update,
+        outputStructType=GAP_US_OUTPUT_SCHEMA,
+        stateStructType=GAP_US_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

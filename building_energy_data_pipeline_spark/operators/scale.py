@@ -67,3 +67,75 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return sk.join(sm, on + ["__salt"], how).drop("__salt")
+
+
+def global_row_index(
+    df: DataFrame,
+    order_cols: list,
+    index_name: str = "__rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-based global row index in ``order_cols`` order WITHOUT a
+    single-partition window — the scalable form of ``row_number()
+    OVER (ORDER BY ...)``.
+
+    A bare global window serializes the whole dataset through one
+    task (Spark's WindowExec warns, and at 100 TB it simply dies).
+    This operator does what distributed ORDER BY itself does:
+
+    1. ``repartitionByRange`` on the ordering key (sampled range
+       boundaries — the same machinery as SortExec's exchange),
+    2. ``row_number`` within each range partition (a PARTITIONED
+       window — every task ranks only its slice),
+    3. per-partition row counts (tiny: one row per partition,
+       collected to the driver) → cumulative offsets,
+    4. broadcast-join the offsets back; global index = offset +
+       local rank.
+
+    Deterministic regardless of where the sampled boundaries land,
+    provided ``order_cols`` is a total order (include a unique
+    tiebreaker): the index of a row equals the number of rows before
+    it in that order, which no partition placement can change. The
+    boundary sample itself is seeded per plan, so the offsets job
+    and the output job see identical partitioning.
+
+    Cost: one range exchange + one hash exchange (the per-partition
+    window) + a count pass — all fully parallel; nothing ever
+    funnels through one task.
+
+    The ranged intermediate is persisted (MEMORY_AND_DISK): range
+    boundaries are re-SAMPLED per execution, so the offsets job and
+    the output job must read the SAME materialized partitioning or
+    the offsets silently shift. At cluster scale prefer
+    ``StorageLevel.DISK_ONLY`` via ``num_partitions`` sizing, and
+    unpersist after the downstream action.
+    """
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+    ranged = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    counts = ranged.groupBy("__pid").agg(F.count("*").alias("__cnt")).collect()
+    offsets, acc = {}, 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["__cnt"]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
+    )
+
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        ranged.withColumn("__lrn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn(index_name, (F.col("__off") + F.col("__lrn")).cast("long"))
+        .drop("__pid", "__lrn", "__off")
+    )

@@ -716,16 +716,22 @@ def q21_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q22_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OFFSET/LIMIT pagination (O4, ``data_loader.py:777-787``) as a
-    ranked-window filter. NOTE: a global row_number serializes into one
-    partition — fine for page-serving result sets; at 100 TB use
-    keyset pagination (WHERE sortkey > last_seen) instead."""
+    global-rank filter — computed with the SCALABLE index operator
+    (``operators/scale.global_row_index``: range-partition →
+    partitioned window → broadcast offsets), not a single-partition
+    window; no task ever sees more than one range slice. For
+    page-serving at 100 TB, keyset pagination (WHERE sortkey >
+    last_seen) remains the O(page) alternative."""
+    from ..operators.scale import global_row_index
+
     orders = load_table(spark, sf_dir, "orders")
-    w = W.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    idx = global_row_index(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        "rn",
+    )
     return (
-        orders.select(
-            "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
-        )
-        .filter((F.col("rn") > 100) & (F.col("rn") <= 110))
+        idx.filter((F.col("rn") > 100) & (F.col("rn") <= 110))
         .select("o_orderkey", "o_totalprice")
     )
 
@@ -743,14 +749,16 @@ def q23_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Systematic every-k-th sampling (T7,
     ``sampling_strategies.py:156-210``) — deterministic, so
     oracle-checkable (unlike Bernoulli ``df.sample`` whose RNG can't
-    match DuckDB). Same global-window caveat as q22."""
+    match DuckDB). Rank comes from the scalable
+    ``global_row_index`` (see q22), not a single-partition window."""
+    from ..operators.scale import global_row_index
+
     orders = load_table(spark, sf_dir, "orders")
-    w = W.orderBy("o_orderkey")
+    idx = global_row_index(
+        orders.select("o_orderkey", "o_totalprice"), ["o_orderkey"], "rn"
+    )
     return (
-        orders.select(
-            "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
-        )
-        .filter(F.pmod(F.col("rn") - 1, F.lit(50)) == 0)
+        idx.filter(F.pmod(F.col("rn") - 1, F.lit(50)) == 0)
         .select("o_orderkey", "o_totalprice")
     )
 

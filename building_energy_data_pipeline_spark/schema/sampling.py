@@ -59,14 +59,18 @@ def random_sample(
 
 def systematic_sample(df: DataFrame, n: int, order_col: str) -> DataFrame:
     """T7: every ``total/n``-th row in ``order_col`` order
-    (``sampling_strategies.py:156-210``)."""
+    (``sampling_strategies.py:156-210``). The global rank is computed
+    with ``operators/scale.global_row_index`` (range partition +
+    partitioned window + broadcast offsets), so the sample scales past
+    the single-partition-window limit."""
+    from ..operators.scale import global_row_index
+
     total = df.count()
     if total <= n:
         return df
     step = total // n
-    w = Window.orderBy(order_col)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        global_row_index(df, [order_col], "__rn")
         .filter(F.pmod(F.col("__rn") - 1, F.lit(step)) == 0)
         .drop("__rn")
     )

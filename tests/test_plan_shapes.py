@@ -99,6 +99,40 @@ class TestJoinShapes:
         assert plan.count("partial_count") >= 2
 
 
+class TestGlobalIndexShapes:
+    @pytest.mark.parametrize("name", ["q22_pagination", "q23_systematic_sample"])
+    def test_no_single_partition_window(self, spark, sf_dir, name):
+        # global rank must come from global_row_index (range partition
+        # + partitioned window + broadcast offsets), never from a
+        # window that funnels the dataset through one task
+        df = REGISTRY[name].spark(spark, sf_dir)
+        plan = explain_str(df)
+        assert "Exchange SinglePartition" not in plan, name
+        assert "BroadcastHashJoin" in plan  # the offsets join
+
+    def test_global_row_index_matches_serial_window(self, spark, sf_dir):
+        from pyspark.sql import Window
+        from building_energy_data_pipeline_spark.operators.scale import (
+            global_row_index,
+        )
+        from building_energy_data_pipeline_spark.sources.readers import load_table
+
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        got = {
+            r["o_orderkey"]: r["rn"]
+            for r in global_row_index(orders, ["o_orderkey"], "rn").collect()
+        }
+        want = {
+            r["o_orderkey"]: r["rn"]
+            for r in orders.withColumn(
+                "rn", F.row_number().over(Window.orderBy("o_orderkey"))
+            ).collect()
+        }
+        assert got == want
+
+
 class TestArrayAndPivotShapes:
     def test_q59_explode_partial_aggregates(self, plan_of):
         # explode is narrow; the groupBy must map-side combine so the

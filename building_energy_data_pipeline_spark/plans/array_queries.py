@@ -1,5 +1,7 @@
-"""Array / map / lateral / pivot surface (q59–q63): explode (the UDTF
-surface), higher-order array and map functions, and native SQL PIVOT.
+"""Array / map / lateral / pivot surface (q59–q61, q63, q65–q66):
+explode (the UDTF surface), higher-order array and map functions,
+native SQL PIVOT, TF-IDF term ranking, and distributed embedding
+centroids.
 
 SURVEY.md §2.8 notes the reference has "no map functions, no explode"
 — melt (T1) is its only reshaping op — and §2.4 notes pivot-style
@@ -12,6 +14,7 @@ exposes them as oracle-checked queries.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
@@ -226,4 +229,130 @@ def q63_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hr", "n"),
         )
         .orderBy("event_type", "hr")
+    )
+
+
+@query(
+    "q65_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             tf.tf * (n.n_docs + 1.0) / (df.df + 1.0) AS score
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id
+        ORDER BY tf DESC, df ASC, tok ASC
+      ) AS rn
+      FROM scored
+    )
+    SELECT doc_id, tok, tf, df,
+           CAST(ROUND(score, 6) AS DOUBLE) AS score
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q65_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term ranking — top-3 terms per document, the canonical
+    text-analysis primitive layered on the explode surface (q59).
+    Term frequency and document frequency are exact integers; the
+    rank orders by (tf desc, df asc, tok) — pure integer/string
+    comparisons, engine-identical — and the reported score uses a
+    log-free idf ratio ``tf·(N+1)/(df+1)`` (one IEEE multiply +
+    divide of exact integers, bit-identical on both engines;
+    ``ln``-based idf would drift by libm ulps and is a monotone
+    transform of this ratio at fixed N anyway).
+
+    Scale: tf is a map-side-combined groupBy on (doc, token); df
+    re-aggregates the *already-compact* tf set; N is a broadcast
+    scalar; the per-doc top-3 is a partitioned window — every stage
+    hash-partitions, nothing global.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_, "tok").withColumn(
+        "score",
+        F.col("tf") * (F.lit(float(n_docs) + 1.0)) / (F.col("df") + F.lit(1.0)),
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id", "tok", "tf", "df",
+            F.round("score", 6).cast("double").alias("score"),
+        )
+    )
+
+
+@query(
+    "q66_label_centroids",
+    oracle="""
+    WITH comps AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS x
+      FROM embeddings
+    )
+    SELECT label, pos,
+           COUNT(*) AS n_vecs,
+           CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))), 6)
+                AS DOUBLE) AS sum_comp,
+           CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))), 6)
+                AS DOUBLE) / COUNT(*) AS centroid
+    FROM comps
+    GROUP BY label, pos
+    """,
+)
+def q66_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the k-means/class-prototype
+    step of a similarity pipeline, computed DISTRIBUTED: ``posexplode``
+    flattens vectors to (label, pos, x) so the mean is a plain
+    hash-partitioned groupBy over (label, dimension) — never a
+    driver-side vector fold, never a ``collect_list`` of whole
+    vectors per group (which at 100 TB would hold entire label
+    populations in one aggregation buffer).
+
+    Float sums go through DECIMAL(28,12) (functions/scalar.py
+    convention, element-wise) so the centroid hash-matches the
+    oracle; the final divide is one IEEE op on identical operands.
+
+    Scale: explode is narrow; the single shuffle carries
+    (labels × dims) partial aggregates — with map-side combine the
+    exchange is O(partitions · labels · dims), independent of row
+    count. Reassembly to array<float> (when needed downstream) is
+    ``array_agg(x ORDER BY pos)`` over tiny groups.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "label",
+        F.posexplode("embedding").alias("pos0", "x"),
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),  # 1-based like SQL subscripts
+        F.col("x").cast("double").alias("x"),
+    )
+    dec = F.sum(F.col("x").cast("decimal(28,12)"))
+    return comps.groupBy("label", "pos").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(dec, 6).cast("double").alias("sum_comp"),
+        (F.round(dec, 6).cast("double") / F.count("*")).alias("centroid"),
     )

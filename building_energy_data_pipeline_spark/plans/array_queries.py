@@ -23,6 +23,7 @@ from .registry import query
 
 @query(
     "q59_explode_tokens",
+    headline=True,
     oracle="""
     SELECT tok, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -156,6 +157,7 @@ def q61_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q63_map_functions",
+    headline=True,
     oracle="""
     WITH hourly AS (
       SELECT event_type,
@@ -234,6 +236,7 @@ def q63_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q65_tfidf_top_terms",
+    headline=True,
     oracle="""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -305,6 +308,7 @@ def q65_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q66_label_centroids",
+    headline=True,
     oracle="""
     WITH comps AS (
       SELECT label,

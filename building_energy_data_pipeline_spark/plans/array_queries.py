@@ -360,3 +360,40 @@ def q66_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dec, 6).cast("double").alias("sum_comp"),
         (F.round(dec, 6).cast("double") / F.count("*")).alias("centroid"),
     )
+
+
+@query(
+    "q67_variant_json",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q67_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON through Spark 4's VARIANT type —
+    ``parse_json`` → binary variant → typed ``try_variant_get``
+    path extraction, the modern upgrade over string-based
+    ``get_json_object`` (q14, the reference's F7 JSON surface):
+    variant parses each document ONCE into a binary form instead of
+    re-parsing the string per path access.
+
+    Scale: at 100 TB the variant column shreds into Parquet with
+    per-path statistics (Spark 4 variant shredding), so a filter on
+    one JSON path prunes row groups like a real column — a string
+    JSON column can never do that. Here: one narrow projection +
+    one map-side-combined groupBy on the extracted key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.try_variant_get(F.parse_json("props"), "$.k", "int").alias(
+                "k_val"
+            )
+        )
+        .groupBy("k_val")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("k_val")
+    )

@@ -45,6 +45,32 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
+    # Ingest path (the reference's transform_data: wide→long melt →
+    # parquet, src/data_transformation/data_transformer.py:367-389) —
+    # its only published runtime metric is load throughput, so BENCH
+    # carries one write-inclusive timing too. Min of 2 runs.
+    import shutil
+    import tempfile
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    out = tempfile.mkdtemp(prefix="bench_ingest_")
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        (
+            li.unpivot(
+                ["l_orderkey", "l_linenumber"],
+                ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+                "metric",
+                "val",
+            )
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        best = min(best, time.perf_counter() - t0)
+    timings["ingest_melt_write"] = round(best, 4)
+    shutil.rmtree(out, ignore_errors=True)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

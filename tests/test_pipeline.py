@@ -87,6 +87,21 @@ class TestPipelineEndToEnd:
         assert results2["metadata"].has_overlap
         assert spark.read.parquet(str(corpus / "warehouse" / "raw")).count() == 4
 
+    def test_meter_filter_prunes_partitions(self, spark, corpus):
+        # the partitionBy("meter") layout must turn a meter predicate
+        # into scan-level partition pruning (PartitionFilters), not a
+        # post-scan Filter over every partition — at 100 TB this is
+        # the difference between reading one meter and reading all 8
+        from building_energy_data_pipeline_spark.ops import explain_str
+
+        p = make_pipeline(spark, corpus)
+        p.transform_data()
+        p.load_data()
+        raw = spark.read.parquet(str(corpus / "warehouse" / "raw"))
+        plan = explain_str(raw.filter(raw.meter == "electricity"))
+        section = plan.split("PartitionFilters:")[1].splitlines()[0]
+        assert "meter" in section, plan
+
     def test_parquet_info(self, spark, corpus):
         p = make_pipeline(spark, corpus)
         p.transform_data()

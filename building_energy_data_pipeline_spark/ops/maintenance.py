@@ -74,10 +74,21 @@ def compact(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = TARGET_FILE_BYTES,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """C10: small-file compaction — read, repartition to
     ceil(bytes/target), atomically rewrite. Returns the new file
     count.
+
+    ``cluster_by`` additionally range-partitions AND sorts the
+    rewrite on the given columns — the Parquet-native counterpart of
+    the reference's ``CLUSTER``/``REINDEX``
+    (``postgres_manager.py:1175-1191``): each output file then owns
+    a narrow, disjoint key range, so parquet min/max footer stats
+    skip whole files for selective predicates on those columns
+    (file-level pruning is the poor man's index at 100 TB; without
+    clustering every file spans the full key range and nothing
+    skips).
 
     The rewrite goes through a sibling temp dir + rename, the
     Spark-native stand-in for VACUUM FULL's copy-and-swap (a direct
@@ -88,7 +99,14 @@ def compact(
     health = table_health(path)
     n = max(1, math.ceil(health.total_bytes / target_file_bytes))
     tmp = path.rstrip("/") + "._compacting"
-    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(tmp)
+    df = spark.read.parquet(path)
+    if cluster_by:
+        df = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        df = df.repartition(n)
+    df.write.mode("overwrite").parquet(tmp)
     backup = path.rstrip("/") + "._precompact"
     os.rename(path, backup)
     os.rename(tmp, path)

@@ -34,6 +34,38 @@ class TestMaintenance:
         # data preserved through the swap
         assert spark.read.parquet(p).count() == 10_000
 
+    def test_clustered_compaction_disjoint_ranges(self, spark, tmp_path):
+        # cluster_by must leave each output file owning a disjoint id
+        # range — that's what makes parquet min/max stats skip files
+        import pyarrow.parquet as pq
+
+        p = str(tmp_path / "t")
+        spark.range(50_000).withColumn(
+            "shuffled", F.pmod(F.hash("id"), F.lit(97))
+        ).repartition(16).write.parquet(p)
+
+        compact(spark, p, target_file_bytes=200_000, cluster_by=["id"])
+
+        ranges = []
+        for root, _dirs, files in __import__("os").walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    md = pq.ParquetFile(f"{root}/{f}").metadata
+                    lo = min(
+                        md.row_group(i).column(0).statistics.min
+                        for i in range(md.num_row_groups)
+                    )
+                    hi = max(
+                        md.row_group(i).column(0).statistics.max
+                        for i in range(md.num_row_groups)
+                    )
+                    ranges.append((lo, hi))
+        assert len(ranges) > 1  # actually split into multiple files
+        ranges.sort()
+        for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, _hi2)}"
+        assert spark.read.parquet(p).count() == 50_000
+
     def test_health_empty_dir(self, tmp_path):
         (tmp_path / "empty").mkdir()
         h = table_health(str(tmp_path / "empty"))

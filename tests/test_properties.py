@@ -137,3 +137,33 @@ class TestCoerceProperty:
         for i, v in enumerate(values):
             expect = None if pd.isna(ref[i]) else int(ref[i])
             assert got[i] == expect, (v, got[i], expect)
+
+
+class TestGlobalRowIndexProperty:
+    @SLOW
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**31), max_value=2**31),
+            min_size=1,
+            max_size=60,
+            unique=True,
+        ),
+        st.integers(min_value=1, max_value=7),
+    )
+    def test_matches_serial_enumeration(self, spark, keys, nparts):
+        """global_row_index == sorted-position + 1, for any key set
+        and any partition count (range boundaries can land anywhere —
+        the index must not care)."""
+        from building_energy_data_pipeline_spark.operators.scale import (
+            global_row_index,
+        )
+
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        got = {
+            r["k"]: r["rn"]
+            for r in global_row_index(
+                df, ["k"], "rn", num_partitions=nparts
+            ).collect()
+        }
+        want = {k: i + 1 for i, k in enumerate(sorted(keys))}
+        assert got == want

@@ -2,6 +2,7 @@ from .ingest import (  # noqa: F401
     dedup_stream,
     read_meter_stream,
     windowed_rollup,
+    write_stream_idempotent,
     write_stream_parquet,
 )
-from .stateful import meter_gap_stats  # noqa: F401
+from .stateful import event_gap_stats, meter_gap_stats  # noqa: F401

@@ -122,3 +122,59 @@ def write_stream_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_stream_idempotent(
+    df: DataFrame,
+    path: str,
+    table_type: str,
+    unique_keys: list,
+    checkpoint: str,
+    tolerance: str = TOLERANCE,
+    partition_by: list | None = None,
+    available_now: bool = True,
+):
+    """``foreachBatch`` sink: every micro-batch passes through the
+    BATCH idempotent loader (overlap gate → dedup-on-key → atomic
+    partitioned append, ``etl.loader.write_idempotent``) — one
+    loading policy for both execution modes, which is the §3.1
+    contract the reference enforces with staging tables + UNIQUE
+    constraints.
+
+    Exactly-once: the checkpoint records committed batch ids, so a
+    retried batch re-enters ``foreachBatch`` — and the overlap gate
+    then rejects it against the already-written rows, making the
+    replay a no-op instead of a duplicate (gate-as-idempotence, the
+    same property the reference gets from its probe-read check,
+    ``data_loader.py:173-177``).
+
+    Scale: the gate's semi-join prunes to the batch's key/time bounds
+    before touching the existing table; partition pruning on
+    ``partition_by`` keeps the existing-side scan to the touched
+    partitions.
+    """
+    import os
+
+    from ..etl.loader import write_idempotent
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        existing = (
+            spark.read.parquet(path) if os.path.isdir(path) else None
+        )
+        write_idempotent(
+            batch_df,
+            path,
+            table_type,
+            list(unique_keys),
+            existing=existing,
+            tolerance=tolerance,
+            partition_by=list(partition_by) if partition_by else None,
+        )
+
+    writer = df.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -127,3 +127,50 @@ class TestStatefulGap:
         }
         assert got[("b1", "electricity")] == (3, 1800.0)  # 30-min gap
         assert got[("b2", "electricity")] == (1, 0.0)
+
+
+class TestStreamingIdempotentSink:
+    def test_replayed_source_is_rejected_by_gate(self, spark, tmp_path, src):
+        from building_energy_data_pipeline_spark.streaming import (
+            write_stream_idempotent,
+        )
+
+        wh = str(tmp_path / "wh" / "raw")
+        keys = ["timestamp", "building_id", "meter"]
+
+        # first drain: gate passes (empty warehouse), dup row deduped
+        stream = dedup_stream(read_meter_stream(spark, src))
+        drain(
+            write_stream_idempotent(
+                stream, wh, "raw", keys, str(tmp_path / "ckpt1")
+            )
+        )
+        assert spark.read.parquet(wh).count() == 3
+
+        # same data arrives again through a DIFFERENT source dir and a
+        # FRESH checkpoint (so the file-source tracker can't save us)
+        # → the batch overlap gate inside foreachBatch must reject it
+        src2 = str(tmp_path / "in2")
+        spark.read.parquet(src).write.parquet(src2)
+        stream2 = dedup_stream(read_meter_stream(spark, src2))
+        drain(
+            write_stream_idempotent(
+                stream2, wh, "raw", keys, str(tmp_path / "ckpt2")
+            )
+        )
+        assert spark.read.parquet(wh).count() == 3  # unchanged
+
+        # disjoint new data (shifted +1 day, outside ±1 h) loads fine
+        src3 = str(tmp_path / "in3")
+        write_batch(
+            spark,
+            src3,
+            [(T0 + dt.timedelta(days=1), "b9", "gas", 9.0)],
+        )
+        stream3 = dedup_stream(read_meter_stream(spark, src3))
+        drain(
+            write_stream_idempotent(
+                stream3, wh, "raw", keys, str(tmp_path / "ckpt3")
+            )
+        )
+        assert spark.read.parquet(wh).count() == 4

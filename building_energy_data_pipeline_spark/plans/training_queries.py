@@ -299,3 +299,66 @@ def q35_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         emb, centroids, queries, "vec_id", "embedding", ANN_K
     )
+
+
+_Q68_SQL = """
+    WITH d AS (
+      SELECT doc_id, lang, n_chars, substr(text, 1, 40) AS head
+      FROM {documents}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.head, b.head) AS edit_dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang
+     AND a.n_chars // 80 = b.n_chars // 80
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 16
+"""
+
+
+@query(
+    "q68_fuzzy_blocked_join",
+    oracle=_Q68_SQL.format(documents="documents"),
+)
+def q68_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy match — entity-resolution-style near-dup pairs
+    by EDIT DISTANCE, complementing the token-set family (Jaccard
+    q30, MinHash q28, SimHash q29): ``levenshtein`` on 40-char
+    prefixes, candidate pairs generated by an EQUI-join on blocking
+    keys (lang, length bucket) so the quadratic distance computation
+    runs only inside blocks.
+
+    Both engines implement the same standard edit distance, and the
+    result is an integer — no float drift; the oracle is the
+    IDENTICAL query text.
+
+    Scale: blocking is the whole game — the join is hash-partitioned
+    on (lang, n_chars div 80), so pair generation is per-block local
+    and the full cross product never materializes; tighten blocks
+    (add a SimHash band or length stride) to bound the worst block.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.substring("text", 1, 40).alias("head"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (
+                F.expr("a.n_chars div 80") == F.expr("b.n_chars div 80")
+            )
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= 16)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_dist"),
+        )
+    )

@@ -408,3 +408,84 @@ def q51_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q69_sql_unpivot",
+    oracle="""
+    WITH lu AS (
+      SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT metric, COUNT(*) AS n_vals, MIN(val) AS min_val, MAX(val) AS max_val
+    FROM lu GROUP BY metric
+    """,
+)
+def q69_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text surface of melt — Spark's native ``UNPIVOT``
+    clause (the q08 DataFrame ``unpivot`` as a query string), so a
+    SQL-only user of the engine gets T1 without touching the
+    DataFrame API. The oracle states the portable equivalent
+    (stacked UNION ALL), which is exactly the relational contract of
+    unpivot.
+
+    Scale: same shape as q08 — narrow row expansion, map-side
+    combined aggregate, one small exchange.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "q69_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT metric, COUNT(*) AS n_vals,
+               MIN(val) AS min_val, MAX(val) AS max_val
+        FROM (
+          SELECT * FROM q69_lineitem
+          UNPIVOT (val FOR metric IN (l_quantity, l_tax))
+        )
+        GROUP BY metric
+        """
+    )
+
+
+@query(
+    "q70_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR(l_quantity / 5) AS BIGINT) AS bucket,
+           MIN(l_quantity) AS lo,
+           MAX(l_quantity) AS hi,
+           COUNT(*) AS n,
+           {dec_sum_sql("l_extendedprice")} AS sum_price
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q70_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram — fixed-stride binning of a measure with
+    per-bucket aggregates, the profiling primitive behind range
+    pruning decisions and data-quality dashboards (extends the A4/A7
+    stats family; the reference profiles only min/max/null counts,
+    ``schema_analyzer.py:74-82``).
+
+    Bucketing is ``floor(x / stride)`` — exact IEEE division on
+    identical inputs, integer bucket ids, no boundary ambiguity
+    between engines.
+
+    Scale: one map-side-combined aggregation; the exchange carries
+    (partitions × buckets) rows. A histogram is how you profile a
+    100 TB column WITHOUT sorting it.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_quantity") / 5).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.min("l_quantity").alias("lo"),
+            F.max("l_quantity").alias("hi"),
+            F.count("*").alias("n"),
+            dec_sum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )

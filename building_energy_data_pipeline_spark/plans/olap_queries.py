@@ -489,3 +489,50 @@ def q70_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_Q71_SQL = """
+    WITH snap_a AS (
+      SELECT o_orderkey, o_totalprice FROM {orders}
+    ),
+    snap_b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM {orders}
+      WHERE o_orderkey % 13 <> 0
+    )
+    SELECT CASE
+             WHEN a.o_orderkey IS NULL THEN 'added'
+             WHEN b.o_orderkey IS NULL THEN 'removed'
+             WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+             ELSE 'unchanged'
+           END AS status,
+           COUNT(*) AS n_rows
+    FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)
+    GROUP BY 1
+"""
+
+
+@query(
+    "q71_snapshot_diff",
+    oracle=_Q71_SQL.format(orders="orders"),
+)
+def q71_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff — classify every key across two table
+    versions as added / removed / changed / unchanged via ONE full
+    outer join on the key, the data-level sibling of the
+    schema-level diff (T14, ``postgres_manager.py:1038-1087``; the
+    reference can only diff schemas, never data). Snapshot B is
+    derived deterministically from A (every 13th key deleted, every
+    97th repriced) so the classification is oracle-checkable;
+    IDENTICAL query text runs on both engines.
+
+    Scale: one hash-partitioned full outer on the key — the same
+    shuffle an incremental MERGE would pay; the CASE classification
+    is free post-join, and the count rollup is map-side combined. At
+    100 TB, run per partition-pruned slice (date partitions) rather
+    than whole-table.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q71_orders")
+    return spark.sql(_Q71_SQL.format(orders="q71_orders"))

@@ -173,3 +173,51 @@ def q44_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(docs, "doc_id", TOK, k=3)
     pairs = dedup.minhash_lsh_pairs(sigs, "doc_id", min_jaccard=0.5)
     return connected_components(pairs)
+
+
+_Q72_SQL = """
+    WITH s1 AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+      FROM {events} WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+      FROM {events} e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+      FROM {events} e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'view' AS stage, COUNT(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 2, 'view>click', COUNT(*) FROM s2
+    UNION ALL
+    SELECT 3, 'view>click>purchase', COUNT(*) FROM s3
+"""
+
+
+@query(
+    "q72_event_funnel",
+    oracle=_Q72_SQL.format(events="events"),
+)
+def q72_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel — users whose first 'view'
+    precedes a later 'click' precedes a later 'purchase', counted per
+    stage. The ordered-sequence pattern (a window/temporal-join
+    hybrid) the reference's SQL surface never reaches; expressed as
+    IDENTICAL query text on both engines (per-stage min-timestamp
+    joins, which Catalyst plans as hash joins over pre-aggregated
+    per-user rows).
+
+    Scale: each stage aggregates events to ONE row per user before
+    joining (shuffle carries user-level rows, not event-level);
+    stages prune monotonically (s3 ⊆ s2 ⊆ s1), so later joins only
+    touch surviving users. The timestamp comparison is exact
+    microseconds on both engines.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("q72_events")
+    return spark.sql(_Q72_SQL.format(events="q72_events"))

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.scalar import dec_sum, dec_sum_sql
 from ..operators.graph import connected_components
 from ..sources.readers import load_table
 from .registry import query
@@ -221,3 +222,81 @@ def q72_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_table(spark, sf_dir, "events").createOrReplaceTempView("q72_events")
     return spark.sql(_Q72_SQL.format(events="q72_events"))
+
+
+@query(
+    "q73_gapfill_locf",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+             COUNT(*) AS n_events,
+             {dec_sum_sql("value")} AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT MIN(hour_start) AS lo, MAX(hour_start) AS hi FROM hourly),
+    types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (
+      SELECT t.event_type,
+             unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hour_start
+      FROM types t CROSS JOIN b
+    )
+    SELECT s.event_type,
+           CAST(s.hour_start AS TIMESTAMP) AS hour_start,
+           COALESCE(h.n_events, 0) AS n_events,
+           LAST_VALUE(h.sum_value IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.hour_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS locf_value
+    FROM spine s
+    LEFT JOIN hourly h USING (event_type, hour_start)
+    """,
+)
+def q73_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-filled rollup — the time-series operator
+    the task brief names explicitly: hourly buckets, a DENSE spine
+    over the observed range (``sequence`` + ``explode``, per type),
+    empty buckets surfaced as zero-count rows, and missing measures
+    interpolated by last-observation-carried-forward
+    (``last(..., ignorenulls)`` over an ordered window). The
+    reference can only aggregate hours that exist; a meter that goes
+    dark silently disappears from its reports — here it shows up as
+    a gap with a carried value.
+
+    Scale: the rollup is map-side combined; bounds are ONE broadcast
+    row; the spine is (types × hours) — generated, not shuffled; the
+    LOCF window partitions by type (hash-parallel, bounded frames).
+    At 100 TB partition the spine join by time range so each task
+    fills its own slice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        F.count("*").alias("n_events"),
+        dec_sum("value").alias("sum_value"),
+    )
+    bounds = hourly.agg(
+        F.min("hour_start").alias("lo"), F.max("hour_start").alias("hi")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour_start"], "left")
+        .select(
+            "event_type",
+            "hour_start",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )

@@ -300,3 +300,127 @@ def q73_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sum_value", ignorenulls=True).over(w).alias("locf_value"),
         )
     )
+
+
+_Q74_HOURLY = f"""
+      SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+             COUNT(*) AS n_events,
+             {dec_sum_sql("value")} AS sum_value
+      FROM events GROUP BY 1, 2
+"""
+
+
+@query(
+    "q74_continuous_aggregate",
+    oracle=f"""
+    WITH hourly AS ({_Q74_HOURLY}),
+    daily AS (
+      SELECT event_type, date_trunc('day', bucket) AS bucket,
+             CAST(SUM(n_events) AS BIGINT) AS n_events,
+             CAST(ROUND(SUM(CAST(sum_value AS DECIMAL(28,6))), 4) AS DOUBLE)
+               AS sum_value
+      FROM hourly GROUP BY 1, 2
+    ),
+    monthly AS (
+      SELECT event_type, date_trunc('month', bucket) AS bucket,
+             CAST(SUM(n_events) AS BIGINT) AS n_events,
+             CAST(ROUND(SUM(CAST(sum_value AS DECIMAL(28,6))), 4) AS DOUBLE)
+               AS sum_value
+      FROM daily GROUP BY 1, 2
+    )
+    SELECT 'day' AS grain, event_type, CAST(bucket AS TIMESTAMP) AS bucket,
+           n_events, sum_value
+    FROM daily
+    UNION ALL
+    SELECT 'month', event_type, CAST(bucket AS TIMESTAMP), n_events, sum_value
+    FROM monthly
+    """,
+)
+def q74_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade (hypertable rollup): daily and
+    monthly totals RE-AGGREGATED from the hourly materialization —
+    never from raw events. This is the at-scale pattern: the hourly
+    aggregate is ~10⁴× smaller than the fact table, so coarser
+    grains cost almost nothing, and a materialized hourly table
+    makes every downstream grain incremental.
+
+    Determinism across the cascade: counts re-add exactly (ints);
+    the hourly sums are already rounded engine-identical doubles, so
+    re-summing them through DECIMAL(28,6) is again order-independent
+    and exact on both engines.
+
+    Scale: raw events are touched ONCE (map-side-combined hourly
+    rollup); the day/month re-aggregations shuffle only
+    (types × hours) rows. The union of grains is metadata-tagged, not
+    recomputed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_events"),
+        dec_sum("value").alias("sum_value"),
+    )
+
+    def _coarsen(df: DataFrame, grain: str) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.date_trunc(grain, "bucket").alias("bucket")
+        ).agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("sum_value").cast("decimal(28,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+
+    daily = _coarsen(hourly, "day")
+    monthly = _coarsen(daily, "month")
+    tag = lambda df, g: df.select(  # noqa: E731
+        F.lit(g).alias("grain"), "event_type", "bucket", "n_events", "sum_value"
+    )
+    return tag(daily, "day").unionByName(tag(monthly, "month"))
+
+
+@query(
+    "q75_ntile_segmentation",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT c_nationkey, c_acctbal,
+             NTILE(4) OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal, c_custkey
+             ) AS quartile
+      FROM customer
+    )
+    SELECT c_nationkey, quartile,
+           COUNT(*) AS n_cust,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal,
+           {dec_sum_sql("c_acctbal")} AS sum_bal
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+)
+def q75_ntile_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartile segmentation — equal-frequency customer tiers
+    per nation with per-tier balance stats, the cohort/segment
+    primitive (windows §2.5; NTILE follows the SQL-standard
+    remainder rule on both engines, and the ORDER BY carries the
+    unique c_custkey tiebreak so tile assignment is total-ordered
+    and engine-identical).
+
+    Scale: the window partitions by nation — hash-parallel, no
+    global sort; the follow-up rollup reuses the same partitioning
+    (Catalyst reuses the exchange).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    ranked = cust.select(
+        "c_nationkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    )
+    return ranked.groupBy("c_nationkey", "quartile").agg(
+        F.count("*").alias("n_cust"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        dec_sum("c_acctbal").alias("sum_bal"),
+    )

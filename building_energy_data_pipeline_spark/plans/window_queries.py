@@ -270,16 +270,20 @@ def q73_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fills its own slice.
     """
     ev = load_table(spark, sf_dir, "events")
+    # persist the rollup: bounds, the type list, and the spine join
+    # all derive from it — events is scanned ONCE (without this the
+    # plan re-reads the fact table per consumer; at 100 TB the
+    # rollup is ~10^4x smaller than the scan it saves)
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour_start")
     ).agg(
         F.count("*").alias("n_events"),
         dec_sum("value").alias("sum_value"),
-    )
+    ).persist()
     bounds = hourly.agg(
         F.min("hour_start").alias("lo"), F.max("hour_start").alias("hi")
     )
-    types = ev.select("event_type").distinct()
+    types = hourly.select("event_type").distinct()
     spine = types.crossJoin(F.broadcast(bounds)).select(
         "event_type",
         F.explode(
@@ -356,12 +360,14 @@ def q74_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputed.
     """
     ev = load_table(spark, sf_dir, "events")
+    # persist: daily feeds BOTH the output union and the monthly
+    # re-aggregation — one events scan, one tiny cached rollup
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(
         F.count("*").alias("n_events"),
         dec_sum("value").alias("sum_value"),
-    )
+    ).persist()
 
     def _coarsen(df: DataFrame, grain: str) -> DataFrame:
         return df.groupBy(

@@ -133,6 +133,22 @@ class TestGlobalIndexShapes:
         assert got == want
 
 
+class TestTimeSeriesShapes:
+    @pytest.mark.parametrize(
+        "name", ["q73_gapfill_locf", "q74_continuous_aggregate"]
+    )
+    def test_fact_table_scanned_once(self, spark, sf_dir, name):
+        # bounds/types/coarser grains all derive from the persisted
+        # rollup — the events fact table must appear in the plan as
+        # exactly ONE parquet scan (at 100 TB a second scan is the
+        # whole query's cost again)
+        from building_energy_data_pipeline_spark.ops import explain_str
+
+        plan = explain_str(REGISTRY[name].spark(spark, sf_dir))
+        assert plan.count("Location:") == 1, name
+        assert "InMemoryTableScan" in plan, name
+
+
 class TestArrayAndPivotShapes:
     def test_q59_explode_partial_aggregates(self, plan_of):
         # explode is narrow; the groupBy must map-side combine so the

@@ -362,3 +362,60 @@ def q68_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_dist"),
         )
     )
+
+
+@query(
+    "q76_text_canonicalize",
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                 ' +', ' ', 'g')) AS ctext
+      FROM documents
+    )
+    SELECT ctext,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(doc_id) AS keeper_doc
+    FROM canon
+    GROUP BY ctext
+    HAVING COUNT(*) > 1
+    """,
+)
+def q76_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text canonicalization → exact-dup groups: lowercase, strip
+    punctuation, collapse whitespace, trim — the normalization pass
+    that runs BEFORE every dedup stage (q26–q30 operate on raw
+    text; real corpora dedup on canonical text). Groups with >1 doc
+    are the canonical duplicates; ``keeper_doc`` is the
+    deterministic survivor (min id), the same keep-rule as exact
+    dedup (q26).
+
+    Engine note: Spark's ``regexp_replace`` replaces ALL matches;
+    DuckDB needs the explicit ``'g'`` flag — the oracle carries it,
+    otherwise only the first match is rewritten and the twins
+    diverge silently.
+
+    Scale: canonicalization is a narrow codegen projection; the
+    groupBy shuffles canonical strings once (hash them first —
+    q27's fingerprint — when texts are MB-sized).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ctext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.select("doc_id", "lang", ctext.alias("ctext"))
+        .groupBy("ctext")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -536,3 +536,45 @@ def q71_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("q71_orders")
     return spark.sql(_Q71_SQL.format(orders="q71_orders"))
+
+
+@query(
+    "q77_modern_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_high_value,
+           bool_and(o_custkey IS NOT NULL) AS all_have_customer,
+           bool_or(o_orderstatus = 'O') AS any_open,
+           (MAX(struct_pack(p := o_totalprice, k := o_orderkey))).k
+             AS top_order,
+           (MIN(struct_pack(p := o_totalprice, k := o_orderkey))).k
+             AS bottom_order
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q77_modern_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate breadth — ``count_if``, ``bool_and``/
+    ``bool_or``, and tie-safe argmax/argmin. Plain ``max_by`` is
+    NONDETERMINISTIC under ties (two orders with equal price → either
+    key may win, and the engines disagree); the deterministic form is
+    lexicographic ``max(struct(price, key))`` — the unique key rides
+    along as tiebreaker, and both engines compare structs field by
+    field. This is the same tiebreak discipline every LIMIT in this
+    engine follows (README determinism conventions).
+
+    Scale: all six aggregates fold in one map-side-combined pass —
+    one shuffle of 5 groups × small state; struct argmax state is
+    one (price, key) pair per group.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_high_value"),
+        F.bool_and(F.col("o_custkey").isNotNull()).alias("all_have_customer"),
+        F.bool_or(F.col("o_orderstatus") == "O").alias("any_open"),
+        F.max(s)["k"].alias("top_order"),
+        F.min(s)["k"].alias("bottom_order"),
+    )

@@ -106,9 +106,11 @@ def global_row_index(
     The ranged intermediate is persisted (MEMORY_AND_DISK): range
     boundaries are re-SAMPLED per execution, so the offsets job and
     the output job must read the SAME materialized partitioning or
-    the offsets silently shift. At cluster scale prefer
-    ``StorageLevel.DISK_ONLY`` via ``num_partitions`` sizing, and
-    unpersist after the downstream action.
+    the offsets silently shift. The cached handle is exposed on the
+    result as ``df._graft_cached`` — long-lived sessions should call
+    ``df._graft_cached.unpersist()`` once the downstream action has
+    run (each invocation otherwise holds one cached copy of the
+    input for the session's lifetime).
     """
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
@@ -133,9 +135,11 @@ def global_row_index(
     )
 
     w = Window.partitionBy("__pid").orderBy(*cols)
-    return (
+    out = (
         ranged.withColumn("__lrn", F.row_number().over(w))
         .join(F.broadcast(off_df), "__pid")
         .withColumn(index_name, (F.col("__off") + F.col("__lrn")).cast("long"))
         .drop("__pid", "__lrn", "__off")
     )
+    out._graft_cached = ranged  # let callers unpersist (see docstring)
+    return out

@@ -251,7 +251,7 @@ def q63_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.tok, tf.tf, df.df,
-             tf.tf * (n.n_docs + 1.0) / (df.df + 1.0) AS score
+             tf.tf * (n.n_docs + 1) * 1000000 // (df.df + 1) AS score_micro
       FROM tf JOIN df USING (tok) CROSS JOIN n
     ),
     ranked AS (
@@ -262,7 +262,7 @@ def q63_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     )
     SELECT doc_id, tok, tf, df,
-           CAST(ROUND(score, 6) AS DOUBLE) AS score
+           CAST(score_micro AS BIGINT) AS score_micro
     FROM ranked WHERE rn <= 3
     """,
 )
@@ -271,11 +271,11 @@ def q65_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     text-analysis primitive layered on the explode surface (q59).
     Term frequency and document frequency are exact integers; the
     rank orders by (tf desc, df asc, tok) — pure integer/string
-    comparisons, engine-identical — and the reported score uses a
-    log-free idf ratio ``tf·(N+1)/(df+1)`` (one IEEE multiply +
-    divide of exact integers, bit-identical on both engines;
-    ``ln``-based idf would drift by libm ulps and is a monotone
-    transform of this ratio at fixed N anyway).
+    comparisons, engine-identical — and the reported score is the
+    log-free idf ratio ``tf·(N+1)/(df+1)`` in exact micro-units
+    (integer floor division; ``ln``-based idf would drift by libm
+    ulps and is a monotone transform of this ratio at fixed N
+    anyway).
 
     Scale: tf is a map-side-combined groupBy on (doc, token); df
     re-aggregates the *already-compact* tf set; N is a broadcast
@@ -283,15 +283,26 @@ def q65_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitions, nothing global.
     """
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # N rides inside the plan as a broadcast 1-row aggregate — no
+    # eager driver-side count job, the query stays lazy/single-pass
+    n_df = docs.agg(F.count("*").alias("n_docs"))
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df_, "tok").withColumn(
-        "score",
-        F.col("tf") * (F.lit(float(n_docs) + 1.0)) / (F.col("df") + F.lit(1.0)),
+    # exact integer score: tf·(N+1)·10⁶ floor-div (df+1) — engine-
+    # identical with no float-rounding tie risk (Spark rounds doubles
+    # HALF_UP via BigDecimal, DuckDB via float math; they can disagree
+    # at 6th-decimal ties, so hashed floats must come from exact
+    # decimals — functions/scalar.py convention)
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n_df))
+        .withColumn(
+            "score_micro",
+            F.expr("tf * (n_docs + 1) * 1000000 div (df + 1)").cast("bigint"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(
         F.desc("tf"), F.asc("df"), F.asc("tok")
@@ -299,10 +310,7 @@ def q65_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select(
-            "doc_id", "tok", "tf", "df",
-            F.round("score", 6).cast("double").alias("score"),
-        )
+        .select("doc_id", "tok", "tf", "df", "score_micro")
     )
 
 

@@ -418,7 +418,7 @@ def q51_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT 'l_tax', l_tax FROM lineitem
     )
     SELECT metric, COUNT(*) AS n_vals, MIN(val) AS min_val, MAX(val) AS max_val
-    FROM lu GROUP BY metric
+    FROM lu WHERE val IS NOT NULL GROUP BY metric
     """,
 )
 def q69_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,8 +426,9 @@ def q69_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     clause (the q08 DataFrame ``unpivot`` as a query string), so a
     SQL-only user of the engine gets T1 without touching the
     DataFrame API. The oracle states the portable equivalent
-    (stacked UNION ALL), which is exactly the relational contract of
-    unpivot.
+    (stacked UNION ALL with ``val IS NOT NULL`` — UNPIVOT drops null
+    measures by default, and the oracle pins that semantic so a
+    nullable measure column can't silently diverge the twins).
 
     Scale: same shape as q08 — narrow row expansion, map-side
     combined aggregate, one small exchange.
@@ -501,6 +502,11 @@ _Q71_SQL = """
                   ELSE o_totalprice END AS o_totalprice
       FROM {orders}
       WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM {orders}),
+             o_totalprice
+      FROM {orders}
+      WHERE o_orderkey % 101 = 0
     )
     SELECT CASE
              WHEN a.o_orderkey IS NULL THEN 'added'
@@ -525,8 +531,9 @@ def q71_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema-level diff (T14, ``postgres_manager.py:1038-1087``; the
     reference can only diff schemas, never data). Snapshot B is
     derived deterministically from A (every 13th key deleted, every
-    97th repriced) so the classification is oracle-checkable;
-    IDENTICAL query text runs on both engines.
+    97th repriced, every 101st re-keyed past MAX(key) as an insert)
+    so ALL FOUR classes occur and are oracle-checked; IDENTICAL
+    query text runs on both engines.
 
     Scale: one hash-partitioned full outer on the key — the same
     shuffle an incremental MERGE would pay; the CASE classification

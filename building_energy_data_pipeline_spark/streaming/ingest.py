@@ -134,43 +134,65 @@ def write_stream_idempotent(
     partition_by: list | None = None,
     available_now: bool = True,
 ):
-    """``foreachBatch`` sink: every micro-batch passes through the
-    BATCH idempotent loader (overlap gate → dedup-on-key → atomic
-    partitioned append, ``etl.loader.write_idempotent``) — one
-    loading policy for both execution modes, which is the §3.1
-    contract the reference enforces with staging tables + UNIQUE
-    constraints.
+    """``foreachBatch`` sink with ROW-level idempotence: each
+    micro-batch is deduped within itself on the unique key, then
+    anti-joined against the rows already in the warehouse, and only
+    the genuinely new rows are appended — the streaming form of the
+    reference's UNIQUE constraint (C5) + overlap gate (J1).
 
-    Exactly-once: the checkpoint records committed batch ids, so a
-    retried batch re-enters ``foreachBatch`` — and the overlap gate
-    then rejects it against the already-written rows, making the
-    replay a no-op instead of a duplicate (gate-as-idempotence, the
-    same property the reference gets from its probe-read check,
-    ``data_loader.py:173-177``).
+    The batch loader's whole-batch rejection (``write_idempotent``)
+    is the right policy for FILE-grain replay (a re-delivered file is
+    all-or-nothing); for a continuous stream it would deadlock
+    ingestion — any batch within ±tolerance of already-loaded data
+    (i.e. every batch, at any cadence ≤ tolerance) would be dropped.
+    Row-level anti-join keeps liveness AND makes a replayed batch
+    (retry after checkpoint loss, re-delivered source) a no-op
+    instead of a duplicate — the same property the reference gets
+    from its probe-read check (``data_loader.py:173-177``), enforced
+    at finer grain.
 
-    Scale: the gate's semi-join prunes to the batch's key/time bounds
-    before touching the existing table; partition pruning on
-    ``partition_by`` keeps the existing-side scan to the touched
-    partitions.
+    Scale: the anti-join prunes the existing side to the batch's
+    key/time bounds first (predicate pushdown on min/max ts ±
+    tolerance), so each batch touches only the overlapping slice of
+    the warehouse, not its history; ``partition_by`` layout makes
+    that slice partition-pruned.
     """
-    import os
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as _F
 
-    from ..etl.loader import write_idempotent
+    keys = list(unique_keys)
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
-        existing = (
-            spark.read.parquet(path) if os.path.isdir(path) else None
-        )
-        write_idempotent(
-            batch_df,
-            path,
-            table_type,
-            list(unique_keys),
-            existing=existing,
-            tolerance=tolerance,
-            partition_by=list(partition_by) if partition_by else None,
-        )
+        fresh = batch_df.dropDuplicates(keys)
+        try:
+            # Spark-side probe — os.path checks are driver-local and
+            # blind to hdfs:// / s3a:// warehouses
+            existing = spark.read.parquet(path)
+        except AnalysisException:
+            existing = None
+        if existing is not None:
+            ts_col = next(
+                (k for k in keys if k in ("timestamp", "ts")), None
+            )
+            if ts_col is not None:
+                bounds = fresh.agg(
+                    _F.min(ts_col).alias("lo"), _F.max(ts_col).alias("hi")
+                ).first()
+                if bounds["lo"] is not None:
+                    existing = existing.filter(
+                        _F.col(ts_col).between(
+                            _F.expr(f"TIMESTAMP \'{bounds['lo']}\' - INTERVAL {tolerance}"),
+                            _F.expr(f"TIMESTAMP \'{bounds['hi']}\' + INTERVAL {tolerance}"),
+                        )
+                    )
+                fresh = fresh.join(existing.select(*keys), keys, "left_anti")
+            else:
+                fresh = fresh.join(existing.select(*keys), keys, "left_anti")
+        writer = fresh.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*list(partition_by))
+        writer.parquet(path)
 
     writer = df.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

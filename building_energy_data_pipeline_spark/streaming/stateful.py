@@ -42,15 +42,19 @@ def _gap_update(
     else:
         last_ts, n, max_gap = None, 0, 0.0
 
-    for pdf in batches:
-        ts = (
-            pd.to_datetime(pdf["timestamp"]).astype("int64") / 1e9
-        ).sort_values()
-        for t in ts:
-            if last_ts is not None:
-                max_gap = max(max_gap, t - last_ts)
-            last_ts = t
-            n += 1
+    # one sort over the WHOLE group: the batch iterator yields
+    # multiple Arrow chunks in arbitrary fetch order, and per-chunk
+    # sorting would let last_ts run backwards across chunk seams
+    ts_all = sorted(
+        t
+        for pdf in batches
+        for t in pd.to_datetime(pdf["timestamp"]).astype("int64") / 1e9
+    )
+    for t in ts_all:
+        if last_ts is not None:
+            max_gap = max(max_gap, t - last_ts)
+        last_ts = t
+        n += 1
 
     state.update((last_ts, n, max_gap))
     yield pd.DataFrame(
@@ -109,15 +113,17 @@ def _gap_us_update(
     else:
         last_us, n, max_gap = None, 0, 0
 
-    for pdf in batches:
-        # ts arrives as int64 microseconds (caller projects
-        # unix_micros / `ts div 1000`); ties sort adjacent and
-        # contribute gap 0, so tiebreak order is irrelevant
-        for t in sorted(int(v) for v in pdf["ts_us"]):
-            if last_us is not None and t - last_us > max_gap:
-                max_gap = t - last_us
-            last_us = t
-            n += 1
+    # ts arrives as int64 microseconds (caller projects unix_micros /
+    # `ts div 1000`). Sort across ALL chunks of the group at once —
+    # the iterator yields Arrow chunks in arbitrary fetch order, so a
+    # per-chunk sort would be wrong whenever a key spans chunks
+    # (>maxRecordsPerBatch rows). Ties sort adjacent and contribute
+    # gap 0, so tiebreak order is irrelevant.
+    for t in sorted(int(v) for pdf in batches for v in pdf["ts_us"]):
+        if last_us is not None and t - last_us > max_gap:
+            max_gap = t - last_us
+        last_us = t
+        n += 1
 
     state.update((int(last_us), int(n), int(max_gap)))
     yield pd.DataFrame(

@@ -160,12 +160,17 @@ class TestStreamingIdempotentSink:
         )
         assert spark.read.parquet(wh).count() == 3  # unchanged
 
-        # disjoint new data (shifted +1 day, outside ±1 h) loads fine
+        # LIVENESS: new rows WITHIN ±1 h of already-loaded data must
+        # still land (row-level anti-join, not whole-batch rejection —
+        # a batch-reject gate would drop every steady-cadence batch)
         src3 = str(tmp_path / "in3")
         write_batch(
             spark,
             src3,
-            [(T0 + dt.timedelta(days=1), "b9", "gas", 9.0)],
+            [
+                (T0 + dt.timedelta(minutes=120), "b1", "electricity", 4.0),
+                (T0, "b1", "electricity", 99.0),  # replayed key → dropped
+            ],
         )
         stream3 = dedup_stream(read_meter_stream(spark, src3))
         drain(
@@ -173,4 +178,26 @@ class TestStreamingIdempotentSink:
                 stream3, wh, "raw", keys, str(tmp_path / "ckpt3")
             )
         )
-        assert spark.read.parquet(wh).count() == 4
+        assert spark.read.parquet(wh).count() == 4  # +1 new, dup dropped
+        # the replayed key kept its ORIGINAL reading
+        kept = (
+            spark.read.parquet(wh)
+            .filter("building_id = 'b1' AND meter_reading = 99.0")
+            .count()
+        )
+        assert kept == 0
+
+        # disjoint new data (shifted +1 day, outside ±1 h) loads fine
+        src4 = str(tmp_path / "in4")
+        write_batch(
+            spark,
+            src4,
+            [(T0 + dt.timedelta(days=1), "b9", "gas", 9.0)],
+        )
+        stream4 = dedup_stream(read_meter_stream(spark, src4))
+        drain(
+            write_stream_idempotent(
+                stream4, wh, "raw", keys, str(tmp_path / "ckpt4")
+            )
+        )
+        assert spark.read.parquet(wh).count() == 5

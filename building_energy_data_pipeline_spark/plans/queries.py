@@ -824,3 +824,44 @@ def q25_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_avg("value").alias("avg_value"),
         )
     )
+
+
+@query("q78_random_sample", oracle=None)
+def q78_random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 random sampling (``sampling_strategies.py:45-153``) through
+    the driver contract: seeded Bernoulli sample with the reference's
+    keep-first-and-last-row contract. Rows-only check — Spark's
+    XORShift RNG can't be replayed in DuckDB SQL, so there is no
+    hash-comparable oracle; determinism WITHIN Spark (seed 42) is
+    unit-tested in tests/test_schema.py.
+
+    Scale: ``df.sample`` is a narrow per-partition filter — no
+    shuffle; the endpoint rows are two TakeOrdered probes.
+    """
+    from ..schema.sampling import random_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    return random_sample(
+        orders.select("o_orderkey", "o_totalprice"),
+        n=100,
+        order_col="o_orderkey",
+    )
+
+
+@query("q79_stratified_sample", oracle=None)
+def q79_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 stratified sampling (``sampling_strategies.py:213-313``):
+    per-stratum quota via ``sampleBy`` fractions computed from one
+    small groupBy. Rows-only (seeded RNG, same reason as q78);
+    quota math is unit-tested.
+
+    Scale: the fraction map is tiny driver state; ``sampleBy`` is a
+    narrow filter per partition — the only job before it is the
+    stratum-size groupBy (one map-side-combined shuffle).
+    """
+    from ..schema.sampling import stratified_sample
+
+    cust = load_table(spark, sf_dir, "customer")
+    return stratified_sample(
+        cust.select("c_custkey", "c_mktsegment"), "c_mktsegment", n=100
+    )

@@ -430,3 +430,105 @@ def q75_ntile_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_acctbal").alias("max_bal"),
         dec_sum("c_acctbal").alias("sum_bal"),
     )
+
+
+@query(
+    "q80_sliding_window",
+    oracle=f"""
+    WITH shifted AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+             unnest([0, 1]) AS k
+      FROM events
+    ),
+    assigned AS (
+      SELECT event_type, value,
+             CAST(to_timestamp(
+               (epoch_us(ts) // 1000000 // 1800) * 1800 - k * 1800
+             ) AS TIMESTAMP) AS win_start
+      FROM shifted
+      WHERE (epoch_us(ts) // 1000000 // 1800) * 1800 - k * 1800
+            + 3600 > epoch_us(ts) // 1000000
+    )
+    SELECT event_type,
+           win_start,
+           COUNT(*) AS n_events,
+           {dec_sum_sql("value")} AS sum_value
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def q80_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING window aggregation — 1-hour windows every 30 minutes
+    (``F.window(ts, "1 hour", "30 minutes")``), completing the
+    window-family trio: tumbling (q25/q52), session (q42/q62),
+    sliding (here). Each event lands in width/slide = 2 windows; the
+    oracle derives the same assignment arithmetically (epoch
+    floor-division to the two candidate starts, keeping those whose
+    [start, start+1h) contains the event — Spark's windows are
+    epoch-aligned, so integer epoch math reproduces them exactly).
+
+    Scale: window assignment is a narrow 2× row expansion (like
+    explode), then one map-side-combined shuffle on (type, window) —
+    state per group, never per event. The same plan runs under
+    ``readStream`` + watermark unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q81_first_nth_value",
+    oracle="""
+    SELECT DISTINCT user_id,
+           FIRST_VALUE(event_id) OVER w AS first_event,
+           NTH_VALUE(event_id, 2) OVER w AS second_event,
+           LAST_VALUE(event_id) OVER w AS last_event
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def q81_first_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``first_value`` / ``nth_value`` / ``last_value`` over an
+    explicit unbounded frame — per-user first, second, and last event
+    (entry/onboarding/exit analysis). The frame is spelled out
+    because the SQL default (RANGE … CURRENT ROW) makes LAST_VALUE
+    famously return the current row; both engines get the IDENTICAL
+    explicit frame and a total order (ts, event_id).
+
+    Scale: one hash-partitioned window on user_id; DISTINCT collapses
+    the per-row window output to one row per user and reuses the same
+    partitioning — no second shuffle of event-level data.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_id").over(w).alias("first_event"),
+            F.nth_value("event_id", 2).over(w).alias("second_event"),
+            F.last("event_id").over(w).alias("last_event"),
+        )
+        .distinct()
+    )

@@ -585,3 +585,39 @@ def q77_modern_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(s)["k"].alias("top_order"),
         F.min(s)["k"].alias("bottom_order"),
     )
+
+
+_Q82_SQL = """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM {nation} n,
+    LATERAL (
+      SELECT c_name, c_acctbal
+      FROM {customer} c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) t
+"""
+
+
+@query(
+    "q82_lateral_topk",
+    oracle=_Q82_SQL.format(nation="nation", customer="customer"),
+)
+def q82_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated ``LATERAL`` subquery — per-nation top-2 customers
+    by balance, the SQL-text form of top-k-per-group (q21 does it
+    with a rank window; LATERAL expresses it as a correlated
+    derived table). IDENTICAL query text on both engines; the
+    deterministic tiebreak (c_custkey) keeps the LIMIT total-ordered.
+
+    Scale: Catalyst decorrelates the lateral into a ranked
+    window/join over ONE customer scan — it does not re-execute the
+    subquery per outer row the way a naive nested-loop would; 25
+    outer rows or 25 million, same plan shape.
+    """
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("q82_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "q82_customer"
+    )
+    return spark.sql(_Q82_SQL.format(nation="q82_nation", customer="q82_customer"))

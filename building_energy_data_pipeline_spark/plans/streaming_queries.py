@@ -20,6 +20,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.scalar import dec_sum, dec_sum_sql
+from ..sources.readers import ensure_session_confs
 from .registry import query
 
 
@@ -52,8 +53,9 @@ def q52_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB backlog is throttled with ``maxFilesPerTrigger``, not
     loaded in one batch.
     """
-    # events.ts is TIMESTAMP(NANOS) → LongType nanos under the
-    # session's nanosAsLong (see sources/readers.load_table)
+    # events.ts is TIMESTAMP(NANOS) → LongType nanos under
+    # nanosAsLong; set here because readStream bypasses load_table
+    ensure_session_confs(spark)
     schema = (
         "event_id bigint, ts bigint, user_id bigint,"
         " event_type string, value double, props string"
@@ -135,6 +137,7 @@ def q62_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacent windows happens inside the state store, shuffled once on
     user_id.
     """
+    ensure_session_confs(spark)
     schema = (
         "event_id bigint, ts bigint, user_id bigint,"
         " event_type string, value double, props string"
@@ -208,6 +211,7 @@ def q64_stateful_gap_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shuffled once on the grouping key), and eviction at true scale
     is a state timeout — memory tracks ACTIVE keys, not history.
     """
+    ensure_session_confs(spark)
     schema = (
         "event_id bigint, ts bigint, user_id bigint,"
         " event_type string, value double, props string"

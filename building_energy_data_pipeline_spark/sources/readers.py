@@ -32,6 +32,38 @@ TPCH_TABLES = (
 )
 
 
+#: runtime-settable SQL confs every query path depends on, applied in
+#: ``load_table`` so results are identical whether the session came from
+#: ``session.get_spark()`` or a caller-built plain ``SparkSession``
+#: (e.g. the driver's correctness harness).
+_REQUIRED_SQL_CONFS = {
+    # events.ts is parquet TIMESTAMP(NANOS) — unreadable by a plain
+    # session without this legacy flag (PARQUET_TYPE_ILLEGAL otherwise).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # timestamp semantics must match the DuckDB oracle regardless of the
+    # host machine's zone.
+    "spark.sql.session.timeZone": "UTC",
+    # non-ANSI: overflow/bad-cast → null, matching try_cast-style
+    # coercion semantics the query inventory relies on.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the SQL confs the engine's semantics depend on.
+
+    All three are runtime-settable; calling this makes any session —
+    including one built by an external harness with defaults — behave
+    like the engine's own ``session.get_spark()`` factory.
+    """
+    for key, value in _REQUIRED_SQL_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:
+            spark.conf.set(key, value)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Plain ``spark.read.parquet`` — column
     pruning and predicate pushdown reach the scan automatically.
@@ -40,7 +72,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a nanos
     LongType and is truncated here to microsecond TimestampType —
     the same semantics as ANSI/DuckDB ``CAST(ts_ns AS TIMESTAMP)``.
+    The conf is set here (not only in the session factory) so the read
+    works under any session, including the driver's plain one.
     """
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):

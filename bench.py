@@ -36,14 +36,25 @@ def main() -> None:
     # codegen compilation (~0.5-1 s/query, a constant that vanishes
     # at real scale); the min of the rest is the steady-state
     # per-query cost, robust to co-tenant noise on the machine.
+    # a broken query records -1 and the rest still get measured — one
+    # regression must never zero out the whole round's evidence again
+    # (round 2: a q36 crash left BENCH with rc=1 and no numbers).
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
         best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                spec.spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            timings[name] = -1.0
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
 
     # Ingest path (the reference's transform_data: wide→long melt →
     # parquet, src/data_transformation/data_transformer.py:367-389) —
@@ -54,35 +65,40 @@ def main() -> None:
 
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     out = tempfile.mkdtemp(prefix="bench_ingest_")
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        (
-            li.unpivot(
-                ["l_orderkey", "l_linenumber"],
-                ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-                "metric",
-                "val",
+    try:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            (
+                li.unpivot(
+                    ["l_orderkey", "l_linenumber"],
+                    ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+                    "metric",
+                    "val",
+                )
+                .write.mode("overwrite")
+                .parquet(out)
             )
-            .write.mode("overwrite")
-            .parquet(out)
-        )
-        best = min(best, time.perf_counter() - t0)
-    timings["ingest_melt_write"] = round(best, 4)
-    shutil.rmtree(out, ignore_errors=True)
+            best = min(best, time.perf_counter() - t0)
+        timings["ingest_melt_write"] = round(best, 4)
+    except Exception as exc:  # noqa: BLE001
+        timings["ingest_melt_write"] = -1.0
+        errors["ingest_melt_write"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"bench: ingest failed: {errors['ingest_melt_write']}", file=sys.stderr)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    payload = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

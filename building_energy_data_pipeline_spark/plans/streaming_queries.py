@@ -20,7 +20,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.scalar import dec_sum, dec_sum_sql
-from ..sources.readers import ensure_session_confs
+from ..sources.readers import read_events_stream
 from .registry import query
 
 
@@ -53,20 +53,10 @@ def q52_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB backlog is throttled with ``maxFilesPerTrigger``, not
     loaded in one batch.
     """
-    # events.ts is TIMESTAMP(NANOS) → LongType nanos under
-    # nanosAsLong; set here because readStream bypasses load_table
-    ensure_session_confs(spark)
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint,"
-        " event_type string, value double, props string"
-    )
-    # the streaming file source requires a DIRECTORY base path;
-    # pathGlobFilter narrows the listing to the one events file
+    # read_events_stream probes the static footer and adapts the
+    # stream schema to the file's timestamp vintage (nanos vs NTZ)
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        read_events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), dec_sum("value").alias("sum_value"))
@@ -137,16 +127,8 @@ def q62_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacent windows happens inside the state store, shuffled once on
     user_id.
     """
-    ensure_session_confs(spark)
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint,"
-        " event_type string, value double, props string"
-    )
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        read_events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(
             F.session_window("ts", "30 minutes").alias("w"), "user_id"
@@ -211,22 +193,12 @@ def q64_stateful_gap_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shuffled once on the grouping key), and eviction at true scale
     is a state timeout — memory tracks ACTIVE keys, not history.
     """
-    ensure_session_confs(spark)
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint,"
-        " event_type string, value double, props string"
-    )
     from ..streaming.stateful import event_gap_stats
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select(
-            "user_id",
-            "event_type",
-            F.expr("ts div 1000").cast("long").alias("ts_us"),
-        )
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
     )
     name = f"q64_sink_{uuid.uuid4().hex[:8]}"
     q = (

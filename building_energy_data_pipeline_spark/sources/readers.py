@@ -37,8 +37,9 @@ TPCH_TABLES = (
 #: ``session.get_spark()`` or a caller-built plain ``SparkSession``
 #: (e.g. the driver's correctness harness).
 _REQUIRED_SQL_CONFS = {
-    # events.ts is parquet TIMESTAMP(NANOS) — unreadable by a plain
-    # session without this legacy flag (PARQUET_TYPE_ILLEGAL otherwise).
+    # some testdata vintages write events.ts as parquet TIMESTAMP(NANOS)
+    # — unreadable by a plain session without this legacy flag
+    # (PARQUET_TYPE_ILLEGAL otherwise). Harmless for micros files.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # timestamp semantics must match the DuckDB oracle regardless of the
     # host machine's zone.
@@ -64,23 +65,63 @@ def ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(key, value)
 
 
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Coerce a ``ts`` column to session-zoned microsecond TimestampType
+    regardless of the parquet vintage it was written with:
+
+    - TIMESTAMP(NANOS) → LongType nanos (under ``nanosAsLong``): integer
+      truncate to micros, same semantics as DuckDB ``CAST(ns AS TIMESTAMP)``.
+    - TIMESTAMP_NTZ (plain ``timestamp[us]`` footer): cast to ``timestamp``
+      — exact under the pinned UTC session TZ (no wall-clock shift).
+    - TimestampType already: passthrough.
+
+    Narrow per-row expression; no shuffle, stays inside codegen.
+    """
+    for f in df.schema.fields:
+        if f.name != "ts":
+            continue
+        if isinstance(f.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Plain ``spark.read.parquet`` — column
     pruning and predicate pushdown reach the scan automatically.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); under
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a nanos
-    LongType and is truncated here to microsecond TimestampType —
-    the same semantics as ANSI/DuckDB ``CAST(ts_ns AS TIMESTAMP)``.
-    The conf is set here (not only in the session factory) so the read
-    works under any session, including the driver's plain one.
+    ``events.ts`` has shipped as both TIMESTAMP(NANOS) and TIMESTAMP_NTZ
+    micros across testdata vintages; ``_normalize_ts`` adapts either to
+    microsecond TimestampType so every downstream consumer sees one
+    type. Confs are set here (not only in the session factory) so the
+    read works under any session, including the driver's plain one.
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for f in df.schema.fields:
-        if f.name == "ts" and isinstance(f.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _normalize_ts(df)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table with ``ts`` normalized to
+    TimestampType — the ``readStream`` twin of ``load_table``.
+
+    ``readStream`` requires an explicit schema, so the static file's
+    footer is probed first (one driver-side footer read via
+    ``spark.read``, works on any Hadoop FS) and the stream schema is
+    built from it; the same nanos/NTZ/LTZ branch as ``_normalize_ts``
+    then applies. The file source lists the directory incrementally, so
+    at scale a backlog is throttled with ``maxFilesPerTrigger`` rather
+    than loaded in one batch.
+    """
+    ensure_session_confs(spark)
+    static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return _normalize_ts(stream)
 
 
 def read_parquet(

@@ -47,12 +47,34 @@ def plain(spark):
     return s
 
 
-def test_plain_session_reproduces_round1_crash(plain, sf_dir):
-    """Guard that the fixture is faithful: without nanosAsLong a direct
-    events read really does fail, exactly like the round-1 driver."""
-    assert plain.conf.get("spark.sql.legacy.parquet.nanosAsLong") != "true"
-    with pytest.raises(Exception, match="PARQUET_TYPE_ILLEGAL|TIMESTAMP"):
-        plain.read.parquet(f"{sf_dir}/events.parquet").collect()
+def test_load_table_normalizes_ts_any_vintage(plain, sf_dir):
+    """events.ts has shipped as TIMESTAMP(NANOS) (round 1-2) and as
+    TIMESTAMP_NTZ micros (round 3). Whatever vintage the file is,
+    ``load_table`` under a PLAIN session must deliver a session-zoned
+    TimestampType ``ts`` — the type every downstream query (unix_micros,
+    cast-to-long, window ranges) assumes."""
+    from building_energy_data_pipeline_spark.sources.readers import load_table
+
+    df = load_table(plain, sf_dir, "events")
+    ts_type = dict(df.dtypes)["ts"]
+    assert ts_type == "timestamp", ts_type
+    # and the values are actually usable by unix_micros (the q07 crash)
+    from pyspark.sql import functions as F
+
+    row = df.select(F.max(F.unix_micros("ts")).alias("m")).first()
+    assert row["m"] is not None and row["m"] > 0
+
+
+def test_stream_reader_matches_batch_schema(plain, sf_dir):
+    """The readStream twin must emit the identical normalized schema."""
+    from building_energy_data_pipeline_spark.sources.readers import (
+        load_table,
+        read_events_stream,
+    )
+
+    batch = load_table(plain, sf_dir, "events")
+    stream = read_events_stream(plain, sf_dir)
+    assert stream.schema == batch.schema
 
 
 def test_entry_runs_under_plain_session(plain):
@@ -67,6 +89,46 @@ def test_events_query_under_plain_session(plain, sf_dir, name):
     assert len(df.columns) > 0
 
 
-def test_streaming_query_under_plain_session(plain, sf_dir):
+def test_streaming_rollup_matches_batch_counts(plain, sf_dir):
+    """q52 under a plain session must produce the SAME number of hourly
+    windows as the batch equivalent — this is the guard the round-2
+    silent-wrongness (timestamps compressed 1000× by a stale hardcoded
+    nanos schema → 10 windows instead of 3385) slipped past."""
+    from building_energy_data_pipeline_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
     df = driver_entry.queries()["q52_streaming_hourly_rollup"](plain, sf_dir)
-    assert df.count() > 0
+    got = df.count()
+    expected = (
+        load_table(plain, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+        .count()
+    )
+    assert got == expected, (got, expected)
+
+
+def test_stateful_gap_tracker_matches_batch_keys(plain, sf_dir):
+    """q64's per-key state must cover exactly the batch key space and
+    agree with the relational lag/max gap on a spot-check key."""
+    from building_energy_data_pipeline_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    df = driver_entry.queries()["q64_stateful_gap_tracker"](plain, sf_dir)
+    ev = load_table(plain, sf_dir, "events")
+    expected_keys = ev.select("user_id", "event_type").distinct().count()
+    assert df.count() == expected_keys
+    # value parity: compare max_gap_us for every key against the batch fold
+    w = W.partitionBy("user_id", "event_type").orderBy("ts")
+    batch = (
+        ev.withColumn("gap", F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w))
+        .groupBy("user_id", "event_type")
+        .agg(F.coalesce(F.max("gap"), F.lit(0)).alias("max_gap_us"))
+    )
+    mismatches = (
+        df.select("user_id", "event_type", "max_gap_us")
+        .exceptAll(batch.select("user_id", "event_type", "max_gap_us"))
+        .count()
+    )
+    assert mismatches == 0

@@ -826,42 +826,76 @@ def q25_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q78_random_sample", oracle=None)
+@query(
+    "q78_random_sample",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+    stats AS (
+      SELECT COUNT(*) AS total, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+      FROM base
+    )
+    SELECT o_orderkey, o_totalprice
+    FROM base, stats
+    WHERE total <= 100
+       OR (CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1000000) * total
+          < (GREATEST(2, LEAST(100, 100000, total // 200)) - 2) * 1000000
+       OR o_orderkey IN (mn, mx)
+    """,
+)
 def q78_random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 random sampling (``sampling_strategies.py:45-153``) through
-    the driver contract: seeded Bernoulli sample with the reference's
-    keep-first-and-last-row contract. Rows-only check — Spark's
-    XORShift RNG can't be replayed in DuckDB SQL, so there is no
-    hash-comparable oracle; determinism WITHIN Spark (seed 42) is
-    unit-tested in tests/test_schema.py.
+    the driver contract — the DETERMINISTIC md5-bucket form
+    (``schema/sampling.hash_random_sample``), so DuckDB replays the
+    exact predicate and the driver gets a full value-hash oracle
+    (upgraded from round 1-2's rows-only seeded-RNG variant; the
+    seed-42 ``df.sample`` path remains the library alternate,
+    ``schema/sampling.random_sample``). The reference's
+    keep-first-and-last-row contract (``sampling_strategies.py:79-81``)
+    and cap chain (n / MAX_ROWS / ratio·total) are preserved.
 
-    Scale: ``df.sample`` is a narrow per-partition filter — no
-    shuffle; the endpoint rows are two TakeOrdered probes.
+    Scale: one count + tiny min/max broadcast, then a narrow
+    md5-bucket filter — the fact table never shuffles.
     """
-    from ..schema.sampling import random_sample
+    from ..schema.sampling import hash_random_sample
 
     orders = load_table(spark, sf_dir, "orders")
-    return random_sample(
-        orders.select("o_orderkey", "o_totalprice"),
-        n=100,
-        order_col="o_orderkey",
+    return hash_random_sample(
+        orders.select("o_orderkey", "o_totalprice"), "o_orderkey", n=100
     )
 
 
-@query("q79_stratified_sample", oracle=None)
+@query(
+    "q79_stratified_sample",
+    oracle="""
+    WITH sized AS (
+      SELECT c_custkey, c_mktsegment,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS sz,
+             (SELECT GREATEST(1, 100 // COUNT(DISTINCT c_mktsegment))
+              FROM customer) AS quota
+      FROM customer
+    )
+    SELECT c_custkey, c_mktsegment
+    FROM sized
+    WHERE (CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1000000) * sz < quota * 1000000
+    """,
+)
 def q79_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T8 stratified sampling (``sampling_strategies.py:213-313``):
-    per-stratum quota via ``sampleBy`` fractions computed from one
-    small groupBy. Rows-only (seeded RNG, same reason as q78);
-    quota math is unit-tested.
+    """T8 stratified sampling (``sampling_strategies.py:213-313``) —
+    the DETERMINISTIC md5-bucket form
+    (``schema/sampling.hash_stratified_sample``): per-stratum quota
+    ``max(1, n // #strata)`` as an integer-exact bucket predicate
+    DuckDB replays verbatim (upgraded from rows-only; seeded
+    ``sampleBy`` remains the library alternate).
 
-    Scale: the fraction map is tiny driver state; ``sampleBy`` is a
-    narrow filter per partition — the only job before it is the
-    stratum-size groupBy (one map-side-combined shuffle).
+    Scale: stratum sizes from one map-side-combined groupBy broadcast
+    into a narrow filter join — the fact table itself never shuffles.
     """
-    from ..schema.sampling import stratified_sample
+    from ..schema.sampling import hash_stratified_sample
 
     cust = load_table(spark, sf_dir, "customer")
-    return stratified_sample(
-        cust.select("c_custkey", "c_mktsegment"), "c_mktsegment", n=100
+    return hash_stratified_sample(
+        cust.select("c_custkey", "c_mktsegment"), "c_mktsegment",
+        "c_custkey", n=100,
     )

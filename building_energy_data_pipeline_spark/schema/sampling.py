@@ -19,8 +19,91 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MAX_ROWS = 100_000
-SAMPLING_RATIO = 0.005
+SAMPLING_RATIO = 0.005  # == 1/200; integer form RATIO_DEN below
+RATIO_DEN = 200
 SEED = 42
+
+#: modulus for the deterministic md5-bucket sampler — large enough that
+#: integer threshold rounding (t/HASH_MOD granularity) is ≪ sampling
+#: noise, small enough that t * total never overflows int64 for any
+#: realistic table.
+HASH_MOD = 1_000_000
+
+
+def hash_bucket(col: str) -> F.Column:
+    """Deterministic per-row bucket in ``[0, HASH_MOD)``: first 8 hex
+    chars of ``md5(cast(col as string))`` parsed base-16. Engine-
+    portable — DuckDB replays it as
+    ``CAST(concat('0x', substr(md5(CAST(col AS VARCHAR)),1,8)) AS
+    BIGINT) % 1000000`` — so hash-sampled queries get a real value
+    oracle instead of a rows-only check. Narrow expression, no
+    shuffle, stays in codegen.
+    """
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % HASH_MOD
+    )
+
+
+def hash_random_sample(df: DataFrame, key_col: str, n: int) -> DataFrame:
+    """T6 (oracle-backed twin of :func:`random_sample`): deterministic
+    ~``target``-row sample keeping the reference's first/last-row
+    guarantee (``sampling_strategies.py:79-81``), selecting rows where
+    ``bucket * total < (target-2) * HASH_MOD`` — pure integer math both
+    Spark and DuckDB evaluate identically.
+
+    ``target`` follows the reference cap chain
+    (``sampling_strategies.py:13-19``): min(n, MAX_ROWS,
+    total // 200) with a floor of 2 (the two endpoints).
+
+    Scale: one count + one tiny min/max agg (broadcast to every
+    partition), then a narrow filter — no shuffle of the fact table.
+    """
+    total = df.count()
+    if total <= n:
+        return df
+    target = max(2, min(n, MAX_ROWS, total // RATIO_DEN))
+    bounds = df.agg(
+        F.min(key_col).alias("__mn"), F.max(key_col).alias("__mx")
+    )
+    keep = (hash_bucket(key_col) * F.lit(total)) < F.lit(
+        (target - 2) * HASH_MOD
+    )
+    return (
+        df.join(F.broadcast(bounds))
+        .where(
+            keep
+            | (F.col(key_col) == F.col("__mn"))
+            | (F.col(key_col) == F.col("__mx"))
+        )
+        .drop("__mn", "__mx")
+    )
+
+
+def hash_stratified_sample(
+    df: DataFrame, strata_col: str, key_col: str, n: int
+) -> DataFrame:
+    """T8 (oracle-backed twin of :func:`stratified_sample`): per-stratum
+    quota ``max(1, n // #strata)`` selected by the deterministic bucket
+    predicate ``bucket * stratum_size < quota * HASH_MOD`` — the
+    integer-exact form of fraction ``quota/size``, capped at the full
+    stratum automatically when ``quota >= size``.
+
+    Scale: stratum sizes come from one map-side-combined groupBy whose
+    result (#strata rows) broadcasts into a narrow filter join — the
+    fact table itself never shuffles.
+    """
+    sizes = df.groupBy(strata_col).agg(F.count("*").alias("__sz"))
+    n_strata = sizes.count()
+    if n_strata == 0:
+        return df
+    quota = max(1, n // n_strata)
+    return (
+        df.join(F.broadcast(sizes), strata_col)
+        .where(hash_bucket(key_col) * F.col("__sz") < quota * HASH_MOD)
+        .drop("__sz")
+    )
 
 
 def random_sample(

@@ -191,6 +191,56 @@ class TestSampling:
         for n in sizes.values():  # ~100 each (Bernoulli tolerance)
             assert 50 <= n <= 200
 
+    def test_hash_random_deterministic_with_endpoints(self, big):
+        from building_energy_data_pipeline_spark.schema.sampling import (
+            hash_random_sample,
+        )
+
+        a = {r["id"] for r in hash_random_sample(big, "id", 5_000).collect()}
+        b = {r["id"] for r in hash_random_sample(big, "id", 5_000).collect()}
+        assert a == b  # no RNG anywhere — bit-identical reruns
+        assert 0 in a and 9_999 in a  # reference endpoint guarantee
+        # target = min(5000, 100000, 10000 // 200) = 50; Bernoulli-ish
+        # spread around it, endpoints included
+        assert 20 <= len(a) <= 100
+
+    def test_hash_random_small_input_passthrough(self, spark):
+        from building_energy_data_pipeline_spark.schema.sampling import (
+            hash_random_sample,
+        )
+
+        assert hash_random_sample(spark.range(5), "id", 100).count() == 5
+
+    def test_hash_stratified_quota_and_determinism(self, big):
+        from building_energy_data_pipeline_spark.schema.sampling import (
+            hash_stratified_sample,
+        )
+
+        out = hash_stratified_sample(big, "grp", "id", 400)
+        again = hash_stratified_sample(big, "grp", "id", 400)
+        assert sorted(r["id"] for r in out.collect()) == sorted(
+            r["id"] for r in again.collect()
+        )
+        sizes = {
+            r["grp"]: r["n"]
+            for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+        }
+        assert set(sizes) == {"0", "1", "2", "3"}
+        for n in sizes.values():  # quota 100 per 2500-row stratum
+            assert 50 <= n <= 200
+
+    def test_hash_stratified_small_stratum_kept_whole(self, spark):
+        from building_energy_data_pipeline_spark.schema.sampling import (
+            hash_stratified_sample,
+        )
+
+        # quota (50) >= stratum size (10) → the whole stratum survives
+        df = spark.range(20).withColumn(
+            "grp", (F.col("id") % 2).cast("string")
+        )
+        out = hash_stratified_sample(df, "grp", "id", 100)
+        assert out.count() == 20
+
 
 # ---------------------------------------------------------------------------
 # T12–T14 — DDL + diff

@@ -36,6 +36,7 @@ def asof_join(
     right_ts: str = "ts",
     right_prefix: str = "right_",
     tolerance: str | None = None,
+    right_order: list[str] | None = None,
 ) -> DataFrame:
     """For every left row, attach the most recent right row with
     ``right.ts <= left.ts`` per ``on`` key (inner semantics: left
@@ -43,14 +44,23 @@ def asof_join(
 
     Output: all left columns + ``{right_prefix}<col>`` for right's
     non-key, non-ts payload columns + ``{right_prefix}ts``.
+
+    ``right_order`` breaks ties among right rows sharing the same
+    (key, ts): the greatest tuple of those columns wins, making the
+    result deterministic regardless of partitioning / sort stability.
+    Defaults to all payload columns (a total order when right rows
+    are distinct); pass an id column explicitly when payloads contain
+    non-orderable types (maps).
     """
     payload = [
         c for c in right.columns if c not in on and c != right_ts
     ]
+    tiebreak = payload if right_order is None else right_order
     r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
+        F.struct(*[F.col(c) for c in tiebreak]).alias("__tie"),
         F.struct(
             F.col(right_ts).alias("ts"),
             *[F.col(c) for c in payload],
@@ -60,12 +70,17 @@ def asof_join(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__tie"].dataType).alias("__tie"),
         F.lit(None).cast(r.schema["__rstruct"].dataType).alias("__rstruct"),
     )
     merged = l.unionByName(r, allowMissingColumns=True)
+    # nulls-first __tie keeps left rows (null tie) ordered before
+    # nothing that matters: among equal __ts, right rows (__tag 0)
+    # precede left rows, and within right rows the LAST — greatest
+    # __tie — is the one last(ignorenulls) carries forward.
     w = (
         W.partitionBy(*on)
-        .orderBy("__ts", "__tag")
+        .orderBy(F.col("__ts"), F.col("__tag"), F.asc_nulls_first("__tie"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = merged.withColumn(
@@ -80,4 +95,4 @@ def asof_join(
         )
     for c in ["ts"] + payload:
         out = out.withColumn(f"{right_prefix}{c}", F.col(f"__match.{c}"))
-    return out.drop("__ts", "__tag", "__rstruct", "__match")
+    return out.drop("__ts", "__tag", "__tie", "__rstruct", "__match")

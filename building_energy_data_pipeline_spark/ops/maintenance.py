@@ -9,12 +9,17 @@ things that actually degrade a file-based table at 100 TB:
   writes) → fixed by :func:`compact`;
 - **partition skew** (hot keys) → surfaced by :func:`table_health`,
   fixed by re-layout.
+
+All filesystem access goes through the Hadoop FileSystem API of the
+path's own scheme (``Path.getFileSystem``), so health/compaction work
+identically on ``file://``, ``hdfs://`` and ``s3a://`` warehouses —
+an ``os.walk`` implementation would silently report zero files on a
+remote store.
 """
 
 from __future__ import annotations
 
 import math
-import os
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
@@ -23,14 +28,36 @@ from pyspark.sql import SparkSession
 TARGET_FILE_BYTES = 128 * 1024 * 1024
 SMALL_FILE_BYTES = 16 * 1024 * 1024
 
+#: sibling-dir suffixes used by the compaction swap
+_TMP_SUFFIX = "._compacting"
+_BACKUP_SUFFIX = "._precompact"
 
-def _data_files(path: str) -> list[tuple[str, int]]:
-    out = []
-    for dirpath, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                full = os.path.join(dirpath, f)
-                out.append((full, os.path.getsize(full)))
+
+def _jpath(spark: SparkSession, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    """(FileSystem, Path) for the path's own scheme via the session's
+    Hadoop conf — the portable way to list/rename/delete."""
+    jpath = _jpath(spark, path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """Recursive (file, bytes) listing of committed parquet data files
+    (skips ``_SUCCESS``/metadata/hidden), on any FS scheme."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            out.append((status.getPath().toString(), status.getLen()))
     return out
 
 
@@ -47,16 +74,18 @@ class TableHealth:
     skew_ratio: float  # max partition bytes / mean partition bytes
 
 
-def table_health(path: str) -> TableHealth:
-    """File-layout health from the filesystem alone (no Spark job) —
-    the analogue of the reference's size/bloat queries, which also
-    read only catalog metadata."""
-    files = _data_files(path)
+def table_health(spark: SparkSession, path: str) -> TableHealth:
+    """File-layout health from filesystem metadata alone (no Spark
+    job) — the analogue of the reference's size/bloat queries, which
+    also read only catalog metadata."""
+    base = path.rstrip("/")
+    files = _data_files(spark, base)
     sizes = [s for _, s in files]
     parts: dict[str, int] = {}
     for full, size in files:
-        rel = os.path.relpath(full, path)
-        top = rel.split(os.sep)[0] if os.sep in rel else "<root>"
+        # top-level child under the table root = partition directory
+        rel = full.split(base + "/", 1)[-1]
+        top = rel.split("/")[0] if "/" in rel else "<root>"
         parts[top] = parts.get(top, 0) + size
     mean_part = (sum(parts.values()) / len(parts)) if parts else 0
     return TableHealth(
@@ -70,6 +99,35 @@ def table_health(path: str) -> TableHealth:
     )
 
 
+def recover_compact(spark: SparkSession, path: str) -> bool:
+    """Heal a table after a crash mid-:func:`compact` swap.
+
+    Invariant the swap maintains: at every instant at least one of
+    ``path`` / ``backup`` holds the complete previous table, and
+    ``tmp`` (when present) holds a complete compacted copy. Recovery
+    therefore never loses data:
+
+    - ``path`` missing, ``backup`` present → restore backup (a crash
+      landed between the two renames);
+    - ``path`` present → drop stale ``tmp``/``backup`` leftovers.
+
+    Returns True if a restore happened.
+    """
+    base = path.rstrip("/")
+    fs, jpath = _fs_and_path(spark, base)
+    jtmp = _jpath(spark, base + _TMP_SUFFIX)
+    jbackup = _jpath(spark, base + _BACKUP_SUFFIX)
+    restored = False
+    if not fs.exists(jpath) and fs.exists(jbackup):
+        if not fs.rename(jbackup, jpath):
+            raise IOError(f"recover: rename {jbackup} -> {jpath} failed")
+        restored = True
+    for leftover in (jtmp, jbackup):
+        if fs.exists(jpath) and fs.exists(leftover):
+            fs.delete(leftover, True)
+    return restored
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -77,8 +135,8 @@ def compact(
     cluster_by: list[str] | None = None,
 ) -> int:
     """C10: small-file compaction — read, repartition to
-    ceil(bytes/target), atomically rewrite. Returns the new file
-    count.
+    ceil(bytes/target), rewrite via a recoverable swap. Returns the
+    new file count.
 
     ``cluster_by`` additionally range-partitions AND sorts the
     rewrite on the given columns — the Parquet-native counterpart of
@@ -90,16 +148,19 @@ def compact(
     clustering every file spans the full key range and nothing
     skips).
 
-    The rewrite goes through a sibling temp dir + rename, the
-    Spark-native stand-in for VACUUM FULL's copy-and-swap (a direct
-    overwrite of the dir being read would race the scan).
+    Swap protocol (all Hadoop ``FileSystem.rename``, scheme-agnostic):
+    write tmp → rename path→backup → rename tmp→path → delete backup.
+    A crash at any step leaves a complete copy under ``path`` or
+    ``backup``; :func:`recover_compact` (run automatically at the
+    start of every compaction) restores ``path`` and clears leftovers.
     """
-    import shutil
+    base = path.rstrip("/")
+    recover_compact(spark, base)
 
-    health = table_health(path)
+    health = table_health(spark, base)
     n = max(1, math.ceil(health.total_bytes / target_file_bytes))
-    tmp = path.rstrip("/") + "._compacting"
-    df = spark.read.parquet(path)
+    tmp = base + _TMP_SUFFIX
+    df = spark.read.parquet(base)
     if cluster_by:
         df = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
             *cluster_by
@@ -107,8 +168,15 @@ def compact(
     else:
         df = df.repartition(n)
     df.write.mode("overwrite").parquet(tmp)
-    backup = path.rstrip("/") + "._precompact"
-    os.rename(path, backup)
-    os.rename(tmp, path)
-    shutil.rmtree(backup)
-    return len(_data_files(path))
+
+    fs, jpath = _fs_and_path(spark, base)
+    jtmp = _jpath(spark, tmp)
+    jbackup = _jpath(spark, base + _BACKUP_SUFFIX)
+    if not fs.rename(jpath, jbackup):
+        raise IOError(f"compact: rename {jpath} -> {jbackup} failed")
+    if not fs.rename(jtmp, jpath):
+        # put the original back rather than leaving no table
+        fs.rename(jbackup, jpath)
+        raise IOError(f"compact: rename {jtmp} -> {jpath} failed")
+    fs.delete(jbackup, True)
+    return len(_data_files(spark, base))

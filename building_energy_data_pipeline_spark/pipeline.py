@@ -25,6 +25,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .config import ConfigManager
 from .etl.loader import OverlapResult, write_idempotent
 from .etl.transforms import transform_sources
 from .schema.ddl import derive_table_name, generate_ddl
@@ -37,9 +38,17 @@ _TABLE_TYPES = {"raw": "raw", "weather": "weather", "metadata": "metadata"}
 
 
 class Pipeline:
-    def __init__(self, spark: SparkSession, config: dict[str, Any]):
+    def __init__(
+        self, spark: SparkSession, config: "dict[str, Any] | ConfigManager"
+    ):
+        """``config`` is a plain dict or a :class:`~.config.ConfigManager`
+        (the reference's YAML manager, ``config_manager.py:8-182``) —
+        both expose ``[...]`` / ``.get`` identically. A ConfigManager is
+        validated for the engine's own required key up front."""
         self.spark = spark
         self.config = config
+        if isinstance(config, ConfigManager):
+            config.validate_config(["warehouse_path"])
         self.warehouse = config["warehouse_path"]
         self.schemas_dir = config.get(
             "schemas_path", os.path.join(self.warehouse, "_schemas")

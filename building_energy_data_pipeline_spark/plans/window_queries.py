@@ -21,6 +21,27 @@ from .registry import query
 from .training_queries import TOK  # noqa: F401  (shared token expr)
 from ..operators import dedup
 
+#: one cached rollup per query name — re-invoking a query unpersists
+#: its previous invocation's cache first, so a long-lived session
+#: (the bench runs each query 3×, the driver loops the registry) holds
+#: at most ONE cached DataFrame per query instead of accumulating.
+#: The returned DataFrame also carries the cache as ``_graft_cached``
+#: so callers can release it eagerly (the ``global_row_index``
+#: library contract, ``operators/scale.py:106-144``).
+_CACHE_SLOTS: dict[str, DataFrame] = {}
+
+
+def _slot_persist(name: str, df: DataFrame) -> DataFrame:
+    prev = _CACHE_SLOTS.pop(name, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session of the previous invocation may be gone
+    cached = df.persist()
+    _CACHE_SLOTS[name] = cached
+    return cached
+
 
 @query(
     "q41_moving_average",
@@ -274,12 +295,12 @@ def q73_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all derive from it — events is scanned ONCE (without this the
     # plan re-reads the fact table per consumer; at 100 TB the
     # rollup is ~10^4x smaller than the scan it saves)
-    hourly = ev.groupBy(
+    hourly = _slot_persist("q73", ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour_start")
     ).agg(
         F.count("*").alias("n_events"),
         dec_sum("value").alias("sum_value"),
-    ).persist()
+    ))
     bounds = hourly.agg(
         F.min("hour_start").alias("lo"), F.max("hour_start").alias("hi")
     )
@@ -295,7 +316,7 @@ def q73_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour_start")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return (
+    out = (
         spine.join(hourly, ["event_type", "hour_start"], "left")
         .select(
             "event_type",
@@ -304,6 +325,8 @@ def q73_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sum_value", ignorenulls=True).over(w).alias("locf_value"),
         )
     )
+    out._graft_cached = hourly  # callers may unpersist after the action
+    return out
 
 
 _Q74_HOURLY = f"""
@@ -362,12 +385,12 @@ def q74_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # persist: daily feeds BOTH the output union and the monthly
     # re-aggregation — one events scan, one tiny cached rollup
-    hourly = ev.groupBy(
+    hourly = _slot_persist("q74", ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(
         F.count("*").alias("n_events"),
         dec_sum("value").alias("sum_value"),
-    ).persist()
+    ))
 
     def _coarsen(df: DataFrame, grain: str) -> DataFrame:
         return df.groupBy(
@@ -384,7 +407,9 @@ def q74_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = lambda df, g: df.select(  # noqa: E731
         F.lit(g).alias("grain"), "event_type", "bucket", "n_events", "sum_value"
     )
-    return tag(daily, "day").unionByName(tag(monthly, "month"))
+    out = tag(daily, "day").unionByName(tag(monthly, "month"))
+    out._graft_cached = hourly  # callers may unpersist after the action
+    return out
 
 
 @query(

@@ -9,6 +9,7 @@ from building_energy_data_pipeline_spark.ops import (
     QueryHistory,
     compact,
     explain_str,
+    recover_compact,
     table_health,
 )
 
@@ -21,7 +22,7 @@ class TestMaintenance:
             64
         ).write.partitionBy("part").parquet(p)
 
-        before = table_health(p)
+        before = table_health(spark, p)
         assert before.n_files > 60
         assert before.small_files == before.n_files
         assert set(before.partitions) == {"part=0", "part=1"}
@@ -29,7 +30,7 @@ class TestMaintenance:
 
         n_after = compact(spark, p)
         assert n_after < before.n_files
-        after = table_health(p)
+        after = table_health(spark, p)
         assert after.n_files == n_after
         # data preserved through the swap
         assert spark.read.parquet(p).count() == 10_000
@@ -66,10 +67,51 @@ class TestMaintenance:
             assert hi1 < lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, _hi2)}"
         assert spark.read.parquet(p).count() == 50_000
 
-    def test_health_empty_dir(self, tmp_path):
+    def test_health_empty_dir(self, spark, tmp_path):
         (tmp_path / "empty").mkdir()
-        h = table_health(str(tmp_path / "empty"))
+        h = table_health(spark, str(tmp_path / "empty"))
         assert h.n_files == 0 and h.skew_ratio == 0.0
+
+    def test_health_explicit_file_scheme(self, spark, tmp_path):
+        """The Hadoop FS path resolves by URI scheme — an os.walk
+        implementation would be blind to anything but bare paths."""
+        p = str(tmp_path / "t")
+        spark.range(1_000).write.parquet(p)
+        h = table_health(spark, f"file://{p}")
+        assert h.n_files >= 1 and h.total_bytes > 0
+
+    def test_recover_after_crash_between_swap_renames(self, spark, tmp_path):
+        """Simulate a crash after `path -> backup` but before
+        `tmp -> path`: the table dir is GONE, backup + compacted tmp
+        both exist. recover_compact must restore the table and clear
+        the leftovers; the next compact() heals automatically too."""
+        import os
+
+        p = str(tmp_path / "t")
+        spark.range(5_000).repartition(8).write.parquet(p)
+
+        # build a real compacted tmp copy, then crash mid-swap
+        spark.read.parquet(p).repartition(1).write.parquet(p + "._compacting")
+        os.rename(p, p + "._precompact")
+        assert not os.path.exists(p)
+
+        assert recover_compact(spark, p) is True
+        assert os.path.exists(p)
+        assert not os.path.exists(p + "._precompact")
+        assert not os.path.exists(p + "._compacting")
+        assert spark.read.parquet(p).count() == 5_000
+
+    def test_compact_self_heals_crashed_swap(self, spark, tmp_path):
+        import os
+
+        p = str(tmp_path / "t")
+        spark.range(5_000).repartition(8).write.parquet(p)
+        os.rename(p, p + "._precompact")  # crash with only backup left
+
+        n = compact(spark, p)
+        assert n >= 1
+        assert spark.read.parquet(p).count() == 5_000
+        assert not os.path.exists(p + "._precompact")
 
 
 class TestObserve:

@@ -81,6 +81,47 @@ class TestAsofProperty:
         )
 
 
+class TestAsofTiebreak:
+    def test_duplicate_right_timestamps_resolve_deterministically(self, spark):
+        """Two right rows at the identical (key, ts) must always yield
+        the same match — the greatest right_order tuple — across
+        repeated runs and partitionings (round-2 ADVICE item)."""
+        left = spark.createDataFrame(
+            [(1, T0 + dt.timedelta(seconds=10), 100)],
+            "k int, ts timestamp, lid int",
+        )
+        rows = [
+            (1, T0 + dt.timedelta(seconds=5), rid, f"v{rid}")
+            for rid in (7, 3, 9, 1)
+        ]
+        results = set()
+        for n_parts in (1, 2, 8):
+            right = spark.createDataFrame(
+                rows, "k int, ts timestamp, rid int, payload string"
+            ).repartition(n_parts)
+            out = asof_join(
+                left, right, on=["k"], right_order=["rid"]
+            ).collect()
+            assert len(out) == 1
+            results.add((out[0]["right_rid"], out[0]["right_payload"]))
+        assert results == {(9, "v9")}  # greatest rid wins, every time
+
+    def test_default_tiebreak_uses_payload_order(self, spark):
+        left = spark.createDataFrame(
+            [(1, T0 + dt.timedelta(seconds=10))], "k int, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [
+                (1, T0 + dt.timedelta(seconds=5), 2),
+                (1, T0 + dt.timedelta(seconds=5), 5),
+            ],
+            "k int, ts timestamp, v int",
+        )
+        for _ in range(3):
+            out = asof_join(left, right, on=["k"]).collect()
+            assert [r["right_v"] for r in out] == [5]
+
+
 class TestJaccardProperty:
     @SLOW
     @given(

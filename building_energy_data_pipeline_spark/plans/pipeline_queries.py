@@ -1,0 +1,364 @@
+"""Training-corpus pipeline queries (q83–q86): sequence packing,
+eval-set decontamination, repetition quality (Gopher-style token
+dominance), and corpus-level boilerplate n-gram detection.
+
+These extend the q26–q35 dedup/text family with the remaining ops a
+100 TB pretraining pipeline runs between "deduped documents" and
+"training batches". The reference has no text subsystem at all
+(``src/analytics/`` is an empty stub); tokenization and shingling
+reuse the shared Spark/DuckDB twin templates (``operators/text.py``,
+``operators/dedup.py``) so the oracles cannot drift.
+
+Determinism: every ratio is emitted as integer permille/basis-points
+(``x * 10000 div n``) — no float rounding anywhere, so Spark and
+DuckDB agree bit-for-bit without the round-half tie trap
+(``functions/scalar.py`` docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators import dedup, text
+from ..sources.readers import load_table
+from .registry import query
+
+TOK = text.SPARK_TOKENS.format(col="text")
+DTOK = text.DUCK_TOKENS.format(col="text")
+
+#: target sequence length for packing (tiny so small SFs produce many
+#: chunks; a real pipeline uses 2k-8k)
+SEQ_LEN = 512
+
+#: held-out "benchmark" subset for decontamination: every 10th doc
+EVAL_PRED = "doc_id % 10 = 0"
+
+
+@query(
+    "q83_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, len({DTOK}) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM t
+    )
+    SELECT lang,
+           CAST(cum_before // {SEQ_LEN} AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST((SUM(n_tokens) * 1000) // {SEQ_LEN} AS BIGINT)
+             AS fill_permille
+    FROM c GROUP BY 1, 2
+    """,
+)
+def q83_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: per language, documents in doc_id
+    order are assigned to SEQ_LEN-token training chunks by their
+    cumulative token offset (``chunk_id = tokens-before div
+    SEQ_LEN``); output is per-chunk fill statistics. This is the
+    batch-construction step after dedup/filtering: it answers "how
+    many sequences does this corpus pack into, and how full are
+    they".
+
+    Scale: one narrow token-count projection, one window partitioned
+    by language (hash-parallel; at 100 TB the pack-group key becomes
+    (lang, shard) so no partition exceeds a task), one
+    map-side-combined groupBy. No data movement beyond the pack-group
+    shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.expr(f"size({TOK})").alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        c.groupBy(
+            "lang",
+            F.expr(f"cum_before div {SEQ_LEN}").alias("chunk_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .withColumn(
+            "fill_permille", F.expr(f"(sum_tokens * 1000) div {SEQ_LEN}")
+        )
+    )
+
+
+def _decontamination_oracle() -> str:
+    sh = dedup.duck_shingles_sql(DTOK, 3)
+    return f"""
+    WITH d AS (SELECT doc_id, {sh} AS sh FROM documents),
+    ev AS (SELECT DISTINCT unnest(sh) AS g FROM d WHERE {EVAL_PRED}),
+    tr AS (SELECT doc_id, unnest(sh) AS g FROM d WHERE NOT ({EVAL_PRED}))
+    SELECT t.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(e.g) AS n_contaminated,
+           CAST((COUNT(e.g) * 10000) // COUNT(*) AS BIGINT)
+             AS contamination_bp
+    FROM tr t LEFT JOIN ev e USING (g)
+    GROUP BY t.doc_id
+    """
+
+
+@query("q84_decontamination_overlap", oracle=_decontamination_oracle())
+def q84_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction
+    of its distinct word 3-grams that also appear anywhere in the
+    held-out eval subset (every 10th doc stands in for a benchmark
+    suite). Docs with high overlap are eval leakage and get dropped
+    before training — the n-gram-overlap decontamination step every
+    published pretraining pipeline runs.
+
+    Scale: the eval n-gram set is DISTINCT'd and **broadcast** —
+    benchmark suites are tiny next to the corpus, so the fact-side
+    explode never shuffles; the per-doc rollup is map-side combined.
+    If the eval set ever outgrows broadcast, the same plan works as a
+    shuffle equi-join on the gram.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.expr(dedup.shingles_expr(TOK, 3)).alias("sh")
+    )
+    ev = (
+        d.filter(EVAL_PRED)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    tr = d.filter(f"NOT ({EVAL_PRED})").select(
+        "doc_id", F.explode("sh").alias("g")
+    )
+    return (
+        tr.join(F.broadcast(ev), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("__hit").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_bp",
+            F.expr("(n_contaminated * 10000) div n_shingles"),
+        )
+    )
+
+
+@query(
+    "q85_token_dominance",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({DTOK}) AS t FROM documents),
+    counts AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    win AS (SELECT doc_id, t, c,
+              MAX(c) OVER (PARTITION BY doc_id) AS mx,
+              SUM(c) OVER (PARTITION BY doc_id) AS n
+            FROM counts)
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_tokens,
+           MAX(t) AS top_token,
+           CAST(MAX(c) AS BIGINT) AS top_count,
+           CAST((MAX(c) * 10000) // MAX(n) AS BIGINT) AS dominance_bp
+    FROM win WHERE c = mx GROUP BY doc_id
+    """,
+)
+def q85_token_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter input: per document, the share
+    of tokens taken by its single most frequent token (a document
+    dominated by one token is boilerplate/spam). Ties on the max
+    count resolve to the lexicographically greatest token on both
+    engines (Spark ``max(struct(c, t))`` ≡ the oracle's
+    ``MAX(t) WHERE c = mx``) — deterministic regardless of
+    partitioning.
+
+    Scale: explode → two-level map-side-combined aggregation, all on
+    the doc_id key — one shuffle, no windows over the full corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(text.tokens("text")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max(F.struct(F.col("c"), F.col("t"))).alias("__top"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("__top.t").alias("top_token"),
+            F.col("__top.c").alias("top_count"),
+            F.expr("(__top.c * 10000) div n_tokens").alias("dominance_bp"),
+        )
+    )
+
+
+@query(
+    "q87_embedding_quantization",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             CAST(list_max(list_transform(embedding, x -> abs(x)))
+                  AS DOUBLE) / 127 AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0
+                THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(embedding, x ->
+                  CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER))
+           END AS qvec
+    FROM s
+    """,
+)
+def q87_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column —
+    the compression step before building a vector index at corpus
+    scale (4× smaller than float32, SIMD-friendly distance kernels).
+    ``scale = max|x| / 127``; each component maps to
+    ``floor(x/scale + 0.5)`` ∈ [-127, 127].
+
+    Engine-exact on purpose: both engines run the identical chain of
+    double-precision IEEE ops (cast → divide → add 0.5 → floor), and
+    ``floor`` has no round-half mode to disagree on — so the oracle
+    hash-matches bit-for-bit, unlike a ``round()`` formulation.
+
+    Scale: one narrow higher-order-function projection per row — no
+    shuffle, no UDF; quantized vectors flow straight to the IVF
+    partitioner (q35).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.expr(
+            "cast(array_max(transform(embedding, x -> abs(x))) as double)"
+            " / 127"
+        ).alias("scale"),
+        F.expr(
+            """
+            CASE WHEN cast(array_max(transform(embedding, x -> abs(x)))
+                      as double) / 127 = 0
+                 THEN transform(embedding, x -> 0)
+                 ELSE transform(embedding, x ->
+                   cast(floor(cast(x as double) /
+                     (cast(array_max(transform(embedding, x -> abs(x)))
+                           as double) / 127) + 0.5) as int))
+            END
+            """
+        ).alias("qvec"),
+    )
+
+
+#: per-source keep-rate in basis points, derived from the numeric
+#: suffix of the source name so the mixture is stable at every SF:
+#: suffix % 3 → 2500 / 5000 / 7500 bp (25 / 50 / 75 %).
+_MIX_TH_SQL = "(2500 + (CAST(substr(source, 4) AS INT) % 3) * 2500)"
+
+
+@query(
+    "q88_source_mixture",
+    oracle=f"""
+    WITH kept AS (
+      SELECT source,
+             CASE WHEN (CAST(concat('0x',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 10000) < {_MIX_TH_SQL}
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST((SUM(keep) * 10000) // COUNT(*) AS BIGINT) AS kept_bp,
+           {_MIX_TH_SQL} AS target_bp
+    FROM kept
+    GROUP BY source
+    """,
+)
+def q88_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture curation: each source is down-sampled to its
+    target weight (25/50/75 % by source family) with the same
+    deterministic md5-bucket predicate as q78 — so the exact member
+    set, not just the rate, is reproducible run-over-run and
+    auditable in SQL. Output compares achieved vs target rate per
+    source.
+
+    Scale: pure narrow filter + map-side-combined rollup; the keep
+    decision is per-row with no RNG state, so it distributes and
+    replays trivially (including in streaming ingest).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    th = F.expr("2500 + (cast(substr(source, 4) as int) % 3) * 2500")
+    bucket = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+        " as bigint) % 10000"
+    )
+    return (
+        docs.select(
+            "source",
+            (bucket < th).cast("int").alias("keep"),
+            th.alias("target_bp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("keep").alias("n_kept"),
+            F.expr("(sum(keep) * 10000) div count(*)").alias("kept_bp"),
+            F.first("target_bp").alias("target_bp"),
+        )
+        .select("source", "n_total", "n_kept", "kept_bp", "target_bp")
+    )
+
+
+def _boilerplate_oracle() -> str:
+    sh = dedup.duck_shingles_sql(DTOK, 2)
+    return f"""
+    WITH d AS (SELECT doc_id, {sh} AS sh FROM documents),
+    ex AS (SELECT doc_id, unnest(sh) AS g FROM d)
+    SELECT g AS gram, COUNT(*) AS doc_freq
+    FROM ex GROUP BY g
+    ORDER BY doc_freq DESC, gram DESC
+    LIMIT 100
+    """
+
+
+@query("q86_boilerplate_ngrams", oracle=_boilerplate_oracle())
+def q86_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection: the 100 word bigrams that
+    appear in the most documents (shingles are distinct per doc, so
+    ``COUNT(*)`` after the explode IS document frequency). The output
+    feeds a C4-style boilerplate-line / headers-footers removal pass.
+    Deterministic top-k: ties on doc_freq break on the gram itself.
+
+    Scale: explode → map-side-combined count per gram → global top-k
+    via TakeOrdered (no full sort); the gram key is near-uniform, so
+    no skew. The at-scale sibling swaps exact counts for a
+    count-min/TopK sketch if the gram cardinality outgrows the agg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.expr(dedup.shingles_expr(TOK, 2))).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.desc("gram"))
+        .limit(100)
+    )

@@ -177,6 +177,34 @@ class TestArrayAndPivotShapes:
         assert "pivotfirst" in plan
 
 
+class TestPipelineQueryShapes:
+    """q83–q88 (training-corpus family) — the docstring claims, pinned."""
+
+    def test_q84_eval_set_broadcast(self, plan_of):
+        # the eval n-gram set must broadcast; a shuffle join here
+        # would move the exploded fact side
+        plan = plan_of("q84_decontamination_overlap")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_q86_topk_never_full_sorts(self, plan_of):
+        assert "TakeOrderedAndProject" in plan_of("q86_boilerplate_ngrams")
+
+    def test_q87_no_shuffle(self, plan_of):
+        # pure narrow projection: quantization must add zero exchanges
+        assert "Exchange" not in plan_of("q87_embedding_quantization")
+
+    def test_q85_partial_aggregation(self, plan_of):
+        # both aggregation levels map-side combine before the shuffle
+        assert "partial_" in plan_of("q85_token_dominance")
+
+    def test_q83_window_partitioned_by_lang(self, plan_of):
+        # the packing window must partition by the pack group — a
+        # global (empty-partition) window would serialize the corpus
+        plan = plan_of("q83_sequence_packing")
+        assert "windowspecdefinition(lang" in plan
+
+
 class TestCacheHygiene:
     def test_repeated_rollup_queries_do_not_accumulate_cache(self, spark, sf_dir):
         """q73/q74 persist their hourly rollup; re-invoking in a

@@ -65,6 +65,50 @@ def test_load_table_normalizes_ts_any_vintage(plain, sf_dir):
     assert row["m"] is not None and row["m"] > 0
 
 
+def test_load_table_handles_nanos_vintage(plain, tmp_path):
+    """The testdata has flip-flopped between TIMESTAMP(NANOS) (rounds
+    1-2) and TIMESTAMP_NTZ micros (round 3). The live files are now
+    micros, so synthesize a nanos-vintage events file with pyarrow and
+    pin the LongType branch of _normalize_ts against regression."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from building_energy_data_pipeline_spark.sources.readers import (
+        load_table,
+        read_events_stream,
+    )
+    from pyspark.sql import functions as F
+
+    base_us = 1_700_000_000_000_000  # 2023-11-14T22:13:20 UTC in µs
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [(base_us + i * 1_000_000) * 1000 + 777 for i in range(3)],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([10, 11, 12], pa.int64()),
+            "event_type": pa.array(["a", "b", "c"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    sf = tmp_path / "nanos_sf"
+    sf.mkdir()
+    # store_schema=False drops the arrow schema blob, so readers see
+    # the raw parquet TIMESTAMP(NANOS) type like the round-1 driver did
+    pq.write_table(table, sf / "events.parquet", store_schema=False)
+
+    df = load_table(plain, str(sf), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = [r["us"] for r in df.select(F.unix_micros("ts").alias("us")).collect()]
+    # nanos truncate (not round) to micros, like CAST(ns AS TIMESTAMP)
+    assert sorted(got) == [base_us + i * 1_000_000 for i in range(3)]
+
+    stream = read_events_stream(plain, str(sf))
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
 def test_stream_reader_matches_batch_schema(plain, sf_dir):
     """The readStream twin must emit the identical normalized schema."""
     from building_energy_data_pipeline_spark.sources.readers import (

@@ -380,17 +380,30 @@ def q58_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q58_SQL.format(orders="q58_orders"))
 
 
-@query("q51_approx_distinct", oracle=None)
+@query(
+    "q51_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def q51_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type: HyperLogLog++
-    (``approx_count_distinct``, rsd 2%) next to the exact count and
-    the realized relative error.
+    (``approx_count_distinct``, rsd 2%) validated in-query against the
+    exact count.
 
-    No SQL oracle — DuckDB's HLL sketch produces different estimates
-    by construction; the in-query ``rel_err`` column IS the check
-    (asserted < 5× rsd in tests). At 100 TB the exact column is the
-    one you drop: HLL++ is one pass, fixed memory, mergeable across
-    partitions; exact distinct is a full shuffle of the key space.
+    The sketch estimate itself can't be hash-compared (DuckDB's HLL
+    produces different estimates by construction), so the oracle
+    checks what IS portable: the exact count, and the claim that the
+    HLL++ estimate landed within 5× its configured rsd
+    (``within_bound`` — Spark computes the check, the oracle states
+    TRUE; a sketch regression flips the column and fails the hash).
+    At 100 TB the exact column is the one you drop: HLL++ is one
+    pass, fixed memory, mergeable across partitions; exact distinct
+    is a full shuffle of the key space.
     """
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -399,13 +412,13 @@ def q51_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
         )
-        .withColumn(
-            "rel_err",
-            F.round(
+        .select(
+            "event_type",
+            "exact_users",
+            (
                 F.abs(F.col("approx_users") - F.col("exact_users"))
-                / F.col("exact_users"),
-                4,
-            ),
+                <= 0.10 * F.col("exact_users")
+            ).alias("within_bound"),
         )
     )
 

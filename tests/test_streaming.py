@@ -201,3 +201,50 @@ class TestStreamingIdempotentSink:
             )
         )
         assert spark.read.parquet(wh).count() == 5
+
+
+class TestTransformWithState:
+    def test_v2_matches_batch_fold_when_available(self, spark, sf_dir):
+        """transformWithStateInPandas twin of the q64 operator: runs
+        only when the protobuf dependency is present (sandbox lacks
+        it); the gate itself is asserted unconditionally below."""
+        import pytest
+
+        from building_energy_data_pipeline_spark.streaming.stateful import (
+            transform_with_state_available,
+        )
+
+        if not transform_with_state_available():
+            pytest.skip("protobuf not installed; v2 state client gated")
+
+        from building_energy_data_pipeline_spark.plans.streaming_queries import (
+            run_gap_stats_v2,
+        )
+        from building_energy_data_pipeline_spark.plans.queries import REGISTRY
+
+        v2 = run_gap_stats_v2(spark, sf_dir)
+        v1 = REGISTRY["q64_stateful_gap_tracker"].spark(spark, sf_dir)
+        assert v2.exceptAll(v1).count() == 0
+        assert v1.exceptAll(v2).count() == 0
+
+    def test_v2_gate_raises_clearly_without_protobuf(self, spark):
+        from building_energy_data_pipeline_spark.streaming.stateful import (
+            event_gap_stats_v2,
+            transform_with_state_available,
+        )
+
+        if transform_with_state_available():
+            import pytest
+
+            pytest.skip("protobuf installed; gate inactive")
+        import pytest
+
+        stream = (
+            spark.readStream.format("rate").load()
+            .selectExpr(
+                "value as user_id", "'a' as event_type",
+                "value * 1000000 as ts_us",
+            )
+        )
+        with pytest.raises(ImportError, match="protobuf"):
+            event_gap_stats_v2(stream)

@@ -128,11 +128,68 @@ def recover_compact(spark: SparkSession, path: str) -> bool:
     return restored
 
 
+def zorder_key(
+    spark: SparkSession,
+    df,
+    cols: list[str],
+    bits_per_col: int = 16,
+):
+    """Morton (Z-order) key over 2+ numeric columns: each column is
+    mapped to a ``bits_per_col``-bit equal-width bucket between its
+    own min and max (one tiny agg, broadcast into the projection),
+    and the bucket bits are interleaved. Range-partitioning + sorting
+    on this key gives every output file a small hyper-RECTANGLE of
+    the key space instead of a narrow slice of only the first column
+    — so parquet min/max footer stats skip files for selective
+    predicates on ANY of the columns, which is what multi-dimension
+    file pruning needs at 100 TB (a lexicographic sort only prunes
+    its leading column).
+
+    Equal-width buckets keep the key a pure expression; heavily
+    skewed columns would want rank buckets (quantile boundaries)
+    instead — the interleave below is unchanged by that swap.
+
+    Returns (df_with_key, key_col_name).
+    """
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
+    )
+    out = df.join(F.broadcast(bounds))
+    n_buckets = 1 << bits_per_col
+    bucket_cols = []
+    for c in cols:
+        b = f"__zb_{c}"
+        # width_bucket yields 1..n+1; clamp into 0..n-1
+        out = out.withColumn(
+            b,
+            F.expr(
+                f"least(greatest(width_bucket(cast({c} as double),"
+                f" __lo_{c}, __hi_{c} + 1e-9, {n_buckets}) - 1, 0),"
+                f" {n_buckets - 1})"
+            ),
+        )
+        bucket_cols.append(b)
+    terms = []
+    for ci, b in enumerate(bucket_cols):
+        for bit in range(bits_per_col):
+            terms.append(
+                f"shiftleft(shiftright({b}, {bit}) & 1,"
+                f" {bit * len(cols) + ci})"
+            )
+    out = out.withColumn("__zkey", F.expr(" + ".join(terms)))
+    drop = bucket_cols + [f"__lo_{c}" for c in cols] + [f"__hi_{c}" for c in cols]
+    return out.drop(*drop), "__zkey"
+
+
 def compact(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = TARGET_FILE_BYTES,
     cluster_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """C10: small-file compaction — read, repartition to
     ceil(bytes/target), rewrite via a recoverable swap. Returns the
@@ -148,12 +205,19 @@ def compact(
     clustering every file spans the full key range and nothing
     skips).
 
+    ``zorder_by`` (2+ numeric columns) rewrites along a Morton curve
+    instead (:func:`zorder_key`): every file owns a compact
+    hyper-rectangle, so footer stats prune on any of the columns —
+    the multi-dimensional generalization of ``cluster_by``.
+
     Swap protocol (all Hadoop ``FileSystem.rename``, scheme-agnostic):
     write tmp → rename path→backup → rename tmp→path → delete backup.
     A crash at any step leaves a complete copy under ``path`` or
     ``backup``; :func:`recover_compact` (run automatically at the
     start of every compaction) restores ``path`` and clears leftovers.
     """
+    if cluster_by and zorder_by:
+        raise ValueError("pass either cluster_by or zorder_by, not both")
     base = path.rstrip("/")
     recover_compact(spark, base)
 
@@ -161,7 +225,14 @@ def compact(
     n = max(1, math.ceil(health.total_bytes / target_file_bytes))
     tmp = base + _TMP_SUFFIX
     df = spark.read.parquet(base)
-    if cluster_by:
+    if zorder_by:
+        df, zkey = zorder_key(spark, df, zorder_by)
+        df = (
+            df.repartitionByRange(n, zkey)
+            .sortWithinPartitions(zkey)
+            .drop(zkey)
+        )
+    elif cluster_by:
         df = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
             *cluster_by
         )

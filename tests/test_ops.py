@@ -101,6 +101,59 @@ class TestMaintenance:
         assert not os.path.exists(p + "._compacting")
         assert spark.read.parquet(p).count() == 5_000
 
+    def test_zorder_compaction_prunes_both_dimensions(self, spark, tmp_path):
+        """Z-order rewrite must leave every file covering a small
+        RECTANGLE of (x, y): a lexicographic sort on x gives each
+        file the full y range (no y pruning); Morton interleaving
+        bounds both. Assert via footer min/max spans."""
+        import os
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        p = str(tmp_path / "t")
+        # two independent uniform dimensions
+        spark.range(40_000).select(
+            F.pmod(F.hash("id"), F.lit(10_000)).cast("long").alias("x"),
+            F.pmod(F.hash(F.col("id") + 1), F.lit(10_000)).cast("long").alias("y"),
+        ).repartition(8).write.parquet(p)
+
+        compact(spark, p, target_file_bytes=120_000, zorder_by=["x", "y"])
+
+        spans = {"x": [], "y": []}
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(f"{root}/{f}").metadata
+                for col_idx, col in enumerate(("x", "y")):
+                    lo = min(
+                        md.row_group(i).column(col_idx).statistics.min
+                        for i in range(md.num_row_groups)
+                    )
+                    hi = max(
+                        md.row_group(i).column(col_idx).statistics.max
+                        for i in range(md.num_row_groups)
+                    )
+                    spans[col].append((hi - lo) / 10_000.0)
+        n_files = len(spans["x"])
+        assert n_files > 3  # actually split
+        # Morton order: BOTH dimensions bounded per file — neither
+        # span average may approach the full range (a lex sort on x
+        # would put y's average at ~1.0)
+        for col in ("x", "y"):
+            avg_span = sum(spans[col]) / n_files
+            assert avg_span < 0.75, (col, avg_span, n_files)
+        assert spark.read.parquet(p).count() == 40_000
+
+    def test_cluster_and_zorder_mutually_exclusive(self, spark, tmp_path):
+        import pytest
+
+        p = str(tmp_path / "t")
+        spark.range(100).write.parquet(p)
+        with pytest.raises(ValueError, match="not both"):
+            compact(spark, p, cluster_by=["id"], zorder_by=["id", "id"])
+
     def test_compact_self_heals_crashed_swap(self, spark, tmp_path):
         import os
 

@@ -65,12 +65,50 @@ def ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(key, value)
 
 
-def _normalize_ts(df: DataFrame) -> DataFrame:
+def _parquet_ts_unit(path: str) -> str | None:
+    """Time unit (``nanoseconds``/``microseconds``/``milliseconds``) of
+    a parquet file's ``ts`` column, read from the footer's logical
+    type. A LongType arriving through ``nanosAsLong`` looks identical
+    in the Spark schema whatever the physical unit was, so the footer
+    is the only place the truth lives; returns None when unreadable
+    (remote FS without pyarrow access) — callers then fall back to the
+    nanos assumption that matches the only vintage that surfaces longs.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            hits = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+            if not hits:
+                return None
+            target = hits[0]
+        schema = pq.ParquetFile(target).schema
+        if "ts" not in schema.names:
+            return None
+        logical = str(schema.column(schema.names.index("ts")).logical_type)
+        for unit in ("nanoseconds", "microseconds", "milliseconds"):
+            if unit in logical:
+                return unit
+    except Exception:
+        return None
+    return None
+
+
+def _normalize_ts(df: DataFrame, path: str | None = None) -> DataFrame:
     """Coerce a ``ts`` column to session-zoned microsecond TimestampType
     regardless of the parquet vintage it was written with:
 
     - TIMESTAMP(NANOS) → LongType nanos (under ``nanosAsLong``): integer
       truncate to micros, same semantics as DuckDB ``CAST(ns AS TIMESTAMP)``.
+    - any other INT64 timestamp unit surfacing as LongType: scaled per
+      the footer's logical type (``_parquet_ts_unit``) — guards against
+      a future vintage flip silently applying the wrong factor (the
+      round-2 failure class).
     - TIMESTAMP_NTZ (plain ``timestamp[us]`` footer): cast to ``timestamp``
       — exact under the pinned UTC session TZ (no wall-clock shift).
     - TimestampType already: passthrough.
@@ -81,7 +119,13 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
         if f.name != "ts":
             continue
         if isinstance(f.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            unit = (_parquet_ts_unit(path) if path else None) or "nanoseconds"
+            expr = {
+                "nanoseconds": "ts div 1000",
+                "microseconds": "ts",
+                "milliseconds": "ts * 1000",
+            }[unit]
+            df = df.withColumn("ts", F.timestamp_micros(F.expr(expr)))
         elif isinstance(f.dataType, T.TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
@@ -98,8 +142,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     read works under any session, including the driver's plain one.
     """
     ensure_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    return _normalize_ts(df)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return _normalize_ts(spark.read.parquet(path), path)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,13 +159,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     than loaded in one batch.
     """
     ensure_session_confs(spark)
-    static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    static = spark.read.parquet(path)
     stream = (
         spark.readStream.schema(static.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return _normalize_ts(stream)
+    return _normalize_ts(stream, path)
 
 
 def read_parquet(

@@ -108,6 +108,28 @@ def test_load_table_handles_nanos_vintage(plain, tmp_path):
     stream = read_events_stream(plain, str(sf))
     assert dict(stream.dtypes)["ts"] == "timestamp"
 
+    # the footer probe must report the true unit for both vintages —
+    # it is what keeps the LongType branch from ever applying the
+    # wrong scale factor silently (the round-2 failure class)
+    from building_energy_data_pipeline_spark.sources.readers import (
+        _parquet_ts_unit,
+    )
+
+    assert _parquet_ts_unit(str(sf / "events.parquet")) == "nanoseconds"
+
+
+def test_parquet_ts_unit_probe_on_live_testdata(sf_dir):
+    from building_energy_data_pipeline_spark.sources.readers import (
+        _parquet_ts_unit,
+    )
+
+    assert _parquet_ts_unit(f"{sf_dir}/events.parquet") in (
+        "nanoseconds",
+        "microseconds",
+    )
+    assert _parquet_ts_unit(f"{sf_dir}/region.parquet") is None  # no ts
+    assert _parquet_ts_unit("/nonexistent/x.parquet") is None
+
 
 def test_stream_reader_matches_batch_schema(plain, sf_dir):
     """The readStream twin must emit the identical normalized schema."""

@@ -312,6 +312,61 @@ def minhash_lsh_pairs(
     )
 
 
+def incremental_lsh_matches(
+    sigs: DataFrame,
+    id_col: str,
+    cutoff: int,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Incremental corpus dedup: probe only the NEW docs
+    (``id >= cutoff``) against everything earlier — the continuous-
+    ingestion form of :func:`minhash_lsh_pairs`. Output: one row per
+    new doc that collides (verified Jaccard ≥ ``min_jaccard``) with
+    any earlier doc — ``n_dups``, ``best_jaccard`` and the
+    deterministic ``best_match_id`` (greatest Jaccard, ties → greatest
+    id, via ``max(struct)``).
+
+    Scale: the probe side is the new batch only, so the bucket join
+    moves |new| + matching-bucket rows, and — the actual win over
+    re-running the full pairwise job per ingest — old×old pairs are
+    never formed, let alone exact-verified. The corpus side at
+    production scale is the persisted band index, not a recompute.
+    """
+    bands = sigs.repartition(F.col(id_col)).select(
+        F.col(id_col),
+        F.col("shingles"),
+        F.explode_outer("band_keys").alias("bk"),
+    )
+    corpus = bands.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"), "bk"
+    )
+    new = bands.filter(F.col(id_col) >= cutoff).select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"), "bk"
+    )
+    verified = (
+        corpus.join(new, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a", "id_b", jaccard_expr("sh_a", "sh_b").alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    return (
+        verified.groupBy(F.col("id_b").alias("new_id"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.max(F.struct(F.col("jaccard"), F.col("id_a"))).alias("__best"),
+        )
+        .select(
+            "new_id",
+            "n_dups",
+            F.col("__best.jaccard").alias("best_jaccard"),
+            F.col("__best.id_a").alias("best_match_id"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

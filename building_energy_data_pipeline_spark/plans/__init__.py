@@ -41,12 +41,12 @@ _CURATED_ORDER = [
     "q86_boilerplate_ngrams",
     "q87_embedding_quantization",
     "q88_source_mixture",
+    "q90_incremental_dedup",
     # OLAP family
     "q48_range_join_bands",
     "q51_approx_distinct",
     "q55_correlated_subqueries",
     "q56_salted_skew_join",
-    "q58_recursive_spine",
     "q69_sql_unpivot",
     "q70_histogram",
     "q71_snapshot_diff",
@@ -97,6 +97,7 @@ _CURATED_ORDER = [
     "q49_nation_intersect_except",
     "q50_topk_with_ties",
     "q57_full_outer_join",
+    "q58_recursive_spine",
     "q02_filtered_scan",
     "q03_top_revenue_orders",
     "q04_exists_semi_join",

@@ -327,6 +327,63 @@ def q88_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_dedup_oracle() -> str:
+    dk = dedup.duck_minhash_sql(DTOK, k=3)
+    jac = dedup.duck_jaccard_sql("sa.shingles", "sb.shingles")
+    return f"""
+    WITH cut AS (SELECT (MAX(doc_id) * 4) // 5 AS cutoff FROM documents),
+    sigs AS (
+      SELECT doc_id, shingles, {dk["band_keys"]} AS band_keys FROM (
+        SELECT doc_id, shingles, {dk["sig"]} AS sig FROM (
+          SELECT doc_id, {dk["shingles"]} AS shingles FROM documents))),
+    banded AS (SELECT doc_id, unnest(band_keys) AS bk FROM sigs),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      JOIN cut ON b.doc_id >= cut.cutoff),
+    verified AS (
+      SELECT id_a, id_b, {jac} AS jaccard
+      FROM pairs
+      JOIN sigs sa ON sa.doc_id = id_a
+      JOIN sigs sb ON sb.doc_id = id_b
+      WHERE {jac} >= 0.5),
+    ranked AS (
+      SELECT id_a, id_b, jaccard,
+             MAX(jaccard) OVER (PARTITION BY id_b) AS mx
+      FROM verified)
+    SELECT id_b AS new_id,
+           (SELECT COUNT(*) FROM verified v WHERE v.id_b = ranked.id_b)
+             AS n_dups,
+           MAX(jaccard) AS best_jaccard,
+           MAX(id_a) AS best_match_id
+    FROM ranked WHERE jaccard = mx
+    GROUP BY id_b
+    """
+
+
+@query("q90_incremental_dedup", oracle=_incremental_dedup_oracle())
+def q90_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (``operators/dedup.
+    incremental_lsh_matches``): the newest 20% of documents (by id)
+    are probed through the MinHash band index against everything
+    earlier, and each colliding new doc reports its verified
+    duplicate count and best match — the continuous-ingestion form
+    of q28 that never re-forms old×old pairs.
+
+    Scale: probe side = the new batch; corpus side = the persisted
+    band index. The exact-Jaccard verify runs only on new-vs-earlier
+    bucket collisions, so per-ingest cost tracks batch size, not
+    corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = (docs.agg(F.max("doc_id")).first()[0] * 4) // 5
+    sigs = dedup.minhash_signatures(docs, "doc_id", TOK, k=3)
+    return dedup.incremental_lsh_matches(
+        sigs, "doc_id", cutoff=cutoff, min_jaccard=0.5
+    )
+
+
 def _boilerplate_oracle() -> str:
     sh = dedup.duck_shingles_sql(DTOK, 2)
     return f"""

@@ -317,3 +317,116 @@ def duck_ivf_topk_sql(
       WHERE c.vec_id != q.vec_id
     ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization + quantized retrieval (the production memory path)
+# ---------------------------------------------------------------------------
+
+#: symmetric int8 range
+QUANT_LEVELS = 127
+
+
+def quantize_vec_expr(vec_col: str) -> str:
+    """Spark SQL: symmetric int8 quantization of a float array —
+    ``floor(x/scale + 0.5)`` with ``scale = max|x| / 127``. The
+    floor-based chain is IEEE-identical on DuckDB (no round-half-mode
+    drift); all-zero vectors map to all-zero codes."""
+    scale = (
+        f"(cast(array_max(transform({vec_col}, x -> abs(x))) as double)"
+        f" / {QUANT_LEVELS})"
+    )
+    return (
+        f"CASE WHEN {scale} = 0 THEN transform({vec_col}, x -> 0)"
+        f" ELSE transform({vec_col}, x ->"
+        f" cast(floor(cast(x as double) / {scale} + 0.5) as int)) END"
+    )
+
+
+def duck_quantize_vec_sql(vec_col: str) -> str:
+    """DuckDB twin of :func:`quantize_vec_expr`."""
+    scale = (
+        f"(CAST(list_max(list_transform({vec_col}, x -> abs(x)))"
+        f" AS DOUBLE) / {QUANT_LEVELS})"
+    )
+    return (
+        f"CASE WHEN {scale} = 0 THEN list_transform({vec_col}, x -> 0)"
+        f" ELSE list_transform({vec_col}, x ->"
+        f" CAST(floor(CAST(x AS DOUBLE) / {scale} + 0.5) AS INTEGER)) END"
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k retrieval over int8-quantized vectors ranked by the
+    INTEGER dot product — the memory-bound production ANN path (4×
+    smaller vectors, SIMD-friendly kernels) next to the float
+    baseline (:func:`brute_force_topk`).
+
+    Integer scoring makes the ranking bit-exact across engines with
+    no float-fold ordering concerns at all. Ties break on neighbor
+    id. Output: ``query_id, neighbor_id, rank, qdot``.
+
+    Scale: same shape as the float path — queries broadcast, map-only
+    corpus scan, per-query top-k window; quantized codes shrink scan
+    bytes 4×, which is the point at 100 TB.
+    """
+    qv = quantize_vec_expr(vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.expr(qv).alias("cq")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.expr(qv).alias("qq")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.withColumn(
+        "qdot",
+        F.expr(
+            "aggregate(zip_with(cq, qq, (x, y) -> cast(x as bigint) * y),"
+            " 0L, (acc, v) -> acc + v)"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "qdot")
+    )
+
+
+def duck_quantized_topk_sql(
+    corpus: str = "embeddings",
+    query_pred: str = "vec_id % 50 = 0",
+    k: int = 3,
+) -> str:
+    """DuckDB twin of :func:`quantized_topk`."""
+    qv = duck_quantize_vec_sql("embedding")
+    dots = (
+        "CAST(list_sum(list_transform(range(1, len(c.qv) + 1),"
+        " i -> CAST(c.qv[i] AS BIGINT) * q.qv[i])) AS BIGINT)"
+    )
+    return f"""
+    WITH qvecs AS (SELECT vec_id, {qv} AS qv FROM {corpus}),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {dots} AS qdot
+      FROM qvecs c
+      JOIN (SELECT * FROM qvecs WHERE {query_pred}) q
+        ON c.vec_id != q.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, qdot,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY qdot DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, qdot
+    FROM ranked WHERE rank <= {k}
+    """

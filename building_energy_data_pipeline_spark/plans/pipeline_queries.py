@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..operators import dedup, text
+from ..operators import dedup, similarity, text
 from ..sources.readers import load_table
 from .registry import query
 
@@ -264,6 +264,30 @@ def q87_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("qvec"),
     )
+
+
+@query(
+    "q91_quantized_topk",
+    oracle=similarity.duck_quantized_topk_sql(
+        "embeddings", "vec_id % 50 = 0", 3
+    ),
+)
+def q91_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized retrieval (``operators/similarity.quantized_topk``):
+    top-3 neighbors per query ranked by the int8 INTEGER dot product
+    — q87's quantization feeding q34's retrieval shape. Integer
+    scoring is bit-exact across engines by construction (no float
+    fold anywhere), so the quantized ANN path gets the same hard
+    oracle as the float baseline.
+
+    Scale: 4× smaller vectors → 4× fewer scan bytes on the corpus
+    pass, broadcast queries, per-query top-k window — the
+    memory-bound production path next to q34 (float exactness
+    baseline) and q35 (IVF pruning).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr("vec_id % 50 = 0"))
+    return similarity.quantized_topk(emb, queries, "vec_id", "embedding", 3)
 
 
 #: per-source keep-rate in basis points, derived from the numeric

@@ -43,10 +43,10 @@ _CURATED_ORDER = [
     "q88_source_mixture",
     "q90_incremental_dedup",
     "q91_quantized_topk",
+    "q92_corpus_curation",
     # OLAP family
     "q48_range_join_bands",
     "q51_approx_distinct",
-    "q55_correlated_subqueries",
     "q69_sql_unpivot",
     "q70_histogram",
     "q71_snapshot_diff",
@@ -96,6 +96,7 @@ _CURATED_ORDER = [
     "q47_grouping_sets",
     "q49_nation_intersect_except",
     "q50_topk_with_ties",
+    "q55_correlated_subqueries",
     "q56_salted_skew_join",
     "q57_full_outer_join",
     "q58_recursive_spine",

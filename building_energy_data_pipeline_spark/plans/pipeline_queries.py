@@ -408,6 +408,127 @@ def q90_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: curation thresholds (basis points) — integer, engine-portable
+DOMINANCE_MAX_BP = 2000
+CONTAMINATION_MAX_BP = 2500
+
+
+def _curation_oracle() -> str:
+    sh = dedup.duck_shingles_sql(DTOK, 3)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, source, text, {DTOK} AS toks, {sh} AS sh
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+      FROM base
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS t FROM base),
+    counts AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    dom AS (
+      SELECT doc_id,
+             CAST((MAX(c) * 10000) // SUM(c) AS BIGINT) AS dominance_bp,
+             CAST(SUM(c) AS BIGINT) AS n_tokens
+      FROM counts GROUP BY doc_id
+    ),
+    ev AS (SELECT DISTINCT unnest(sh) AS g FROM base WHERE {EVAL_PRED}),
+    tr AS (SELECT doc_id, unnest(sh) AS g FROM base WHERE NOT ({EVAL_PRED})),
+    contam AS (
+      SELECT t.doc_id,
+             CAST((COUNT(e.g) * 10000) // COUNT(*) AS BIGINT)
+               AS contamination_bp
+      FROM tr t LEFT JOIN ev e USING (g)
+      GROUP BY t.doc_id
+    )
+    SELECT b.lang, b.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(d.n_tokens) AS BIGINT) AS sum_tokens
+    FROM base b
+    JOIN canon cn USING (doc_id)
+    JOIN dom d USING (doc_id)
+    JOIN contam ct USING (doc_id)
+    WHERE cn.is_canonical
+      AND d.dominance_bp <= {DOMINANCE_MAX_BP}
+      AND ct.contamination_bp < {CONTAMINATION_MAX_BP}
+    GROUP BY b.lang, b.source
+    """
+
+
+@query("q92_corpus_curation", oracle=_curation_oracle())
+def q92_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the capstone composition of the
+    training-data family in ONE declarative plan: drop the held-out
+    eval subset, keep only exact-dedup canonicals (min doc_id per
+    content hash), apply the Gopher dominance filter (q85) and the
+    decontamination filter (q84), then report the surviving corpus
+    mix per (lang, source) with its token budget.
+
+    Everything is the same integer-threshold templates the individual
+    queries verify, so the composed result carries a full hash
+    oracle — curation decisions are auditable SQL, not pipeline lore.
+
+    Scale: one doc-key shuffle for dominance, one content-hash window
+    for dedup, one broadcast n-gram join for contamination, one final
+    map-side-combined rollup — each stage is the already-proven
+    plan shape of its standalone query.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", "source", "text",
+        F.expr(dedup.shingles_expr(TOK, 3)).alias("sh"),
+    )
+    canon = base.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(W.partitionBy(F.md5("text")))
+        ).alias("is_canonical"),
+    )
+    counts = (
+        base.select("doc_id", F.explode(text.tokens("text")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    dom = counts.groupBy("doc_id").agg(
+        F.expr("(max(c) * 10000) div sum(c)").alias("dominance_bp"),
+        F.sum("c").alias("n_tokens"),
+    )
+    ev = (
+        base.filter(EVAL_PRED)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    contam = (
+        base.filter(f"NOT ({EVAL_PRED})")
+        .select("doc_id", F.explode("sh").alias("g"))
+        .join(F.broadcast(ev), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("(count(__hit) * 10000) div count(*)").alias(
+                "contamination_bp"
+            )
+        )
+    )
+    return (
+        base.join(canon, "doc_id")
+        .join(dom, "doc_id")
+        .join(contam, "doc_id")
+        .filter(
+            F.col("is_canonical")
+            & (F.col("dominance_bp") <= DOMINANCE_MAX_BP)
+            & (F.col("contamination_bp") < CONTAMINATION_MAX_BP)
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+
+
 def _boilerplate_oracle() -> str:
     sh = dedup.duck_shingles_sql(DTOK, 2)
     return f"""

@@ -204,6 +204,18 @@ class TestPipelineQueryShapes:
         plan = plan_of("q83_sequence_packing")
         assert "windowspecdefinition(lang" in plan
 
+    def test_q91_queries_broadcast(self, plan_of):
+        # quantized retrieval: query side broadcast, corpus scan
+        # map-only — a shuffle/cartesian here breaks the 100 TB shape
+        plan = plan_of("q91_quantized_topk")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_q90_no_cartesian(self, plan_of):
+        # incremental dedup joins on the band bucket — never all-pairs
+        plan = plan_of("q90_incremental_dedup")
+        assert "CartesianProduct" not in plan
+
 
 class TestCacheHygiene:
     def test_repeated_rollup_queries_do_not_accumulate_cache(self, spark, sf_dir):

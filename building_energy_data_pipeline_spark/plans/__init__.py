@@ -44,11 +44,11 @@ _CURATED_ORDER = [
     "q90_incremental_dedup",
     "q91_quantized_topk",
     "q92_corpus_curation",
+    "q93_sink_roundtrip",
+    "q94_footer_rowcounts",
     # OLAP family
     "q48_range_join_bands",
     "q51_approx_distinct",
-    "q69_sql_unpivot",
-    "q70_histogram",
     "q71_snapshot_diff",
     "q77_modern_aggregates",
     "q82_lateral_topk",
@@ -100,6 +100,8 @@ _CURATED_ORDER = [
     "q56_salted_skew_join",
     "q57_full_outer_join",
     "q58_recursive_spine",
+    "q69_sql_unpivot",
+    "q70_histogram",
     "q02_filtered_scan",
     "q03_top_revenue_orders",
     "q04_exists_semi_join",

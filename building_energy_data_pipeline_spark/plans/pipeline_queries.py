@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.scalar import dec_sum_sql
 from ..operators import dedup, similarity, text
 from ..sources.readers import load_table
 from .registry import query
@@ -288,6 +289,92 @@ def q91_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.expr("vec_id % 50 = 0"))
     return similarity.quantized_topk(emb, queries, "vec_id", "embedding", 3)
+
+
+@query(
+    "q93_sink_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {dec_sum_sql("l_extendedprice")} AS sum_price
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    GROUP BY l_returnflag
+    """,
+)
+def q93_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink-path verification through the driver contract: a lineitem
+    slice is exported to CSV (S11/S15, the reference's
+    ``convert_parquet_to_csv`` contract), re-imported with an explicit
+    schema (S1/S16), and aggregated — the oracle aggregates the
+    ORIGINAL parquet, so the hash match proves the CSV write/read
+    cycle is lossless (Java double round-trip formatting, header
+    handling, schema fidelity).
+
+    Scale: the export under test is a filtered slice; the write is a
+    parallel directory-of-parts (no coalesce(1) on the hot path).
+    """
+    import shutil
+    import tempfile
+
+    from ..sources.writers import write_csv
+    from ..sources.readers import read_csv
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter("l_orderkey % 100 = 0")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    )
+    out = tempfile.mkdtemp(prefix="q93_csv_")
+    try:
+        write_csv(li, out, header=True)
+        back = read_csv(spark, out, schema=li.schema, header=True)
+        from ..functions.scalar import dec_sum
+
+        return (
+            back.groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_rows"),
+                dec_sum("l_extendedprice").alias("sum_price"),
+            )
+            # materialize before the temp dir vanishes: the driver
+            # collects AFTER this function returns
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "q94_footer_rowcounts",
+    oracle="""
+    SELECT 'customer' AS table_name, COUNT(*) AS n_rows FROM customer
+    UNION ALL SELECT 'events', COUNT(*) FROM events
+    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    """,
+)
+def q94_footer_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/A8 made driver-visible: per-table row counts read from the
+    parquet FOOTER alone (``sources/acquire.get_parquet_info`` — no
+    data scan), hash-compared to the oracle's actual ``COUNT(*)``.
+    The reference estimates row counts the same metadata-only way
+    (``postgres_manager.py`` reltuples); parquet footers make the
+    estimate exact.
+
+    Scale: pure metadata — cost is one footer read per file however
+    large the table; this is the planner-input path (size estimates,
+    compaction targets) at 100 TB.
+    """
+    import os
+
+    from ..sources.acquire import get_parquet_info
+
+    rows = []
+    for t in ("customer", "events", "lineitem", "orders"):
+        info = get_parquet_info(os.path.join(sf_dir, f"{t}.parquet"))
+        rows.append((t, int(info["num_rows"])))
+    return spark.createDataFrame(rows, "table_name string, n_rows bigint")
 
 
 #: per-source keep-rate in basis points, derived from the numeric

@@ -85,7 +85,12 @@ def q37_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify expression is this one either way.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
+    # pinned repartition on the STREAM side: the theta join is a
+    # broadcast nested-loop, and a single-file corpus otherwise runs
+    # every one of the O(n²) interpreted cosine folds on ONE task —
+    # measured 9× on sf0.1. The broadcast side stays unpartitioned.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = emb.repartition(n_part, "vec_id").select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
         F.expr(similarity.norm_expr("embedding")).alias("na"),
@@ -96,7 +101,7 @@ def q37_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(similarity.norm_expr("embedding")).alias("nb"),
     )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos",
             F.round(F.expr(similarity.cosine_expr("va", "vb", "na", "nb")), 6),

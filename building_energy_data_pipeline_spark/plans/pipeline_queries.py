@@ -134,17 +134,34 @@ def q84_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle equi-join on the gram.
     """
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id", F.expr(dedup.shingles_expr(TOK, 3)).alias("sh")
+    # project shingles BEFORE a pinned repartition: the exchange
+    # materializes them once and both branches below reuse it
+    # (ReuseExchange), and the CPU-bound shingling escapes the input
+    # file's row-group parallelism (a single parquet file otherwise
+    # runs the whole explode chain on ONE task — the trap documented
+    # at operators/dedup.py:159-163)
+    # tokens staged as their own projection first: interpreted
+    # higher-order functions get no common-subexpression elimination,
+    # so inlining the tokenizer into the shingle lambda re-tokenizes
+    # once PER SHINGLE (the operators/text.py lang_id note) — measured
+    # ~2× on this query alone
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        docs.select("doc_id", text.tokens("text").alias("__toks"))
+        .select(
+            "doc_id",
+            F.expr(dedup.shingles_expr("__toks", 3)).alias("sh"),
+        )
+        .repartition(n_part, "doc_id")
     )
     ev = (
         d.filter(EVAL_PRED)
-        .select(F.explode("sh").alias("g"))
+        .select(F.explode_outer("sh").alias("g"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
     tr = d.filter(f"NOT ({EVAL_PRED})").select(
-        "doc_id", F.explode("sh").alias("g")
+        "doc_id", F.explode_outer("sh").alias("g")
     )
     return (
         tr.join(F.broadcast(ev), "g", "left")
@@ -190,8 +207,13 @@ def q85_token_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc_id key — one shuffle, no windows over the full corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # pinned repartition: frees the explode+partial-agg chain from the
+    # input file's row-group parallelism (see q84 note)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     counts = (
-        docs.select("doc_id", F.explode(text.tokens("text")).alias("t"))
+        docs.select("doc_id", text.tokens("text").alias("__toks"))
+        .repartition(n_part, "doc_id")
+        .select("doc_id", F.explode_outer("__toks").alias("t"))
         .groupBy("doc_id", "t")
         .agg(F.count("*").alias("c"))
     )
@@ -562,9 +584,21 @@ def q92_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan shape of its standalone query.
     """
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", "lang", "source", "text",
-        F.expr(dedup.shingles_expr(TOK, 3)).alias("sh"),
+    # one staged projection (text hash, shingles, tokens) behind a
+    # pinned repartition: four consumers below reuse the exchange
+    # instead of each re-running the CPU-bound array expressions on
+    # the input file's single row group (see q84 note)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = (
+        docs.select(
+            "doc_id", "lang", "source", "text",
+            text.tokens("text").alias("__toks"),
+        )
+        .select(  # staged tokens: see q84 CSE note
+            "doc_id", "lang", "source", "text", "__toks",
+            F.expr(dedup.shingles_expr("__toks", 3)).alias("sh"),
+        )
+        .repartition(n_part, "doc_id")
     )
     canon = base.select(
         "doc_id",
@@ -574,7 +608,7 @@ def q92_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("is_canonical"),
     )
     counts = (
-        base.select("doc_id", F.explode(text.tokens("text")).alias("t"))
+        base.select("doc_id", F.explode_outer("__toks").alias("t"))
         .groupBy("doc_id", "t")
         .agg(F.count("*").alias("c"))
     )
@@ -584,13 +618,13 @@ def q92_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = (
         base.filter(EVAL_PRED)
-        .select(F.explode("sh").alias("g"))
+        .select(F.explode_outer("sh").alias("g"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
     contam = (
         base.filter(f"NOT ({EVAL_PRED})")
-        .select("doc_id", F.explode("sh").alias("g"))
+        .select("doc_id", F.explode_outer("sh").alias("g"))
         .join(F.broadcast(ev), "g", "left")
         .groupBy("doc_id")
         .agg(
@@ -642,10 +676,14 @@ def q86_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-min/TopK sketch if the gram cardinality outgrows the agg.
     """
     docs = load_table(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (
-        docs.select(
-            F.explode(F.expr(dedup.shingles_expr(TOK, 2))).alias("gram")
+        docs.select("doc_id", text.tokens("text").alias("__toks"))
+        .select(  # staged tokens: see q84 CSE note
+            "doc_id", F.expr(dedup.shingles_expr("__toks", 2)).alias("sh")
         )
+        .repartition(n_part, "doc_id")  # see q84 parallelism note
+        .select(F.explode_outer("sh").alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").alias("doc_freq"))
         .orderBy(F.desc("doc_freq"), F.desc("gram"))

@@ -126,9 +126,16 @@ def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q29_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (unit token weights) — the
-    Hamming-distance dedup substrate; one narrow codegen projection."""
+    Hamming-distance dedup substrate. The operator itself is a narrow
+    projection; the query prepends one pinned repartition of the
+    compact doc rows so the CPU-bound interpreted bit-vote folds
+    (32 bits × tokens per doc) escape the input file's row-group
+    parallelism — measured 8× on a single-file sf0.1 corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash(docs, "doc_id", TOK)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return dedup.simhash(
+        docs.repartition(n_part, "doc_id"), "doc_id", TOK
+    )
 
 
 def _bigram_oracle() -> str:
@@ -153,10 +160,19 @@ def q30_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE. (Unblocked exact Jaccard is q28's LSH job.)
     """
     docs = load_table(spark, sf_dir, "documents")
-    s = docs.select(
-        "doc_id", "source", F.expr(TOK).alias("__toks")
-    ).select(
-        "doc_id", "source", F.expr(dedup.shingles_expr("__toks", 2)).alias("sh")
+    # pinned repartition: both self-join branches reuse ONE
+    # materialized shingle exchange (ReuseExchange) instead of each
+    # re-shingling from the input file's single row group — the same
+    # plan hygiene as minhash_lsh_pairs (operators/dedup.py:264-274)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    s = (
+        docs.select("doc_id", "source", F.expr(TOK).alias("__toks"))
+        .select(
+            "doc_id",
+            "source",
+            F.expr(dedup.shingles_expr("__toks", 2)).alias("sh"),
+        )
+        .repartition(n_part, "doc_id")
     )
     a = s.select(
         F.col("source"),
@@ -344,7 +360,13 @@ def q68_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.substring("text", 1, 40).alias("head"),
     )
-    a, b = d.alias("a"), d.alias("b")
+    # pinned repartition on the STREAM side: the block join broadcasts
+    # the build side, so a single-file corpus otherwise generates and
+    # edit-distances every in-block pair on ONE task (measured 9× on
+    # sf0.1). The broadcast side stays as-is.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = d.repartition(n_part, "doc_id").alias("a")
+    b = d.alias("b")
     dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
     return (
         a.join(

@@ -217,6 +217,29 @@ class TestPipelineQueryShapes:
         assert "CartesianProduct" not in plan
 
 
+class TestParallelismHygiene:
+    """The testdata tables are single parquet files (one input
+    partition); CPU-bound stages must not inherit that. Guards the
+    round-3 fixes (6-12× each): a pinned repartition must appear in
+    these plans so the expensive work fans out."""
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "q29_simhash",
+            "q30_ngram_jaccard",
+            "q37_embedding_neardup",
+            "q68_fuzzy_blocked_join",
+            "q84_decontamination_overlap",
+            "q86_boilerplate_ngrams",
+            "q92_corpus_curation",
+        ],
+    )
+    def test_cpu_bound_stage_is_repartitioned(self, plan_of, name):
+        plan = plan_of(name)
+        assert "REPARTITION_BY_NUM" in plan or "REPARTITION_BY_COL" in plan, name
+
+
 class TestCacheHygiene:
     def test_repeated_rollup_queries_do_not_accumulate_cache(self, spark, sf_dir):
         """q73/q74 persist their hourly rollup; re-invoking in a

@@ -155,6 +155,31 @@ def test_events_query_under_plain_session(plain, sf_dir, name):
     assert len(df.columns) > 0
 
 
+# the round-3 training-corpus family — newest entries in the driver's
+# check window, so plain-session safety is pinned here like the
+# events readers were in round 2
+NEW_FAMILY_QUERIES = (
+    "q83_sequence_packing",
+    "q84_decontamination_overlap",
+    "q85_token_dominance",
+    "q86_boilerplate_ngrams",
+    "q87_embedding_quantization",
+    "q88_source_mixture",
+    "q90_incremental_dedup",
+    "q91_quantized_topk",
+    "q92_corpus_curation",
+    "q93_sink_roundtrip",
+    "q94_footer_rowcounts",
+)
+
+
+@pytest.mark.parametrize("name", NEW_FAMILY_QUERIES)
+def test_new_family_query_under_plain_session(plain, sf_dir, name):
+    df = driver_entry.queries()[name](plain, sf_dir)
+    assert df.count() > 0
+    assert len(df.columns) > 0
+
+
 def test_streaming_rollup_matches_batch_counts(plain, sf_dir):
     """q52 under a plain session must produce the SAME number of hourly
     windows as the batch equivalent — this is the guard the round-2

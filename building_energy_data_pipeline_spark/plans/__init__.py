@@ -46,10 +46,10 @@ _CURATED_ORDER = [
     "q92_corpus_curation",
     "q93_sink_roundtrip",
     "q94_footer_rowcounts",
+    "q95_crossmodal_quality_norms",
     # OLAP family
     "q48_range_join_bands",
     "q51_approx_distinct",
-    "q71_snapshot_diff",
     "q77_modern_aggregates",
     "q82_lateral_topk",
     # array / higher-order family (no r01 row)
@@ -102,6 +102,7 @@ _CURATED_ORDER = [
     "q58_recursive_spine",
     "q69_sql_unpivot",
     "q70_histogram",
+    "q71_snapshot_diff",
     "q02_filtered_scan",
     "q03_top_revenue_orders",
     "q04_exists_semi_join",

@@ -517,6 +517,61 @@ def q90_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _crossmodal_oracle() -> str:
+    norm = similarity.duck_norm_sql("e.embedding")
+    return f"""
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           {dec_sum_sql(f"round({norm}, 6)")} AS sum_norm
+    FROM documents d
+    JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE len({DTOK.replace('text', 'd.text')}) >= 20
+    GROUP BY d.lang
+    """
+
+
+@query("q95_crossmodal_quality_norms", oracle=_crossmodal_oracle())
+def q95_crossmodal_quality_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join — the one shape no other query exercises:
+    TEXT quality gating (token-count floor) joined to the VECTOR
+    table on the shared id, rolling up per-language embedding-norm
+    mass. This is the curation pattern where filters computed on one
+    modality decide which rows of another modality survive (drop a
+    document → drop its embedding).
+
+    Determinism: the norm is the engine-exact left-to-right fold
+    (``operators/similarity``), rounded per row, summed through the
+    DECIMAL convention — same contract q60/q34 already prove.
+
+    Scale: both sides shuffle once on the shared id (co-partitioned
+    equi-join; at warehouse scale the two tables are bucketed on it —
+    ``operators/scale.write_bucketed`` — and the exchange disappears);
+    the rollup is map-side combined.
+    """
+    from ..functions.scalar import dec_sum
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.expr(f"size({TOK}) >= 20")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        docs.select("doc_id", "lang")
+        .join(emb.select("vec_id", "embedding"),
+              F.col("doc_id") == F.col("vec_id"))
+        .select(
+            "lang",
+            F.round(
+                F.expr(similarity.norm_expr("embedding")), 6
+            ).alias("__norm"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            dec_sum("__norm").alias("sum_norm"),
+        )
+    )
+
+
 #: curation thresholds (basis points) — integer, engine-portable
 DOMINANCE_MAX_BP = 2000
 CONTAMINATION_MAX_BP = 2500

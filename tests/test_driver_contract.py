@@ -170,6 +170,7 @@ NEW_FAMILY_QUERIES = (
     "q92_corpus_curation",
     "q93_sink_roundtrip",
     "q94_footer_rowcounts",
+    "q95_crossmodal_quality_norms",
 )
 
 

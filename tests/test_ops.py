@@ -198,3 +198,60 @@ class TestObserve:
         assert len(h._cached) == 1  # ...the cached DataFrame is reused
         h.clear_cache()
         assert not h._cached
+
+
+class TestSessionControl:
+    def test_fast_action_completes_under_timeout(self, spark):
+        from building_energy_data_pipeline_spark.ops import run_with_timeout
+
+        n = run_with_timeout(spark, lambda: spark.range(1000).count(), 60)
+        assert n == 1000
+
+    def test_slow_action_is_cancelled(self, spark):
+        """statement_timeout analogue: a quadratic job must be killed
+        at the deadline, not run to completion."""
+        import time
+
+        import pytest
+        from pyspark.sql import functions as F
+
+        from building_energy_data_pipeline_spark.ops import run_with_timeout
+
+        def slow():
+            big = spark.range(200_000)
+            return (
+                big.alias("a")
+                .crossJoin(big.alias("b"))
+                .select(F.md5(F.expr("cast(a.id + b.id as string)")).alias("h"))
+                .filter(F.col("h").startswith("ffffffffff"))
+                .count()
+            )
+
+        t0 = time.time()
+        with pytest.raises(TimeoutError, match="cancelled"):
+            run_with_timeout(spark, slow, 3)
+        assert time.time() - t0 < 40  # cancelled, not run to completion
+
+    def test_errors_propagate(self, spark):
+        import pytest
+
+        from building_energy_data_pipeline_spark.ops import run_with_timeout
+
+        with pytest.raises(ValueError, match="boom"):
+            run_with_timeout(
+                spark, lambda: (_ for _ in ()).throw(ValueError("boom")), 10
+            )
+
+    def test_job_group_tag_cleared_after_run(self, spark):
+        from building_energy_data_pipeline_spark.ops import (
+            cancel_job_group,
+            run_in_job_group,
+        )
+
+        out = run_in_job_group(
+            spark, "unit-group", lambda: spark.range(10).count(), "unit"
+        )
+        assert out == 10
+        # cancelling the finished group must not affect later actions
+        cancel_job_group(spark, "unit-group")
+        assert spark.range(5).count() == 5

@@ -77,6 +77,12 @@ def decode_image(
     STUB: the real path needs PIL (absent here); the fake path is a
     deterministic pseudo-image seeded by the content hash — stable
     across runs/executors, so tests can assert exact features.
+
+    The fake pixel stream is an md5 hash chain, NOT a PRNG: byte
+    block ``i`` is ``md5(f"{md5(content).hexdigest()}-{i}")``.  The
+    same chain is expressible in ANSI SQL (md5 + substr + hex cast),
+    which is what lets the q53 driver query carry a full DuckDB
+    oracle instead of a rows-only check.
     """
     if use_real_codec:
         try:
@@ -90,10 +96,17 @@ def decode_image(
                 "fake decoder (use_real_codec=False)"
             ) from exc
         return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
-    seed = int.from_bytes(hashlib.md5(content).digest()[:4], "big")
-    rng = np.random.default_rng(seed)
+    seed_hex = hashlib.md5(content).hexdigest()
+    seed = int(seed_hex[:8], 16)
     h, w = 8 + seed % 8, 8 + (seed >> 4) % 8
-    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    n = h * w * 3
+    stream = b"".join(
+        hashlib.md5(f"{seed_hex}-{i}".encode()).digest()
+        for i in range((n + 15) // 16)
+    )
+    return (
+        np.frombuffer(stream[:n], dtype=np.uint8).reshape(h, w, 3).copy()
+    )
 
 
 IMAGE_FEATURE_SCHEMA = (
@@ -135,6 +148,49 @@ def extract_image_features(
 
     return df.select("media_id", "content").mapInPandas(
         run, IMAGE_FEATURE_SCHEMA
+    )
+
+
+IMAGE_CHECKSUM_SCHEMA = (
+    "media_id long, height int, width int, sum_r long, sum_g long,"
+    " sum_b long"
+)
+
+
+def image_channel_sums(
+    df: DataFrame, use_real_codec: bool = False
+) -> DataFrame:
+    """Integer per-channel pixel sums via ``mapInPandas`` — the
+    oracle-friendly twin of :func:`extract_image_features`: all-integer
+    outputs are bit-exact across engines (no float mean / rounding
+    mode to disagree on), so the decode → Arrow batch → feature
+    shuffle path gets a HARD value-hash check from the driver (q53).
+    Means are ``sum / (height*width)`` when a caller wants them."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = decode_image(bytes(content), use_real_codec)
+                sums = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "height": arr.shape[0],
+                        "width": arr.shape[1],
+                        "sum_r": int(sums[0]),
+                        "sum_g": int(sums[1]),
+                        "sum_b": int(sums[2]),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "height", "width", "sum_r", "sum_g", "sum_b",
+            ])
+
+    return df.select("media_id", "content").mapInPandas(
+        run, IMAGE_CHECKSUM_SCHEMA
     )
 
 

@@ -45,28 +45,60 @@ def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q53_multimodal_image_features", oracle=None)
+@query(
+    "q53_multimodal_image_features",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             md5(text) AS seedhex,
+             CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS seed
+      FROM documents
+      WHERE doc_id % 3 = 1
+    ), dims AS (
+      SELECT media_id, seedhex,
+             CAST(8 + seed % 8 AS INTEGER) AS height,
+             CAST(8 + (seed // 16) % 8 AS INTEGER) AS width
+      FROM img
+    ), blk AS (
+      SELECT media_id, height, width,
+             flatten(list_transform(
+               range(CAST(ceil(height * width * 3 / 16.0) AS BIGINT)),
+               i -> list_transform(range(16), j ->
+                 CAST(concat('0x',
+                   substr(md5(concat(seedhex, '-', CAST(i AS VARCHAR))),
+                          CAST(j * 2 + 1 AS INTEGER), 2)) AS BIGINT))
+             )) AS px
+      FROM dims
+    )
+    SELECT media_id, height, width,
+           CAST(list_sum(list_transform(range(height * width),
+                p -> px[p * 3 + 1])) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(height * width),
+                p -> px[p * 3 + 2])) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(height * width),
+                p -> px[p * 3 + 3])) AS BIGINT) AS sum_b
+    FROM blk
+    """,
+)
 def q53_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-feature extraction over binary media columns
-    (``operators/multimodal.extract_image_features``): decode (stubbed
-    deterministic), per-channel means, brightness — one Arrow batch
-    per partition into Python, ~40 bytes of features back out per
-    row. Returned sorted-free; rows-only driver check, exact-value
-    determinism asserted in unit tests.
+    (``operators/multimodal.image_channel_sums``): decode (stubbed
+    deterministic md5-chain), per-channel integer pixel sums — one
+    Arrow batch per partition into Python, ~44 bytes of features back
+    out per row.
+
+    HARD oracle (round-3 ask): the fake decoder's pixel stream is an
+    md5 hash chain, so DuckDB re-derives the exact bytes with
+    md5/substr/hex-cast SQL and the driver hash-compares the decoded
+    features value-for-value — the mapInPandas binary path is checked
+    as strictly as any relational query. Integer sums (not float
+    means) keep the comparison bit-exact; float means remain on the
+    library path (``extract_image_features``).
     """
     media = _media_from_documents(spark, sf_dir).filter(
         F.col("media_type") == "image"
     )
-    feats = multimodal.extract_image_features(media)
-    return feats.select(
-        "media_id",
-        "height",
-        "width",
-        F.round("mean_r", 4).alias("mean_r"),
-        F.round("mean_g", 4).alias("mean_g"),
-        F.round("mean_b", 4).alias("mean_b"),
-        F.round("brightness", 4).alias("brightness"),
-    )
+    return multimodal.image_channel_sums(media)
 
 
 @query(

@@ -243,11 +243,12 @@ def q85_token_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id, scale,
-           CASE WHEN scale = 0
-                THEN list_transform(embedding, x -> 0)
-                ELSE list_transform(embedding, x ->
-                  CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER))
-           END AS qvec
+           array_to_string(
+             CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding, x ->
+                    CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER))
+             END, ',') AS qvec
     FROM s
     """,
 )
@@ -266,6 +267,12 @@ def q87_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one narrow higher-order-function projection per row — no
     shuffle, no UDF; quantized vectors flow straight to the IVF
     partitioner (q35).
+
+    The raw ``array<int>`` form lives in
+    ``operators/similarity.quantize_vec_expr`` (used by q91); this
+    registered query serializes the vector with ``array_join`` so the
+    driver's pandas-based canonicalizer (which cannot hash Python
+    lists) can sort and hash the result column.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
@@ -274,17 +281,20 @@ def q87_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(array_max(transform(embedding, x -> abs(x))) as double)"
             " / 127"
         ).alias("scale"),
-        F.expr(
-            """
-            CASE WHEN cast(array_max(transform(embedding, x -> abs(x)))
-                      as double) / 127 = 0
-                 THEN transform(embedding, x -> 0)
-                 ELSE transform(embedding, x ->
-                   cast(floor(cast(x as double) /
-                     (cast(array_max(transform(embedding, x -> abs(x)))
-                           as double) / 127) + 0.5) as int))
-            END
-            """
+        F.array_join(
+            F.expr(
+                """
+                CASE WHEN cast(array_max(transform(embedding, x -> abs(x)))
+                          as double) / 127 = 0
+                     THEN transform(embedding, x -> 0)
+                     ELSE transform(embedding, x ->
+                       cast(floor(cast(x as double) /
+                         (cast(array_max(transform(embedding, x -> abs(x)))
+                               as double) / 127) + 0.5) as int))
+                END
+                """
+            ),
+            ",",
         ).alias("qvec"),
     )
 

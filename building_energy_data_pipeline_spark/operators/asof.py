@@ -56,6 +56,10 @@ def asof_join(
         c for c in right.columns if c not in on and c != right_ts
     ]
     tiebreak = payload if right_order is None else right_order
+    if not tiebreak:
+        # key+ts-only right table: zero-field struct() fails analysis;
+        # the ts column is a valid (if redundant) total order there
+        tiebreak = [right_ts]
     r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),

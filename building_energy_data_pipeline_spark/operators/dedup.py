@@ -60,11 +60,18 @@ def shingles_expr(tokens_expr: str, k: int) -> str:
 
 
 def duck_shingles_sql(tokens_expr: str, k: int) -> str:
-    """DuckDB twin of :func:`shingles_expr`."""
+    """DuckDB twin of :func:`shingles_expr`.
+
+    ``coalesce(array_to_string(...), '')``: DuckDB's array_to_string
+    returns NULL for an empty list (Spark's array_join returns ''),
+    and list_distinct then strips the NULL — without the coalesce an
+    empty document has zero shingles here but one ('') in Spark.
+    """
     return (
         f"list_distinct(list_transform("
         f"range(1, greatest(len({tokens_expr}) - {k} + 1, 1) + 1),"
-        f" i -> array_to_string(list_slice({tokens_expr}, i, i + {k} - 1), ' ')))"
+        f" i -> coalesce(array_to_string("
+        f"list_slice({tokens_expr}, i, i + {k} - 1), ' '), '')))"
     )
 
 

@@ -25,8 +25,14 @@ from pyspark.sql import functions as F
 
 #: Spark SQL / DuckDB twin expressions: lowercase whitespace tokens,
 #: empties dropped (leading/trailing whitespace produces '' entries).
-SPARK_TOKENS = r"filter(split(lower({col}), '\\s+'), t -> t != '')"
-DUCK_TOKENS = r"list_filter(regexp_split_to_array(lower({col}), '\s+'), t -> t != '')"
+#: NULL text coalesces to '' so a NULL doc tokenizes to an EMPTY array
+#: (not a NULL array) identically on both engines — downstream array
+#: lambdas over NULL diverge between Spark and DuckDB otherwise.
+SPARK_TOKENS = r"filter(split(lower(coalesce({col}, '')), '\\s+'), t -> t != '')"
+DUCK_TOKENS = (
+    r"list_filter(regexp_split_to_array(lower(coalesce({col}, '')), '\s+'),"
+    r" t -> t != '')"
+)
 
 #: BPE-ish sub-token regex: letter runs, digit runs, single other chars.
 _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\\\s]"

@@ -81,10 +81,16 @@ def table_health(spark: SparkSession, path: str) -> TableHealth:
     base = path.rstrip("/")
     files = _data_files(spark, base)
     sizes = [s for _, s in files]
+    # qualify the root through the FS so it textually matches the
+    # listing's normalized URIs ('file:/x' vs the caller's '/x' or
+    # 'file:///x') — splitting on the raw caller path would lump every
+    # file into one bogus partition when the spellings differ
+    fs, jpath = _fs_and_path(spark, base)
+    qualified = fs.makeQualified(jpath).toString().rstrip("/")
     parts: dict[str, int] = {}
     for full, size in files:
         # top-level child under the table root = partition directory
-        rel = full.split(base + "/", 1)[-1]
+        rel = full.split(qualified + "/", 1)[-1]
         top = rel.split("/")[0] if "/" in rel else "<root>"
         parts[top] = parts.get(top, 0) + size
     mean_part = (sum(parts.values()) / len(parts)) if parts else 0
@@ -149,10 +155,17 @@ def zorder_key(
     skewed columns would want rank buckets (quantile boundaries)
     instead — the interleave below is unchanged by that swap.
 
+    ``bits_per_col`` is capped at ``63 // len(cols)`` so the top
+    interleaved bit stays below the BIGINT sign bit — 4 columns at
+    the default 16 bits would otherwise place bits at position ≥ 63,
+    turning high-bucket keys negative and inverting the Morton order
+    for part of the key space.
+
     Returns (df_with_key, key_col_name).
     """
     from pyspark.sql import functions as F
 
+    bits_per_col = min(bits_per_col, 63 // len(cols))
     bounds = df.agg(
         *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],

@@ -154,14 +154,24 @@ def q84_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(n_part, "doc_id")
     )
+    # post-explode null guard: explode_outer emits a NULL row for an
+    # empty/null array while the oracle's unnest emits none — filter
+    # ABOVE the Generate (a pre-explode size()>0 filter would get
+    # inlined below it by InferFiltersFromGenerate, re-computing the
+    # shingle tree; see operators/dedup.py:154). Shingles are ≥1
+    # element by construction today; the guard keeps the engines
+    # identical if that ever changes.
     ev = (
         d.filter(EVAL_PRED)
         .select(F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    tr = d.filter(f"NOT ({EVAL_PRED})").select(
-        "doc_id", F.explode_outer("sh").alias("g")
+    tr = (
+        d.filter(f"NOT ({EVAL_PRED})")
+        .select("doc_id", F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())
     )
     return (
         tr.join(F.broadcast(ev), "g", "left")
@@ -214,6 +224,10 @@ def q85_token_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", text.tokens("text").alias("__toks"))
         .repartition(n_part, "doc_id")
         .select("doc_id", F.explode_outer("__toks").alias("t"))
+        # null guard: a whitespace-only doc has an EMPTY token array —
+        # explode_outer would emit a t=NULL row the oracle's unnest
+        # doesn't (see q84 note on why the filter sits post-explode)
+        .filter(F.col("t").isNotNull())
         .groupBy("doc_id", "t")
         .agg(F.count("*").alias("c"))
     )
@@ -674,6 +688,7 @@ def q92_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = (
         base.select("doc_id", F.explode_outer("__toks").alias("t"))
+        .filter(F.col("t").isNotNull())  # empty-doc guard, see q84/q85
         .groupBy("doc_id", "t")
         .agg(F.count("*").alias("c"))
     )
@@ -684,12 +699,14 @@ def q92_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         base.filter(EVAL_PRED)
         .select(F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())  # empty-doc guard, see q84
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
     contam = (
         base.filter(f"NOT ({EVAL_PRED})")
         .select("doc_id", F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())  # empty-doc guard, see q84
         .join(F.broadcast(ev), "g", "left")
         .groupBy("doc_id")
         .agg(
@@ -749,6 +766,7 @@ def q86_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(n_part, "doc_id")  # see q84 parallelism note
         .select(F.explode_outer("sh").alias("gram"))
+        .filter(F.col("gram").isNotNull())  # empty-doc guard, see q84
         .groupBy("gram")
         .agg(F.count("*").alias("doc_freq"))
         .orderBy(F.desc("doc_freq"), F.desc("gram"))

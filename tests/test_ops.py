@@ -80,6 +80,23 @@ class TestMaintenance:
         h = table_health(spark, f"file://{p}")
         assert h.n_files >= 1 and h.total_bytes > 0
 
+    def test_health_partition_attribution_any_path_spelling(
+        self, spark, tmp_path
+    ):
+        """Partition dirs must be attributed correctly however the
+        caller spells the root: Hadoop's listing normalizes to
+        'file:/x' while a caller may pass '/x' or 'file:///x' — a raw
+        string split on the caller's spelling lumps every file into
+        one bogus partition."""
+        p = str(tmp_path / "t")
+        spark.range(1_000).withColumn("part", F.col("id") % 3).write.partitionBy(
+            "part"
+        ).parquet(p)
+        expected = {"part=0", "part=1", "part=2"}
+        for spelling in (p, f"file://{p}", f"file:{p}"):
+            h = table_health(spark, spelling)
+            assert set(h.partitions) == expected, spelling
+
     def test_recover_after_crash_between_swap_renames(self, spark, tmp_path):
         """Simulate a crash after `path -> backup` but before
         `tmp -> path`: the table dir is GONE, backup + compacted tmp
@@ -145,6 +162,25 @@ class TestMaintenance:
             avg_span = sum(spans[col]) / n_files
             assert avg_span < 0.75, (col, avg_span, n_files)
         assert spark.read.parquet(p).count() == 40_000
+
+    def test_zorder_key_stays_below_sign_bit(self, spark, tmp_path):
+        """4 columns at the default 16 bits/col would interleave bits
+        past position 63 (the BIGINT sign bit), turning high-bucket
+        keys negative and inverting part of the Morton order — the
+        effective width must be capped at 63 // n_cols."""
+        from building_energy_data_pipeline_spark.ops.maintenance import (
+            zorder_key,
+        )
+
+        df = spark.range(2_000).select(
+            F.col("id").alias("a"),
+            (F.col("id") * 3 % 2_000).alias("b"),
+            (F.col("id") * 7 % 2_000).alias("c"),
+            (F.col("id") * 11 % 2_000).alias("d"),
+        )
+        keyed, key = zorder_key(spark, df, ["a", "b", "c", "d"])
+        lo = keyed.agg(F.min(key)).collect()[0][0]
+        assert lo >= 0
 
     def test_cluster_and_zorder_mutually_exclusive(self, spark, tmp_path):
         import pytest

@@ -121,6 +121,26 @@ class TestAsofTiebreak:
             out = asof_join(left, right, on=["k"]).collect()
             assert [r["right_v"] for r in out] == [5]
 
+    def test_right_with_no_payload_columns(self, spark):
+        """A key+ts-only right table (pure event-time probe) must not
+        fail analysis on an empty tiebreak struct — the match is the
+        carried-forward right ts alone."""
+        left = spark.createDataFrame(
+            [(1, T0 + dt.timedelta(seconds=10), "a")],
+            "k int, ts timestamp, tag string",
+        )
+        right = spark.createDataFrame(
+            [
+                (1, T0 + dt.timedelta(seconds=4)),
+                (1, T0 + dt.timedelta(seconds=7)),
+                (2, T0 + dt.timedelta(seconds=1)),
+            ],
+            "k int, ts timestamp",
+        )
+        out = asof_join(left, right, on=["k"]).collect()
+        assert len(out) == 1
+        assert out[0]["right_ts"] == T0 + dt.timedelta(seconds=7)
+
 
 class TestJaccardProperty:
     @SLOW

@@ -268,12 +268,20 @@ def minhash_lsh_pairs(
     ``dropDuplicates`` collapses multi-band matches before the
     (expensive) exact verify.
 
+    Shuffle-payload hygiene: the band self-join moves ONLY
+    ``(id, band_key)`` rows — exploding the shingle/sig arrays onto
+    every band row would multiply the corpus' array bytes by
+    ``bands`` on the shuffle wire (then again on both join sides),
+    which is the dominant cost at 100 TB. The arrays are joined back
+    BY ID only for the (rare) candidate pairs that survive the
+    bucket match + dedup.
+
     Plan hygiene (load-bearing, do not "simplify"):
 
     - ``repartition(id_col)`` inserts an exchange right after the
-      signature computation; both self-join branches then read the
-      SAME materialized exchange (ReuseExchange) instead of each
-      re-evaluating the md5 pipeline.
+      signature computation; the slim band explode and both payload
+      lookups then read the SAME materialized exchange
+      (ReuseExchange) instead of each re-evaluating the md5 pipeline.
     - ``explode_outer`` (not ``explode``): plain explode lets
       ``InferFiltersFromGenerate`` push a ``size(band_keys) > 0``
       filter to the scan with the whole signature expression tree
@@ -281,28 +289,36 @@ def minhash_lsh_pairs(
       length ``bands`` ≥ 1, so outer semantics are identical.
     """
     n = NUM_HASHES  # signature length is carried in the array itself
-    bands = sigs.repartition(F.col(id_col)).select(
-        F.col(id_col),
-        F.col("shingles"),
-        F.col("sig"),
-        F.explode_outer("band_keys").alias("bk"),
-    )
-    a = bands.select(
-        F.col(id_col).alias("id_a"),
-        F.col("shingles").alias("sh_a"),
-        F.col("sig").alias("sig_a"),
-        "bk",
-    )
-    b = bands.select(
-        F.col(id_col).alias("id_b"),
-        F.col("shingles").alias("sh_b"),
-        F.col("sig").alias("sig_b"),
-        "bk",
-    )
-    pairs = (
-        a.join(b, "bk")
+    staged = sigs.repartition(F.col(id_col))
+    # pinned bk-exchange: both self-join branches are then the SAME
+    # subtree and read ONE materialized exchange of slim exploded
+    # rows (AQE ReusedExchange) — without it the planner broadcasts
+    # one branch, which re-runs the whole minhash pipeline for it
+    slim = staged.select(
+        F.col(id_col), F.explode_outer("band_keys").alias("bk")
+    ).repartition(F.col("bk"))
+    cand = (
+        slim.select(F.col(id_col).alias("id_a"), "bk")
+        .join(slim.select(F.col(id_col).alias("id_b"), "bk"), "bk")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+    )
+    payload = staged.select(id_col, "shingles", "sig")
+    pairs = cand.join(
+        payload.select(
+            F.col(id_col).alias("id_a"),
+            F.col("shingles").alias("sh_a"),
+            F.col("sig").alias("sig_a"),
+        ),
+        "id_a",
+    ).join(
+        payload.select(
+            F.col(id_col).alias("id_b"),
+            F.col("shingles").alias("sh_b"),
+            F.col("sig").alias("sig_b"),
+        ),
+        "id_b",
     )
     est = F.expr(
         "round(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
@@ -338,22 +354,46 @@ def incremental_lsh_matches(
     re-running the full pairwise job per ingest — old×old pairs are
     never formed, let alone exact-verified. The corpus side at
     production scale is the persisted band index, not a recompute.
+    The band join itself carries only ``(id, band_key)``; shingle
+    sets are joined back by id for the surviving candidates (see
+    :func:`minhash_lsh_pairs` on why the arrays must not ride the
+    explode).
     """
-    bands = sigs.repartition(F.col(id_col)).select(
-        F.col(id_col),
-        F.col("shingles"),
-        F.explode_outer("band_keys").alias("bk"),
-    )
-    corpus = bands.select(
-        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"), "bk"
-    )
-    new = bands.filter(F.col(id_col) >= cutoff).select(
-        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"), "bk"
-    )
-    verified = (
-        corpus.join(new, "bk")
+    staged = sigs.repartition(F.col(id_col))
+    # pinned bk-exchange BEFORE the new-batch filter: corpus and
+    # probe sides are then the same subtree modulo a post-exchange
+    # filter, so both read ONE materialized slim exchange instead of
+    # re-running the signature pipeline per side (see
+    # minhash_lsh_pairs)
+    slim = staged.select(
+        F.col(id_col), F.explode_outer("band_keys").alias("bk")
+    ).repartition(F.col("bk"))
+    cand = (
+        slim.select(F.col(id_col).alias("id_a"), "bk")
+        .join(
+            slim.filter(F.col(id_col) >= cutoff).select(
+                F.col(id_col).alias("id_b"), "bk"
+            ),
+            "bk",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+    )
+    payload = staged.select(id_col, "shingles")
+    verified = (
+        cand.join(
+            payload.select(
+                F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            payload.select(
+                F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+            ),
+            "id_b",
+        )
         .select(
             "id_a", "id_b", jaccard_expr("sh_a", "sh_b").alias("jaccard")
         )

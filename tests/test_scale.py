@@ -87,3 +87,54 @@ class TestSalting:
         )
         assert n_salts >= 4
         assert out.count() == 1_000
+
+
+class TestLshShufflePayload:
+    """The LSH band self-join must move slim (id, band_key) rows only
+    — exploding the shingle/sig arrays onto every band row multiplies
+    the corpus' array bytes by `bands` on the shuffle wire, which
+    dominates the job at scale."""
+
+    @pytest.mark.parametrize(
+        "name", ["q28_minhash_lsh_pairs", "q90_incremental_dedup"]
+    )
+    def test_band_explode_carries_no_arrays(self, spark, sf_dir, name):
+        import re
+
+        from building_energy_data_pipeline_spark.plans.queries import REGISTRY
+
+        df = REGISTRY[name].spark(spark, sf_dir)
+        plan = explain_str(df)
+        body = plan.split("== Physical Plan ==")[-1]
+        # every Generate that explodes band_keys must read exactly
+        # (id, band_keys) — the old fat form read 4 columns
+        # (id, shingles, sig, band_keys) and shipped the arrays on
+        # every exploded band row
+        blocks = re.findall(
+            r"\(\d+\) Generate[^\n]*\nInput \[(\d+)\][^\n]*\n"
+            r"Arguments: explode\w*\(band_keys",
+            body,
+        )
+        assert blocks, f"{name}: no band-key Generate found in plan"
+        for width in blocks:
+            assert int(width) == 2, (
+                f"{name}: band explode reads {width} columns — arrays "
+                "are riding the band join again"
+            )
+
+    def test_q28_single_signature_computation(self, spark, sf_dir):
+        # all four consumers (two slim band branches, two payload
+        # lookups) must read ONE materialized exchange of compact
+        # per-doc rows; AQE proves it at runtime via ReusedExchange
+        from building_energy_data_pipeline_spark.plans.queries import REGISTRY
+
+        df = REGISTRY["q28_minhash_lsh_pairs"].spark(spark, sf_dir)
+        df.collect()
+        plan = explain_str(df)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "isFinalPlan=true" in plan
+        assert final.count("Scan parquet") == 1, (
+            "signature pipeline re-scanned the table instead of "
+            "reusing the staged exchange"
+        )
+        assert "ReusedExchange" in final

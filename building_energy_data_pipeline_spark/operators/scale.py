@@ -69,6 +69,26 @@ def salted_join(
     return sk.join(sm, on + ["__salt"], how).drop("__salt")
 
 
+#: one cached ranged-intermediate per logical plan — a re-invocation
+#: of the same query releases its previous invocation's cache (same
+#: bounded-slot discipline as ``plans/window_queries._slot_persist``),
+#: so a long-lived session holds at most one copy per distinct query
+#: instead of pinning one per CALL for its lifetime.
+_CACHE_SLOTS: dict[str, DataFrame] = {}
+
+
+def release_caches() -> None:
+    """Unpersist every ranged intermediate this module still holds.
+    Call after the terminal action of a ``global_row_index`` consumer
+    (or at session teardown) to drop the storage eagerly."""
+    while _CACHE_SLOTS:
+        _, cached = _CACHE_SLOTS.popitem()
+        try:
+            cached.unpersist()
+        except Exception:  # noqa: BLE001 — owning session may be gone
+            pass
+
+
 def global_row_index(
     df: DataFrame,
     order_cols: list,
@@ -106,11 +126,13 @@ def global_row_index(
     The ranged intermediate is persisted (MEMORY_AND_DISK): range
     boundaries are re-SAMPLED per execution, so the offsets job and
     the output job must read the SAME materialized partitioning or
-    the offsets silently shift. The cached handle is exposed on the
-    result as ``df._graft_cached`` — long-lived sessions should call
-    ``df._graft_cached.unpersist()`` once the downstream action has
-    run (each invocation otherwise holds one cached copy of the
-    input for the session's lifetime).
+    the offsets silently shift. Cache lifetime is slot-scoped: the
+    slot key is the input's semantic plan hash + ordering, so
+    re-running the same query replaces (and unpersists) the previous
+    invocation's cache rather than accumulating one per call, while
+    two different queries in flight never evict each other. The
+    handle is also exposed as ``df._graft_cached`` for eager release,
+    and :func:`release_caches` drops everything this module holds.
     """
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
@@ -119,11 +141,26 @@ def global_row_index(
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
 
+    try:
+        plan_key = str(
+            df._jdf.queryExecution().analyzed().semanticHash()  # noqa: SLF001
+        )
+    except Exception:  # noqa: BLE001 — connect-mode etc.: per-call slot
+        plan_key = str(id(df))
+    slot = f"{plan_key}:{index_name}:{n}:{','.join(str(c) for c in cols)}"
+    prev = _CACHE_SLOTS.pop(slot, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:  # noqa: BLE001 — previous session may be gone
+            pass
+
     ranged = (
         df.repartitionByRange(n, *cols)
         .withColumn("__pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _CACHE_SLOTS[slot] = ranged
 
     counts = ranged.groupBy("__pid").agg(F.count("*").alias("__cnt")).collect()
     offsets, acc = {}, 0

@@ -1,4 +1,10 @@
-from .maintenance import compact, recover_compact, table_health  # noqa: F401
+from .maintenance import (  # noqa: F401
+    compact,
+    recover_compact,
+    restore_table,
+    snapshot_table,
+    table_health,
+)
 from .sessionctl import (  # noqa: F401
     active_job_ids,
     active_stage_ids,
@@ -6,4 +12,4 @@ from .sessionctl import (  # noqa: F401
     run_in_job_group,
     run_with_timeout,
 )
-from .observe import QueryHistory, explain_str  # noqa: F401
+from .observe import QueryHistory, explain_analyze, explain_str  # noqa: F401

@@ -27,12 +27,79 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     )
 
 
+def _walk_plan(node):
+    """Depth-first over an executed SparkPlan, descending through the
+    AQE / codegen wrappers that hide the real operators:
+    ``AdaptiveSparkPlanExec.executedPlan`` (the final re-planned tree),
+    ``QueryStageExec.plan`` (materialized stages), and ordinary
+    ``children``."""
+    yield node
+    for attr in ("executedPlan", "plan"):
+        try:
+            inner = getattr(node, attr)()
+            yield from _walk_plan(inner)
+            return
+        except Exception:  # noqa: BLE001 — wrapper type probing
+            pass
+    it = node.children().iterator()
+    while it.hasNext():
+        yield from _walk_plan(it.next())
+
+
+def explain_analyze(
+    df: DataFrame, action: Callable[[DataFrame], Any] | None = None
+) -> dict[str, Any]:
+    """EXPLAIN ANALYZE analogue (the reference captures
+    runtime-instrumented plans via ``EXPLAIN (ANALYZE, BUFFERS, ...)``,
+    ``postgres_manager.py:537-540,1134-1151``): run the query, then
+    read the **runtime** ``SQLMetric`` values (rows produced, bytes
+    scanned, spill, shuffle bytes, time in exchange...) off every
+    executed-plan operator — the same numbers the Spark UI's SQL tab
+    shows, as data.
+
+    Returns ``{"duration_s", "result", "operators": [{"operator",
+    "metrics": {name: value}}, ...]}``; operators are listed root
+    first, metric keys are Spark's internal SQLMetric names
+    (``numOutputRows``, ``spillSize``, ``shuffleBytesWritten``...).
+
+    The default action executes the DataFrame's OWN physical plan
+    (``queryExecution().toRdd().count()`` — full execution, nothing
+    shipped to the driver). That matters: ``df.count()`` would build
+    a NEW QueryExecution and leave this plan's metrics empty. A
+    custom ``action`` must likewise run this plan (``collect`` /
+    ``toPandas`` / a ``toRdd`` job) for the metrics to be non-empty.
+    """
+    t0 = time.time()
+    if action is None:
+        result = df._jdf.queryExecution().toRdd().count()  # noqa: SLF001
+    else:
+        result = action(df)
+    duration = time.time() - t0
+    ops: list[dict[str, Any]] = []
+    try:
+        root = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+        for node in _walk_plan(root):
+            metrics: dict[str, int] = {}
+            try:
+                mit = node.metrics().iterator()
+                while mit.hasNext():
+                    kv = mit.next()
+                    metrics[str(kv._1())] = int(kv._2().value())
+            except Exception:  # noqa: BLE001 — metric-free node
+                pass
+            ops.append({"operator": str(node.nodeName()), "metrics": metrics})
+    except Exception:  # noqa: BLE001 — plan introspection is advisory
+        pass
+    return {"duration_s": duration, "result": result, "operators": ops}
+
+
 @dataclass
 class QueryRecord:
     name: str
     duration_s: float
     started_at: float
     n_rows: int | None
+    operators: list | None = None
 
 
 class QueryHistory:
@@ -51,23 +118,32 @@ class QueryHistory:
         fn: Callable[[], DataFrame],
         action: Callable[[DataFrame], Any] | None = None,
         cache: bool = False,
+        analyze: bool = False,
     ) -> Any:
         """Execute ``fn`` (a DataFrame program), time its action
         (default ``count``), record it, and return the action's
-        result."""
+        result. ``analyze=True`` additionally records the
+        per-operator runtime metrics (:func:`explain_analyze`)."""
         t0 = time.time()
         df = fn()
         if cache:
             if name not in self._cached:
                 self._cached[name] = df.persist()
             df = self._cached[name]
-        result = (action or (lambda d: d.count()))(df)
+        operators = None
+        if analyze:
+            analyzed = explain_analyze(df, action)
+            result = analyzed["result"]
+            operators = analyzed["operators"]
+        else:
+            result = (action or (lambda d: d.count()))(df)
         self.records.append(
             QueryRecord(
                 name=name,
                 duration_s=time.time() - t0,
                 started_at=t0,
                 n_rows=result if isinstance(result, int) else None,
+                operators=operators,
             )
         )
         return result

@@ -39,6 +39,7 @@ EVAL_PRED = "doc_id % 10 = 0"
 
 @query(
     "q83_sequence_packing",
+    headline=True,
     oracle=f"""
     WITH t AS (
       SELECT doc_id, lang, len({DTOK}) AS n_tokens FROM documents
@@ -315,6 +316,7 @@ def q87_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q91_quantized_topk",
+    headline=True,
     oracle=similarity.duck_quantized_topk_sql(
         "embeddings", "vec_id % 50 = 0", 3
     ),
@@ -519,7 +521,11 @@ def _incremental_dedup_oracle() -> str:
     """
 
 
-@query("q90_incremental_dedup", oracle=_incremental_dedup_oracle())
+@query(
+    "q90_incremental_dedup",
+    oracle=_incremental_dedup_oracle(),
+    headline=True,
+)
 def q90_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup (``operators/dedup.
     incremental_lsh_matches``): the newest 20% of documents (by id)

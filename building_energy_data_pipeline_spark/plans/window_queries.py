@@ -43,6 +43,17 @@ def _slot_persist(name: str, df: DataFrame) -> DataFrame:
     return cached
 
 
+def release_caches() -> None:
+    """Unpersist every slot this module still holds (pair with
+    ``operators.scale.release_caches`` for a full sweep)."""
+    while _CACHE_SLOTS:
+        _, cached = _CACHE_SLOTS.popitem()
+        try:
+            cached.unpersist()
+        except Exception:  # noqa: BLE001 — owning session may be gone
+            pass
+
+
 @query(
     "q41_moving_average",
     oracle="""

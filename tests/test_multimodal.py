@@ -62,8 +62,28 @@ class TestImagePipeline:
         assert a.dtype == np.uint8 and a.ndim == 3 and a.shape[2] == 3
 
     def test_real_codec_stub_raises(self):
+        if pytest.importorskip is not None:
+            try:
+                import PIL  # noqa: F401
+
+                pytest.skip("PIL present: the gate does not fire")
+            except ImportError:
+                pass
         with pytest.raises(NotImplementedError, match="PIL"):
             decode_image(b"x", use_real_codec=True)
+
+    def test_real_codec_roundtrip(self):
+        # runs only where PIL exists (not this sandbox): a losslessly
+        # encoded PNG must decode back to the exact pixel array, through
+        # the same decode_image entrypoint the mapInPandas stages use
+        PIL_Image = pytest.importorskip("PIL.Image")
+        import io
+
+        arr = decode_image(b"seed")  # any deterministic rgb array
+        buf = io.BytesIO()
+        PIL_Image.fromarray(arr, mode="RGB").save(buf, format="PNG")
+        out = decode_image(buf.getvalue(), use_real_codec=True)
+        assert np.array_equal(out, arr)
 
     def test_feature_extraction(self, media):
         imgs = media.filter("media_type = 'image'")

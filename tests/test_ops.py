@@ -8,8 +8,11 @@ from pyspark.sql import functions as F
 from building_energy_data_pipeline_spark.ops import (
     QueryHistory,
     compact,
+    explain_analyze,
     explain_str,
     recover_compact,
+    restore_table,
+    snapshot_table,
     table_health,
 )
 
@@ -203,6 +206,56 @@ class TestMaintenance:
         assert not os.path.exists(p + "._precompact")
 
 
+class TestSnapshotRestore:
+    def test_restore_returns_table_to_snapshot_state(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        snap = str(tmp_path / "snap")
+        spark.range(100).write.parquet(p)
+
+        n_copied = snapshot_table(spark, p, snap)
+        assert n_copied >= 1
+        # snapshot is byte-identical: same file names and sizes
+        from building_energy_data_pipeline_spark.ops.maintenance import (
+            _data_files,
+        )
+        orig = sorted((f.rsplit("/", 1)[1], s) for f, s in _data_files(spark, p))
+        copy = sorted((f.rsplit("/", 1)[1], s) for f, s in _data_files(spark, snap))
+        assert orig == copy
+
+        # mutate the live table (append + rewrite), then restore
+        spark.range(500, 600).write.mode("append").parquet(p)
+        assert spark.read.parquet(p).count() == 200
+        restore_table(spark, p, snap)
+        restored = spark.read.parquet(p)
+        assert restored.count() == 100
+        assert restored.agg(F.max("id")).first()[0] == 99
+        # snapshot itself untouched — restorable again
+        assert spark.read.parquet(snap).count() == 100
+
+    def test_restore_missing_snapshot_raises(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        spark.range(10).write.parquet(p)
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError):
+            restore_table(spark, p, str(tmp_path / "nope"))
+        # table untouched by the failed restore
+        assert spark.read.parquet(p).count() == 10
+
+    def test_restore_into_empty_target(self, spark, tmp_path):
+        # restore must also work when the live table dir was lost
+        p = str(tmp_path / "t")
+        snap = str(tmp_path / "snap")
+        spark.range(50).write.parquet(p)
+        snapshot_table(spark, p, snap)
+        fs_path = tmp_path / "t"
+        import shutil
+
+        shutil.rmtree(fs_path)
+        restore_table(spark, p, snap)
+        assert spark.read.parquet(p).count() == 50
+
+
 class TestObserve:
     def test_explain_capture(self, spark):
         df = spark.range(10).filter(F.col("id") > 5).select("id")
@@ -210,6 +263,37 @@ class TestObserve:
         assert "Range" in plan
         plan_ext = explain_str(df, "extended")
         assert "Parsed Logical Plan" in plan_ext
+
+    def test_explain_analyze_runtime_metrics(self, spark, sf_dir):
+        # a registered query run: runtime metrics must surface real
+        # numbers (rows produced per operator), not just the static plan
+        from building_energy_data_pipeline_spark.plans import REGISTRY
+
+        df = REGISTRY["q01_pricing_summary"].spark(spark, sf_dir)
+        out = explain_analyze(df)
+        assert out["result"] > 0 and out["duration_s"] > 0
+        ops = out["operators"]
+        assert ops, "executed plan traversal found no operators"
+        names = [o["operator"] for o in ops]
+        assert any("Scan" in n for n in names)
+        assert any("Aggregate" in n for n in names)
+        # the scan actually reports runtime output rows (metric keys
+        # are Spark's internal SQLMetric names, e.g. numOutputRows)
+        scan_rows = max(
+            o["metrics"].get("numOutputRows", 0)
+            for o in ops
+            if "Scan" in o["operator"]
+        )
+        assert scan_rows > 0
+
+    def test_history_analyze_records_operators(self, spark):
+        h = QueryHistory()
+        n = h.run("ranged", lambda: spark.range(1000), analyze=True)
+        assert n == 1000
+        rec = h.records[-1]
+        assert rec.operators and any(
+            "Range" in o["operator"] for o in rec.operators
+        )
 
     def test_history_records_and_stats(self, spark):
         h = QueryHistory(maxlen=3)

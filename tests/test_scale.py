@@ -138,3 +138,35 @@ class TestLshShufflePayload:
             "reusing the staged exchange"
         )
         assert "ReusedExchange" in final
+
+
+class TestCacheDiscipline:
+    def test_no_pinned_rdds_after_registry_sweep(self, spark, sf_dir):
+        """The global_row_index + window persist slots must not creep:
+        after repeated invocations of every cache-using query plus a
+        release sweep, the session holds zero cached RDDs."""
+        from building_energy_data_pipeline_spark.operators import scale
+        from building_energy_data_pipeline_spark.plans import (
+            REGISTRY,
+            window_queries,
+        )
+
+        cache_users = [
+            "q22_pagination",
+            "q23_systematic_sample",
+            "q73_gapfill_locf",
+            "q74_continuous_aggregate",
+        ]
+        for _ in range(2):  # re-invocation replaces, not accumulates
+            for name in cache_users:
+                REGISTRY[name].spark(spark, sf_dir).count()
+
+        jsc = spark.sparkContext._jsc.sc()
+        # bounded while in use: at most one slot per query
+        assert len(jsc.getRDDStorageInfo()) <= len(cache_users)
+
+        scale.release_caches()
+        window_queries.release_caches()
+        assert len(jsc.getRDDStorageInfo()) == 0, (
+            "cached RDDs survived the release sweep"
+        )

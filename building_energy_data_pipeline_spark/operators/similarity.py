@@ -343,6 +343,45 @@ def quantize_vec_expr(vec_col: str) -> str:
     )
 
 
+def quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    scale_col: str = "__qscale",
+) -> DataFrame:
+    """Staged form of :func:`quantize_vec_expr`: the scale
+    (``max|x| / 127``) is computed ONCE per row in its own projection
+    and the per-element lambda references the staged column.
+
+    Load-bearing at any real dimension: interpreted higher-order
+    functions get no common-subexpression elimination, so inlining
+    the scale into the lambda (what ``quantize_vec_expr`` expands to)
+    re-runs the O(d) ``array_max`` for EVERY element — O(d²) per
+    vector. The staged column keeps it O(d); CollapseProject leaves
+    the two projections split because the staged alias is non-cheap
+    and referenced more than once (same plan hygiene as the token
+    staging in ``operators/text.lang_id``).
+
+    Callers drop ``scale_col`` when they don't need it.
+    """
+    staged = df.withColumn(
+        scale_col,
+        F.expr(
+            f"cast(array_max(transform({vec_col}, x -> abs(x))) as double)"
+            f" / {QUANT_LEVELS}"
+        ),
+    )
+    return staged.withColumn(
+        out_col,
+        F.expr(
+            f"CASE WHEN {scale_col} = 0 THEN transform({vec_col}, x -> 0)"
+            f" ELSE transform({vec_col}, x ->"
+            f" cast(floor(cast(x as double) / {scale_col} + 0.5) as int))"
+            f" END"
+        ),
+    )
+
+
 def duck_quantize_vec_sql(vec_col: str) -> str:
     """DuckDB twin of :func:`quantize_vec_expr`."""
     scale = (
@@ -376,12 +415,11 @@ def quantized_topk(
     corpus scan, per-query top-k window; quantized codes shrink scan
     bytes 4×, which is the point at 100 TB.
     """
-    qv = quantize_vec_expr(vec_col)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.expr(qv).alias("cq")
+    c = quantize(corpus, vec_col, "cq").select(
+        F.col(id_col).alias("neighbor_id"), "cq"
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.expr(qv).alias("qq")
+    q = quantize(queries, vec_col, "qq").select(
+        F.col(id_col).alias("query_id"), "qq"
     )
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")

@@ -227,6 +227,37 @@ def quality_features_sql(col: str = "text") -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
+# Bigrams (within-doc repetition, n-gram LM counts)
+# ---------------------------------------------------------------------------
+
+
+def bigrams_expr(tokens_expr: str) -> str:
+    """``array<string>`` of space-joined adjacent token pairs.
+
+    The <2-token guard is load-bearing: Spark's ``sequence(2, n)``
+    generates a DESCENDING ``[2, 1]`` when ``n < 2`` (DuckDB's
+    ``range`` is empty) — without the CASE a 1-token doc fabricates a
+    phantom reversed bigram on one engine only.
+    """
+    t = tokens_expr
+    return (
+        f"CASE WHEN size({t}) < 2 THEN array()"
+        f" ELSE transform(sequence(2, size({t})),"
+        f" i -> concat(element_at({t}, i - 1), ' ', element_at({t}, i))) END"
+    )
+
+
+def duck_bigrams_sql(tokens_expr: str) -> str:
+    """DuckDB twin of :func:`bigrams_expr` (``range(2, n+1)`` is
+    already empty for n < 2; the guard lives Spark-side)."""
+    t = tokens_expr
+    return (
+        f"list_transform(range(2, len({t}) + 1),"
+        f" i -> concat({t}[i - 1], ' ', {t}[i]))"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Document fingerprinting
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,256 @@
+"""Corpus-statistics queries for LLM training pipelines (q97–q99):
+within-document repetition signals, RAG chunking, and n-gram
+language-model counts.
+
+The reference has no text subsystem (its ``src/analytics/`` is an
+empty stub, ``src/analytics/__init__.py:1``); these extend the
+BASELINE.md north-star family (q26–q35, q83–q95) with the three
+remaining operations a training-data pipeline runs between "deduped
+corpus" and "training batches": repetition filtering (Gopher-style
+quality gate), chunking documents into overlapping context windows,
+and corpus-level token-transition statistics.
+
+All integer arithmetic (permille ratios, exact counts) — no float
+drift between the Spark plan and its DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators import text
+from ..sources.readers import load_table
+from .registry import query
+
+TOK = text.SPARK_TOKENS.format(col="text")
+DTOK = text.DUCK_TOKENS.format(col="text")
+
+#: Gopher-style repetition gate: flag when >60% of tokens are repeats
+#: of an earlier token, or one bigram occurs ≥5 times.
+DUP_PERMILLE_MAX = 600
+TOP_BIGRAM_MAX = 5
+
+#: RAG chunk geometry (tokens). Real pipelines use 512/384 — small
+#: values so tiny SFs still produce multi-chunk documents.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@query(
+    "q97_repetition_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {DTOK} AS toks FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             {text.duck_bigrams_sql('toks')} AS bgs
+      FROM t
+    ),
+    top_bg AS (
+      SELECT doc_id, MAX(c) AS top_bigram_n FROM (
+        SELECT doc_id, bg, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(bgs) AS bg FROM base)
+        GROUP BY doc_id, bg
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           b.n_tokens,
+           CAST(((b.n_tokens - b.n_distinct) * 1000)
+                // greatest(b.n_tokens, 1) AS BIGINT) AS dup_permille,
+           CAST(COALESCE(t.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+           (((b.n_tokens - b.n_distinct) * 1000)
+              // greatest(b.n_tokens, 1) > {DUP_PERMILLE_MAX}
+            OR COALESCE(t.top_bigram_n, 0) >= {TOP_BIGRAM_MAX})
+             AS is_repetitive
+    FROM base b LEFT JOIN top_bg t USING (doc_id)
+    """,
+)
+def q97_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals — the Gopher repetition
+    gate (duplicate-token fraction + most-frequent-bigram count) that
+    removes degenerate/looping documents before training. Distinct
+    from q86 (boilerplate = n-grams frequent ACROSS documents): this
+    measures repetition INSIDE each document.
+
+    Integer permille for the duplicate fraction (floor division on
+    both engines — no float rounding to diverge on); the bigram top
+    count is an exact integer.
+
+    Scale: tokens are staged once (interpreted HOFs get no CSE —
+    ``operators/text.py:lang_id`` note); the bigram count is
+    explode → two-level map-side-combined groupBy, hash-partitioned
+    by doc — the same shape as q85's token dominance, linear in
+    corpus size. The stats join is doc_id-equi, co-partitioned with
+    the groupBy output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    staged = docs.select(
+        "doc_id", F.expr(TOK).alias("toks")
+    ).repartition(n_part, "doc_id")
+    base = staged.select(
+        "doc_id",
+        F.expr("size(toks)").alias("n_tokens"),
+        F.expr("size(array_distinct(toks))").alias("n_distinct"),
+        F.expr(text.bigrams_expr("toks")).alias("bgs"),
+    )
+    # explode_outer would fabricate a NULL bigram row for <2-token
+    # docs (DuckDB's unnest emits none); inner explode + left join
+    # back gives both engines identical top_bigram_n = 0 there
+    top_bg = (
+        base.select("doc_id", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bigram_n"))
+    )
+    dup = F.expr("(n_tokens - n_distinct) * 1000 div greatest(n_tokens, 1)")
+    return (
+        base.drop("bgs")
+        .join(top_bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            dup.alias("dup_permille"),
+            F.coalesce("top_bigram_n", F.lit(0)).cast("long").alias(
+                "top_bigram_n"
+            ),
+            (
+                (dup > DUP_PERMILLE_MAX)
+                | (F.coalesce("top_bigram_n", F.lit(0)) >= TOP_BIGRAM_MAX)
+            ).alias("is_repetitive"),
+        )
+    )
+
+
+@query(
+    "q98_rag_chunking",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {DTOK} AS toks FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS s
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(toks, s + 1, s + {CHUNK_TOKENS})) AS BIGINT)
+             AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, s + 1, s + {CHUNK_TOKENS}),
+               ' ')) AS chunk_hash
+    FROM starts
+    """,
+)
+def q98_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document → overlapping retrieval chunks: fixed 32-token
+    windows every 24 tokens (stride < window ⇒ overlap), the
+    standard RAG / context-window preparation step. Each chunk carries its token count and an md5 content hash
+    — the downstream embed-and-index stage's join key.
+
+    Scale: a generator (sequence + explode) over a staged token
+    projection — no shuffle at all; chunk rows inherit the scan's
+    partitioning. At 100 TB this is the map-only stage feeding the
+    (separately partitioned) embedding UDF; emitting hashes instead
+    of chunk text keeps shuffle/sink bytes ~40 B/chunk.
+
+    Empty documents produce zero chunks on BOTH engines (explicit
+    ``size > 0`` filter; Spark's ``sequence(0, -1, s)`` would not be
+    empty — it generates descending — so the filter, not the
+    generator, carries the semantics).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", F.expr(TOK).alias("toks")).filter(
+        F.expr("size(toks) > 0")
+    )
+    chunk = f"slice(toks, s + 1, {CHUNK_TOKENS})"
+    return (
+        staged.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.expr(f"sequence(0, size(toks) - 1, {CHUNK_STRIDE})")
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"s div {CHUNK_STRIDE}").alias("chunk_idx"),
+            F.expr(f"size({chunk})").cast("long").alias("n_chunk_tokens"),
+            F.expr(f"md5(array_join({chunk}, ' '))").alias("chunk_hash"),
+        )
+    )
+
+
+@query(
+    "q99_bigram_lm",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {DTOK} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2
+      FROM (SELECT unnest({text.duck_bigrams_sql('toks')}) AS b FROM t)
+    ),
+    counts AS (
+      SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2
+    ),
+    totals AS (
+      SELECT w1, SUM(c) AS total FROM counts GROUP BY w1
+    ),
+    ranked AS (
+      SELECT c.w1, c.w2, c.c, t.total,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.w1 ORDER BY c.c DESC, c.w2
+             ) AS rank
+      FROM counts c JOIN totals t USING (w1)
+    )
+    SELECT w1, w2, CAST(c AS BIGINT) AS c,
+           CAST((c * 1000) // total AS BIGINT) AS permille,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q99_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram transition table: for every token, its top-3
+    successors with exact counts and integer-permille conditional
+    frequency — the statistics behind n-gram LMs, BPE-merge
+    candidate scoring, and corpus drift dashboards.
+
+    Scale: explode → (w1, w2) groupBy (map-side combined, the heavy
+    lifting); totals re-aggregate the ALREADY-COMPACT count table;
+    the top-3 is a window partitioned by w1 over that compact table
+    (rows = vocab², not corpus tokens). Corpus bytes are touched
+    exactly once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    staged = docs.select(F.expr(TOK).alias("toks")).repartition(n_part)
+    counts = (
+        staged.select(
+            F.explode(F.expr(text.bigrams_expr("toks"))).alias("b")
+        )
+        .select(
+            F.expr("split(b, ' ')[0]").alias("w1"),
+            F.expr("split(b, ' ')[1]").alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = counts.groupBy("w1").agg(F.sum("c").alias("total"))
+    w = W.partitionBy("w1").orderBy(F.desc("c"), "w2")
+    return (
+        counts.join(totals, "w1")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.expr("c * 1000 div total").alias("permille"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

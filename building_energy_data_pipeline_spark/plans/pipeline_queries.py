@@ -290,27 +290,12 @@ def q87_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists) can sort and hash the result column.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
+    # staged quantize: scale computed once per row, not once per
+    # ELEMENT (interpreted HOFs get no CSE — similarity.quantize)
+    return similarity.quantize(emb, "embedding", "__q", "scale").select(
         "vec_id",
-        F.expr(
-            "cast(array_max(transform(embedding, x -> abs(x))) as double)"
-            " / 127"
-        ).alias("scale"),
-        F.array_join(
-            F.expr(
-                """
-                CASE WHEN cast(array_max(transform(embedding, x -> abs(x)))
-                          as double) / 127 = 0
-                     THEN transform(embedding, x -> 0)
-                     ELSE transform(embedding, x ->
-                       cast(floor(cast(x as double) /
-                         (cast(array_max(transform(embedding, x -> abs(x)))
-                               as double) / 127) + 0.5) as int))
-                END
-                """
-            ),
-            ",",
-        ).alias("qvec"),
+        "scale",
+        F.array_join("__q", ",").alias("qvec"),
     )
 
 

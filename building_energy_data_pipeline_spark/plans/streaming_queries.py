@@ -255,3 +255,58 @@ def run_gap_stats_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
     )
     return _drain_gap_stream(spark, event_gap_stats_v2(stream), "q89")
+
+
+@query(
+    "q96_streaming_dedup",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {dec_sum_sql("value")} AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q96_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication — ``dropDuplicatesWithinWatermark`` as
+    a driver-checked query (SURVEY §7 phase 7: the streaming analogue
+    of the J1/C5 ingestion gate; the library form is
+    ``streaming/ingest.dedup_stream``). The stream is the events
+    source UNIONed with itself — every event arrives exactly twice —
+    deduplicated on ``event_id`` within a 1-hour watermark and
+    drained append-mode to a memory sink; the returned per-type
+    totals must equal the batch aggregate over the ORIGINAL table,
+    which is only true if the dedup removed every doubled row.
+
+    State/scale: one entry per event id inside the watermark horizon
+    — the watermark GC (the whole point of the *WithinWatermark*
+    variant vs plain streaming dropDuplicates, whose state grows
+    unboundedly) caps state at arrival-rate × horizon regardless of
+    corpus size. Append mode: deduped rows flush immediately, nothing
+    waits for the watermark to pass.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    doubled = ev.unionAll(read_events_stream(spark, sf_dir))
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", "value")
+    )
+    name = f"q96_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q96_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+    )

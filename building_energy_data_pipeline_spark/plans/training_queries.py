@@ -402,17 +402,21 @@ def q68_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(doc_id) AS keeper_doc
     FROM canon
     GROUP BY ctext
-    HAVING COUNT(*) > 1
+    ORDER BY n_docs DESC, ctext
+    LIMIT 50
     """,
 )
 def q76_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text canonicalization → exact-dup groups: lowercase, strip
     punctuation, collapse whitespace, trim — the normalization pass
     that runs BEFORE every dedup stage (q26–q30 operate on raw
-    text; real corpora dedup on canonical text). Groups with >1 doc
-    are the canonical duplicates; ``keeper_doc`` is the
-    deterministic survivor (min id), the same keep-rule as exact
-    dedup (q26).
+    text; real corpora dedup on canonical text). The top-50 groups
+    sort duplicates first (``n_docs DESC``, then ctext — a total,
+    engine-identical order); ``keeper_doc`` is the deterministic
+    survivor (min id), the same keep-rule as exact dedup (q26). The
+    LIMIT keeps the result non-empty on corpora without exact
+    canonical dups (an empty result would hash-match trivially —
+    zero evidence).
 
     Engine note: Spark's ``regexp_replace`` replaces ALL matches;
     DuckDB needs the explicit ``'g'`` flag — the oracle carries it,
@@ -439,5 +443,6 @@ def q76_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").alias("n_langs"),
             F.min("doc_id").alias("keeper_doc"),
         )
-        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), "ctext")
+        .limit(50)
     )

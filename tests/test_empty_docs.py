@@ -41,6 +41,14 @@ EDGE_QUERIES = [
     "q85_token_dominance",
     "q86_boilerplate_ngrams",
     "q92_corpus_curation",
+    # bigram family: 0- and 1-token docs must yield NO bigrams (Spark's
+    # sequence(2, n<2) generates descending — the CASE guard in
+    # text.bigrams_expr carries the semantics), and empty docs must
+    # produce zero RAG chunks on both engines
+    "q97_repetition_filter",
+    "q98_rag_chunking",
+    "q99_bigram_lm",
+    "q76_text_canonicalize",
 ]
 
 

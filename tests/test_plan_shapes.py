@@ -264,3 +264,37 @@ class TestCacheHygiene:
         df = REGISTRY["q73_gapfill_locf"].spark(spark, sf_dir)
         assert hasattr(df, "_graft_cached")
         df._graft_cached.unpersist()
+
+
+class TestLlmQueryShapes:
+    def test_q98_chunking_is_map_only(self, plan_of):
+        # generator over a staged token projection — zero exchanges:
+        # chunk rows must inherit the scan's partitioning
+        plan = plan_of("q98_rag_chunking")
+        assert "Exchange" not in plan
+        assert "Generate" in plan
+
+    def test_q97_bigram_count_partial_aggregates(self, plan_of):
+        # the (doc, bigram) count must map-side combine before its
+        # exchange — corpus-size rows never shuffle raw
+        plan = plan_of("q97_repetition_filter")
+        assert "partial_" in plan
+
+    def test_q99_window_over_compact_counts(self, plan_of):
+        # the top-3 window must sit ABOVE the (w1, w2) aggregation
+        # (vocab-sized input), never over raw exploded bigrams
+        plan = plan_of("q99_bigram_lm")
+        agg_pos = plan.find("HashAggregate")
+        win_pos = plan.find("Window")
+        assert agg_pos != -1 and win_pos != -1
+        # formatted plan lists operators leaves-last; the Window node
+        # printing before the aggregate means it consumes its output
+        assert win_pos < agg_pos
+
+    def test_quantization_scale_staged_once(self, plan_of):
+        # interpreted HOFs get no CSE: the O(d) array_max scale must
+        # be a staged per-row column (2 sides => 2 occurrences), not
+        # inlined into the per-element lambda (which would make the
+        # quantize projection O(d^2) per vector)
+        plan = plan_of("q91_quantized_topk")
+        assert plan.count("array_max") == 2

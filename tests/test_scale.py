@@ -157,16 +157,22 @@ class TestCacheDiscipline:
             "q73_gapfill_locf",
             "q74_continuous_aggregate",
         ]
+        jsc = spark.sparkContext._jsc.sc()
+        # zero OUR slots first; whatever other tests left cached is
+        # the foreign baseline the sweep must return to
+        scale.release_caches()
+        window_queries.release_caches()
+        baseline = len(jsc.getRDDStorageInfo())
+
         for _ in range(2):  # re-invocation replaces, not accumulates
             for name in cache_users:
                 REGISTRY[name].spark(spark, sf_dir).count()
 
-        jsc = spark.sparkContext._jsc.sc()
-        # bounded while in use: at most one slot per query
-        assert len(jsc.getRDDStorageInfo()) <= len(cache_users)
+        # bounded while in use: at most one slot per query, NOT per call
+        assert len(jsc.getRDDStorageInfo()) - baseline <= len(cache_users)
 
         scale.release_caches()
         window_queries.release_caches()
-        assert len(jsc.getRDDStorageInfo()) == 0, (
+        assert len(jsc.getRDDStorageInfo()) <= baseline, (
             "cached RDDs survived the release sweep"
         )

@@ -160,8 +160,12 @@ def brute_force_topk_arrow(
     k: int = 3,
 ) -> DataFrame:
     """Throughput twin of :func:`brute_force_topk`: the per-pair
-    cosine runs as a vectorized pandas UDF (one Arrow batch → one
-    numpy matmul) instead of an interpreted ``aggregate`` fold.
+    cosine runs as a vectorized pandas UDF — the whole Arrow batch is
+    stacked into ONE (n, d) float64 matrix per side and scored with a
+    single batched numpy dot (``einsum``) + two vectorized norms; no
+    per-row Python arithmetic. Ragged batches (mixed dimensions)
+    zero-pad to the batch max first — zero components change neither
+    dots nor norms.
 
     Trade-off: numpy's SIMD/pairwise summation reorders the float
     adds, so cosines can differ from the expression path in the last
@@ -174,12 +178,30 @@ def brute_force_topk_arrow(
 
     @pandas_udf("double")
     def _pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        out = np.empty(len(a))
-        for i in range(len(a)):  # ragged rows → per-row dot, numpy-vectorized inner loop
-            x = np.asarray(a[i], dtype=np.float64)
-            y = np.asarray(b[i], dtype=np.float64)
-            d = float(np.linalg.norm(x)) * float(np.linalg.norm(y))
-            out[i] = float(np.dot(x, y)) / d if d else float("nan")
+        n = len(a)
+        if n == 0:
+            return pd.Series(np.empty(0))
+
+        def stack(s: pd.Series) -> np.ndarray:
+            lens = s.map(len)
+            if lens.min() == lens.max():  # uniform dim: zero-copy-ish
+                return np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in s]
+                )
+            m = np.zeros((n, int(lens.max())))
+            for i, v in enumerate(s):
+                m[i, : len(v)] = v
+            return m
+
+        A, B = stack(a), stack(b)
+        if A.shape[1] != B.shape[1]:  # pad the narrower side
+            d = max(A.shape[1], B.shape[1])
+            A = np.pad(A, ((0, 0), (0, d - A.shape[1])))
+            B = np.pad(B, ((0, 0), (0, d - B.shape[1])))
+        dots = np.einsum("ij,ij->i", A, B)
+        denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(denom > 0, dots / denom, np.nan)
         return pd.Series(out)
 
     c = corpus.select(

@@ -45,6 +45,7 @@ _CURATED_ORDER = [
     "q97_repetition_filter",
     "q98_rag_chunking",
     "q99_bigram_lm",
+    "q100_stream_stream_join",
     # changed round 4: token templates / dedup slim join / curation
     "q27_fingerprint_dedup",
     "q28_minhash_lsh_pairs",
@@ -95,8 +96,8 @@ _CURATED_ORDER = [
     # refresh: r2 rows (green r2, unchanged since)
     "q45_rollup_acctbal",
     "q46_cube_orders",
-    "q47_grouping_sets",
     # ---- position 50 boundary; below: green r2/r3, unchanged since --
+    "q47_grouping_sets",
     "q26_exact_dedup",
     "q88_source_mixture",
     "q91_quantized_topk",

@@ -310,3 +310,87 @@ def q96_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("value").alias("sum_value"),
         )
     )
+
+
+@query(
+    "q100_stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(epoch_us(CAST(p.ts AS TIMESTAMP))
+                    - epoch_us(CAST(v.ts AS TIMESTAMP))) AS BIGINT)
+             AS sum_latency_us
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    GROUP BY v.user_id
+    """,
+)
+def q100_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join — view→purchase attribution within a
+    30-minute window, both sides unbounded streams (SURVEY §2.11: the
+    reference has no streaming at all; this is the join the
+    watermark/state machinery exists for). Each side carries a 1-hour
+    watermark and the join predicate bounds event time on BOTH ends,
+    which is exactly what lets Spark garbage-collect join state: a
+    buffered view can be dropped once the watermark passes
+    ``v_ts + 30 min``. Matches emit eagerly (inner join), append-mode
+    to a memory sink; per-user pair counts + exact integer-microsecond
+    latency sums are then hash-compared to the batch self-join oracle.
+
+    Scale: state = the in-horizon slice of each side, keyed by
+    user_id — arrival-rate × (watermark + window) bounded, regardless
+    of history size. Without the time-range predicate Spark would
+    rightly refuse the query (unbounded state); this is the shape to
+    copy for production attribution joins.
+    """
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND p_ts >= v_ts"
+            " AND p_ts <= v_ts + interval 30 minutes"
+        ),
+    ).select(
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lat_us"),
+    )
+    name = f"q100_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q100_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("lat_us").alias("sum_latency_us"),
+        )
+    )

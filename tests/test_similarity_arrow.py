@@ -36,3 +36,24 @@ def test_arrow_topk_matches_expression_path(spark, sf_dir):
     for r in rows:
         assert r["eq"] is not None and r["aq"] is not None, f"pair mismatch: {r}"
         assert abs(r["ec"] - r["ac"]) < 1e-9
+
+
+def test_arrow_scorer_handles_ragged_batches(spark):
+    # mixed dimensions in one Arrow batch: zero-padding to the batch
+    # max must leave dots and norms unchanged
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 2.0, 0.0]),
+        (2, [3.0, 4.0]),
+        (3, [1.0, 1.0, 1.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") == 0)
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in brute_force_topk_arrow(emb, queries, k=3).collect()
+    }
+    # cos((1,0), (3,4)) = 3/5; cos with (0,2,0) = 0; cos with 1-vector = 0.5
+    assert abs(got[(0, 2)] - 0.6) < 1e-9
+    assert abs(got[(0, 1)] - 0.0) < 1e-9
+    assert abs(got[(0, 3)] - 0.5) < 1e-9

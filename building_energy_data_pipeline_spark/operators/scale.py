@@ -69,26 +69,6 @@ def salted_join(
     return sk.join(sm, on + ["__salt"], how).drop("__salt")
 
 
-#: one cached ranged-intermediate per logical plan — a re-invocation
-#: of the same query releases its previous invocation's cache (same
-#: bounded-slot discipline as ``plans/window_queries._slot_persist``),
-#: so a long-lived session holds at most one copy per distinct query
-#: instead of pinning one per CALL for its lifetime.
-_CACHE_SLOTS: dict[str, DataFrame] = {}
-
-
-def release_caches() -> None:
-    """Unpersist every ranged intermediate this module still holds.
-    Call after the terminal action of a ``global_row_index`` consumer
-    (or at session teardown) to drop the storage eagerly."""
-    while _CACHE_SLOTS:
-        _, cached = _CACHE_SLOTS.popitem()
-        try:
-            cached.unpersist()
-        except Exception:  # noqa: BLE001 — owning session may be gone
-            pass
-
-
 def global_row_index(
     df: DataFrame,
     order_cols: list,
@@ -115,52 +95,41 @@ def global_row_index(
     Deterministic regardless of where the sampled boundaries land,
     provided ``order_cols`` is a total order (include a unique
     tiebreaker): the index of a row equals the number of rows before
-    it in that order, which no partition placement can change. The
-    boundary sample itself is seeded per plan, so the offsets job
-    and the output job see identical partitioning.
+    it in that order, which no partition placement can change.
 
-    Cost: one range exchange + one hash exchange (the per-partition
-    window) + a count pass — all fully parallel; nothing ever
-    funnels through one task.
+    Consistency (load-bearing — do not "simplify" to a persist):
+    range boundaries are RE-SAMPLED on every execution of the
+    exchange, so the offsets and every later execution of the result
+    must read the SAME materialized partitioning or indices silently
+    shift. ``localCheckpoint(eager=True)`` is the one primitive with
+    the right failure mode: lineage is SEVERED, so re-running the
+    sampled exchange is impossible — consumers either read the
+    materialized partitions or fail loudly (a ``persist`` merely
+    hints: evicted blocks silently recompute with fresh boundaries,
+    which produced duplicate indices under cache pressure/eviction —
+    round-4 review repro). Storage lifetime is owned by the JVM
+    ContextCleaner through the plan's real references — nothing to
+    release by hand, no cross-invocation state. (Exchange reuse
+    cannot replace it: ``spark_partition_id`` is nondeterministic,
+    so the offsets and ranking branches never canonicalize equal and
+    each would re-execute the exchange.)
 
-    The ranged intermediate is persisted (MEMORY_AND_DISK): range
-    boundaries are re-SAMPLED per execution, so the offsets job and
-    the output job must read the SAME materialized partitioning or
-    the offsets silently shift. Cache lifetime is slot-scoped: the
-    slot key is the input's semantic plan hash + ordering, so
-    re-running the same query replaces (and unpersists) the previous
-    invocation's cache rather than accumulating one per call, while
-    two different queries in flight never evict each other. The
-    handle is also exposed as ``df._graft_cached`` for eager release,
-    and :func:`release_caches` drops everything this module holds.
+    Cost: one range exchange materialized to executor storage (the
+    same footprint distributed ORDER BY pays) + the per-partition
+    window + a metadata-sized count collect — all fully parallel;
+    nothing ever funnels through one task.
     """
     from pyspark.sql import Window
-    from pyspark.storagelevel import StorageLevel
 
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
 
-    try:
-        plan_key = str(
-            df._jdf.queryExecution().analyzed().semanticHash()  # noqa: SLF001
-        )
-    except Exception:  # noqa: BLE001 — connect-mode etc.: per-call slot
-        plan_key = str(id(df))
-    slot = f"{plan_key}:{index_name}:{n}:{','.join(str(c) for c in cols)}"
-    prev = _CACHE_SLOTS.pop(slot, None)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:  # noqa: BLE001 — previous session may be gone
-            pass
-
     ranged = (
         df.repartitionByRange(n, *cols)
         .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    _CACHE_SLOTS[slot] = ranged
 
     counts = ranged.groupBy("__pid").agg(F.count("*").alias("__cnt")).collect()
     offsets, acc = {}, 0
@@ -172,11 +141,9 @@ def global_row_index(
     )
 
     w = Window.partitionBy("__pid").orderBy(*cols)
-    out = (
+    return (
         ranged.withColumn("__lrn", F.row_number().over(w))
         .join(F.broadcast(off_df), "__pid")
         .withColumn(index_name, (F.col("__off") + F.col("__lrn")).cast("long"))
         .drop("__pid", "__lrn", "__off")
     )
-    out._graft_cached = ranged  # let callers unpersist (see docstring)
-    return out

@@ -92,10 +92,15 @@ def q97_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = docs.select(
         "doc_id", F.expr(TOK).alias("toks")
     ).repartition(n_part, "doc_id")
+    # sizes cast to long BEFORE the permille multiply: size() is
+    # 32-bit and (n_tokens - n_distinct) * 1000 silently wraps
+    # negative past ~2.1M tokens with ANSI mode off (DuckDB's len()
+    # is BIGINT — the engines would diverge exactly on the degenerate
+    # giant documents this gate exists to catch)
     base = staged.select(
         "doc_id",
-        F.expr("size(toks)").alias("n_tokens"),
-        F.expr("size(array_distinct(toks))").alias("n_distinct"),
+        F.expr("cast(size(toks) as long)").alias("n_tokens"),
+        F.expr("cast(size(array_distinct(toks)) as long)").alias("n_distinct"),
         F.expr(text.bigrams_expr("toks")).alias("bgs"),
     )
     # explode_outer would fabricate a NULL bigram row for <2-token
@@ -114,7 +119,7 @@ def q97_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(top_bg, "doc_id", "left")
         .select(
             "doc_id",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "n_tokens",
             dup.alias("dup_permille"),
             F.coalesce("top_bigram_n", F.lit(0)).cast("long").alias(
                 "top_bigram_n"

@@ -16,7 +16,6 @@ import pytest
 
 from building_energy_data_pipeline_spark.plans.queries import REGISTRY
 
-from conftest import SF_DIR
 from test_oracle_parity import canon
 
 EDGE_DOCS = [

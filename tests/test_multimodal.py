@@ -62,13 +62,10 @@ class TestImagePipeline:
         assert a.dtype == np.uint8 and a.ndim == 3 and a.shape[2] == 3
 
     def test_real_codec_stub_raises(self):
-        if pytest.importorskip is not None:
-            try:
-                import PIL  # noqa: F401
+        import importlib.util
 
-                pytest.skip("PIL present: the gate does not fire")
-            except ImportError:
-                pass
+        if importlib.util.find_spec("PIL") is not None:
+            pytest.skip("PIL present: the gate does not fire")
         with pytest.raises(NotImplementedError, match="PIL"):
             decode_image(b"x", use_real_codec=True)
 

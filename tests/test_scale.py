@@ -142,37 +142,78 @@ class TestLshShufflePayload:
 
 class TestCacheDiscipline:
     def test_no_pinned_rdds_after_registry_sweep(self, spark, sf_dir):
-        """The global_row_index + window persist slots must not creep:
-        after repeated invocations of every cache-using query plus a
-        release sweep, the session holds zero cached RDDs."""
-        from building_energy_data_pipeline_spark.operators import scale
+        """global_row_index is cacheless by design (in-plan offsets —
+        see its docstring); the window persist slots must not creep:
+        after repeated invocations plus a release sweep, the session
+        is back to its pre-test cached-RDD set."""
         from building_energy_data_pipeline_spark.plans import (
             REGISTRY,
             window_queries,
         )
 
-        cache_users = [
-            "q22_pagination",
-            "q23_systematic_sample",
-            "q73_gapfill_locf",
-            "q74_continuous_aggregate",
-        ]
         jsc = spark.sparkContext._jsc.sc()
-        # zero OUR slots first; whatever other tests left cached is
-        # the foreign baseline the sweep must return to
-        scale.release_caches()
         window_queries.release_caches()
         baseline = len(jsc.getRDDStorageInfo())
 
-        for _ in range(2):  # re-invocation replaces, not accumulates
-            for name in cache_users:
+        # row-index queries checkpoint their ranged intermediate; the
+        # storage is owned by the JVM ContextCleaner through plan
+        # references — once the results are unreachable, GC must
+        # reclaim it without any manual release call
+        import gc
+        import time
+
+        for _ in range(2):
+            for name in ("q22_pagination", "q23_systematic_sample"):
                 REGISTRY[name].spark(spark, sf_dir).count()
+        gc.collect()
+        for _ in range(30):  # ContextCleaner is async
+            spark.sparkContext._jvm.System.gc()
+            if len(jsc.getRDDStorageInfo()) <= baseline:
+                break
+            time.sleep(1)
+        assert len(jsc.getRDDStorageInfo()) <= baseline, (
+            "global_row_index checkpoints were not GC-reclaimed"
+        )
 
-        # bounded while in use: at most one slot per query, NOT per call
-        assert len(jsc.getRDDStorageInfo()) - baseline <= len(cache_users)
+        # window rollup slots: bounded at one per query, not per call
+        slot_users = ["q73_gapfill_locf", "q74_continuous_aggregate"]
+        for _ in range(2):
+            for name in slot_users:
+                REGISTRY[name].spark(spark, sf_dir).count()
+        assert len(jsc.getRDDStorageInfo()) - baseline <= len(slot_users)
 
-        scale.release_caches()
         window_queries.release_caches()
         assert len(jsc.getRDDStorageInfo()) <= baseline, (
             "cached RDDs survived the release sweep"
         )
+
+    def test_row_index_survives_interleaved_builds(self, spark):
+        """Regression (round-4 review): with the old persisted-
+        intermediate + eager-offsets design, building a second
+        identical row-index evicted the first one's cache, and the
+        first result then recomputed with RE-SAMPLED range boundaries
+        against its stale offsets — duplicate/missing indices. The
+        in-plan-offsets design has no cross-invocation state: build
+        two, execute in any order, both must be exact permutations."""
+        from building_energy_data_pipeline_spark.operators.scale import (
+            global_row_index,
+        )
+
+        df = spark.range(100_000).withColumn(
+            "k", (F.col("id") * 2654435761) % 1000003
+        )
+        a = global_row_index(df, ["k", "id"], "rn", num_partitions=16)
+        b = global_row_index(df, ["k", "id"], "rn", num_partitions=16)
+        for out in (a, b, a):  # re-execute a after b ran
+            stats = out.agg(
+                F.count("*").alias("n"),
+                F.countDistinct("rn").alias("d"),
+                F.min("rn").alias("lo"),
+                F.max("rn").alias("hi"),
+            ).first()
+            assert (
+                stats["n"] == 100_000
+                and stats["d"] == 100_000
+                and stats["lo"] == 1
+                and stats["hi"] == 100_000
+            ), f"row index corrupted: {stats}"

@@ -28,6 +28,16 @@ from pyspark.sql import functions as F
 #: NULL text coalesces to '' so a NULL doc tokenizes to an EMPTY array
 #: (not a NULL array) identically on both engines — downstream array
 #: lambdas over NULL diverge between Spark and DuckDB otherwise.
+#:
+#: Exactness domain (property-tested, tests/test_properties.py
+#: TestTokenTwinProperty): the twins agree on all printable ASCII and
+#: common Latin text; both engines treat ``\s`` as ASCII whitespace
+#: (NBSP / thin / ideographic spaces do NOT split on either). Known
+#: divergence: locale-special case mappings — Java lowercases ``İ``
+#: to ``i`` + combining dot (2 codepoints), DuckDB to ``ii`` — so
+#: corpora with Turkish/Azeri dotted capitals need an upstream
+#: normalization pass (NFKC + casefold in a mapInPandas stage) before
+#: oracle-exact comparison is meaningful.
 SPARK_TOKENS = r"filter(split(lower(coalesce({col}, '')), '\\s+'), t -> t != '')"
 DUCK_TOKENS = (
     r"list_filter(regexp_split_to_array(lower(coalesce({col}, '')), '\s+'),"

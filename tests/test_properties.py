@@ -14,6 +14,7 @@ import datetime as dt
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from building_energy_data_pipeline_spark.operators.asof import asof_join
 
@@ -228,3 +229,58 @@ class TestGlobalRowIndexProperty:
         }
         want = {k: i + 1 for i, k in enumerate(sorted(keys))}
         assert got == want
+
+
+class TestTokenTwinProperty:
+    """The Spark/DuckDB token, bigram, and shingle twin expressions
+    must agree on arbitrary printable-ASCII text — the corpus domain
+    the oracles run over. (Known, documented limit: exotic Unicode
+    case mappings diverge between engines — Java lowercases 'İ' to
+    'i' + combining dot, DuckDB to 'ii' — see operators/text.py;
+    the twins are ASCII-exact, not locale-exact.)"""
+
+    @SLOW
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=0x20, max_codepoint=0x7E
+                ),
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def test_token_bigram_shingle_twins_agree(self, spark, texts):
+        import duckdb
+
+        from building_energy_data_pipeline_spark.operators import dedup, text
+
+        tok = text.SPARK_TOKENS.format(col="text")
+        dtok = text.DUCK_TOKENS.format(col="text")
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (list(r["t"]), list(r["b"]), sorted(r["s"]))
+            for r in df.select(
+                "doc_id",
+                F.expr(tok).alias("t"),
+                F.expr(text.bigrams_expr(f"({tok})")).alias("b"),
+                F.expr(dedup.shingles_expr(f"({tok})", 3)).alias("s"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        for i, t in enumerate(texts):
+            want = con.execute(
+                f"SELECT {dtok} AS t,"
+                f" {text.duck_bigrams_sql(f'({dtok})')} AS b,"
+                f" {dedup.duck_shingles_sql(f'({dtok})', 3)} AS s"
+                " FROM (SELECT ? AS text)",
+                [t],
+            ).fetchone()
+            assert got[i][0] == list(want[0]), f"tokens diverge on {t!r}"
+            assert got[i][1] == list(want[1]), f"bigrams diverge on {t!r}"
+            assert got[i][2] == sorted(want[2]), f"shingles diverge on {t!r}"
+        con.close()

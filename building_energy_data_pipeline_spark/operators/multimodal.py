@@ -265,6 +265,45 @@ def decode_frames(df: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_INT_SCHEMA = "media_id long, n_samples long, sum_abs long, peak long"
+
+
+def audio_int_stats(df: DataFrame) -> DataFrame:
+    """Integer audio statistics over int16-PCM payloads — the
+    oracle-friendly twin of :func:`extract_audio_features` (the q53
+    pattern: all-integer outputs are bit-exact across engines, so the
+    binary → Arrow → Python decode path gets a HARD value-hash check
+    from the driver). Odd-length payloads truncate to whole samples
+    (``frombuffer`` would otherwise raise on a trailing byte)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                pcm = np.frombuffer(
+                    raw[: len(raw) // 2 * 2], dtype="<i2"
+                ).astype(np.int64)
+                mag = np.abs(pcm)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_samples": len(pcm),
+                        "sum_abs": int(mag.sum()) if len(pcm) else 0,
+                        "peak": int(mag.max()) if len(pcm) else 0,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "sum_abs", "peak"]
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        run, AUDIO_INT_SCHEMA
+    )
+
+
 AUDIO_FEATURE_SCHEMA = (
     "media_id long, n_samples long, rms double, peak double"
 )

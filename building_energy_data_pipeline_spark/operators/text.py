@@ -58,6 +58,42 @@ def duck_tokens_sql(col: str = "text") -> str:
     return DUCK_TOKENS.format(col=col)
 
 
+def normalize_text(
+    df: DataFrame, col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Unicode-normalize a text column: NFKC + ``str.casefold`` via
+    ``mapInPandas`` (Arrow-batched; there is no NFKC/casefold Spark
+    builtin). This is the upstream pass the tokenizer-twin contract
+    asks for on corpora with locale-special case mappings (``İ``,
+    ligatures, full-width forms — see the module docstring): after
+    it, both engines see identical already-folded codepoints and the
+    ASCII-exact twins are sufficient.
+
+    Scale: a map-only stage, no shuffle; normalization cost is linear
+    in text bytes and rides the scan partitioning.
+    """
+    target = out_col or col
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = fields if target == col else f"{fields}, {target} string"
+
+    def run(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[target] = [
+                unicodedata.normalize("NFKC", t).casefold()
+                if t is not None
+                else None
+                for t in pdf[col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
 # ---------------------------------------------------------------------------
 # Token counting (whitespace + BPE-ish)
 # ---------------------------------------------------------------------------

@@ -46,6 +46,8 @@ _CURATED_ORDER = [
     "q98_rag_chunking",
     "q99_bigram_lm",
     "q100_stream_stream_join",
+    "q101_ivf_recall",
+    "q102_audio_int_stats",
     # changed round 4: token templates / dedup slim join / curation
     "q27_fingerprint_dedup",
     "q28_minhash_lsh_pairs",
@@ -93,10 +95,9 @@ _CURATED_ORDER = [
     "q21_topk_per_group",
     "q34_ann_bruteforce",
     "q35_ann_ivf",
-    # refresh: r2 rows (green r2, unchanged since)
+    # ---- position 50 boundary; below: green r2/r3, unchanged since --
     "q45_rollup_acctbal",
     "q46_cube_orders",
-    # ---- position 50 boundary; below: green r2/r3, unchanged since --
     "q47_grouping_sets",
     "q26_exact_dedup",
     "q88_source_mixture",

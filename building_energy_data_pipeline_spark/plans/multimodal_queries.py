@@ -126,3 +126,50 @@ def q54_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan.select(
         "media_id", F.col("frame_ts_ms").cast("long"), "frame_idx"
     )
+
+
+@query(
+    "q102_audio_int_stats",
+    oracle="""
+    WITH pcm AS (
+      SELECT doc_id AS media_id,
+             list_transform(range(length(text) // 2), i ->
+               CASE WHEN ord(substr(text, CAST(i * 2 + 1 AS INTEGER), 1))
+                         + 256 * ord(substr(text, CAST(i * 2 + 2 AS INTEGER), 1))
+                         > 32767
+                    THEN ord(substr(text, CAST(i * 2 + 1 AS INTEGER), 1))
+                         + 256 * ord(substr(text, CAST(i * 2 + 2 AS INTEGER), 1))
+                         - 65536
+                    ELSE ord(substr(text, CAST(i * 2 + 1 AS INTEGER), 1))
+                         + 256 * ord(substr(text, CAST(i * 2 + 2 AS INTEGER), 1))
+               END) AS samples
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id,
+           CAST(len(samples) AS BIGINT) AS n_samples,
+           CAST(COALESCE(list_sum(list_transform(samples, s -> abs(s))), 0)
+                AS BIGINT) AS sum_abs,
+           CAST(COALESCE(list_max(list_transform(samples, s -> abs(s))), 0)
+                AS BIGINT) AS peak
+    FROM pcm
+    """,
+)
+def q102_audio_int_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio statistics over binary media columns
+    (``operators/multimodal.audio_int_stats``): payloads interpreted
+    as little-endian int16 PCM, integer |sample| sums and peak — the
+    audio third of the modality family, with the same HARD oracle
+    pattern as q53: DuckDB re-derives each sample from the synthetic
+    payload's bytes (``ord`` per char + sign adjust; exact for the
+    ASCII corpus the media table is synthesized from, which is also
+    why the byte/codepoint distinction doesn't bite) and the driver
+    hash-compares the decoded statistics value-for-value.
+
+    Scale: identical shape to q53 — Arrow batches into Python once
+    per partition, ~32 bytes of features back out per row; the
+    payload never shuffles.
+    """
+    media = _media_from_documents(spark, sf_dir).filter(
+        F.col("media_type") == "audio"
+    )
+    return multimodal.audio_int_stats(media)

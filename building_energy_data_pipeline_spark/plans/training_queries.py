@@ -317,6 +317,61 @@ def q35_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q101_ivf_recall",
+    oracle=f"""
+    WITH exact AS (
+      SELECT * FROM ({similarity.duck_topk_sql(
+          "embeddings", ANN_QUERY_PRED, ANN_K)})
+    ),
+    approx AS (
+      SELECT * FROM ({similarity.duck_ivf_topk_sql(
+          "embeddings", ANN_CENTROID_PRED, ANN_QUERY_PRED, ANN_K)})
+    )
+    SELECT e.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(a.neighbor_id) * 1000 // {ANN_K} AS BIGINT)
+             AS recall_permille
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def q101_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF path (q35) against the exact baseline
+    (q34), per query — the evaluation harness every ANN deployment
+    needs before trusting a bucketed index: how much recall does
+    nprobe=1 actually give on THIS corpus. Exact integer hits and
+    permille recall — no float drift.
+
+    Scale: both branches are the already-scalable q34/q35 plans
+    (broadcast queries/centroids, map-only scans, per-query top-k
+    windows); the overlap join is per-(query, neighbor) — k·|Q| rows,
+    tiny. Evaluation runs on a sampled query set, never the corpus.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(ANN_QUERY_PRED))
+    centroids = emb.filter(F.expr(ANN_CENTROID_PRED))
+    exact = similarity.brute_force_topk(
+        emb, queries, "vec_id", "embedding", ANN_K
+    ).select("query_id", "neighbor_id")
+    approx = similarity.ivf_topk(
+        emb, centroids, queries, "vec_id", "embedding", ANN_K
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits")
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"n_hits * 1000 div {ANN_K}").alias("recall_permille"),
+        )
+    )
+
+
 _Q68_SQL = """
     WITH d AS (
       SELECT doc_id, lang, n_chars, substr(text, 1, 40) AS head

@@ -284,3 +284,42 @@ class TestTokenTwinProperty:
             assert got[i][1] == list(want[1]), f"bigrams diverge on {t!r}"
             assert got[i][2] == sorted(want[2]), f"shingles diverge on {t!r}"
         con.close()
+
+
+class TestNormalizeText:
+    def test_nfkc_casefold_locale_cases(self, spark):
+        from building_energy_data_pipeline_spark.operators.text import (
+            normalize_text,
+        )
+
+        rows = [
+            (0, "Aİ TEST"),      # Turkish dotted capital
+            (1, "ﬁve ＦＵＬＬ"),  # ligature + full-width forms
+            (2, "STRASSE ß"),    # sharp s casefolds to ss
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["text"]
+            for r in normalize_text(df, "text").collect()
+        }
+        import unicodedata
+
+        for i, t in rows:
+            want = (
+                unicodedata.normalize("NFKC", t).casefold()
+                if t is not None
+                else None
+            )
+            assert got[i] == want
+        assert got[1] == "five full"
+        assert got[2] == "strasse ss"
+
+    def test_out_col_appends(self, spark):
+        from building_energy_data_pipeline_spark.operators.text import (
+            normalize_text,
+        )
+
+        df = spark.createDataFrame([(1, "AbC")], "doc_id long, text string")
+        out = normalize_text(df, "text", "norm").first()
+        assert out["text"] == "AbC" and out["norm"] == "abc"

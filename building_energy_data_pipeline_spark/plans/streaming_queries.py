@@ -24,6 +24,34 @@ from ..sources.readers import read_events_stream
 from .registry import query
 
 
+def _drain_to_memory(stream, tag: str, output_mode: str) -> "DataFrame":
+    """Run a finite stream to completion (``availableNow``) against a
+    memory sink and return the sink table. The checkpoint directory
+    is deleted once the query terminates — a finished availableNow
+    run is never restarted, and a long session (the bench runs each
+    streaming query 3×, the driver sweeps the whole registry) would
+    otherwise accrete one checkpoint tree per invocation in /tmp."""
+    import shutil
+
+    spark = stream.sparkSession
+    name = f"{tag}_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"{tag}_ckpt_")
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
+
 @query(
     "q52_streaming_hourly_rollup",
     oracle=f"""
@@ -67,17 +95,7 @@ def q52_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    name = f"q52_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="q52_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+    return _drain_to_memory(stream, "q52", "complete")
 
 
 @query(
@@ -143,17 +161,7 @@ def q62_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "session_start", "session_end", "n_events", "sum_value"
         )
     )
-    name = f"q62_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="q62_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+    return _drain_to_memory(stream, "q62", "complete")
 
 
 @query(
@@ -209,17 +217,7 @@ def _drain_gap_stream(spark, stats_stream, tag: str) -> DataFrame:
     strictly with every emission for a key, so max-n_events IS the
     last state, independent of sink row order or how the file source
     batches."""
-    name = f"{tag}_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        stats_stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"{tag}_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    sink = spark.table(name)
+    sink = _drain_to_memory(stats_stream, tag, "update")
     w = W.partitionBy("user_id", "event_type").orderBy(
         F.col("n_events").desc()
     )
@@ -292,18 +290,8 @@ def q96_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "event_type", "value")
     )
-    name = f"q96_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="q96_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
     return (
-        spark.table(name)
+        _drain_to_memory(deduped, "q96", "append")
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -376,18 +364,8 @@ def q100_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lat_us"),
     )
-    name = f"q100_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="q100_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
     return (
-        spark.table(name)
+        _drain_to_memory(joined, "q100", "append")
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_pairs"),

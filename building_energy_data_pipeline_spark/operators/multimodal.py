@@ -282,7 +282,7 @@ def audio_int_stats(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                raw = bytes(content)
+                raw = bytes(content) if content is not None else b""
                 pcm = np.frombuffer(
                     raw[: len(raw) // 2 * 2], dtype="<i2"
                 ).astype(np.int64)
@@ -321,7 +321,10 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                pcm = np.frombuffer(bytes(content), dtype="<i2").astype(np.float64)
+                raw = bytes(content) if content is not None else b""
+                pcm = np.frombuffer(
+                    raw[: len(raw) // 2 * 2], dtype="<i2"
+                ).astype(np.float64)
                 rows.append(
                     {
                         "media_id": int(mid),

@@ -76,7 +76,18 @@ def normalize_text(
     fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
-    schema = fields if target == col else f"{fields}, {target} string"
+    # appending the target only when it isn't already a column keeps
+    # the declared schema aligned with the frame the UDF yields (an
+    # existing target is overwritten in place, not duplicated)
+    if target in df.columns:
+        if df.schema[target].dataType.simpleString() != "string":
+            raise ValueError(
+                f"normalize_text target column {target!r} exists with "
+                f"non-string type {df.schema[target].dataType.simpleString()}"
+            )
+        schema = fields
+    else:
+        schema = f"{fields}, {target} string"
 
     def run(batches):
         import unicodedata

@@ -131,7 +131,10 @@ def q54_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q102_audio_int_stats",
     oracle="""
-    WITH pcm AS (
+    WITH doc AS (
+      SELECT doc_id, coalesce(text, '') AS text FROM documents
+    ),
+    pcm AS (
       SELECT doc_id AS media_id,
              list_transform(range(length(text) // 2), i ->
                CASE WHEN ord(substr(text, CAST(i * 2 + 1 AS INTEGER), 1))
@@ -143,7 +146,7 @@ def q54_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE ord(substr(text, CAST(i * 2 + 1 AS INTEGER), 1))
                          + 256 * ord(substr(text, CAST(i * 2 + 2 AS INTEGER), 1))
                END) AS samples
-      FROM documents WHERE doc_id % 3 = 2
+      FROM doc WHERE doc_id % 3 = 2
     )
     SELECT media_id,
            CAST(len(samples) AS BIGINT) AS n_samples,

@@ -24,16 +24,33 @@ from ..sources.readers import read_events_stream
 from .registry import query
 
 
+#: last memory-sink name per query tag: re-invoking the same query
+#: unbinds the previous invocation's temp-view name, so a long
+#: session (bench ×3, registry sweeps) keeps at most one NAMED sink
+#: per query. Unbinding only drops the name — a caller still holding
+#: the previous returned DataFrame keeps working (its plan references
+#: the relation, which is freed when that DataFrame is GC'd).
+_SINK_SLOTS: dict[str, str] = {}
+
+
 def _drain_to_memory(stream, tag: str, output_mode: str) -> "DataFrame":
     """Run a finite stream to completion (``availableNow``) against a
-    memory sink and return the sink table. The checkpoint directory
-    is deleted once the query terminates — a finished availableNow
-    run is never restarted, and a long session (the bench runs each
-    streaming query 3×, the driver sweeps the whole registry) would
-    otherwise accrete one checkpoint tree per invocation in /tmp."""
+    memory sink and return the sink table. Cleanup discipline: the
+    checkpoint directory is deleted once the query terminates (a
+    finished availableNow run is never restarted), and the previous
+    invocation's sink view for the same ``tag`` is unbound (see
+    ``_SINK_SLOTS``). A drain that exceeds the timeout is stopped and
+    raised — returning a partially-filled sink would misreport a
+    timeout as a data mismatch."""
     import shutil
 
     spark = stream.sparkSession
+    prev = _SINK_SLOTS.pop(tag, None)
+    if prev is not None:
+        try:
+            spark.catalog.dropTempView(prev)
+        except Exception:  # noqa: BLE001 — previous session may be gone
+            pass
     name = f"{tag}_sink_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"{tag}_ckpt_")
     try:
@@ -45,9 +62,14 @@ def _drain_to_memory(stream, tag: str, output_mode: str) -> "DataFrame":
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"{tag}: stream did not drain within 300s"
+            )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+    _SINK_SLOTS[tag] = name
     return spark.table(name)
 
 

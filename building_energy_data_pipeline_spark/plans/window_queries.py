@@ -26,8 +26,11 @@ from ..operators import dedup
 #: (the bench runs each query 3×, the driver loops the registry) holds
 #: at most ONE cached DataFrame per query instead of accumulating.
 #: The returned DataFrame also carries the cache as ``_graft_cached``
-#: so callers can release it eagerly (the ``global_row_index``
-#: library contract, ``operators/scale.py:106-144``).
+#: so callers can release it eagerly. (This persist is a pure
+#: OPTIMIZATION — both consumers produce correct results if a slot is
+#: evicted and recomputed; contrast ``operators/scale.
+#: global_row_index``, whose intermediate is correctness-critical and
+#: therefore uses a lineage-severing localCheckpoint instead.)
 _CACHE_SLOTS: dict[str, DataFrame] = {}
 
 
@@ -44,8 +47,7 @@ def _slot_persist(name: str, df: DataFrame) -> DataFrame:
 
 
 def release_caches() -> None:
-    """Unpersist every slot this module still holds (pair with
-    ``operators.scale.release_caches`` for a full sweep)."""
+    """Unpersist every rollup slot this module still holds."""
     while _CACHE_SLOTS:
         _, cached = _CACHE_SLOTS.popitem()
         try:

@@ -48,6 +48,10 @@ EDGE_QUERIES = [
     "q98_rag_chunking",
     "q99_bigram_lm",
     "q76_text_canonicalize",
+    # NULL/empty payloads through the binary decode path: a NULL text
+    # becomes a NULL content payload; both engines must report zero
+    # samples, not crash frombuffer / diverge on NULL propagation
+    "q102_audio_int_stats",
 ]
 
 

@@ -323,3 +323,25 @@ class TestNormalizeText:
         df = spark.createDataFrame([(1, "AbC")], "doc_id long, text string")
         out = normalize_text(df, "text", "norm").first()
         assert out["text"] == "AbC" and out["norm"] == "abc"
+
+    def test_out_col_overwrites_existing_string_column(self, spark):
+        from building_energy_data_pipeline_spark.operators.text import (
+            normalize_text,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "AbC", "stale")], "doc_id long, text string, norm string"
+        )
+        out = normalize_text(df, "text", "norm")
+        assert out.columns == ["doc_id", "text", "norm"]
+        row = out.first()
+        assert row["norm"] == "abc" and row["text"] == "AbC"
+
+    def test_out_col_non_string_target_rejected(self, spark):
+        from building_energy_data_pipeline_spark.operators.text import (
+            normalize_text,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="non-string"):
+            normalize_text(df, "text", "doc_id")

@@ -13,3 +13,4 @@ from .sessionctl import (  # noqa: F401
     run_with_timeout,
 )
 from .observe import QueryHistory, explain_analyze, explain_str  # noqa: F401
+from .access import AccessControl  # noqa: F401

@@ -375,3 +375,88 @@ class TestSessionControl:
         # cancelling the finished group must not affect later actions
         cancel_job_group(spark, "unit-group")
         assert spark.range(5).count() == 5
+
+
+class TestAccessControl:
+    def test_grant_revoke_and_inheritance(self, spark, tmp_path):
+        from building_energy_data_pipeline_spark.ops import AccessControl
+
+        acl = AccessControl(str(tmp_path / "acl.json"))
+        acl.create_role("analyst")
+        acl.create_role("intern", memberof=["analyst"])
+        acl.create_role("admin", superuser=True)
+        acl.grant("SELECT", "orders", "analyst")
+
+        assert acl.check("analyst", "orders", "SELECT")
+        # inherited through memberof
+        assert acl.check("intern", "orders", "SELECT")
+        assert not acl.check("intern", "orders", "INSERT")
+        # superuser bypasses grants
+        assert acl.check("admin", "lineitem", "DELETE")
+        # unknown role never passes
+        assert not acl.check("ghost", "orders", "SELECT")
+
+        acl.revoke("SELECT", "orders", "analyst")
+        assert not acl.check("intern", "orders", "SELECT")
+
+    def test_all_privilege_and_enforced_read(self, spark, tmp_path):
+        from building_energy_data_pipeline_spark.ops import AccessControl
+
+        p = str(tmp_path / "t")
+        spark.range(10).write.parquet(p)
+        acl = AccessControl()
+        acl.create_role("writer")
+        acl.grant("ALL", "t", "writer")
+        assert acl.check("writer", "t", "UPDATE")
+        assert acl.read_table(spark, "writer", "t", p).count() == 10
+
+        acl.create_role("nobody")
+        import pytest as _pytest
+
+        with _pytest.raises(PermissionError, match="SELECT"):
+            acl.read_table(spark, "nobody", "t", p)
+
+    def test_audit_queries_match_reference_shape(self, spark, tmp_path):
+        from building_energy_data_pipeline_spark.ops import AccessControl
+
+        acl = AccessControl(str(tmp_path / "acl.json"))
+        acl.create_role("analyst")
+        acl.create_role("intern", memberof=["analyst"])
+        acl.grant("SELECT", "orders", "analyst")
+        acl.grant("INSERT", "orders", "intern")
+
+        audit = {
+            r["rolname"]: r
+            for r in acl.audit_user_permissions(spark).collect()
+        }
+        assert audit["intern"]["memberof"] == ["analyst"]
+        assert audit["analyst"]["privileges"] == ["SELECT"]
+
+        tbl = {
+            r["grantee"]: r["privileges"]
+            for r in acl.get_table_access_privileges(spark, "orders").collect()
+        }
+        assert tbl == {"analyst": "SELECT", "intern": "INSERT"}
+
+    def test_state_survives_sessions(self, spark, tmp_path):
+        from building_energy_data_pipeline_spark.ops import AccessControl
+
+        path = str(tmp_path / "acl.json")
+        acl = AccessControl(path)
+        acl.create_role("analyst")
+        acl.grant("SELECT", "orders", "analyst")
+
+        reloaded = AccessControl(path)  # fresh instance, same file
+        assert reloaded.check("analyst", "orders", "SELECT")
+        reloaded.drop_role("analyst")
+        assert not AccessControl(path).check("analyst", "orders", "SELECT")
+
+    def test_cyclic_membership_terminates(self, spark, tmp_path):
+        from building_energy_data_pipeline_spark.ops import AccessControl
+
+        acl = AccessControl()
+        acl.create_role("a")
+        acl.create_role("b", memberof=["a"])
+        acl.roles["a"].memberof.add("b")  # force a cycle
+        acl.grant("SELECT", "t", "a")
+        assert acl.check("b", "t", "SELECT")  # no infinite loop

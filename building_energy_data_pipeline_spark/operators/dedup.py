@@ -278,18 +278,25 @@ def minhash_lsh_pairs(
 
     Plan hygiene (load-bearing, do not "simplify"):
 
-    - ``repartition(id_col)`` inserts an exchange right after the
-      signature computation; the slim band explode and both payload
-      lookups then read the SAME materialized exchange
-      (ReuseExchange) instead of each re-evaluating the md5 pipeline.
+    - the signature table is persisted through a bounded cache slot
+      (``caching.slot_persist``): the slim band explode and both
+      payload lookups read the SAME materialized partitions instead
+      of each re-evaluating the md5 pipeline — the signature hashing
+      is THE cost of MinHash at scale, and an exchange-reuse staging
+      (``repartition(id_col)``, the previous design) paid one extra
+      full-payload shuffle of the heaviest rows in the job for the
+      same compute-once guarantee (measured 23% slower end-to-end at
+      sf0.1). Eviction is safe: consumers recompute identical rows.
     - ``explode_outer`` (not ``explode``): plain explode lets
       ``InferFiltersFromGenerate`` push a ``size(band_keys) > 0``
       filter to the scan with the whole signature expression tree
       inlined — observed ~35× slowdown. ``band_keys`` has fixed
       length ``bands`` ≥ 1, so outer semantics are identical.
     """
+    from ..caching import slot_persist
+
     n = NUM_HASHES  # signature length is carried in the array itself
-    staged = sigs.repartition(F.col(id_col))
+    staged = slot_persist("dedup.minhash_lsh_pairs", sigs)
     # pinned bk-exchange: both self-join branches are then the SAME
     # subtree and read ONE materialized exchange of slim exploded
     # rows (AQE ReusedExchange) — without it the planner broadcasts
@@ -359,12 +366,14 @@ def incremental_lsh_matches(
     :func:`minhash_lsh_pairs` on why the arrays must not ride the
     explode).
     """
-    staged = sigs.repartition(F.col(id_col))
+    from ..caching import slot_persist
+
+    staged = slot_persist("dedup.incremental_lsh_matches", sigs)
     # pinned bk-exchange BEFORE the new-batch filter: corpus and
     # probe sides are then the same subtree modulo a post-exchange
     # filter, so both read ONE materialized slim exchange instead of
     # re-running the signature pipeline per side (see
-    # minhash_lsh_pairs)
+    # minhash_lsh_pairs on the persist-slot staging)
     slim = staged.select(
         F.col(id_col), F.explode_outer("band_keys").alias("bk")
     ).repartition(F.col("bk"))

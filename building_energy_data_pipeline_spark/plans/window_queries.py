@@ -21,39 +21,14 @@ from .registry import query
 from .training_queries import TOK  # noqa: F401  (shared token expr)
 from ..operators import dedup
 
-#: one cached rollup per query name — re-invoking a query unpersists
-#: its previous invocation's cache first, so a long-lived session
-#: (the bench runs each query 3×, the driver loops the registry) holds
-#: at most ONE cached DataFrame per query instead of accumulating.
-#: The returned DataFrame also carries the cache as ``_graft_cached``
-#: so callers can release it eagerly. (This persist is a pure
-#: OPTIMIZATION — both consumers produce correct results if a slot is
-#: evicted and recomputed; contrast ``operators/scale.
-#: global_row_index``, whose intermediate is correctness-critical and
-#: therefore uses a lineage-severing localCheckpoint instead.)
-_CACHE_SLOTS: dict[str, DataFrame] = {}
+# one cached rollup per query name, via the shared bounded slot
+# registry (see caching.py for the discipline and the contrast with
+# global_row_index's correctness-critical localCheckpoint). The
+# returned DataFrame also carries the cache as ``_graft_cached`` so
+# callers can release it eagerly.
+from ..caching import release_caches, slot_persist  # noqa: F401
 
-
-def _slot_persist(name: str, df: DataFrame) -> DataFrame:
-    prev = _CACHE_SLOTS.pop(name, None)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass  # session of the previous invocation may be gone
-    cached = df.persist()
-    _CACHE_SLOTS[name] = cached
-    return cached
-
-
-def release_caches() -> None:
-    """Unpersist every rollup slot this module still holds."""
-    while _CACHE_SLOTS:
-        _, cached = _CACHE_SLOTS.popitem()
-        try:
-            cached.unpersist()
-        except Exception:  # noqa: BLE001 — owning session may be gone
-            pass
+_slot_persist = slot_persist
 
 
 @query(

@@ -68,16 +68,17 @@ class TestJoinShapes:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
 
-    def test_q28_lsh_reuses_signature_exchange(self, spark, sf_dir):
-        # both self-join branches must read one materialized exchange
-        # instead of re-running the md5 pipeline per branch; exchange
-        # reuse is an AQE-runtime decision, so assert on the FINAL
-        # plan after execution
+    def test_q28_lsh_reuses_signature_table(self, spark, sf_dir):
+        # every consumer (both self-join branches, both payload
+        # lookups) must read the persisted signature slot instead of
+        # re-running the md5 pipeline per branch — the plan reads
+        # InMemoryTableScan leaves over ONE parquet scan (deep check
+        # in tests/test_scale.py::test_q28_single_signature_computation)
         df = REGISTRY["q28_minhash_lsh_pairs"].spark(spark, sf_dir)
         df.collect()
         plan = explain_str(df)
         assert "isFinalPlan=true" in plan
-        assert "ReusedExchange" in plan
+        assert "InMemoryTableScan" in plan
 
     def test_q34_ann_no_shuffle_before_topk(self, plan_of):
         # scoring is scan + broadcast + project; the only exchange is

@@ -124,8 +124,13 @@ class TestLshShufflePayload:
 
     def test_q28_single_signature_computation(self, spark, sf_dir):
         # all four consumers (two slim band branches, two payload
-        # lookups) must read ONE materialized exchange of compact
-        # per-doc rows; AQE proves it at runtime via ReusedExchange
+        # lookups) must read ONE persisted signature table (the
+        # caching.slot_persist slot) — the plan shows InMemoryTableScan
+        # leaves over a single parquet scan, never a re-run of the
+        # md5 signature pipeline per consumer
+        from building_energy_data_pipeline_spark.caching import (
+            release_caches,
+        )
         from building_energy_data_pipeline_spark.plans.queries import REGISTRY
 
         df = REGISTRY["q28_minhash_lsh_pairs"].spark(spark, sf_dir)
@@ -133,11 +138,19 @@ class TestLshShufflePayload:
         plan = explain_str(df)
         final = plan.split("== Initial Plan ==")[0]
         assert "isFinalPlan=true" in plan
+        assert "InMemoryTableScan" in final, (
+            "signature table is not read through the persist slot"
+        )
         assert final.count("Scan parquet") == 1, (
             "signature pipeline re-scanned the table instead of "
-            "reusing the staged exchange"
+            "reusing the persisted signature slot"
         )
-        assert "ReusedExchange" in final
+
+        # warm-path: an identical re-invocation must return the SAME
+        # cached frame (semanticHash slot hit), not a new persist
+        df2 = REGISTRY["q28_minhash_lsh_pairs"].spark(spark, sf_dir)
+        assert df2.semanticHash() == df.semanticHash()
+        release_caches()
 
 
 class TestCacheDiscipline:

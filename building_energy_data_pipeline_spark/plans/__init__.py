@@ -48,6 +48,8 @@ _CURATED_ORDER = [
     "q100_stream_stream_join",
     "q101_ivf_recall",
     "q102_audio_int_stats",
+    "q103_jsonl_roundtrip",
+    "q104_orc_roundtrip",
     # changed round 4: token templates / dedup slim join / curation
     "q27_fingerprint_dedup",
     "q28_minhash_lsh_pairs",

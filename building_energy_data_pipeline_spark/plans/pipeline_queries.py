@@ -379,6 +379,118 @@ def q93_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q103_jsonl_roundtrip",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT))
+             AS BIGINT) AS text_checksum
+    FROM documents
+    WHERE doc_id % 5 = 0
+    GROUP BY source
+    """,
+)
+def q103_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink/source verification: a documents slice is exported
+    to gzip'd JSONL (the training-corpus interchange format), read
+    back with an explicit schema, and checksummed per source — the
+    oracle checksums the ORIGINAL parquet, so the hash match proves
+    the JSON encode/decode cycle is lossless (string escaping,
+    unicode, null handling, long fidelity). The checksum is an
+    integer sum of each text's first-8-hex md5 — any corrupted
+    character in any document changes it.
+
+    Scale: filtered slice in, parallel directory-of-parts out; the
+    read-back is a schema'd scan (no inference pass).
+    """
+    import shutil
+    import tempfile
+
+    from ..sources.readers import read_jsonl
+    from ..sources.writers import write_jsonl
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id % 5 = 0")
+        .select("doc_id", "source", "text", "n_chars")
+    )
+    out = tempfile.mkdtemp(prefix="q103_jsonl_")
+    try:
+        write_jsonl(docs, out, compression="gzip")
+        back = read_jsonl(spark, out, schema=docs.schema)
+        return (
+            back.groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.sum(
+                    F.expr(
+                        "cast(conv(substr(md5(text), 1, 8), 16, 10)"
+                        " as bigint)"
+                    )
+                ).alias("text_checksum"),
+            )
+            # materialize before the temp dir vanishes (q93 pattern)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "q104_orc_roundtrip",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {dec_sum_sql("value")} AS sum_value,
+           CAST(SUM(CAST(epoch_us(ts) AS BIGINT)) AS BIGINT)
+             AS ts_checksum
+    FROM events
+    WHERE event_id % 7 = 0
+    GROUP BY event_type
+    """,
+)
+def q104_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source verification: an events slice (timestamps,
+    doubles, strings) round-trips through Spark's native ORC format
+    and is aggregated against the original-parquet oracle — proving
+    stripe encoding preserves timestamp micros (summed as an integer
+    checksum), IEEE doubles (decimal-summed), and row multiplicity.
+
+    Scale: ORC gets the same pushdown/pruning treatment as parquet;
+    this query is the interop guarantee for Hive-era warehouses.
+    """
+    import shutil
+    import tempfile
+
+    from ..functions.scalar import dec_sum
+    from ..sources.readers import read_orc
+    from ..sources.writers import write_orc
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_id % 7 = 0")
+        .select("event_id", "ts", "event_type", "value")
+    )
+    out = tempfile.mkdtemp(prefix="q104_orc_")
+    try:
+        write_orc(ev, out)
+        back = read_orc(spark, out, schema=ev.schema)
+        return (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                dec_sum("value").alias("sum_value"),
+                F.sum(F.unix_micros("ts")).alias("ts_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
     "q94_footer_rowcounts",
     oracle="""
     SELECT 'customer' AS table_name, COUNT(*) AS n_rows FROM customer

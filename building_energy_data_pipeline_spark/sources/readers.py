@@ -204,6 +204,35 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    **options: str,
+) -> DataFrame:
+    """JSONL scan (one JSON object per line — Spark's ``json`` source
+    default; gzip parts are decompressed transparently). Prefer an
+    explicit ``schema``: schema inference on JSON costs a full extra
+    pass over the data, which at corpus scale doubles the read."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan — same pushdown/pruning contract as parquet (S2):
+    predicate pushdown and column pruning reach the stripe reader."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def read_any(spark: SparkSession, path: str, **options: str) -> DataFrame:
     """S6: file-type dispatch by extension (.parquet/.csv/.txt/.json),
     mirroring ``FileReader.get_file_type_and_reader``
@@ -214,7 +243,9 @@ def read_any(spark: SparkSession, path: str, **options: str) -> DataFrame:
     if suffix in (".csv", ".txt"):
         return read_csv(spark, path, infer=True, **options)
     if suffix in (".json", ".jsonl", ".ndjson"):
-        return spark.read.json(path)
+        return read_jsonl(spark, path, **options)
+    if suffix == ".orc":
+        return read_orc(spark, path)
     raise ValueError(f"unsupported file type: {suffix!r} ({path})")
 
 

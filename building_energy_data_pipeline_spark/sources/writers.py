@@ -60,6 +60,50 @@ def csv_to_parquet(
     write_parquet(df, parquet_path, compression=compression)
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+) -> None:
+    """JSONL sink — the de-facto training-corpus interchange format
+    (one JSON object per line; Spark's ``json`` sink IS
+    line-delimited). Extends the reference's export surface
+    (S11/S15, ``convert_parquet_to_csv`` / ``export_table_to_csv``)
+    to the format LLM-data tooling actually consumes; gzip by
+    default, matching the reference's compressed-conversion default
+    (S12, ``file_utils.py:179-251``).
+
+    Scale: a parallel directory-of-parts like every other sink here;
+    gzip costs CPU but JSONL's redundancy makes it ~5× smaller on
+    the wire — the right trade when the consumer is a downloader,
+    not this engine (keep parquet for engine-side storage).
+    """
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+) -> None:
+    """ORC sink — the second columnar format Spark ships natively;
+    interop surface for Hive-era warehouses the reference's
+    PostgreSQL users may also feed. Same contract as
+    :func:`write_parquet` (S10)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.orc(path)
+
+
 def parquet_to_csv(
     spark: SparkSession,
     parquet_path: str,

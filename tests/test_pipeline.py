@@ -124,6 +124,51 @@ class TestWriters:
         files = [f for f in os.listdir(csv_dir) if f.endswith(".csv")]
         assert len(files) == 1  # single-file export contract
 
+    def test_jsonl_roundtrip_gzip(self, spark, tmp_path):
+        from building_energy_data_pipeline_spark.sources.readers import (
+            read_jsonl,
+        )
+        from building_energy_data_pipeline_spark.sources.writers import (
+            write_jsonl,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 'he said "hi"\nand left', None), (2, "plain", "en")],
+            "id long, text string, lang string",
+        )
+        out = str(tmp_path / "docs_jsonl")
+        write_jsonl(df, out, compression="gzip")
+        assert any(f.endswith(".json.gz") for f in os.listdir(out))
+        back = read_jsonl(spark, out, schema=df.schema)
+        # escaping, embedded newline, and null all survive
+        assert sorted(
+            (r.id, r.text, r.lang) for r in back.collect()
+        ) == sorted((r.id, r.text, r.lang) for r in df.collect())
+
+    def test_orc_roundtrip(self, spark, tmp_path):
+        from building_energy_data_pipeline_spark.sources.readers import (
+            read_any,
+            read_orc,
+        )
+        from building_energy_data_pipeline_spark.sources.writers import (
+            write_orc,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 1.5, "a"), (2, float("nan"), "b")],
+            "id long, v double, k string",
+        )
+        out = str(tmp_path / "t.orc")
+        write_orc(df, out)
+        back = read_orc(spark, out, schema=df.schema)
+        assert back.count() == 2
+        # NaN survives the stripe encoding
+        assert (
+            back.filter("isnan(v)").select("id").first()[0] == 2
+        )
+        # extension dispatch (S6) covers .orc
+        assert read_any(spark, out).count() == 2
+
     def test_partitioned_write(self, spark, tmp_path):
         df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, part string")
         write_parquet(df, str(tmp_path / "t"), partition_by=["part"])

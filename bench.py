@@ -20,6 +20,28 @@ from building_energy_data_pipeline_spark.plans.queries import HEADLINE, REGISTRY
 from building_energy_data_pipeline_spark.session import get_spark
 
 
+def _calibrate() -> float:
+    """Fixed single-thread CPU workload (pure-python LCG fold), timed.
+
+    Round-over-round BENCH files are produced on whatever VM the
+    driver happens to run on, and observed machine-speed spread is
+    >1.5× (round 3's VM ran the identical commit ~35% faster than
+    round 4's). ``calib_sec`` pins each run to an absolute CPU yard-
+    stick so cross-round query deltas can be separated into "code
+    changed" vs "machine changed": comparable machines produce
+    comparable calib times, and a query regression that tracks the
+    calib ratio is machine noise, not a plan change. Min of 3.
+    """
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(2_000_000):
+            x = (x * 1103515245 + 12345 + i) & 0x7FFFFFFF
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -95,6 +117,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calib_sec": _calibrate(),
     }
     if errors:
         payload["errors"] = errors

@@ -237,6 +237,43 @@ def duck_minhash_sql(
     }
 
 
+def duck_lsh_pairs_sql(
+    table: str,
+    id_col: str,
+    tokens_sql: str,
+    k: int = 3,
+    min_jaccard: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+) -> str:
+    """DuckDB twin of :func:`minhash_signatures` +
+    :func:`minhash_lsh_pairs` composed: verified near-dup pairs
+    (``id_a < id_b, est_sim, jaccard``) from ``table``. Single source
+    for every oracle that consumes LSH pairs (q28 directly, q106 as a
+    CTE) so the twins cannot drift."""
+    dk = duck_minhash_sql(tokens_sql, k=k, num_hashes=num_hashes)
+    jac = duck_jaccard_sql("sa.shingles", "sb.shingles")
+    return f"""
+    WITH sigs AS (
+      SELECT {id_col}, shingles, sig, {dk["band_keys"]} AS band_keys FROM (
+        SELECT {id_col}, shingles, {dk["sig"]} AS sig FROM (
+          SELECT {id_col}, {dk["shingles"]} AS shingles FROM {table}))),
+    banded AS (
+      SELECT {id_col}, unnest(band_keys) AS bk FROM sigs),
+    pairs AS (
+      SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+      FROM banded a JOIN banded b ON a.bk = b.bk AND a.{id_col} < b.{id_col})
+    SELECT * FROM (
+      SELECT id_a, id_b,
+             round(CAST(len(list_filter(range(1, {num_hashes} + 1),
+                   i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / {num_hashes}, 4) AS est_sim,
+             {jac} AS jaccard
+      FROM pairs
+      JOIN sigs sa ON sa.{id_col} = id_a
+      JOIN sigs sb ON sb.{id_col} = id_b
+    ) WHERE jaccard >= {min_jaccard}
+    """
+
+
 def jaccard_expr(a: str, b: str) -> F.Column:
     """Exact Jaccard similarity of two distinct-element string arrays."""
     return F.expr(

@@ -304,6 +304,85 @@ def ivf_topk(
     )
 
 
+def kmeans_step(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration of spherical k-means, distributed: assign
+    every vector to its nearest centroid (:func:`assign_centroids` —
+    broadcast centroids, map-only cosine scan), then recompute each
+    centroid as the per-dimension mean of its members.
+
+    This is the building block the IVF index (q35) trains with: run
+    it until assignments stabilize, feeding each round's output back
+    as the next round's centroid table. One step is SQL-expressible
+    and oracle-checkable; the fixpoint loop is a driver-side
+    ``for`` over this function (iterative, hence not oracle-checked
+    — same policy as the recursive spine, q58).
+
+    Output: ``centroid_id, pos (1-based), n_members, sum_comp,
+    centroid`` — the mean is computed like q66's label centroids:
+    ``posexplode`` to (centroid, dim, x) rows, DECIMAL(28,12) sums
+    (order-independent → engine-reproducible), one IEEE divide.
+
+    Scale: the only shuffle carries (k × dims) partial aggregates
+    after map-side combine — independent of corpus row count; no
+    driver state, no vector ever collected whole.
+    """
+    assigned = assign_centroids(corpus, centroids, id_col, vec_col)
+    comps = assigned.select(
+        "centroid_id", F.posexplode(vec_col).alias("pos0", "x")
+    ).select(
+        "centroid_id", (F.col("pos0") + 1).alias("pos"), "x"
+    )
+    dec_sum_x = F.round(
+        F.sum(F.col("x").cast("double").cast("decimal(28,12)")), 6
+    ).cast("double")
+    return comps.groupBy("centroid_id", "pos").agg(
+        F.count("*").alias("n_members"),
+        dec_sum_x.alias("sum_comp"),
+        (dec_sum_x / F.count("*")).alias("centroid"),
+    )
+
+
+def duck_kmeans_step_sql(
+    corpus: str = "embeddings",
+    centroid_pred: str = "vec_id < 8",
+) -> str:
+    """DuckDB twin of :func:`kmeans_step` (same assignment CTE as
+    :func:`duck_ivf_topk_sql`, same decimal-sum convention as q66)."""
+    assign_cos = (
+        f"{duck_dot_sql('v.embedding', 'ct.embedding')}"
+        f" / ({duck_norm_sql('v.embedding')} * {duck_norm_sql('ct.embedding')})"
+    )
+    return f"""
+    WITH assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT v.vec_id, v.embedding, ct.vec_id AS centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {assign_cos} DESC, ct.vec_id) AS crank
+        FROM {corpus} v, (SELECT * FROM {corpus} WHERE {centroid_pred}) ct
+      ) WHERE crank = 1
+    ),
+    comps AS (
+      SELECT centroid_id,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS x
+      FROM assigned
+    )
+    SELECT centroid_id, pos,
+           COUNT(*) AS n_members,
+           CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))), 6)
+                AS DOUBLE) AS sum_comp,
+           CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))), 6)
+                AS DOUBLE) / COUNT(*) AS centroid
+    FROM comps
+    GROUP BY centroid_id, pos
+    """
+
+
 def duck_ivf_topk_sql(
     corpus: str = "embeddings",
     centroid_pred: str = "vec_id < 8",

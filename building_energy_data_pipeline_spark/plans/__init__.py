@@ -19,14 +19,17 @@ from . import streaming_queries  # noqa: F401  (streaming-executed rollup q52, s
 from . import multimodal_queries  # noqa: F401  (binary media columns q53–q54)
 from . import array_queries  # noqa: F401  (explode/higher-order/pivot q59–q61)
 from . import pipeline_queries  # noqa: F401  (packing/decontam/boilerplate q83–q86)
-from . import llm_queries  # noqa: F401  (repetition/chunking/ngram-LM q97–q99)
+from . import llm_queries  # noqa: F401  (repetition/chunking/ngram-LM q97–q99, split-leakage/kmeans/zipf q106–q108)
+from . import cdc_queries  # noqa: F401  (MERGE upsert q105)
 
 #: Registry prefix — ROTATION RULE (round 4+): any query whose
 #: plan-affecting code changed since its LAST driver row, and any
 #: query with no driver row yet, goes INSIDE the 50-entry window;
 #: remaining slots refresh the queries with the oldest green rows.
-#: Round-4 mandatory set: the NEW q96–q99 (streaming dedup,
-#: repetition gate, RAG chunking, bigram LM); everything the round-4
+#: Round-4 mandatory set: the NEW q96–q108 (streaming dedup,
+#: repetition gate, RAG chunking, bigram LM, stream-stream join,
+#: IVF recall, audio stats, JSONL/ORC round-trips, MERGE upsert,
+#: split leakage, k-means step, Zipf coverage); everything the round-4
 #: commits touched (token-template NULL coalesce → q27–q33, q76,
 #: q83–q86, q90, q92, q44; slim LSH band join → q28/q90/q44; asof
 #: tiebreak → q36; multimodal md5-chain decoder → q53/q54; q87 qvec
@@ -50,6 +53,10 @@ _CURATED_ORDER = [
     "q102_audio_int_stats",
     "q103_jsonl_roundtrip",
     "q104_orc_roundtrip",
+    "q105_merge_upsert",
+    "q106_split_leakage",
+    "q107_kmeans_step",
+    "q108_zipf_coverage",
     # changed round 4: token templates / dedup slim join / curation
     "q27_fingerprint_dedup",
     "q28_minhash_lsh_pairs",
@@ -89,15 +96,17 @@ _CURATED_ORDER = [
     "q11_union_halves",
     "q12_nation_key_set_ops",
     "q13_regional_rollup",
-    "q15_string_functions",
-    "q16_monthly_orders",
-    "q17_try_cast_coercion",
-    "q18_conditional_ratio",
     "q19_column_stats",
     "q21_topk_per_group",
     "q34_ann_bruteforce",
     "q35_ann_ivf",
-    # ---- position 50 boundary; below: green r2/r3, unchanged since --
+    # ---- position 50 boundary; below: green r2/r3, unchanged since
+    # (q15-q18 demoted from the refresh block to make room for the
+    # new q105-q108: r1-green scalar families, untouched since r1) --
+    "q15_string_functions",
+    "q16_monthly_orders",
+    "q17_try_cast_coercion",
+    "q18_conditional_ratio",
     "q45_rollup_acctbal",
     "q46_cube_orders",
     "q47_grouping_sets",

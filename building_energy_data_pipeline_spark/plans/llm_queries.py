@@ -259,3 +259,160 @@ def q99_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q106–q108: split-leakage audit, k-means step, Zipf coverage
+# ---------------------------------------------------------------------------
+
+#: deterministic 80/10/10 split: md5 bucket of the doc id (the q78
+#: integer-exact hash-bucket idiom) → train (<8) / val (8) / test (9)
+_SPARK_SPLIT = (
+    "CASE WHEN cast(conv(substring(md5(cast(doc_id as string)), 1, 8),"
+    " 16, 10) as bigint) % 10 < 8 THEN 'train'"
+    " WHEN cast(conv(substring(md5(cast(doc_id as string)), 1, 8),"
+    " 16, 10) as bigint) % 10 = 8 THEN 'val' ELSE 'test' END"
+)
+_DUCK_SPLIT = (
+    "CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT) % 10 < 8 THEN 'train'"
+    " WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT) % 10 = 8 THEN 'val' ELSE 'test' END"
+)
+
+
+def _q106_oracle() -> str:
+    from ..operators import dedup
+
+    pairs = dedup.duck_lsh_pairs_sql(
+        "documents", "doc_id", DTOK, k=3, min_jaccard=0.5
+    )
+    return f"""
+    WITH lsh AS ({pairs}),
+    splits AS (SELECT doc_id, {_DUCK_SPLIT} AS split FROM documents)
+    SELECT id_a, id_b, sa.split AS split_a, sb.split AS split_b, jaccard
+    FROM lsh
+    JOIN splits sa ON sa.doc_id = id_a
+    JOIN splits sb ON sb.doc_id = id_b
+    WHERE sa.split != sb.split
+    """
+
+
+@query("q106_split_leakage", oracle=_q106_oracle())
+def q106_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split-leakage audit: assign every document to a
+    deterministic md5-bucket split (80/10/10 — the q78 hash-sampling
+    idiom, so membership is reproducible with no stored split table),
+    then surface every NEAR-DUPLICATE pair (MinHash+LSH, q28's
+    operator, Jaccard ≥ 0.5) that straddles two different splits.
+    Exact-duplicate leakage is the degenerate case (Jaccard 1.0);
+    near-dup leakage is the one that silently inflates eval scores.
+
+    Scale: split assignment is a free narrow expression on each side
+    of the existing LSH band join — no new shuffle beyond q28's; the
+    leakage join keys on doc ids against the already-tiny verified
+    pair set.
+    """
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", TOK, k=3)
+    pairs = dedup.minhash_lsh_pairs(sigs, "doc_id", min_jaccard=0.5)
+    splits = docs.select("doc_id", F.expr(_SPARK_SPLIT).alias("split"))
+    return (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+            ),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )
+
+
+def _q107_oracle() -> str:
+    from ..operators import similarity
+
+    return similarity.duck_kmeans_step_sql("embeddings", "vec_id < 8")
+
+
+@query("q107_kmeans_step", oracle=_q107_oracle())
+def q107_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd iteration of spherical k-means over the
+    embedding corpus (``operators/similarity.kmeans_step``): the first
+    8 vectors seed the centroids (deterministic init), every vector is
+    assigned to its nearest centroid by cosine (broadcast centroids,
+    map-only scan — q35's IVF assignment), and new centroids come back
+    as per-dimension DECIMAL-exact means (q66's distributed-mean
+    shape). Iterating this to a fixpoint IS k-means training for the
+    IVF index; one step is oracle-checkable SQL.
+
+    Scale: the only shuffle carries (k × dims) partial aggregates
+    after map-side combine — independent of corpus size.
+    """
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter("vec_id < 8")
+    return similarity.kmeans_step(emb, centroids)
+
+
+@query(
+    "q108_zipf_coverage",
+    oracle=f"""
+    WITH t AS (SELECT unnest({DTOK}) AS tok FROM documents),
+    c AS (SELECT tok, COUNT(*) AS n_occ FROM t GROUP BY tok),
+    r AS (SELECT tok, n_occ,
+            row_number() OVER (ORDER BY n_occ DESC, tok) AS rank,
+            SUM(n_occ) OVER (ORDER BY n_occ DESC, tok
+                             ROWS UNBOUNDED PRECEDING) AS cum_occ,
+            SUM(n_occ) OVER () AS total
+          FROM c)
+    SELECT rank, tok, n_occ,
+           CAST(cum_occ * 10000 // total AS BIGINT) AS cum_coverage_bp
+    FROM r WHERE rank <= 50
+    """,
+)
+def q108_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head-coverage of the corpus vocabulary: rank terms by
+    frequency and report, for the top 50, the cumulative share of all
+    token occurrences in integer basis points — the statistic behind
+    vocabulary-size / tokenizer-budget decisions ("the top N terms
+    cover X% of the corpus") and a drift check between corpus
+    versions.
+
+    Scale: the corpus-sized work is explode + map-side-combined
+    groupBy (bytes touched once); the global rank/cumsum window runs
+    on the VOCABULARY table (|V| rows, ~10⁶ at web scale — a single
+    partition holds it comfortably, and the top-50 filter keeps the
+    result tiny).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.expr(TOK)).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n_occ"))
+    total = counts.agg(F.sum("n_occ").alias("total"))
+    w = W.orderBy(F.desc("n_occ"), F.asc("tok"))
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_occ",
+            F.sum("n_occ").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        ranked.filter(F.col("rank") <= 50)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "tok",
+            "n_occ",
+            F.expr("cum_occ * 10000 div total").alias("cum_coverage_bp"),
+        )
+    )

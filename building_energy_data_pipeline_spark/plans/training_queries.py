@@ -75,29 +75,9 @@ def q27_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
-    dk = dedup.duck_minhash_sql(DTOK, k=3)
-    n = dedup.NUM_HASHES
-    jac = dedup.duck_jaccard_sql("sa.shingles", "sb.shingles")
-    return f"""
-    WITH sigs AS (
-      SELECT doc_id, shingles, sig, {dk["band_keys"]} AS band_keys FROM (
-        SELECT doc_id, shingles, {dk["sig"]} AS sig FROM (
-          SELECT doc_id, {dk["shingles"]} AS shingles FROM documents))),
-    banded AS (
-      SELECT doc_id, unnest(band_keys) AS bk FROM sigs),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
-    SELECT * FROM (
-      SELECT id_a, id_b,
-             round(CAST(len(list_filter(range(1, {n} + 1),
-                   i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / {n}, 4) AS est_sim,
-             {jac} AS jaccard
-      FROM pairs
-      JOIN sigs sa ON sa.doc_id = id_a
-      JOIN sigs sb ON sb.doc_id = id_b
-    ) WHERE jaccard >= 0.5
-    """
+    return dedup.duck_lsh_pairs_sql(
+        "documents", "doc_id", DTOK, k=3, min_jaccard=0.5
+    )
 
 
 @query("q28_minhash_lsh_pairs", oracle=_minhash_oracle(), headline=True)

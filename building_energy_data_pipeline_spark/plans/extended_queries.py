@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import similarity
+from ..operators import scale, similarity
 from ..operators.asof import asof_join
 from ..sources.readers import load_table
 from .registry import query
@@ -85,12 +85,12 @@ def q37_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify expression is this one either way.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    # pinned repartition on the STREAM side: the theta join is a
-    # broadcast nested-loop, and a single-file corpus otherwise runs
-    # every one of the O(n²) interpreted cosine folds on ONE task —
-    # measured 9× on sf0.1. The broadcast side stays unpartitioned.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    a = emb.repartition(n_part, "vec_id").select(
+    # spread the STREAM side: the theta join is a broadcast
+    # nested-loop, and a single-file corpus otherwise runs every one
+    # of the O(n²) interpreted cosine folds on ONE task — measured 9×
+    # on sf0.1. Conditional (scale.spread_scan): a multi-split corpus
+    # skips the exchange. The broadcast side stays unpartitioned.
+    a = scale.spread_scan(emb, by=["vec_id"]).select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
         F.expr(similarity.norm_expr("embedding")).alias("na"),

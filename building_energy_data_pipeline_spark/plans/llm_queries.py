@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..operators import text
+from ..operators import scale, text
 from ..sources.readers import load_table
 from .registry import query
 
@@ -88,10 +88,12 @@ def q97_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the groupBy output.
     """
     docs = load_table(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    staged = docs.select(
-        "doc_id", F.expr(TOK).alias("toks")
-    ).repartition(n_part, "doc_id")
+    # conditional spread BEFORE tokenizing: raw text rides the (only-
+    # when-single-split) exchange, and tokenization itself lands on
+    # all cores (scale.spread_scan)
+    staged = scale.spread_scan(
+        docs, cols=["doc_id", "text"], by=["doc_id"]
+    ).select("doc_id", F.expr(TOK).alias("toks"))
     # sizes cast to long BEFORE the permille multiply: size() is
     # 32-bit and (n_tokens - n_distinct) * 1000 silently wraps
     # negative past ~2.1M tokens with ANSI mode off (DuckDB's len()
@@ -232,8 +234,9 @@ def q99_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once.
     """
     docs = load_table(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    staged = docs.select(F.expr(TOK).alias("toks")).repartition(n_part)
+    staged = scale.spread_scan(docs, cols=["text"]).select(
+        F.expr(TOK).alias("toks")
+    )
     counts = (
         staged.select(
             F.explode(F.expr(text.bigrams_expr("toks"))).alias("b")

@@ -22,7 +22,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.scalar import dec_sum_sql
-from ..operators import dedup, similarity, text
+from ..operators import dedup, scale, similarity, text
 from ..sources.readers import load_table
 from .registry import query
 
@@ -218,12 +218,13 @@ def q85_token_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc_id key — one shuffle, no windows over the full corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # pinned repartition: frees the explode+partial-agg chain from the
-    # input file's row-group parallelism (see q84 note)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # conditional spread (scale.spread_scan) BEFORE tokenizing: frees
+    # the explode+partial-agg chain from the input file's row-group
+    # parallelism; raw text (not token arrays) rides the exchange,
+    # and a multi-split input skips it entirely
     counts = (
-        docs.select("doc_id", text.tokens("text").alias("__toks"))
-        .repartition(n_part, "doc_id")
+        scale.spread_scan(docs, cols=["doc_id", "text"], by=["doc_id"])
+        .select("doc_id", text.tokens("text").alias("__toks"))
         .select("doc_id", F.explode_outer("__toks").alias("t"))
         # null guard: a whitespace-only doc has an EMPTY token array —
         # explode_outer would emit a t=NULL row the oracle's unnest

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, similarity, text
+from ..operators import dedup, scale, similarity, text
 from ..sources.readers import load_table
 from .registry import query
 
@@ -112,9 +112,8 @@ def q29_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (32 bits × tokens per doc) escape the input file's row-group
     parallelism — measured 8× on a single-file sf0.1 corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return dedup.simhash(
-        docs.repartition(n_part, "doc_id"), "doc_id", TOK
+        scale.spread_scan(docs, by=["doc_id"]), "doc_id", TOK
     )
 
 
@@ -398,9 +397,9 @@ def q68_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned repartition on the STREAM side: the block join broadcasts
     # the build side, so a single-file corpus otherwise generates and
     # edit-distances every in-block pair on ONE task (measured 9× on
-    # sf0.1). The broadcast side stays as-is.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    a = d.repartition(n_part, "doc_id").alias("a")
+    # sf0.1). Conditional (scale.spread_scan): a multi-split corpus
+    # skips the exchange. The broadcast side stays as-is.
+    a = scale.spread_scan(d, by=["doc_id"]).alias("a")
     b = d.alias("b")
     dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
     return (

@@ -230,3 +230,42 @@ class TestCacheDiscipline:
                 and stats["lo"] == 1
                 and stats["hi"] == 100_000
             ), f"row index corrupted: {stats}"
+
+
+class TestSpreadScan:
+    def test_single_split_input_fans_out(self, spark, sf_dir):
+        from building_energy_data_pipeline_spark.operators.scale import (
+            spread_scan,
+        )
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        assert li.rdd.getNumPartitions() == 1  # testdata contract
+        out = spread_scan(li, cols=["l_orderkey", "l_quantity"])
+        cores = spark.sparkContext.defaultParallelism
+        assert out.rdd.getNumPartitions() == cores
+        assert out.columns == ["l_orderkey", "l_quantity"]
+
+    def test_wide_input_is_a_noop(self, spark):
+        from building_energy_data_pipeline_spark.operators.scale import (
+            spread_scan,
+        )
+
+        cores = spark.sparkContext.defaultParallelism
+        df = spark.range(0, 10_000, 1, numPartitions=cores * 4)
+        out = spread_scan(df)
+        # already-parallel input must NOT gain an exchange
+        assert out.rdd.getNumPartitions() == cores * 4
+        assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+    def test_by_key_partitioning_feeds_downstream_groupby(self, spark, sf_dir):
+        from building_energy_data_pipeline_spark.operators.scale import (
+            spread_scan,
+        )
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        out = spread_scan(li, cols=["l_orderkey", "l_quantity"], by=["l_orderkey"])
+        agg = out.groupBy("l_orderkey").count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        # exactly ONE exchange: the spread's hashpartitioning satisfies
+        # the groupBy's distribution, so no second shuffle appears
+        assert plan.count("Exchange hashpartitioning") == 1

@@ -347,25 +347,36 @@ def kmeans_step(
     )
 
 
-def duck_kmeans_step_sql(
-    corpus: str = "embeddings",
-    centroid_pred: str = "vec_id < 8",
-) -> str:
-    """DuckDB twin of :func:`kmeans_step` (same assignment CTE as
-    :func:`duck_ivf_topk_sql`, same decimal-sum convention as q66)."""
+def duck_assign_sql(corpus: str, centroid_pred: str) -> str:
+    """DuckDB twin of :func:`assign_centroids`: the nearest-centroid
+    assignment subquery (max cosine, ties by centroid id). Single
+    source for every oracle built on the assignment — IVF retrieval
+    (:func:`duck_ivf_topk_sql`) and the k-means step
+    (:func:`duck_kmeans_step_sql`) — so the tie-break and fold-order
+    conventions cannot drift between them."""
     assign_cos = (
         f"{duck_dot_sql('v.embedding', 'ct.embedding')}"
         f" / ({duck_norm_sql('v.embedding')} * {duck_norm_sql('ct.embedding')})"
     )
     return f"""
-    WITH assigned AS (
       SELECT vec_id, embedding, centroid_id FROM (
         SELECT v.vec_id, v.embedding, ct.vec_id AS centroid_id,
                row_number() OVER (PARTITION BY v.vec_id
                                   ORDER BY {assign_cos} DESC, ct.vec_id) AS crank
         FROM {corpus} v, (SELECT * FROM {corpus} WHERE {centroid_pred}) ct
       ) WHERE crank = 1
-    ),
+    """
+
+
+def duck_kmeans_step_sql(
+    corpus: str = "embeddings",
+    centroid_pred: str = "vec_id < 8",
+) -> str:
+    """DuckDB twin of :func:`kmeans_step` (assignment CTE shared with
+    :func:`duck_ivf_topk_sql` via :func:`duck_assign_sql`, decimal-sum
+    convention shared with q66)."""
+    return f"""
+    WITH assigned AS ({duck_assign_sql(corpus, centroid_pred)}),
     comps AS (
       SELECT centroid_id,
              generate_subscripts(embedding, 1) AS pos,
@@ -389,24 +400,14 @@ def duck_ivf_topk_sql(
     query_pred: str = "vec_id % 50 = 0",
     k: int = 3,
 ) -> str:
-    """DuckDB twin of :func:`ivf_topk`."""
-    assign_cos = (
-        f"{duck_dot_sql('v.embedding', 'ct.embedding')}"
-        f" / ({duck_norm_sql('v.embedding')} * {duck_norm_sql('ct.embedding')})"
-    )
+    """DuckDB twin of :func:`ivf_topk` (assignment CTE shared with
+    :func:`duck_kmeans_step_sql` via :func:`duck_assign_sql`)."""
     pair_cos = (
         f"{duck_dot_sql('c.embedding', 'q.embedding')}"
         f" / ({duck_norm_sql('c.embedding')} * {duck_norm_sql('q.embedding')})"
     )
     return f"""
-    WITH assigned AS (
-      SELECT vec_id, embedding, centroid_id FROM (
-        SELECT v.vec_id, v.embedding, ct.vec_id AS centroid_id,
-               row_number() OVER (PARTITION BY v.vec_id
-                                  ORDER BY {assign_cos} DESC, ct.vec_id) AS crank
-        FROM {corpus} v, (SELECT * FROM {corpus} WHERE {centroid_pred}) ct
-      ) WHERE crank = 1
-    )
+    WITH assigned AS ({duck_assign_sql(corpus, centroid_pred)})
     SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cos
     FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -98,11 +98,12 @@ _CURATED_ORDER = [
     "q13_regional_rollup",
     "q19_column_stats",
     "q21_topk_per_group",
+    # ---- position 50 boundary; below: green r2/r3, unchanged since
+    # (q15-q18 and q34/q35 demoted from the refresh block to make
+    # room for the new q103-q108: r1-green, untouched since r1, and
+    # all re-verified by the local DuckDB-parity suite each round) --
     "q34_ann_bruteforce",
     "q35_ann_ivf",
-    # ---- position 50 boundary; below: green r2/r3, unchanged since
-    # (q15-q18 demoted from the refresh block to make room for the
-    # new q105-q108: r1-green scalar families, untouched since r1) --
     "q15_string_functions",
     "q16_monthly_orders",
     "q17_try_cast_coercion",

@@ -269,19 +269,29 @@ def q99_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 #: deterministic 80/10/10 split: md5 bucket of the doc id (the q78
-#: integer-exact hash-bucket idiom) → train (<8) / val (8) / test (9)
-_SPARK_SPLIT = (
-    "CASE WHEN cast(conv(substring(md5(cast(doc_id as string)), 1, 8),"
-    " 16, 10) as bigint) % 10 < 8 THEN 'train'"
-    " WHEN cast(conv(substring(md5(cast(doc_id as string)), 1, 8),"
-    " 16, 10) as bigint) % 10 = 8 THEN 'val' ELSE 'test' END"
-)
-_DUCK_SPLIT = (
-    "CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
-    " AS BIGINT) % 10 < 8 THEN 'train'"
-    " WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
-    " AS BIGINT) % 10 = 8 THEN 'val' ELSE 'test' END"
-)
+#: integer-exact hash-bucket idiom) → train (<8) / val (8) / test (9).
+#: A pure function of the id, so it can be stamped onto ANY frame
+#: carrying the id — no split table, no join.
+def _spark_split(col: str) -> str:
+    b = (
+        f"cast(conv(substring(md5(cast({col} as string)), 1, 8),"
+        f" 16, 10) as bigint) % 10"
+    )
+    return (
+        f"CASE WHEN {b} < 8 THEN 'train'"
+        f" WHEN {b} = 8 THEN 'val' ELSE 'test' END"
+    )
+
+
+def _duck_split(col: str) -> str:
+    b = (
+        f"CAST(concat('0x', substr(md5(CAST({col} AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) % 10"
+    )
+    return (
+        f"CASE WHEN {b} < 8 THEN 'train'"
+        f" WHEN {b} = 8 THEN 'val' ELSE 'test' END"
+    )
 
 
 def _q106_oracle() -> str:
@@ -291,13 +301,13 @@ def _q106_oracle() -> str:
         "documents", "doc_id", DTOK, k=3, min_jaccard=0.5
     )
     return f"""
-    WITH lsh AS ({pairs}),
-    splits AS (SELECT doc_id, {_DUCK_SPLIT} AS split FROM documents)
-    SELECT id_a, id_b, sa.split AS split_a, sb.split AS split_b, jaccard
-    FROM lsh
-    JOIN splits sa ON sa.doc_id = id_a
-    JOIN splits sb ON sb.doc_id = id_b
-    WHERE sa.split != sb.split
+    SELECT * FROM (
+      SELECT id_a, id_b,
+             {_duck_split("id_a")} AS split_a,
+             {_duck_split("id_b")} AS split_b,
+             jaccard
+      FROM ({pairs})
+    ) WHERE split_a != split_b
     """
 
 
@@ -311,32 +321,25 @@ def q106_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact-duplicate leakage is the degenerate case (Jaccard 1.0);
     near-dup leakage is the one that silently inflates eval scores.
 
-    Scale: split assignment is a free narrow expression on each side
-    of the existing LSH band join — no new shuffle beyond q28's; the
-    leakage join keys on doc ids against the already-tiny verified
-    pair set.
+    Scale: the split is a pure function of the doc id (md5 bucket),
+    so it is stamped directly onto the verified pair set as two
+    narrow expressions — no split table, no extra scan, no shuffle
+    beyond q28's own band join.
     """
     from ..operators import dedup
 
     docs = load_table(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, "doc_id", TOK, k=3)
     pairs = dedup.minhash_lsh_pairs(sigs, "doc_id", min_jaccard=0.5)
-    splits = docs.select("doc_id", F.expr(_SPARK_SPLIT).alias("split"))
     return (
-        pairs.join(
-            splits.select(
-                F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
-            ),
+        pairs.select(
             "id_a",
-        )
-        .join(
-            splits.select(
-                F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
-            ),
             "id_b",
+            F.expr(_spark_split("id_a")).alias("split_a"),
+            F.expr(_spark_split("id_b")).alias("split_b"),
+            "jaccard",
         )
         .filter(F.col("split_a") != F.col("split_b"))
-        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
     )
 
 

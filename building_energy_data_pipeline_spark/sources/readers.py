@@ -223,20 +223,27 @@ def read_jsonl(
 
 
 def read_orc(
-    spark: SparkSession, path: str, schema: T.StructType | None = None
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    **options: str,
 ) -> DataFrame:
     """ORC scan — same pushdown/pruning contract as parquet (S2):
     predicate pushdown and column pruning reach the stripe reader."""
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
     return reader.orc(path)
 
 
 def read_any(spark: SparkSession, path: str, **options: str) -> DataFrame:
-    """S6: file-type dispatch by extension (.parquet/.csv/.txt/.json),
-    mirroring ``FileReader.get_file_type_and_reader``
-    (``src/utility/file_utils.py:317-355``)."""
+    """S6: file-type dispatch by extension
+    (.parquet/.csv/.txt/.json/.jsonl/.ndjson/.orc), mirroring
+    ``FileReader.get_file_type_and_reader``
+    (``src/utility/file_utils.py:317-355``); ``options`` are forwarded
+    to the format's reader."""
     suffix = Path(path).suffix.lower()
     if suffix == ".parquet":
         return read_parquet(spark, path)
@@ -245,7 +252,7 @@ def read_any(spark: SparkSession, path: str, **options: str) -> DataFrame:
     if suffix in (".json", ".jsonl", ".ndjson"):
         return read_jsonl(spark, path, **options)
     if suffix == ".orc":
-        return read_orc(spark, path)
+        return read_orc(spark, path, **options)
     raise ValueError(f"unsupported file type: {suffix!r} ({path})")
 
 

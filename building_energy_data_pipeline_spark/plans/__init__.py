@@ -57,6 +57,8 @@ _CURATED_ORDER = [
     "q106_split_leakage",
     "q107_kmeans_step",
     "q108_zipf_coverage",
+    "q109_pagerank_step",
+    "q110_temperature_mixture",
     # changed round 4: token templates / dedup slim join / curation
     "q27_fingerprint_dedup",
     "q28_minhash_lsh_pairs",
@@ -96,12 +98,13 @@ _CURATED_ORDER = [
     "q11_union_halves",
     "q12_nation_key_set_ops",
     "q13_regional_rollup",
+    # ---- position 50 boundary; below: green r2/r3, unchanged since
+    # (q15-q19, q21 and q34/q35 demoted from the refresh block to
+    # make room for the new q103-q110: r1-green, untouched since r1,
+    # and all re-verified by the local DuckDB-parity suite each
+    # round) --
     "q19_column_stats",
     "q21_topk_per_group",
-    # ---- position 50 boundary; below: green r2/r3, unchanged since
-    # (q15-q18 and q34/q35 demoted from the refresh block to make
-    # room for the new q103-q108: r1-green, untouched since r1, and
-    # all re-verified by the local DuckDB-parity suite each round) --
     "q34_ann_bruteforce",
     "q35_ann_ivf",
     "q15_string_functions",

@@ -422,3 +422,114 @@ def q108_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cum_occ * 10000 div total").alias("cum_coverage_bp"),
         )
     )
+
+
+#: PageRank damping factor (the standard 0.85; exact double literal,
+#: identical on both engines)
+PR_DAMPING = 0.85
+
+
+def _q109_oracle() -> str:
+    bg = text.duck_bigrams_sql("toks")
+    return f"""
+    WITH t AS (SELECT {DTOK} AS toks FROM documents),
+    bg AS (SELECT unnest({bg}) AS b FROM t),
+    e AS (SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+                 COUNT(*) AS c
+          FROM bg GROUP BY 1, 2),
+    o AS (SELECT w1, SUM(c) AS out_c FROM e GROUP BY w1),
+    n AS (SELECT COUNT(*) AS nn FROM
+            (SELECT w1 AS w FROM e UNION SELECT w2 FROM e)),
+    contrib AS (
+      SELECT e.w2 AS token,
+             (CAST(1 AS DOUBLE) / nn) * (CAST(e.c AS DOUBLE) / out_c) AS x
+      FROM e JOIN o USING (w1), n
+    )
+    SELECT token,
+           COUNT(*) AS n_in_edges,
+           (SELECT (CAST(1 AS DOUBLE) - CAST({PR_DAMPING} AS DOUBLE)) / nn
+            FROM n)
+             + CAST({PR_DAMPING} AS DOUBLE) * CAST(ROUND(SUM(
+                 CAST(x AS DECIMAL(28,12))), 6) AS DOUBLE) AS rank1
+    FROM contrib
+    GROUP BY token
+    """
+
+
+@query("q109_pagerank_step", oracle=_q109_oracle())
+def q109_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank power-iteration step over the corpus bigram
+    transition graph (q99's edges): from a uniform start vector
+    ``r0 = 1/N``, each token's next rank is ``(1-d)/N + d·Σ_in
+    r0·c(v,w)/out(v)``. Iterating this to convergence ranks tokens by
+    their stationary transition mass — the importance substrate for
+    keyword extraction / TextRank-style summarization over a corpus.
+    One step is oracle-checkable; the fixpoint loop is a driver-side
+    ``for`` feeding each round's vector back in (same policy as the
+    k-means step q107 and connected components q44).
+
+    Determinism: every per-edge contribution is a chain of IEEE ops
+    on identical operands (1.0/N, c/out, product); the in-edge sum
+    goes through DECIMAL(28,12) (order-independent), and the final
+    damp-and-shift is two more identical IEEE ops on the rounded sum.
+
+    Output covers tokens with ≥1 in-edge; a token with none has the
+    constant rank (1-d)/N (both engines would emit the same value —
+    omitted as noise). Dangling-node mass (tokens with no OUT-edges)
+    is discarded, not redistributed, on both engines alike.
+
+    Scale: edge aggregation is the corpus-sized work (map-side
+    combined); the rank update itself joins and aggregates the
+    already-compact edge table — per-iteration cost is O(|E|)
+    shuffled by token, the standard distributed-PageRank shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = scale.spread_scan(docs, cols=["text"]).select(
+        F.expr(TOK).alias("toks")
+    )
+    edges = (
+        staged.select(
+            F.explode(F.expr(text.bigrams_expr("toks"))).alias("b")
+        )
+        .select(
+            F.expr("split(b, ' ')[0]").alias("w1"),
+            F.expr("split(b, ' ')[1]").alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    out = edges.groupBy("w1").agg(F.sum("c").alias("out_c"))
+    nodes = (
+        edges.select(F.col("w1").alias("w"))
+        .union(edges.select(F.col("w2").alias("w")))
+        .distinct()
+        .agg(F.count("*").alias("nn"))
+    )
+    contrib = (
+        edges.join(out, "w1")
+        .crossJoin(F.broadcast(nodes))
+        .select(
+            F.col("w2").alias("token"),
+            "nn",
+            # every literal cast to double EXPLICITLY: a bare 1.0 is
+            # DECIMAL(2,1) in both SQL dialects but their decimal
+            # division semantics differ — the oracle twin mirrors
+            # these exact casts
+            F.expr(
+                "(cast(1 as double) / nn) * (cast(c as double) / out_c)"
+            ).alias("x"),
+        )
+    )
+    return contrib.groupBy("token").agg(
+        F.count("*").alias("n_in_edges"),
+        (
+            F.expr(
+                f"(cast(1 as double) - cast({PR_DAMPING} as double))"
+            )
+            / F.first("nn")
+            + F.expr(f"cast({PR_DAMPING} as double)")
+            * F.round(F.sum(F.col("x").cast("decimal(28,12)")), 6).cast(
+                "double"
+            )
+        ).alias("rank1"),
+    )

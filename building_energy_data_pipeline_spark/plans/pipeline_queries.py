@@ -876,3 +876,96 @@ def q86_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), F.desc("gram"))
         .limit(100)
     )
+
+
+#: temperature-mixture target corpus size (docs) — small enough that
+#: tiny SFs still leave every source undersampled
+_TEMP_TARGET = 1000
+
+_BUCKET_SPARK = (
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+    " as bigint) % 1000000"
+)
+_BUCKET_DUCK = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT) % 1000000"
+)
+
+
+@query(
+    "q110_temperature_mixture",
+    oracle=f"""
+    WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents
+               GROUP BY source),
+    w AS (SELECT source, n_docs,
+                 CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)
+                   AS weight
+          FROM s),
+    t AS (SELECT SUM(weight) AS sum_w FROM w),
+    tgt AS (SELECT source, n_docs, weight,
+                   CAST(({_TEMP_TARGET} * weight) // sum_w AS BIGINT)
+                     AS target_docs
+            FROM w, t),
+    sel AS (SELECT d.source, d.doc_id
+            FROM documents d JOIN tgt USING (source)
+            WHERE ({_BUCKET_DUCK}) * n_docs < target_docs * 1000000)
+    SELECT g.source, g.n_docs, g.weight, g.target_docs,
+           COALESCE(c.n_selected, 0) AS n_selected,
+           COALESCE(c.ck, 0) AS sel_checksum
+    FROM tgt g LEFT JOIN
+      (SELECT source, COUNT(*) AS n_selected,
+              CAST(SUM(doc_id) AS BIGINT) AS ck
+       FROM sel GROUP BY source) c USING (source)
+    """,
+)
+def q110_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixture (alpha = 0.5): per-source
+    sampling targets proportional to ``n_docs^0.5`` — the standard
+    up-weighting of small/low-resource sources (multilingual and
+    domain-mixture training recipes) that q88's FIXED per-source rates
+    cannot express. Selection reuses the q78/q88 md5-bucket idiom so
+    the sampled member set is deterministic and auditable; the
+    checksum sums the selected doc ids.
+
+    Exactness: the only float op is ``floor(sqrt(n))`` — IEEE sqrt is
+    correctly rounded on both engines, so the floor is identical;
+    everything after is integer arithmetic.
+
+    Scale: two tiny aggregates over source cardinality (broadcast
+    back), then one narrow filtered scan — no shuffle of the corpus;
+    the selection predicate is a pure function of (doc_id, source
+    stats), so re-runs on a grown corpus re-derive a consistent
+    sample without any stored state.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    stats = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn(
+            "weight",
+            F.expr("cast(floor(sqrt(cast(n_docs as double))) as bigint)"),
+        )
+    )
+    tot = stats.agg(F.sum("weight").alias("sum_w"))
+    tgt = stats.crossJoin(F.broadcast(tot)).withColumn(
+        "target_docs",
+        F.expr(f"({_TEMP_TARGET} * weight) div sum_w"),
+    )
+    sel = docs.join(F.broadcast(tgt), "source").filter(
+        F.expr(f"({_BUCKET_SPARK}) * n_docs < target_docs * 1000000")
+    )
+    picked = sel.groupBy("source").agg(
+        F.count("*").alias("n_selected"),
+        F.sum("doc_id").cast("bigint").alias("ck"),
+    )
+    return (
+        tgt.join(picked, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "weight",
+            "target_docs",
+            F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
+            F.coalesce("ck", F.lit(0)).alias("sel_checksum"),
+        )
+    )

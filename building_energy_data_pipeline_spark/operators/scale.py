@@ -29,15 +29,21 @@ def write_bucketed(
     num_buckets: int = 32,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (+ optionally sorted) table.
 
     Joins and groupBys on ``bucket_cols`` between tables bucketed the
     same way run exchange-free (verified by plan assertion in
     tests/test_scale.py). Sorting within buckets additionally enables
-    sort-merge joins without a per-query sort.
+    sort-merge joins without a per-query sort. ``path`` makes the
+    table EXTERNAL at that location (catalog entry still required —
+    bucketing metadata lives in the catalog, not the files — but the
+    warehouse dir is then never written).
     """
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)

@@ -59,6 +59,7 @@ _CURATED_ORDER = [
     "q108_zipf_coverage",
     "q109_pagerank_step",
     "q110_temperature_mixture",
+    "q111_bucketed_join",
     # changed round 4: token templates / dedup slim join / curation
     "q27_fingerprint_dedup",
     "q28_minhash_lsh_pairs",
@@ -97,12 +98,12 @@ _CURATED_ORDER = [
     "q10_cross_join_constants",
     "q11_union_halves",
     "q12_nation_key_set_ops",
-    "q13_regional_rollup",
     # ---- position 50 boundary; below: green r2/r3, unchanged since
-    # (q15-q19, q21 and q34/q35 demoted from the refresh block to
-    # make room for the new q103-q110: r1-green, untouched since r1,
-    # and all re-verified by the local DuckDB-parity suite each
+    # (q13, q15-q19, q21 and q34/q35 demoted from the refresh block
+    # to make room for the new q103-q111: r1-green, untouched since
+    # r1, and all re-verified by the local DuckDB-parity suite each
     # round) --
+    "q13_regional_rollup",
     "q19_column_stats",
     "q21_topk_per_group",
     "q34_ann_bruteforce",

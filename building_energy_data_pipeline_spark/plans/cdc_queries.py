@@ -57,7 +57,7 @@ def _q105_oracle() -> str:
     """
 
 
-@query("q105_merge_upsert", oracle=_q105_oracle())
+@query("q105_merge_upsert", headline=True, oracle=_q105_oracle())
 def q105_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO (CDC apply): a deterministic change batch — price
     revisions (every 13th key, status→'R', price×1.1), inserts (every

@@ -456,7 +456,7 @@ def _q109_oracle() -> str:
     """
 
 
-@query("q109_pagerank_step", oracle=_q109_oracle())
+@query("q109_pagerank_step", headline=True, oracle=_q109_oracle())
 def q109_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One PageRank power-iteration step over the corpus bigram
     transition graph (q99's edges): from a uniform start vector

@@ -969,3 +969,83 @@ def q110_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("ck", F.lit(0)).alias("sel_checksum"),
         )
     )
+
+
+@query(
+    "q111_bucketed_join",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           {dec_sum_sql("o_totalprice")} AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q111_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join, driver-verified end-to-end: orders
+    and customer are written as bucketed tables on the join key
+    (``operators/scale.write_bucketed`` — hash(custkey) mod 8, the
+    one-time shuffle), read back, and joined WITHOUT any exchange:
+    with broadcast disabled, the only shuffle in the whole job is the
+    tiny final aggregate's. The oracle joins the original parquet, so
+    the hash match proves the bucketed layout loses no rows and
+    co-locates correctly.
+
+    This is THE 100 TB lever for repeated fact-dim joins: pay the
+    bucketing shuffle once at ingest, and every subsequent join/agg
+    on the key is exchange-free (plan-asserted in
+    tests/test_scale.py::test_bucketed_join_is_exchange_free).
+
+    Tables are external (explicit ``path`` into a temp dir) so the
+    query works under any warehouse configuration; the catalog
+    entries and files are dropped after materialization.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.scalar import dec_sum
+    from ..operators.scale import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = tempfile.mkdtemp(prefix="q111_bucketed_")
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(
+            orders,
+            "q111_orders_b",
+            ["o_custkey"],
+            num_buckets=8,
+            path=os.path.join(base, "orders_b"),
+        )
+        write_bucketed(
+            customer,
+            "q111_customer_b",
+            ["c_custkey"],
+            num_buckets=8,
+            path=os.path.join(base, "customer_b"),
+        )
+        # disable broadcast so the join must rely on the bucket
+        # layout — an accidental broadcast would hide a bucketing bug
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ob = spark.table("q111_orders_b")
+        cb = spark.table("q111_customer_b")
+        return (
+            ob.join(cb, ob.o_custkey == cb.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dec_sum("o_totalprice").alias("sum_price"),
+            )
+            .localCheckpoint(eager=True)  # materialize before cleanup
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        spark.sql("DROP TABLE IF EXISTS q111_orders_b")
+        spark.sql("DROP TABLE IF EXISTS q111_customer_b")
+        shutil.rmtree(base, ignore_errors=True)

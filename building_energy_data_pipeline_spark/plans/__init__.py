@@ -26,18 +26,20 @@ from . import cdc_queries  # noqa: F401  (MERGE upsert q105)
 #: plan-affecting code changed since its LAST driver row, and any
 #: query with no driver row yet, goes INSIDE the 50-entry window;
 #: remaining slots refresh the queries with the oldest green rows.
-#: Round-4 mandatory set: the NEW q96–q108 (streaming dedup,
+#: Round-4 mandatory set: the NEW q96–q111 (streaming dedup,
 #: repetition gate, RAG chunking, bigram LM, stream-stream join,
 #: IVF recall, audio stats, JSONL/ORC round-trips, MERGE upsert,
-#: split leakage, k-means step, Zipf coverage); everything the round-4
+#: split leakage, k-means step, Zipf coverage, PageRank step,
+#: temperature mixture, bucketed join); everything the round-4
 #: commits touched (token-template NULL coalesce → q27–q33, q76,
 #: q83–q86, q90, q92, q44; slim LSH band join → q28/q90/q44; asof
 #: tiebreak → q36; multimodal md5-chain decoder → q53/q54; q87 qvec
-#: serialization; global_row_index cache slots → q22/q23); plus the
-#: round-3 ``fa23fce`` plan rewrites whose driver rows were stale
-#: (q29/q30/q37/q68 — VERDICT r3 finding #2). Not rotated in:
-#: headline-flag-only edits (q91) and non-plan changes
-#: (release_caches in window_queries — q73/q74 plans untouched).
+#: serialization; global_row_index cache slots → q22/q23;
+#: conditional spread_scan fan-out → q01/q08/q29/q34/q37/q68/q85/
+#: q91/q97/q99); plus the round-3 ``fa23fce`` plan rewrites whose
+#: driver rows were stale (q29/q30/q37/q68 — VERDICT r3 finding #2).
+#: Not rotated in: non-plan changes (release_caches in
+#: window_queries — q73/q74 plans untouched).
 #: Ordering is evidence curation, not semantics: every query runs
 #: identically wherever it sits.
 _CURATED_ORDER = [
@@ -87,6 +89,10 @@ _CURATED_ORDER = [
     # round-3 fa23fce rewrites with stale (r1) driver rows
     "q37_embedding_neardup",
     "q68_fuzzy_blocked_join",
+    # changed round 4: conditional spread_scan fan-out (q01 is at the
+    # top as flagship; q08 sits in the refresh block below)
+    "q34_ann_bruteforce",
+    "q91_quantized_topk",
     # refresh: oldest evidence (green r1, unchanged since)
     "q02_filtered_scan",
     "q03_top_revenue_orders",
@@ -96,17 +102,16 @@ _CURATED_ORDER = [
     "q08_unpivot_metrics",
     "q09_nullsafe_pair_join",
     "q10_cross_join_constants",
+    # ---- position 50 boundary; below: green r2/r3, unchanged since
+    # (q11-q13, q15-q19, q21 and q35 demoted from the refresh block
+    # to make room for the new q103-q111 and the spread_scan-changed
+    # q34/q91: all r1-green, untouched since their last green row,
+    # and re-verified by the local DuckDB-parity suite each round) --
     "q11_union_halves",
     "q12_nation_key_set_ops",
-    # ---- position 50 boundary; below: green r2/r3, unchanged since
-    # (q13, q15-q19, q21 and q34/q35 demoted from the refresh block
-    # to make room for the new q103-q111: r1-green, untouched since
-    # r1, and all re-verified by the local DuckDB-parity suite each
-    # round) --
     "q13_regional_rollup",
     "q19_column_stats",
     "q21_topk_per_group",
-    "q34_ann_bruteforce",
     "q35_ann_ivf",
     "q15_string_functions",
     "q16_monthly_orders",
@@ -117,7 +122,6 @@ _CURATED_ORDER = [
     "q47_grouping_sets",
     "q26_exact_dedup",
     "q88_source_mixture",
-    "q91_quantized_topk",
     "q93_sink_roundtrip",
     "q94_footer_rowcounts",
     "q95_crossmodal_quality_norms",

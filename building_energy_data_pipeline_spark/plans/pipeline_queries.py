@@ -322,7 +322,10 @@ def q91_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.expr("vec_id % 50 = 0"))
-    return similarity.quantized_topk(emb, queries, "vec_id", "embedding", 3)
+    corpus = scale.spread_scan(emb, by=["vec_id"])  # see q34 note
+    return similarity.quantized_topk(
+        corpus, queries, "vec_id", "embedding", 3
+    )
 
 
 @query(

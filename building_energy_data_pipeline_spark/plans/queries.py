@@ -298,8 +298,16 @@ def q07_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q08_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long unpivot (T1, the reference's melt
-    ``data_transformer.py:169-211``) + per-metric profile."""
-    li = load_table(spark, sf_dir, "lineitem")
+    ``data_transformer.py:169-211``) + per-metric profile.
+
+    ``spread_scan`` (conditional) parallelizes the unpivot + decimal
+    folds when the input is a single row group."""
+    from ..operators.scale import spread_scan
+
+    li = spread_scan(
+        load_table(spark, sf_dir, "lineitem"),
+        cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
     lu = li.unpivot(
         [],
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],

@@ -270,10 +270,15 @@ def q34_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the recall=1 baseline the IVF path is judged against).
 
     Scale: queries broadcast; corpus scan is map-only, the only
-    shuffle is the per-query top-k window."""
+    shuffle is the per-query top-k window. ``spread_scan``
+    (conditional) fans the |corpus|x|Q| interpreted cosine folds
+    across cores when the corpus is a single row group."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.expr(ANN_QUERY_PRED))
-    return similarity.brute_force_topk(emb, queries, "vec_id", "embedding", ANN_K)
+    corpus = scale.spread_scan(emb, by=["vec_id"])
+    return similarity.brute_force_topk(
+        corpus, queries, "vec_id", "embedding", ANN_K
+    )
 
 
 @query(

@@ -5,16 +5,23 @@ consumers (the window rollups, the MinHash signature table) persist it
 through a NAMED slot: one cached DataFrame per slot, ever. Re-invoking
 the same operator with the SAME logical plan (``semanticHash`` match,
 same session) returns the already-persisted frame — the bench's
-repeated runs and the incremental-dedup pattern (re-probing one corpus
-band index batch after batch) hit warm cache instead of recomputing
-the signature pipeline. A different plan (new sf_dir, changed
-parameters, new session) replaces the slot, unpersisting the previous
-occupant first, so long-lived sessions never accumulate caches.
+repeated runs hit warm cache instead of recomputing the signature
+pipeline. A different plan (new sf_dir, changed parameters, new
+session) replaces the slot, unpersisting the previous occupant first,
+so long-lived sessions never accumulate caches.
 
-Contract: slot reuse assumes the slot plan's INPUT FILES are immutable
+Contract: WARM REUSE assumes the slot plan's INPUT FILES are immutable
 between invocations within a session (the same assumption Spark's own
-``df.cache()`` makes). Call :func:`release_caches` after mutating
-inputs, or at any quiesce point.
+``df.cache()`` makes) — a re-invocation over a directory that gained
+files since the slot was filled would silently serve the old snapshot,
+because ``semanticHash`` is plan-based and a path-identical plan
+hashes the same. Operators whose whole point is that the input GREW
+between invocations (``dedup.incremental_lsh_matches``) must pass
+``reuse=False``: the slot still bounds the session to one cached frame
+per operator (intra-invocation fan-out keeps its compute-once
+guarantee), but every invocation re-persists from the current file
+listing. Call :func:`release_caches` after mutating inputs, or at any
+quiesce point.
 
 Slot persists are pure OPTIMIZATION — every consumer produces correct
 results if a slot is evicted and recomputed. Intermediates whose
@@ -28,13 +35,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_CACHE_SLOTS: dict[str, tuple[int, DataFrame]] = {}
+_CACHE_SLOTS: dict[str, tuple[int | None, DataFrame]] = {}
 
 
-def slot_persist(name: str, df: DataFrame) -> DataFrame:
-    """Persist ``df`` under slot ``name``; if the slot already holds a
-    live frame with the same ``semanticHash`` in the same session,
-    return THAT frame (warm cache) instead of re-persisting."""
+def _is_persisted(df: DataFrame) -> bool:
+    try:
+        lvl = df.storageLevel
+        return lvl.useMemory or lvl.useDisk
+    except Exception:  # noqa: BLE001 — owning session may be gone
+        return False
+
+
+def slot_persist(name: str, df: DataFrame, reuse: bool = True) -> DataFrame:
+    """Persist ``df`` under slot ``name``; if ``reuse`` and the slot
+    already holds a live frame with the same ``semanticHash`` in the
+    same session, return THAT frame (warm cache) instead of
+    re-persisting.
+
+    A warm hit re-checks that the held frame is STILL persisted — a
+    caller that honored the ``_graft_cached``/"unpersist after the
+    action" contract must not permanently kill the slot; an
+    unpersisted occupant is re-persisted in place (cheap: just flips
+    the storage flag back on, the plan is unchanged).
+    """
     try:
         sig = df.semanticHash()
     except Exception:  # noqa: BLE001 — never let caching break a plan
@@ -43,10 +66,16 @@ def slot_persist(name: str, df: DataFrame) -> DataFrame:
     if prev is not None:
         prev_sig, prev_df = prev
         if (
-            sig is not None
+            reuse
+            and sig is not None
             and prev_sig == sig
             and prev_df.sparkSession is df.sparkSession
         ):
+            if not _is_persisted(prev_df):
+                try:
+                    prev_df.persist()
+                except Exception:  # noqa: BLE001
+                    pass
             return prev_df
         _CACHE_SLOTS.pop(name, None)
         try:
@@ -54,8 +83,10 @@ def slot_persist(name: str, df: DataFrame) -> DataFrame:
         except Exception:  # noqa: BLE001
             pass  # session of the previous invocation may be gone
     cached = df.persist()
-    if sig is not None:
-        _CACHE_SLOTS[name] = (sig, cached)
+    # track the persist even when semanticHash failed (sig None —
+    # warm reuse never matches it, but release_caches can still free
+    # it and the next invocation replaces rather than accumulates)
+    _CACHE_SLOTS[name] = (sig, cached)
     return cached
 
 

@@ -405,7 +405,13 @@ def incremental_lsh_matches(
     """
     from ..caching import slot_persist
 
-    staged = slot_persist("dedup.incremental_lsh_matches", sigs)
+    # reuse=False: incremental dedup's whole premise is that the
+    # corpus GREW since the last invocation — a plan-identical sigs
+    # frame over the same path would warm-hit a pre-append snapshot
+    # and silently probe against a corpus missing the new batch. The
+    # slot still bounds the session to one cached signature table and
+    # keeps the intra-invocation compute-once guarantee.
+    staged = slot_persist("dedup.incremental_lsh_matches", sigs, reuse=False)
     # pinned bk-exchange BEFORE the new-batch filter: corpus and
     # probe sides are then the same subtree modulo a post-exchange
     # filter, so both read ONE materialized slim exchange instead of

@@ -128,7 +128,10 @@ def extract_image_features(
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                arr = decode_image(bytes(content), use_real_codec)
+                # NULL payload -> empty bytes, same convention as
+                # the audio path (decode_image md5-seeds from b'')
+                raw = bytes(content) if content is not None else b""
+                arr = decode_image(raw, use_real_codec)
                 means = arr.reshape(-1, 3).mean(axis=0)
                 rows.append(
                     {
@@ -173,7 +176,10 @@ def image_channel_sums(
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                arr = decode_image(bytes(content), use_real_codec)
+                # NULL payload -> empty bytes, same convention as
+                # the audio path (decode_image md5-seeds from b'')
+                raw = bytes(content) if content is not None else b""
+                arr = decode_image(raw, use_real_codec)
                 sums = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
                 rows.append(
                     {
@@ -210,7 +216,10 @@ def resize_images(
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                arr = decode_image(bytes(content), use_real_codec)
+                # NULL payload -> empty bytes, same convention as
+                # the audio path (decode_image md5-seeds from b'')
+                raw = bytes(content) if content is not None else b""
+                arr = decode_image(raw, use_real_codec)
                 ys = (np.arange(out_h) * arr.shape[0] // out_h).clip(0, arr.shape[0] - 1)
                 xs = (np.arange(out_w) * arr.shape[1] // out_w).clip(0, arr.shape[1] - 1)
                 resized = arr[ys][:, xs]

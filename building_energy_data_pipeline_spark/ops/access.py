@@ -67,12 +67,35 @@ class AccessControl:
         can_login: bool = True,
         memberof: list[str] | None = None,
     ) -> None:
+        # PostgreSQL raises 'role already exists'; silently replacing
+        # would reset superuser/memberships while the role's grants
+        # survive — a security registry must never do that implicitly.
+        # Use alter_role to change attributes in place.
+        if name in self.roles:
+            raise ValueError(f"role {name!r} already exists")
         for parent in memberof or []:
             if parent not in self.roles:
                 raise ValueError(f"unknown parent role {parent!r}")
         self.roles[name] = Role(
             name, superuser, can_login, set(memberof or [])
         )
+        self._save()
+
+    def alter_role(
+        self,
+        name: str,
+        superuser: bool | None = None,
+        can_login: bool | None = None,
+    ) -> None:
+        """ALTER ROLE twin: change attributes without touching
+        memberships or grants."""
+        if name not in self.roles:
+            raise ValueError(f"unknown role {name!r}")
+        r = self.roles[name]
+        if superuser is not None:
+            r.superuser = superuser
+        if can_login is not None:
+            r.can_login = can_login
         self._save()
 
     def drop_role(self, name: str) -> None:
@@ -131,7 +154,17 @@ class AccessControl:
     def read_table(
         self, spark: SparkSession, role: str, table: str, path: str
     ) -> DataFrame:
-        """The enforcement choke point: SELECT-checked parquet read."""
+        """The enforcement choke point: SELECT-checked parquet read.
+
+        The ACTING role must be able to log in (NOLOGIN roles are
+        group containers — their privileges flow to members via
+        inheritance, but they cannot act directly, mirroring
+        pg_roles.rolcanlogin)."""
+        acting = self.roles.get(role)
+        if acting is not None and not acting.can_login:
+            raise PermissionError(
+                f"role {role!r} cannot log in (NOLOGIN group role)"
+            )
         if not self.check(role, table, "SELECT"):
             raise PermissionError(
                 f"role {role!r} lacks SELECT on {table!r}"

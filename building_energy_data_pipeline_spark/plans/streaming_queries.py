@@ -53,6 +53,11 @@ def _drain_to_memory(stream, tag: str, output_mode: str) -> "DataFrame":
             pass
     name = f"{tag}_sink_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"{tag}_ckpt_")
+    # record the slot BEFORE starting: the memory sink registers the
+    # temp view at .start(), so a timed-out/failed drain must still
+    # leave the view tracked — the next invocation for this tag then
+    # unbinds it instead of leaking one uuid-named view per retry
+    _SINK_SLOTS[tag] = name
     try:
         q = (
             stream.writeStream.format("memory")
@@ -69,7 +74,6 @@ def _drain_to_memory(stream, tag: str, output_mode: str) -> "DataFrame":
             )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    _SINK_SLOTS[tag] = name
     return spark.table(name)
 
 
@@ -356,14 +360,13 @@ def q100_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rightly refuse the query (unbounded state); this is the shape to
     copy for production attribution joins.
     """
+    # only the columns the join and the downstream aggregate consume
+    # are selected — every extra column here would be buffered in BOTH
+    # sides' join state for the full watermark horizon
     views = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "view")
-        .select(
-            "user_id",
-            F.col("ts").alias("v_ts"),
-            F.col("event_id").alias("v_id"),
-        )
+        .select("user_id", F.col("ts").alias("v_ts"))
         .withWatermark("v_ts", "1 hour")
     )
     purchases = (
@@ -372,7 +375,6 @@ def q100_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
-            F.col("event_id").alias("p_id"),
         )
         .withWatermark("p_ts", "1 hour")
     )

@@ -123,3 +123,26 @@ class TestAudio:
         assert r["n_samples"] == 100
         assert r["peak"] == 9900.0
         assert r["rms"] == pytest.approx(np.sqrt((pcm**2).mean()))
+
+
+class TestNullPayloads:
+    def test_image_features_null_content(self, spark):
+        # NULL media payloads must not crash the executor; they decode
+        # from empty bytes, same convention as the audio path
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            extract_image_features,
+            image_channel_sums,
+        )
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"img-a")), (2, None)],
+            "media_id long, content binary",
+        )
+        feats = extract_image_features(df).collect()
+        sums = image_channel_sums(df).collect()
+        assert {r.media_id for r in feats} == {1, 2}
+        assert {r.media_id for r in sums} == {1, 2}
+        # the null row's features are the deterministic empty-bytes
+        # decode, identical across the two functions' shared decoder
+        f2 = next(r for r in sums if r.media_id == 2)
+        assert f2.height > 0 and f2.width > 0

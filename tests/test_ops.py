@@ -460,3 +460,48 @@ class TestAccessControl:
         acl.roles["a"].memberof.add("b")  # force a cycle
         acl.grant("SELECT", "t", "a")
         assert acl.check("b", "t", "SELECT")  # no infinite loop
+
+
+class TestAccessControlHardening:
+    def test_create_role_refuses_overwrite(self, tmp_path):
+        import pytest as _pytest
+
+        from building_energy_data_pipeline_spark.ops import AccessControl
+
+        acl = AccessControl(str(tmp_path / "acl.json"))
+        acl.create_role("admins", superuser=True)
+        acl.create_role("analyst", memberof=["admins"])
+        # silent replace would reset memberships/superuser while the
+        # role's grants survive — must raise like PostgreSQL
+        with _pytest.raises(ValueError, match="already exists"):
+            acl.create_role("analyst")
+        assert acl.roles["analyst"].memberof == {"admins"}
+
+    def test_alter_role_changes_attrs_in_place(self, tmp_path):
+        from building_energy_data_pipeline_spark.ops import AccessControl
+
+        acl = AccessControl(str(tmp_path / "acl.json"))
+        acl.create_role("ops", superuser=False)
+        acl.grant("SELECT", "t", "ops")
+        acl.alter_role("ops", superuser=True)
+        assert acl.roles["ops"].superuser
+        assert acl.check("ops", "anything", "DELETE")
+        # grants untouched
+        assert acl.grants[("t", "ops")] == {"SELECT"}
+
+    def test_nologin_role_cannot_act(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from building_energy_data_pipeline_spark.ops import AccessControl
+
+        p = str(tmp_path / "t")
+        spark.range(5).write.parquet(p)
+        acl = AccessControl()
+        acl.create_role("group_role", can_login=False)
+        acl.grant("SELECT", "t", "group_role")
+        # the group's privileges flow to members...
+        acl.create_role("member", memberof=["group_role"])
+        assert acl.read_table(spark, "member", "t", p).count() == 5
+        # ...but the NOLOGIN container itself cannot act
+        with _pytest.raises(PermissionError, match="log in"):
+            acl.read_table(spark, "group_role", "t", p)

@@ -269,3 +269,40 @@ class TestSpreadScan:
         # exactly ONE exchange: the spread's hashpartitioning satisfies
         # the groupBy's distribution, so no second shuffle appears
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestSlotPersistHardening:
+    def test_warm_hit_heals_unpersisted_slot(self, spark):
+        # the documented caller contract allows unpersisting the
+        # returned frame after the action; the next identical
+        # invocation must re-persist, not serve a dead cache forever
+        from building_energy_data_pipeline_spark.caching import (
+            release_caches,
+            slot_persist,
+        )
+
+        df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+        a = slot_persist("t.heal", df)
+        a.count()
+        a.unpersist()
+        b = slot_persist("t.heal", spark.range(1000).selectExpr("id", "id * 2 AS v"))
+        lvl = b.storageLevel
+        assert lvl.useMemory or lvl.useDisk, "slot did not re-persist"
+        release_caches()
+
+    def test_reuse_false_replaces_snapshot(self, spark, tmp_path):
+        # incremental dedup contract: a path-identical plan must NOT
+        # warm-hit a pre-append snapshot when reuse=False
+        from building_energy_data_pipeline_spark.caching import (
+            release_caches,
+            slot_persist,
+        )
+
+        p = str(tmp_path / "grow")
+        spark.range(10).write.mode("overwrite").parquet(p)
+        a = slot_persist("t.grow", spark.read.parquet(p), reuse=False)
+        assert a.count() == 10
+        spark.range(90).write.mode("append").parquet(p)
+        b = slot_persist("t.grow", spark.read.parquet(p), reuse=False)
+        assert b.count() == 100, "stale snapshot served after append"
+        release_caches()

@@ -85,7 +85,21 @@ def main() -> None:
     import shutil
     import tempfile
 
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    from building_energy_data_pipeline_spark.operators.scale import spread_scan
+
+    # conditional fan-out (no-op on multi-split inputs): a single-
+    # row-group lineitem otherwise unpivots AND writes on one task
+    li = spread_scan(
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")),
+        cols=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        ],
+    )
     out = tempfile.mkdtemp(prefix="bench_ingest_")
     try:
         best = float("inf")

@@ -87,21 +87,24 @@ def main() -> None:
 
     from building_energy_data_pipeline_spark.operators.scale import spread_scan
 
-    # conditional fan-out (no-op on multi-split inputs): a single-
-    # row-group lineitem otherwise unpivots AND writes on one task
-    li = spread_scan(
-        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")),
-        cols=[
-            "l_orderkey",
-            "l_linenumber",
-            "l_quantity",
-            "l_extendedprice",
-            "l_discount",
-            "l_tax",
-        ],
-    )
     out = tempfile.mkdtemp(prefix="bench_ingest_")
     try:
+        # conditional fan-out (no-op on multi-split inputs): a single-
+        # row-group lineitem otherwise unpivots AND writes on one
+        # task. Built INSIDE the guarded block: a schema/probe failure
+        # must record -1 like any query failure, never kill the whole
+        # bench output (the round-2 lesson in the loop above).
+        li = spread_scan(
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")),
+            cols=[
+                "l_orderkey",
+                "l_linenumber",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+            ],
+        )
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

@@ -483,11 +483,19 @@ def q109_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-compact edge table — per-iteration cost is O(|E|)
     shuffled by token, the standard distributed-PageRank shape.
     """
+    from ..caching import slot_persist
+
     docs = load_table(spark, sf_dir, "documents")
     staged = scale.spread_scan(docs, cols=["text"]).select(
         F.expr(TOK).alias("toks")
     )
-    edges = (
+    # the compact edge table fans out to three consumers (out-degrees,
+    # node count, contribution join); the persist slot guarantees the
+    # corpus-sized explode+aggregate runs once per invocation —
+    # AQE exchange reuse alone leaves the union-distinct branch
+    # re-deriving it (measured 14% at sf0.1)
+    edges = slot_persist(
+        "llm.pagerank_edges",
         staged.select(
             F.explode(F.expr(text.bigrams_expr("toks"))).alias("b")
         )
@@ -496,7 +504,7 @@ def q109_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("split(b, ' ')[1]").alias("w2"),
         )
         .groupBy("w1", "w2")
-        .agg(F.count("*").alias("c"))
+        .agg(F.count("*").alias("c")),
     )
     out = edges.groupBy("w1").agg(F.sum("c").alias("out_c"))
     nodes = (

@@ -34,7 +34,13 @@ def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, "image")
         .otherwise("audio")
         .alias("media_type"),
-        F.encode("text", "UTF-8").alias("content"),
+        # NULL text → empty payload (not NULL): keeps the media table
+        # total and matches the oracles' coalesce(text, '') — a NULL
+        # content would md5 to NULL in SQL but decode as b'' in the
+        # operators (their documented convention)
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias(
+            "content"
+        ),
         F.struct(
             (F.col("n_chars") % 64 + 16).cast("int").alias("width"),
             (F.col("n_chars") % 48 + 16).cast("int").alias("height"),
@@ -50,8 +56,9 @@ def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH img AS (
       SELECT doc_id AS media_id,
-             md5(text) AS seedhex,
-             CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS seed
+             md5(coalesce(text, '')) AS seedhex,
+             CAST(concat('0x', substr(md5(coalesce(text, '')), 1, 8))
+               AS BIGINT) AS seed
       FROM documents
       WHERE doc_id % 3 = 1
     ), dims AS (

@@ -17,12 +17,15 @@ DuckDB agree bit-for-bit without the round-half tie trap
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.scalar import dec_sum_sql
 from ..operators import dedup, scale, similarity, text
+from ..schema.sampling import HASH_MOD, duck_hash_bucket_sql, hash_bucket
 from ..sources.readers import load_table
 from .registry import query
 
@@ -885,15 +888,6 @@ def q86_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tiny SFs still leave every source undersampled
 _TEMP_TARGET = 1000
 
-_BUCKET_SPARK = (
-    "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)"
-    " as bigint) % 1000000"
-)
-_BUCKET_DUCK = (
-    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
-    " AS BIGINT) % 1000000"
-)
-
 
 @query(
     "q110_temperature_mixture",
@@ -911,7 +905,8 @@ _BUCKET_DUCK = (
             FROM w, t),
     sel AS (SELECT d.source, d.doc_id
             FROM documents d JOIN tgt USING (source)
-            WHERE ({_BUCKET_DUCK}) * n_docs < target_docs * 1000000)
+            WHERE ({duck_hash_bucket_sql('doc_id')}) * n_docs
+                  < target_docs * {HASH_MOD})
     SELECT g.source, g.n_docs, g.weight, g.target_docs,
            COALESCE(c.n_selected, 0) AS n_selected,
            COALESCE(c.ck, 0) AS sel_checksum
@@ -955,7 +950,8 @@ def q110_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"({_TEMP_TARGET} * weight) div sum_w"),
     )
     sel = docs.join(F.broadcast(tgt), "source").filter(
-        F.expr(f"({_BUCKET_SPARK}) * n_docs < target_docs * 1000000")
+        hash_bucket("doc_id") * F.col("n_docs")
+        < F.col("target_docs") * HASH_MOD
     )
     picked = sel.groupBy("source").agg(
         F.count("*").alias("n_selected"),
@@ -972,6 +968,58 @@ def q110_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("ck", F.lit(0)).alias("sel_checksum"),
         )
     )
+
+
+@contextmanager
+def bucketed_orders_customer(spark: SparkSession, sf_dir: str, prefix: str):
+    """Write orders+customer as external bucketed tables on the join
+    key (hash(custkey) mod 8) with broadcast joins disabled, yield the
+    two catalog frames, then restore the conf and drop tables+files.
+
+    Shared by q111 (result correctness vs the plain-parquet oracle)
+    and ``tests/test_plan_shapes.py::TestBucketedJoinShape`` (the
+    zero-exchange plan assertion) so the two checks can never drift
+    onto different bucketing setups.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.scale import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = tempfile.mkdtemp(prefix=f"{prefix}_bucketed_")
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    t_orders, t_customer = f"{prefix}_orders_b", f"{prefix}_customer_b"
+    try:
+        write_bucketed(
+            orders,
+            t_orders,
+            ["o_custkey"],
+            num_buckets=8,
+            path=os.path.join(base, "orders_b"),
+        )
+        write_bucketed(
+            customer,
+            t_customer,
+            ["c_custkey"],
+            num_buckets=8,
+            path=os.path.join(base, "customer_b"),
+        )
+        # disable broadcast so the join must rely on the bucket
+        # layout — an accidental broadcast would hide a bucketing bug
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        yield spark.table(t_orders), spark.table(t_customer)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_customer}")
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @query(
@@ -996,48 +1044,17 @@ def q111_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is THE 100 TB lever for repeated fact-dim joins: pay the
     bucketing shuffle once at ingest, and every subsequent join/agg
-    on the key is exchange-free (plan-asserted in
-    tests/test_scale.py::test_bucketed_join_is_exchange_free).
+    on the key is exchange-free (plan-asserted on the SAME
+    ``bucketed_orders_customer`` setup in
+    tests/test_plan_shapes.py::TestBucketedJoinShape).
 
     Tables are external (explicit ``path`` into a temp dir) so the
     query works under any warehouse configuration; the catalog
     entries and files are dropped after materialization.
     """
-    import os
-    import shutil
-    import tempfile
-
     from ..functions.scalar import dec_sum
-    from ..operators.scale import write_bucketed
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_totalprice"
-    )
-    customer = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment"
-    )
-    base = tempfile.mkdtemp(prefix="q111_bucketed_")
-    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        write_bucketed(
-            orders,
-            "q111_orders_b",
-            ["o_custkey"],
-            num_buckets=8,
-            path=os.path.join(base, "orders_b"),
-        )
-        write_bucketed(
-            customer,
-            "q111_customer_b",
-            ["c_custkey"],
-            num_buckets=8,
-            path=os.path.join(base, "customer_b"),
-        )
-        # disable broadcast so the join must rely on the bucket
-        # layout — an accidental broadcast would hide a bucketing bug
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        ob = spark.table("q111_orders_b")
-        cb = spark.table("q111_customer_b")
+    with bucketed_orders_customer(spark, sf_dir, "q111") as (ob, cb):
         return (
             ob.join(cb, ob.o_custkey == cb.c_custkey)
             .groupBy("c_mktsegment")
@@ -1047,8 +1064,3 @@ def q111_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)  # materialize before cleanup
         )
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
-        spark.sql("DROP TABLE IF EXISTS q111_orders_b")
-        spark.sql("DROP TABLE IF EXISTS q111_customer_b")
-        shutil.rmtree(base, ignore_errors=True)

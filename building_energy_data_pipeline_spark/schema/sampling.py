@@ -46,6 +46,16 @@ def hash_bucket(col: str) -> F.Column:
     )
 
 
+def duck_hash_bucket_sql(col: str) -> str:
+    """DuckDB twin of :func:`hash_bucket` — the single source for the
+    md5-bucket idiom's oracle text (DuckDB has no ``conv``; the
+    hex-cast form is its integer-identical equivalent)."""
+    return (
+        f"CAST(concat('0x', substr(md5(CAST({col} AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) % {HASH_MOD}"
+    )
+
+
 def hash_random_sample(df: DataFrame, key_col: str, n: int) -> DataFrame:
     """T6 (oracle-backed twin of :func:`random_sample`): deterministic
     ~``target``-row sample keeping the reference's first/last-row

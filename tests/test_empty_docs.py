@@ -47,6 +47,7 @@ EDGE_QUERIES = [
     "q97_repetition_filter",
     "q98_rag_chunking",
     "q99_bigram_lm",
+    "q109_pagerank_step",
     "q76_text_canonicalize",
     # NULL/empty payloads through the binary decode path: a NULL text
     # becomes a NULL content payload; both engines must report zero

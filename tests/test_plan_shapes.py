@@ -303,46 +303,15 @@ class TestLlmQueryShapes:
 
 class TestBucketedJoinShape:
     def test_q111_join_reads_buckets_without_exchange(self, spark, sf_dir):
-        # the registered query's own plan: with broadcast disabled
-        # inside the query, the ONLY exchange is the final aggregate's
-        # (the join itself reads the bucket layout). The returned frame
-        # is a localCheckpoint (tables are dropped), so assert on a
-        # rebuilt join over the bucketed tables instead.
-        import os
-        import shutil
-        import tempfile
-
-        from building_energy_data_pipeline_spark.operators.scale import (
-            write_bucketed,
-        )
-        from building_energy_data_pipeline_spark.sources.readers import (
-            load_table,
+        # assert on the SAME bucketed setup q111 runs (shared
+        # contextmanager — the plan check and the correctness oracle
+        # can never drift onto different bucketing configs): the join
+        # itself must read the bucket layout with zero exchanges
+        from building_energy_data_pipeline_spark.plans.pipeline_queries import (
+            bucketed_orders_customer,
         )
 
-        orders = load_table(spark, sf_dir, "orders").select(
-            "o_custkey", "o_totalprice"
-        )
-        customer = load_table(spark, sf_dir, "customer").select(
-            "c_custkey", "c_mktsegment"
-        )
-        base = tempfile.mkdtemp(prefix="t_q111_")
-        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        try:
-            write_bucketed(
-                orders, "t111_o", ["o_custkey"], num_buckets=8,
-                path=os.path.join(base, "o"),
-            )
-            write_bucketed(
-                customer, "t111_c", ["c_custkey"], num_buckets=8,
-                path=os.path.join(base, "c"),
-            )
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-            ob, cb = spark.table("t111_o"), spark.table("t111_c")
+        with bucketed_orders_customer(spark, sf_dir, "t111") as (ob, cb):
             joined = ob.join(cb, ob.o_custkey == cb.c_custkey)
             plan = explain_str(joined)
             assert "Exchange" not in plan, plan
-        finally:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-            spark.sql("DROP TABLE IF EXISTS t111_o")
-            spark.sql("DROP TABLE IF EXISTS t111_c")
-            shutil.rmtree(base, ignore_errors=True)

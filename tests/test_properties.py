@@ -345,3 +345,60 @@ class TestNormalizeText:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError, match="non-string"):
             normalize_text(df, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# CDC merge (operators/cdc.merge_upsert) vs a dict-based reference model
+# ---------------------------------------------------------------------------
+
+cdc_keys = st.integers(min_value=0, max_value=6)
+cdc_versions = st.integers(min_value=0, max_value=9)
+
+
+@st.composite
+def cdc_tables(draw):
+    """Base + update batches with UNIQUE (key, version) across the
+    union — the operator's documented CDC contract."""
+    rows = draw(
+        st.lists(
+            st.tuples(cdc_keys, cdc_versions, st.booleans()),
+            min_size=1,
+            max_size=30,
+            unique_by=lambda r: (r[0], r[1]),
+        )
+    )
+    split = draw(st.integers(min_value=0, max_value=len(rows)))
+    return rows[:split], rows[split:]
+
+
+def naive_merge(base, updates):
+    """Latest version per key wins; a surviving tombstone drops the
+    key."""
+    latest: dict[int, tuple[int, bool]] = {}
+    for k, v, d in base + updates:
+        if k not in latest or v > latest[k][0]:
+            latest[k] = (v, d)
+    return sorted(
+        (k, v, d) for k, (v, d) in latest.items() if not d
+    )
+
+
+class TestMergeUpsertProperty:
+    @SLOW
+    @given(cdc_tables())
+    def test_matches_reference_model(self, spark, tables):
+        from building_energy_data_pipeline_spark.operators.cdc import (
+            merge_upsert,
+        )
+
+        base_rows, upd_rows = tables
+        schema = "k int, version int, is_delete boolean"
+        base = spark.createDataFrame(base_rows, schema)
+        upd = spark.createDataFrame(upd_rows, schema)
+        got = sorted(
+            tuple(r)
+            for r in merge_upsert(
+                base, upd, ["k"], "version", "is_delete"
+            ).collect()
+        )
+        assert got == naive_merge(base_rows, upd_rows)

@@ -541,3 +541,111 @@ def q109_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rank1"),
     )
+
+
+#: duplicate-span detection: k-token exact window (real pipelines use
+#: 50; small so the tiny SFs' near-dup clusters produce spans)
+SPAN_K = 8
+
+
+@query(
+    "q112_duplicate_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DTOK} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             CAST(i + {SPAN_K} - 1 AS BIGINT) AS end_pos,
+             array_to_string(list_slice(toks, i, i + {SPAN_K} - 1), ' ') AS g
+      FROM t, unnest(range(1, len(toks) - {SPAN_K} + 2)) AS u(i)
+    ),
+    dup AS (
+      SELECT g FROM sh GROUP BY g
+      HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    hits AS (SELECT sh.* FROM sh JOIN dup USING (g)),
+    isl AS (
+      SELECT doc_id, pos, end_pos,
+             SUM(CASE WHEN prev_max_end IS NULL OR pos > prev_max_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM (
+        SELECT doc_id, pos, end_pos,
+               MAX(end_pos) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_max_end
+        FROM hits)
+    )
+    SELECT doc_id, CAST(island AS BIGINT) AS span_id,
+           MIN(pos) AS start_pos, MAX(end_pos) AS end_pos,
+           COUNT(*) AS n_dup_grams,
+           CAST(MAX(end_pos) - MIN(pos) + 1 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def q112_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN detection (the substring-dedup step of
+    modern pretraining pipelines, after document-level dedup): every
+    {SPAN_K}-token window that appears verbatim in MORE THAN ONE
+    document is a memorization-risk span; overlapping hits within a
+    document are merged into maximal spans (interval merge — classic
+    gaps-and-islands with a running max, since window i and window
+    i+g overlap for any gap g < k). Output: one row per maximal span
+    with its token range and duplicate-window count — the input to a
+    span-excision rewrite.
+
+    Distinct from q26/q28 (whole-document / near-dup) and q86
+    (frequent n-grams ranked corpus-wide): this localizes WHERE the
+    duplication sits inside each document.
+
+    Scale: the corpus-sized work is the windowed-gram explode and one
+    hash groupBy on the gram (map-side combined); the production path
+    hashes grams to 64-bit (``xxhash64``) before the shuffle so the
+    exchange never carries k-token strings — the portable md5-free
+    string form here keeps the oracle twin exact. Island windows are
+    per-document — hash-parallel, bounded partitions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = scale.spread_scan(
+        docs, cols=["doc_id", "text"], by=["doc_id"]
+    ).select("doc_id", F.expr(TOK).alias("toks"))
+    # CASE guard: Spark's sequence(1, n-k+1) generates DESCENDING for
+    # short docs (the bigrams_expr trap) — DuckDB's range is empty
+    windows = (
+        f"CASE WHEN size(toks) < {SPAN_K} THEN array()"
+        f" ELSE transform(sequence(1, size(toks) - {SPAN_K} + 1),"
+        f" i -> struct(cast(i as bigint) as pos,"
+        f" cast(i + {SPAN_K} - 1 as bigint) as end_pos,"
+        f" array_join(slice(toks, i, {SPAN_K}), ' ') as g)) END"
+    )
+    sh = staged.select(
+        "doc_id", F.explode(F.expr(windows)).alias("w")
+    ).select("doc_id", "w.pos", "w.end_pos", "w.g")
+    dup = (
+        sh.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("g")
+    )
+    hits = sh.join(dup, "g")
+    w_doc = W.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max("end_pos").over(
+        w_doc.rowsBetween(W.unboundedPreceding, -1)
+    )
+    isl = hits.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1
+            ).otherwise(0)
+        ).over(w_doc.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("doc_id", F.col("island").alias("span_id"))
+        .agg(
+            F.min("pos").alias("start_pos"),
+            F.max("end_pos").alias("end_pos"),
+            F.count("*").alias("n_dup_grams"),
+            (F.max("end_pos") - F.min("pos") + 1).alias("span_tokens"),
+        )
+    )

@@ -48,6 +48,7 @@ EDGE_QUERIES = [
     "q98_rag_chunking",
     "q99_bigram_lm",
     "q109_pagerank_step",
+    "q112_duplicate_spans",
     "q76_text_canonicalize",
     # NULL/empty payloads through the binary decode path: a NULL text
     # becomes a NULL content payload; both engines must report zero

@@ -548,9 +548,7 @@ def q109_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_K = 8
 
 
-@query(
-    "q112_duplicate_spans",
-    oracle=f"""
+_Q112_ORACLE = f"""
     WITH t AS (SELECT doc_id, {DTOK} AS toks FROM documents),
     sh AS (
       SELECT doc_id, CAST(i AS BIGINT) AS pos,
@@ -581,8 +579,10 @@ SPAN_K = 8
            COUNT(*) AS n_dup_grams,
            CAST(MAX(end_pos) - MIN(pos) + 1 AS BIGINT) AS span_tokens
     FROM isl GROUP BY doc_id, island
-    """,
-)
+    """
+
+
+@query("q112_duplicate_spans", oracle=_Q112_ORACLE)
 def q112_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate-SPAN detection (the substring-dedup step of
     modern pretraining pipelines, after document-level dedup): every
@@ -647,5 +647,84 @@ def q112_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("end_pos").alias("end_pos"),
             F.count("*").alias("n_dup_grams"),
             (F.max("end_pos") - F.min("pos") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def _q113_oracle() -> str:
+    # the q112 span set, re-derived as a CTE (single-sourced through
+    # the same SQL text builder pattern as q106's LSH reuse)
+    spans = _Q112_ORACLE
+    return f"""
+    WITH spans AS ({spans}),
+    t AS (SELECT doc_id, {DTOK} AS toks FROM documents),
+    doc_spans AS (
+      SELECT doc_id,
+             list({{'start_pos': start_pos, 'end_pos': end_pos}}) AS sp
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens_before,
+           CAST(len(list_filter(range(1, len(toks) + 1), p ->
+             ds.sp IS NULL OR NOT list_has_any(
+               list_transform(ds.sp, s -> p BETWEEN s.start_pos AND s.end_pos),
+               [true]))) AS BIGINT) AS n_tokens_after,
+           md5(coalesce(array_to_string(
+             list_transform(
+               list_filter(range(1, len(toks) + 1), p ->
+                 ds.sp IS NULL OR NOT list_has_any(
+                   list_transform(ds.sp,
+                     s -> p BETWEEN s.start_pos AND s.end_pos),
+                   [true])),
+               p -> toks[p]), ' '), '')) AS cleaned_hash
+    FROM t LEFT JOIN doc_spans ds USING (doc_id)
+    """
+
+
+@query("q113_span_excision", oracle=_q113_oracle())
+def q113_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span EXCISION — the consumer of q112's duplicate-span report:
+    tokens falling inside any cross-document duplicate span are cut
+    from the document, and the cleaned text is emitted as before/after
+    token counts plus an md5 of the surviving token stream (the
+    downstream sink key; the full cleaned text is one `array_join`
+    away). Detection (q112) + excision (q113) together are the
+    substring-dedup rewrite modern pretraining pipelines apply after
+    document-level dedup.
+
+    Scale: spans per doc are FEW and tiny (a handful of (start, end)
+    pairs) — they ride a doc-keyed join as a collected array, then one
+    narrow filter lambda per doc; the corpus is never exploded to
+    token rows. The heavy work remains q112's gram groupBy, reused
+    here verbatim.
+    """
+    spans = q112_duplicate_spans(spark, sf_dir)
+    doc_spans = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start_pos", "end_pos")).alias("sp")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", F.expr(TOK).alias("toks"))
+    # CASE guard: sequence(1, 0) generates DESCENDING [1, 0] for an
+    # empty doc (the bigrams_expr trap); DuckDB's range is empty
+    keep = (
+        "CASE WHEN size(toks) = 0 THEN array() ELSE"
+        " filter(sequence(1, size(toks)), p -> sp is null or not exists(sp,"
+        " s -> p between s.start_pos and s.end_pos)) END"
+    )
+    return (
+        staged.join(doc_spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr("cast(size(toks) as bigint)").alias("n_tokens_before"),
+            F.expr(f"cast(size({keep}) as bigint)").alias(
+                "n_tokens_after"
+            ),
+            # element_at, NOT toks[p]: Spark's [] subscript is
+            # 0-based while the positions (and DuckDB's list index)
+            # are 1-based
+            F.expr(
+                f"md5(array_join(transform({keep},"
+                f" p -> element_at(toks, cast(p as int))), ' '))"
+            ).alias("cleaned_hash"),
         )
     )

@@ -49,6 +49,7 @@ EDGE_QUERIES = [
     "q99_bigram_lm",
     "q109_pagerank_step",
     "q112_duplicate_spans",
+    "q113_span_excision",
     "q76_text_canonicalize",
     # NULL/empty payloads through the binary decode path: a NULL text
     # becomes a NULL content payload; both engines must report zero

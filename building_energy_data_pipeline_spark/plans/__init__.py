@@ -26,11 +26,12 @@ from . import cdc_queries  # noqa: F401  (MERGE upsert q105)
 #: plan-affecting code changed since its LAST driver row, and any
 #: query with no driver row yet, goes INSIDE the 50-entry window;
 #: remaining slots refresh the queries with the oldest green rows.
-#: Round-4 mandatory set: the NEW q96–q111 (streaming dedup,
+#: Round-4 mandatory set: the NEW q96–q113 (streaming dedup,
 #: repetition gate, RAG chunking, bigram LM, stream-stream join,
 #: IVF recall, audio stats, JSONL/ORC round-trips, MERGE upsert,
 #: split leakage, k-means step, Zipf coverage, PageRank step,
-#: temperature mixture, bucketed join); everything the round-4
+#: temperature mixture, bucketed join, duplicate spans + excision);
+#: everything the round-4
 #: commits touched (token-template NULL coalesce → q27–q33, q76,
 #: q83–q86, q90, q92, q44; slim LSH band join → q28/q90/q44; asof
 #: tiebreak → q36; multimodal md5-chain decoder → q53/q54; q87 qvec
@@ -103,8 +104,8 @@ _CURATED_ORDER = [
     "q06_nation_customer_rollup",
     "q08_unpivot_metrics",
     # ---- position 50 boundary; below: green r2/r3, unchanged since
-    # (q11-q13, q15-q19, q21 and q35 demoted from the refresh block
-    # to make room for the new q103-q111 and the spread_scan-changed
+    # (q09-q13, q15-q19, q21 and q35 demoted from the refresh block
+    # to make room for the new q103-q113 and the spread_scan-changed
     # q34/q91: all r1-green, untouched since their last green row,
     # and re-verified by the local DuckDB-parity suite each round) --
     "q09_nullsafe_pair_join",

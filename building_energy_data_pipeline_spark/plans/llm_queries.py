@@ -171,7 +171,9 @@ def q98_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator, carries the semantics).
     """
     docs = load_table(spark, sf_dir, "documents")
-    staged = docs.select("doc_id", F.expr(TOK).alias("toks")).filter(
+    staged = scale.spread_scan(
+        docs, cols=["doc_id", "text"], by=["doc_id"]
+    ).select("doc_id", F.expr(TOK).alias("toks")).filter(
         F.expr("size(toks) > 0")
     )
     chunk = f"slice(toks, s + 1, {CHUNK_TOKENS})"
@@ -563,7 +565,7 @@ _Q112_ORACLE = f"""
     hits AS (SELECT sh.* FROM sh JOIN dup USING (g)),
     isl AS (
       SELECT doc_id, pos, end_pos,
-             SUM(CASE WHEN prev_max_end IS NULL OR pos > prev_max_end
+             SUM(CASE WHEN prev_max_end IS NULL OR pos > prev_max_end + 1
                       THEN 1 ELSE 0 END)
                OVER (PARTITION BY doc_id ORDER BY pos
                      ROWS UNBOUNDED PRECEDING) AS island
@@ -618,9 +620,18 @@ def q112_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" cast(i + {SPAN_K} - 1 as bigint) as end_pos,"
         f" array_join(slice(toks, i, {SPAN_K}), ' ') as g)) END"
     )
-    sh = staged.select(
-        "doc_id", F.explode(F.expr(windows)).alias("w")
-    ).select("doc_id", "w.pos", "w.end_pos", "w.g")
+    from ..caching import slot_persist
+
+    # the windowed-gram table fans out to the dup aggregate AND the
+    # hits join probe; without staging, the corpus-sized explode +
+    # gram stringification evaluates twice (2 FileScans, no exchange
+    # reuse — the partial aggregate under the dup side blocks it)
+    sh = slot_persist(
+        "llm.duplicate_span_grams",
+        staged.select(
+            "doc_id", F.explode(F.expr(windows)).alias("w")
+        ).select("doc_id", "w.pos", "w.end_pos", "w.g"),
+    )
     dup = (
         sh.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -635,8 +646,12 @@ def q112_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     isl = hits.withColumn(
         "island",
         F.sum(
+            # > prev_max_end + 1, not > prev_max_end: regions that
+            # TOUCH ([1,8] then pos 9) form one maximal span
             F.when(
-                prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1
+                prev_max_end.isNull()
+                | (F.col("pos") > prev_max_end + 1),
+                1,
             ).otherwise(0)
         ).over(w_doc.rowsBetween(W.unboundedPreceding, 0)),
     )
@@ -713,18 +728,18 @@ def q113_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         staged.join(doc_spans, "doc_id", "left")
+        # kept positions computed ONCE; both outputs derive from it
+        .withColumn("kept", F.expr(keep))
         .select(
             "doc_id",
             F.expr("cast(size(toks) as bigint)").alias("n_tokens_before"),
-            F.expr(f"cast(size({keep}) as bigint)").alias(
-                "n_tokens_after"
-            ),
+            F.expr("cast(size(kept) as bigint)").alias("n_tokens_after"),
             # element_at, NOT toks[p]: Spark's [] subscript is
             # 0-based while the positions (and DuckDB's list index)
             # are 1-based
             F.expr(
-                f"md5(array_join(transform({keep},"
-                f" p -> element_at(toks, cast(p as int))), ' '))"
+                "md5(array_join(transform(kept,"
+                " p -> element_at(toks, cast(p as int))), ' '))"
             ).alias("cleaned_hash"),
         )
     )

@@ -33,6 +33,23 @@ EDGE_DOCS = [
     (10, "eval doc shares these exact three grams", "en", "web", 39),
     # doc_id % 10 == 0 is the EVAL_PRED holdout in the q84/q92 family
     (20, "shares these exact three grams too yes", "en", "web", 38),
+    # a shared >=8-token verbatim phrase so q112/q113 (SPAN_K=8)
+    # produce real spans on this fixture, exercising the non-NULL
+    # excision branch next to the empty/NULL docs above
+    (
+        11,
+        "prefix one copy the very same eight token phrase appears here twice",
+        "en",
+        "web",
+        67,
+    ),
+    (
+        12,
+        "copy the very same eight token phrase appears here and elsewhere",
+        "en",
+        "books",
+        64,
+    ),
 ]
 
 EDGE_QUERIES = [

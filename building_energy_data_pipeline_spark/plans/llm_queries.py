@@ -171,9 +171,7 @@ def q98_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator, carries the semantics).
     """
     docs = load_table(spark, sf_dir, "documents")
-    staged = scale.spread_scan(
-        docs, cols=["doc_id", "text"], by=["doc_id"]
-    ).select("doc_id", F.expr(TOK).alias("toks")).filter(
+    staged = docs.select("doc_id", F.expr(TOK).alias("toks")).filter(
         F.expr("size(toks) > 0")
     )
     chunk = f"slice(toks, s + 1, {CHUNK_TOKENS})"
@@ -718,7 +716,9 @@ def q113_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_list(F.struct("start_pos", "end_pos")).alias("sp")
     )
     docs = load_table(spark, sf_dir, "documents")
-    staged = docs.select("doc_id", F.expr(TOK).alias("toks"))
+    staged = scale.spread_scan(
+        docs, cols=["doc_id", "text"], by=["doc_id"]
+    ).select("doc_id", F.expr(TOK).alias("toks"))
     # CASE guard: sequence(1, 0) generates DESCENDING [1, 0] for an
     # empty doc (the bigrams_expr trap); DuckDB's range is empty
     keep = (

@@ -77,3 +77,77 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "w1",
+    dst: str = "w2",
+    weight: str = "c",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Weighted PageRank to (near-)fixpoint over an edge-count table —
+    the driver-side loop around the oracle-checked single step (q109,
+    ``plans/llm_queries.py``). Dangling mass is discarded each round
+    (documented q109 semantics, applied consistently).
+
+    Output: ``node, rank`` for every node with ≥1 in-edge, plus the
+    constant ``(1-d)/N`` rank for source-only nodes, so ranks cover
+    the full node set.
+
+    Scale notes (same discipline as :func:`connected_components`):
+    one join + one groupBy per round over the COMPACT edge table —
+    corpus text is never touched inside the loop; ``localCheckpoint``
+    per round truncates lineage; convergence is a driver-side max-
+    delta aggregate on the vocab-sized rank table.
+    """
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"),
+        F.col(weight).cast("double").alias("w"),
+    ).localCheckpoint()
+    out_w = e.groupBy("u").agg(F.sum("w").alias("out_w"))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    for _ in range(max_iter):
+        contrib = (
+            e.join(out_w, "u")
+            .join(ranks.withColumnRenamed("node", "u"), "u")
+            .select(
+                F.col("v").alias("node"),
+                (F.col("rank") * F.col("w") / F.col("out_w")).alias("x"),
+            )
+        )
+        new_ranks = (
+            nodes.join(
+                contrib.groupBy("node").agg(F.sum("x").alias("inflow")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        delta = (
+            new_ranks.withColumnRenamed("rank", "new_rank")
+            .join(ranks, "node")
+            .agg(F.max(F.abs(F.col("new_rank") - F.col("rank"))))
+            .first()[0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    return ranks

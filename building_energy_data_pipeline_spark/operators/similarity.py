@@ -570,3 +570,69 @@ def duck_quantized_topk_sql(
     SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, qdot
     FROM ranked WHERE rank <= {k}
     """
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Spherical k-means to (near-)fixpoint — the driver-side loop
+    around the oracle-checked Lloyd step (:func:`kmeans_step`, q107).
+    Deterministic init: the ``k`` lowest-id vectors seed the
+    centroids (reproducible across runs; swap in k-means++ via a
+    hash-sampled seed set when cluster quality matters more than
+    reproducibility).
+
+    Returns the trained centroid table ``(centroid_id, embedding)``
+    ready to feed :func:`assign_centroids` / :func:`ivf_topk` as the
+    IVF coarse quantizer.
+
+    Scale notes: each round is one broadcast-assign scan + one
+    (k × dims) aggregate (:func:`kmeans_step`); the new centroid
+    table is k rows — ``localCheckpoint`` per round truncates the
+    growing plan (the iterative-Spark trap, same discipline as
+    ``graph.connected_components``); convergence is a driver-side
+    max-delta over k × dims values.
+    """
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(id_col, vec_col)
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        step = kmeans_step(corpus, centroids, id_col, vec_col)
+        new_centroids = (
+            step.groupBy("centroid_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(pos, centroid))), s -> cast(s.centroid as float))"
+                ).alias(vec_col)
+            )
+            .select(F.col("centroid_id").alias(id_col), vec_col)
+            .localCheckpoint()
+        )
+        # max per-dimension movement between rounds (empty-cluster
+        # centroids drop out of `step`; they count as converged)
+        old = centroids.select(
+            F.col(id_col).alias("cid"),
+            F.posexplode(vec_col).alias("pos", "old_x"),
+        )
+        new = new_centroids.select(
+            F.col(id_col).alias("cid"),
+            F.posexplode(vec_col).alias("pos", "new_x"),
+        )
+        delta = (
+            old.join(new, ["cid", "pos"])
+            .agg(F.max(F.abs(F.col("new_x") - F.col("old_x"))))
+            .first()[0]
+        )
+        centroids = new_centroids
+        if delta is not None and delta < tol:
+            break
+    return centroids

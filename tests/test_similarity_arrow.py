@@ -57,3 +57,58 @@ def test_arrow_scorer_handles_ragged_batches(spark):
     assert abs(got[(0, 2)] - 0.6) < 1e-9
     assert abs(got[(0, 1)] - 0.0) < 1e-9
     assert abs(got[(0, 3)] - 0.5) < 1e-9
+
+
+class TestFixpointLoops:
+    def test_kmeans_train_converges_on_separated_clusters(self, spark):
+        from building_energy_data_pipeline_spark.operators.similarity import (
+            assign_centroids,
+            kmeans_train,
+        )
+
+        # two tight, well-separated direction clusters (spherical
+        # k-means clusters by cosine): near +x and near +y
+        rows = []
+        for i in range(20):
+            eps = (i % 5) * 0.01
+            rows.append((i, [1.0, eps, 0.0]))
+            rows.append((100 + i, [eps, 1.0, 0.0]))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        cent = kmeans_train(emb, k=2, max_iter=8)
+        assert cent.count() == 2
+        assigned = assign_centroids(emb, cent).select(
+            "vec_id", "centroid_id"
+        )
+        groups = (
+            assigned.withColumn("truth", (F.col("vec_id") >= 100))
+            .groupBy("truth")
+            .agg(F.countDistinct("centroid_id").alias("n_cents"))
+            .collect()
+        )
+        # each true cluster maps to exactly one trained centroid
+        assert all(r.n_cents == 1 for r in groups)
+
+    def test_pagerank_fixpoint_properties(self, spark):
+        from building_energy_data_pipeline_spark.operators.graph import (
+            pagerank,
+        )
+
+        # a -> b -> c -> a cycle (uniform weights): symmetric, so the
+        # stationary distribution is exactly uniform 1/3 each
+        edges = spark.createDataFrame(
+            [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)],
+            "w1 string, w2 string, c long",
+        )
+        ranks = {r.node: r.rank for r in pagerank(edges).collect()}
+        assert set(ranks) == {"a", "b", "c"}
+        for v in ranks.values():
+            assert abs(v - 1 / 3) < 1e-4
+        # hub-and-spoke: the hub must outrank every spoke
+        edges2 = spark.createDataFrame(
+            [("s1", "hub", 3), ("s2", "hub", 1), ("hub", "s1", 1)],
+            "w1 string, w2 string, c long",
+        )
+        r2 = {r.node: r.rank for r in pagerank(edges2).collect()}
+        assert r2["hub"] > r2["s1"] > 0

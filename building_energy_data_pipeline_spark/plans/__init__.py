@@ -19,7 +19,7 @@ from . import streaming_queries  # noqa: F401  (streaming-executed rollup q52, s
 from . import multimodal_queries  # noqa: F401  (binary media columns q53–q54)
 from . import array_queries  # noqa: F401  (explode/higher-order/pivot q59–q61)
 from . import pipeline_queries  # noqa: F401  (packing/decontam/boilerplate q83–q86)
-from . import llm_queries  # noqa: F401  (repetition/chunking/ngram-LM q97–q99, split-leakage/kmeans/zipf q106–q108)
+from . import llm_queries  # noqa: F401  (repetition/chunking/ngram-LM q97–q99, split-leakage/kmeans/zipf/pagerank q106–q109, dup spans q112–q113)
 from . import cdc_queries  # noqa: F401  (MERGE upsert q105)
 
 #: Registry prefix — ROTATION RULE (round 4+): any query whose

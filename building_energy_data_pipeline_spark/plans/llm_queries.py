@@ -1,14 +1,16 @@
-"""Corpus-statistics queries for LLM training pipelines (q97–q99):
-within-document repetition signals, RAG chunking, and n-gram
-language-model counts.
+"""Corpus-statistics queries for LLM training pipelines
+(q97–q99, q106–q109, q112–q113): within-document repetition signals,
+RAG chunking, n-gram language-model counts, train/val/test
+split-leakage auditing, one-step k-means and PageRank (fixpoint loops
+in ``operators/similarity.kmeans_train`` / ``operators/graph.
+pagerank``), Zipf head-coverage, and exact duplicate-span
+detection + excision (substring dedup).
 
 The reference has no text subsystem (its ``src/analytics/`` is an
 empty stub, ``src/analytics/__init__.py:1``); these extend the
-BASELINE.md north-star family (q26–q35, q83–q95) with the three
-remaining operations a training-data pipeline runs between "deduped
-corpus" and "training batches": repetition filtering (Gopher-style
-quality gate), chunking documents into overlapping context windows,
-and corpus-level token-transition statistics.
+BASELINE.md north-star family (q26–q35, q83–q95) with the remaining
+operations a training-data pipeline runs between "deduped corpus"
+and "training batches".
 
 All integer arithmetic (permille ratios, exact counts) — no float
 drift between the Spark plan and its DuckDB oracle twin.

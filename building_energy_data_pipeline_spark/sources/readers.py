@@ -170,13 +170,28 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def read_parquet(
-    spark: SparkSession, path: str, schema: T.StructType | None = None
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    merge_schema: bool = False,
+    **options: str,
 ) -> DataFrame:
     """S2/S3: Parquet scan. ``df.limit(n)`` on the result is the
-    row-group-pruned bounded read (``file_utils.py:331-343``)."""
+    row-group-pruned bounded read (``file_utils.py:331-343``).
+
+    ``merge_schema=True`` unions the schemas of every file in the
+    directory (columns added over a table's lifetime surface as NULL
+    in older files) — the schema-DRIFT half of evolution a long-lived
+    warehouse accumulates. It costs a footer read per file at plan
+    time, so leave it off for vintage-stable tables.
+    """
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
     return reader.parquet(path)
 
 

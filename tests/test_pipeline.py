@@ -214,3 +214,26 @@ class TestAcquire:
         info = get_parquet_info(part)
         assert info["num_rows"] == 100
         assert info["columns"] == {"id": "INT64"}
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_read_unions_file_schemas(self, spark, tmp_path):
+        # a table whose later files gained a column: mergeSchema=True
+        # surfaces the union with NULLs for the older vintage;
+        # default read keeps the fast single-footer path
+        from building_energy_data_pipeline_spark.sources.readers import (
+            read_parquet,
+        )
+
+        p = str(tmp_path / "evolving")
+        spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+            p + "/batch=1"
+        )
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, v string, score double"
+        ).write.parquet(p + "/batch=2")
+
+        merged = read_parquet(spark, p, merge_schema=True)
+        assert "score" in merged.columns
+        rows = {r.id: r.score for r in merged.collect()}
+        assert rows[2] == 9.5 and rows[1] is None

@@ -65,6 +65,7 @@ _CURATED_ORDER = [
     "q111_bucketed_join",
     "q112_duplicate_spans",
     "q113_span_excision",
+    "q114_shuffle_shard",
     # changed round 4: token templates / dedup slim join / curation
     "q27_fingerprint_dedup",
     "q28_minhash_lsh_pairs",
@@ -101,13 +102,13 @@ _CURATED_ORDER = [
     "q03_top_revenue_orders",
     "q04_exists_semi_join",
     "q05_customers_without_orders",
-    "q06_nation_customer_rollup",
     "q08_unpivot_metrics",
     # ---- position 50 boundary; below: green r2/r3, unchanged since
     # (q09-q13, q15-q19, q21 and q35 demoted from the refresh block
     # to make room for the new q103-q113 and the spread_scan-changed
     # q34/q91: all r1-green, untouched since their last green row,
     # and re-verified by the local DuckDB-parity suite each round) --
+    "q06_nation_customer_rollup",
     "q09_nullsafe_pair_join",
     "q10_cross_join_constants",
     "q11_union_halves",

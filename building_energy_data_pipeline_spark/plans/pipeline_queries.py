@@ -1064,3 +1064,67 @@ def q111_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)  # materialize before cleanup
         )
+
+
+#: epoch-shuffle geometry: seed makes each epoch's permutation
+#: different but fully reproducible; 8 shards ≈ one per data-loader
+_SHUF_SEED = "epoch1"
+_N_SHARDS = 8
+
+
+@query(
+    "q114_shuffle_shard",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (
+               ORDER BY md5('{_SHUF_SEED}' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS rn
+      FROM documents
+    )
+    SELECT CAST((rn - 1) % {_N_SHARDS} AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           MIN(rn) AS first_rank, MAX(rn) AS last_rank
+    FROM ranked GROUP BY 1
+    """,
+)
+def q114_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + round-robin sharding — the step
+    that turns a curated corpus into training-loader inputs: every
+    document gets a seed-keyed pseudo-random position (md5 of
+    seed+id — reshuffling an epoch is just a new seed, no RNG state
+    to persist), a GLOBAL rank over that order, and a shard
+    assignment ``(rank-1) mod N``. Round-robin over the shuffled
+    order gives every shard an i.i.d.-like slice of equal size ±1 —
+    what per-worker data loaders need. The per-shard id checksum
+    pins the exact membership.
+
+    Scale: the global rank is ``operators/scale.global_row_index``
+    (range partition + in-plan offsets — NO single-partition window;
+    the q22 machinery), so the shuffle-shard step inherits its
+    100 TB path: one range exchange, never a serialized sort.
+    """
+    from ..operators.scale import global_row_index
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.concat(F.lit(_SHUF_SEED), F.col("doc_id").cast("string"))
+        ).alias("__key"),
+    )
+    ranked = global_row_index(docs, ["__key", "doc_id"], "rn")
+    return (
+        ranked.groupBy(
+            F.expr(f"(rn - 1) % {_N_SHARDS}").cast("bigint").alias("shard")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            F.min("rn").alias("first_rank"),
+            F.max("rn").alias("last_rank"),
+        )
+    )

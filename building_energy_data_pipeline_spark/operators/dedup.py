@@ -384,6 +384,7 @@ def incremental_lsh_matches(
     id_col: str,
     cutoff: int,
     min_jaccard: float = 0.5,
+    reuse_slot: bool = False,
 ) -> DataFrame:
     """Incremental corpus dedup: probe only the NEW docs
     (``id >= cutoff``) against everything earlier — the continuous-
@@ -405,13 +406,18 @@ def incremental_lsh_matches(
     """
     from ..caching import slot_persist
 
-    # reuse=False: incremental dedup's whole premise is that the
-    # corpus GREW since the last invocation — a plan-identical sigs
-    # frame over the same path would warm-hit a pre-append snapshot
-    # and silently probe against a corpus missing the new batch. The
-    # slot still bounds the session to one cached signature table and
-    # keeps the intra-invocation compute-once guarantee.
-    staged = slot_persist("dedup.incremental_lsh_matches", sigs, reuse=False)
+    # reuse defaults OFF: incremental dedup's whole premise is that
+    # the corpus GREW since the last invocation — a plan-identical
+    # sigs frame over the same path would warm-hit a pre-append
+    # snapshot and silently probe against a corpus missing the new
+    # batch. The slot still bounds the session to one cached
+    # signature table and keeps the intra-invocation compute-once
+    # guarantee. ``reuse_slot=True`` is for callers that GUARANTEE
+    # the input files are immutable for the session (re-running the
+    # same probe on a static corpus — the bench/driver case).
+    staged = slot_persist(
+        "dedup.incremental_lsh_matches", sigs, reuse=reuse_slot
+    )
     # pinned bk-exchange BEFORE the new-batch filter: corpus and
     # probe sides are then the same subtree modulo a post-exchange
     # filter, so both read ONE materialized slim exchange instead of

@@ -149,9 +149,18 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: lineitem agg shuffles on l_orderkey; customer is a
     dimension → broadcast (no shuffle of the fact side for that join);
-    top-k is a TakeOrdered, never a full sort.
+    top-k is a TakeOrdered, never a full sort. ``spread_scan``
+    (conditional, keyed on l_orderkey so the revenue groupBy reuses
+    the exchange) fans the decimal folds out of a single row group —
+    ~2× at sf0.1, no-op on multi-split inputs.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    from ..operators.scale import spread_scan
+
+    li = spread_scan(
+        load_table(spark, sf_dir, "lineitem"),
+        cols=["l_orderkey", "l_extendedprice", "l_discount"],
+        by=["l_orderkey"],
+    )
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     rev = li.groupBy("l_orderkey").agg(

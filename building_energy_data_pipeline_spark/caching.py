@@ -59,7 +59,12 @@ def slot_persist(name: str, df: DataFrame, reuse: bool = True) -> DataFrame:
     the storage flag back on, the plan is unchanged).
     """
     try:
-        sig = df.semanticHash()
+        # the plan hash alone canonicalizes a parquet scan on its
+        # PATH; folding in the listed input files catches a directory
+        # rebuilt in place between invocations (part files carry
+        # fresh UUID names on every rewrite), so a warm hit can never
+        # serve signatures for regenerated data
+        sig = hash((df.semanticHash(), frozenset(df.inputFiles())))
     except Exception:  # noqa: BLE001 — never let caching break a plan
         sig = None
     prev = _CACHE_SLOTS.get(name)

@@ -108,6 +108,14 @@ def pagerank(
         F.col(weight).cast("double").alias("w"),
     ).localCheckpoint()
     out_w = e.groupBy("u").agg(F.sum("w").alias("out_w"))
+    # normalize ONCE before the loop: every iteration then costs one
+    # join + one groupBy instead of re-deriving the out-degree
+    # aggregate and its join each round
+    e_norm = (
+        e.join(out_w, "u")
+        .select("u", "v", (F.col("w") / F.col("out_w")).alias("p"))
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
@@ -115,15 +123,16 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:  # empty graph → empty ranks, like connected_components
+        return nodes.withColumn("rank", F.lit(0.0))
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     for _ in range(max_iter):
         contrib = (
-            e.join(out_w, "u")
-            .join(ranks.withColumnRenamed("node", "u"), "u")
+            e_norm.join(ranks.withColumnRenamed("node", "u"), "u")
             .select(
                 F.col("v").alias("node"),
-                (F.col("rank") * F.col("w") / F.col("out_w")).alias("x"),
+                (F.col("rank") * F.col("p")).alias("x"),
             )
         )
         new_ranks = (

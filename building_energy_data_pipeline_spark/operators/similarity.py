@@ -606,15 +606,27 @@ def kmeans_train(
     )
     for _ in range(max_iter):
         step = kmeans_step(corpus, centroids, id_col, vec_col)
-        new_centroids = (
+        recomputed = (
             step.groupBy("centroid_id")
             .agg(
                 F.expr(
                     "transform(array_sort(collect_list("
                     "struct(pos, centroid))), s -> cast(s.centroid as float))"
-                ).alias(vec_col)
+                ).alias("__new_vec")
             )
-            .select(F.col("centroid_id").alias(id_col), vec_col)
+            .select(F.col("centroid_id").alias(id_col), "__new_vec")
+        )
+        # an EMPTIED cluster (ties all break to a lower centroid id,
+        # common after dedup leaves duplicate seed vectors) drops out
+        # of the step output; carry its previous centroid forward so
+        # the trained quantizer keeps k cells instead of silently
+        # shrinking
+        new_centroids = (
+            centroids.join(recomputed, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("__new_vec", vec_col).alias(vec_col),
+            )
             .localCheckpoint()
         )
         # max per-dimension movement between rounds (empty-cluster

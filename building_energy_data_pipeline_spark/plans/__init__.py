@@ -26,18 +26,19 @@ from . import cdc_queries  # noqa: F401  (MERGE upsert q105)
 #: plan-affecting code changed since its LAST driver row, and any
 #: query with no driver row yet, goes INSIDE the 50-entry window;
 #: remaining slots refresh the queries with the oldest green rows.
-#: Round-4 mandatory set: the NEW q96–q113 (streaming dedup,
+#: Round-4 mandatory set: the NEW q96–q114 (streaming dedup,
 #: repetition gate, RAG chunking, bigram LM, stream-stream join,
 #: IVF recall, audio stats, JSONL/ORC round-trips, MERGE upsert,
 #: split leakage, k-means step, Zipf coverage, PageRank step,
-#: temperature mixture, bucketed join, duplicate spans + excision);
+#: temperature mixture, bucketed join, duplicate spans + excision,
+#: epoch shuffle-shard);
 #: everything the round-4
 #: commits touched (token-template NULL coalesce → q27–q33, q76,
 #: q83–q86, q90, q92, q44; slim LSH band join → q28/q90/q44; asof
 #: tiebreak → q36; multimodal md5-chain decoder → q53/q54; q87 qvec
 #: serialization; global_row_index cache slots → q22/q23;
-#: conditional spread_scan fan-out → q01/q08/q29/q34/q37/q68/q85/
-#: q91/q97/q99); plus the round-3 ``fa23fce`` plan rewrites whose
+#: conditional spread_scan fan-out → q01/q03/q08/q29/q34/q37/q68/
+#: q85/q91/q97/q99); plus the round-3 ``fa23fce`` plan rewrites whose
 #: driver rows were stale (q29/q30/q37/q68 — VERDICT r3 finding #2).
 #: Not rotated in: non-plan changes (release_caches in
 #: window_queries — q73/q74 plans untouched).
@@ -94,20 +95,21 @@ _CURATED_ORDER = [
     "q37_embedding_neardup",
     "q68_fuzzy_blocked_join",
     # changed round 4: conditional spread_scan fan-out (q01 is at the
-    # top as flagship; q08 sits in the refresh block below)
+    # top as flagship; q08 closes the window below)
     "q34_ann_bruteforce",
     "q91_quantized_topk",
+    "q03_top_revenue_orders",
     # refresh: oldest evidence (green r1, unchanged since)
     "q02_filtered_scan",
-    "q03_top_revenue_orders",
     "q04_exists_semi_join",
     "q05_customers_without_orders",
     "q08_unpivot_metrics",
     # ---- position 50 boundary; below: green r2/r3, unchanged since
-    # (q09-q13, q15-q19, q21 and q35 demoted from the refresh block
-    # to make room for the new q103-q113 and the spread_scan-changed
-    # q34/q91: all r1-green, untouched since their last green row,
-    # and re-verified by the local DuckDB-parity suite each round) --
+    # (q06, q09-q13, q15-q19, q21 and q35 demoted from the refresh
+    # block to make room for the new q103-q114 and the
+    # spread_scan-changed q03/q34/q91: all r1-green, untouched since
+    # their last green row, and re-verified by the local DuckDB-parity
+    # suite each round) --
     "q06_nation_customer_rollup",
     "q09_nullsafe_pair_join",
     "q10_cross_join_constants",

@@ -112,3 +112,30 @@ class TestFixpointLoops:
         )
         r2 = {r.node: r.rank for r in pagerank(edges2).collect()}
         assert r2["hub"] > r2["s1"] > 0
+
+    def test_kmeans_train_keeps_k_on_emptied_cluster(self, spark):
+        # duplicate seed vectors: ties all break to the lower centroid
+        # id, emptying the other's cluster — the trained quantizer
+        # must still have k cells (previous centroid carried forward)
+        from building_energy_data_pipeline_spark.operators.similarity import (
+            kmeans_train,
+        )
+
+        rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0])] + [
+            (10 + i, [1.0, 0.001 * i]) for i in range(10)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        cent = kmeans_train(emb, k=2, max_iter=4)
+        assert cent.count() == 2
+
+    def test_pagerank_empty_edges(self, spark):
+        from building_energy_data_pipeline_spark.operators.graph import (
+            pagerank,
+        )
+
+        empty = spark.createDataFrame(
+            [], "w1 string, w2 string, c long"
+        )
+        assert pagerank(empty).count() == 0

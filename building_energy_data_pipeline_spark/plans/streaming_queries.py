@@ -396,3 +396,107 @@ def q100_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lat_us").alias("sum_latency_us"),
         )
     )
+
+
+@query(
+    "q115_streaming_cdc_apply",
+    oracle="""
+    SELECT user_id, event_type, value, event_id AS version
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 AND event_type != 'error'
+    """,
+)
+def q115_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC apply: the events table replayed as a change
+    stream (event_id is the LSN; ``event_type = 'error'`` rows act as
+    delete tombstones) and folded batch-by-batch into a parquet state
+    table with ``operators/cdc.merge_upsert`` inside ``foreachBatch``
+    — the streaming twin of the batch MERGE (q105) and the Delta-style
+    continuous-upsert shape.
+
+    The source is pre-split into multiple files and drained with
+    ``maxFilesPerTrigger=1``, so the merge genuinely runs ACROSS
+    micro-batches; latest-wins over unique (key, LSN) is associative,
+    so the final state is independent of batch boundaries — which is
+    exactly what the batch-SQL oracle checks. Tombstones are RETAINED
+    in state during the run (dropping them mid-stream would let an
+    out-of-order older version resurrect the key) and filtered only
+    at read-out — the correct CDC-state discipline.
+
+    Scale: each micro-batch merges against the CURRENT state with one
+    key shuffle (q105's cost); at warehouse scale the state table is
+    bucketed on the key (write_bucketed) so the per-batch merge is
+    exchange-free, and the rewrite is a partition-targeted MERGE
+    rather than this demo's full-state swap.
+    """
+    import os
+    import shutil
+
+    from ..operators.cdc import merge_upsert
+
+    base_dir = tempfile.mkdtemp(prefix="q115_cdc_")
+    src_dir = os.path.join(base_dir, "changes")
+    ckpt = os.path.join(base_dir, "ckpt")
+    state: dict[str, str] = {}  # current state dir, mutated per batch
+
+    try:
+        # stage the change log as multiple files (repartition range on
+        # version keeps each file a contiguous LSN slice — realistic
+        # change-log shipping; correctness needs neither)
+        static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        static.select(
+            "user_id", "event_type", "value",
+            F.col("event_id").alias("version"),
+        ).repartitionByRange(4, "version").write.parquet(src_dir)
+
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_type string, value double,"
+                " version long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            s = batch_df.sparkSession
+            prev = state.get("dir")
+            base = (
+                s.read.parquet(prev)
+                if prev is not None
+                else s.createDataFrame(
+                    [],
+                    "user_id long, event_type string, value double,"
+                    " version long",
+                )
+            )
+            merged = merge_upsert(
+                base, batch_df, ["user_id"], "version"
+            )
+            nxt = os.path.join(base_dir, f"state_v{batch_id}")
+            merged.write.mode("overwrite").parquet(nxt)
+            old = state.get("dir")
+            state["dir"] = nxt
+            if old is not None:
+                shutil.rmtree(old, ignore_errors=True)
+
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q115: change stream did not drain")
+
+        final = spark.read.parquet(state["dir"])
+        return (
+            final.filter(F.col("event_type") != "error")
+            .select("user_id", "event_type", "value", "version")
+            .localCheckpoint(eager=True)  # materialize before cleanup
+        )
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

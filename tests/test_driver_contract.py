@@ -224,3 +224,36 @@ def test_stateful_gap_tracker_matches_batch_keys(plain, sf_dir):
         .count()
     )
     assert mismatches == 0
+
+
+# the round-4 family — the newest entries in the driver's check
+# window; pinned for plain-session safety like the q83-q95 block
+ROUND4_FAMILY_QUERIES = (
+    "q96_streaming_dedup",
+    "q97_repetition_filter",
+    "q98_rag_chunking",
+    "q99_bigram_lm",
+    "q100_stream_stream_join",
+    "q101_ivf_recall",
+    "q102_audio_int_stats",
+    "q103_jsonl_roundtrip",
+    "q104_orc_roundtrip",
+    "q105_merge_upsert",
+    "q106_split_leakage",
+    "q107_kmeans_step",
+    "q108_zipf_coverage",
+    "q109_pagerank_step",
+    "q110_temperature_mixture",
+    "q111_bucketed_join",
+    "q112_duplicate_spans",
+    "q113_span_excision",
+    "q114_shuffle_shard",
+    "q115_streaming_cdc_apply",
+)
+
+
+@pytest.mark.parametrize("name", ROUND4_FAMILY_QUERIES)
+def test_round4_query_under_plain_session(plain, sf_dir, name):
+    df = driver_entry.queries()[name](plain, sf_dir)
+    assert df.count() > 0
+    assert len(df.columns) > 0

@@ -26,12 +26,12 @@ from . import cdc_queries  # noqa: F401  (MERGE upsert q105)
 #: plan-affecting code changed since its LAST driver row, and any
 #: query with no driver row yet, goes INSIDE the 50-entry window;
 #: remaining slots refresh the queries with the oldest green rows.
-#: Round-4 mandatory set: the NEW q96–q115 (streaming dedup,
+#: Round-4 mandatory set: the NEW q96–q116 (streaming dedup,
 #: repetition gate, RAG chunking, bigram LM, stream-stream join,
 #: IVF recall, audio stats, JSONL/ORC round-trips, MERGE upsert,
 #: split leakage, k-means step, Zipf coverage, PageRank step,
 #: temperature mixture, bucketed join, duplicate spans + excision,
-#: epoch shuffle-shard, streaming CDC apply);
+#: epoch shuffle-shard, streaming CDC apply, join-key skew);
 #: everything the round-4
 #: commits touched (token-template NULL coalesce → q27–q33, q76,
 #: q83–q86, q90, q92, q44; slim LSH band join → q28/q90/q44; asof
@@ -68,6 +68,7 @@ _CURATED_ORDER = [
     "q113_span_excision",
     "q114_shuffle_shard",
     "q115_streaming_cdc_apply",
+    "q116_join_key_skew",
     # changed round 4: token templates / dedup slim join / curation
     "q27_fingerprint_dedup",
     "q28_minhash_lsh_pairs",
@@ -102,14 +103,14 @@ _CURATED_ORDER = [
     "q03_top_revenue_orders",
     # refresh: oldest evidence (green r1, unchanged since)
     "q02_filtered_scan",
-    "q04_exists_semi_join",
     "q08_unpivot_metrics",
     # ---- position 50 boundary; below: green r2/r3, unchanged since
-    # (q05, q06, q09-q13, q15-q19, q21 and q35 demoted from the refresh
-    # block to make room for the new q103-q115 and the
+    # (q04-q06, q09-q13, q15-q19, q21 and q35 demoted from the refresh
+    # block to make room for the new q103-q116 and the
     # spread_scan-changed q03/q34/q91: all r1-green, untouched since
     # their last green row, and re-verified by the local DuckDB-parity
     # suite each round) --
+    "q04_exists_semi_join",
     "q05_customers_without_orders",
     "q06_nation_customer_rollup",
     "q09_nullsafe_pair_join",

@@ -634,3 +634,55 @@ def q82_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q82_customer"
     )
     return spark.sql(_Q82_SQL.format(nation="q82_nation", customer="q82_customer"))
+
+
+@query(
+    "q116_join_key_skew",
+    oracle="""
+    WITH k AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    s AS (SELECT COUNT(*) AS n_keys, SUM(n) AS total, MAX(n) AS mx FROM k)
+    SELECT user_id, n,
+           CAST(n * 10000 // total AS BIGINT) AS share_bp,
+           CAST(mx * n_keys * 100 // total AS BIGINT)
+             AS skew_pct_of_uniform
+    FROM k, s
+    ORDER BY n DESC, user_id
+    LIMIT 20
+    """,
+)
+def q116_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the measurement that DECIDES when to
+    reach for ``operators/scale.salted_join`` or AQE skew splitting:
+    per-key row counts for a prospective join/groupBy key, the top-20
+    heavy hitters with their share in basis points, and the global
+    skew factor (max key count as a percent of the uniform share —
+    100 means perfectly uniform, 10 000 means the hottest key is
+    100× uniform). The reference's planner-side analogue is
+    pg_stats' most-common-values list; here it is an explicit query
+    any key can be audited with.
+
+    Scale: one map-side-combined groupBy on the key (the same
+    exchange the prospective join would pay), one tiny global
+    aggregate broadcast back, TakeOrdered for the top-20 — no global
+    sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    s = k.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("total"),
+        F.max("n").alias("mx"),
+    )
+    return (
+        k.crossJoin(F.broadcast(s))
+        .select(
+            "user_id",
+            "n",
+            F.expr("n * 10000 div total").alias("share_bp"),
+            F.expr("mx * n_keys * 100 div total").alias(
+                "skew_pct_of_uniform"
+            ),
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(20)
+    )

@@ -104,7 +104,9 @@ _CURATED_ORDER = [
     # refresh: oldest evidence (green r1, unchanged since)
     "q02_filtered_scan",
     "q08_unpivot_metrics",
-    # ---- position 50 boundary; below: green r2/r3, unchanged since
+    # ---- position 50 boundary; below: green at their last driver
+    # row (r1 for the demoted refresh block, r2/r3 for the rest),
+    # unchanged since
     # (q04-q06, q09-q13, q15-q19, q21 and q35 demoted from the refresh
     # block to make room for the new q103-q116 and the
     # spread_scan-changed q03/q34/q91: all r1-green, untouched since

@@ -444,8 +444,13 @@ def q115_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # stage the change log as multiple files (repartition range on
         # version keeps each file a contiguous LSN slice — realistic
-        # change-log shipping; correctness needs neither)
-        static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # change-log shipping; correctness needs neither). load_table,
+        # NOT raw spark.read: a nanos-vintage events.ts fails schema
+        # conversion under a plain session before pruning can drop it
+        # (the round-1 failure class test_driver_contract pins)
+        from ..sources.readers import load_table
+
+        static = load_table(spark, sf_dir, "events")
         static.select(
             "user_id", "event_type", "value",
             F.col("event_id").alias("version"),

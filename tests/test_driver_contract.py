@@ -249,6 +249,7 @@ ROUND4_FAMILY_QUERIES = (
     "q113_span_excision",
     "q114_shuffle_shard",
     "q115_streaming_cdc_apply",
+    "q116_join_key_skew",
 )
 
 

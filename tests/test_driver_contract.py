@@ -258,3 +258,33 @@ def test_round4_query_under_plain_session(plain, sf_dir, name):
     df = driver_entry.queries()[name](plain, sf_dir)
     assert df.count() > 0
     assert len(df.columns) > 0
+
+
+def test_curated_window_holds_exactly_fifty_entries():
+    """The driver's correctness harness checks the first 50 dict
+    entries of queries(); the curated order must keep the documented
+    position-50 boundary true. Round 4's first review found the
+    window silently overflowed to 52 — this pins the invariant."""
+    from building_energy_data_pipeline_spark.plans import (
+        _CURATED_ORDER,
+        REGISTRY,
+    )
+
+    names = list(REGISTRY)
+    # every registered query is explicitly curated (nothing appended
+    # in stray registration order past the list)
+    assert set(names) == set(_CURATED_ORDER)
+    # the first entry below the documented boundary sits at index 50
+    import inspect
+
+    import building_energy_data_pipeline_spark.plans as plans_mod
+
+    src = inspect.getsource(plans_mod)
+    below = src.split("position 50 boundary")[1]
+    import re
+
+    first_below = re.search(r'"(q\w+)"', below).group(1)
+    assert names.index(first_below) == 50, (
+        f"window boundary drifted: {first_below} at "
+        f"{names.index(first_below)}"
+    )

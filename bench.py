@@ -53,7 +53,10 @@ def main() -> None:
     # first timed query doesn't pay session startup.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    from building_energy_data_pipeline_spark import caching
+
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     # three timed runs per query, keep the min: run 1 pays whole-stage
     # codegen compilation (~0.5-1 s/query, a constant that vanishes
     # at real scale); the min of the rest is the steady-state
@@ -66,6 +69,10 @@ def main() -> None:
         spec = REGISTRY[name]
         best = float("inf")
         try:
+            # every query starts from empty persist slots so its
+            # timing never measures a predecessor's warm cache
+            # (ADVICE r4: q28/q106 share a slot — attribution)
+            caching.release_caches()
             for _ in range(3):
                 t0 = time.perf_counter()
                 spec.spark(spark, sf_dir).write.format("noop").mode(
@@ -73,6 +80,20 @@ def main() -> None:
                 ).save()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 4)
+            # cold-path honesty (VERDICT r4 #8): for slot-using
+            # queries the min-of-3 above is a WARM-slot number (runs
+            # 2-3 reuse the persisted intermediate — the declared
+            # steady-state intent). Record one more run from released
+            # slots — codegen already warm, slots cold — as the
+            # first-invocation cost a fresh session would pay.
+            if caching._CACHE_SLOTS:
+                caching.release_caches()
+                t0 = time.perf_counter()
+                spec.spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                cold[name] = round(time.perf_counter() - t0, 4)
+                caching.release_caches()
         except Exception as exc:  # noqa: BLE001 — isolate per query
             timings[name] = -1.0
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -128,14 +149,29 @@ def main() -> None:
         shutil.rmtree(out, ignore_errors=True)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    calib = _calibrate()
     payload = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "calib_sec": _calibrate(),
+        "calib_sec": calib,
+        # machine-speed-normalized timings (VERDICT r4 #5): seconds ÷
+        # calib_sec. Cross-round deltas in queries_norm separate code
+        # regressions from VM spread without hand math — a query whose
+        # RAW time moved with the calib ratio is machine noise.
+        "queries_norm": {
+            n: (round(t / calib, 3) if t >= 0 else -1.0)
+            for n, t in timings.items()
+        },
+        "value_norm": round(total / calib, 3),
     }
+    if cold:
+        # first-invocation (cold persist slots, warm JIT) seconds for
+        # the slot-using entries; the headline numbers for these are
+        # warm-slot steady-state (VERDICT r4 #8)
+        payload["cold_sec"] = cold
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))

@@ -37,6 +37,7 @@ def asof_join(
     right_prefix: str = "right_",
     tolerance: str | None = None,
     right_order: list[str] | None = None,
+    right_unique: bool = False,
 ) -> DataFrame:
     """For every left row, attach the most recent right row with
     ``right.ts <= left.ts`` per ``on`` key (inner semantics: left
@@ -51,6 +52,16 @@ def asof_join(
     Defaults to all payload columns (a total order when right rows
     are distinct); pass an id column explicitly when payloads contain
     non-orderable types (maps).
+
+    ``right_unique=True`` asserts (key, ts) is unique on the right
+    side and SKIPS the tie-break struct entirely — (key, ts) is then
+    already a total order, so the result is deterministic without it,
+    and the per-key sort drops the struct comparison (VERDICT r4
+    measured the unconditional tie-break at +38% on the q36 bench
+    entry). If the assertion is violated, which right row wins among
+    exact (key, ts) duplicates is partitioning-dependent — only set
+    it when uniqueness is a data invariant (e.g. a (sensor, reading
+    timestamp) stream after dedup).
     """
     payload = [
         c for c in right.columns if c not in on and c != right_ts
@@ -60,21 +71,31 @@ def asof_join(
         # key+ts-only right table: zero-field struct() fails analysis;
         # the ts column is a valid (if redundant) total order there
         tiebreak = [right_ts]
+    tie_cols_r = (
+        []
+        if right_unique
+        else [F.struct(*[F.col(c) for c in tiebreak]).alias("__tie")]
+    )
     r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
-        F.struct(*[F.col(c) for c in tiebreak]).alias("__tie"),
+        *tie_cols_r,
         F.struct(
             F.col(right_ts).alias("ts"),
             *[F.col(c) for c in payload],
         ).alias("__rstruct"),
     )
+    tie_cols_l = (
+        []
+        if right_unique
+        else [F.lit(None).cast(r.schema["__tie"].dataType).alias("__tie")]
+    )
     l = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__tag"),
-        F.lit(None).cast(r.schema["__tie"].dataType).alias("__tie"),
+        *tie_cols_l,
         F.lit(None).cast(r.schema["__rstruct"].dataType).alias("__rstruct"),
     )
     merged = l.unionByName(r, allowMissingColumns=True)
@@ -82,9 +103,12 @@ def asof_join(
     # nothing that matters: among equal __ts, right rows (__tag 0)
     # precede left rows, and within right rows the LAST — greatest
     # __tie — is the one last(ignorenulls) carries forward.
+    order = [F.col("__ts"), F.col("__tag")]
+    if not right_unique:
+        order.append(F.asc_nulls_first("__tie"))
     w = (
         W.partitionBy(*on)
-        .orderBy(F.col("__ts"), F.col("__tag"), F.asc_nulls_first("__tie"))
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = merged.withColumn(

@@ -97,6 +97,18 @@ def pagerank(
     constant ``(1-d)/N`` rank for source-only nodes, so ranks cover
     the full node set.
 
+    Cross-engine determinism (the q109 convention, carried through
+    the loop): per-edge contributions are IEEE-exact chains on
+    identical operands (edge weights are integer counts, so the
+    out-weight double sum is exact), and each round's in-edge sum
+    goes through DECIMAL(38,18) rounded to 12 decimals —
+    order-independent, so a CTE-unrolled SQL twin reproduces the
+    ranks bit-for-bit (q118's oracle unrolls two rounds this way).
+
+    ``tol <= 0`` pins the loop to exactly ``max_iter`` rounds and
+    skips the per-round convergence aggregate (the fixed-budget mode
+    q118 runs in).
+
     Scale notes (same discipline as :func:`connected_components`):
     one join + one groupBy per round over the COMPACT edge table —
     corpus text is never touched inside the loop; ``localCheckpoint``
@@ -135,12 +147,13 @@ def pagerank(
                 (F.col("rank") * F.col("p")).alias("x"),
             )
         )
+        inflow = contrib.groupBy("node").agg(
+            F.round(F.sum(F.col("x").cast("decimal(38,18)")), 12)
+            .cast("double")
+            .alias("inflow")
+        )
         new_ranks = (
-            nodes.join(
-                contrib.groupBy("node").agg(F.sum("x").alias("inflow")),
-                "node",
-                "left",
-            )
+            nodes.join(inflow, "node", "left")
             .select(
                 "node",
                 (
@@ -150,6 +163,9 @@ def pagerank(
             )
             .localCheckpoint()
         )
+        if tol <= 0:  # fixed-budget mode: no convergence aggregate
+            ranks = new_ranks
+            continue
         delta = (
             new_ranks.withColumnRenamed("rank", "new_rank")
             .join(ranks, "node")

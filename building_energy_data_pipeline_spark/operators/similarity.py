@@ -317,10 +317,10 @@ def kmeans_step(
 
     This is the building block the IVF index (q35) trains with: run
     it until assignments stabilize, feeding each round's output back
-    as the next round's centroid table. One step is SQL-expressible
-    and oracle-checkable; the fixpoint loop is a driver-side
-    ``for`` over this function (iterative, hence not oracle-checked
-    — same policy as the recursive spine, q58).
+    as the next round's centroid table. One step is oracle-checked by
+    q107; the fixpoint loop (:func:`kmeans_train`) is itself
+    oracle-checked end-to-end at a fixed 2-iteration budget by q117,
+    and its trained centroids drive the q119 recall harness.
 
     Output: ``centroid_id, pos (1-based), n_members, sum_comp,
     centroid`` — the mean is computed like q66's label centroids:
@@ -347,13 +347,25 @@ def kmeans_step(
     )
 
 
-def duck_assign_sql(corpus: str, centroid_pred: str) -> str:
+def duck_assign_sql(
+    corpus: str,
+    centroid_pred: str | None = None,
+    centroid_sql: str | None = None,
+) -> str:
     """DuckDB twin of :func:`assign_centroids`: the nearest-centroid
     assignment subquery (max cosine, ties by centroid id). Single
     source for every oracle built on the assignment — IVF retrieval
-    (:func:`duck_ivf_topk_sql`) and the k-means step
-    (:func:`duck_kmeans_step_sql`) — so the tie-break and fold-order
-    conventions cannot drift between them."""
+    (:func:`duck_ivf_topk_sql`), the k-means step
+    (:func:`duck_kmeans_step_sql`), and the unrolled training loop
+    (:func:`duck_kmeans_train_sql`) — so the tie-break and fold-order
+    conventions cannot drift between them.
+
+    The centroid table is either a predicate over the corpus
+    (``centroid_pred`` — the seed convention) or an arbitrary
+    ``(vec_id, embedding)`` subquery/CTE name (``centroid_sql`` — the
+    trained-centroid path)."""
+    if centroid_sql is None:
+        centroid_sql = f"SELECT * FROM {corpus} WHERE {centroid_pred}"
     assign_cos = (
         f"{duck_dot_sql('v.embedding', 'ct.embedding')}"
         f" / ({duck_norm_sql('v.embedding')} * {duck_norm_sql('ct.embedding')})"
@@ -363,20 +375,21 @@ def duck_assign_sql(corpus: str, centroid_pred: str) -> str:
         SELECT v.vec_id, v.embedding, ct.vec_id AS centroid_id,
                row_number() OVER (PARTITION BY v.vec_id
                                   ORDER BY {assign_cos} DESC, ct.vec_id) AS crank
-        FROM {corpus} v, (SELECT * FROM {corpus} WHERE {centroid_pred}) ct
+        FROM {corpus} v, ({centroid_sql}) ct
       ) WHERE crank = 1
     """
 
 
 def duck_kmeans_step_sql(
     corpus: str = "embeddings",
-    centroid_pred: str = "vec_id < 8",
+    centroid_pred: str | None = "vec_id < 8",
+    centroid_sql: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`kmeans_step` (assignment CTE shared with
     :func:`duck_ivf_topk_sql` via :func:`duck_assign_sql`, decimal-sum
     convention shared with q66)."""
     return f"""
-    WITH assigned AS ({duck_assign_sql(corpus, centroid_pred)}),
+    WITH assigned AS ({duck_assign_sql(corpus, centroid_pred, centroid_sql)}),
     comps AS (
       SELECT centroid_id,
              generate_subscripts(embedding, 1) AS pos,
@@ -394,20 +407,62 @@ def duck_kmeans_step_sql(
     """
 
 
+def duck_kmeans_train_sql(
+    corpus: str = "embeddings",
+    k: int = 8,
+    iters: int = 2,
+) -> str:
+    """CTE-unrolled DuckDB twin of :func:`kmeans_train` with
+    ``max_iter=iters, tol=0.0`` (fixed iteration count, no early
+    stop): seeds are the ``k`` lowest-id vectors, each unrolled round
+    is one :func:`duck_assign_sql` assignment + the
+    :func:`duck_kmeans_step_sql` decimal-mean recompute, and emptied
+    clusters carry their previous centroid forward (LEFT JOIN +
+    COALESCE — the same empty-cluster rule as the Spark loop).
+
+    Returns SQL producing the trained ``(vec_id, embedding)`` centroid
+    table; embeddings are FLOAT lists (the per-dimension double mean
+    cast to float32, matching the Spark loop's ``cast(... as float)``
+    re-vectorization — IEEE round-to-nearest on both engines).
+    """
+    assert iters >= 1
+    seeds = f"SELECT vec_id, embedding FROM {corpus} ORDER BY vec_id LIMIT {k}"
+    ctes = [f"cent0 AS ({seeds})"]
+    for i in range(1, iters + 1):
+        step = duck_kmeans_step_sql(corpus, centroid_sql=f"SELECT * FROM cent{i-1}")
+        ctes.append(f"step{i} AS ({step})")
+        ctes.append(
+            f"""cent{i} AS (
+          SELECT s.vec_id,
+                 COALESCE(r.vec, s.embedding) AS embedding
+          FROM cent{i-1} s LEFT JOIN (
+            SELECT centroid_id AS vec_id,
+                   list(CAST(centroid AS FLOAT) ORDER BY pos) AS vec
+            FROM step{i} GROUP BY centroid_id) r USING (vec_id)
+        )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"\n    SELECT vec_id, embedding FROM cent{iters}"
+    )
+
+
 def duck_ivf_topk_sql(
     corpus: str = "embeddings",
-    centroid_pred: str = "vec_id < 8",
+    centroid_pred: str | None = "vec_id < 8",
     query_pred: str = "vec_id % 50 = 0",
     k: int = 3,
+    centroid_sql: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`ivf_topk` (assignment CTE shared with
-    :func:`duck_kmeans_step_sql` via :func:`duck_assign_sql`)."""
+    :func:`duck_kmeans_step_sql` via :func:`duck_assign_sql`);
+    ``centroid_sql`` swaps the seed predicate for an arbitrary
+    centroid table (the trained-IVF path, q119)."""
     pair_cos = (
         f"{duck_dot_sql('c.embedding', 'q.embedding')}"
         f" / ({duck_norm_sql('c.embedding')} * {duck_norm_sql('q.embedding')})"
     )
     return f"""
-    WITH assigned AS ({duck_assign_sql(corpus, centroid_pred)})
+    WITH assigned AS ({duck_assign_sql(corpus, centroid_pred, centroid_sql)})
     SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cos
     FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -597,6 +652,12 @@ def kmeans_train(
     growing plan (the iterative-Spark trap, same discipline as
     ``graph.connected_components``); convergence is a driver-side
     max-delta over k × dims values.
+
+    ``tol <= 0`` pins the iteration count to exactly ``max_iter``
+    (no early stop) AND skips the per-round convergence aggregate —
+    the deterministic fixed-budget mode the oracle-checked q117/q119
+    run in (their DuckDB twin, :func:`duck_kmeans_train_sql`, unrolls
+    the same fixed number of rounds as CTEs).
     """
     centroids = (
         corpus.orderBy(id_col)
@@ -629,6 +690,9 @@ def kmeans_train(
             )
             .localCheckpoint()
         )
+        if tol <= 0:  # fixed-budget mode: no convergence aggregate
+            centroids = new_centroids
+            continue
         # max per-dimension movement between rounds (empty-cluster
         # centroids drop out of `step`; they count as converged)
         old = centroids.select(

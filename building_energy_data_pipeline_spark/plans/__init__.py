@@ -22,32 +22,144 @@ from . import pipeline_queries  # noqa: F401  (packing/decontam/boilerplate q83â
 from . import llm_queries  # noqa: F401  (repetition/chunking/ngram-LM q97â€“q99, split-leakage/kmeans/zipf/pagerank q106â€“q109, dup spans q112â€“q113)
 from . import cdc_queries  # noqa: F401  (MERGE upsert q105)
 
+#: The driver's correctness harness checks exactly this many leading
+#: ``queries()`` entries; ``FIRST_BELOW_WINDOW`` is the entry pinned
+#: at that index (the explicit sentinel tests assert against â€”
+#: ADVICE r4 #3: no comment parsing).
+DRIVER_WINDOW_SIZE = 50
+FIRST_BELOW_WINDOW = "q02_filtered_scan"
+
 #: Registry prefix â€” ROTATION RULE (round 4+): any query whose
 #: plan-affecting code changed since its LAST driver row, and any
 #: query with no driver row yet, goes INSIDE the 50-entry window;
 #: remaining slots refresh the queries with the oldest green rows.
-#: Round-4 mandatory set: the NEW q96â€“q116 (streaming dedup,
-#: repetition gate, RAG chunking, bigram LM, stream-stream join,
-#: IVF recall, audio stats, JSONL/ORC round-trips, MERGE upsert,
-#: split leakage, k-means step, Zipf coverage, PageRank step,
-#: temperature mixture, bucketed join, duplicate spans + excision,
-#: epoch shuffle-shard, streaming CDC apply, join-key skew);
-#: everything the round-4
-#: commits touched (token-template NULL coalesce â†’ q27â€“q33, q76,
-#: q83â€“q86, q90, q92, q44; slim LSH band join â†’ q28/q90/q44; asof
-#: tiebreak â†’ q36; multimodal md5-chain decoder â†’ q53/q54; q87 qvec
-#: serialization; global_row_index cache slots â†’ q22/q23;
-#: conditional spread_scan fan-out â†’ q01/q03/q08/q29/q34/q37/q68/
-#: q85/q91/q97/q99); plus the round-3 ``fa23fce`` plan rewrites whose
-#: driver rows were stale (q29/q30/q37/q68 â€” VERDICT r3 finding #2).
-#: Not rotated in: non-plan changes (release_caches in
-#: window_queries â€” q73/q74 plans untouched).
+#: Round-5 mandatory set: the NEW q117â€“q119 (k-means/PageRank
+#: training loops + trained-IVF recall); the round-5 plan changes
+#: (asof right_unique â†’ q36; global_row_index vocab rank â†’ q108;
+#: factored edge builder â†’ q109; span_grams factor â†’ q112/q113);
+#: plus the FULL r1-vintage refresh block VERDICT r4 #3 asked for
+#: (q04â€“q06, q09â€“q13, q15â€“q19, q21, q35 â€” no driver row since
+#: round 1). Remaining slots drain the r2 rows (q39, q45â€“q47,
+#: q49/q50, q55â€“q58, q67, q69â€“q71) and the oldest r3 rows.
+#: Not rotated in: r4-green rows whose plans are untouched this
+#: round (q96â€“q116 minus the set above, the spread_scan family,
+#: streaming â€” all re-verified by the local DuckDB-parity suite).
 #: Ordering is evidence curation, not semantics: every query runs
 #: identically wherever it sits.
 _CURATED_ORDER = [
     # flagship
     "q01_pricing_summary",
     # NEW this round â€” no driver row yet
+    "q117_kmeans_train",
+    "q118_pagerank_train",
+    "q119_trained_ivf_recall",
+    # changed round 5: asof right_unique / scalable vocab rank /
+    # factored pagerank edges / span_grams portable factor
+    "q36_asof_join",
+    "q108_zipf_coverage",
+    "q109_pagerank_step",
+    "q112_duplicate_spans",
+    "q113_span_excision",
+    # refresh: r1-vintage rows (no driver row since round 1)
+    "q04_exists_semi_join",
+    "q05_customers_without_orders",
+    "q06_nation_customer_rollup",
+    "q09_nullsafe_pair_join",
+    "q10_cross_join_constants",
+    "q11_union_halves",
+    "q12_nation_key_set_ops",
+    "q13_regional_rollup",
+    "q15_string_functions",
+    "q16_monthly_orders",
+    "q17_try_cast_coercion",
+    "q18_conditional_ratio",
+    "q19_column_stats",
+    "q21_topk_per_group",
+    "q35_ann_ivf",
+    # refresh: r2-vintage rows
+    "q39_user_journey_drift",
+    "q45_rollup_acctbal",
+    "q46_cube_orders",
+    "q47_grouping_sets",
+    "q49_nation_intersect_except",
+    "q50_topk_with_ties",
+    "q55_correlated_subqueries",
+    "q56_salted_skew_join",
+    "q57_full_outer_join",
+    "q58_recursive_spine",
+    "q67_variant_json",
+    "q69_sql_unpivot",
+    "q70_histogram",
+    "q71_snapshot_diff",
+    # refresh: oldest r3 rows
+    "q07_event_gaps",
+    "q14_json_extract",
+    "q20_monotonicity_check",
+    "q24_minmax_normalize",
+    "q25_hourly_rollup",
+    "q38_percentiles_by_type",
+    "q40_batch_bounds_json",
+    "q41_moving_average",
+    "q42_sessionize",
+    "q43_type_pivot",
+    "q48_range_join_bands",
+    "q51_approx_distinct",
+    # ---- position 50 boundary (= DRIVER_WINDOW_SIZE /
+    # FIRST_BELOW_WINDOW); below: green at their last driver row
+    # (r4 for q96-q116 and the spread_scan/dedup families, r3/r2/r1
+    # for the rest), unchanged since, re-verified by the local
+    # DuckDB-parity suite each round --
+    "q02_filtered_scan",
+    "q03_top_revenue_orders",
+    "q08_unpivot_metrics",
+    "q22_pagination",
+    "q23_systematic_sample",
+    "q26_exact_dedup",
+    "q27_fingerprint_dedup",
+    "q28_minhash_lsh_pairs",
+    "q29_simhash",
+    "q30_ngram_jaccard",
+    "q31_token_counts",
+    "q32_lang_id",
+    "q33_quality_scores",
+    "q34_ann_bruteforce",
+    "q37_embedding_neardup",
+    "q44_neardup_clusters",
+    "q52_streaming_hourly_rollup",
+    "q53_multimodal_image_features",
+    "q54_frame_sample_plan",
+    "q59_explode_tokens",
+    "q60_vector_norms",
+    "q61_sql_pivot",
+    "q62_streaming_session_window",
+    "q63_map_functions",
+    "q64_stateful_gap_tracker",
+    "q65_tfidf_top_terms",
+    "q66_label_centroids",
+    "q68_fuzzy_blocked_join",
+    "q72_event_funnel",
+    "q73_gapfill_locf",
+    "q74_continuous_aggregate",
+    "q75_ntile_segmentation",
+    "q76_text_canonicalize",
+    "q77_modern_aggregates",
+    "q78_random_sample",
+    "q79_stratified_sample",
+    "q80_sliding_window",
+    "q81_first_nth_value",
+    "q82_lateral_topk",
+    "q83_sequence_packing",
+    "q84_decontamination_overlap",
+    "q85_token_dominance",
+    "q86_boilerplate_ngrams",
+    "q87_embedding_quantization",
+    "q88_source_mixture",
+    "q90_incremental_dedup",
+    "q91_quantized_topk",
+    "q92_corpus_curation",
+    "q93_sink_roundtrip",
+    "q94_footer_rowcounts",
+    "q95_crossmodal_quality_norms",
     "q96_streaming_dedup",
     "q97_repetition_filter",
     "q98_rag_chunking",
@@ -60,123 +172,11 @@ _CURATED_ORDER = [
     "q105_merge_upsert",
     "q106_split_leakage",
     "q107_kmeans_step",
-    "q108_zipf_coverage",
-    "q109_pagerank_step",
     "q110_temperature_mixture",
     "q111_bucketed_join",
-    "q112_duplicate_spans",
-    "q113_span_excision",
     "q114_shuffle_shard",
     "q115_streaming_cdc_apply",
     "q116_join_key_skew",
-    # changed round 4: token templates / dedup slim join / curation
-    "q27_fingerprint_dedup",
-    "q28_minhash_lsh_pairs",
-    "q29_simhash",
-    "q30_ngram_jaccard",
-    "q31_token_counts",
-    "q32_lang_id",
-    "q33_quality_scores",
-    "q44_neardup_clusters",
-    "q76_text_canonicalize",
-    "q83_sequence_packing",
-    "q84_decontamination_overlap",
-    "q85_token_dominance",
-    "q86_boilerplate_ngrams",
-    "q90_incremental_dedup",
-    "q92_corpus_curation",
-    # changed round 4: q87 qvec serialization, multimodal md5 chain
-    "q87_embedding_quantization",
-    "q53_multimodal_image_features",
-    "q54_frame_sample_plan",
-    # changed round 4: asof tiebreak fallback, row-index cache slots
-    "q36_asof_join",
-    "q22_pagination",
-    "q23_systematic_sample",
-    # round-3 fa23fce rewrites with stale (r1) driver rows
-    "q37_embedding_neardup",
-    "q68_fuzzy_blocked_join",
-    # changed round 4: conditional spread_scan fan-out (q01 is at the
-    # top as flagship; q08 closes the window below)
-    "q34_ann_bruteforce",
-    "q91_quantized_topk",
-    "q03_top_revenue_orders",
-    # refresh: oldest evidence (green r1, unchanged since)
-    "q02_filtered_scan",
-    "q08_unpivot_metrics",
-    # ---- position 50 boundary; below: green at their last driver
-    # row (r1 for the demoted refresh block, r2/r3 for the rest),
-    # unchanged since
-    # (q04-q06, q09-q13, q15-q19, q21 and q35 demoted from the refresh
-    # block to make room for the new q103-q116 and the
-    # spread_scan-changed q03/q34/q91: all r1-green, untouched since
-    # their last green row, and re-verified by the local DuckDB-parity
-    # suite each round) --
-    "q04_exists_semi_join",
-    "q05_customers_without_orders",
-    "q06_nation_customer_rollup",
-    "q09_nullsafe_pair_join",
-    "q10_cross_join_constants",
-    "q11_union_halves",
-    "q12_nation_key_set_ops",
-    "q13_regional_rollup",
-    "q19_column_stats",
-    "q21_topk_per_group",
-    "q35_ann_ivf",
-    "q15_string_functions",
-    "q16_monthly_orders",
-    "q17_try_cast_coercion",
-    "q18_conditional_ratio",
-    "q45_rollup_acctbal",
-    "q46_cube_orders",
-    "q47_grouping_sets",
-    "q26_exact_dedup",
-    "q88_source_mixture",
-    "q93_sink_roundtrip",
-    "q94_footer_rowcounts",
-    "q95_crossmodal_quality_norms",
-    "q48_range_join_bands",
-    "q51_approx_distinct",
-    "q77_modern_aggregates",
-    "q82_lateral_topk",
-    "q59_explode_tokens",
-    "q60_vector_norms",
-    "q61_sql_pivot",
-    "q63_map_functions",
-    "q65_tfidf_top_terms",
-    "q66_label_centroids",
-    "q67_variant_json",
-    "q52_streaming_hourly_rollup",
-    "q62_streaming_session_window",
-    "q64_stateful_gap_tracker",
-    "q74_continuous_aggregate",
-    "q75_ntile_segmentation",
-    "q80_sliding_window",
-    "q81_first_nth_value",
-    "q07_event_gaps",
-    "q14_json_extract",
-    "q20_monotonicity_check",
-    "q24_minmax_normalize",
-    "q25_hourly_rollup",
-    "q38_percentiles_by_type",
-    "q39_user_journey_drift",
-    "q40_batch_bounds_json",
-    "q41_moving_average",
-    "q42_sessionize",
-    "q43_type_pivot",
-    "q72_event_funnel",
-    "q73_gapfill_locf",
-    "q78_random_sample",
-    "q79_stratified_sample",
-    "q49_nation_intersect_except",
-    "q50_topk_with_ties",
-    "q55_correlated_subqueries",
-    "q56_salted_skew_join",
-    "q57_full_outer_join",
-    "q58_recursive_spine",
-    "q69_sql_unpivot",
-    "q70_histogram",
-    "q71_snapshot_diff",
 ]
 
 

@@ -36,6 +36,13 @@ def q36_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     error (inclusive). Oracle is DuckDB's native ASOF JOIN; the Spark
     plan is the union–sort–carry-forward operator
     (``operators/asof.py``) — one shuffle, no range-join pair blowup.
+
+    ``right_unique=True``: (user_id, ts) is unique among error events
+    at every shipped SF (verified 0 duplicate pairs at sf0.001/0.01/
+    0.1), so the deterministic tie-break struct is skippable — it
+    cost +38% on this bench entry (VERDICT r4 #6). Note ties would
+    make DuckDB's own ASOF pick arbitrary too: uniqueness is what
+    makes this query oracle-checkable at all, tie-break or not.
     """
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -45,7 +52,11 @@ def q36_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id"
     )
     out = asof_join(
-        clicks, errors, on=["user_id"], right_prefix="prior_error_"
+        clicks,
+        errors,
+        on=["user_id"],
+        right_prefix="prior_error_",
+        right_unique=True,
     )
     return out.select(
         "event_id",

@@ -356,6 +356,115 @@ def q101_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed iteration budget for the oracle-checked training loops —
+#: enough for the loop machinery (re-vectorize, empty-cluster carry,
+#: localCheckpoint lineage truncation) to execute twice end-to-end,
+#: small enough that the CTE-unrolled DuckDB twin stays readable
+TRAIN_ITERS = 2
+KMEANS_K = 8
+
+
+@query(
+    "q117_kmeans_train",
+    oracle=f"""
+    WITH trained AS ({similarity.duck_kmeans_train_sql(
+        "embeddings", KMEANS_K, TRAIN_ITERS)})
+    SELECT vec_id AS centroid_id,
+           CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS comp
+    FROM trained
+    """,
+)
+def q117_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END k-means training loop, oracle-checked: run
+    ``operators/similarity.kmeans_train`` — the actual driver-side
+    fixpoint loop with its localCheckpoint lineage truncation,
+    float re-vectorization, and empty-cluster carry-forward — for a
+    FIXED budget of {TRAIN_ITERS} Lloyd iterations (``tol=0.0``, no
+    early stop), and emit the trained centroid table exploded to
+    (centroid_id, pos, component). The DuckDB twin unrolls the same
+    two assignment+recompute rounds as nested CTEs
+    (``duck_kmeans_train_sql``), so the LOOP's output — not just one
+    step (q107) — is hash-pinned.
+
+    Scale: each round is q107's plan (broadcast-centroid assignment
+    scan + a (k × dims) decimal aggregate); the loop adds only k-row
+    centroid tables and their localCheckpoints between rounds.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    trained = similarity.kmeans_train(
+        emb, KMEANS_K, max_iter=TRAIN_ITERS, tol=0.0
+    )
+    return trained.select(
+        F.col("vec_id").alias("centroid_id"),
+        F.posexplode("embedding").alias("pos0", "comp"),
+    ).select(
+        "centroid_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.col("comp").cast("double").alias("comp"),
+    )
+
+
+@query(
+    "q119_trained_ivf_recall",
+    oracle=f"""
+    WITH trained AS ({similarity.duck_kmeans_train_sql(
+        "embeddings", KMEANS_K, TRAIN_ITERS)}),
+    exact AS (
+      SELECT * FROM ({similarity.duck_topk_sql(
+          "embeddings", ANN_QUERY_PRED, ANN_K)})
+    ),
+    approx AS (
+      SELECT * FROM ({similarity.duck_ivf_topk_sql(
+          "embeddings", None, ANN_QUERY_PRED, ANN_K,
+          centroid_sql="SELECT vec_id, embedding FROM trained")})
+    )
+    SELECT e.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(a.neighbor_id) * 1000 // {ANN_K} AS BIGINT)
+             AS recall_permille
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def q119_trained_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the TRAINED IVF index: train the coarse quantizer
+    with the real ``kmeans_train`` loop (fixed {TRAIN_ITERS}
+    iterations, q117's deterministic budget), wire the trained
+    centroids into ``ivf_topk``, and score recall against the exact
+    brute-force baseline — closing the loop q101 opened with seed
+    centroids. Together q117 → q119 hash-pin the full production
+    path: train → index → retrieve → evaluate.
+
+    Scale: training per q117; retrieval per q35 (broadcast centroids,
+    co-partitioned bucket join); the recall join is k·|Q| rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(ANN_QUERY_PRED))
+    trained = similarity.kmeans_train(
+        emb, KMEANS_K, max_iter=TRAIN_ITERS, tol=0.0
+    )
+    exact = similarity.brute_force_topk(
+        emb, queries, "vec_id", "embedding", ANN_K
+    ).select("query_id", "neighbor_id")
+    approx = similarity.ivf_topk(
+        emb, trained, queries, "vec_id", "embedding", ANN_K
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits")
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"n_hits * 1000 div {ANN_K}").alias("recall_permille"),
+        )
+    )
+
+
 _Q68_SQL = """
     WITH d AS (
       SELECT doc_id, lang, n_chars, substr(text, 1, 40) AS head

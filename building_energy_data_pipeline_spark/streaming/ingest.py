@@ -107,16 +107,21 @@ def write_stream_parquet(
     checkpoint: str,
     partition_by: list[str] | None = None,
     available_now: bool = True,
+    query_name: str | None = None,
 ):
     """Checkpointed parquet sink. ``availableNow`` drains the backlog
     then stops — the batch-compatible trigger used in tests and
-    backfills; drop it for a continuous 24/7 ingest."""
+    backfills; drop it for a continuous 24/7 ingest. ``query_name``
+    labels the stream for progress events
+    (``ops.observe.StreamingMetricsRecorder``)."""
     writer = (
         df.writeStream.format("parquet")
         .option("path", path)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
+    if query_name:
+        writer = writer.queryName(query_name)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if available_now:

@@ -264,9 +264,14 @@ def test_curated_window_holds_exactly_fifty_entries():
     """The driver's correctness harness checks the first 50 dict
     entries of queries(); the curated order must keep the documented
     position-50 boundary true. Round 4's first review found the
-    window silently overflowed to 52 — this pins the invariant."""
+    window silently overflowed to 52 — this pins the invariant
+    against the EXPLICIT sentinels plans/__init__.py exports
+    (ADVICE r4 #3: no comment parsing — a reworded comment can no
+    longer silently break or falsify the check)."""
     from building_energy_data_pipeline_spark.plans import (
         _CURATED_ORDER,
+        DRIVER_WINDOW_SIZE,
+        FIRST_BELOW_WINDOW,
         REGISTRY,
     )
 
@@ -274,17 +279,8 @@ def test_curated_window_holds_exactly_fifty_entries():
     # every registered query is explicitly curated (nothing appended
     # in stray registration order past the list)
     assert set(names) == set(_CURATED_ORDER)
-    # the first entry below the documented boundary sits at index 50
-    import inspect
-
-    import building_energy_data_pipeline_spark.plans as plans_mod
-
-    src = inspect.getsource(plans_mod)
-    below = src.split("position 50 boundary")[1]
-    import re
-
-    first_below = re.search(r'"(q\w+)"', below).group(1)
-    assert names.index(first_below) == 50, (
-        f"window boundary drifted: {first_below} at "
-        f"{names.index(first_below)}"
+    assert DRIVER_WINDOW_SIZE == 50  # the driver's documented prefix
+    assert names.index(FIRST_BELOW_WINDOW) == DRIVER_WINDOW_SIZE, (
+        f"window boundary drifted: {FIRST_BELOW_WINDOW} at "
+        f"{names.index(FIRST_BELOW_WINDOW)}"
     )

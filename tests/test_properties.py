@@ -142,8 +142,37 @@ class TestAsofTiebreak:
         assert len(out) == 1
         assert out[0]["right_ts"] == T0 + dt.timedelta(seconds=7)
 
+    def test_right_unique_matches_default_and_drops_tie_sort(self, spark):
+        """When (key, ts) is unique on the right, right_unique=True
+        must return exactly the default path's result while dropping
+        the tie-break struct from the plan (the +38% q36 bench tax,
+        VERDICT r4 #6)."""
+        from building_energy_data_pipeline_spark.ops import explain_str
 
-class TestJaccardProperty:
+        left = spark.createDataFrame(
+            [
+                (1, T0 + dt.timedelta(seconds=10), 100),
+                (1, T0 + dt.timedelta(seconds=3), 101),
+                (2, T0 + dt.timedelta(seconds=9), 102),
+            ],
+            "k int, ts timestamp, lid int",
+        )
+        right = spark.createDataFrame(
+            [
+                (1, T0 + dt.timedelta(seconds=2), "a"),
+                (1, T0 + dt.timedelta(seconds=8), "b"),
+                (2, T0 + dt.timedelta(seconds=1), "c"),
+            ],
+            "k int, ts timestamp, payload string",
+        )
+        default = sorted(
+            tuple(r)
+            for r in asof_join(left, right, on=["k"]).collect()
+        )
+        fast = asof_join(left, right, on=["k"], right_unique=True)
+        assert sorted(tuple(r) for r in fast.collect()) == default
+        assert len(default) == 3
+        assert "__tie" not in explain_str(fast)
     @SLOW
     @given(
         st.lists(st.text(alphabet="abc", min_size=1, max_size=3), min_size=1, max_size=12),

@@ -139,3 +139,49 @@ class TestFixpointLoops:
             [], "w1 string, w2 string, c long"
         )
         assert pagerank(empty).count() == 0
+
+
+class TestFixedBudgetMode:
+    """tol<=0 pins the training loops to exactly max_iter rounds with
+    no convergence aggregate — the deterministic mode the
+    oracle-checked q117/q118/q119 run in."""
+
+    def test_kmeans_fixed_budget_is_deterministic(self, spark):
+        from building_energy_data_pipeline_spark.operators.similarity import (
+            kmeans_train,
+        )
+
+        rows = [(i, [1.0 + 0.01 * (i % 7), 0.1 * (i % 3), 1.0]) for i in range(30)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        a = {
+            (r.vec_id, tuple(r.embedding))
+            for r in kmeans_train(emb, k=3, max_iter=2, tol=0.0).collect()
+        }
+        b = {
+            (r.vec_id, tuple(r.embedding))
+            for r in kmeans_train(emb, k=3, max_iter=2, tol=0.0).collect()
+        }
+        assert a == b and len(a) == 3
+
+    def test_pagerank_fixed_budget_covers_all_nodes(self, spark):
+        from building_energy_data_pipeline_spark.operators.graph import (
+            pagerank,
+        )
+
+        edges = spark.createDataFrame(
+            [("a", "b", 2), ("b", "c", 1), ("c", "a", 1), ("d", "a", 1)],
+            "w1 string, w2 string, c long",
+        )
+        ranks = {
+            r.node: r.rank
+            for r in pagerank(edges, max_iter=2, tol=0.0).collect()
+        }
+        # full node set, source-only node 'd' at the base rank
+        assert set(ranks) == {"a", "b", "c", "d"}
+        assert abs(ranks["d"] - (1 - 0.85) / 4) < 1e-12
+        # two fixed-budget runs are bit-identical (decimal sums)
+        again = {
+            r.node: r.rank
+            for r in pagerank(edges, max_iter=2, tol=0.0).collect()
+        }
+        assert ranks == again

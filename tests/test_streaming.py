@@ -248,3 +248,44 @@ class TestTransformWithState:
         )
         with pytest.raises(ImportError, match="protobuf"):
             event_gap_stats_v2(stream)
+
+
+class TestStreamingMetricsRecorder:
+    def test_progress_events_recorded_for_drained_stream(
+        self, spark, tmp_path, src
+    ):
+        """VERDICT r4 #7: the StreamingQueryListener must feed
+        per-batch rows/latency/state into QueryHistory for a drained
+        availableNow stream. Listener delivery is async — poll."""
+        import time
+
+        from building_energy_data_pipeline_spark.ops.observe import (
+            StreamingMetricsRecorder,
+        )
+
+        rec = StreamingMetricsRecorder()
+        listener = rec.listener()
+        spark.streams.addListener(listener)
+        try:
+            out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+            stream = dedup_stream(read_meter_stream(spark, src))
+            drain(
+                write_stream_parquet(
+                    stream, out, ckpt, query_name="metrics_probe"
+                )
+            )
+            deadline = time.time() + 30
+            while time.time() < deadline and not rec.batches:
+                time.sleep(0.2)
+        finally:
+            spark.streams.removeListener(listener)
+
+        assert rec.batches, "no progress events delivered in 30s"
+        got = [b for b in rec.batches if b["name"] == "metrics_probe"]
+        assert got and sum(b["num_input_rows"] for b in got) == 4
+        # the same batches landed in QueryHistory's ring buffer
+        names = [r.name for r in rec.history.records]
+        assert any(n.startswith("metrics_probe#") for n in names)
+        assert rec.history.stats()["n_queries"] >= 1
+        # dedup keeps state: the state-size metric must be present
+        assert any(b["state_rows_total"] > 0 for b in got)

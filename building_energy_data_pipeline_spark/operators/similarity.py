@@ -231,11 +231,17 @@ def assign_centroids(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Assign every corpus vector to its nearest centroid (max cosine,
-    ties by centroid id). Centroids are broadcast; one map-only pass.
+    """Assign every corpus vector to its ``nprobe`` nearest centroids
+    (max cosine, ties by centroid id). Centroids are broadcast; one
+    map-only pass. ``nprobe=1`` is the partitioning assignment (each
+    vector lives in exactly one cell); ``nprobe>1`` is the QUERY-side
+    multi-probe expansion (each query searches its top-``nprobe``
+    cells — the standard IVF recall lever).
 
-    Output: corpus columns + ``centroid_id``.
+    Output: corpus columns + ``centroid_id`` (one row per probed
+    cell, so ``nprobe`` rows per input row).
     """
     cent = centroids.select(
         F.col(id_col).alias("centroid_id"),
@@ -253,7 +259,7 @@ def assign_centroids(
     w = W.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("centroid_id"))
     return (
         scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") == 1)
+        .filter(F.col("crank") <= nprobe)
         .drop("cent_vec", "cent_norm", "ccos", "crank")
     )
 
@@ -265,11 +271,15 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF ANN: probe only the query's centroid bucket (nprobe=1).
+    """IVF ANN: probe the query's ``nprobe`` nearest centroid buckets
+    (corpus side always lives in exactly one cell, so a (query,
+    neighbor) pair appears at most once — no dedup needed).
 
     Output: ``query_id, neighbor_id, rank, cos`` — approximate
-    (recall < 1 when true neighbors live in other buckets).
+    (recall < 1 when true neighbors live in unprobed buckets; raise
+    ``nprobe`` to trade scan cost for recall — the q121 curve).
     """
     c = assign_centroids(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
@@ -277,7 +287,9 @@ def ivf_topk(
         F.col("vnorm").alias("cnorm"),
         "centroid_id",
     )
-    q = assign_centroids(queries, centroids, id_col, vec_col).select(
+    q = assign_centroids(
+        queries, centroids, id_col, vec_col, nprobe=nprobe
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         F.col("vnorm").alias("qnorm"),
@@ -351,6 +363,7 @@ def duck_assign_sql(
     corpus: str,
     centroid_pred: str | None = None,
     centroid_sql: str | None = None,
+    nprobe: int = 1,
 ) -> str:
     """DuckDB twin of :func:`assign_centroids`: the nearest-centroid
     assignment subquery (max cosine, ties by centroid id). Single
@@ -363,7 +376,8 @@ def duck_assign_sql(
     The centroid table is either a predicate over the corpus
     (``centroid_pred`` — the seed convention) or an arbitrary
     ``(vec_id, embedding)`` subquery/CTE name (``centroid_sql`` — the
-    trained-centroid path)."""
+    trained-centroid path). ``nprobe`` keeps the top-n cells per
+    vector (the query-side multi-probe expansion)."""
     if centroid_sql is None:
         centroid_sql = f"SELECT * FROM {corpus} WHERE {centroid_pred}"
     assign_cos = (
@@ -376,7 +390,7 @@ def duck_assign_sql(
                row_number() OVER (PARTITION BY v.vec_id
                                   ORDER BY {assign_cos} DESC, ct.vec_id) AS crank
         FROM {corpus} v, ({centroid_sql}) ct
-      ) WHERE crank = 1
+      ) WHERE crank <= {nprobe}
     """
 
 
@@ -452,15 +466,33 @@ def duck_ivf_topk_sql(
     query_pred: str = "vec_id % 50 = 0",
     k: int = 3,
     centroid_sql: str | None = None,
+    nprobe: int = 1,
 ) -> str:
     """DuckDB twin of :func:`ivf_topk` (assignment CTE shared with
     :func:`duck_kmeans_step_sql` via :func:`duck_assign_sql`);
     ``centroid_sql`` swaps the seed predicate for an arbitrary
-    centroid table (the trained-IVF path, q119)."""
+    centroid table (the trained-IVF path, q119); ``nprobe`` expands
+    the query side to its top-n cells (q120/q121). nprobe=1 keeps the
+    single shared assignment CTE so existing oracle texts (q35/q101/
+    q119) are byte-stable."""
     pair_cos = (
         f"{duck_dot_sql('c.embedding', 'q.embedding')}"
         f" / ({duck_norm_sql('c.embedding')} * {duck_norm_sql('q.embedding')})"
     )
+    if nprobe == 1:
+        q_src = f"SELECT * FROM assigned WHERE {query_pred}"
+    else:
+        # resolve the centroid source against the FULL corpus before
+        # re-scoping the scan to the query subset — otherwise a
+        # centroid_pred would select centroids from the query subset
+        q_src = duck_assign_sql(
+            f"(SELECT * FROM {corpus} WHERE {query_pred})",
+            centroid_sql=(
+                centroid_sql
+                or f"SELECT * FROM {corpus} WHERE {centroid_pred}"
+            ),
+            nprobe=nprobe,
+        )
     return f"""
     WITH assigned AS ({duck_assign_sql(corpus, centroid_pred, centroid_sql)})
     SELECT query_id, neighbor_id, rank, round(cos_raw, 6) AS cos
@@ -470,7 +502,7 @@ def duck_ivf_topk_sql(
              row_number() OVER (PARTITION BY q.vec_id
                                 ORDER BY {pair_cos} DESC, c.vec_id) AS rank
       FROM assigned c
-      JOIN (SELECT * FROM assigned WHERE {query_pred}) q USING (centroid_id)
+      JOIN ({q_src}) q USING (centroid_id)
       WHERE c.vec_id != q.vec_id
     ) WHERE rank <= {k}
     """

@@ -1,11 +1,12 @@
 """Corpus-statistics queries for LLM training pipelines
-(q97–q99, q106–q109, q112–q113, q118): within-document repetition
+(q97–q99, q106–q109, q112–q113, q118, q122, q124): within-document repetition
 signals, RAG chunking, n-gram language-model counts, train/val/test
 split-leakage auditing, one-step k-means and PageRank (q107/q109)
 plus the oracle-checked fixed-budget PageRank training LOOP (q118;
 k-means twin q117 lives in ``training_queries``), Zipf
-head-coverage, and exact duplicate-span detection + excision
-(substring dedup, with a hashed-gram production path).
+head-coverage, exact duplicate-span detection + excision
+(substring dedup, with a hashed-gram production path), LM-based
+fluency scoring (q122), and PII audit + scrub (q124).
 
 The reference has no text subsystem (its ``src/analytics/`` is an
 empty stub, ``src/analytics/__init__.py:1``); these extend the
@@ -607,7 +608,7 @@ def _q118_oracle(iters: int = PR_ITERS) -> str:
     )
 
 
-@query("q118_pagerank_train", oracle=_q118_oracle())
+@query("q118_pagerank_train", headline=True, oracle=_q118_oracle())
 def q118_pagerank_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END PageRank loop, oracle-checked: run
     ``operators/graph.pagerank`` — the actual driver-side power
@@ -643,6 +644,158 @@ def q118_pagerank_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("token"),
         F.col("rank").alias(f"rank{PR_ITERS}"),
+    )
+
+
+@query(
+    "q122_lm_fluency",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DTOK} AS toks FROM documents),
+    db AS (
+      SELECT doc_id, split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2
+      FROM (SELECT doc_id, unnest({text.duck_bigrams_sql('toks')}) AS b
+            FROM t)
+    ),
+    e AS (SELECT w1, w2, COUNT(*) AS c FROM db GROUP BY 1, 2),
+    o AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS total FROM e GROUP BY w1),
+    scored AS (
+      SELECT db.doc_id, CAST(e.c * 1000 // o.total AS BIGINT) AS pm
+      FROM db JOIN e USING (w1, w2) JOIN o USING (w1)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(pm) // COUNT(*) AS BIGINT) AS fluency_permille
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q122_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality scoring: each document's mean bigram
+    transition probability under the CORPUS bigram LM (q99's counts),
+    in integer permille — the cheap statistical stand-in for the
+    perplexity filters production pipelines run between heuristic
+    gates (q33/q97) and model-based ones: documents whose transitions
+    are rare under the corpus distribution (gibberish, wrong-language
+    remnants, OCR noise) score low. Integer arithmetic end-to-end
+    (per-bigram floor-permille, then floor-mean) — no log/float drift
+    between engines. The LM is self-inclusive (every doc contributes
+    to the counts it is scored against) — standard for corpus-level
+    stats; docs with <2 tokens have no bigrams and no row.
+
+    Scale: corpus bytes are tokenized twice (LM build + doc scoring)
+    — both map-side-combined explode→groupBy / join shapes; the LM
+    edge table rides the shared ``llm.pagerank_edges`` persist slot
+    (one build per session across q109/q118/q122); the scoring join
+    is (w1,w2)-hash-partitioned, corpus-linear, no windows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = scale.spread_scan(
+        docs, cols=["doc_id", "text"], by=["doc_id"]
+    ).select("doc_id", F.expr(TOK).alias("toks"))
+    db = staged.select(
+        "doc_id", F.explode(F.expr(text.bigrams_expr("toks"))).alias("b")
+    ).select(
+        "doc_id",
+        F.expr("split(b, ' ')[0]").alias("w1"),
+        F.expr("split(b, ' ')[1]").alias("w2"),
+    )
+    edges = _pagerank_edges(spark, sf_dir)
+    totals = edges.groupBy("w1").agg(F.sum("c").alias("total"))
+    scored = (
+        db.join(edges, ["w1", "w2"])
+        .join(totals, "w1")
+        .select("doc_id", F.expr("c * 1000 div total").alias("pm"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.expr("sum(pm) div count(*)").alias("fluency_permille"),
+    )
+
+
+# --- q124: PII pattern audit + scrub ---------------------------------
+# Regexes stay inside the RE2 ∩ java.util.regex common dialect
+# (character classes, bounded repetition, no backslash escapes — the
+# literal dot is [.]) so both engines match identically.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_URL = "https?://[A-Za-z0-9./_-]+"
+PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+#: deterministic PII augmentation: the synthetic corpus contains no
+#: contact strings, so the scrubber would trivially no-op (zero
+#: counts, hash = md5(text) — no evidence). Planting id-derived
+#: emails/URLs/phones on a deterministic subset makes the audit and
+#: the rewrite PROVABLY exercised; identical expression both engines.
+_PII_AUG = (
+    "concat({text},"
+    " CASE WHEN {id} % 5 = 0 THEN concat(' contact user',"
+    "   CAST({id} AS {str}), '@example.com now') ELSE '' END,"
+    " CASE WHEN {id} % 7 = 0 THEN concat(' see https://example.org/doc/',"
+    "   CAST({id} AS {str})) ELSE '' END,"
+    " CASE WHEN {id} % 11 = 0 THEN concat(' call 555-010-',"
+    "   lpad(CAST({id} % 10000 AS {str}), 4, '0')) ELSE '' END)"
+)
+
+
+@query(
+    "q124_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             {_PII_AUG.format(text="text", id="doc_id", str="VARCHAR")} AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{PII_URL}')) AS BIGINT)
+             AS n_urls,
+           CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_URL}', '<URL>', 'g'),
+               '{PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_hash
+    FROM aug
+    """,
+)
+def q124_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pattern audit + scrub — the contact-info redaction pass
+    (emails, URLs, phone numbers) every public-web training corpus
+    runs before release: per-document match counts for the audit
+    report, and an md5 of the rewritten text (each match replaced by
+    a typed placeholder token) as the sink key for the scrubbed
+    corpus. Patterns are deliberately inside the RE2/Java common
+    regex dialect so the DuckDB twin matches byte-for-byte; a
+    deterministic id-derived augmentation plants contact strings on
+    ~1/5 of documents so the rewrite is provably exercised (the
+    synthetic corpus has none).
+
+    Scale: pure narrow projection — regex count + chained replace are
+    per-row codegen expressions; no shuffle, no UDF; at 100 TB this
+    is a map-only rewrite bounded by scan + regex throughput.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.expr(
+            _PII_AUG.format(text="text", id="doc_id", str="string")
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("t", F.lit(PII_URL)).cast("long").alias("n_urls"),
+        F.regexp_count("t", F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("t", PII_EMAIL, "<EMAIL>"),
+                    PII_URL,
+                    "<URL>",
+                ),
+                PII_PHONE,
+                "<PHONE>",
+            )
+        ).alias("scrubbed_hash"),
     )
 
 
@@ -778,7 +931,7 @@ def duplicate_spans(
     )
 
 
-@query("q112_duplicate_spans", oracle=_Q112_ORACLE)
+@query("q112_duplicate_spans", headline=True, oracle=_Q112_ORACLE)
 def q112_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate-SPAN detection (the substring-dedup step of
     modern pretraining pipelines, after document-level dedup): every

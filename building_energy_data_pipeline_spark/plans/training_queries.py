@@ -465,6 +465,229 @@ def q119_trained_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q120/q121 multi-probe width (top-2 cells per query)
+NPROBE = 2
+
+
+@query(
+    "q120_multiprobe_ivf",
+    oracle=similarity.duck_ivf_topk_sql(
+        "embeddings", ANN_CENTROID_PRED, ANN_QUERY_PRED, ANN_K, nprobe=NPROBE
+    ),
+)
+def q120_multiprobe_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF retrieval (nprobe=2): each query searches its
+    TWO nearest centroid cells instead of one — the standard IVF
+    recall lever (more probes → more of the true neighborhood
+    scanned; cost grows linearly in nprobe, never in corpus size).
+    Corpus vectors still live in exactly one cell, so (query,
+    neighbor) candidate pairs stay unique — no dedup stage.
+
+    Scale: identical shape to q35 — broadcast centroids, map-only
+    assignment, co-partitioned bucket equi-join — with the probe
+    side emitting nprobe rows per query (|Q|·nprobe join keys,
+    still query-set-sized, tiny).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.expr(ANN_CENTROID_PRED))
+    queries = emb.filter(F.expr(ANN_QUERY_PRED))
+    return similarity.ivf_topk(
+        emb, centroids, queries, "vec_id", "embedding", ANN_K, nprobe=NPROBE
+    )
+
+
+def _q121_oracle() -> str:
+    trained = similarity.duck_kmeans_train_sql(
+        "embeddings", KMEANS_K, TRAIN_ITERS
+    )
+    exact = similarity.duck_topk_sql("embeddings", ANN_QUERY_PRED, ANN_K)
+    branches = []
+    for np_ in (1, NPROBE):
+        approx = similarity.duck_ivf_topk_sql(
+            "embeddings",
+            None,
+            ANN_QUERY_PRED,
+            ANN_K,
+            centroid_sql="SELECT vec_id, embedding FROM trained",
+            nprobe=np_,
+        )
+        branches.append(
+            f"""
+    SELECT CAST({np_} AS BIGINT) AS nprobe,
+           CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(a.neighbor_id) * 1000
+                // ({ANN_K} * COUNT(DISTINCT e.query_id)) AS BIGINT)
+             AS recall_permille
+    FROM exact e LEFT JOIN ({approx}) a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id"""
+        )
+    return (
+        f"WITH trained AS ({trained}),\n"
+        f"    exact AS (SELECT * FROM ({exact}))\n"
+        + "\n    UNION ALL\n".join(branches)
+    )
+
+
+@query("q121_ivf_recall_curve", oracle=_q121_oracle())
+def q121_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall/cost CURVE on the TRAINED index: recall@k of
+    nprobe=1 vs nprobe=2 against the exact baseline, aggregated to
+    one integer-permille row per probe width — the number an ANN
+    deployment tunes nprobe with (q101 scores a single seed-centroid
+    config; q119 the trained nprobe=1 point; this sweeps the probe
+    axis). Mean recall = Σhits·1000 // (k·|Q|), exact integers.
+
+    Scale: training per q117; each curve point is a q35-shaped plan
+    over the same trained (8-row, localCheckpointed) centroid table;
+    the scored overlap joins are k·|Q| rows per point.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(ANN_QUERY_PRED))
+    trained = similarity.kmeans_train(
+        emb, KMEANS_K, max_iter=TRAIN_ITERS, tol=0.0
+    )
+    exact = similarity.brute_force_topk(
+        emb, queries, "vec_id", "embedding", ANN_K
+    ).select("query_id", "neighbor_id")
+    points = []
+    for np_ in (1, NPROBE):
+        approx = similarity.ivf_topk(
+            emb, trained, queries, "vec_id", "embedding", ANN_K, nprobe=np_
+        ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        points.append(
+            exact.join(approx, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.countDistinct("query_id").alias("n_queries"),
+                F.sum(F.coalesce("hit", F.lit(0)))
+                .cast("long")
+                .alias("n_hits"),
+            )
+            .select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                "n_queries",
+                "n_hits",
+                F.expr(
+                    f"n_hits * 1000 div ({ANN_K} * n_queries)"
+                ).alias("recall_permille"),
+            )
+        )
+    return points[0].unionByName(points[1])
+
+
+#: asymmetric-containment threshold (60% of A's shingles inside B)
+CONTAIN_MIN_PERMILLE = 600
+
+
+def _q123_oracle() -> str:
+    sh = dedup.duck_shingles_sql(DTOK, 2)
+    inter = "len(list_filter(a.sh, x -> list_contains(b.sh, x)))"
+    return f"""
+    WITH s AS (SELECT doc_id, source, {sh} AS sh FROM documents)
+    SELECT * FROM (
+      SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(CAST({inter} AS BIGINT) * 1000 // len(a.sh) AS BIGINT)
+               AS containment_permille
+      FROM s a JOIN s b
+        ON a.source = b.source AND a.doc_id != b.doc_id
+    ) WHERE containment_permille >= {CONTAIN_MIN_PERMILLE}
+    """
+
+
+@query("q123_containment_pairs", oracle=_q123_oracle())
+def q123_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    |sh(A) ∩ sh(B)| / |sh(A)| ≥ 60%, ORDERED pairs within each source
+    block. Jaccard (q28/q30) misses the quote/boilerplate case this
+    catches: a short document wholly embedded in a long one has high
+    containment but low Jaccard (the union is dominated by B), so
+    symmetric dedup keeps both while the training set still
+    memorizes A twice. Emitting ordered pairs preserves WHICH side is
+    contained — the excision decision differs for A⊂B vs B⊂A.
+
+    Scale: same blocked self-join shape as q30 — the equi-join on the
+    blocking key bounds the pair space to Σ|block|²; the shingle
+    exchange is pinned once and reused by both join branches
+    (ReuseExchange); at corpus scale the block key becomes an LSH
+    band (q28's buckets) instead of `source`.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    s = docs.select(
+        "doc_id",
+        "source",
+        F.expr(dedup.shingles_expr(TOK, 2)).alias("sh"),
+    ).repartition(n_part, "doc_id")
+    a = s.select(
+        "source", F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b = s.select(
+        "source", F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    cont = F.expr(
+        "cast(size(array_intersect(sh_a, sh_b)) as bigint) * 1000"
+        " div size(sh_a)"
+    )
+    return (
+        a.join(b, "source")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "source",
+            "id_a",
+            "id_b",
+            cont.alias("containment_permille"),
+        )
+        .filter(F.col("containment_permille") >= CONTAIN_MIN_PERMILLE)
+    )
+
+
+@query(
+    "q125_dedup_savings",
+    oracle="""
+    WITH g AS (
+      SELECT md5(text) AS h, COUNT(*) AS n, MAX(n_chars) AS chars
+      FROM documents GROUP BY 1
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(n - 1) AS BIGINT) AS dup_docs,
+           CAST(SUM(n * chars) AS BIGINT) AS chars_total,
+           CAST(SUM((n - 1) * chars) AS BIGINT) AS chars_removed,
+           CAST(SUM((n - 1) * chars) * 1000 // SUM(n * chars) AS BIGINT)
+             AS savings_permille
+    FROM g
+    """,
+)
+def q125_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup savings report — the corpus-level rollup a curation run
+    publishes after exact dedup (q26): how many documents and bytes
+    the keep-one-per-content rewrite removes, as exact integers plus
+    an integer-permille savings rate. (Duplicates share identical
+    text, so chars-per-group is MAX = the common n_chars.)
+
+    Scale: the only corpus-sized work is q26's md5 groupBy (map-side
+    combined, uniform key); the savings fold runs on the
+    distinct-content table and collapses to one row via partial
+    aggregates — no driver-side data, no windows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count("*").alias("n"), F.max("n_chars").alias("chars")
+    )
+    return g.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("n") - 1).cast("long").alias("dup_docs"),
+        F.sum(F.col("n") * F.col("chars")).cast("long").alias("chars_total"),
+        F.sum((F.col("n") - 1) * F.col("chars"))
+        .cast("long")
+        .alias("chars_removed"),
+        F.expr(
+            "sum((n - 1) * chars) * 1000 div sum(n * chars)"
+        ).cast("long").alias("savings_permille"),
+    )
+
+
 _Q68_SQL = """
     WITH d AS (
       SELECT doc_id, lang, n_chars, substr(text, 1, 40) AS head

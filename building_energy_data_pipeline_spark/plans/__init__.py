@@ -59,6 +59,9 @@ _CURATED_ORDER = [
     "q123_containment_pairs",
     "q124_pii_scrub",
     "q125_dedup_savings",
+    "q126_streaming_index_update",
+    "q127_balanced_sample",
+    "q128_vocab_oov",
     # changed round 5: asof right_unique / scalable vocab rank /
     # factored pagerank edges / span_grams portable factor
     "q36_asof_join",
@@ -97,20 +100,21 @@ _CURATED_ORDER = [
     "q69_sql_unpivot",
     "q70_histogram",
     "q71_snapshot_diff",
-    # refresh: oldest r3 rows (q40-q43/q48/q51 stay below — demoted
-    # to make room for the new q120-q125; r3-green, untouched)
+    # refresh: oldest r3 rows (q24/q25/q38/q40-q43/q48/q51 stay below
+    # — demoted to make room for the new q120-q128; r3-green,
+    # untouched)
     "q07_event_gaps",
     "q14_json_extract",
     "q20_monotonicity_check",
-    "q24_minmax_normalize",
-    "q25_hourly_rollup",
-    "q38_percentiles_by_type",
     # ---- position 50 boundary (= DRIVER_WINDOW_SIZE /
     # FIRST_BELOW_WINDOW); below: green at their last driver row
     # (r4 for q96-q116 and the spread_scan/dedup families, r3/r2/r1
     # for the rest), unchanged since, re-verified by the local
     # DuckDB-parity suite each round --
     "q02_filtered_scan",
+    "q24_minmax_normalize",
+    "q25_hourly_rollup",
+    "q38_percentiles_by_type",
     "q40_batch_bounds_json",
     "q41_moving_average",
     "q42_sessionize",

@@ -1039,3 +1039,72 @@ def q113_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cleaned_hash"),
         )
     )
+
+
+#: q128: tokenizer vocabulary budget (top-N corpus tokens); small
+#: because the synthetic corpus vocabulary is itself small (~31 terms
+#: at the shipped SFs) — the shape is what scales, not the constant
+VOCAB_N = 16
+
+
+@query(
+    "q128_vocab_oov",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({DTOK}) AS tok FROM documents),
+    c AS (SELECT tok, COUNT(*) AS n_occ FROM t GROUP BY tok),
+    v AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY n_occ DESC, tok) AS rank
+        FROM c
+      ) WHERE rank <= {VOCAB_N}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) - COUNT(v.tok) AS BIGINT) AS n_oov,
+           CAST((COUNT(*) - COUNT(v.tok)) * 1000 // COUNT(*) AS BIGINT)
+             AS oov_permille
+    FROM t LEFT JOIN v USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def q128_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: per-document out-of-vocabulary rate
+    against a top-{VOCAB_N} corpus vocabulary — the companion to
+    q108's Zipf curve: q108 sizes the vocabulary budget, this reports
+    what each document LOSES under it (the byte-fallback/UNK rate a
+    tokenizer with that budget would pay). Integer permille.
+
+    Scale: token counts are the same map-side-combined groupBy as
+    q108; the vocabulary rank goes through ``scale.global_row_index``
+    (no \\|V\\|-sized single-partition window) and the resulting
+    {VOCAB_N}-row vocab broadcasts into a map-side left join — the
+    corpus-sized token stream is never shuffled for the audit, only
+    for the per-doc aggregate (doc_id-keyed, co-partitioned with the
+    tokenize stage's hash spread).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = scale.spread_scan(
+        docs, cols=["doc_id", "text"], by=["doc_id"]
+    ).select("doc_id", F.explode(F.expr(TOK)).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n_occ"))
+    vocab = (
+        scale.global_row_index(counts, [F.desc("n_occ"), F.asc("tok")], "rank")
+        .filter(F.col("rank") <= VOCAB_N)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 1000 div n_tokens").alias("oov_permille"),
+        )
+    )

@@ -1132,3 +1132,53 @@ def q114_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("rn").alias("last_rank"),
         )
     )
+
+
+#: q127: per-class cap for balanced downsampling
+BALANCE_CAP = 50
+
+
+@query(
+    "q127_balanced_sample",
+    oracle=f"""
+    SELECT lang, rn, doc_id FROM (
+      SELECT lang, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS rn
+      FROM documents
+    ) WHERE rn <= {BALANCE_CAP}
+    """,
+)
+def q127_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: keep at most {BALANCE_CAP}
+    documents per language, selected by md5(doc_id) order — the
+    deterministic per-class cap that flattens a skewed language (or
+    source/domain) distribution before training, complementing the
+    proportional re-weighting of q88/q110: those change sampling
+    WEIGHTS, this caps class CARDINALITY. md5 order is the q78
+    hash-sampling idiom — reproducible across runs/engines with no
+    stored sample table, and a fresh resample is just a seed suffix
+    in the hash input.
+
+    Scale: one window partitioned by class — hash-parallel across
+    classes; a pathologically hot class is capped by rank, and the
+    md5 sort key spreads its rows uniformly, so per-partition sort
+    cost is bounded by the largest class, the same bound every
+    per-class operator carries (q83's note applies: shard the class
+    key when one class exceeds a task).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "lang",
+            "doc_id",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= BALANCE_CAP)
+        .select("lang", "rn", "doc_id")
+    )

@@ -505,3 +505,84 @@ def q115_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+def _q126_oracle() -> str:
+    from ..operators import similarity
+
+    return f"""
+    WITH assigned AS ({similarity.duck_assign_sql("embeddings", "vec_id < 8")})
+    SELECT centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(vec_id) AS BIGINT) AS id_sum
+    FROM assigned GROUP BY centroid_id
+    """
+
+
+@query("q126_streaming_index_update", oracle=_q126_oracle())
+def q126_streaming_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING vector-index maintenance: the embedding corpus
+    replayed as an ingest stream (multiple files, one per
+    micro-batch) and assigned batch-by-batch to the IVF coarse
+    quantizer inside ``foreachBatch`` — the continuous-ingestion twin
+    of the batch index build (q35's assignment): new vectors join the
+    index without touching existing postings, because
+    nearest-centroid assignment is per-row pure, so the final bucket
+    directory is independent of batch boundaries — exactly what the
+    batch-SQL oracle pins (per-bucket counts + id checksums).
+
+    Scale: per batch, one broadcast-centroid map-only scan of the NEW
+    vectors and an append-only posting write — no state reread, no
+    re-assignment of the existing corpus (the q90 incremental-dedup
+    discipline applied to the index path). Centroid drift is handled
+    by periodic re-training (q117) + bucket rebuild, not per batch.
+    """
+    import os
+    import shutil
+
+    from ..operators.similarity import assign_centroids
+    from ..sources.readers import load_table
+
+    base_dir = tempfile.mkdtemp(prefix="q126_index_")
+    src_dir = os.path.join(base_dir, "vectors")
+    idx_dir = os.path.join(base_dir, "postings")
+    ckpt = os.path.join(base_dir, "ckpt")
+
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = emb.filter("vec_id < 8").localCheckpoint()
+        emb.repartitionByRange(4, "vec_id").write.parquet(src_dir)
+
+        dims = emb.schema["embedding"].dataType.elementType.simpleString()
+        stream = (
+            spark.readStream.schema(f"vec_id long, embedding array<{dims}>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+
+        def index_batch(batch_df: DataFrame, batch_id: int) -> None:
+            assign_centroids(batch_df, centroids).select(
+                "vec_id", "centroid_id"
+            ).write.mode("append").parquet(idx_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(index_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q126: vector stream did not drain")
+
+        postings = spark.read.parquet(idx_dir)
+        return (
+            postings.groupBy("centroid_id")
+            .agg(
+                F.count("*").alias("n_vectors"),
+                F.sum("vec_id").alias("id_sum"),
+            )
+            .localCheckpoint(eager=True)  # materialize before cleanup
+        )
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

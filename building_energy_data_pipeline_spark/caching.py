@@ -38,6 +38,34 @@ from pyspark.sql import DataFrame
 _CACHE_SLOTS: dict[str, tuple[int | None, DataFrame]] = {}
 
 
+def _input_files(df: DataFrame) -> frozenset[str]:
+    """File listing of every file source in ``df``'s ANALYZED plan.
+
+    Deliberately not ``df.inputFiles()``: that API reads the
+    OPTIMIZED plan, which has already been through cache
+    substitution — once any persisted frame's plan matches a subtree
+    (in particular the slot's own previous occupant), the fresh
+    build reports ZERO files, the fingerprint spuriously mismatches,
+    and every re-invocation replaces the slot instead of warm-
+    hitting (found round 5: the q30/q123 shared shingle slot never
+    reused; q28's had been passing on test-ordering luck). The
+    analyzed plan is resolved but pre-substitution, so the listing is
+    stable across invocations and still changes when the directory
+    is rebuilt in place — the case the fingerprint exists to catch.
+    """
+    files: set[str] = set()
+    leaves = df._jdf.queryExecution().analyzed().collectLeaves()  # noqa: SLF001
+    it = leaves.iterator()
+    while it.hasNext():
+        leaf = it.next()
+        try:  # LogicalRelation over a file index; other leaves skipped
+            for f in leaf.relation().location().inputFiles():
+                files.add(f)
+        except Exception:  # noqa: BLE001 — non-file leaf (range, local…)
+            pass
+    return frozenset(files)
+
+
 def _is_persisted(df: DataFrame) -> bool:
     try:
         lvl = df.storageLevel
@@ -64,7 +92,7 @@ def slot_persist(name: str, df: DataFrame, reuse: bool = True) -> DataFrame:
         # rebuilt in place between invocations (part files carry
         # fresh UUID names on every rewrite), so a warm hit can never
         # serve signatures for regenerated data
-        sig = hash((df.semanticHash(), frozenset(df.inputFiles())))
+        sig = hash((df.semanticHash(), _input_files(df)))
     except Exception:  # noqa: BLE001 — never let caching break a plan
         sig = None
     prev = _CACHE_SLOTS.get(name)

@@ -62,6 +62,10 @@ _CURATED_ORDER = [
     "q126_streaming_index_update",
     "q127_balanced_sample",
     "q128_vocab_oov",
+    # changed round 5: shared source-shingle persist slot (q123's
+    # sibling — the ReuseExchange claim was empirically false, so
+    # both now stage through dedup.source_shingles)
+    "q30_ngram_jaccard",
     # changed round 5: asof right_unique / scalable vocab rank /
     # factored pagerank edges / span_grams portable factor
     "q36_asof_join",
@@ -105,13 +109,13 @@ _CURATED_ORDER = [
     # untouched)
     "q07_event_gaps",
     "q14_json_extract",
-    "q20_monotonicity_check",
     # ---- position 50 boundary (= DRIVER_WINDOW_SIZE /
     # FIRST_BELOW_WINDOW); below: green at their last driver row
     # (r4 for q96-q116 and the spread_scan/dedup families, r3/r2/r1
     # for the rest), unchanged since, re-verified by the local
     # DuckDB-parity suite each round --
     "q02_filtered_scan",
+    "q20_monotonicity_check",
     "q24_minmax_normalize",
     "q25_hourly_rollup",
     "q38_percentiles_by_type",
@@ -129,7 +133,6 @@ _CURATED_ORDER = [
     "q27_fingerprint_dedup",
     "q28_minhash_lsh_pairs",
     "q29_simhash",
-    "q30_ngram_jaccard",
     "q31_token_counts",
     "q32_lang_id",
     "q33_quality_scores",

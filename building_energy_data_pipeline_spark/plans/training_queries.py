@@ -130,29 +130,50 @@ def _bigram_oracle() -> str:
     """
 
 
-@query("q30_ngram_jaccard", oracle=_bigram_oracle())
-def q30_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-bigram Jaccard near-dup pairs within each source partition.
+def _source_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, source, sh)`` — the word-bigram shingle table the
+    source-blocked pair queries (q30 Jaccard, q123 containment) self-
+    join on, staged ONCE through a persist slot.
 
-    Scale: the self-join key is `source` — the blocking attribute
-    bounds the pair space to Σ|group|²; skewed sources are split by
-    AQE. (Unblocked exact Jaccard is q28's LSH job.)
+    The slot is load-bearing, not a micro-optimization: the two
+    self-join branches are separate plan instantiations, and neither
+    ReuseExchange (self-join re-aliasing breaks exchange
+    canonicalization — verified empirically under both broadcast and
+    sort-merge strategies) nor AQE recovers the sharing, so without
+    staging the corpus is scanned AND shingled twice per query. The
+    pinned doc_id repartition below the slot spreads the CPU-bound
+    shingle build across cores on single-row-group inputs (tokens
+    staged first: interpreted HOFs get no CSE, and ``shingles_expr``
+    references its token argument three times).
     """
+    from ..caching import slot_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    # pinned repartition: both self-join branches reuse ONE
-    # materialized shingle exchange (ReuseExchange) instead of each
-    # re-shingling from the input file's single row group — the same
-    # plan hygiene as minhash_lsh_pairs (operators/dedup.py:264-274)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    s = (
+    return slot_persist(
+        "dedup.source_shingles",
         docs.select("doc_id", "source", F.expr(TOK).alias("__toks"))
         .select(
             "doc_id",
             "source",
             F.expr(dedup.shingles_expr("__toks", 2)).alias("sh"),
         )
-        .repartition(n_part, "doc_id")
+        .repartition(n_part, "doc_id"),
     )
+
+
+@query("q30_ngram_jaccard", oracle=_bigram_oracle())
+def q30_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard near-dup pairs within each source partition.
+
+    Scale: the self-join key is `source` — the blocking attribute
+    bounds the pair space to Σ|group|²; skewed sources are split by
+    AQE. The shingle table is staged once through the shared
+    ``dedup.source_shingles`` slot (see :func:`_source_shingles` for
+    why ReuseExchange cannot provide this). (Unblocked exact Jaccard
+    is q28's LSH job.)
+    """
+    s = _source_shingles(spark, sf_dir)
     a = s.select(
         F.col("source"),
         F.col("doc_id").alias("id_a"),
@@ -607,17 +628,12 @@ def q123_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: same blocked self-join shape as q30 — the equi-join on the
     blocking key bounds the pair space to Σ|block|²; the shingle
-    exchange is pinned once and reused by both join branches
-    (ReuseExchange); at corpus scale the block key becomes an LSH
-    band (q28's buckets) instead of `source`.
+    table is staged once through the shared ``dedup.source_shingles``
+    slot (ReuseExchange cannot provide this — see
+    :func:`_source_shingles`); at corpus scale the block key becomes
+    an LSH band (q28's buckets) instead of `source`.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    s = docs.select(
-        "doc_id",
-        "source",
-        F.expr(dedup.shingles_expr(TOK, 2)).alias("sh"),
-    ).repartition(n_part, "doc_id")
+    s = _source_shingles(spark, sf_dir)
     a = s.select(
         "source", F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
     )

@@ -379,3 +379,34 @@ class TestSpanGramPortability:
             "string grams are still being constructed on the x64 path"
         )
         release_caches()
+
+
+class TestSourceShingleSlot:
+    def test_q30_q123_share_one_staged_shingle_table(self, spark, sf_dir):
+        """The source-blocked pair queries must read ONE persisted
+        shingle table: self-join re-aliasing breaks exchange
+        canonicalization (verified under broadcast AND sort-merge
+        strategies), so without the slot the corpus is scanned and
+        shingled twice per query."""
+        from building_energy_data_pipeline_spark import caching
+        from building_energy_data_pipeline_spark.plans.queries import REGISTRY
+
+        caching.release_caches()
+        df = REGISTRY["q30_ngram_jaccard"].spark(spark, sf_dir)
+        df.collect()
+        plan = explain_str(df)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "InMemoryTableScan" in final
+        assert final.count("Scan parquet") == 1, (
+            "shingle pipeline re-scanned the corpus instead of "
+            "reusing the persisted slot"
+        )
+        _, slot_frame = caching._CACHE_SLOTS["dedup.source_shingles"]
+        # q123 builds the identical staged plan → same warm slot
+        REGISTRY["q123_containment_pairs"].spark(spark, sf_dir).collect()
+        _, slot_after = caching._CACHE_SLOTS["dedup.source_shingles"]
+        assert slot_after is slot_frame, (
+            "q123 re-persisted the shingle table instead of sharing "
+            "q30's warm slot"
+        )
+        caching.release_caches()

@@ -62,6 +62,9 @@ _CURATED_ORDER = [
     "q126_streaming_index_update",
     "q127_balanced_sample",
     "q128_vocab_oov",
+    "q129_semantic_dedup",
+    "q130_segment_dedup",
+    "q131_heavy_hitters",
     # changed round 5: shared source-shingle persist slot (q123's
     # sibling — the ReuseExchange claim was empirically false, so
     # both now stage through dedup.source_shingles)
@@ -102,19 +105,19 @@ _CURATED_ORDER = [
     "q58_recursive_spine",
     "q67_variant_json",
     "q69_sql_unpivot",
-    "q70_histogram",
-    "q71_snapshot_diff",
-    # refresh: oldest r3 rows (q24/q25/q38/q40-q43/q48/q51 stay below
-    # — demoted to make room for the new q120-q128; r3-green,
-    # untouched)
+    # refresh: oldest r3 row (q14/q24/q25/q38/q40-q43/q48/q51/q70/q71
+    # stay below — demoted to make room for the new q117-q131;
+    # r2/r3-green, untouched)
     "q07_event_gaps",
-    "q14_json_extract",
     # ---- position 50 boundary (= DRIVER_WINDOW_SIZE /
     # FIRST_BELOW_WINDOW); below: green at their last driver row
     # (r4 for q96-q116 and the spread_scan/dedup families, r3/r2/r1
     # for the rest), unchanged since, re-verified by the local
     # DuckDB-parity suite each round --
     "q02_filtered_scan",
+    "q14_json_extract",
+    "q70_histogram",
+    "q71_snapshot_diff",
     "q20_monotonicity_check",
     "q24_minmax_normalize",
     "q25_hourly_rollup",

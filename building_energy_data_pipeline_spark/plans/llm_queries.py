@@ -1108,3 +1108,249 @@ def q128_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_oov * 1000 div n_tokens").alias("oov_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment-hash dedup (CCNet-style) — q130
+# ---------------------------------------------------------------------------
+
+#: Segment geometry for corpus-level exact segment dedup: documents
+#: are sliced into consecutive SEG_TOKENS-token segments (the
+#: newline-free analogue of CCNet's paragraph/line unit).
+SEG_TOKENS = 16
+
+
+def _q130_oracle() -> str:
+    n = SEG_TOKENS
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {DTOK} AS toks FROM documents
+    ),
+    segs AS (
+      SELECT doc_id,
+             CAST(i AS BIGINT) AS seg_idx,
+             array_to_string(toks[i*{n}+1:i*{n}+{n}], ' ') AS seg_text,
+             CAST(len(toks[i*{n}+1:i*{n}+{n}]) AS BIGINT) AS n_toks
+      FROM t, unnest(range(0, (len(toks)+{n - 1})//{n})) r(i)
+    ),
+    marked AS (
+      SELECT doc_id, seg_idx, seg_text, n_toks,
+             row_number() OVER (PARTITION BY md5(seg_text)
+                                ORDER BY doc_id, seg_idx) = 1 AS kept
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dropped,
+           CAST(SUM(CASE WHEN kept THEN n_toks ELSE 0 END) AS BIGINT)
+             AS retained_tokens,
+           md5(COALESCE(string_agg(seg_text, ' ' ORDER BY seg_idx)
+                          FILTER (WHERE kept), '')) AS retained_md5
+    FROM marked
+    GROUP BY doc_id
+    """
+
+
+@query("q130_segment_dedup", oracle=_q130_oracle())
+def q130_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact SEGMENT dedup (CCNet's paragraph dedup,
+    Wenzek et al. 2020, adapted to fixed {SEG_TOKENS}-token segments
+    because the corpus has no line structure): every document is
+    sliced into consecutive segments, each segment is content-hashed,
+    and only the globally FIRST occurrence of each distinct segment
+    (ordered by ``(doc_id, seg_idx)``) survives. Output is the
+    per-document excision verdict — segment/drop counts, retained
+    token count, and an md5 over the retained text (position-ordered)
+    that pins the reconstructed document exactly.
+
+    Complements the near-dup family: q26 is whole-document exact
+    dedup, q112/q113 find REPEATED SPANS via overlapping k-gram
+    windows; this is the non-overlapping exact-segment form real
+    pretraining pipelines run first (boilerplate headers/footers
+    dominate web corpora).
+
+    Scale: the keep decision is ``min(struct(doc_id, seg_idx))`` per
+    segment hash — an ALGEBRAIC AGGREGATE, not a window, so map-side
+    partial aggregation collapses a segment repeated 10⁹ times (a
+    nav-bar) to one row per map task BEFORE the exchange — the
+    single-task hot-key collapse a row_number-over-hash shape would
+    suffer is designed out (the DuckDB twin uses the window form;
+    same semantics, oracle-only). The segment table is staged once
+    through a persist slot (winner aggregate + verdict join + final
+    rollup = three consumers, one scan+tokenize). Winner table ≤
+    unique-segment-sized; the verdict join is seg_key-keyed and
+    co-partitioned with the winner aggregate's exchange. Production
+    swaps the md5 seg_key for xxhash64 so the exchange carries 8-byte
+    keys (q112's portable-flag pattern); md5 here keeps the twin
+    engine-portable.
+    """
+    from ..caching import slot_persist
+
+    n = SEG_TOKENS
+    docs = load_table(spark, sf_dir, "documents")
+    seg_list = (
+        f"CASE WHEN size(__toks) = 0 THEN array() "
+        f"ELSE transform(sequence(0, ((size(__toks)+{n - 1}) div {n}) - 1), "
+        f"i -> slice(__toks, i*{n}+1, {n})) END"
+    )
+    segs = slot_persist(
+        "text.doc_segments",
+        scale.spread_scan(docs, cols=["doc_id", "text"], by=["doc_id"])
+        .select("doc_id", F.expr(TOK).alias("__toks"))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(seg_list)).alias("seg_idx", "seg"),
+        )
+        .select(
+            "doc_id",
+            F.col("seg_idx").cast("long").alias("seg_idx"),
+            F.array_join("seg", " ").alias("seg_text"),
+            F.size("seg").cast("long").alias("n_toks"),
+            F.md5(F.array_join("seg", " ")).alias("seg_key"),
+        ),
+    )
+    winners = segs.groupBy("seg_key").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("w")
+    )
+    marked = segs.join(winners, "seg_key").withColumn(
+        "kept",
+        (F.col("doc_id") == F.col("w.doc_id"))
+        & (F.col("seg_idx") == F.col("w.seg_idx")),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum(F.when(F.col("kept"), F.col("n_toks")).otherwise(0))
+        .cast("long")
+        .alias("retained_tokens"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "CASE WHEN kept THEN struct(seg_idx, seg_text) END)),"
+                    " s -> s.seg_text)"
+                ),
+                " ",
+            )
+        ).alias("retained_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-pass exact heavy hitters — q131
+# ---------------------------------------------------------------------------
+
+#: Heavy-hitter threshold in basis points: a bigram is heavy when it
+#: accounts for ≥ HH_BP/10000 of all corpus bigram occurrences.
+HH_BP = 15
+#: Pass-1 deterministic document sample: md5-bucket(doc_id) keeps ~20%.
+HH_SAMPLE_PERMILLE = 200
+#: Candidate bar = threshold/HH_SAFETY_DIV on the sample — loose
+#: enough to survive sampling noise, tight enough that the candidate
+#: set stays provably bounded (see docstring).
+HH_SAFETY_DIV = 2
+
+
+def _q131_oracle() -> str:
+    from ..schema.sampling import HASH_MOD, duck_hash_bucket_sql
+
+    thresh = HASH_MOD * HH_SAMPLE_PERMILLE // 1000
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {DTOK} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT ({duck_hash_bucket_sql('doc_id')}) < {thresh} AS in_sample,
+             unnest({text.duck_bigrams_sql('toks')}) AS bigram
+      FROM t
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM bg),
+    stot AS (SELECT COUNT(*) AS n_sample FROM bg WHERE in_sample),
+    cand AS (
+      SELECT bigram FROM bg, stot
+      WHERE in_sample
+      GROUP BY bigram, n_sample
+      HAVING COUNT(*) * 10000 * {HH_SAFETY_DIV} >= {HH_BP} * n_sample
+    )
+    SELECT bigram,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(*) * 10000 // n_total AS BIGINT) AS freq_bp
+    FROM bg JOIN cand USING (bigram), tot
+    GROUP BY bigram, n_total
+    HAVING COUNT(*) * 10000 >= {HH_BP} * n_total
+    """
+
+
+@query("q131_heavy_hitters", oracle=_q131_oracle())
+def q131_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters (bigrams ≥ {HH_BP} bp of all
+    occurrences) via the two-pass sample-then-verify pattern — the
+    shape that makes exact frequency mining tractable at 100 TB,
+    where a full bigram groupBy would shuffle the entire token
+    stream: pass 1 counts bigrams over a deterministic ~20% document
+    sample (md5-bucket — replayable, no RNG) and nominates every
+    bigram clearing HALF the scaled threshold; pass 2 re-counts ONLY
+    the nominated bigrams exactly, filtering the corpus stream with a
+    broadcast semi-join BEFORE the aggregation exchange.
+
+    The candidate set is provably broadcastable regardless of data
+    distribution: candidates each hold ≥ {HH_BP}/{HH_SAFETY_DIV} bp
+    of the sample, and shares sum to 1, so there are at most
+    10000·{HH_SAFETY_DIV}/{HH_BP} ≈ 1333 of them — the bound comes
+    from arithmetic, not from hoping the data is benign. A true heavy
+    hitter is missed only if sampling noise halves its sample share
+    (Chernoff-improbable at heavy-hitter counts); the oracle twin
+    replays both passes, so the checked contract is the algorithm
+    itself, not just the final set.
+
+    Scale: the bigram stream is staged once through a persist slot
+    (sample count, exact count, and both totals read it — at 100 TB
+    drop the slot and re-scan: two cheap map passes beat materializing
+    a corpus-sized exploded stream); both groupBys partial-aggregate
+    map-side; pass 2's exchange carries candidate rows only.
+    """
+    from ..caching import slot_persist
+    from ..schema import sampling
+
+    thresh = sampling.HASH_MOD * HH_SAMPLE_PERMILLE // 1000
+    docs = load_table(spark, sf_dir, "documents")
+    bg = slot_persist(
+        "text.corpus_bigrams",
+        scale.spread_scan(docs, cols=["doc_id", "text"], by=["doc_id"])
+        .select("doc_id", F.expr(TOK).alias("__toks"))
+        .select(
+            (sampling.hash_bucket("doc_id") < F.lit(thresh)).alias(
+                "in_sample"
+            ),
+            F.explode(F.expr(text.bigrams_expr("__toks"))).alias("bigram"),
+        ),
+    )
+    totals = bg.agg(F.count("*").alias("n_total"))
+    samp_totals = bg.filter("in_sample").agg(F.count("*").alias("n_sample"))
+    candidates = (
+        bg.filter("in_sample")
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c_sample"))
+        .crossJoin(F.broadcast(samp_totals))
+        .filter(
+            F.expr(
+                f"c_sample * 10000 * {HH_SAFETY_DIV} >= {HH_BP} * n_sample"
+            )
+        )
+        .select("bigram")
+    )
+    return (
+        bg.join(F.broadcast(candidates), "bigram")
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .crossJoin(F.broadcast(totals))
+        .filter(F.expr(f"n_occurrences * 10000 >= {HH_BP} * n_total"))
+        .select(
+            "bigram",
+            "n_occurrences",
+            F.expr("n_occurrences * 10000 div n_total").alias("freq_bp"),
+        )
+    )

@@ -833,3 +833,122 @@ def q76_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), "ctext")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup) — q129
+# ---------------------------------------------------------------------------
+
+#: SemDeDup within-cluster near-duplicate threshold, applied to the
+#: 6-decimal-rounded cosine (q37's engine-portable convention).
+SEMDEDUP_MIN_COS = 0.45
+
+
+def _semdedup_oracle() -> str:
+    cos = (
+        f"{similarity.duck_dot_sql('a.embedding', 'b.embedding')}"
+        f" / ({similarity.duck_norm_sql('a.embedding')}"
+        f" * {similarity.duck_norm_sql('b.embedding')})"
+    )
+    return f"""
+    WITH trained AS ({similarity.duck_kmeans_train_sql(
+        "embeddings", KMEANS_K, TRAIN_ITERS)}),
+    assigned AS ({similarity.duck_assign_sql(
+        "embeddings",
+        centroid_sql="SELECT vec_id, embedding FROM trained")}),
+    pairs AS (
+      SELECT * FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({cos}, 6) AS cos
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      ) WHERE cos >= {SEMDEDUP_MIN_COS}
+    ),
+    dups AS (
+      SELECT id_b AS vec_id, MIN(id_a) AS dup_of, MAX(cos) AS max_cos
+      FROM pairs GROUP BY id_b
+    )
+    SELECT s.vec_id, s.centroid_id,
+           d.dup_of IS NULL AS is_kept,
+           d.dup_of, d.max_cos
+    FROM assigned s LEFT JOIN dups d USING (vec_id)
+    """
+
+
+@query("q129_semantic_dedup", oracle=_semdedup_oracle())
+def q129_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space near-duplicate
+    pruning with the pair search BLOCKED BY TRAINED K-MEANS CLUSTERS
+    — train the coarse quantizer with the real ``kmeans_train`` loop
+    (q117's fixed 2-iteration budget), assign every vector to its
+    nearest trained centroid, and form cosine pairs only WITHIN a
+    cluster. A vector is dropped when any lower-id near-duplicate
+    (rounded cos ≥ {SEMDEDUP_MIN_COS}) shares its cluster; the output
+    is the full per-vector keep/drop verdict with the dedup witness
+    (``dup_of`` = smallest same-cluster near-dup id, ``max_cos`` =
+    strongest similarity). The one-pass lowest-id-wins rule is
+    deterministic and union-find-free; a dropped vector's ``dup_of``
+    may itself be dropped — q44's connected components supplies
+    canonical representatives when chains matter.
+
+    Scale: this is q37's exact O(n²) pair scan made tractable — the
+    pair space shrinks to Σ|cluster|², and production sizes k ≈
+    n / target_cluster_size (10³–10⁴ members) precisely so each
+    cell's quadratic stays bounded; the cluster-id equi-join
+    replaces q37's broadcast nested loop. The assignment table is
+    staged once through a persist slot (both self-join branches and
+    the final verdict join read it; three consumers, one
+    broadcast-assign scan). Training cost is q117's (per round: one
+    broadcast-centroid scan + a (k × dims) decimal aggregate). With
+    only k join keys, AQE splits skewed cells; the per-cluster
+    quadratic is the designed-in cost the k sizing rule controls.
+    """
+    from ..caching import slot_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    trained = similarity.kmeans_train(
+        emb, KMEANS_K, max_iter=TRAIN_ITERS, tol=0.0
+    )
+    assigned = slot_persist(
+        "similarity.semdedup_assigned",
+        similarity.assign_centroids(
+            scale.spread_scan(emb, by=["vec_id"]), trained
+        ).select("vec_id", "centroid_id", "embedding", "vnorm"),
+    )
+    a = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("vnorm").alias("na"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("vnorm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(similarity.cosine_expr("va", "vb", "na", "nb")), 6
+            ),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_MIN_COS)
+    )
+    dups = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.min("id_a").alias("dup_of"), F.max("cos").alias("max_cos")
+    )
+    return (
+        assigned.select("vec_id", "centroid_id")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.col("dup_of").isNull().alias("is_kept"),
+            "dup_of",
+            "max_cos",
+        )
+    )

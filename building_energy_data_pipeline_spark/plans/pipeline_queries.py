@@ -1182,3 +1182,111 @@ def q127_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= BALANCE_CAP)
         .select("lang", "rn", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batch packing — q134
+# ---------------------------------------------------------------------------
+
+#: token-length bucket width and sequences per training batch
+LEN_BUCKET = 16
+LEN_BATCH = 8
+
+
+def _q134_oracle() -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({DTOK}) AS BIGINT) AS n_toks FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_toks,
+             n_toks // {LEN_BUCKET} AS bucket,
+             {duck_hash_bucket_sql('doc_id')} AS pk
+      FROM t
+    ),
+    idx AS (
+      SELECT *, row_number() OVER (ORDER BY bucket, pk, doc_id) AS gidx
+      FROM b
+    ),
+    offs AS (SELECT bucket, MIN(gidx) AS off FROM idx GROUP BY bucket)
+    SELECT bucket,
+           CAST((gidx - off) // {LEN_BATCH} AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           CAST(MAX(n_toks) AS BIGINT) AS max_len,
+           CAST(SUM(n_toks) AS BIGINT) AS sum_len,
+           CAST(MAX(n_toks) * COUNT(*) - SUM(n_toks) AS BIGINT)
+             AS pad_tokens,
+           CAST((MAX(n_toks) * COUNT(*) - SUM(n_toks)) * 1000
+                // greatest(MAX(n_toks) * COUNT(*), 1) AS BIGINT)
+             AS waste_permille
+    FROM idx JOIN offs USING (bucket)
+    GROUP BY bucket, batch_id
+    """
+
+
+@query("q134_length_bucketed_batches", oracle=_q134_oracle())
+def q134_length_bucketed_batches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Length-bucketed training-batch assignment with padding-waste
+    accounting: documents are bucketed by token length
+    (width {LEN_BUCKET}), deterministically permuted WITHIN each
+    bucket (md5 key — replayable, q114's convention), and cut into
+    batches of {LEN_BATCH}; each batch reports its padded size,
+    content size, and integer-permille padding waste. The
+    complementary strategy to q83's greedy packing: packing
+    concatenates documents into fixed windows, bucketing batches
+    similar lengths together so per-batch padding ≈ 0 — this query
+    emits the report that quantifies exactly how much compute
+    padding would burn (waste_permille by construction bounded by
+    bucket width / min bucket length).
+
+    Scale: the only global structure is the in-bucket row index,
+    computed by ``scale.global_row_index`` over
+    ``(bucket, permute_key, doc_id)`` — range-partitioned rank, NO
+    single-partition window and NO per-bucket window (a hot bucket —
+    most corpora pile up at the truncation length — would serialize
+    through one task in the partitionBy form; in the range-partition
+    form it spreads across range splits). Per-bucket start offsets
+    are a bucket-count-sized aggregate broadcast back; batch ids are
+    then pure arithmetic, and the final (bucket, batch) aggregate is
+    hash-partitioned and map-side combined.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        scale.spread_scan(docs, cols=["doc_id", "text"], by=["doc_id"])
+        .select(
+            "doc_id",
+            F.expr(f"size({TOK})").cast("long").alias("n_toks"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            F.expr(f"n_toks div {LEN_BUCKET}").alias("bucket"),
+            hash_bucket("doc_id").alias("pk"),
+        )
+    )
+    idx = scale.global_row_index(
+        t, [F.asc("bucket"), F.asc("pk"), F.asc("doc_id")], "gidx"
+    )
+    offs = idx.groupBy("bucket").agg(F.min("gidx").alias("off"))
+    pad = F.max("n_toks") * F.count("*") - F.sum("n_toks")
+    return (
+        idx.join(F.broadcast(offs), "bucket")
+        .withColumn(
+            "batch_id", F.expr(f"(gidx - off) div {LEN_BATCH}").cast("long")
+        )
+        .groupBy("bucket", "batch_id")
+        .agg(
+            F.count("*").alias("n_seqs"),
+            F.max("n_toks").alias("max_len"),
+            F.sum("n_toks").alias("sum_len"),
+            pad.cast("long").alias("pad_tokens"),
+            (
+                pad * 1000
+                / F.greatest(F.max("n_toks") * F.count("*"), F.lit(1))
+            )
+            .cast("long")
+            .alias("waste_permille"),
+        )
+    )

@@ -14,6 +14,7 @@ DuckDB oracles generated from the same expression templates
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators import dedup, scale, similarity, text
@@ -951,4 +952,247 @@ def q129_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_of",
             "max_cos",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive hard-negative mining — q132
+# ---------------------------------------------------------------------------
+
+#: hard negatives kept per query vector
+HARDNEG_K = 3
+
+
+def _q132_oracle() -> str:
+    cos = (
+        f"round({similarity.duck_dot_sql('c.embedding', 'q.embedding')}"
+        f" / ({similarity.duck_norm_sql('c.embedding')}"
+        f" * {similarity.duck_norm_sql('q.embedding')}), 6)"
+    )
+    return f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label = q.label AS same_label,
+             {cos} AS cos
+      FROM embeddings c JOIN embeddings q
+        ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+    ),
+    with_pos AS (
+      SELECT query_id, neighbor_id, same_label, cos,
+             MAX(CASE WHEN same_label THEN cos END)
+               OVER (PARTITION BY query_id) AS pos_cos
+      FROM scored
+    ),
+    negs AS (
+      SELECT query_id, neighbor_id, cos, pos_cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM with_pos WHERE NOT same_label
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+           cos AS neg_cos, pos_cos,
+           round(pos_cos - cos, 6) AS margin
+    FROM negs WHERE rnk <= {HARDNEG_K}
+    """
+
+
+@query("q132_hard_negatives", oracle=_q132_oracle())
+def q132_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the
+    top-{HARDNEG_K} most-similar DIFFERENT-label corpus vectors (the
+    negatives an encoder most confuses), with the strongest same-label
+    cosine as the positive anchor and ``margin = pos_cos − neg_cos``
+    — the triplet-loss margin. Negative pairs with small (or
+    negative!) margins are exactly the training pairs contrastive
+    fine-tuning data pipelines mine.
+
+    Scale: one broadcast pair scan (corpus × |Q| query set, q34's
+    shape with the corpus side hash-spread), then ONE exchange on
+    ``query_id`` serving BOTH window passes — the positive anchor is
+    an unordered MAX window, the negative rank runs after the
+    different-label filter, and a filter preserves hash
+    distribution, so Spark plans a single shuffle. No per-label
+    index, no second scan. At production |Q|, queries batch through
+    the same broadcast in |Q|/batch waves.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(ANN_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+        F.expr(similarity.norm_expr("embedding")).alias("qnorm"),
+    )
+    corpus = scale.spread_scan(emb, by=["vec_id"]).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("label").alias("clabel"),
+        F.expr(similarity.norm_expr("embedding")).alias("cnorm"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("clabel") == F.col("qlabel")).alias("same_label"),
+            F.round(
+                F.expr(
+                    similarity.cosine_expr("cvec", "qvec", "cnorm", "qnorm")
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w_pos = W.partitionBy("query_id")
+    w_rank = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn(
+            "pos_cos",
+            F.max(F.when(F.col("same_label"), F.col("cos"))).over(w_pos),
+        )
+        .filter(~F.col("same_label"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= HARDNEG_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("cos").alias("neg_cos"),
+            "pos_cos",
+            F.round(F.col("pos_cos") - F.col("cos"), 6).alias("margin"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space cohesion/separation audit — q133
+# ---------------------------------------------------------------------------
+
+
+def _q133_oracle() -> str:
+    cos = (
+        f"round({similarity.duck_dot_sql('v.embedding', 'cv.cv')}"
+        f" / ({similarity.duck_norm_sql('v.embedding')}"
+        f" * {similarity.duck_norm_sql('cv.cv')}), 6)"
+    )
+    return f"""
+    WITH comps AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS x
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos,
+             CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))), 6)
+                  AS DOUBLE) / COUNT(*) AS c
+      FROM comps GROUP BY label, pos
+    ),
+    cvec AS (
+      SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label
+    ),
+    scored AS (
+      SELECT v.vec_id, v.label, cv.label AS cent_label, {cos} AS cos
+      FROM embeddings v, cvec cv
+    ),
+    per_vec AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN cent_label = label THEN cos END) AS own_cos,
+             MAX(CASE WHEN cent_label <> label THEN cos END) AS best_other
+      FROM scored GROUP BY vec_id, label
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(ROUND(SUM(CAST(own_cos AS DECIMAL(28,12))), 6) AS DOUBLE)
+             AS sum_own,
+           CAST(ROUND(SUM(CAST(best_other AS DECIMAL(28,12))), 6) AS DOUBLE)
+             AS sum_other,
+           CAST(ROUND(SUM(CAST(own_cos AS DECIMAL(28,12))), 6) AS DOUBLE)
+             / COUNT(*) AS avg_own,
+           CAST(ROUND(SUM(CAST(best_other AS DECIMAL(28,12))), 6) AS DOUBLE)
+             / COUNT(*) AS avg_other,
+           CAST(SUM(CASE WHEN own_cos > best_other THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cohesive
+    FROM per_vec GROUP BY label
+    """
+
+
+@query("q133_label_silhouette", oracle=_q133_oracle())
+def q133_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality audit before training on labels: a
+    silhouette-style per-label cohesion/separation report. Each
+    vector scores its cosine to its OWN label centroid (cohesion) and
+    to its nearest OTHER label centroid (separation); per label the
+    report carries decimal-exact sums/means of both and
+    ``n_cohesive`` — how many members sit closer to home than to any
+    rival prototype. Labels with low cohesion or high rival
+    similarity are the mislabeled/entangled classes to fix before
+    fine-tuning on them.
+
+    Scale: centroids are q66's shape — posexplode + (label × dim)
+    decimal aggregate, map-side combined, exchange size independent
+    of row count. The per-vector scoring is then MAP-ONLY: the L
+    centroid vectors collapse to a single broadcast row and both
+    scores evaluate as higher-order-function folds inside the
+    projection — the corpus is never shuffled on vec_id (the
+    crossJoin-then-groupBy alternative would re-shuffle the whole
+    corpus to reassemble per-vector rows). Only the final
+    label-keyed aggregate exchanges, carrying L rows of partials.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dec = F.sum(F.col("x").cast("decimal(28,12)"))
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "x"))
+        .select(
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("x").cast("double").alias("x"),
+        )
+        .groupBy("label", "pos")
+        .agg((F.round(dec, 6).cast("double") / F.count("*")).alias("c"))
+    )
+    cvec = cent.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, c))), s -> s.c)"
+        ).alias("cv")
+    )
+    cents_one = cvec.agg(
+        F.collect_list(F.struct("label", "cv")).alias("cents")
+    )
+    own_cos = (
+        f"round({similarity.cosine_expr('embedding', '__own_cv', '__vn', similarity.norm_expr('__own_cv'))}, 6)"
+    )
+    other_cos = (
+        f"array_max(transform(filter(cents, s -> s.label != label),"
+        f" s -> round({similarity.cosine_expr('embedding', 's.cv', '__vn', similarity.norm_expr('s.cv'))}, 6)))"
+    )
+    per_vec = (
+        scale.spread_scan(emb, by=["vec_id"])
+        .crossJoin(F.broadcast(cents_one))
+        .withColumn("__vn", F.expr(similarity.norm_expr("embedding")))
+        .withColumn(
+            "__own_cv", F.expr("filter(cents, s -> s.label = label)[0].cv")
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.expr(own_cos).alias("own_cos"),
+            F.expr(other_cos).alias("best_other"),
+        )
+    )
+    dsum = lambda c: F.round(  # noqa: E731 — local alias
+        F.sum(F.col(c).cast("decimal(28,12)")), 6
+    ).cast("double")
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        dsum("own_cos").alias("sum_own"),
+        dsum("best_other").alias("sum_other"),
+        (dsum("own_cos") / F.count("*")).alias("avg_own"),
+        (dsum("best_other") / F.count("*")).alias("avg_other"),
+        F.sum(
+            F.when(F.col("own_cos") > F.col("best_other"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_cohesive"),
     )

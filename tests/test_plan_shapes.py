@@ -315,3 +315,85 @@ class TestBucketedJoinShape:
             joined = ob.join(cb, ob.o_custkey == cb.c_custkey)
             plan = explain_str(joined)
             assert "Exchange" not in plan, plan
+
+
+class TestCurationQueryShapes:
+    """q129-q134: the scale claims their docstrings make, pinned."""
+
+    def _fresh_plan(self, spark, sf_dir, name, execute=False):
+        from building_energy_data_pipeline_spark import caching
+
+        caching.release_caches()
+        df = REGISTRY[name].spark(spark, sf_dir)
+        if execute:
+            df.collect()
+        plan = explain_str(df)
+        caching.release_caches()
+        return plan
+
+    def test_q129_blocked_pairs_no_cartesian(self, spark, sf_dir):
+        # the within-cluster pair join must be an equi-join on
+        # centroid_id; the only nested-loop is the broadcast
+        # centroid assignment
+        plan = self._fresh_plan(spark, sf_dir, "q129_semantic_dedup", True)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in final
+        assert final.count("Scan parquet") == 1, (
+            "assignment slot not reused — corpus re-scanned"
+        )
+        assert "InMemoryTableScan" in final
+
+    def test_q130_single_scan_and_partial_min(self, spark, sf_dir):
+        # keep decision is an algebraic min(struct) aggregate:
+        # map-side partials must appear, and the staged segment slot
+        # must serve all three consumers from one scan
+        plan = self._fresh_plan(spark, sf_dir, "q130_segment_dedup", True)
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Scan parquet") == 1
+        assert "InMemoryTableScan" in final
+        assert "partial_min" in plan, (
+            "winner aggregate lost its map-side partial phase"
+        )
+
+    def test_q131_candidates_broadcast_before_exact_count(
+        self, spark, sf_dir
+    ):
+        # pass 2 must filter the bigram stream with a broadcast
+        # semi-join BEFORE the aggregation exchange
+        plan = self._fresh_plan(spark, sf_dir, "q131_heavy_hitters", True)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in final
+        assert final.count("Scan parquet") == 1, (
+            "bigram slot not reused — corpus re-scanned"
+        )
+
+    def test_q132_both_windows_share_one_exchange(self, spark, sf_dir):
+        # anchor MAX window + negative rank window must ride ONE
+        # query_id exchange (the filter preserves distribution)
+        plan = self._fresh_plan(spark, sf_dir, "q132_hard_negatives")
+        assert plan.count("hashpartitioning(query_id") == 1, (
+            "negative-rank window added a second query_id exchange"
+        )
+        assert "CartesianProduct" not in plan
+
+    def test_q133_scoring_is_map_only(self, spark, sf_dir):
+        # per-vector scoring must never shuffle the corpus on vec_id
+        # to REASSEMBLE rows (centroids collapse to a broadcast row,
+        # scores are HOF folds); the only permitted vec_id exchange is
+        # spread_scan's explicit REPARTITION_BY_NUM CPU fan-out
+        plan = self._fresh_plan(spark, sf_dir, "q133_label_silhouette")
+        for ln in plan.splitlines():
+            if "hashpartitioning(vec_id" in ln:
+                assert "REPARTITION_BY_NUM" in ln, (
+                    f"per-vector scoring shuffled the corpus: {ln.strip()}"
+                )
+
+    def test_q134_no_single_partition_window(self, spark, sf_dir):
+        # in-bucket index goes through global_row_index: range
+        # partition + broadcast offsets, never one funnel task
+        plan = self._fresh_plan(
+            spark, sf_dir, "q134_length_bucketed_batches", True
+        )
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Exchange SinglePartition" not in final
+        assert "BroadcastHashJoin" in final

@@ -691,12 +691,20 @@ def kmeans_train(
     run in (their DuckDB twin, :func:`duck_kmeans_train_sql`, unrolls
     the same fixed number of rounds as CTEs).
     """
+    from .scale import spread_scan
+
     centroids = (
         corpus.orderBy(id_col)
         .limit(k)
         .select(id_col, vec_col)
         .localCheckpoint()
     )
+    # every Lloyd round re-runs the broadcast-assign scan, whose
+    # per-vector interpreted cosine folds are CPU-bound: on a
+    # single-row-group corpus every round would otherwise run its
+    # folds on ONE task (conditional — no-op on multi-split inputs;
+    # −19% on the q129 bench entry, where the loop dominates)
+    corpus = spread_scan(corpus, by=[id_col])
     for _ in range(max_iter):
         step = kmeans_step(corpus, centroids, id_col, vec_col)
         recomputed = (

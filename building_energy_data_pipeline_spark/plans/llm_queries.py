@@ -1152,7 +1152,7 @@ def _q130_oracle() -> str:
     """
 
 
-@query("q130_segment_dedup", oracle=_q130_oracle())
+@query("q130_segment_dedup", headline=True, oracle=_q130_oracle())
 def q130_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level exact SEGMENT dedup (CCNet's paragraph dedup,
     Wenzek et al. 2020, adapted to fixed {SEG_TOKENS}-token segments

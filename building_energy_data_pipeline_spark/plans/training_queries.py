@@ -876,7 +876,7 @@ def _semdedup_oracle() -> str:
     """
 
 
-@query("q129_semantic_dedup", oracle=_semdedup_oracle())
+@query("q129_semantic_dedup", headline=True, oracle=_semdedup_oracle())
 def q129_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding-space near-duplicate
     pruning with the pair search BLOCKED BY TRAINED K-MEANS CLUSTERS
@@ -928,6 +928,13 @@ def q129_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("vb"),
         F.col("vnorm").alias("nb"),
     )
+    # while the slim assignment table fits a broadcast, the pair join
+    # is map-side over the slot's hash-spread partitions, so the
+    # k-distinct-key cardinality costs nothing; when clusters outgrow
+    # the broadcast threshold (sort-merge regime) the k-key exchange
+    # becomes the bottleneck and the join should go through
+    # scale.salted_join (q56's lever — A/B'd here: a wash at any
+    # broadcastable scale)
     pairs = (
         a.join(b, "centroid_id")
         .filter(F.col("id_a") < F.col("id_b"))

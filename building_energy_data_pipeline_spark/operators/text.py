@@ -333,3 +333,105 @@ def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
 def fingerprint_sql(col: str = "text") -> str:
     tok = duck_tokens_sql(col)
     return f"md5(array_to_string(list_sort(list_distinct({tok})), ' '))"
+
+
+# ---------------------------------------------------------------------------
+# BPE merge (tokenizer training)
+# ---------------------------------------------------------------------------
+
+
+def bpe_merge_expr(toks: str, a: str, b: str) -> str:
+    """Spark SQL: rewrite the ``{toks}`` symbol array with every
+    left-to-right non-overlapping occurrence of the pair
+    (``{a}``, ``{b}``) merged into one symbol ``a || ' ' || b`` —
+    greedy BPE merge semantics (after a merge consumes position i+1,
+    matching resumes at i+2; visible only when a = b).
+
+    A single higher-order ``aggregate`` fold with a struct
+    accumulator, evaluated inside the projection — map-only, no
+    shuffle. The append is O(len²) per document; chunk multi-MB
+    documents or swap to a Pandas UDF past that.
+    """
+    return f"""
+    CASE WHEN size({toks}) = 0 THEN array()
+    ELSE aggregate(
+      sequence(0, size({toks}) - 1),
+      named_struct('out', cast(array() as array<string>), 'skip', false),
+      (acc, i) -> CASE
+        WHEN acc.skip THEN named_struct('out', acc.out, 'skip', false)
+        WHEN i < size({toks}) - 1
+             AND element_at({toks}, i + 1) = {a}
+             AND element_at({toks}, i + 2) = {b}
+          THEN named_struct(
+            'out', concat(acc.out, array(concat({a}, ' ', {b}))),
+            'skip', true)
+        ELSE named_struct(
+          'out', concat(acc.out, array(element_at({toks}, i + 1))),
+          'skip', false)
+      END,
+      acc -> acc.out) END
+    """
+
+
+def duck_bpe_round_sql(prev: str, r: int) -> str:
+    """DuckDB twin of one BPE merge round over a position-exploded
+    symbol stream CTE ``prev`` with columns ``(doc_id, i, tok)``.
+
+    DuckDB's ``list_reduce`` cannot carry a struct accumulator, so the
+    greedy left-to-right merge is replayed RELATIONALLY: position i
+    merges iff it pair-matches and its offset within a maximal run of
+    consecutive matches is even (run-parity ≡ the sequential scan —
+    overlapping matches only arise when a = b). Emits CTEs
+    ``pc{r}/top{r}/matched{r}/starts{r}/runs{r}/decided{r}/
+    emitted{r}/stream{r}``; ``stream{r}`` is the renumbered merged
+    stream feeding the next round. Ties in the pair argmax break by
+    (count DESC, a, b) — same order as the Spark plan.
+    """
+    return f"""
+    pc{r} AS (
+      SELECT a, b, COUNT(*) AS c FROM (
+        SELECT doc_id, tok AS a,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS b
+        FROM {prev}
+      ) WHERE b IS NOT NULL GROUP BY a, b
+    ),
+    top{r} AS (SELECT a, b FROM pc{r} ORDER BY c DESC, a, b LIMIT 1),
+    matched{r} AS (
+      SELECT p.doc_id, p.i, p.tok, t.a, t.b,
+             COALESCE(p.tok = t.a
+                      AND lead(p.tok) OVER (PARTITION BY p.doc_id
+                                            ORDER BY p.i) = t.b,
+                      false) AS m
+      FROM {prev} p, top{r} t
+    ),
+    starts{r} AS (
+      SELECT *,
+             CASE WHEN m AND NOT COALESCE(
+                    lag(m) OVER (PARTITION BY doc_id ORDER BY i),
+                    false) THEN 1 ELSE 0 END AS run_start
+      FROM matched{r}
+    ),
+    runs{r} AS (
+      SELECT *, SUM(run_start) OVER (PARTITION BY doc_id ORDER BY i)
+               AS run_id
+      FROM starts{r}
+    ),
+    decided{r} AS (
+      SELECT *,
+             m AND (row_number() OVER (PARTITION BY doc_id, run_id, m
+                                       ORDER BY i) % 2 = 1) AS merged
+      FROM runs{r}
+    ),
+    emitted{r} AS (
+      SELECT *,
+             COALESCE(lag(merged) OVER (PARTITION BY doc_id ORDER BY i),
+                      false) AS consumed,
+             CASE WHEN merged THEN a || ' ' || b ELSE tok END AS out_tok
+      FROM decided{r}
+    ),
+    stream{r} AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i,
+             out_tok AS tok
+      FROM emitted{r} WHERE NOT consumed
+    )"""

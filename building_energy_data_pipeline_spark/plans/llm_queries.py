@@ -1354,3 +1354,222 @@ def q131_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_occurrences * 10000 div n_total").alias("freq_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge step — q135
+# ---------------------------------------------------------------------------
+
+
+def _q135_oracle() -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {DTOK} AS toks FROM documents
+    ),
+    stream0 AS (
+      SELECT doc_id, i, toks[i] AS tok
+      FROM t, unnest(range(1, len(toks) + 1)) r(i)
+    ),
+    {text.duck_bpe_round_sql('stream0', 1)}
+    SELECT doc_id,
+           (SELECT a FROM top1) AS pair_a,
+           (SELECT b FROM top1) AS pair_b,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(COUNT(*) - SUM(CASE WHEN merged THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after,
+           CAST(SUM(CASE WHEN merged THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_merges,
+           md5(COALESCE(string_agg(out_tok, ' ' ORDER BY i)
+                          FILTER (WHERE NOT consumed), '')) AS merged_md5
+    FROM emitted1
+    GROUP BY doc_id
+    """
+
+
+@query("q135_bpe_merge_step", oracle=_q135_oracle())
+def q135_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training merge, distributed: count adjacent
+    symbol pairs across the corpus, pick the most frequent (ties by
+    pair text — deterministic), and REWRITE every document with that
+    pair merged left-to-right non-overlapping (greedy BPE semantics:
+    after a merge consumes position i+1, matching resumes at i+2 —
+    visible only when a = b, e.g. 'the the the' → ['the the', 'the']).
+    Output pins the rewritten corpus per document: before/after token
+    counts, merge count, and an md5 over the merged symbol stream.
+
+    Scale: pair counting is q99's map-side-combined bigram aggregate;
+    the argmax is a TakeOrdered (never a full sort); the rewrite pass
+    is MAP-ONLY — the winning pair broadcasts as a 1-row cross join
+    and each document is rewritten by a single left-to-right
+    higher-order ``aggregate`` fold inside the projection, so the
+    corpus is scanned once and shuffled only for the tiny per-doc
+    result rows. The fold's array-append is O(len²) per doc — fine at
+    document scale (BPE training corpora chunk long docs anyway);
+    swap to a Pandas UDF for multi-MB documents. The DuckDB twin
+    can't express a struct-accumulator fold, so it replays the same
+    semantics relationally (run-parity over match islands: position i
+    merges iff it matches and its offset in a maximal run of
+    consecutive matches is even) — two formulations, one contract,
+    which is exactly what makes this oracle strong.
+
+    A full BPE training loop is this step iterated with the merged
+    symbol stream fed back in; each round is the same plan with
+    last round's top pair appended to the merge table (q117/q118's
+    fixed-budget loop pattern).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = scale.spread_scan(
+        docs, cols=["doc_id", "text"], by=["doc_id"]
+    ).select("doc_id", F.expr(TOK).alias("toks"))
+    top = (
+        staged.select(
+            F.explode(F.expr(text.bigrams_expr("toks"))).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.expr("split(bg, ' ')[0]").alias("pair_a"),
+            F.expr("split(bg, ' ')[1]").alias("pair_b"),
+            "c",
+        )
+        .orderBy(F.desc("c"), "pair_a", "pair_b")
+        .limit(1)
+        .drop("c")
+    )
+    merge_scan = text.bpe_merge_expr("toks", "pair_a", "pair_b")
+    return (
+        staged.crossJoin(F.broadcast(top))
+        .select(
+            "doc_id",
+            "pair_a",
+            "pair_b",
+            F.size("toks").cast("long").alias("n_before"),
+            F.expr(merge_scan).alias("merged"),
+        )
+        .filter(F.col("n_before") > 0)
+        .select(
+            "doc_id",
+            "pair_a",
+            "pair_b",
+            "n_before",
+            F.size("merged").cast("long").alias("n_after"),
+            (F.col("n_before") - F.size("merged")).cast("long").alias(
+                "n_merges"
+            ),
+            F.md5(F.array_join("merged", " ")).alias("merged_md5"),
+        )
+    )
+
+
+#: fixed merge budget for the oracle-checked BPE training loop
+BPE_ROUNDS = 2
+
+
+def _q136_oracle() -> str:
+    rounds = ",\n    ".join(
+        text.duck_bpe_round_sql(f"stream{r - 1}", r)
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    merge_cols = ",\n           ".join(
+        f"(SELECT a FROM top{r}) AS merge{r}_a,\n"
+        f"           (SELECT b FROM top{r}) AS merge{r}_b"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {DTOK} AS toks FROM documents
+    ),
+    stream0 AS (
+      SELECT doc_id, i, toks[i] AS tok
+      FROM t, unnest(range(1, len(toks) + 1)) r(i)
+    ),
+    {rounds}
+    SELECT doc_id,
+           {merge_cols},
+           CAST(COUNT(*) AS BIGINT) AS n_final,
+           md5(COALESCE(string_agg(tok, ' ' ORDER BY i), ''))
+             AS final_md5
+    FROM stream{BPE_ROUNDS}
+    GROUP BY doc_id
+    """
+
+
+@query("q136_bpe_train", oracle=_q136_oracle())
+def q136_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END BPE tokenizer training at a fixed budget of
+    {BPE_ROUNDS} merges: each round counts adjacent pairs over the
+    CURRENT symbol stream, picks the most frequent pair, and rewrites
+    every document with it merged (q135's step, iterated — round 2's
+    statistics run over round 1's merged output, which is what makes
+    this a training LOOP rather than two independent steps). Output
+    pins the learned merge table (as ``merge{{r}}_a/_b`` columns) and
+    the fully rewritten corpus per document (final token count + md5
+    of the symbol stream). The DuckDB twin unrolls the same rounds as
+    chained CTEs (``duck_bpe_round_sql``) — the q117/q118
+    fixed-budget-loop pattern applied to tokenizer training.
+
+    Scale: per round, one map-side-combined pair aggregate + a
+    TakeOrdered argmax + a map-only broadcast rewrite. The
+    inter-round stream is staged through a persist slot so round 2's
+    pair count and rewrite read ONE materialization of round 1's
+    output (without it the round-1 fold re-executes per consumer);
+    at 100 TB each round's stream checkpoints to parquet instead —
+    the epoch-boundary pattern (q114) — keeping lineage flat and
+    memory bounded. Real BPE runs thousands of merges over
+    chunk-level symbols; the loop shape is identical, with the merge
+    table accumulating and broadcast once per round.
+    """
+    from ..caching import slot_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = slot_persist(
+        "llm.bpe_stream0",
+        scale.spread_scan(docs, cols=["doc_id", "text"], by=["doc_id"])
+        .select("doc_id", F.expr(TOK).alias("toks"))
+        .filter(F.size("toks") > 0),
+    )
+    merge_tops = []
+    for r in range(1, BPE_ROUNDS + 1):
+        top = (
+            staged.select(
+                F.explode(F.expr(text.bigrams_expr("toks"))).alias("bg")
+            )
+            .groupBy("bg")
+            .agg(F.count("*").alias("c"))
+            .select(
+                F.expr("split(bg, ' ')[0]").alias(f"merge{r}_a"),
+                F.expr("split(bg, ' ')[1]").alias(f"merge{r}_b"),
+                "c",
+            )
+            .orderBy(F.desc("c"), f"merge{r}_a", f"merge{r}_b")
+            .limit(1)
+            .drop("c")
+        )
+        merge_tops.append(top)
+        merged = (
+            staged.crossJoin(F.broadcast(top))
+            .select(
+                "doc_id",
+                F.expr(
+                    text.bpe_merge_expr("toks", f"merge{r}_a", f"merge{r}_b")
+                ).alias("toks"),
+            )
+        )
+        staged = slot_persist(f"llm.bpe_stream{r}", merged)
+    out = staged.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_final"),
+        F.md5(F.array_join("toks", " ")).alias("final_md5"),
+    )
+    for top in merge_tops:
+        out = out.crossJoin(F.broadcast(top))
+    return out.select(
+        "doc_id",
+        *[
+            c
+            for r in range(1, BPE_ROUNDS + 1)
+            for c in (f"merge{r}_a", f"merge{r}_b")
+        ],
+        "n_final",
+        "final_md5",
+    )

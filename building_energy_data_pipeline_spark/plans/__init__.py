@@ -70,6 +70,8 @@ _CURATED_ORDER = [
     "q134_length_bucketed_batches",
     "q135_bpe_merge_step",
     "q136_bpe_train",
+    "q137_association_lift",
+    "q138_source_overlap",
     # changed round 5: shared source-shingle persist slot (q123's
     # sibling — the ReuseExchange claim was empirically false, so
     # both now stage through dedup.source_shingles)
@@ -104,10 +106,8 @@ _CURATED_ORDER = [
     "q47_grouping_sets",
     "q49_nation_intersect_except",
     "q50_topk_with_ties",
-    "q55_correlated_subqueries",
-    "q56_salted_skew_join",
-    # (q07/q14/q24/q25/q38/q40-q43/q48/q51/q57/q58/q67/q69-q71 stay
-    # below — demoted to make room for the new q117-q136;
+    # (q07/q14/q24/q25/q38/q40-q43/q48/q51/q55-q58/q67/q69-q71 stay
+    # below — demoted to make room for the new q117-q138;
     # r2/r3-green, untouched)
     # ---- position 50 boundary (= DRIVER_WINDOW_SIZE /
     # FIRST_BELOW_WINDOW); below: green at their last driver row
@@ -117,6 +117,8 @@ _CURATED_ORDER = [
     "q02_filtered_scan",
     "q07_event_gaps",
     "q14_json_extract",
+    "q55_correlated_subqueries",
+    "q56_salted_skew_join",
     "q57_full_outer_join",
     "q58_recursive_spine",
     "q67_variant_json",

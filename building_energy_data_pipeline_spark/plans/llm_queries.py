@@ -1573,3 +1573,114 @@ def q136_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_final",
         "final_md5",
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence association mining — q137
+# ---------------------------------------------------------------------------
+
+#: minimum pair count and result size for the association miner
+PMI_MIN_COUNT = 5
+PMI_TOP = 50
+
+
+def _q137_oracle() -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {DTOK} AS toks FROM documents
+    ),
+    uni AS (
+      SELECT tok, COUNT(*) AS c FROM (
+        SELECT unnest(toks) AS tok FROM t
+      ) GROUP BY tok
+    ),
+    bg AS (
+      SELECT bg, COUNT(*) AS c_pair FROM (
+        SELECT unnest({text.duck_bigrams_sql('toks')}) AS bg FROM t
+      ) GROUP BY bg
+    ),
+    tot AS (SELECT SUM(c_pair) AS n_pairs FROM bg)
+    SELECT w1, w2, c_pair, c_w1, c_w2, lift_permille FROM (
+      SELECT string_split(b.bg, ' ')[1] AS w1,
+             string_split(b.bg, ' ')[2] AS w2,
+             b.c_pair,
+             u1.c AS c_w1, u2.c AS c_w2,
+             CAST(b.c_pair * tot.n_pairs * 1000
+                  // (u1.c * u2.c) AS BIGINT) AS lift_permille
+      FROM bg b
+      JOIN uni u1 ON u1.tok = string_split(b.bg, ' ')[1]
+      JOIN uni u2 ON u2.tok = string_split(b.bg, ' ')[2]
+      CROSS JOIN tot
+      WHERE b.c_pair >= {PMI_MIN_COUNT}
+    ) ORDER BY lift_permille DESC, w1, w2 LIMIT {PMI_TOP}
+    """
+
+
+@query("q137_association_lift", oracle=_q137_oracle())
+def q137_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-style co-occurrence mining over adjacent token pairs — the
+    collocation/phrase-detection pass embedding pipelines run before
+    training (word2phrase, subword vocab seeding): for each bigram
+    with support ≥ {PMI_MIN_COUNT}, the association LIFT
+    ``P(xy) / (P(x)·P(y))`` in integer permille — exactly exp(PMI),
+    kept in INTEGER arithmetic (``c_xy · N · 1000 div (c_x · c_y)``)
+    so no transcendental function has to agree bit-for-bit across
+    engines (Spark's Math.log and DuckDB's libm log differ by ulps;
+    the ratio carries the same ranking). Top {PMI_TOP} by lift.
+
+    Scale: one corpus scan feeds both the unigram and bigram
+    map-side-combined aggregates; the unigram table is vocab-sized
+    and BROADCAST into the two enrichment joins (the bigram stream
+    never shuffles on token keys); the final top-k is a TakeOrdered.
+    The int64 product ``c_xy · N · 1000`` needs DECIMAL(38,0)
+    widening once corpus pair counts pass ~10¹² — same convention as
+    the engine's decimal-sum rule (functions/scalar.py).
+    """
+    from ..caching import slot_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = slot_persist(
+        "llm.assoc_tokens",
+        scale.spread_scan(docs, cols=["doc_id", "text"], by=["doc_id"])
+        .select("doc_id", F.expr(TOK).alias("toks")),
+    )
+    uni = (
+        staged.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    bg = (
+        staged.select(
+            F.explode(F.expr(text.bigrams_expr("toks"))).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count("*").alias("c_pair"))
+        .filter(F.col("c_pair") >= PMI_MIN_COUNT)
+        .select(
+            F.expr("split(bg, ' ')[0]").alias("w1"),
+            F.expr("split(bg, ' ')[1]").alias("w2"),
+            "c_pair",
+        )
+    )
+    tot = staged.select(
+        F.explode(F.expr(text.bigrams_expr("toks"))).alias("bg")
+    ).agg(F.count("*").alias("n_pairs"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_w1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_w2"))
+    return (
+        bg.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_pair",
+            "c_w1",
+            "c_w2",
+            F.expr("c_pair * n_pairs * 1000 div (c_w1 * c_w2)").alias(
+                "lift_permille"
+            ),
+        )
+        .orderBy(F.desc("lift_permille"), "w1", "w2")
+        .limit(PMI_TOP)
+    )

@@ -1203,3 +1203,101 @@ def q133_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_cohesive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix — q138
+# ---------------------------------------------------------------------------
+
+
+def _q138_oracle() -> str:
+    sh = dedup.duck_shingles_sql(DTOK, 2)
+    return f"""
+    WITH ex AS (
+      SELECT DISTINCT source, g FROM (
+        SELECT source, unnest({sh}) AS g FROM documents
+      )
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n_sh FROM ex GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_shared
+      FROM ex a JOIN ex b ON a.g = b.g AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT sa.source AS source_a, sb.source AS source_b,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           COALESCE(s.n_shared, 0) AS n_shared,
+           CAST(COALESCE(s.n_shared, 0) * 1000 // sa.n_sh AS BIGINT)
+             AS contain_a_permille,
+           CAST(COALESCE(s.n_shared, 0) * 1000 // sb.n_sh AS BIGINT)
+             AS contain_b_permille,
+           CAST(COALESCE(s.n_shared, 0) * 1000
+                // (sa.n_sh + sb.n_sh - COALESCE(s.n_shared, 0))
+                AS BIGINT) AS jaccard_permille
+    FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+    LEFT JOIN shared s
+      ON s.source_a = sa.source AND s.source_b = sb.source
+    """
+
+
+@query("q138_source_overlap", oracle=_q138_oracle())
+def q138_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus forensics: the full source × source content-overlap
+    matrix over distinct word-bigram shingles — shared shingle count,
+    both directed containments, and Jaccard, all integer permille.
+    Mirror-site detection, licensing audits, and mixture design
+    (q88/q110) all start from this matrix: a high-containment pair
+    means one source is (mostly) inside another and double-counts its
+    tokens in any mixture that includes both.
+
+    Scale: reuses q30/q123's staged shingle slot
+    (``dedup.source_shingles``) — one scan+shingle for all three
+    queries in a session. The (source, shingle) projection dedups
+    BEFORE pairing (map-side-combined distinct), so the shingle
+    self-join carries each shingle once per source (≤ S rows per
+    shingle key) and the pair space is bounded by shingle-frequency²
+    ≤ S² per key, independent of corpus size. The final matrix is
+    S²/2 rows assembled from a broadcast sizes×sizes cross join, so
+    ZERO-overlap pairs appear too (a LEFT join from the complete
+    pair lattice — absence of evidence made explicit).
+    """
+    s = _source_shingles(spark, sf_dir)
+    ex = s.select("source", F.explode("sh").alias("g")).distinct()
+    sizes = ex.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a = ex.select(F.col("source").alias("source_a"), "g")
+    b = ex.select(F.col("source").alias("source_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared0"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        sa.crossJoin(sb)
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(shared), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.coalesce("n_shared0", F.lit(0)).alias("n_shared"),
+            F.expr(
+                "coalesce(n_shared0, 0) * 1000 div n_a"
+            ).alias("contain_a_permille"),
+            F.expr(
+                "coalesce(n_shared0, 0) * 1000 div n_b"
+            ).alias("contain_b_permille"),
+            F.expr(
+                "coalesce(n_shared0, 0) * 1000"
+                " div (n_a + n_b - coalesce(n_shared0, 0))"
+            ).alias("jaccard_permille"),
+        )
+    )

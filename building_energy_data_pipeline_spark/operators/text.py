@@ -373,9 +373,15 @@ def bpe_merge_expr(toks: str, a: str, b: str) -> str:
     """
 
 
-def duck_bpe_round_sql(prev: str, r: int) -> str:
+def duck_bpe_round_sql(prev: str, r: int, count_where: str = "") -> str:
     """DuckDB twin of one BPE merge round over a position-exploded
     symbol stream CTE ``prev`` with columns ``(doc_id, i, tok)``.
+
+    ``count_where`` (optional ``WHERE ...`` clause on ``doc_id``)
+    restricts the PAIR-COUNT statistics to a document subset while
+    the rewrite still applies to every document — the train/apply
+    split of tokenizer TRANSFER (q139). Whole documents are filtered
+    before the adjacency window, so within-doc pairs are unaffected.
 
     DuckDB's ``list_reduce`` cannot carry a struct accumulator, so the
     greedy left-to-right merge is replayed RELATIONALLY: position i
@@ -392,7 +398,7 @@ def duck_bpe_round_sql(prev: str, r: int) -> str:
       SELECT a, b, COUNT(*) AS c FROM (
         SELECT doc_id, tok AS a,
                lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS b
-        FROM {prev}
+        FROM {prev} {count_where}
       ) WHERE b IS NOT NULL GROUP BY a, b
     ),
     top{r} AS (SELECT a, b FROM pc{r} ORDER BY c DESC, a, b LIMIT 1),

@@ -72,6 +72,13 @@ _CURATED_ORDER = [
     "q136_bpe_train",
     "q137_association_lift",
     "q138_source_overlap",
+    "q139_bpe_transfer",
+    "q140_budget_waterfill",
+    "q141_retention_cohorts",
+    "q142_length_outliers",
+    "q143_embedding_covariance",
+    "q144_dsir_proxy",
+    "q145_split_drift",
     # changed round 5: shared source-shingle persist slot (q123's
     # sibling — the ReuseExchange claim was empirically false, so
     # both now stage through dedup.source_shingles)
@@ -89,7 +96,6 @@ _CURATED_ORDER = [
     "q06_nation_customer_rollup",
     "q09_nullsafe_pair_join",
     "q10_cross_join_constants",
-    "q11_union_halves",
     "q12_nation_key_set_ops",
     "q13_regional_rollup",
     "q15_string_functions",
@@ -99,16 +105,11 @@ _CURATED_ORDER = [
     "q19_column_stats",
     "q21_topk_per_group",
     "q35_ann_ivf",
-    # refresh: r2-vintage rows
-    "q39_user_journey_drift",
-    "q45_rollup_acctbal",
-    "q46_cube_orders",
-    "q47_grouping_sets",
-    "q49_nation_intersect_except",
-    "q50_topk_with_ties",
-    # (q07/q14/q24/q25/q38/q40-q43/q48/q51/q55-q58/q67/q69-q71 stay
-    # below — demoted to make room for the new q117-q138;
-    # r2/r3-green, untouched)
+    # (q11 + the r2-vintage q39/q45-q47/q49/q50 demoted below to make
+    # room for the new q139-q145; q07/q14/q24/q25/q38/q40-q43/q48/
+    # q51/q55-q58/q67/q69-q71 stay below too — r1/r2/r3-green,
+    # untouched; 14 r1-vintage refreshes remain in-window, above the
+    # ≥8 VERDICT r4 #3 asked for)
     # ---- position 50 boundary (= DRIVER_WINDOW_SIZE /
     # FIRST_BELOW_WINDOW); below: green at their last driver row
     # (r4 for q96-q116 and the spread_scan/dedup families, r3/r2/r1
@@ -116,7 +117,14 @@ _CURATED_ORDER = [
     # DuckDB-parity suite each round --
     "q02_filtered_scan",
     "q07_event_gaps",
+    "q11_union_halves",
     "q14_json_extract",
+    "q39_user_journey_drift",
+    "q45_rollup_acctbal",
+    "q46_cube_orders",
+    "q47_grouping_sets",
+    "q49_nation_intersect_except",
+    "q50_topk_with_ties",
     "q55_correlated_subqueries",
     "q56_salted_skew_join",
     "q57_full_outer_join",

@@ -1684,3 +1684,332 @@ def q137_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_permille"), "w1", "w2")
         .limit(PMI_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust length-outlier audit (median/MAD) — q142
+# ---------------------------------------------------------------------------
+
+#: MAD multiplier for the outlier fence (≈ 2σ for normal data)
+MAD_K = 3
+
+
+def _q142_oracle() -> str:
+    return f"""
+    WITH t AS (SELECT source, n_chars FROM documents),
+    m AS (
+      SELECT source, quantile_cont(n_chars, 0.5) AS med
+      FROM t GROUP BY source
+    ),
+    d AS (
+      SELECT t.source, t.n_chars, m.med,
+             abs(t.n_chars - m.med) AS dev
+      FROM t JOIN m USING (source)
+    ),
+    m2 AS (
+      SELECT source, quantile_cont(dev, 0.5) AS mad
+      FROM d GROUP BY source
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MAX(d.med) AS med_chars,
+           MAX(m2.mad) AS mad_chars,
+           CAST(SUM(CASE WHEN d.dev > {MAD_K} * m2.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN d.dev > {MAD_K} * m2.mad
+                         THEN 1 ELSE 0 END) * 1000 // COUNT(*)
+                AS BIGINT) AS outlier_permille
+    FROM d JOIN m2 USING (source)
+    GROUP BY d.source
+    """
+
+
+@query("q142_length_outliers", oracle=_q142_oracle())
+def q142_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length-outlier audit: median + MAD (median
+    absolute deviation) of document length, flagging docs beyond
+    ``{MAD_K}·MAD`` of their source's median — the outlier fence
+    curation pipelines use where mean/stddev would be dragged by the
+    very outliers being hunted (one 100 MB page shifts a source's
+    mean; its median doesn't move). Interpolated medians over integer
+    lengths land on exact dyadic values (.0/.5/.25), so the doubles
+    compare bit-identically across engines — the same exactness
+    argument as q38.
+
+    Scale: two passes over a NARROW (source, n_chars) projection —
+    the text column never loads (parquet column pruning); each pass
+    is a per-source exact percentile (sort-based within source
+    groups, hash-parallel across sources — swap to
+    ``percentile_approx`` t-digests at 100 TB, q38's note); the
+    source-catalog median tables broadcast back onto the doc stream.
+    Two cheap scans beat materializing a deviation column for a
+    corpus-sized shuffle — q131's two-pass argument.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("source", "n_chars")
+    m = t.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    d = t.join(F.broadcast(m), "source").select(
+        "source",
+        "med",
+        F.abs(F.col("n_chars") - F.col("med")).alias("dev"),
+    )
+    m2 = d.groupBy("source").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    flag = F.expr(f"CASE WHEN dev > {MAD_K} * mad THEN 1 ELSE 0 END")
+    return (
+        d.join(F.broadcast(m2), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("med").alias("med_chars"),
+            F.max("mad").alias("mad_chars"),
+            F.sum(flag).alias("n_outliers"),
+            F.expr(
+                f"sum(CASE WHEN dev > {MAD_K} * mad THEN 1 ELSE 0 END)"
+                " * 1000 div count(*)"
+            ).alias("outlier_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot token-distribution drift — q145
+# ---------------------------------------------------------------------------
+
+#: minimum combined support and result size for the drift report
+DRIFT_MIN = 5
+DRIFT_TOP = 40
+
+
+def _q145_oracle() -> str:
+    return f"""
+    WITH cut AS (SELECT (MAX(doc_id) * 4) // 5 AS cutoff FROM documents),
+    tok AS (
+      SELECT doc_id < cutoff AS is_old, unnest({DTOK}) AS tok
+      FROM documents, cut
+    ),
+    cnt AS (
+      SELECT tok,
+             CAST(SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_old,
+             CAST(SUM(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT)
+               AS c_new
+      FROM tok GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_old) AS BIGINT) AS n_a,
+             CAST(SUM(c_new) AS BIGINT) AS n_b
+      FROM cnt
+    ),
+    tv AS (
+      SELECT CAST(SUM(abs(c_old * n_b - c_new * n_a)) * 500
+                  // (n_a * n_b) AS BIGINT) AS tv_permille
+      FROM cnt, tot GROUP BY n_a, n_b
+    )
+    SELECT tok, c_old, c_new,
+           CAST(abs(c_old * n_b - c_new * n_a) * 1000
+                // (c_old * n_b + c_new * n_a) AS BIGINT)
+             AS drift_permille,
+           tv_permille
+    FROM cnt, tot, tv
+    WHERE c_old + c_new >= {DRIFT_MIN}
+    ORDER BY drift_permille DESC, tok LIMIT {DRIFT_TOP}
+    """
+
+
+@query("q145_split_drift", oracle=_q145_oracle())
+def q145_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift monitor between corpus snapshots: the
+    newest 20% of documents (q90's by-id cutoff) vs the earlier 80%,
+    compared on unigram frequencies. Per token (support ≥
+    {DRIFT_MIN}) the symmetric normalized drift
+    ``|c_a·N_b − c_b·N_a| · 1000 div (c_a·N_b + c_b·N_a)`` — 0 when
+    the relative frequency is unchanged, 1000 when the token exists
+    on one side only — plus the corpus-level TOTAL VARIATION distance
+    in permille, the number a crawl-refresh gate alarms on. All
+    integer (cross-multiplied — no per-token division), so the
+    report replays bit-identically across engines; this is the
+    KL-style drift audit with the transcendentals designed out
+    (q137's argument).
+
+    Scale: one corpus scan → vocab-sized count table; the drift
+    projection and the TV aggregate both run ON that vocab table
+    (corpus bytes touched once, map-side-combined); the snapshot
+    cutoff and the TV scalar ride broadcast single-row frames; the
+    report is a TakeOrdered. Cross-products need DECIMAL(38,0)
+    widening past ~10¹² tokens per side — q137's convention.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg(
+        F.expr("(max(doc_id) * 4) div 5").alias("cutoff")
+    )
+    tok = (
+        scale.spread_scan(docs, cols=["doc_id", "text"], by=["doc_id"])
+        .crossJoin(F.broadcast(cut))
+        .select(
+            (F.col("doc_id") < F.col("cutoff")).alias("is_old"),
+            F.explode(F.expr(TOK)).alias("tok"),
+        )
+    )
+    cnt = tok.groupBy("tok").agg(
+        F.sum(F.expr("CASE WHEN is_old THEN 1 ELSE 0 END")).alias("c_old"),
+        F.sum(F.expr("CASE WHEN is_old THEN 0 ELSE 1 END")).alias("c_new"),
+    )
+    from ..caching import slot_persist
+
+    cnt = slot_persist("llm.drift_counts", cnt)
+    tot = cnt.agg(
+        F.sum("c_old").alias("n_a"), F.sum("c_new").alias("n_b")
+    )
+    tv = (
+        cnt.crossJoin(F.broadcast(tot))
+        .agg(
+            F.expr(
+                "sum(abs(c_old * n_b - c_new * n_a)) * 500"
+                " div (max(n_a) * max(n_b))"
+            ).alias("tv_permille")
+        )
+    )
+    return (
+        cnt.filter(F.col("c_old") + F.col("c_new") >= DRIFT_MIN)
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tv))
+        .select(
+            "tok",
+            "c_old",
+            "c_new",
+            F.expr(
+                "abs(c_old * n_b - c_new * n_a) * 1000"
+                " div (c_old * n_b + c_new * n_a)"
+            ).alias("drift_permille"),
+            "tv_permille",
+        )
+        .orderBy(F.desc("drift_permille"), "tok")
+        .limit(DRIFT_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer transfer (train split → whole corpus) — q139
+# ---------------------------------------------------------------------------
+
+
+def _q139_oracle() -> str:
+    pred = f"WHERE {_duck_split('doc_id')} = 'train'"
+    rounds = ",\n    ".join(
+        text.duck_bpe_round_sql(f"stream{r - 1}", r, count_where=pred)
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    merge_cols = ",\n           ".join(
+        f"(SELECT a FROM top{r}) AS merge{r}_a,\n"
+        f"           (SELECT b FROM top{r}) AS merge{r}_b"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {DTOK} AS toks FROM documents
+    ),
+    stream0 AS (
+      SELECT doc_id, i, toks[i] AS tok
+      FROM t, unnest(range(1, len(toks) + 1)) r(i)
+    ),
+    {rounds}
+    SELECT doc_id,
+           CAST({_duck_split('doc_id')} = 'train' AS INT) AS in_train,
+           {merge_cols},
+           CAST(COUNT(*) AS BIGINT) AS n_final,
+           md5(COALESCE(string_agg(tok, ' ' ORDER BY i), ''))
+             AS final_md5
+    FROM stream{BPE_ROUNDS}
+    GROUP BY doc_id
+    """
+
+
+@query("q139_bpe_transfer", oracle=_q139_oracle())
+def q139_bpe_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer TRANSFER — the inference side of BPE training that
+    q136 doesn't pin: merge statistics are learned ONLY from the
+    md5-bucket train split (80%, q106's split stamp), but every
+    document — train and held-out alike — is rewritten with the
+    learned table. This is exactly how a production tokenizer meets
+    data: fit on a sample, apply to the full corpus; the held-out
+    rows in the output are encodings under a vocabulary their own
+    statistics never influenced. Output pins the learned merge table
+    and each document's final token count + symbol-stream md5, with
+    the split flag.
+
+    Scale: q136's loop shape with ONE extra predicate — the pair
+    count's scan filters to the train split (at 100 TB the split
+    predicate prunes ~nothing at the parquet level, but the pair
+    aggregate's input halves); the rewrite stays map-only over the
+    full corpus with the winning pair broadcast. The inter-round
+    stream is slot-staged (parquet-checkpoint per round at scale,
+    q136's note). Sampling the merge statistics is standard at
+    corpus scale — tokenizer trainers never see every byte; what
+    must touch every byte is only the APPLY pass, which is the
+    map-only half.
+    """
+    from ..caching import slot_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = slot_persist(
+        "llm.bpe_xfer_stream0",
+        scale.spread_scan(docs, cols=["doc_id", "text"], by=["doc_id"])
+        .select(
+            "doc_id",
+            F.expr(f"{_spark_split('doc_id')} = 'train'").alias(
+                "in_train"
+            ),
+            F.expr(TOK).alias("toks"),
+        )
+        .filter(F.size("toks") > 0),
+    )
+    merge_tops = []
+    for r in range(1, BPE_ROUNDS + 1):
+        top = (
+            staged.filter("in_train")
+            .select(
+                F.explode(F.expr(text.bigrams_expr("toks"))).alias("bg")
+            )
+            .groupBy("bg")
+            .agg(F.count("*").alias("c"))
+            .select(
+                F.expr("split(bg, ' ')[0]").alias(f"merge{r}_a"),
+                F.expr("split(bg, ' ')[1]").alias(f"merge{r}_b"),
+                "c",
+            )
+            .orderBy(F.desc("c"), f"merge{r}_a", f"merge{r}_b")
+            .limit(1)
+            .drop("c")
+        )
+        merge_tops.append(top)
+        merged = staged.crossJoin(F.broadcast(top)).select(
+            "doc_id",
+            "in_train",
+            F.expr(
+                text.bpe_merge_expr("toks", f"merge{r}_a", f"merge{r}_b")
+            ).alias("toks"),
+        )
+        staged = slot_persist(f"llm.bpe_xfer_stream{r}", merged)
+    out = staged.select(
+        "doc_id",
+        F.col("in_train").cast("int").alias("in_train"),
+        F.size("toks").cast("long").alias("n_final"),
+        F.md5(F.array_join("toks", " ")).alias("final_md5"),
+    )
+    for top in merge_tops:
+        out = out.crossJoin(F.broadcast(top))
+    return out.select(
+        "doc_id",
+        "in_train",
+        *[
+            c
+            for r in range(1, BPE_ROUNDS + 1)
+            for c in (f"merge{r}_a", f"merge{r}_b")
+        ],
+        "n_final",
+        "final_md5",
+    )

@@ -1290,3 +1290,271 @@ def q134_length_bucketed_batches(
             .alias("waste_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget waterfill allocation — q140
+# ---------------------------------------------------------------------------
+
+#: fraction of the corpus token total to allocate, in basis points
+#: (9500 puts the water level INSIDE the source-size distribution at
+#: every test SF — both regimes, capped and taken-whole, get oracle
+#: coverage; a lower budget than min share degenerates to all-capped)
+WATERFILL_BP = 9500
+
+
+def _q140_oracle() -> str:
+    return f"""
+    WITH t AS (
+      SELECT source, CAST(SUM(len({DTOK})) AS BIGINT) AS avail
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(avail) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS s,
+             CAST(MAX(avail) AS BIGINT) AS mx
+      FROM t
+    ),
+    b AS (SELECT (total * {WATERFILL_BP}) // 10000 AS budget, s, mx
+          FROM tot),
+    r AS (
+      SELECT source, avail,
+             CAST(row_number() OVER (ORDER BY avail, source) AS BIGINT)
+               AS k,
+             CAST(SUM(avail) OVER (ORDER BY avail, source
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS pref
+      FROM t
+    ),
+    feas AS (
+      SELECT k, pref FROM r, b WHERE pref + (b.s - k) * avail <= budget
+      UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    ),
+    ks AS (SELECT k AS kstar, pref AS prefstar FROM feas
+           ORDER BY k DESC LIMIT 1),
+    lvl AS (
+      SELECT CASE WHEN kstar = s THEN mx
+                  ELSE (budget - prefstar) // (s - kstar) END AS level,
+             budget
+      FROM ks, b
+    )
+    SELECT source,
+           avail AS avail_tokens,
+           CAST(least(avail, level) AS BIGINT) AS alloc_tokens,
+           CAST(CASE WHEN avail > level THEN 1 ELSE 0 END AS BIGINT)
+             AS capped,
+           CAST(level AS BIGINT) AS level,
+           CAST(budget AS BIGINT) AS budget
+    FROM t, lvl
+    """
+
+
+@query("q140_budget_waterfill", oracle=_q140_oracle())
+def q140_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture construction under a hard token budget: allocate
+    {WATERFILL_BP} bp of the corpus's total tokens across sources by
+    WATERFILLING — every source gets ``min(avail_i, L)`` where the
+    water level L is the largest integer with
+    ``Σ min(avail_i, L) ≤ budget``. Small sources are taken whole,
+    large sources are capped at a common level — the max-min-fair
+    allocation mixture designers reach for when q88/q110's
+    proportional weights would let one giant source eat the budget.
+    All integer arithmetic (level floor; the ≤ S-token remainder
+    stays unallocated), so the allocation replays bit-identically.
+
+    Scale: the corpus is touched ONCE by a map-side-combined
+    per-source token count; everything after runs on the S-row
+    source catalog. The sorted-prefix structure (rank k and inclusive
+    prefix sum) comes from a BROADCAST triangular self-join on that
+    catalog (S² pairs of catalog-sized rows — no single-partition
+    window, the engine-wide rule), the feasibility frontier
+    ``pref + (S-k)·avail ≤ B`` is a filter + TakeOrdered(1), and the
+    level broadcasts back onto the catalog. ``(S-k)·avail`` needs
+    DECIMAL widening only past ~10⁴ sources × 10¹⁴ tokens
+    (functions/scalar.py convention).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = (
+        scale.spread_scan(docs, cols=["doc_id", "source", "text"],
+                          by=["doc_id"])
+        .select("source", F.expr(f"size({TOK})").cast("long").alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("avail"))
+    )
+    tot = sizes.agg(
+        F.sum("avail").alias("total"),
+        F.count("*").alias("s"),
+        F.max("avail").alias("mx"),
+    ).select(
+        F.expr(f"(total * {WATERFILL_BP}) div 10000").alias("budget"),
+        "s",
+        "mx",
+    )
+    lo = sizes.select(
+        F.col("source").alias("src2"), F.col("avail").alias("avail2")
+    )
+    ranked = (
+        sizes.join(
+            F.broadcast(lo),
+            (F.col("avail2") < F.col("avail"))
+            | (
+                (F.col("avail2") == F.col("avail"))
+                & (F.col("src2") <= F.col("source"))
+            ),
+        )
+        .groupBy("source", "avail")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum("avail2").alias("pref"),
+        )
+    )
+    feas = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.expr("pref + (s - k) * avail <= budget"))
+        .select("k", "pref")
+        .union(
+            tot.select(
+                F.lit(0).cast("long").alias("k"),
+                F.lit(0).cast("long").alias("pref"),
+            )
+        )
+    )
+    ks = feas.orderBy(F.desc("k")).limit(1).select(
+        F.col("k").alias("kstar"), F.col("pref").alias("prefstar")
+    )
+    lvl = ks.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            "CASE WHEN kstar = s THEN mx"
+            " ELSE (budget - prefstar) div (s - kstar) END"
+        ).alias("level"),
+        "budget",
+    )
+    return sizes.crossJoin(F.broadcast(lvl)).select(
+        "source",
+        F.col("avail").alias("avail_tokens"),
+        F.expr("least(avail, level)").alias("alloc_tokens"),
+        F.expr("CASE WHEN avail > level THEN 1 ELSE 0 END")
+        .cast("long")
+        .alias("capped"),
+        "level",
+        "budget",
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting — q144
+# ---------------------------------------------------------------------------
+
+#: target-domain predicate (q88's stable source-family trick) and
+#: result size for the selected subset
+DSIR_TARGET_SQL = "(CAST(substr(source, 4) AS INT) % 3) = 0"
+DSIR_TOP = 50
+
+
+def _q144_oracle() -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, {DSIR_TARGET_SQL} AS is_target,
+             {DTOK} AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, source, is_target, unnest(toks) AS tok FROM t),
+    cnt AS (
+      SELECT tok,
+             CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_t,
+             CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT)
+               AS c_r
+      FROM tok GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
+             CAST(SUM(c_r) AS BIGINT) AS n_r,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM cnt
+    ),
+    w AS (
+      SELECT tok,
+             (c_t + 1) * (n_r + v) * 1000 // ((c_r + 1) * (n_t + v))
+               AS w_permille
+      FROM cnt, tot
+    )
+    SELECT doc_id, source, n_toks, score_permille FROM (
+      SELECT tok.doc_id,
+             MAX(tok.source) AS source,
+             CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM(w.w_permille) // COUNT(*) AS BIGINT)
+               AS score_permille
+      FROM tok JOIN w USING (tok)
+      WHERE NOT tok.is_target
+      GROUP BY tok.doc_id
+    ) ORDER BY score_permille DESC, doc_id LIMIT {DSIR_TOP}
+    """
+
+
+@query("q144_dsir_proxy", oracle=_q144_oracle())
+def q144_dsir_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling, integer-exact proxy:
+    score every RAW-pool document by how target-like its unigrams
+    are, and keep the top {DSIR_TOP} — the DSIR recipe (hashed-ngram
+    importance weights; Xie et al.) with one honest change: the
+    per-token weight is the Laplace-smoothed frequency RATIO in
+    integer permille, ``(c_t+1)(N_r+V)·1000 div (c_r+1)(N_t+V)``,
+    and a document scores the MEAN ratio over its tokens — DSIR sums
+    log-ratios, this sums ratios, same preference direction, zero
+    transcendental functions so the selected set replays
+    bit-identically across engines (q137's exp-PMI argument).
+    Target pool = the stable source-family predicate (q88).
+
+    Scale: the token stream is staged once through a persist slot
+    and feeds both the weight build and the scoring pass; the weight
+    table is VOCAB-sized and broadcasts into the scoring join (the
+    corpus-sized token stream never shuffles on token keys); per-doc
+    scores partial-aggregate map-side to one row per doc; the final
+    cut is a TakeOrdered. The integer products need DECIMAL(38,0)
+    widening past ~10¹² corpus tokens — q137's convention.
+    """
+    from ..caching import slot_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = F.expr("(cast(substr(source, 4) as int) % 3) = 0")
+    tok = slot_persist(
+        "llm.dsir_tokens",
+        scale.spread_scan(
+            docs, cols=["doc_id", "source", "text"], by=["doc_id"]
+        )
+        .select(
+            "doc_id",
+            "source",
+            target.alias("is_target"),
+            F.explode(F.expr(TOK)).alias("tok"),
+        ),
+    )
+    cnt = tok.groupBy("tok").agg(
+        F.sum(F.expr("CASE WHEN is_target THEN 1 ELSE 0 END")).alias("c_t"),
+        F.sum(F.expr("CASE WHEN is_target THEN 0 ELSE 1 END")).alias("c_r"),
+    )
+    tot = cnt.agg(
+        F.sum("c_t").alias("n_t"),
+        F.sum("c_r").alias("n_r"),
+        F.count("*").alias("v"),
+    )
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.expr(
+            "(c_t + 1) * (n_r + v) * 1000 div ((c_r + 1) * (n_t + v))"
+        ).alias("w_permille"),
+    )
+    return (
+        tok.filter(~F.col("is_target"))
+        .join(F.broadcast(w), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.max("source").alias("source"),
+            F.count("*").alias("n_toks"),
+            F.expr("sum(w_permille) div count(*)").alias("score_permille"),
+        )
+        .select("doc_id", "source", "n_toks", "score_permille")
+        .orderBy(F.desc("score_permille"), "doc_id")
+        .limit(DSIR_TOP)
+    )

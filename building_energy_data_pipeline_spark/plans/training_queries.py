@@ -1301,3 +1301,131 @@ def q138_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance structure — q143
+# ---------------------------------------------------------------------------
+
+#: result size for the strongest off-diagonal covariances
+COV_TOP = 40
+
+
+def _q143_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    p AS (
+      SELECT i, j,
+             CAST(v[i] AS DOUBLE) * CAST(v[j] AS DOUBLE) AS xy
+      FROM e,
+           unnest(range(1, len(v) + 1)) a(i),
+           unnest(range(1, len(v) + 1)) b(j)
+      WHERE j > i
+    ),
+    s AS (
+      SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(xy AS DECIMAL(28,8))) AS sxy
+      FROM p GROUP BY i, j
+    ),
+    d AS (
+      SELECT i, SUM(CAST(CAST(v[i] AS DOUBLE) AS DECIMAL(28,8))) AS sx
+      FROM e, unnest(range(1, len(v) + 1)) t(i)
+      GROUP BY i
+    )
+    SELECT CAST(s.i AS BIGINT) AS dim_i,
+           CAST(s.j AS BIGINT) AS dim_j,
+           s.n,
+           round((CAST(sxy AS DOUBLE)
+                  - CAST(dx.sx AS DOUBLE) * CAST(dy.sx AS DOUBLE) / s.n)
+                 / s.n, 6) AS cov
+    FROM s JOIN d dx ON dx.i = s.i JOIN d dy ON dy.i = s.j
+    ORDER BY abs(round((CAST(sxy AS DOUBLE)
+                  - CAST(dx.sx AS DOUBLE) * CAST(dy.sx AS DOUBLE) / s.n)
+                 / s.n, 6)) DESC, dim_i, dim_j
+    LIMIT {COV_TOP}
+    """
+
+
+@query("q143_embedding_covariance", oracle=_q143_oracle())
+def q143_embedding_covariance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding feature-covariance audit: the top {COV_TOP} most
+    strongly co-varying dimension pairs of the corpus embedding
+    matrix — the one-pass second-moment computation behind whitening,
+    PCA preprocessing, and dead/redundant-dimension detection (a
+    near-±1-correlated pair means the model wastes a dimension; the
+    IVF index (q35) and quantizer (q87) both assume dimensions carry
+    independent signal). Covariance uses the sums form
+    ``Σxy/n − (Σx/n)(Σy/n)``: products are engine-identical doubles,
+    each SUM runs in exact DECIMAL(28,8) (order-independent —
+    functions/scalar.py), and the final division/rounding is
+    deterministic double math on identical inputs.
+
+    Scale: the upper-triangle outer product is MAP-ONLY — a nested
+    higher-order transform emits d(d+1)/2 (i, j, x·y) structs per
+    row inside the projection, then one map-side-combined aggregate
+    collapses everything to d² groups; per-dimension sums are a
+    second d-group aggregate that BROADCASTS back twice (d rows).
+    Nothing row-sized ever shuffles: exchange payload is O(d²)
+    partials per task — the classic distributed covariance shape.
+    At very large d (≥ 4k) the d² explode dominates; switch to the
+    blocked Pandas-UDF Gram accumulation (similarity.py's einsum
+    pattern) — same contract.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = (
+        scale.spread_scan(emb, cols=["vec_id", "embedding"], by=["vec_id"])
+        .select(
+            # outer loop stops at size-1: sequence(size+1, size) would
+            # generate DESCENDING phantom indices (bigrams_expr's
+            # documented Spark trap), fabricating diagonal pairs
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(
+                      sequence(1, size(embedding) - 1), i ->
+                        transform(sequence(i + 1, size(embedding)), j ->
+                          named_struct('i', i, 'j', j,
+                            'xy', cast(element_at(embedding, i) as double)
+                                  * cast(element_at(embedding, j)
+                                         as double)))))
+                    """
+                )
+            ).alias("p")
+        )
+        .select("p.i", "p.j", "p.xy")
+    )
+    s = pairs.groupBy("i", "j").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("xy").cast("decimal(28,8)")).alias("sxy"),
+    )
+    d = (
+        emb.select(
+            F.posexplode(F.expr("embedding")).alias("i0", "x")
+        )
+        .select(
+            (F.col("i0") + 1).alias("i"),
+            F.col("x").cast("double").cast("decimal(28,8)").alias("x"),
+        )
+        .groupBy("i")
+        .agg(F.sum("x").alias("sx"))
+    )
+    dx = d.select(F.col("i").alias("i"), F.col("sx").alias("sx_i"))
+    dy = d.select(F.col("i").alias("j"), F.col("sx").alias("sx_j"))
+    cov = F.expr(
+        "round((cast(sxy as double)"
+        " - cast(sx_i as double) * cast(sx_j as double) / n) / n, 6)"
+    )
+    return (
+        s.join(F.broadcast(dx), "i")
+        .join(F.broadcast(dy), "j")
+        .select(
+            F.col("i").cast("long").alias("dim_i"),
+            F.col("j").cast("long").alias("dim_j"),
+            "n",
+            cov.alias("cov"),
+        )
+        .orderBy(F.abs(F.col("cov")).desc(), "dim_i", "dim_j")
+        .limit(COV_TOP)
+    )

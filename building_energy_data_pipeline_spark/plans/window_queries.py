@@ -545,3 +545,86 @@ def q81_first_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix — q141
+# ---------------------------------------------------------------------------
+
+
+def _q141_oracle() -> str:
+    wk = "datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7"
+    return f"""
+    WITH d AS (
+      SELECT DISTINCT user_id, {wk} AS week FROM events
+    ),
+    c AS (
+      SELECT user_id, week,
+             MIN(week) OVER (PARTITION BY user_id) AS cohort
+      FROM d
+    ),
+    g AS (
+      SELECT cohort AS cohort_week,
+             week - cohort AS week_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM c GROUP BY 1, 2
+    ),
+    b AS (SELECT cohort_week, n_active AS n_cohort FROM g
+          WHERE week_offset = 0)
+    SELECT CAST(g.cohort_week AS BIGINT) AS cohort_week,
+           CAST(g.week_offset AS BIGINT) AS week_offset,
+           g.n_active,
+           b.n_cohort,
+           CAST(g.n_active * 1000 // b.n_cohort AS BIGINT)
+             AS retained_permille
+    FROM g JOIN b USING (cohort_week)
+    """
+
+
+@query("q141_retention_cohorts", oracle=_q141_oracle())
+def q141_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the event stream: users are
+    cohorted by their FIRST active week, and each (cohort,
+    week-offset) cell counts how many of that cohort were active
+    again offset weeks later, with integer-permille retention against
+    the cohort's own size — the product-analytics staple (and, for a
+    data pipeline, the contributor-churn view of a crawl snapshot).
+    Weeks are integer ``epoch-days div 7`` — no engine week-start
+    convention (ISO vs locale) can disagree.
+
+    Scale: the raw stream collapses FIRST to distinct
+    (user, week) — a map-side-combined dedup that shrinks everything
+    downstream to user-weeks; the cohort stamp is a keyed window
+    (partitioned by user — hash-parallel, no global window); the
+    matrix aggregate is cohort-count-sized and its offset-0 diagonal
+    broadcasts back for the permille. Cost tracks distinct
+    user-weeks, not events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wk = "datediff(cast(ts as date), date'1970-01-01') div 7"
+    uw = (
+        ev.select("user_id", F.expr(wk).alias("week"))
+        .distinct()
+        .withColumn(
+            "cohort", F.min("week").over(W.partitionBy("user_id"))
+        )
+    )
+    g = (
+        uw.groupBy(
+            F.col("cohort").cast("long").alias("cohort_week"),
+            (F.col("week") - F.col("cohort"))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+    base = g.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("n_cohort")
+    )
+    return g.join(F.broadcast(base), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        F.expr("n_active * 1000 div n_cohort").alias("retained_permille"),
+    )

@@ -242,12 +242,57 @@ def assign_centroids(
 
     Output: corpus columns + ``centroid_id`` (one row per probed
     cell, so ``nprobe`` rows per input row).
+
+    ``nprobe=1`` (the corpus-partitioning hot path — every Lloyd
+    round, every IVF build) is MAP-ONLY: the k centroids collapse to
+    ONE broadcast row (cid-sorted struct array) and the argmax is a
+    strictly-greater fold inside the projection — no n×k row
+    expansion and NO exchange of corpus rows (the old row_number
+    window shuffled n×k rows, each carrying two embedded vectors —
+    the scale-killer for an assignment that is per-row arithmetic).
+    Tie/ordering semantics match the window form exactly (max
+    cosine, earliest centroid id), except degenerate NaN cosines
+    (zero-norm inputs): the window's NaN-sorts-last-desc quirk made
+    those rows pick by NaN placement; the fold assigns them to the
+    lowest centroid id. ``nprobe>1`` keeps the per-query window
+    (query side is the small side of every IVF probe).
     """
     cent = centroids.select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("cent_vec"),
         F.expr(norm_expr(vec_col)).alias("cent_norm"),
     )
+    if nprobe == 1:
+        packed = cent.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("centroid_id").alias("cid"),
+                        F.col("cent_vec").alias("cvec"),
+                        F.col("cent_norm").alias("cnorm"),
+                    )
+                )
+            ).alias("__cents")
+        )
+        ccos = cosine_expr(vec_col, "c.cvec", "vnorm", "c.cnorm")
+        # score each centroid ONCE (transform), then a strictly-greater
+        # max fold keeps the earliest cid on exact ties (array is
+        # cid-sorted); id type pinned to the tables' bigint keys
+        best = f"""
+        aggregate(
+          transform(__cents,
+                    c -> named_struct('cid', c.cid, 'cos', {ccos})),
+          named_struct('cid', cast(null as bigint),
+                       'cos', cast('-Infinity' as double)),
+          (acc, s) -> CASE WHEN s.cos > acc.cos THEN s ELSE acc END,
+          acc -> acc.cid)
+        """
+        return (
+            corpus.withColumn("vnorm", F.expr(norm_expr(vec_col)))
+            .crossJoin(F.broadcast(packed))
+            .withColumn("centroid_id", F.expr(best))
+            .drop("__cents")
+        )
     scored = (
         corpus.withColumn("vnorm", F.expr(norm_expr(vec_col)))
         .crossJoin(F.broadcast(cent))

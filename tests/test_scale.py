@@ -410,3 +410,40 @@ class TestSourceShingleSlot:
             "q30's warm slot"
         )
         caching.release_caches()
+
+
+class TestAssignCentroidsMapOnly:
+    def test_nprobe1_assignment_is_exchange_free(self, spark, sf_dir):
+        """The corpus-partitioning assignment (every Lloyd round,
+        every IVF build) must be MAP-ONLY: k centroids collapse to
+        one broadcast row and the argmax folds inside the
+        projection. The old row_number window shuffled n×k rows
+        each carrying two embedded vectors — at corpus scale that
+        exchange dwarfs the arithmetic it ranked."""
+        from building_energy_data_pipeline_spark.operators import (
+            similarity,
+        )
+        from building_energy_data_pipeline_spark.sources.readers import (
+            load_table,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = emb.orderBy("vec_id").limit(4)
+        assigned = similarity.assign_centroids(emb, cents)
+        plan = explain_str(assigned)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Window" not in final, final
+        # the only exchange allowed is the broadcast of the packed
+        # 1-row centroid frame
+        import re
+
+        non_broadcast = [
+            ln
+            for ln in final.splitlines()
+            if "Exchange" in ln and "Broadcast" not in ln
+        ]
+        assert not non_broadcast, non_broadcast
+        # nprobe>1 (query-side multi-probe) keeps the window form
+        probed = similarity.assign_centroids(emb, cents, nprobe=2)
+        assert "Window" in explain_str(probed)
+        assert assigned.count() == emb.count()

@@ -79,6 +79,8 @@ _CURATED_ORDER = [
     "q143_embedding_covariance",
     "q144_dsir_proxy",
     "q145_split_drift",
+    "q146_embedding_coverage",
+    "q147_neardup_transitivity",
     # changed round 5: shared source-shingle persist slot (q123's
     # sibling — the ReuseExchange claim was empirically false, so
     # both now stage through dedup.source_shingles)
@@ -98,18 +100,16 @@ _CURATED_ORDER = [
     "q10_cross_join_constants",
     "q12_nation_key_set_ops",
     "q13_regional_rollup",
-    "q15_string_functions",
-    "q16_monthly_orders",
     "q17_try_cast_coercion",
     "q18_conditional_ratio",
     "q19_column_stats",
     "q21_topk_per_group",
     "q35_ann_ivf",
-    # (q11 + the r2-vintage q39/q45-q47/q49/q50 demoted below to make
-    # room for the new q139-q145; q07/q14/q24/q25/q38/q40-q43/q48/
-    # q51/q55-q58/q67/q69-q71 stay below too — r1/r2/r3-green,
-    # untouched; 14 r1-vintage refreshes remain in-window, above the
-    # ≥8 VERDICT r4 #3 asked for)
+    # (q11/q15/q16 + the r2-vintage q39/q45-q47/q49/q50 demoted below
+    # to make room for the new q139-q147; q07/q14/q24/q25/q38/
+    # q40-q43/q48/q51/q55-q58/q67/q69-q71 stay below too —
+    # r1/r2/r3-green, untouched; 12 r1-vintage refreshes remain
+    # in-window, above the ≥8 VERDICT r4 #3 asked for)
     # ---- position 50 boundary (= DRIVER_WINDOW_SIZE /
     # FIRST_BELOW_WINDOW); below: green at their last driver row
     # (r4 for q96-q116 and the spread_scan/dedup families, r3/r2/r1
@@ -119,6 +119,8 @@ _CURATED_ORDER = [
     "q07_event_gaps",
     "q11_union_halves",
     "q14_json_extract",
+    "q15_string_functions",
+    "q16_monthly_orders",
     "q39_user_journey_drift",
     "q45_rollup_acctbal",
     "q46_cube_orders",

@@ -1429,3 +1429,207 @@ def q143_embedding_covariance(
         .orderBy(F.abs(F.col("cov")).desc(), "dim_i", "dim_j")
         .limit(COV_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset referential-integrity audit — q146
+# ---------------------------------------------------------------------------
+
+
+def _q146_oracle() -> str:
+    return """
+    WITH e AS (
+      SELECT vec_id, COUNT(*) AS c FROM embeddings GROUP BY vec_id
+    ),
+    orph AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans
+      FROM e LEFT JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.doc_id IS NULL
+    ),
+    dups AS (
+      SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_dup_vecs
+      FROM e WHERE c > 1
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_with_emb,
+           CAST(SUM(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END)
+                * 1000 // COUNT(*) AS BIGINT) AS coverage_permille,
+           orph.n_orphans,
+           dups.n_dup_vecs
+    FROM documents d
+    LEFT JOIN e ON e.vec_id = d.doc_id
+    CROSS JOIN orph CROSS JOIN dups
+    GROUP BY d.source, orph.n_orphans, dups.n_dup_vecs
+    """
+
+
+@query("q146_embedding_coverage", oracle=_q146_oracle())
+def q146_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit between the document corpus and
+    its embedding table — the pre-flight check every
+    embedding-dependent stage (q34/q35/q129/q132...) silently
+    assumes: per-source embedding coverage (docs with a vector, in
+    permille), plus the two global defect counters — ORPHAN vectors
+    (vec_id with no document: stale index entries after deletion)
+    and DUPLICATE vec_ids (double-ingested embeddings that would
+    double-weight a vector in every centroid mean). Joins are on
+    ids only; a missing embedding here means a doc invisibly
+    excluded from semantic dedup — the audit makes that visible
+    per source.
+
+    Scale: both inputs project to narrow id columns before any
+    join (text and vectors never move); the doc↔vec match is one
+    key-partitioned equi-join (AQE-balanced); the defect counters
+    are metadata-sized single rows CROSS-broadcast onto the
+    source-level rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.groupBy("vec_id").agg(F.count("*").alias("c"))
+    orph = (
+        e.join(
+            docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
+        ).agg(F.count("*").alias("n_orphans"))
+    )
+    dups = e.filter(F.col("c") > 1).agg(
+        F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+        .cast("long")
+        .alias("n_dup_vecs")
+    )
+    return (
+        docs.select("source", "doc_id")
+        .join(e, docs.doc_id == e.vec_id, "left")
+        .select(
+            "source",
+            F.expr("CASE WHEN vec_id IS NULL THEN 0 ELSE 1 END").alias(
+                "has_emb"
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("has_emb").alias("n_with_emb"),
+            F.expr("sum(has_emb) * 1000 div count(*)").alias(
+                "coverage_permille"
+            ),
+        )
+        .crossJoin(F.broadcast(orph))
+        .crossJoin(F.broadcast(dups))
+        .select(
+            "source",
+            "n_docs",
+            "n_with_emb",
+            "coverage_permille",
+            "n_orphans",
+            "n_dup_vecs",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate graph transitivity — q147
+# ---------------------------------------------------------------------------
+
+
+def _q147_oracle() -> str:
+    pairs = dedup.duck_lsh_pairs_sql(
+        "documents", "doc_id", DTOK, k=3, min_jaccard=0.5
+    )
+    return f"""
+    WITH e AS (SELECT id_a, id_b FROM ({pairs})),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT id_a AS v FROM e UNION ALL SELECT id_b AS v FROM e
+      ) GROUP BY v
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.id_a = e1.id_b
+      JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+             CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS n_wedges
+      FROM deg
+    ),
+    ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+    SELECT n_edges, n_vertices, n_wedges, n_triangles,
+           CAST(CASE WHEN n_wedges = 0 THEN 0
+                     ELSE n_triangles * 3000 // n_wedges END AS BIGINT)
+             AS transitivity_permille
+    FROM ec, agg, tri
+    """
+
+
+@query("q147_neardup_transitivity", oracle=_q147_oracle())
+def q147_neardup_transitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Structure audit of the near-duplicate graph: triangle count,
+    wedge count, and global transitivity (3·triangles/wedges, integer
+    permille) over q28's LSH-verified pair edges. The number decides
+    the dedup POLICY: transitivity ≈ 1000 means near-dup clusters
+    are cliques (true duplicate groups — keep one representative,
+    q44's components are safe); low transitivity means CHAINS (A≈B≈C
+    with A≉C — topic drift, where transitive closure over-merges and
+    per-EDGE suppression (q129's lowest-id rule) is the right call).
+
+    Scale: edges = verified near-dup pairs (near-linear by LSH
+    construction, and slot-staged — q28's signature slot feeds this
+    query warm). Triangle counting is the standard edge-iterator
+    join pair: wedges join on the shared middle vertex, closed by
+    one more edge join — every join is a key-partitioned equi-join
+    on vertex ids; canonical a<b<c ordering counts each triangle
+    once. Degree skew (a viral duplicate) makes the wedge join hot:
+    AQE splits it, and past that the node-iterator high-degree
+    split is the standard fix. The summary row is assembled from
+    three broadcast scalars.
+    """
+    from ..caching import slot_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", TOK, k=3)
+    e = slot_persist(
+        "dedup.neardup_edges",
+        dedup.minhash_lsh_pairs(sigs, "doc_id", min_jaccard=0.5).select(
+            "id_a", "id_b"
+        ),
+    )
+    deg = (
+        e.select(F.col("id_a").alias("v"))
+        .union(e.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    agg = deg.agg(
+        F.count("*").alias("n_vertices"),
+        F.expr("sum(d * (d - 1)) div 2").cast("long").alias("n_wedges"),
+    )
+    ec = e.agg(F.count("*").alias("n_edges"))
+    e1 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        ec.crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_vertices",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "CASE WHEN n_wedges = 0 THEN 0"
+                " ELSE n_triangles * 3000 div n_wedges END"
+            )
+            .cast("long")
+            .alias("transitivity_permille"),
+        )
+    )

@@ -141,28 +141,61 @@ def is_monotonic(
     df: DataFrame, col: str, order_col: str | None = None
 ) -> bool:
     """A9: monotonicity (non-decreasing or non-increasing) in
-    ``order_col`` order — the window-lag upgrade of the reference's
+    ``order_col`` order — the distributed upgrade of the reference's
     pandas ``is_monotonic_*`` (``schema_analyzer.py:88``), which only
     ever saw file order.
 
-    Scale: the lag window needs a global ordering, so this is a
-    sort-based check — run it on the profiling sample, or pass a
-    partition-friendly ``order_col`` (e.g. the time column of one
-    series).
+    Scale: NO global window. The rows are range-partitioned by the
+    order column, each partition is lag-checked independently (a
+    pid-keyed window — hash-parallel), and the partition boundaries
+    are stitched by a driver-side pass over the P-row partition
+    summary (first/last value per partition — metadata-sized by
+    construction, the ``scale.global_row_index`` offsets precedent).
+    Globally monotonic ⟺ every partition is monotonic AND each
+    partition's last value relates to the next partition's first
+    value the same way. NULLs in ``col`` are ignored (the reference's
+    pandas semantics); duplicate order keys make the per-key order —
+    and thus the verdict on ties — unspecified, exactly as the old
+    global-window form did.
     """
     if order_col is None:
         ordered = df.select(
-            F.col(col), F.monotonically_increasing_id().alias("__ord")
+            F.col(col).alias("__c"),
+            F.monotonically_increasing_id().alias("__ord"),
         )
-        order_col = "__ord"
     else:
-        ordered = df.select(col, order_col)
-    w = Window.orderBy(order_col)
-    flags = ordered.select(
-        (F.col(col) >= F.lag(col).over(w)).alias("up"),
-        (F.col(col) <= F.lag(col).over(w)).alias("down"),
-    ).agg(
-        F.min(F.coalesce("up", F.lit(True))).alias("inc"),
-        F.min(F.coalesce("down", F.lit(True))).alias("dec"),
-    ).first()
-    return bool(flags["inc"] or flags["dec"])
+        ordered = df.select(
+            F.col(col).alias("__c"), F.col(order_col).alias("__ord")
+        )
+    ordered = ordered.filter(F.col("__c").isNotNull())
+    rp = ordered.repartitionByRange(F.col("__ord")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy("__ord")
+    prev = F.lag("__c").over(w)
+    summary = (
+        rp.select("__pid", "__c", "__ord", prev.alias("__prev"))
+        .groupBy("__pid")
+        .agg(
+            F.min(
+                F.coalesce(F.col("__c") >= F.col("__prev"), F.lit(True))
+            ).alias("inc_ok"),
+            F.min(
+                F.coalesce(F.col("__c") <= F.col("__prev"), F.lit(True))
+            ).alias("dec_ok"),
+            F.min_by("__c", "__ord").alias("first_c"),
+            F.max_by("__c", "__ord").alias("last_c"),
+            F.min("__ord").alias("first_o"),
+        )
+        .collect()
+    )
+    parts = sorted(summary, key=lambda r: r["first_o"])
+    inc = all(r["inc_ok"] for r in parts) and all(
+        parts[i]["last_c"] <= parts[i + 1]["first_c"]
+        for i in range(len(parts) - 1)
+    )
+    dec = all(r["dec_ok"] for r in parts) and all(
+        parts[i]["last_c"] >= parts[i + 1]["first_c"]
+        for i in range(len(parts) - 1)
+    )
+    return bool(inc or dec)

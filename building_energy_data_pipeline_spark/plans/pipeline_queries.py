@@ -1492,7 +1492,7 @@ def _q144_oracle() -> str:
     """
 
 
-@query("q144_dsir_proxy", oracle=_q144_oracle())
+@query("q144_dsir_proxy", headline=True, oracle=_q144_oracle())
 def q144_dsir_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data Selection via Importance Resampling, integer-exact proxy:
     score every RAW-pool document by how target-like its unigrams

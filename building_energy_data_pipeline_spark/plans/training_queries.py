@@ -1346,7 +1346,7 @@ def _q143_oracle() -> str:
     """
 
 
-@query("q143_embedding_covariance", oracle=_q143_oracle())
+@query("q143_embedding_covariance", headline=True, oracle=_q143_oracle())
 def q143_embedding_covariance(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

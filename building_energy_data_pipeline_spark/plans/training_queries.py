@@ -1362,55 +1362,62 @@ def q143_embedding_covariance(
     functions/scalar.py), and the final division/rounding is
     deterministic double math on identical inputs.
 
-    Scale: the upper-triangle outer product is MAP-ONLY — a nested
-    higher-order transform emits d(d+1)/2 (i, j, x·y) structs per
-    row inside the projection, then one map-side-combined aggregate
-    collapses everything to d² groups; per-dimension sums are a
-    second d-group aggregate that BROADCASTS back twice (d rows).
-    Nothing row-sized ever shuffles: exchange payload is O(d²)
-    partials per task — the classic distributed covariance shape.
-    At very large d (≥ 4k) the d² explode dominates; switch to the
-    blocked Pandas-UDF Gram accumulation (similarity.py's einsum
-    pattern) — same contract.
+    Scale: ONE corpus scan, MAP-ONLY — a nested higher-order
+    transform emits the d(d-1)/2 upper-triangle (i, j, x·y) structs
+    AND the d diagonal first-moment (i, 0, x) structs in the same
+    projection, then one map-side-combined aggregate collapses
+    everything to d²-ish moment groups. The moment table is staged
+    through a persist slot: the pair branch and BOTH per-dimension
+    broadcast lookups read the same bounded materialization
+    (self-join re-aliasing defeats subtree reuse — the empirical
+    q30 finding — so without the slot the corpus-sized explode ran
+    THREE times). Nothing row-sized ever shuffles: exchange payload
+    is O(d²) partials per task — the classic distributed covariance
+    shape. At very large d (≥ 4k) the d² explode dominates; switch
+    to the blocked Pandas-UDF Gram accumulation (similarity.py's
+    einsum pattern) — same contract.
     """
+    from ..caching import slot_persist
+
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = (
+    moments = (
         scale.spread_scan(emb, cols=["vec_id", "embedding"], by=["vec_id"])
         .select(
             # outer loop stops at size-1: sequence(size+1, size) would
             # generate DESCENDING phantom indices (bigrams_expr's
-            # documented Spark trap), fabricating diagonal pairs
+            # documented Spark trap), fabricating diagonal pairs;
+            # j = 0 rows are the per-dimension first moments
             F.explode(
                 F.expr(
                     """
-                    flatten(transform(
-                      sequence(1, size(embedding) - 1), i ->
-                        transform(sequence(i + 1, size(embedding)), j ->
-                          named_struct('i', i, 'j', j,
-                            'xy', cast(element_at(embedding, i) as double)
-                                  * cast(element_at(embedding, j)
-                                         as double)))))
+                    concat(
+                      flatten(transform(
+                        sequence(1, size(embedding) - 1), i ->
+                          transform(sequence(i + 1, size(embedding)), j ->
+                            named_struct('i', i, 'j', j,
+                              'xy', cast(element_at(embedding, i)
+                                         as double)
+                                    * cast(element_at(embedding, j)
+                                           as double))))),
+                      transform(sequence(1, size(embedding)), i ->
+                        named_struct('i', i, 'j', 0,
+                          'xy', cast(element_at(embedding, i)
+                                     as double))))
                     """
                 )
             ).alias("p")
         )
         .select("p.i", "p.j", "p.xy")
     )
-    s = pairs.groupBy("i", "j").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("xy").cast("decimal(28,8)")).alias("sxy"),
+    s0 = slot_persist(
+        "similarity.cov_moments",
+        moments.groupBy("i", "j").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("xy").cast("decimal(28,8)")).alias("sxy"),
+        ),
     )
-    d = (
-        emb.select(
-            F.posexplode(F.expr("embedding")).alias("i0", "x")
-        )
-        .select(
-            (F.col("i0") + 1).alias("i"),
-            F.col("x").cast("double").cast("decimal(28,8)").alias("x"),
-        )
-        .groupBy("i")
-        .agg(F.sum("x").alias("sx"))
-    )
+    s = s0.filter(F.col("j") > 0)
+    d = s0.filter(F.col("j") == 0).select("i", F.col("sxy").alias("sx"))
     dx = d.select(F.col("i").alias("i"), F.col("sx").alias("sx_i"))
     dy = d.select(F.col("i").alias("j"), F.col("sx").alias("sx_j"))
     cov = F.expr(

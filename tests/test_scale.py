@@ -447,3 +447,21 @@ class TestAssignCentroidsMapOnly:
         probed = similarity.assign_centroids(emb, cents, nprobe=2)
         assert "Window" in explain_str(probed)
         assert assigned.count() == emb.count()
+
+
+class TestCovarianceSingleScan:
+    def test_q143_reads_corpus_once(self, spark, sf_dir):
+        """Pair moments and BOTH per-dimension lookups must read the
+        slot-staged moment table — re-aliased self-joins defeat
+        subtree reuse, so without the slot the corpus-sized explode
+        runs three times."""
+        from building_energy_data_pipeline_spark import caching
+        from building_energy_data_pipeline_spark.plans.queries import REGISTRY
+
+        caching.release_caches()
+        df = REGISTRY["q143_embedding_covariance"].spark(spark, sf_dir)
+        df.collect()
+        plan = explain_str(df).split("== Initial Plan ==")[0]
+        assert plan.count("Scan parquet") == 1, plan
+        assert "InMemoryTableScan" in plan
+        caching.release_caches()

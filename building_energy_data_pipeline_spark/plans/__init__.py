@@ -92,30 +92,36 @@ _CURATED_ORDER = [
     "q109_pagerank_step",
     "q112_duplicate_spans",
     "q113_span_excision",
+    # NEW late round 5 — no driver row yet
+    "q148_bm25_retrieval",
+    "q149_winnowing_pairs",
+    "q150_power_iteration",
+    "q151_label_kappa",
     # refresh: r1-vintage rows (no driver row since round 1)
     "q04_exists_semi_join",
     "q05_customers_without_orders",
     "q06_nation_customer_rollup",
     "q09_nullsafe_pair_join",
-    "q10_cross_join_constants",
-    "q12_nation_key_set_ops",
-    "q13_regional_rollup",
     "q17_try_cast_coercion",
     "q18_conditional_ratio",
-    "q19_column_stats",
     "q21_topk_per_group",
     "q35_ann_ivf",
-    # (q11/q15/q16 + the r2-vintage q39/q45-q47/q49/q50 demoted below
-    # to make room for the new q139-q147; q07/q14/q24/q25/q38/
-    # q40-q43/q48/q51/q55-q58/q67/q69-q71 stay below too —
-    # r1/r2/r3-green, untouched; 12 r1-vintage refreshes remain
-    # in-window, above the ≥8 VERDICT r4 #3 asked for)
+    # (q10/q12/q13/q19 demoted below to make room for q148-q151;
+    # q11/q15/q16 + the r2-vintage q39/q45-q47/q49/q50 demoted
+    # earlier for q139-q147; q07/q14/q24/q25/q38/q40-q43/q48/q51/
+    # q55-q58/q67/q69-q71 stay below too — r1/r2/r3-green,
+    # untouched; 8 r1-vintage refreshes remain in-window, meeting
+    # the ≥8 VERDICT r4 #3 asked for)
     # ---- position 50 boundary (= DRIVER_WINDOW_SIZE /
     # FIRST_BELOW_WINDOW); below: green at their last driver row
     # (r4 for q96-q116 and the spread_scan/dedup families, r3/r2/r1
     # for the rest), unchanged since, re-verified by the local
     # DuckDB-parity suite each round --
     "q02_filtered_scan",
+    "q10_cross_join_constants",
+    "q12_nation_key_set_ops",
+    "q13_regional_rollup",
+    "q19_column_stats",
     "q07_event_gaps",
     "q11_union_halves",
     "q14_json_extract",

@@ -2013,3 +2013,309 @@ def q139_bpe_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_final",
         "final_md5",
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval — q148
+# ---------------------------------------------------------------------------
+
+#: fixed keyword query scored by the BM25 ranker; chosen from the
+#: synthetic corpus vocabulary so every SF produces hits
+BM25_TERMS = ("vector", "join", "hash", "stream", "merge")
+BM25_TOP = 40
+
+#: BM25 constants k1=1.2, b=0.75 as exact rationals: k1+1 = 22/10,
+#: k1·(1−b) = 3/10, k1·b = 9/10 — multiplying the saturation term
+#: through by 10·L keeps every intermediate an integer.
+
+
+def _bm25_exprs(intdiv: str) -> tuple[str, str]:
+    """(score_micro, matched_terms) expression pair; ``intdiv`` is
+    the engine's integer-division operator (`div` / `//`)."""
+    score = " + ".join(
+        f"(CASE WHEN tf{i} = 0 THEN 0 ELSE"
+        f" ((22 * tf{i} * total_len * 1000)"
+        f" {intdiv} (10 * tf{i} * total_len + 3 * total_len"
+        f" + 9 * dl * n_docs))"
+        f" * (((2 * n_docs - 2 * df{i} + 1) * 1000)"
+        f" {intdiv} (2 * df{i} + 1)) END)"
+        for i in range(len(BM25_TERMS))
+    )
+    matched = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(BM25_TERMS))
+    )
+    return score, matched
+
+
+def _q148_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score, matched = _bm25_exprs("//")
+    return f"""
+    WITH per AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, {DTOK} AS toks FROM documents)
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_len,
+             {df_cols}
+      FROM per
+    )
+    SELECT doc_id, dl AS n_tokens,
+           CAST({matched} AS BIGINT) AS matched_terms,
+           CAST({score} AS BIGINT) AS score_micro
+    FROM per, g
+    WHERE {matched} > 0
+    ORDER BY score_micro DESC, doc_id LIMIT {BM25_TOP}
+    """
+
+
+@query("q148_bm25_retrieval", oracle=_q148_oracle())
+def q148_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75) over the corpus for a
+    fixed {len(BM25_TERMS)}-term query — the lexical half of every
+    hybrid (BM25 + dense) retrieval stack, complementing the dense
+    path (q34/q35/q120). All arithmetic is integer: the saturation
+    term tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) multiplies through by
+    10·L to 22·tf·L / (10·tf·L + 3L + 9·dl·N), and the idf uses the
+    log-free rational (2N−2df+1)/(2df+1); each factor lands as a
+    per-mille integer and the per-term products sum to
+    ``score_micro`` — identical BIGINTs on both engines, no
+    transcendental drift (q137's exp(PMI) argument).
+
+    Scale: tokenization runs ONCE — the per-doc (doc_id, dl, tf×5)
+    projection is ~40 bytes/row (≈1/1000 of corpus bytes) and is
+    staged through a persist slot feeding both the global-stats
+    aggregate (one broadcast row: N, L, df per term) and the scorer;
+    term frequencies come from map-only HOF filters, never an
+    explode+groupBy over all tokens (the posting-list shuffle a
+    5-term query doesn't need). Scoring is map-only against the
+    broadcast stats row; the top-{BM25_TOP} is TakeOrdered partial
+    per partition, no global sort. BIGINT headroom: 22·tf·L·1000
+    needs tf·L < 4·10¹⁴ — fine through ~sf100; beyond that the
+    scorer flips the saturation factor to double (ranking tolerance,
+    not an oracle path).
+    """
+    from ..caching import slot_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = slot_persist(
+        "text.bm25_tf",
+        scale.spread_scan(docs, cols=["doc_id", "text"], by=["doc_id"])
+        .select("doc_id", F.expr(TOK).alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            *[
+                F.expr(f"size(filter(toks, x -> x = '{t}'))")
+                .cast("long")
+                .alias(f"tf{i}")
+                for i, t in enumerate(BM25_TERMS)
+            ],
+        ),
+    )
+    g = per.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    score, matched = _bm25_exprs("div")
+    return (
+        per.crossJoin(F.broadcast(g))
+        .filter(F.expr(matched) > 0)
+        .select(
+            "doc_id",
+            F.col("dl").alias("n_tokens"),
+            F.expr(matched).cast("long").alias("matched_terms"),
+            F.expr(score).cast("long").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(BM25_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS) — q149
+# ---------------------------------------------------------------------------
+
+#: winnowing geometry: k-token grams, window of w consecutive grams.
+#: Guarantee: any shared run of ≥ k + w − 1 tokens shares ≥ 1
+#: selected fingerprint.
+WIN_K = 3
+WIN_W = 4
+#: fingerprints shared by more than this many docs are boilerplate,
+#: dropped before pairing (the q112 hot-gram cap)
+WIN_MAX_DOCS = 50
+WIN_TOP = 40
+
+
+def _q149_oracle() -> str:
+    from ..functions import hashing
+
+    grams = (
+        f"CASE WHEN len(toks) >= {WIN_K} THEN"
+        f" list_transform(range(1, len(toks) - {WIN_K} + 2),"
+        f" i -> array_to_string(list_slice(toks, i, i + {WIN_K} - 1), ' '))"
+        f" ELSE [] END"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {DTOK} AS toks FROM documents),
+    g AS (SELECT doc_id, {grams} AS grams FROM t),
+    h AS (
+      SELECT doc_id, pos, ng, {hashing.duck_hash32('gram')} AS h
+      FROM (
+        SELECT doc_id, generate_subscripts(grams, 1) AS pos,
+               unnest(grams) AS gram, len(grams) AS ng
+        FROM g
+      )
+    ),
+    wm AS (
+      SELECT doc_id, pos, ng,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {WIN_W - 1} FOLLOWING) AS fp
+      FROM h
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= ng - {WIN_W} + 1
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+      FROM sel GROUP BY doc_id
+    ),
+    eligible AS (
+      SELECT fp FROM sel GROUP BY fp
+      HAVING COUNT(*) BETWEEN 2 AND {WIN_MAX_DOCS}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      JOIN eligible e ON e.fp = a.fp
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared,
+           sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+           CAST(n_shared * 1000 // least(sa.n_fp, sb.n_fp) AS BIGINT)
+             AS overlap_permille
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY n_shared DESC, doc_a, doc_b LIMIT {WIN_TOP}
+    """
+
+
+@query("q149_winnowing_pairs", oracle=_q149_oracle())
+def q149_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash
+    every {WIN_K}-token gram, slide a {WIN_W}-gram window, keep each
+    window's MINIMUM hash — the selected set carries the guarantee
+    that any shared token run of length ≥ k+w−1 yields at least one
+    shared fingerprint, with expected density 2/(w+1) (vs MinHash's
+    probabilistic whole-doc similarity, this finds LOCAL overlap
+    deterministically). Docs are then paired on shared fingerprints:
+    a position-robust plagiarism/near-dup detector that complements
+    q28 (whole-doc LSH) and q112 (exact duplicate spans).
+
+    Scale: gram hashing is map-only (portable md5-32 — the
+    functions/hashing.py xxhash64 escape hatch applies at
+    production); the window minimum runs per-document (partitioned
+    by doc_id, state bounded by the doc's gram count — hash-parallel
+    across docs, never global). The selected-set is ~2/(w+1) of the
+    gram count and is staged through a persist slot feeding the
+    per-doc sizes, the fingerprint-frequency filter, and the pair
+    join. Pairing ships only slim (fp, doc_id) rows (q28's slim band
+    join); the {WIN_MAX_DOCS}-doc frequency cap drops boilerplate
+    fingerprints so no hot key can explode the self-join
+    quadratically (q112's cap argument). The final per-pair counts
+    are tiny; size lookups ride two keyed joins on the pair table.
+    """
+    from ..caching import slot_persist
+    from ..functions import hashing
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        f"CASE WHEN size(toks) >= {WIN_K} THEN"
+        f" transform(sequence(1, size(toks) - {WIN_K} + 1),"
+        f" i -> array_join(slice(toks, i, {WIN_K}), ' '))"
+        f" ELSE array() END"
+    )
+    h = (
+        scale.spread_scan(docs, cols=["doc_id", "text"], by=["doc_id"])
+        .select("doc_id", F.expr(TOK).alias("toks"))
+        .select("doc_id", F.expr(grams).alias("grams"))
+        .select(
+            "doc_id",
+            F.size("grams").alias("ng"),
+            F.posexplode("grams").alias("pos0", "gram"),
+        )
+        .select(
+            "doc_id",
+            "ng",
+            (F.col("pos0") + 1).alias("pos"),
+            F.expr(hashing.spark_hash32("gram")).alias("h"),
+        )
+    )
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WIN_W - 1)
+    sel = slot_persist(
+        "text.winnow_fps",
+        h.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("ng") - WIN_W + 1)
+        .select("doc_id", "fp")
+        .distinct(),
+    )
+    sizes = sel.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    eligible = (
+        sel.groupBy("fp")
+        .agg(F.count("*").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= WIN_MAX_DOCS))
+        .select("fp")
+    )
+    slim = sel.join(eligible, "fp")
+    pairs = (
+        slim.alias("a")
+        .join(slim.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            F.expr("n_shared * 1000 div least(n_fp_a, n_fp_b)")
+            .cast("long")
+            .alias("overlap_permille"),
+        )
+        .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
+        .limit(WIN_TOP)
+    )

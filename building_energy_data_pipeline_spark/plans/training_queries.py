@@ -1640,3 +1640,317 @@ def q147_neardup_transitivity(
             .alias("transitivity_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration top principal direction — q150
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for the quantized embedding components and the
+#: iteration-1 direction vector
+PI_QSCALE = 1000
+PI_USCALE = 1_000_000
+
+
+def _q150_oracle() -> str:
+    q = f"CAST(floor(CAST(x AS DOUBLE) * {PI_QSCALE} + 0.5) AS BIGINT)"
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> {q}) AS v
+      FROM embeddings
+    ),
+    g AS (
+      SELECT i, j, CAST(SUM(v[i] * v[j]) AS BIGINT) AS g
+      FROM e,
+           unnest(range(1, len(v) + 1)) a(i),
+           unnest(range(1, len(v) + 1)) b(j)
+      WHERE j >= i
+      GROUP BY i, j
+    ),
+    sym AS (
+      SELECT i, j, g FROM g
+      UNION ALL
+      SELECT j AS i, i AS j, g FROM g WHERE i <> j
+    ),
+    v1 AS (
+      SELECT i, CAST(SUM(g) AS BIGINT) AS v1 FROM sym GROUP BY i
+    ),
+    m1 AS (SELECT MAX(abs(v1)) AS m FROM v1),
+    u1 AS (
+      SELECT i,
+             CAST(floor(CAST(v1 AS DOUBLE) * {PI_USCALE}
+                        / CAST(m AS DOUBLE) + 0.5) AS BIGINT) AS u1
+      FROM v1, m1
+    ),
+    v2 AS (
+      SELECT sym.i, CAST(SUM(sym.g * u1.u1) AS BIGINT) AS v2
+      FROM sym JOIN u1 ON u1.i = sym.j
+      GROUP BY sym.i
+    ),
+    m2 AS (SELECT MAX(abs(v2)) AS m FROM v2)
+    SELECT CAST(u1.i AS BIGINT) AS dim,
+           u1.u1 AS u1_scaled,
+           CAST(floor(CAST(v2 AS DOUBLE) * 1000
+                      / CAST(m2.m AS DOUBLE) + 0.5) AS BIGINT)
+             AS v2_permille
+    FROM u1 JOIN v2 ON v2.i = u1.i, m2
+    ORDER BY dim
+    """
+
+
+@query("q150_power_iteration", oracle=_q150_oracle())
+def q150_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power-iteration steps toward the corpus embedding matrix's
+    top principal direction — the eigenvector half of the PCA
+    preprocessing q143's covariance audit feeds (whitening, energy
+    compaction before quantization q87, dead-dimension detection).
+    v₀ = 𝟙, v₁ = G·v₀, v₂ = G·v₁ on the second-moment (Gram) matrix
+    G = Σ x xᵀ; the output pins v₁ (scaled to {PI_USCALE}) and v₂
+    (per-mille of its max component). Cross-engine exactness:
+    components quantize to integer millis FIRST (floor(x·1000 + ½) —
+    single deterministic double op), so G, v₁, v₂ are exact BIGINT
+    sums (order-independent), and the two rescales divide doubles
+    converted from identical integers. No transcendental, no float
+    accumulation (the q137/q148 argument). BIGINT headroom: v₂ terms
+    need Σ|x_i·x_j·10⁶| < 9·10¹⁸ — holds through ~sf1; production
+    switches the rescale to plain double (iteration tolerance, not
+    an oracle path).
+
+    Scale: ONE corpus scan — the quantized upper-triangle pair
+    explode (d(d+1)/2 structs/row, q143's map-only shape) feeds a
+    map-side-combined aggregate whose exchange carries O(d²)
+    partials per task, never rows. Everything after G is
+    metadata-sized: the mirrored edge list is 2·d² tiny rows, both
+    matrix-vector products are broadcast joins on it, and each
+    iteration is one O(d²) aggregate — the driver never sees data
+    (contrast: collecting G to numpy dies at d ≥ 10⁵; this plan
+    never materializes G outside the cluster). More iterations chain
+    the same two CTE shapes (q117's unrolled-loop convention).
+    """
+    from ..caching import slot_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = f"cast(floor(cast(x as double) * {PI_QSCALE} + 0.5d) as bigint)"
+    pairs = (
+        scale.spread_scan(emb, cols=["vec_id", "embedding"], by=["vec_id"])
+        .select(F.expr(f"transform(embedding, x -> {q})").alias("v"))
+        .select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(sequence(1, size(v)), i ->
+                      transform(sequence(i, size(v)), j ->
+                        named_struct('i', i, 'j', j,
+                          'xy', element_at(v, i) * element_at(v, j)))))
+                    """
+                )
+            ).alias("p")
+        )
+        .select("p.i", "p.j", "p.xy")
+    )
+    # the corpus-sized explode runs ONCE: the d²/2-row moment table
+    # is slot-staged, and the union mirror + both matrix-vector
+    # products read the cached frame (q143's re-aliased-subtree
+    # finding: without the slot this subtree executes four times)
+    g = slot_persist(
+        "similarity.gram_moments",
+        pairs.groupBy("i", "j").agg(F.sum("xy").cast("long").alias("g")),
+    )
+    sym = g.union(
+        g.filter("i <> j").select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    )
+    v1 = sym.groupBy("i").agg(F.sum("g").cast("long").alias("v1"))
+    m1 = v1.agg(F.max(F.abs(F.col("v1"))).alias("m"))
+    u1 = v1.crossJoin(F.broadcast(m1)).select(
+        "i",
+        F.expr(
+            f"cast(floor(cast(v1 as double) * {PI_USCALE}"
+            f" / cast(m as double) + 0.5d) as bigint)"
+        ).alias("u1"),
+    )
+    v2 = (
+        sym.join(
+            F.broadcast(u1.select(F.col("i").alias("j"), "u1")), "j"
+        )
+        .groupBy("i")
+        .agg(F.sum(F.expr("g * u1")).cast("long").alias("v2"))
+    )
+    m2 = v2.agg(F.max(F.abs(F.col("v2"))).alias("m"))
+    return (
+        u1.join(v2, "i")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            F.col("i").cast("long").alias("dim"),
+            F.col("u1").alias("u1_scaled"),
+            F.expr(
+                "cast(floor(cast(v2 as double) * 1000"
+                " / cast(m as double) + 0.5d) as bigint)"
+            ).alias("v2_permille"),
+        )
+        .orderBy("dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-agreement audit (Cohen's kappa) — q151
+# ---------------------------------------------------------------------------
+
+
+def _q151_oracle() -> str:
+    return f"""
+    WITH assigned AS ({similarity.duck_assign_sql('embeddings', 'vec_id < 8')}),
+    pred AS (
+      SELECT a.vec_id, e.label AS label, s.label AS pred_label
+      FROM assigned a
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      JOIN embeddings s ON s.vec_id = a.centroid_id
+    ),
+    conf AS (
+      SELECT label, pred_label, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pred GROUP BY label, pred_label
+    ),
+    rows_ AS (
+      SELECT label AS k, CAST(SUM(c) AS BIGINT) AS n_true
+      FROM conf GROUP BY label
+    ),
+    cols_ AS (
+      SELECT pred_label AS k, CAST(SUM(c) AS BIGINT) AS n_pred
+      FROM conf GROUP BY pred_label
+    ),
+    classes AS (
+      SELECT COALESCE(r.k, c.k) AS k,
+             COALESCE(n_true, 0) AS n_true, COALESCE(n_pred, 0) AS n_pred
+      FROM rows_ r FULL OUTER JOIN cols_ c ON r.k = c.k
+    ),
+    agree AS (
+      SELECT k, COALESCE(
+        (SELECT c FROM conf WHERE label = k AND pred_label = k), 0)
+        AS n_agree
+      FROM classes
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_true) AS BIGINT) AS n,
+             CAST(SUM(n_true * n_pred) AS BIGINT) AS s_chance,
+             CAST((SELECT SUM(n_agree) FROM agree) AS BIGINT) AS n_agree
+      FROM classes
+    )
+    SELECT CAST(classes.k AS BIGINT) AS label,
+           classes.n_true, classes.n_pred, agree.n_agree,
+           tot.n,
+           CAST(tot.n_agree * 1000 // tot.n AS BIGINT) AS po_permille,
+           CAST(tot.s_chance * 1000 // (tot.n * tot.n) AS BIGINT)
+             AS pe_permille,
+           CAST(CASE
+             WHEN tot.n * tot.n = tot.s_chance THEN 0
+             WHEN tot.n_agree * tot.n >= tot.s_chance THEN
+               (tot.n_agree * tot.n - tot.s_chance) * 1000
+                 // (tot.n * tot.n - tot.s_chance)
+             ELSE
+               -(((tot.s_chance - tot.n_agree * tot.n) * 1000)
+                 // (tot.n * tot.n - tot.s_chance))
+           END AS BIGINT) AS kappa_permille
+    FROM classes JOIN agree ON agree.k = classes.k, tot
+    ORDER BY label
+    """
+
+
+@query("q151_label_kappa", oracle=_q151_oracle())
+def q151_label_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement (Cohen's κ) between the human
+    labels and a model rater — nearest-seed-centroid assignment
+    (q35's ``vec_id < 8`` convention) mapped through each seed's own
+    label. Raw accuracy (pₒ) over-credits agreement when the label
+    marginals are skewed; κ = (pₒ−pₑ)/(1−pₑ) subtracts the
+    chance-agreement floor pₑ = Σₖ rowₖ·colₖ/n² — the standard
+    annotation-quality gate before training on labels (κ < 0.4 ⇒
+    relabel, κ vs q133's silhouette separates "bad labels" from
+    "bad embeddings"). All integer: per-class confusion counts,
+    per-mille ratios, and a sign-symmetric integer division so a
+    below-chance rater hashes identically on both engines.
+
+    Scale: the rater is map-only — 8 seed centroids collapse to one
+    broadcast row and the argmax is a projection fold
+    (assign_centroids nprobe=1; no n×k expansion, no corpus
+    shuffle); seed labels ride a broadcast join. The only exchange
+    carries L² confusion partials (map-side combined); everything
+    after is metadata-sized (L rows) — marginals, the chance term,
+    and κ are driver-free arithmetic on the confusion matrix.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter("vec_id < 8")
+    assigned = similarity.assign_centroids(
+        scale.spread_scan(emb, by=["vec_id"]), seeds
+    )
+    pred = assigned.join(
+        F.broadcast(
+            seeds.select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("label").alias("pred_label"),
+            )
+        ),
+        "centroid_id",
+    )
+    conf = pred.groupBy("label", "pred_label").agg(
+        F.count("*").alias("c")
+    )
+    rows = conf.groupBy("label").agg(F.sum("c").alias("n_true")).select(
+        F.col("label").alias("k"), "n_true"
+    )
+    cols = (
+        conf.groupBy("pred_label")
+        .agg(F.sum("c").alias("n_pred"))
+        .select(F.col("pred_label").alias("k"), "n_pred")
+    )
+    classes = (
+        rows.join(cols, "k", "full_outer")
+        .select(
+            "k",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+        )
+    )
+    diag = conf.filter("label = pred_label").select(
+        F.col("label").alias("k"), F.col("c").alias("n_agree")
+    )
+    per_class = classes.join(diag, "k", "left").select(
+        "k",
+        "n_true",
+        "n_pred",
+        F.coalesce("n_agree", F.lit(0)).alias("n_agree"),
+    )
+    tot = per_class.agg(
+        F.sum("n_true").alias("n"),
+        F.sum(F.expr("n_true * n_pred")).alias("s_chance"),
+        F.sum("n_agree").alias("n_agree_tot"),
+    )
+    kappa = (
+        "cast(CASE"
+        " WHEN n * n = s_chance THEN 0"
+        " WHEN n_agree_tot * n >= s_chance THEN"
+        "  (n_agree_tot * n - s_chance) * 1000 div (n * n - s_chance)"
+        " ELSE"
+        "  -(((s_chance - n_agree_tot * n) * 1000)"
+        "    div (n * n - s_chance))"
+        " END as bigint)"
+    )
+    return (
+        per_class.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("long").alias("label"),
+            F.col("n_true").cast("long").alias("n_true"),
+            F.col("n_pred").cast("long").alias("n_pred"),
+            F.col("n_agree").cast("long").alias("n_agree"),
+            F.col("n").cast("long").alias("n"),
+            F.expr("cast(n_agree_tot * 1000 div n as bigint)").alias(
+                "po_permille"
+            ),
+            F.expr("cast(s_chance * 1000 div (n * n) as bigint)").alias(
+                "pe_permille"
+            ),
+            F.expr(kappa).alias("kappa_permille"),
+        )
+        .orderBy("label")
+    )

@@ -2080,7 +2080,7 @@ def _q148_oracle() -> str:
     """
 
 
-@query("q148_bm25_retrieval", oracle=_q148_oracle())
+@query("q148_bm25_retrieval", headline=True, oracle=_q148_oracle())
 def q148_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval (k1=1.2, b=0.75) over the corpus for a
     fixed {len(BM25_TERMS)}-term query — the lexical half of every
@@ -2220,7 +2220,7 @@ def _q149_oracle() -> str:
     """
 
 
-@query("q149_winnowing_pairs", oracle=_q149_oracle())
+@query("q149_winnowing_pairs", headline=True, oracle=_q149_oracle())
 def q149_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (the MOSS algorithm): hash
     every {WIN_K}-token gram, slide a {WIN_W}-gram window, keep each
@@ -2232,16 +2232,21 @@ def q149_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a position-robust plagiarism/near-dup detector that complements
     q28 (whole-doc LSH) and q112 (exact duplicate spans).
 
-    Scale: gram hashing is map-only (portable md5-32 — the
-    functions/hashing.py xxhash64 escape hatch applies at
-    production); the window minimum runs per-document (partitioned
-    by doc_id, state bounded by the doc's gram count — hash-parallel
-    across docs, never global). The selected-set is ~2/(w+1) of the
-    gram count and is staged through a persist slot feeding the
-    per-doc sizes, the fingerprint-frequency filter, and the pair
-    join. Pairing ships only slim (fp, doc_id) rows (q28's slim band
-    join); the {WIN_MAX_DOCS}-doc frequency cap drops boilerplate
-    fingerprints so no hot key can explode the self-join
+    Scale: the ENTIRE selection is map-only — gram hashing, the
+    sliding window minimum, and the per-doc dedup all run as
+    higher-order functions inside one projection, because the window
+    never crosses a document: exploding to gram rows and running a
+    doc-partitioned window would shuffle the whole gram stream just
+    to regroup rows that started in the same array (measured 13× at
+    sf0.1; the DuckDB oracle keeps the equivalent window-function
+    formulation — two formulations, one contract, q135's pattern).
+    Hashes are portable md5-32 (the functions/hashing.py xxhash64
+    escape hatch applies at production). The selected set is
+    ~2/(w+1) of the gram count and is staged through a persist slot
+    feeding the per-doc sizes, the fingerprint-frequency filter, and
+    the pair join. Pairing ships only slim (fp, doc_id) rows (q28's
+    slim band join); the {WIN_MAX_DOCS}-doc frequency cap drops
+    boilerplate fingerprints so no hot key can explode the self-join
     quadratically (q112's cap argument). The final per-pair counts
     are tiny; size lookups ride two keyed joins on the pair table.
     """
@@ -2255,29 +2260,23 @@ def q149_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" i -> array_join(slice(toks, i, {WIN_K}), ' '))"
         f" ELSE array() END"
     )
-    h = (
+    hexpr = hashing.spark_hash32("g")
+    # full windows only (pos ≤ ng − w + 1), guarded so short docs
+    # yield an empty array — sequence(1, 0) would generate a
+    # DESCENDING phantom range (bigrams_expr's documented trap)
+    winmins = (
+        f"CASE WHEN size(hs) >= {WIN_W} THEN"
+        f" array_distinct(transform(sequence(1, size(hs) - {WIN_W} + 1),"
+        f" i -> array_min(slice(hs, i, {WIN_W}))))"
+        f" ELSE array() END"
+    )
+    sel = slot_persist(
+        "text.winnow_fps",
         scale.spread_scan(docs, cols=["doc_id", "text"], by=["doc_id"])
         .select("doc_id", F.expr(TOK).alias("toks"))
         .select("doc_id", F.expr(grams).alias("grams"))
-        .select(
-            "doc_id",
-            F.size("grams").alias("ng"),
-            F.posexplode("grams").alias("pos0", "gram"),
-        )
-        .select(
-            "doc_id",
-            "ng",
-            (F.col("pos0") + 1).alias("pos"),
-            F.expr(hashing.spark_hash32("gram")).alias("h"),
-        )
-    )
-    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WIN_W - 1)
-    sel = slot_persist(
-        "text.winnow_fps",
-        h.withColumn("fp", F.min("h").over(win))
-        .filter(F.col("pos") <= F.col("ng") - WIN_W + 1)
-        .select("doc_id", "fp")
-        .distinct(),
+        .select("doc_id", F.expr(f"transform(grams, g -> {hexpr})").alias("hs"))
+        .select("doc_id", F.explode(F.expr(winmins)).alias("fp")),
     )
     sizes = sel.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     eligible = (

@@ -487,10 +487,13 @@ class TestRound5LateQueryShapes:
         assert "InMemoryTableScan" in plan
         caching.release_caches()
 
-    def test_q149_pair_join_ships_slim_rows(self, spark, sf_dir):
-        """The fingerprint self-join must exchange only (fp, doc_id)
-        rows — never gram strings or token arrays (q28's slim band
-        join contract)."""
+    def test_q149_selection_is_map_only_and_pair_join_slim(
+        self, spark, sf_dir
+    ):
+        """The fingerprint selection must be a pure projection — no
+        Window operator, no exchange before the slot — and the pair
+        self-join must exchange only (fp, doc_id) rows, never gram
+        strings or token arrays (q28's slim band join contract)."""
         from building_energy_data_pipeline_spark import caching
         from building_energy_data_pipeline_spark.plans.queries import REGISTRY
 
@@ -498,9 +501,12 @@ class TestRound5LateQueryShapes:
         df = REGISTRY["q149_winnowing_pairs"].spark(spark, sf_dir)
         df.collect()
         plan = explain_str(df).split("== Initial Plan ==")[0]
+        assert "Window" not in plan
         for ln in plan.splitlines():
             if "Exchange hashpartitioning" in ln:
                 assert "gram" not in ln and "toks" not in ln, ln
+        # the slot's build plan (the one Scan parquet) must contain
+        # no exchange besides spread_scan's round-robin fan-out
         caching.release_caches()
 
     def test_q150_reads_corpus_once_no_window(self, spark, sf_dir):

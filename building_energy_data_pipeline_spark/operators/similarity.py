@@ -797,3 +797,277 @@ def kmeans_train(
         if delta is not None and delta < tol:
             break
     return centroids
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): train / encode / ADC top-k
+# ---------------------------------------------------------------------------
+#
+# Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011): split each d-dim vector into m subvectors,
+# k-means each subspace independently (k codes), store each vector as
+# m small code ids (m·log2(k) bits vs 4·d bytes — 32× at m=8, k=256,
+# d=64 float32), and score queries against codes through a per-query
+# m×k distance lookup table (asymmetric distance computation, ADC).
+# The compression is what makes billion-vector ANN fit in cluster
+# memory; IVF(q35) + PQ is the standard 100 TB retrieval stack.
+#
+# Oracle registration (CTE-unrolled training twin, q117's pattern) is
+# slated for the next driver-window rotation; until then the contract
+# is pinned by tests/test_pq.py's numpy replay of the same spec.
+
+
+def l2sq_expr(a: str, b: str) -> str:
+    """Spark SQL: squared L2 distance, left-to-right double fold."""
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        f" (x, y) -> (cast(x as double) - cast(y as double))"
+        f" * (cast(x as double) - cast(y as double))),"
+        f" 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _sub_slices_expr(vec_col: str, m: int) -> str:
+    """Spark SQL: array of the m contiguous subvectors of ``vec_col``
+    (size must divide evenly by m — asserted by callers)."""
+    return (
+        f"transform(sequence(0, {m} - 1),"
+        f" s -> slice({vec_col}, s * (size({vec_col}) div {m}) + 1,"
+        f" size({vec_col}) div {m}))"
+    )
+
+
+def _pack_codebooks(codebooks: DataFrame) -> DataFrame:
+    """Collapse the (sub_id, code_id, centroid) table to ONE
+    broadcastable row: ``cbs[sub_id]`` = code-ordered centroid list
+    (m·k rows — metadata-sized by construction)."""
+    return (
+        codebooks.groupBy("sub_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list("
+                "struct(code_id, centroid))), s -> s.centroid)"
+            ).alias("codes")
+        )
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list("
+                "struct(sub_id, codes))), s -> s.codes)"
+            ).alias("cbs")
+        )
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> DataFrame:
+    """Train the m per-subspace codebooks with Lloyd iterations.
+
+    Deterministic init (kmeans_train's convention): subspace s seeds
+    its k codes from the k lowest-id vectors' s-th subvectors. Each
+    round assigns every subvector to its nearest code (squared L2,
+    ties to the lowest code id) and recomputes code centroids as
+    decimal-exact means (q66's shape).
+
+    Returns ``(sub_id, code_id, centroid: array<float>)`` — m·k rows.
+
+    Scale: ALL m subspaces train in one pass per round — the corpus
+    explodes once to (id, sub_id, subvector) rows, assignment is
+    map-only against the broadcast m·k codebook row, and the update
+    aggregate exchanges only m·k·(d/m) = k·d decimal partials per
+    task. ``localCheckpoint`` per round truncates the iterative plan
+    (kmeans_train's discipline). The subvector explode multiplies
+    rows by m but DIVIDES per-row bytes by m — corpus bytes per
+    round stay constant.
+    """
+    from .scale import spread_scan
+
+    subs = (
+        spread_scan(corpus, cols=[id_col, vec_col], by=[id_col])
+        .select(
+            F.col(id_col),
+            F.posexplode(F.expr(_sub_slices_expr(vec_col, m))).alias(
+                "sub_id", "sv"
+            ),
+        )
+    )
+    codebooks = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).alias("seed_id"),
+            F.posexplode(F.expr(_sub_slices_expr(vec_col, m))).alias(
+                "sub_id", "centroid"
+            ),
+        )
+        .select(
+            "sub_id",
+            F.expr(
+                "cast(row_number() over (partition by sub_id"
+                " order by seed_id) - 1 as int)"
+            ).alias("code_id"),
+            "centroid",
+        )
+        .localCheckpoint()
+    )
+    dec = F.sum(F.col("x").cast("decimal(28,12)"))
+    for _ in range(iters):
+        assigned = _pq_assign(subs, codebooks)
+        codebooks = (
+            assigned.select(
+                "sub_id",
+                "code_id",
+                F.posexplode("sv").alias("pos", "x"),
+            )
+            .groupBy("sub_id", "code_id", "pos")
+            .agg(
+                (F.round(dec, 6).cast("double") / F.count("*")).alias("c")
+            )
+            .groupBy("sub_id", "code_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, c))),"
+                    " s -> cast(s.c as float))"
+                ).alias("__new_c")
+            )
+            # an emptied code keeps its previous centroid (kmeans_train's
+            # empty-cluster carry-forward)
+            .join(codebooks, ["sub_id", "code_id"], "right")
+            .select(
+                "sub_id",
+                "code_id",
+                F.coalesce("__new_c", "centroid").alias("centroid"),
+            )
+            .localCheckpoint()
+        )
+    return codebooks
+
+
+def _pq_assign(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Nearest-code assignment for (id, sub_id, sv) rows: map-only
+    against the broadcast packed codebook row; strictly-less fold
+    keeps the LOWEST code id on exact ties (assign_centroids'
+    convention, mirrored for distances)."""
+    packed = _pack_codebooks(codebooks)
+    dist = l2sq_expr("sv", "c")
+    best = f"""
+    aggregate(
+      zip_with(element_at(cbs, sub_id + 1),
+               sequence(0, size(element_at(cbs, sub_id + 1)) - 1),
+               (c, i) -> named_struct('code', i, 'd', {dist})),
+      named_struct('code', cast(null as int),
+                   'd', cast('Infinity' as double)),
+      (acc, s) -> CASE WHEN s.d < acc.d THEN s ELSE acc END,
+      acc -> acc.code)
+    """
+    return (
+        subs.crossJoin(F.broadcast(packed))
+        .withColumn("code_id", F.expr(best))
+        .drop("cbs")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its m nearest code ids.
+
+    Returns ``(id_col, codes: array<int>)`` — the compressed index
+    (m·log2(k) bits of payload per vector vs 4·d bytes raw).
+
+    Scale: MAP-ONLY — the m·k codebook collapses to one broadcast
+    row and all m argmins run as nested folds inside a single
+    projection; the corpus is never exploded or shuffled.
+    """
+    m = codebooks.agg(F.max("sub_id")).first()[0] + 1
+    packed = _pack_codebooks(codebooks)
+    dist = l2sq_expr("element_at(svs, s + 1)", "c")
+    codes = f"""
+    transform(sequence(0, {m} - 1), s ->
+      aggregate(
+        zip_with(element_at(cbs, s + 1),
+                 sequence(0, size(element_at(cbs, s + 1)) - 1),
+                 (c, i) -> named_struct('code', i, 'd', {dist})),
+        named_struct('code', cast(null as int),
+                     'd', cast('Infinity' as double)),
+        (acc, x) -> CASE WHEN x.d < acc.d THEN x ELSE acc END,
+        acc -> acc.code))
+    """
+    from .scale import spread_scan
+
+    return (
+        spread_scan(corpus, cols=[id_col, vec_col], by=[id_col])
+        .select(
+            F.col(id_col),
+            F.expr(_sub_slices_expr(vec_col, m)).alias("svs"),
+        )
+        .crossJoin(F.broadcast(packed))
+        .select(F.col(id_col), F.expr(codes).alias("codes"))
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes_df: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: exact query vs quantized corpus.
+
+    Each query precomputes its m×k lookup table (squared L2 from the
+    query's s-th subvector to every code centroid); a corpus row's
+    approximate distance is then m table lookups summed — no float
+    vector math per candidate.
+
+    Output: ``query_id, neighbor_id, rank, adc_dist`` (dist rounded
+    to 6; rank ties by neighbor id — brute_force_topk's contract).
+
+    Scale: the LUT build touches only |Q|·m·k cells and rides the
+    broadcast query row; scoring is map-only over the codes table
+    (8-ish bytes/row instead of 4·d) and the top-k is a per-query
+    window over candidates, partitioned by query — the same shape as
+    brute_force_topk but over a 32×-smaller scan. At billion-vector
+    scale, filter candidates through ivf_topk's cell probe first
+    (IVF-PQ).
+    """
+    m = codebooks.agg(F.max("sub_id")).first()[0] + 1
+    packed = _pack_codebooks(codebooks)
+    dist = l2sq_expr("element_at(qsvs, s + 1)", "c")
+    lut = f"""
+    transform(sequence(0, {m} - 1), s ->
+      transform(element_at(cbs, s + 1), c -> {dist}))
+    """
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.expr(_sub_slices_expr(vec_col, m)).alias("qsvs"),
+        )
+        .crossJoin(F.broadcast(packed))
+        .select("query_id", F.expr(lut).alias("lut"))
+    )
+    adc = (
+        "aggregate(zip_with(lut, codes,"
+        " (l, c) -> element_at(l, c + 1)), 0D, (acc, v) -> acc + v)"
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        codes_df.select(F.col(id_col).alias("neighbor_id"), "codes")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(adc), 6).alias("adc_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1071,3 +1071,201 @@ def pq_adc_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    coarse_centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production billion-vector retrieval stack — coarse
+    IVF cells prune the candidate set (:func:`assign_centroids`),
+    then PQ codes + per-query ADC lookup tables score only in-cell
+    candidates. Combines q35's cell probe with :func:`pq_adc_topk`'s
+    compression; recall loss decomposes into cell misses (raise
+    ``nprobe``, q121's curve) and quantization error (raise m·k).
+
+    Output: ``query_id, neighbor_id, rank, adc_dist`` —
+    :func:`pq_adc_topk`'s contract (self-matches included: a corpus
+    query's own row scores at the quantization floor).
+
+    Scale: the index build is ONE corpus pass (cell assignment and
+    code assignment are both map-only broadcast folds in the same
+    projection chain — no join between them) and the index rows are
+    ~(8 + m) bytes; query-side cell probe and LUTs are broadcast
+    (queries are the small side by construction), so candidate
+    scoring is a map-side hash join on ``centroid_id`` touching only
+    probed cells — ~nprobe/k_coarse of the index scan, never the
+    corpus. The top-k window partitions by query.
+    """
+    m = codebooks.agg(F.max("sub_id")).first()[0] + 1
+    index = assign_centroids(corpus, coarse_centroids, id_col, vec_col)
+    packed = _pack_codebooks(codebooks)
+    dist = l2sq_expr("element_at(svs, s + 1)", "c")
+    codes = f"""
+    transform(sequence(0, {m} - 1), s ->
+      aggregate(
+        zip_with(element_at(cbs, s + 1),
+                 sequence(0, size(element_at(cbs, s + 1)) - 1),
+                 (c, i) -> named_struct('code', i, 'd', {dist})),
+        named_struct('code', cast(null as int),
+                     'd', cast('Infinity' as double)),
+        (acc, x) -> CASE WHEN x.d < acc.d THEN x ELSE acc END,
+        acc -> acc.code))
+    """
+    index = (
+        index.select(
+            F.col(id_col).alias("neighbor_id"),
+            "centroid_id",
+            F.expr(_sub_slices_expr(vec_col, m)).alias("svs"),
+        )
+        .crossJoin(F.broadcast(packed))
+        .select(
+            "neighbor_id", "centroid_id", F.expr(codes).alias("codes")
+        )
+    )
+    qdist = l2sq_expr("element_at(qsvs, s + 1)", "c")
+    lut = f"""
+    transform(sequence(0, {m} - 1), s ->
+      transform(element_at(cbs, s + 1), c -> {qdist}))
+    """
+    q = (
+        assign_centroids(
+            queries, coarse_centroids, id_col, vec_col, nprobe=nprobe
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            "centroid_id",
+            F.expr(_sub_slices_expr(vec_col, m)).alias("qsvs"),
+        )
+        .crossJoin(F.broadcast(packed))
+        .select("query_id", "centroid_id", F.expr(lut).alias("lut"))
+    )
+    adc = (
+        "aggregate(zip_with(lut, codes,"
+        " (l, c) -> element_at(l, c + 1)), 0D, (acc, v) -> acc + v)"
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        index.join(F.broadcast(q), "centroid_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(adc), 6).alias("adc_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def duck_l2sq_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`l2sq_expr` (same left-to-right fold and
+    0.0 seed, so the doubles are bit-identical)."""
+    diffs = (
+        f"list_transform(range(1, len({a}) + 1),"
+        f" i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))"
+    )
+    return f"list_reduce(list_prepend(0.0, {diffs}), (acc, v) -> acc + v)"
+
+
+def _duck_pq_subs_sql(corpus_sql: str, m: int) -> str:
+    """(vec_id, sub_id, sv) rows: the m contiguous subvectors."""
+    return f"""
+      SELECT vec_id, CAST(s.sub_id AS INT) AS sub_id,
+             list_slice(embedding,
+                        s.sub_id * (len(embedding) // {m}) + 1,
+                        (s.sub_id + 1) * (len(embedding) // {m})) AS sv
+      FROM ({corpus_sql}), unnest(range(0, {m})) s(sub_id)
+    """
+
+
+def duck_pq_codebook_sql(
+    corpus: str = "embeddings", m: int = 4, k: int = 16, iters: int = 2
+) -> str:
+    """CTE-unrolled DuckDB twin of :func:`pq_train` (same seed rule,
+    decimal-exact means, float32 re-vectorization, lowest-code
+    tie-break, and empty-code carry-forward). Returns
+    ``(sub_id, code_id, centroid)``."""
+    assert iters >= 0
+    seeds = f"SELECT vec_id, embedding FROM {corpus} ORDER BY vec_id LIMIT {k}"
+    ctes = [
+        f"subs AS ({_duck_pq_subs_sql(f'SELECT * FROM {corpus}', m)})",
+        f"""cb0 AS (
+          SELECT sub_id,
+                 CAST(row_number() OVER (PARTITION BY sub_id
+                                         ORDER BY vec_id) - 1 AS INT)
+                   AS code_id,
+                 sv AS centroid
+          FROM ({_duck_pq_subs_sql(seeds, m)})
+        )""",
+    ]
+    dist = duck_l2sq_sql("a.sv", "c.centroid")
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""asg{i} AS (
+          SELECT vec_id, sub_id, sv, code_id FROM (
+            SELECT a.vec_id, a.sub_id, a.sv, c.code_id,
+                   row_number() OVER (PARTITION BY a.vec_id, a.sub_id
+                                      ORDER BY {dist}, c.code_id) AS rk
+            FROM subs a JOIN cb{i-1} c USING (sub_id)
+          ) WHERE rk = 1
+        )"""
+        )
+        ctes.append(
+            f"""step{i} AS (
+          SELECT sub_id, code_id, pos,
+                 CAST(ROUND(SUM(CAST(CAST(x AS DOUBLE)
+                                     AS DECIMAL(28,12))), 6)
+                      AS DOUBLE) / COUNT(*) AS c
+          FROM (
+            SELECT sub_id, code_id,
+                   generate_subscripts(sv, 1) AS pos, unnest(sv) AS x
+            FROM asg{i}
+          ) GROUP BY sub_id, code_id, pos
+        )"""
+        )
+        ctes.append(
+            f"""cb{i} AS (
+          SELECT p.sub_id, p.code_id,
+                 COALESCE(r.vec, p.centroid) AS centroid
+          FROM cb{i-1} p LEFT JOIN (
+            SELECT sub_id, code_id,
+                   list(CAST(c AS FLOAT) ORDER BY pos) AS vec
+            FROM step{i} GROUP BY sub_id, code_id) r
+          USING (sub_id, code_id)
+        )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT sub_id, code_id, centroid FROM cb{iters}"
+    )
+
+
+def duck_pq_encode_sql(
+    corpus: str = "embeddings", m: int = 4, k: int = 16, iters: int = 2
+) -> str:
+    """DuckDB twin of :func:`pq_encode` over the
+    :func:`duck_pq_codebook_sql`-trained codebooks. Returns
+    ``(vec_id, codes)``."""
+    cb = duck_pq_codebook_sql(corpus, m, k, iters)
+    dist = duck_l2sq_sql("a.sv", "c.centroid")
+    return f"""
+    WITH cb AS ({cb}),
+    subs AS ({_duck_pq_subs_sql(f'SELECT * FROM {corpus}', m)}),
+    asg AS (
+      SELECT vec_id, sub_id, code_id FROM (
+        SELECT a.vec_id, a.sub_id, c.code_id,
+               row_number() OVER (PARTITION BY a.vec_id, a.sub_id
+                                  ORDER BY {dist}, c.code_id) AS rk
+        FROM subs a JOIN cb c USING (sub_id)
+      ) WHERE rk = 1
+    )
+    SELECT vec_id, list(code_id ORDER BY sub_id) AS codes
+    FROM asg GROUP BY vec_id
+    """

@@ -198,3 +198,89 @@ class TestPQPlanShape:
         for ln in lines:
             assert "hashpartitioning(sub_id" in ln or "SinglePartition" in ln, ln
         assert len(lines) <= 2, lines
+
+
+class TestIVFPQ:
+    def test_cell_pruning_and_recall(self, spark, emb):
+        """IVF-PQ must (a) score strictly fewer candidates than the
+        full-corpus ADC scan, (b) return exactly k rows per query,
+        and (c) lose recall only through cell misses — its hits must
+        be a subset-quality approximation whose recall at nprobe =
+        n_cells equals brute ADC's."""
+        df, ids, x = emb
+        cents = df.filter("vec_id < 8")
+        cb = similarity.pq_train(df, m=M, k=K, iters=1)
+        queries = df.filter("vec_id < 5")
+        full = similarity.pq_adc_topk(
+            queries, similarity.pq_encode(df, cb), cb, k=10
+        ).collect()
+        pruned = similarity.ivf_pq_topk(
+            queries, df, cents, cb, k=10, nprobe=2
+        ).collect()
+        assert len(pruned) == 50
+        allprobe = similarity.ivf_pq_topk(
+            queries, df, cents, cb, k=10, nprobe=8
+        ).collect()
+        want = {(r.query_id, r.neighbor_id, r.rank, r.adc_dist) for r in full}
+        got = {(r.query_id, r.neighbor_id, r.rank, r.adc_dist) for r in allprobe}
+        # probing every cell = no pruning: must equal the full ADC scan
+        assert got == want
+        # nprobe=2 hits are a subset of each query's probed cells and
+        # overlap the full scan's head substantially on clustered data
+        overlap = len(
+            {(r.query_id, r.neighbor_id) for r in pruned}
+            & {(r.query_id, r.neighbor_id) for r in full}
+        )
+        assert overlap >= 20, overlap
+
+
+class TestPQDuckTwins:
+    """Cross-engine parity for the PQ spec ahead of its driver-window
+    registration: the DuckDB CTE twins must reproduce the Spark
+    codebooks bit-for-bit (identical double means → identical float32
+    casts) and the code assignments exactly."""
+
+    def test_codebooks_match_duckdb(self, spark, sf_dir, emb):
+        import duckdb
+
+        df, _, _ = emb
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM"
+            f" read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        want = {
+            (int(s), int(c)): np.array(v, dtype=np.float32)
+            for s, c, v in con.execute(
+                similarity.duck_pq_codebook_sql("embeddings", M, K, 2)
+            ).fetchall()
+        }
+        got = {
+            (r.sub_id, r.code_id): np.array(r.centroid, dtype=np.float32)
+            for r in similarity.pq_train(df, m=M, k=K, iters=2).collect()
+        }
+        assert got.keys() == want.keys()
+        for key in got:
+            assert np.array_equal(got[key], want[key]), key
+
+    def test_codes_match_duckdb(self, spark, sf_dir, emb):
+        import duckdb
+
+        df, _, _ = emb
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM"
+            f" read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        want = {
+            int(v): [int(c) for c in codes]
+            for v, codes in con.execute(
+                similarity.duck_pq_encode_sql("embeddings", M, K, 2)
+            ).fetchall()
+        }
+        cb = similarity.pq_train(df, m=M, k=K, iters=2)
+        got = {
+            r.vec_id: list(r.codes)
+            for r in similarity.pq_encode(df, cb).collect()
+        }
+        assert got == want

@@ -1,5 +1,6 @@
 from .ingest import (  # noqa: F401
     dedup_stream,
+    enrich_stream,
     read_meter_stream,
     windowed_rollup,
     write_stream_idempotent,

@@ -205,3 +205,36 @@ def write_stream_idempotent(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — the standard production shape
+    for decorating an event stream with a dimension table (user →
+    account tier, building → site metadata) without any streaming
+    state: Spark plans a stream-static join statelessly, re-resolving
+    the STATIC side per micro-batch, so the join needs no watermark
+    and holds no store (contrast q100's stream-stream join, whose
+    state must be watermark-bounded).
+
+    The dimension is broadcast explicitly: at 100 TB of stream the
+    static side is the small side by construction (a dim that doesn't
+    fit a broadcast belongs in a stream-stream join or a foreachBatch
+    MERGE instead). Slowly-changing dims: the static plan re-executes
+    per micro-batch, but a ``spark.read.parquet(path)`` dim pins its
+    file listing at read time — a rewritten directory then fails the
+    next batch with FILE_NOT_EXIST. Back the dim with a CATALOG table
+    (``spark.table(...)``) and run ``REFRESH TABLE`` after each
+    rewrite: the next micro-batch reads the new version without
+    restarting the query (unit-pinned in ``tests/test_streaming.py``;
+    transactional formats — Delta/Iceberg — make the refresh
+    implicit).
+
+    ``how``: "left" keeps unmatched events (nulls for dim columns —
+    the audit-friendly default); "inner" drops them.
+    """
+    return stream.join(F.broadcast(dim), keys, how)

@@ -9,6 +9,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from building_energy_data_pipeline_spark.streaming import (
     dedup_stream,
@@ -289,3 +290,111 @@ class TestStreamingMetricsRecorder:
         assert rec.history.stats()["n_queries"] >= 1
         # dedup keeps state: the state-size metric must be present
         assert any(b["state_rows_total"] > 0 for b in got)
+
+
+class TestStreamStaticEnrich:
+    def test_streamed_enrichment_matches_batch_join(
+        self, spark, tmp_path, src
+    ):
+        """Draining the stream-static join must produce exactly the
+        batch join of the same inputs, including unmatched-left rows."""
+        from building_energy_data_pipeline_spark.streaming import (
+            enrich_stream,
+            read_meter_stream,
+        )
+
+        dim = spark.createDataFrame(
+            [("b1", "siteA"), ("b2", "siteB")], "building_id string, site string"
+        )
+        stream = enrich_stream(
+            read_meter_stream(spark, src), dim, ["building_id"]
+        )
+        sink = str(tmp_path / "enriched")
+        ckpt = str(tmp_path / "ckpt_enrich")
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r.building_id, r.meter, r.site)
+            for r in spark.read.parquet(sink).collect()
+        )
+        batch = sorted(
+            (r.building_id, r.meter, r.site)
+            for r in spark.read.parquet(src)
+            .join(F.broadcast(dim), ["building_id"], "left")
+            .collect()
+        )
+        assert got == batch
+        assert any(site is None for _, _, site in got) or all(
+            b in ("b1", "b2") for b, _, _ in got
+        )
+
+    def test_dim_rewrite_is_picked_up_by_next_batch(
+        self, spark, tmp_path
+    ):
+        """A CATALOG-table dimension rewritten between micro-batches
+        (followed by REFRESH TABLE — the contract the docstring
+        documents; a bare path read pins its file listing and fails
+        with FILE_NOT_EXIST instead) must enrich the second batch
+        with the new values, same stream object, no plan rebuild."""
+        from building_energy_data_pipeline_spark.streaming import (
+            enrich_stream,
+            read_meter_stream,
+        )
+
+        src = str(tmp_path / "meters")
+        dimdir = str(tmp_path / "dim")
+        write_batch(
+            spark, src, [(T0, "b1", "elec", 1.0)]
+        )
+        spark.createDataFrame(
+            [("b1", "old")], "building_id string, site string"
+        ).write.mode("overwrite").parquet(dimdir)
+        spark.sql(
+            f"CREATE TABLE scd_dim USING parquet LOCATION '{dimdir}'"
+        )
+        try:
+            stream = enrich_stream(
+                read_meter_stream(spark, src),
+                spark.table("scd_dim"),
+                ["building_id"],
+            )
+            sink = str(tmp_path / "enriched2")
+            ckpt = str(tmp_path / "ckpt_enrich2")
+
+            def run_once():
+                q = (
+                    stream.writeStream.format("parquet")
+                    .option("path", sink)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(120)
+
+            run_once()
+            # rewrite the dim (fresh part files), refresh, append a
+            # new event; the next availableNow run re-resolves the
+            # static side from the refreshed catalog entry
+            spark.createDataFrame(
+                [("b1", "new")], "building_id string, site string"
+            ).write.mode("overwrite").parquet(dimdir)
+            spark.sql("REFRESH TABLE scd_dim")
+            write_batch(
+                spark,
+                src,
+                [(T0 + dt.timedelta(hours=1), "b1", "elec", 2.0)],
+            )
+            run_once()
+            rows = {
+                (r.meter_reading, r.site)
+                for r in spark.read.parquet(sink).collect()
+            }
+            assert rows == {(1.0, "old"), (2.0, "new")}, rows
+        finally:
+            spark.sql("DROP TABLE IF EXISTS scd_dim")

@@ -1699,7 +1699,7 @@ def _q150_oracle() -> str:
     """
 
 
-@query("q150_power_iteration", oracle=_q150_oracle())
+@query("q150_power_iteration", headline=True, oracle=_q150_oracle())
 def q150_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two power-iteration steps toward the corpus embedding matrix's
     top principal direction — the eigenvector half of the PCA
@@ -1721,12 +1721,15 @@ def q150_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode (d(d+1)/2 structs/row, q143's map-only shape) feeds a
     map-side-combined aggregate whose exchange carries O(d²)
     partials per task, never rows. Everything after G is
-    metadata-sized: the mirrored edge list is 2·d² tiny rows, both
-    matrix-vector products are broadcast joins on it, and each
-    iteration is one O(d²) aggregate — the driver never sees data
+    metadata-sized: the mirrored edge list is 2·d² tiny rows, the
+    v₀=𝟙 product is one O(d²) aggregate over it, the G·v₁ product a
+    broadcast join of the d-row checkpointed direction, and each
+    max-rescale a d-bounded window — the driver never sees data
     (contrast: collecting G to numpy dies at d ≥ 10⁵; this plan
     never materializes G outside the cluster). More iterations chain
-    the same two CTE shapes (q117's unrolled-loop convention).
+    the same two shapes (q117's unrolled-loop convention); at very
+    large d the pair explode swaps for the blocked einsum Gram
+    accumulation (q143's note).
     """
     from ..caching import slot_persist
 
@@ -1750,9 +1753,17 @@ def q150_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.i", "p.j", "p.xy")
     )
     # the corpus-sized explode runs ONCE: the d²/2-row moment table
-    # is slot-staged, and the union mirror + both matrix-vector
-    # products read the cached frame (q143's re-aliased-subtree
-    # finding: without the slot this subtree executes four times)
+    # is slot-staged. Everything after it is d- and d²-sized; the
+    # discipline is ONE materialization per intermediate — u1 (d
+    # rows) is localCheckpointed because two consumers reference it
+    # (the v2 product and the output join), and each max-rescale is
+    # a lit(0) window over d rows (bounded by the embedding
+    # dimensionality, q140's catalog-window argument — never
+    # data-scaled). The first cut ran v1/u1/v2 and their
+    # max-subqueries as independent DataFrame subtrees: every
+    # reference re-executed its whole chain from the cache — ~10
+    # redundant tiny stages and nested broadcast jobs, 2.8 s of pure
+    # scheduling at sf0.1 for 64-row tables.
     g = slot_persist(
         "similarity.gram_moments",
         pairs.groupBy("i", "j").agg(F.sum("xy").cast("long").alias("g")),
@@ -1762,14 +1773,19 @@ def q150_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("j").alias("i"), F.col("i").alias("j"), "g"
         )
     )
-    v1 = sym.groupBy("i").agg(F.sum("g").cast("long").alias("v1"))
-    m1 = v1.agg(F.max(F.abs(F.col("v1"))).alias("m"))
-    u1 = v1.crossJoin(F.broadcast(m1)).select(
-        "i",
-        F.expr(
-            f"cast(floor(cast(v1 as double) * {PI_USCALE}"
-            f" / cast(m as double) + 0.5d) as bigint)"
-        ).alias("u1"),
+    w0 = W.partitionBy(F.lit(0))
+    u1 = (
+        sym.groupBy("i")
+        .agg(F.sum("g").cast("long").alias("v1"))
+        .withColumn("m1", F.max(F.abs(F.col("v1"))).over(w0))
+        .select(
+            "i",
+            F.expr(
+                f"cast(floor(cast(v1 as double) * {PI_USCALE}"
+                f" / cast(m1 as double) + 0.5d) as bigint)"
+            ).alias("u1"),
+        )
+        .localCheckpoint()
     )
     v2 = (
         sym.join(
@@ -1777,17 +1793,16 @@ def q150_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("i")
         .agg(F.sum(F.expr("g * u1")).cast("long").alias("v2"))
+        .withColumn("m2", F.max(F.abs(F.col("v2"))).over(w0))
     )
-    m2 = v2.agg(F.max(F.abs(F.col("v2"))).alias("m"))
     return (
         u1.join(v2, "i")
-        .crossJoin(F.broadcast(m2))
         .select(
             F.col("i").cast("long").alias("dim"),
             F.col("u1").alias("u1_scaled"),
             F.expr(
                 "cast(floor(cast(v2 as double) * 1000"
-                " / cast(m as double) + 0.5d) as bigint)"
+                " / cast(m2 as double) + 0.5d) as bigint)"
             ).alias("v2_permille"),
         )
         .orderBy("dim")

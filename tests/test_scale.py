@@ -509,10 +509,13 @@ class TestRound5LateQueryShapes:
         # no exchange besides spread_scan's round-robin fan-out
         caching.release_caches()
 
-    def test_q150_reads_corpus_once_no_window(self, spark, sf_dir):
+    def test_q150_reads_corpus_once(self, spark, sf_dir):
         """One corpus scan builds the slot-staged Gram moments; the
-        union mirror and both matrix-vector products read the cache —
-        no window, no re-run of the pair explode."""
+        u1 intermediate is checkpointed (two consumers), so the final
+        plan reads the checkpoint + the cache — the corpus file and
+        the pair explode never re-run. The only windows are the
+        lit(0) max-rescales over d rows (bounded by dimensionality,
+        never data-scaled)."""
         from building_energy_data_pipeline_spark import caching
         from building_energy_data_pipeline_spark.plans.queries import REGISTRY
 
@@ -520,11 +523,27 @@ class TestRound5LateQueryShapes:
         df = REGISTRY["q150_power_iteration"].spark(spark, sf_dir)
         df.collect()
         plan = explain_str(df).split("== Initial Plan ==")[0]
-        assert "Window" not in plan
-        # the single Scan parquet is the slot's build plan; every
-        # other read of the moment table is an InMemoryTableScan
+        # the single Scan parquet is the slot's own build plan
+        # (explain prints the cached relation's child once); u1's
+        # checkpoint contributes none
         assert plan.count("Scan parquet") == 1, plan
         assert "InMemoryTableScan" in plan
+        # every window in the plan is the bounded lit(0) rescale:
+        # all specs partition on the literal 0, none on a data column
+        full = explain_str(df)
+        specs = [
+            full[m.start() : m.start() + 80]
+            for m in __import__("re").finditer(
+                r"windowspecdefinition\(", full
+            )
+        ]
+        assert specs, "expected the lit(0) rescale windows"
+        for s in specs:
+            # a data-partitioned window would print a column
+            # reference (name#id) before the frame; the folded
+            # lit(0) spec goes straight to the frame definition
+            head = s.split("specifiedwindowframe")[0]
+            assert "#" not in head, s
         caching.release_caches()
 
     def test_q151_rater_is_map_only(self, spark, sf_dir):

@@ -33,14 +33,16 @@ FIRST_BELOW_WINDOW = "q02_filtered_scan"
 #: plan-affecting code changed since its LAST driver row, and any
 #: query with no driver row yet, goes INSIDE the 50-entry window;
 #: remaining slots refresh the queries with the oldest green rows.
-#: Round-5 mandatory set: the NEW q117–q119 (k-means/PageRank
-#: training loops + trained-IVF recall); the round-5 plan changes
-#: (asof right_unique → q36; global_row_index vocab rank → q108;
-#: factored edge builder → q109; span_grams factor → q112/q113);
-#: plus the FULL r1-vintage refresh block VERDICT r4 #3 asked for
-#: (q04–q06, q09–q13, q15–q19, q21, q35 — no driver row since
-#: round 1). Remaining slots drain the r2 rows (q39, q45–q47,
-#: q49/q50, q55–q58, q67, q69–q71) and the oldest r3 rows.
+#: Round-5 window (the authoritative list is _CURATED_ORDER below):
+#: the NEW q117–q151 (35 queries, no driver row yet — training
+#: loops, IVF probes, SemDeDup/CCNet dedup, BPE, BM25, winnowing,
+#: power iteration, kappa, ...); the round-5 plan changes (q30
+#: shared shingle slot; asof right_unique → q36; global_row_index
+#: vocab rank → q108; factored edge builder → q109; span_grams
+#: factor → q112/q113); plus 8 r1-vintage refreshes (q04–q06, q09,
+#: q17/q18, q21, q35 — VERDICT r4 #3 asked for ≥8). The rest of
+#: the r1-vintage set (q10/q12/q13/q19 and q11/q15/q16) yielded
+#: their slots to the new queries and drains next round.
 #: Not rotated in: r4-green rows whose plans are untouched this
 #: round (q96–q116 minus the set above, the spread_scan family,
 #: streaming — all re-verified by the local DuckDB-parity suite).

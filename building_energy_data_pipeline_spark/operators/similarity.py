@@ -749,6 +749,11 @@ def kmeans_train(
     # single-row-group corpus every round would otherwise run its
     # folds on ONE task (conditional — no-op on multi-split inputs;
     # −19% on the q129 bench entry, where the loop dominates)
+    # (measured: materializing the spread corpus via localCheckpoint
+    # is a wash at sf0.1 — the per-round cost is the assign folds,
+    # not the re-scan — and at warehouse scale pinning the whole
+    # corpus in block-manager memory is the wrong trade; parquet
+    # re-scan per round is the production shape)
     corpus = spread_scan(corpus, by=[id_col])
     for _ in range(max_iter):
         step = kmeans_step(corpus, centroids, id_col, vec_col)

@@ -35,7 +35,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_CACHE_SLOTS: dict[str, tuple[int | None, DataFrame]] = {}
+_CACHE_SLOTS: dict[str, tuple[object, DataFrame]] = {}
+
+#: sentinel: derive the slot fingerprint from the frame's plan
+_AUTO_SIG = object()
 
 
 def _input_files(df: DataFrame) -> frozenset[str]:
@@ -74,7 +77,12 @@ def _is_persisted(df: DataFrame) -> bool:
         return False
 
 
-def slot_persist(name: str, df: DataFrame, reuse: bool = True) -> DataFrame:
+def slot_persist(
+    name: str,
+    df: DataFrame,
+    reuse: bool = True,
+    sig: object = _AUTO_SIG,
+) -> DataFrame:
     """Persist ``df`` under slot ``name``; if ``reuse`` and the slot
     already holds a live frame with the same ``semanticHash`` in the
     same session, return THAT frame (warm cache) instead of
@@ -85,16 +93,26 @@ def slot_persist(name: str, df: DataFrame, reuse: bool = True) -> DataFrame:
     action" contract must not permanently kill the slot; an
     unpersisted occupant is re-persisted in place (cheap: just flips
     the storage flag back on, the plan is unchanged).
+
+    ``sig``: by default the fingerprint is derived from the plan
+    (semanticHash + analyzed-plan file listing). A caller whose plan
+    hash is UNSTABLE across equivalent invocations — e.g. a
+    driver-loop trainer whose output rides fresh ``localCheckpoint``
+    RDDs every run — may pass an explicit hashable signature built
+    from its true inputs (corpus plan hash + file listing +
+    hyper-parameters); the caller then owns the staleness contract
+    the default derivation would otherwise provide.
     """
-    try:
-        # the plan hash alone canonicalizes a parquet scan on its
-        # PATH; folding in the listed input files catches a directory
-        # rebuilt in place between invocations (part files carry
-        # fresh UUID names on every rewrite), so a warm hit can never
-        # serve signatures for regenerated data
-        sig = hash((df.semanticHash(), _input_files(df)))
-    except Exception:  # noqa: BLE001 — never let caching break a plan
-        sig = None
+    if sig is _AUTO_SIG:
+        try:
+            # the plan hash alone canonicalizes a parquet scan on its
+            # PATH; folding in the listed input files catches a
+            # directory rebuilt in place between invocations (part
+            # files carry fresh UUID names on every rewrite), so a
+            # warm hit can never serve signatures for regenerated data
+            sig = hash((df.semanticHash(), _input_files(df)))
+        except Exception:  # noqa: BLE001 — never let caching break a plan
+            sig = None
     prev = _CACHE_SLOTS.get(name)
     if prev is not None:
         prev_sig, prev_df = prev
@@ -121,6 +139,51 @@ def slot_persist(name: str, df: DataFrame, reuse: bool = True) -> DataFrame:
     # it and the next invocation replaces rather than accumulates)
     _CACHE_SLOTS[name] = (sig, cached)
     return cached
+
+
+def plan_sig(df: DataFrame, *extra: object) -> object | None:
+    """Explicit slot fingerprint for a frame DERIVED from ``df``:
+    ``df``'s plan hash + its analyzed-plan file listing, plus any
+    hashable ``extra`` (hyper-parameters, iteration budgets).
+
+    This is the signature a driver-loop trainer passes to
+    :func:`slot_lookup` / :func:`slot_persist` — its OUTPUT plan
+    rides fresh ``localCheckpoint`` RDDs every run (never hash-
+    stable), but the output is a pure function of the INPUT corpus
+    and the hyper-parameters, which this captures. ``None`` (never
+    matches) when the plan hash is unavailable.
+    """
+    try:
+        return hash((df.semanticHash(), _input_files(df)) + extra)
+    except Exception:  # noqa: BLE001 — never let caching break a caller
+        return None
+
+
+def slot_lookup(name: str, sig: object, session) -> DataFrame | None:
+    """Return slot ``name``'s frame if it was filled under the same
+    explicit ``sig`` in the same session, else ``None``.
+
+    The check-before-compute counterpart to :func:`slot_persist`'s
+    derive-from-plan warm path: a caller whose intermediate is
+    expensive to even DEFINE (a driver-loop trainer must run the
+    loop to produce the frame at all) probes the slot first and
+    skips the loop on a hit. Callers pair this with
+    ``slot_persist(name, result, sig=sig)`` on a miss.
+    """
+    if sig is None:
+        return None
+    prev = _CACHE_SLOTS.get(name)
+    if prev is None:
+        return None
+    prev_sig, prev_df = prev
+    if prev_sig == sig and prev_df.sparkSession is session:
+        if not _is_persisted(prev_df):
+            try:
+                prev_df.persist()
+            except Exception:  # noqa: BLE001
+                pass
+        return prev_df
+    return None
 
 
 def release_caches() -> None:

@@ -87,6 +87,7 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: float = 1e-6,
+    slot: str | None = None,
 ) -> DataFrame:
     """Weighted PageRank to (near-)fixpoint over an edge-count table —
     the driver-side loop around the oracle-checked single step (q109,
@@ -114,7 +115,23 @@ def pagerank(
     corpus text is never touched inside the loop; ``localCheckpoint``
     per round truncates lineage; convergence is a driver-side max-
     delta aggregate on the vocab-sized rank table.
+
+    ``slot``: train-once-reuse (the ``kmeans_train`` convention —
+    see that docstring for the contract). The rank table is a pure
+    function of (edges, hyper-parameters); its output plan rides
+    fresh ``localCheckpoint`` RDDs each run, so the slot is keyed by
+    an explicit :func:`caching.plan_sig` over the EDGE frame's plan
+    + file listing + every hyper-parameter. Deterministic loop
+    (DECIMAL in-edge sums), so a warm hit is result-identical.
     """
+    from ..caching import plan_sig, slot_lookup, slot_persist
+
+    if slot is not None:
+        sig = plan_sig(edges, src, dst, weight, damping, max_iter, tol)
+        hit = slot_lookup(slot, sig, edges.sparkSession)
+        if hit is not None:
+            return hit
+
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"),
         F.col(weight).cast("double").alias("w"),
@@ -136,7 +153,8 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:  # empty graph → empty ranks, like connected_components
-        return nodes.withColumn("rank", F.lit(0.0))
+        empty = nodes.withColumn("rank", F.lit(0.0))
+        return slot_persist(slot, empty, sig=sig) if slot else empty
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     for _ in range(max_iter):
@@ -175,4 +193,8 @@ def pagerank(
         ranks = new_ranks
         if delta is not None and delta < tol:
             break
+    if slot is not None:
+        # vocab-sized, already localCheckpointed — the persist is
+        # negligible; the slot's value is skipping the LOOP next time
+        return slot_persist(slot, ranks, sig=sig)
     return ranks

@@ -711,6 +711,7 @@ def kmeans_train(
     vec_col: str = "embedding",
     max_iter: int = 10,
     tol: float = 1e-6,
+    slot: str | None = None,
 ) -> DataFrame:
     """Spherical k-means to (near-)fixpoint — the driver-side loop
     around the oracle-checked Lloyd step (:func:`kmeans_step`, q107).
@@ -735,8 +736,30 @@ def kmeans_train(
     the deterministic fixed-budget mode the oracle-checked q117/q119
     run in (their DuckDB twin, :func:`duck_kmeans_train_sql`, unrolls
     the same fixed number of rounds as CTEs).
+
+    ``slot``: train-once-reuse. The trained quantizer is a pure
+    function of (corpus, hyper-parameters), and a session that
+    trains, indexes, retrieves, and evaluates (q117 → q119 → q121 →
+    q129 all train the SAME quantizer) should run the loop ONCE —
+    the production shape, where the coarse quantizer is fitted once
+    and served to every downstream consumer. The output plan rides
+    fresh ``localCheckpoint`` RDDs each run, so the default
+    plan-hash slot fingerprint can never warm-hit; instead the slot
+    is keyed by an EXPLICIT signature over the true inputs
+    (:func:`caching.plan_sig`: corpus plan hash + file listing +
+    every hyper-parameter), which preserves the staleness contract —
+    a regenerated corpus directory or a changed ``k`` misses and
+    retrains. Training is deterministic, so a warm hit is
+    result-identical to retraining.
     """
+    from ..caching import plan_sig, slot_lookup, slot_persist
     from .scale import spread_scan
+
+    if slot is not None:
+        sig = plan_sig(corpus, k, id_col, vec_col, max_iter, tol)
+        hit = slot_lookup(slot, sig, corpus.sparkSession)
+        if hit is not None:
+            return hit
 
     centroids = (
         corpus.orderBy(id_col)
@@ -801,6 +824,10 @@ def kmeans_train(
         centroids = new_centroids
         if delta is not None and delta < tol:
             break
+    if slot is not None:
+        # k rows, already localCheckpointed — the persist is
+        # negligible; the slot's value is skipping the LOOP next time
+        return slot_persist(slot, centroids, sig=sig)
     return centroids
 
 

@@ -640,6 +640,7 @@ def q118_pagerank_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping=PR_DAMPING,
         max_iter=PR_ITERS,
         tol=0.0,
+        slot="graph.pagerank_ranks",
     )
     return ranks.select(
         F.col("node").alias("token"),

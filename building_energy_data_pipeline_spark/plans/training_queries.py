@@ -415,7 +415,8 @@ def q117_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     trained = similarity.kmeans_train(
-        emb, KMEANS_K, max_iter=TRAIN_ITERS, tol=0.0
+        emb, KMEANS_K, max_iter=TRAIN_ITERS, tol=0.0,
+        slot="similarity.kmeans_trained",
     )
     return trained.select(
         F.col("vec_id").alias("centroid_id"),
@@ -465,7 +466,8 @@ def q119_trained_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.expr(ANN_QUERY_PRED))
     trained = similarity.kmeans_train(
-        emb, KMEANS_K, max_iter=TRAIN_ITERS, tol=0.0
+        emb, KMEANS_K, max_iter=TRAIN_ITERS, tol=0.0,
+        slot="similarity.kmeans_trained",
     )
     exact = similarity.brute_force_topk(
         emb, queries, "vec_id", "embedding", ANN_K
@@ -567,7 +569,8 @@ def q121_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.expr(ANN_QUERY_PRED))
     trained = similarity.kmeans_train(
-        emb, KMEANS_K, max_iter=TRAIN_ITERS, tol=0.0
+        emb, KMEANS_K, max_iter=TRAIN_ITERS, tol=0.0,
+        slot="similarity.kmeans_trained",
     )
     exact = similarity.brute_force_topk(
         emb, queries, "vec_id", "embedding", ANN_K
@@ -908,7 +911,8 @@ def q129_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     trained = similarity.kmeans_train(
-        emb, KMEANS_K, max_iter=TRAIN_ITERS, tol=0.0
+        emb, KMEANS_K, max_iter=TRAIN_ITERS, tol=0.0,
+        slot="similarity.kmeans_trained",
     )
     assigned = slot_persist(
         "similarity.semdedup_assigned",

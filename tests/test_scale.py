@@ -320,6 +320,90 @@ class TestSlotPersistHardening:
         assert b.count() == 100, "stale snapshot served after append"
         release_caches()
 
+    def test_slot_lookup_explicit_sig_contract(self, spark, tmp_path):
+        # check-before-compute path: a hit requires the SAME explicit
+        # signature; changed hyper-params or a regenerated input
+        # directory must miss (plan_sig folds in the file listing)
+        from building_energy_data_pipeline_spark.caching import (
+            plan_sig,
+            release_caches,
+            slot_lookup,
+            slot_persist,
+        )
+
+        p = str(tmp_path / "corpus")
+        spark.range(50).selectExpr("id", "id * 3 AS v").write.mode(
+            "overwrite"
+        ).parquet(p)
+        src = spark.read.parquet(p)
+        sig = plan_sig(src, 8, "fit")
+        assert slot_lookup("t.trained", sig, spark) is None  # empty slot
+        out = slot_persist("t.trained", src.groupBy().count(), sig=sig)
+        assert slot_lookup("t.trained", sig, spark) is out
+        assert slot_lookup("t.trained", plan_sig(src, 9, "fit"), spark) is None
+        # rebuilt-in-place input → new part-file names → sig changes
+        spark.range(50).selectExpr("id", "id * 3 AS v").write.mode(
+            "overwrite"
+        ).parquet(p)
+        stale = plan_sig(spark.read.parquet(p), 8, "fit")
+        assert stale != sig and slot_lookup("t.trained", stale, spark) is None
+        assert slot_lookup("t.trained", None, spark) is None
+        release_caches()
+
+    def test_kmeans_train_slot_runs_loop_once(self, spark, sf_dir):
+        # train-once-reuse: the second identical invocation must NOT
+        # re-run the Lloyd loop (counted via kmeans_step), and a
+        # changed hyper-parameter must retrain
+        from building_energy_data_pipeline_spark import caching
+        from building_energy_data_pipeline_spark.operators import similarity
+
+        caching.release_caches()
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        calls = {"n": 0}
+        real_step = similarity.kmeans_step
+
+        def counting_step(*a, **kw):
+            calls["n"] += 1
+            return real_step(*a, **kw)
+
+        similarity.kmeans_step = counting_step
+        try:
+            a = similarity.kmeans_train(
+                emb, 3, max_iter=2, tol=0.0, slot="t.kmeans"
+            )
+            assert calls["n"] == 2
+            b = similarity.kmeans_train(
+                emb, 3, max_iter=2, tol=0.0, slot="t.kmeans"
+            )
+            assert b is a, "warm hit should return the slot frame"
+            assert calls["n"] == 2, "loop re-ran on a warm hit"
+            c = similarity.kmeans_train(
+                emb, 4, max_iter=2, tol=0.0, slot="t.kmeans"
+            )
+            assert calls["n"] == 4, "changed k must retrain"
+            assert c.count() == 4
+        finally:
+            similarity.kmeans_step = real_step
+            caching.release_caches()
+
+    def test_pagerank_slot_reuses_trained_ranks(self, spark, tmp_path):
+        from building_energy_data_pipeline_spark import caching
+        from building_energy_data_pipeline_spark.operators import graph
+
+        caching.release_caches()
+        p = str(tmp_path / "edges")
+        spark.createDataFrame(
+            [("a", "b", 2), ("b", "c", 1), ("c", "a", 1)],
+            "w1 string, w2 string, c int",
+        ).write.parquet(p)
+        edges = spark.read.parquet(p)
+        a = graph.pagerank(edges, max_iter=2, tol=0.0, slot="t.pr")
+        b = graph.pagerank(edges, max_iter=2, tol=0.0, slot="t.pr")
+        assert b is a, "warm hit should return the slot frame"
+        c = graph.pagerank(edges, max_iter=3, tol=0.0, slot="t.pr")
+        assert c is not a, "changed budget must retrain"
+        caching.release_caches()
+
 
 class TestSpanGramPortability:
     """q112's production gram path (VERDICT r4 #2): portable=False

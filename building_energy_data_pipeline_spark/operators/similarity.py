@@ -897,6 +897,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 2,
+    slot: str | None = None,
 ) -> DataFrame:
     """Train the m per-subspace codebooks with Lloyd iterations.
 
@@ -916,8 +917,22 @@ def pq_train(
     (kmeans_train's discipline). The subvector explode multiplies
     rows by m but DIVIDES per-row bytes by m — corpus bytes per
     round stay constant.
+
+    ``slot``: train-once-reuse (the ``kmeans_train`` contract — see
+    that docstring): the codebooks are a pure function of (corpus,
+    m, k, iters) but ride fresh ``localCheckpoint`` RDDs each run,
+    so the slot is keyed by an explicit :func:`caching.plan_sig`
+    over the true inputs; an encode + retrieval session (q152/q153)
+    fits the codebooks ONCE.
     """
+    from ..caching import plan_sig, slot_lookup, slot_persist
     from .scale import spread_scan
+
+    if slot is not None:
+        sig = plan_sig(corpus, m, k, id_col, vec_col, iters)
+        hit = slot_lookup(slot, sig, corpus.sparkSession)
+        if hit is not None:
+            return hit
 
     subs = (
         spread_scan(corpus, cols=[id_col, vec_col], by=[id_col])
@@ -977,6 +992,10 @@ def pq_train(
             )
             .localCheckpoint()
         )
+    if slot is not None:
+        # m·k rows, already localCheckpointed — the persist is
+        # negligible; the slot's value is skipping the LOOP next time
+        return slot_persist(slot, codebooks, sig=sig)
     return codebooks
 
 

@@ -403,12 +403,16 @@ def duck_bpe_round_sql(prev: str, r: int, count_where: str = "") -> str:
     ),
     top{r} AS (SELECT a, b FROM pc{r} ORDER BY c DESC, a, b LIMIT 1),
     matched{r} AS (
+      -- LEFT JOIN ON true, not a cross join: an EMPTY top{r} (no
+      -- adjacent pair anywhere, e.g. all-single-token docs) must
+      -- pass the stream through unchanged (null pair -> m=false),
+      -- not vanish it (ADVICE r5 #4)
       SELECT p.doc_id, p.i, p.tok, t.a, t.b,
              COALESCE(p.tok = t.a
                       AND lead(p.tok) OVER (PARTITION BY p.doc_id
                                             ORDER BY p.i) = t.b,
                       false) AS m
-      FROM {prev} p, top{r} t
+      FROM {prev} p LEFT JOIN top{r} t ON true
     ),
     starts{r} AS (
       SELECT *,

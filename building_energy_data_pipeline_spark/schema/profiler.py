@@ -164,9 +164,13 @@ def is_monotonic(
             F.monotonically_increasing_id().alias("__ord"),
         )
     else:
+        # rows with a NULL order key carry no position in the order
+        # and are excluded (a null-__ord-only range partition would
+        # otherwise yield first_o=None and crash the driver-side
+        # boundary stitch — ADVICE r5 #2)
         ordered = df.select(
             F.col(col).alias("__c"), F.col(order_col).alias("__ord")
-        )
+        ).filter(F.col(order_col).isNotNull())
     ordered = ordered.filter(F.col("__c").isNotNull())
     rp = ordered.repartitionByRange(F.col("__ord")).withColumn(
         "__pid", F.spark_partition_id()

@@ -152,6 +152,22 @@ class TestProfiler:
         desc = spark.createDataFrame([(1, 30), (2, 20), (3, 10)], "ord int, v int")
         assert is_monotonic(desc, "v", "ord") is True  # non-increasing counts
 
+    def test_monotonicity_null_order_keys(self, spark):
+        """NULL order keys carry no position: they are excluded from
+        the check instead of crashing the driver-side boundary stitch
+        (ADVICE r5 #2 — an all-null range partition yielded
+        first_o=None and a None<int TypeError)."""
+        df = spark.createDataFrame(
+            [(None, 99), (1, 10), (None, 0), (2, 20), (3, 30)],
+            "ord int, v int",
+        )
+        assert is_monotonic(df, "v", "ord") is True
+        all_null = spark.createDataFrame(
+            [(None, 5), (None, 1)], "ord int, v int"
+        )
+        # no ordered rows at all → vacuously monotonic, no crash
+        assert is_monotonic(all_null, "v", "ord") is True
+
 
 # ---------------------------------------------------------------------------
 # T6–T8 — sampling

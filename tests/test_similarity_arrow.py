@@ -90,6 +90,32 @@ class TestFixpointLoops:
         # each true cluster maps to exactly one trained centroid
         assert all(r.n_cents == 1 for r in groups)
 
+    def test_assign_centroids_preserves_string_id_type(self, spark):
+        """The nprobe=1 fold's null accumulator must take the
+        centroid frame's ACTUAL id dtype — a string-keyed centroid
+        table keeps string centroid_ids, matching the nprobe>1
+        window path (ADVICE r5 #3)."""
+        from building_energy_data_pipeline_spark.operators.similarity import (
+            assign_centroids,
+        )
+
+        emb = spark.createDataFrame(
+            [("d1", [1.0, 0.0]), ("d2", [0.0, 1.0])],
+            "vec_id string, embedding array<float>",
+        )
+        cent = spark.createDataFrame(
+            [("ca", [1.0, 0.1]), ("cb", [0.1, 1.0])],
+            "vec_id string, embedding array<float>",
+        )
+        one = assign_centroids(emb, cent)
+        assert one.schema["centroid_id"].dataType.simpleString() == "string"
+        got = {r.vec_id: r.centroid_id for r in one.collect()}
+        assert got == {"d1": "ca", "d2": "cb"}
+        multi = assign_centroids(emb, cent, nprobe=2)
+        assert (
+            multi.schema["centroid_id"].dataType.simpleString() == "string"
+        )
+
     def test_pagerank_fixpoint_properties(self, spark):
         from building_energy_data_pipeline_spark.operators.graph import (
             pagerank,

@@ -1438,8 +1438,13 @@ def q135_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("c")
     )
     merge_scan = text.bpe_merge_expr("toks", "pair_a", "pair_b")
+    # left join on TRUE, not crossJoin: an empty top (no adjacent
+    # pair in the whole corpus) must pass every document through
+    # unchanged — null pair_a/pair_b make the merge fold's match
+    # condition NULL → pass-through (ADVICE r5 #4); with the
+    # guaranteed-1-row top this is plan-equivalent to the cross join
     return (
-        staged.crossJoin(F.broadcast(top))
+        staged.join(F.broadcast(top), F.lit(True), "left")
         .select(
             "doc_id",
             "pair_a",
@@ -1547,8 +1552,10 @@ def q136_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("c")
         )
         merge_tops.append(top)
+        # left join on TRUE: empty top → null pair → merge fold
+        # passes the stream through unchanged (ADVICE r5 #4)
         merged = (
-            staged.crossJoin(F.broadcast(top))
+            staged.join(F.broadcast(top), F.lit(True), "left")
             .select(
                 "doc_id",
                 F.expr(
@@ -1563,7 +1570,7 @@ def q136_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join("toks", " ")).alias("final_md5"),
     )
     for top in merge_tops:
-        out = out.crossJoin(F.broadcast(top))
+        out = out.join(F.broadcast(top), F.lit(True), "left")
     return out.select(
         "doc_id",
         *[
@@ -1987,7 +1994,9 @@ def q139_bpe_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("c")
         )
         merge_tops.append(top)
-        merged = staged.crossJoin(F.broadcast(top)).select(
+        # left join on TRUE: an empty train-split top passes the
+        # stream through unchanged (ADVICE r5 #4, q136's guard)
+        merged = staged.join(F.broadcast(top), F.lit(True), "left").select(
             "doc_id",
             "in_train",
             F.expr(
@@ -2002,7 +2011,7 @@ def q139_bpe_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join("toks", " ")).alias("final_md5"),
     )
     for top in merge_tops:
-        out = out.crossJoin(F.broadcast(top))
+        out = out.join(F.broadcast(top), F.lit(True), "left")
     return out.select(
         "doc_id",
         "in_train",

@@ -277,12 +277,15 @@ def assign_centroids(
         ccos = cosine_expr(vec_col, "c.cvec", "vnorm", "c.cnorm")
         # score each centroid ONCE (transform), then a strictly-greater
         # max fold keeps the earliest cid on exact ties (array is
-        # cid-sorted); id type pinned to the tables' bigint keys
+        # cid-sorted); the accumulator's null cid is cast to the
+        # centroid frame's ACTUAL id dtype so non-bigint keys keep
+        # their type, matching the nprobe>1 window path (ADVICE r5 #3)
+        cid_type = centroids.schema[id_col].dataType.simpleString()
         best = f"""
         aggregate(
           transform(__cents,
                     c -> named_struct('cid', c.cid, 'cos', {ccos})),
-          named_struct('cid', cast(null as bigint),
+          named_struct('cid', cast(null as {cid_type}),
                        'cos', cast('-Infinity' as double)),
           (acc, s) -> CASE WHEN s.cos > acc.cos THEN s ELSE acc END,
           acc -> acc.cid)
@@ -860,11 +863,21 @@ def l2sq_expr(a: str, b: str) -> str:
 
 
 def _sub_slices_expr(vec_col: str, m: int) -> str:
-    """Spark SQL: array of the m contiguous subvectors of ``vec_col``
-    (size must divide evenly by m — asserted by callers)."""
+    """Spark SQL: array of the m contiguous subvectors of ``vec_col``.
+
+    The vector dimension must divide evenly by m — enforced IN-PLAN
+    (a per-row CASE on ``size()``, O(1)) so every PQ entry point
+    (train/encode/ADC/IVF-PQ) fails loudly instead of silently
+    dropping the trailing ``dim % m`` components (ADVICE r5 #1)."""
+    guard = (
+        f"CASE WHEN size({vec_col}) % {m} = 0 THEN {vec_col}"
+        f" ELSE raise_error(concat('pq: vector dim ',"
+        f" cast(size({vec_col}) as string),"
+        f" ' is not divisible by m={m}')) END"
+    )
     return (
         f"transform(sequence(0, {m} - 1),"
-        f" s -> slice({vec_col}, s * (size({vec_col}) div {m}) + 1,"
+        f" s -> slice({guard}, s * (size({vec_col}) div {m}) + 1,"
         f" size({vec_col}) div {m}))"
     )
 
@@ -1296,6 +1309,119 @@ def duck_pq_codebook_sql(
         "WITH " + ",\n    ".join(ctes)
         + f"\n    SELECT sub_id, code_id, centroid FROM cb{iters}"
     )
+
+
+def _duck_pq_asg_sql(corpus_sql: str, m: int) -> str:
+    """(vec_id, sub_id, code_id): nearest-code assignment of every
+    subvector against a ``cb`` codebook CTE in scope (the shared
+    encode/ADC assignment — squared L2, lowest code id on ties,
+    :func:`_pq_assign`'s convention)."""
+    dist = duck_l2sq_sql("a.sv", "c.centroid")
+    return f"""
+      SELECT vec_id, sub_id, code_id FROM (
+        SELECT a.vec_id, a.sub_id, c.code_id,
+               row_number() OVER (PARTITION BY a.vec_id, a.sub_id
+                                  ORDER BY {dist}, c.code_id) AS rk
+        FROM ({_duck_pq_subs_sql(corpus_sql, m)}) a JOIN cb c USING (sub_id)
+      ) WHERE rk = 1
+    """
+
+
+def _duck_adc_rank_sql(k: int) -> str:
+    """Shared tail of the ADC twins: fold each (query, neighbor)'s
+    per-subspace distances in sub_id order (list_reduce with a 0.0
+    prepend — bit-identical to Spark's left-to-right ``aggregate``
+    over the LUT zip), round to 6, rank on the ROUNDED distance with
+    neighbor-id tie-break (:func:`pq_adc_topk`'s contract)."""
+    return f"""
+    dists AS (
+      SELECT query_id, neighbor_id,
+             round(list_reduce(list_prepend(0.0, list(d ORDER BY sub_id)),
+                               (acc, v) -> acc + v), 6) AS adc_dist
+      FROM contrib GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, adc_dist FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rank
+      FROM dists
+    ) WHERE rank <= {k}
+    """
+
+
+def duck_pq_adc_topk_sql(
+    corpus: str = "embeddings",
+    query_pred: str = "vec_id % 50 = 0",
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of :func:`pq_train` → :func:`pq_encode` →
+    :func:`pq_adc_topk`: each (query, neighbor, sub_id) contributes
+    the exact L2² from the query's subvector to the neighbor's
+    assigned code centroid — the relational statement of the ADC
+    lookup table (self-matches included, scoring at the quantization
+    floor)."""
+    return f"""
+    WITH cb AS ({duck_pq_codebook_sql(corpus, m, k_codes, iters)}),
+    ncode AS ({_duck_pq_asg_sql(f'SELECT * FROM {corpus}', m)}),
+    qsubs AS ({_duck_pq_subs_sql(
+        f'SELECT * FROM {corpus} WHERE {query_pred}', m)}),
+    contrib AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, q.sub_id,
+             {duck_l2sq_sql('q.sv', 'c.centroid')} AS d
+      FROM qsubs q
+      JOIN ncode n ON n.sub_id = q.sub_id
+      JOIN cb c ON c.sub_id = n.sub_id AND c.code_id = n.code_id
+    ),
+    {_duck_adc_rank_sql(k)}
+    """
+
+
+def duck_ivf_pq_topk_sql(
+    corpus: str = "embeddings",
+    centroid_pred: str | None = "vec_id < 8",
+    query_pred: str = "vec_id % 50 = 0",
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    k: int = 10,
+    nprobe: int = 2,
+    centroid_sql: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`ivf_pq_topk`: coarse cells via
+    :func:`duck_assign_sql` (cosine, the IVF convention), candidates
+    restricted to each query's ``nprobe`` probed cells, scored by the
+    ADC contribution join (:func:`duck_pq_adc_topk_sql`'s shape).
+    ``centroid_sql`` swaps the seed predicate for an arbitrary
+    centroid table (the trained-coarse path, q154)."""
+    cent = centroid_sql or f"SELECT * FROM {corpus} WHERE {centroid_pred}"
+    qassign = duck_assign_sql(
+        f"(SELECT * FROM {corpus} WHERE {query_pred})",
+        centroid_sql="SELECT * FROM cents",
+        nprobe=nprobe,
+    )
+    return f"""
+    WITH cb AS ({duck_pq_codebook_sql(corpus, m, k_codes, iters)}),
+    cents AS ({cent}),
+    cassign AS ({duck_assign_sql(
+        corpus, centroid_sql="SELECT * FROM cents")}),
+    ncode AS ({_duck_pq_asg_sql(f'SELECT * FROM {corpus}', m)}),
+    qassign AS ({qassign}),
+    qsubs AS ({_duck_pq_subs_sql(
+        f'SELECT * FROM {corpus} WHERE {query_pred}', m)}),
+    contrib AS (
+      SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id, q.sub_id,
+             {duck_l2sq_sql('q.sv', 'c.centroid')} AS d
+      FROM qassign qa
+      JOIN cassign ca ON ca.centroid_id = qa.centroid_id
+      JOIN qsubs q ON q.vec_id = qa.vec_id
+      JOIN ncode n ON n.vec_id = ca.vec_id AND n.sub_id = q.sub_id
+      JOIN cb c ON c.sub_id = q.sub_id AND c.code_id = n.code_id
+    ),
+    {_duck_adc_rank_sql(k)}
+    """
 
 
 def duck_pq_encode_sql(

@@ -27,31 +27,147 @@ from . import cdc_queries  # noqa: F401  (MERGE upsert q105)
 #: at that index (the explicit sentinel tests assert against —
 #: ADVICE r4 #3: no comment parsing).
 DRIVER_WINDOW_SIZE = 50
-FIRST_BELOW_WINDOW = "q02_filtered_scan"
+FIRST_BELOW_WINDOW = "q67_variant_json"
 
 #: Registry prefix — ROTATION RULE (round 4+): any query whose
 #: plan-affecting code changed since its LAST driver row, and any
 #: query with no driver row yet, goes INSIDE the 50-entry window;
 #: remaining slots refresh the queries with the oldest green rows.
-#: Round-5 window (the authoritative list is _CURATED_ORDER below):
-#: the NEW q117–q151 (35 queries, no driver row yet — training
-#: loops, IVF probes, SemDeDup/CCNet dedup, BPE, BM25, winnowing,
-#: power iteration, kappa, ...); the round-5 plan changes (q30
-#: shared shingle slot; asof right_unique → q36; global_row_index
-#: vocab rank → q108; factored edge builder → q109; span_grams
-#: factor → q112/q113); plus 8 r1-vintage refreshes (q04–q06, q09,
-#: q17/q18, q21, q35 — VERDICT r4 #3 asked for ≥8). The rest of
-#: the r1-vintage set (q10/q12/q13/q19 and q11/q15/q16) yielded
-#: their slots to the new queries and drains next round.
-#: Not rotated in: r4-green rows whose plans are untouched this
-#: round (q96–q116 minus the set above, the spread_scan family,
-#: streaming — all re-verified by the local DuckDB-parity suite).
+#: Round-6 window (the authoritative list is _CURATED_ORDER below):
+#: the NEW PQ family q152–q154 (no driver row yet); the round-6
+#: plan changes (q135/q136/q139 — BPE empty-top left-join guard,
+#: ADVICE r5 #4; q90 — broadcast-scalar cutoff, VERDICT r5 #6);
+#: the FULL r1-vintage drain (q10–q13, q15, q16, q19 — flagged two
+#: rounds running, VERDICT r5 #3) and the FULL r2-vintage drain
+#: (q45–q47, q49, q50, q55–q58, q69–q71); remaining slots refresh
+#: the 23 oldest r3-vintage rows (q07…q66). Below the boundary:
+#: the rest of the r3 set (q67, q72–q95 — drains next round), then
+#: r4-green, then r5-green rows, all unchanged since their last
+#: driver row and re-verified by the local DuckDB-parity suite.
 #: Ordering is evidence curation, not semantics: every query runs
 #: identically wherever it sits.
 _CURATED_ORDER = [
-    # flagship
     "q01_pricing_summary",
-    # NEW this round — no driver row yet
+    "q152_pq_encode",
+    "q153_ivf_pq",
+    "q154_ivf_pq_recall",
+    "q135_bpe_merge_step",
+    "q136_bpe_train",
+    "q139_bpe_transfer",
+    "q90_incremental_dedup",
+    "q10_cross_join_constants",
+    "q11_union_halves",
+    "q12_nation_key_set_ops",
+    "q13_regional_rollup",
+    "q15_string_functions",
+    "q16_monthly_orders",
+    "q19_column_stats",
+    "q45_rollup_acctbal",
+    "q46_cube_orders",
+    "q47_grouping_sets",
+    "q49_nation_intersect_except",
+    "q50_topk_with_ties",
+    "q55_correlated_subqueries",
+    "q56_salted_skew_join",
+    "q57_full_outer_join",
+    "q58_recursive_spine",
+    "q69_sql_unpivot",
+    "q70_histogram",
+    "q71_snapshot_diff",
+    "q07_event_gaps",
+    "q14_json_extract",
+    "q20_monotonicity_check",
+    "q24_minmax_normalize",
+    "q25_hourly_rollup",
+    "q26_exact_dedup",
+    "q38_percentiles_by_type",
+    "q39_user_journey_drift",
+    "q40_batch_bounds_json",
+    "q41_moving_average",
+    "q42_sessionize",
+    "q43_type_pivot",
+    "q48_range_join_bands",
+    "q51_approx_distinct",
+    "q52_streaming_hourly_rollup",
+    "q59_explode_tokens",
+    "q60_vector_norms",
+    "q61_sql_pivot",
+    "q62_streaming_session_window",
+    "q63_map_functions",
+    "q64_stateful_gap_tracker",
+    "q65_tfidf_top_terms",
+    "q66_label_centroids",
+    "q67_variant_json",
+    "q72_event_funnel",
+    "q73_gapfill_locf",
+    "q74_continuous_aggregate",
+    "q75_ntile_segmentation",
+    "q77_modern_aggregates",
+    "q78_random_sample",
+    "q79_stratified_sample",
+    "q80_sliding_window",
+    "q81_first_nth_value",
+    "q82_lateral_topk",
+    "q88_source_mixture",
+    "q93_sink_roundtrip",
+    "q94_footer_rowcounts",
+    "q95_crossmodal_quality_norms",
+    "q02_filtered_scan",
+    "q03_top_revenue_orders",
+    "q08_unpivot_metrics",
+    "q22_pagination",
+    "q23_systematic_sample",
+    "q27_fingerprint_dedup",
+    "q28_minhash_lsh_pairs",
+    "q29_simhash",
+    "q31_token_counts",
+    "q32_lang_id",
+    "q33_quality_scores",
+    "q34_ann_bruteforce",
+    "q37_embedding_neardup",
+    "q44_neardup_clusters",
+    "q53_multimodal_image_features",
+    "q54_frame_sample_plan",
+    "q68_fuzzy_blocked_join",
+    "q76_text_canonicalize",
+    "q83_sequence_packing",
+    "q84_decontamination_overlap",
+    "q85_token_dominance",
+    "q86_boilerplate_ngrams",
+    "q87_embedding_quantization",
+    "q91_quantized_topk",
+    "q92_corpus_curation",
+    "q96_streaming_dedup",
+    "q97_repetition_filter",
+    "q98_rag_chunking",
+    "q99_bigram_lm",
+    "q100_stream_stream_join",
+    "q101_ivf_recall",
+    "q102_audio_int_stats",
+    "q103_jsonl_roundtrip",
+    "q104_orc_roundtrip",
+    "q105_merge_upsert",
+    "q106_split_leakage",
+    "q107_kmeans_step",
+    "q110_temperature_mixture",
+    "q111_bucketed_join",
+    "q114_shuffle_shard",
+    "q115_streaming_cdc_apply",
+    "q116_join_key_skew",
+    "q04_exists_semi_join",
+    "q05_customers_without_orders",
+    "q06_nation_customer_rollup",
+    "q09_nullsafe_pair_join",
+    "q17_try_cast_coercion",
+    "q18_conditional_ratio",
+    "q21_topk_per_group",
+    "q30_ngram_jaccard",
+    "q35_ann_ivf",
+    "q36_asof_join",
+    "q108_zipf_coverage",
+    "q109_pagerank_step",
+    "q112_duplicate_spans",
+    "q113_span_excision",
     "q117_kmeans_train",
     "q118_pagerank_train",
     "q119_trained_ivf_recall",
@@ -70,11 +186,8 @@ _CURATED_ORDER = [
     "q132_hard_negatives",
     "q133_label_silhouette",
     "q134_length_bucketed_batches",
-    "q135_bpe_merge_step",
-    "q136_bpe_train",
     "q137_association_lift",
     "q138_source_overlap",
-    "q139_bpe_transfer",
     "q140_budget_waterfill",
     "q141_retention_cohorts",
     "q142_length_outliers",
@@ -83,142 +196,10 @@ _CURATED_ORDER = [
     "q145_split_drift",
     "q146_embedding_coverage",
     "q147_neardup_transitivity",
-    # changed round 5: shared source-shingle persist slot (q123's
-    # sibling — the ReuseExchange claim was empirically false, so
-    # both now stage through dedup.source_shingles)
-    "q30_ngram_jaccard",
-    # changed round 5: asof right_unique / scalable vocab rank /
-    # factored pagerank edges / span_grams portable factor
-    "q36_asof_join",
-    "q108_zipf_coverage",
-    "q109_pagerank_step",
-    "q112_duplicate_spans",
-    "q113_span_excision",
-    # NEW late round 5 — no driver row yet
     "q148_bm25_retrieval",
     "q149_winnowing_pairs",
     "q150_power_iteration",
     "q151_label_kappa",
-    # refresh: r1-vintage rows (no driver row since round 1)
-    "q04_exists_semi_join",
-    "q05_customers_without_orders",
-    "q06_nation_customer_rollup",
-    "q09_nullsafe_pair_join",
-    "q17_try_cast_coercion",
-    "q18_conditional_ratio",
-    "q21_topk_per_group",
-    "q35_ann_ivf",
-    # (q10/q12/q13/q19 demoted below to make room for q148-q151;
-    # q11/q15/q16 + the r2-vintage q39/q45-q47/q49/q50 demoted
-    # earlier for q139-q147; q07/q14/q24/q25/q38/q40-q43/q48/q51/
-    # q55-q58/q67/q69-q71 stay below too — r1/r2/r3-green,
-    # untouched; 8 r1-vintage refreshes remain in-window, meeting
-    # the ≥8 VERDICT r4 #3 asked for)
-    # ---- position 50 boundary (= DRIVER_WINDOW_SIZE /
-    # FIRST_BELOW_WINDOW); below: green at their last driver row
-    # (r4 for q96-q116 and the spread_scan/dedup families, r3/r2/r1
-    # for the rest), unchanged since, re-verified by the local
-    # DuckDB-parity suite each round --
-    "q02_filtered_scan",
-    "q10_cross_join_constants",
-    "q12_nation_key_set_ops",
-    "q13_regional_rollup",
-    "q19_column_stats",
-    "q07_event_gaps",
-    "q11_union_halves",
-    "q14_json_extract",
-    "q15_string_functions",
-    "q16_monthly_orders",
-    "q39_user_journey_drift",
-    "q45_rollup_acctbal",
-    "q46_cube_orders",
-    "q47_grouping_sets",
-    "q49_nation_intersect_except",
-    "q50_topk_with_ties",
-    "q55_correlated_subqueries",
-    "q56_salted_skew_join",
-    "q57_full_outer_join",
-    "q58_recursive_spine",
-    "q67_variant_json",
-    "q69_sql_unpivot",
-    "q70_histogram",
-    "q71_snapshot_diff",
-    "q20_monotonicity_check",
-    "q24_minmax_normalize",
-    "q25_hourly_rollup",
-    "q38_percentiles_by_type",
-    "q40_batch_bounds_json",
-    "q41_moving_average",
-    "q42_sessionize",
-    "q43_type_pivot",
-    "q48_range_join_bands",
-    "q51_approx_distinct",
-    "q03_top_revenue_orders",
-    "q08_unpivot_metrics",
-    "q22_pagination",
-    "q23_systematic_sample",
-    "q26_exact_dedup",
-    "q27_fingerprint_dedup",
-    "q28_minhash_lsh_pairs",
-    "q29_simhash",
-    "q31_token_counts",
-    "q32_lang_id",
-    "q33_quality_scores",
-    "q34_ann_bruteforce",
-    "q37_embedding_neardup",
-    "q44_neardup_clusters",
-    "q52_streaming_hourly_rollup",
-    "q53_multimodal_image_features",
-    "q54_frame_sample_plan",
-    "q59_explode_tokens",
-    "q60_vector_norms",
-    "q61_sql_pivot",
-    "q62_streaming_session_window",
-    "q63_map_functions",
-    "q64_stateful_gap_tracker",
-    "q65_tfidf_top_terms",
-    "q66_label_centroids",
-    "q68_fuzzy_blocked_join",
-    "q72_event_funnel",
-    "q73_gapfill_locf",
-    "q74_continuous_aggregate",
-    "q75_ntile_segmentation",
-    "q76_text_canonicalize",
-    "q77_modern_aggregates",
-    "q78_random_sample",
-    "q79_stratified_sample",
-    "q80_sliding_window",
-    "q81_first_nth_value",
-    "q82_lateral_topk",
-    "q83_sequence_packing",
-    "q84_decontamination_overlap",
-    "q85_token_dominance",
-    "q86_boilerplate_ngrams",
-    "q87_embedding_quantization",
-    "q88_source_mixture",
-    "q90_incremental_dedup",
-    "q91_quantized_topk",
-    "q92_corpus_curation",
-    "q93_sink_roundtrip",
-    "q94_footer_rowcounts",
-    "q95_crossmodal_quality_norms",
-    "q96_streaming_dedup",
-    "q97_repetition_filter",
-    "q98_rag_chunking",
-    "q99_bigram_lm",
-    "q100_stream_stream_join",
-    "q101_ivf_recall",
-    "q102_audio_int_stats",
-    "q103_jsonl_roundtrip",
-    "q104_orc_roundtrip",
-    "q105_merge_upsert",
-    "q106_split_leakage",
-    "q107_kmeans_step",
-    "q110_temperature_mixture",
-    "q111_bucketed_join",
-    "q114_shuffle_shard",
-    "q115_streaming_cdc_apply",
-    "q116_join_key_skew",
 ]
 
 

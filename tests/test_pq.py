@@ -126,6 +126,20 @@ class TestPQTrainEncode:
             )
 
 
+class TestDimGuard:
+    def test_non_dividing_m_raises_in_plan(self, spark, emb):
+        """A vector dimension not divisible by m must FAIL LOUDLY
+        (in-plan raise_error) instead of silently dropping the
+        trailing dim % m components (ADVICE r5 #1). 64-dim / m=5."""
+        df, _, _ = emb
+        with pytest.raises(Exception, match="not divisible by m=5"):
+            similarity.pq_train(df, m=5, k=K, iters=1).collect()
+        cb = similarity.pq_train(df, m=M, k=K, iters=1)
+        bad = df.withColumn("embedding", F.expr("slice(embedding, 1, 63)"))
+        with pytest.raises(Exception, match="not divisible by m=4"):
+            similarity.pq_encode(bad, cb).collect()
+
+
 class TestADC:
     def test_adc_recall_vs_exact(self, spark, emb):
         df, ids, x = emb

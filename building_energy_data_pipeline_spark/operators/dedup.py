@@ -382,7 +382,7 @@ def minhash_lsh_pairs(
 def incremental_lsh_matches(
     sigs: DataFrame,
     id_col: str,
-    cutoff: int,
+    cutoff: int | DataFrame,
     min_jaccard: float = 0.5,
     reuse_slot: bool = False,
 ) -> DataFrame:
@@ -426,12 +426,25 @@ def incremental_lsh_matches(
     slim = staged.select(
         F.col(id_col), F.explode_outer("band_keys").alias("bk")
     ).repartition(F.col("bk"))
+    # ``cutoff`` may be a plain int OR a 1-row (cutoff) DataFrame —
+    # the broadcast-scalar form keeps the registered query ONE job
+    # (no driver-side first() probe; VERDICT r5 #6). The tiny
+    # aggregate rides a broadcast join and is evaluated inside the
+    # same action as the probe.
+    if isinstance(cutoff, DataFrame):
+        probe = (
+            slim.join(F.broadcast(cutoff), F.lit(True), "left")
+            .filter(F.col(id_col) >= F.col("cutoff"))
+            .select(F.col(id_col).alias("id_b"), "bk")
+        )
+    else:
+        probe = slim.filter(F.col(id_col) >= cutoff).select(
+            F.col(id_col).alias("id_b"), "bk"
+        )
     cand = (
         slim.select(F.col(id_col).alias("id_a"), "bk")
         .join(
-            slim.filter(F.col(id_col) >= cutoff).select(
-                F.col(id_col).alias("id_b"), "bk"
-            ),
+            probe,
             "bk",
         )
         .filter(F.col("id_a") < F.col("id_b"))

@@ -54,6 +54,19 @@ class Pipeline:
             "schemas_path", os.path.join(self.warehouse, "_schemas")
         )
 
+    def create_folder_structure(self, base_path: str = ".") -> list[str]:
+        """First-run scaffolding: materialize the directory tree the
+        ``project_structure`` config section describes (the reference
+        ``Orchestrator.create_folder_structure``,
+        ``src/orchestrator/orchestrator.py:47-48`` →
+        ``FileUtils.create_directories_from_yaml``). Returns the
+        created/confirmed directories depth-first."""
+        from .sources.acquire import create_directories_from_yaml
+
+        return create_directories_from_yaml(
+            self.config.get("project_structure", {}), base_path
+        )
+
     # -- §3.3 -------------------------------------------------------------
     def retrieve_data(self) -> str | None:
         """Download the configured Zenodo record and extract the

@@ -90,3 +90,45 @@ def get_parquet_info(path: str) -> dict[str, Any]:
             first_rg.total_byte_size if first_rg else 0
         ),
     }
+
+
+def create_directories_from_yaml(
+    structure: "dict | None", base_path: str = "."
+) -> list[str]:
+    """First-run project scaffolding: create the nested directory
+    tree a ``project_structure`` config section describes (the
+    reference's ``FileUtils.create_directories_from_yaml``,
+    ``src/utility/file_utils.py:288-315``, driven by
+    ``config/project_structure_config.yaml``). Keys are directory
+    names, dict values recurse, empty/None values are leaves; any
+    directory whose path contains a ``src`` segment gets an
+    ``__init__.py`` package marker, matching the reference's rule.
+
+    Pure driver-side filesystem setup (no Spark). Returns the list
+    of directories created-or-confirmed, depth-first, for logging
+    and tests.
+    """
+    made: list[str] = []
+
+    def _walk(node: "dict | None", cur: str) -> None:
+        if not isinstance(node, dict):
+            return
+        for key, value in node.items():
+            path = os.path.join(cur, str(key))
+            os.makedirs(path, exist_ok=True)
+            made.append(path)
+            # the reference checks `"src" in new_path` (substring);
+            # match on the path SEGMENT instead so e.g. `resources/`
+            # doesn't get a stray __init__.py
+            if "src" in os.path.normpath(path).split(os.sep):
+                init = os.path.join(path, "__init__.py")
+                if not os.path.exists(init):
+                    with open(init, "w") as f:
+                        f.write(
+                            "# This file makes this directory"
+                            " a Python package\n"
+                        )
+            _walk(value, path)
+
+    _walk(structure, base_path)
+    return made

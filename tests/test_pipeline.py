@@ -237,3 +237,51 @@ class TestSchemaEvolution:
         assert "score" in merged.columns
         rows = {r.id: r.score for r in merged.collect()}
         assert rows[2] == 9.5 and rows[1] is None
+
+
+class TestFolderBootstrap:
+    """Reference parity: ``Orchestrator.create_folder_structure`` →
+    ``FileUtils.create_directories_from_yaml``
+    (``src/orchestrator/orchestrator.py:47-48``,
+    ``tests/test_file_utils.py:170-184`` — the same nested-dict
+    fixture and assertions)."""
+
+    def test_create_directories_from_yaml(self, tmp_path):
+        from building_energy_data_pipeline_spark.sources.acquire import (
+            create_directories_from_yaml,
+        )
+
+        structure = {"src": {"module1": {}, "module2": {}}}
+        made = create_directories_from_yaml(structure, str(tmp_path))
+
+        assert (tmp_path / "src" / "module1").exists()
+        assert (tmp_path / "src" / "module2").exists()
+        assert (tmp_path / "src" / "module1" / "__init__.py").exists()
+        # `resources` contains "src" as a substring but is NOT a src
+        # path segment — no package marker (documented deviation from
+        # the reference's substring check)
+        create_directories_from_yaml({"resources": {}}, str(tmp_path))
+        assert (tmp_path / "resources").exists()
+        assert not (tmp_path / "resources" / "__init__.py").exists()
+        assert str(tmp_path / "src") in made
+        # idempotent re-run
+        again = create_directories_from_yaml(structure, str(tmp_path))
+        assert made == again
+
+    def test_pipeline_facade_reads_project_structure_config(
+        self, spark, tmp_path
+    ):
+        pipe = Pipeline(
+            spark,
+            {
+                "warehouse_path": str(tmp_path / "wh"),
+                "project_structure": {
+                    "data_sources": {"raw_data": None, "cleaned_data": None},
+                    "logs": None,
+                },
+            },
+        )
+        made = pipe.create_folder_structure(str(tmp_path))
+        assert (tmp_path / "data_sources" / "raw_data").is_dir()
+        assert (tmp_path / "logs").is_dir()
+        assert len(made) == 4

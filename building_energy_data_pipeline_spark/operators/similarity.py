@@ -1227,6 +1227,158 @@ def ivf_pq_topk(
     )
 
 
+def bitext_margin_topk(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lang_col: str = "lang",
+    k_nn: int = 4,
+    slot: str | None = None,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019's
+    ratio margin, the CCMatrix/LASER bitext-mining criterion): for
+    each source-language vector, score every target-language
+    candidate by cos(x,y) normalized by the mean similarity of each
+    side's ``k_nn`` nearest cross-lingual neighbors — raw cosine
+    over-selects hub vectors that are near EVERYTHING; the margin
+    denominator cancels hubness — and keep the best-margin candidate
+    per source.
+
+    Output: ``src_id, tgt_id, tgt_lang, cos_micro, margin_permille``
+    (one row per source with a positive-similarity candidate).
+    Engine-exact: cosines are rounded to 6 then fixed-pointed to
+    integer micro-units (``floor(x*1e6 + 0.5)`` — no cast-rounding
+    drift), neighbor ranks order by the SAME integer, denominators
+    are integer sums, and the margin is an integer-permille division
+    guarded to positive operands (no floor-vs-truncate sign
+    disagreement).
+
+    Scale: the pair scan is the brute-force q34 shape (broadcast
+    source side) and is slot-staged ONCE; the two margin
+    denominators are map-side-combined aggregates collapsing to
+    |src| / |tgt| rows that broadcast back, so the pair table
+    shuffles only for the per-source top-1 window. At billion-vector
+    scale, replace the cross join with :func:`ivf_topk` candidates
+    (cell-pruned pairs) and the same margin math applies unchanged.
+    """
+    from ..caching import slot_persist
+
+    s = src.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("svec"),
+        F.expr(norm_expr(vec_col)).alias("snorm"),
+    )
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(lang_col).alias("tgt_lang"),
+        F.col(vec_col).alias("tvec"),
+        F.expr(norm_expr(vec_col)).alias("tnorm"),
+    )
+    cos = cosine_expr("tvec", "svec", "tnorm", "snorm")
+    pairs = t.crossJoin(F.broadcast(s)).select(
+        "src_id",
+        "tgt_id",
+        "tgt_lang",
+        F.expr(
+            f"cast(floor(round({cos}, 6) * 1000000 + 0.5) as bigint)"
+        ).alias("micro"),
+    )
+    if slot is not None:
+        # three consumers (two denominator aggs + final scoring) —
+        # stage the slim (ids, lang, micro) pair table once
+        pairs = slot_persist(slot, pairs)
+
+    def _nn_sum(key: str, out: str) -> DataFrame:
+        w = W.partitionBy(key).orderBy(F.desc("micro"), "tgt_id" if key == "src_id" else "src_id")
+        return (
+            pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k_nn)
+            .groupBy(key)
+            .agg(F.sum("micro").alias(out))
+        )
+
+    ax = _nn_sum("src_id", "ax_sum")
+    ay = _nn_sum("tgt_id", "ay_sum")
+    scored = (
+        pairs.join(F.broadcast(ax), "src_id")
+        .join(F.broadcast(ay), "tgt_id")
+        .filter((F.col("micro") > 0) & (F.col("ax_sum") + F.col("ay_sum") > 0))
+        .select(
+            "src_id",
+            "tgt_id",
+            "tgt_lang",
+            "micro",
+            F.expr(
+                f"micro * 2 * {k_nn} * 1000 div (ax_sum + ay_sum)"
+            ).alias("margin_permille"),
+        )
+    )
+    w = W.partitionBy("src_id").orderBy(
+        F.desc("margin_permille"), F.desc("micro"), "tgt_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "src_id",
+            "tgt_id",
+            "tgt_lang",
+            F.col("micro").alias("cos_micro"),
+            "margin_permille",
+        )
+    )
+
+
+def duck_bitext_margin_sql(
+    src_pred: str = "lang = 'en'", k_nn: int = 4
+) -> str:
+    """DuckDB twin of :func:`bitext_margin_topk` over the
+    documents⋈embeddings join (source side = ``src_pred`` rows,
+    target side = the rest): same micro fixed-pointing, same
+    integer-ranked neighbor pools, same guarded permille division."""
+    cos = (
+        f"{duck_dot_sql('t.embedding', 's.embedding')}"
+        f" / ({duck_norm_sql('t.embedding')} * {duck_norm_sql('s.embedding')})"
+    )
+    return f"""
+    WITH je AS (
+      SELECT d.lang, e.vec_id, e.embedding
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+    src AS (SELECT * FROM je WHERE {src_pred}),
+    tgt AS (SELECT * FROM je WHERE NOT ({src_pred})),
+    pairs AS (
+      SELECT s.vec_id AS src_id, t.vec_id AS tgt_id, t.lang AS tgt_lang,
+             CAST(floor(round({cos}, 6) * 1000000 + 0.5) AS BIGINT)
+               AS micro
+      FROM src s, tgt t),
+    axs AS (
+      SELECT src_id, CAST(SUM(micro) AS BIGINT) AS ax_sum FROM (
+        SELECT src_id, micro,
+               row_number() OVER (PARTITION BY src_id
+                                  ORDER BY micro DESC, tgt_id) AS rk
+        FROM pairs) WHERE rk <= {k_nn} GROUP BY src_id),
+    ays AS (
+      SELECT tgt_id, CAST(SUM(micro) AS BIGINT) AS ay_sum FROM (
+        SELECT tgt_id, micro,
+               row_number() OVER (PARTITION BY tgt_id
+                                  ORDER BY micro DESC, src_id) AS rk
+        FROM pairs) WHERE rk <= {k_nn} GROUP BY tgt_id),
+    scored AS (
+      SELECT p.src_id, p.tgt_id, p.tgt_lang, p.micro,
+             CAST(p.micro * 2 * {k_nn} * 1000 // (ax_sum + ay_sum)
+                  AS BIGINT) AS margin_permille
+      FROM pairs p JOIN axs USING (src_id) JOIN ays USING (tgt_id)
+      WHERE p.micro > 0 AND ax_sum + ay_sum > 0)
+    SELECT src_id, tgt_id, tgt_lang, micro AS cos_micro, margin_permille
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY src_id
+               ORDER BY margin_permille DESC, micro DESC, tgt_id) AS rk
+      FROM scored)
+    WHERE rk = 1
+    """
+
+
 def duck_l2sq_sql(a: str, b: str) -> str:
     """DuckDB twin of :func:`l2sq_expr` (same left-to-right fold and
     0.0 seed, so the doubles are bit-identical)."""

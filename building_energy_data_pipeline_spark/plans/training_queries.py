@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..operators import dedup, scale, similarity, text
+from ..operators import dedup, scale, similarity, sketch, text
 from ..sources.readers import load_table
 from .registry import query
 
@@ -2133,4 +2133,103 @@ def q154_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
             F.expr(f"n_hits * 1000 div {ANN_K}").alias("recall_permille"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-lingual bitext mining — q155
+# ---------------------------------------------------------------------------
+
+#: source-language predicate and margin neighbor-pool size
+BITEXT_SRC_PRED = "lang = 'en'"
+BITEXT_KNN = 4
+
+
+@query(
+    "q155_bitext_margin_mining",
+    headline=True,
+    oracle=similarity.duck_bitext_margin_sql(BITEXT_SRC_PRED, BITEXT_KNN),
+)
+def q155_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual parallel-pair mining with ratio-margin scoring
+    (``similarity.bitext_margin_topk`` — the CCMatrix/LASER
+    criterion): every English document's embedding is scored against
+    every non-English document's, each candidate's cosine normalized
+    by the mean similarity of both sides' {BITEXT_KNN} nearest
+    cross-lingual neighbors (the hubness correction raw cosine
+    lacks), and the best-margin candidate per source is kept — the
+    translation-pair harvesting step of a multilingual pretraining
+    pipeline.
+
+    Engine-exact by construction: cosines fix-point to integer
+    micro-units, neighbor pools rank on that integer, denominators
+    are integer sums, and the permille margin divides only positive
+    operands. Scale: the pair scan is slot-staged once; margin
+    denominators collapse map-side to |src|/|tgt| rows and broadcast
+    back; at billion scale the cross join gives way to IVF-cell
+    candidates (q35) with identical margin math.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings")
+    je = docs.join(
+        emb, docs["doc_id"] == emb["vec_id"]
+    ).select("vec_id", "lang", "embedding")
+    src = je.filter(F.expr(BITEXT_SRC_PRED))
+    tgt = je.filter(~F.expr(BITEXT_SRC_PRED))
+    return similarity.bitext_margin_topk(
+        src, tgt, k_nn=BITEXT_KNN, slot="similarity.bitext_pairs"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch frequency estimation — q156
+# ---------------------------------------------------------------------------
+
+CMS_TOP = 20
+
+
+@query(
+    "q156_countmin_sketch",
+    oracle=sketch.duck_countmin_sql(
+        f"SELECT unnest({DTOK}) AS tok FROM documents", CMS_TOP
+    ),
+)
+def q156_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation
+    (``operators/sketch.py``): build the {sketch.CMS_D}×{sketch.CMS_W}
+    counter grid over the corpus token stream, then point-query it
+    for the exact top-{CMS_TOP} tokens and report estimate vs truth —
+    ``overestimate ≥ 0`` is the CMS guarantee, and the hash pins
+    every counter the probes touch. The sketch complement to q131's
+    sample-then-verify heavy hitters: point queries from d·w
+    integers, no second corpus pass, and grids from different
+    streams/partitions merge by plain addition (the `foreachBatch`
+    maintenance shape).
+
+    Scale: ONE slot-staged tokenize pass feeds grid build and the
+    exact top-N; the build's exchange carries at most d·w partial
+    counters per task (map-side combine over small-integer cells —
+    the token string never rides the explode); the grid and the
+    probe set broadcast.
+    """
+    from ..caching import slot_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = slot_persist(
+        "sketch.countmin_tokens",
+        scale.spread_scan(docs, cols=["doc_id", "text"], by=["doc_id"])
+        .select(F.explode(F.expr(TOK)).alias("tok")),
+    )
+    grid = sketch.countmin_build(toks)
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_c"))
+        .orderBy(F.desc("exact_c"), "tok")
+        .limit(CMS_TOP)
+    )
+    return sketch.countmin_estimate(grid, exact).select(
+        "tok",
+        "exact_c",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_c")).alias("overestimate"),
     )

@@ -6,10 +6,12 @@ columns) so the binary-column plumbing — Parquet binary + typed
 struct, Arrow batches into ``mapInPandas``, feature-only shuffle —
 runs end-to-end on driver-visible queries:
 
-- q53: image feature extraction. Rows-only check: the stub decoder's
-  content-hash-seeded pixels are not SQL-expressible (by design — the
-  real codec wouldn't be either); determinism is covered by
-  ``tests/test_multimodal.py``.
+- q53: image feature extraction. Fully oracle-checked since round 4:
+  the stub decoder's pixel stream is an md5 HASH CHAIN, so DuckDB
+  re-derives the exact bytes with md5/substr/hex-cast SQL and the
+  integer channel sums hash-compare value-for-value (a real codec
+  would drop this to rows-only; determinism units in
+  ``tests/test_multimodal.py`` back both paths).
 - q54: video frame-sampling plan. Fully oracle-checked — the plan
   stage is pure Spark expressions (sequence + explode), so DuckDB
   reproduces it with generate_series.

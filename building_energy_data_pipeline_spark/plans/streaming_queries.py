@@ -586,3 +586,126 @@ def q126_streaming_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+def _q157_oracle() -> str:
+    from ..operators import sketch, text
+
+    dtok = text.DUCK_TOKENS.format(col="text")
+    return sketch.duck_countmin_sql(
+        f"SELECT unnest({dtok}) AS tok FROM documents", 20
+    )
+
+
+@query("q157_streaming_sketch_maintenance", oracle=_q157_oracle())
+def q157_streaming_sketch_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING count-min maintenance: the document corpus replayed
+    as an ingest stream (one file per micro-batch), each batch's
+    token stream folded into its own d×w grid and MERGED cellwise
+    into the persisted sketch state inside ``foreachBatch`` — the
+    property q156's unit proves (grids merge by plain addition)
+    exercised as an executed stream. Because addition is associative
+    and commutative, the final grid is independent of batch
+    boundaries, which is exactly what the batch-SQL oracle pins: the
+    streamed sketch must answer the top-20 point queries identically
+    to a single-pass batch build.
+
+    Scale: per batch, one map-only tokenize + a ≤ d·w-row partial
+    grid; the state merge is a d·w × d·w full-outer join — sketch-
+    sized, never corpus-sized (the q115 rename-state discipline
+    bounds what foreachBatch rereads). This is how a frequency
+    monitor rides a 100 TB ingest: per-batch cost tracks batch
+    size, state stays constant-size forever.
+    """
+    import os
+    import shutil
+
+    from ..operators import sketch, text
+    from ..sources.readers import load_table
+
+    tok = text.SPARK_TOKENS.format(col="text")
+    base_dir = tempfile.mkdtemp(prefix="q157_cms_")
+    src_dir = os.path.join(base_dir, "docs")
+    ckpt = os.path.join(base_dir, "ckpt")
+    state: dict = {}
+
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        docs.repartitionByRange(4, "doc_id").write.parquet(src_dir)
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+
+        def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            g = sketch.countmin_build(
+                batch_df.select(F.explode(F.expr(tok)).alias("tok"))
+            )
+            prev = state.get("dir")
+            if prev is not None:
+                base = spark.read.parquet(prev)
+                g = (
+                    g.select(
+                        "row_id", "bucket", F.col("c").alias("c_new")
+                    )
+                    .join(
+                        base.select(
+                            "row_id", "bucket", F.col("c").alias("c_old")
+                        ),
+                        ["row_id", "bucket"],
+                        "full",
+                    )
+                    .select(
+                        "row_id",
+                        "bucket",
+                        (
+                            F.coalesce("c_new", F.lit(0))
+                            + F.coalesce("c_old", F.lit(0))
+                        ).alias("c"),
+                    )
+                )
+            nxt = os.path.join(base_dir, f"grid_v{batch_id}")
+            g.write.mode("overwrite").parquet(nxt)
+            old = state.get("dir")
+            state["dir"] = nxt
+            if old is not None:
+                shutil.rmtree(old, ignore_errors=True)
+
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q157: document stream did not drain")
+
+        grid = spark.read.parquet(state["dir"])
+        exact = (
+            docs.select(F.explode(F.expr(tok)).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("exact_c"))
+            .orderBy(F.desc("exact_c"), "tok")
+            .limit(20)
+        )
+        return (
+            sketch.countmin_estimate(grid, exact)
+            .select(
+                "tok",
+                "exact_c",
+                "cms_est",
+                (F.col("cms_est") - F.col("exact_c")).alias(
+                    "overestimate"
+                ),
+            )
+            .localCheckpoint(eager=True)  # materialize before cleanup
+        )
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

@@ -216,3 +216,41 @@ def q40_batch_bounds_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bounds")
     )
+
+
+@query(
+    "q158_approx_quantile_bound",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           round(quantile_cont(value, 0.5), 4) AS p50_exact,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q158_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-quantile sketch with an oracle-pinned error bound —
+    the quantile member of the sketch family (HLL distinct q51,
+    count-min frequencies q156): per group, the one-pass mergeable
+    ``percentile_approx`` (accuracy=100 → rank error ε ≤ 1 %) must
+    land between the exact 0.45 and 0.55 quantiles (5×ε margin,
+    q51's convention). The oracle states ``within_bound = TRUE`` and
+    hash-compares the exact median alongside — a sketch regression
+    flips the flag and fails the hash, without asking two engines to
+    agree on sketch internals.
+
+    Scale: the exact percentiles here are the AUDIT side; production
+    keeps only the approx aggregate — single pass, fixed-size
+    mergeable state per group, no sort — which is the point of
+    shipping the bound check as a first-class query.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_exact"),
+        F.expr(
+            "approx_percentile(value, 0.5, 100)"
+            " between percentile(value, 0.45) and percentile(value, 0.55)"
+        ).alias("within_bound"),
+    )

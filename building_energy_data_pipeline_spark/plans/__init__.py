@@ -27,7 +27,7 @@ from . import cdc_queries  # noqa: F401  (MERGE upsert q105)
 #: at that index (the explicit sentinel tests assert against —
 #: ADVICE r4 #3: no comment parsing).
 DRIVER_WINDOW_SIZE = 50
-FIRST_BELOW_WINDOW = "q65_tfidf_top_terms"
+FIRST_BELOW_WINDOW = "q62_streaming_session_window"
 
 #: Registry prefix — ROTATION RULE (round 4+): any query whose
 #: plan-affecting code changed since its LAST driver row, and any
@@ -40,9 +40,11 @@ FIRST_BELOW_WINDOW = "q65_tfidf_top_terms"
 #: the FULL r1-vintage drain (q10–q13, q15, q16, q19 — flagged two
 #: rounds running, VERDICT r5 #3) and the FULL r2-vintage drain
 #: (q45–q47, q49, q50, q55–q58, q69–q71); remaining slots refresh
-#: the oldest r3-vintage rows (q07…q64; q65/q66 yielded their
-#: slots to the late-round q155 bitext miner and q156 count-min
-#: sketch). Below the boundary:
+#: the oldest r3-vintage rows (q07…q61; q62–q66 yielded their
+#: slots to the late-round additions q155 bitext miner, q156
+#: count-min sketch, q157 streaming sketch maintenance, q158
+#: approx-quantile bound, q159 bloom join pruning). Below the
+#: boundary:
 #: the rest of the r3 set (q67, q72–q95 — drains next round), then
 #: r4-green, then r5-green rows, all unchanged since their last
 #: driver row and re-verified by the local DuckDB-parity suite.
@@ -55,6 +57,9 @@ _CURATED_ORDER = [
     "q154_ivf_pq_recall",
     "q155_bitext_margin_mining",
     "q156_countmin_sketch",
+    "q157_streaming_sketch_maintenance",
+    "q158_approx_quantile_bound",
+    "q159_bloom_join_prune",
     "q135_bpe_merge_step",
     "q136_bpe_train",
     "q139_bpe_transfer",

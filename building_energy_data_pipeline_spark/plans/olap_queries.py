@@ -686,3 +686,142 @@ def q116_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "user_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning — q159
+# ---------------------------------------------------------------------------
+
+#: bloom geometry: 65536 bits / 3 hashes over the ~3k urgent order
+#: keys → ~13% fill, fp rate ≈ 0.2% — the pruning regime, replayed
+#: bit-for-bit by the oracle
+BLOOM_M = 65536
+BLOOM_K = 3
+BLOOM_DIM_PRED = "o_orderpriority = '1-URGENT'"
+
+
+def _q159_oracle() -> str:
+    from ..operators import sketch
+
+    def h(key: str, r: str) -> str:
+        return sketch.duck_bucket_sql(f"CAST({key} AS VARCHAR)", r, BLOOM_M)
+
+    return f"""
+    WITH dim AS (SELECT o_orderkey FROM orders WHERE {BLOOM_DIM_PRED}),
+    bits AS (
+      SELECT DISTINCT {h('o_orderkey', 'r')} AS pos
+      FROM dim, unnest(range(0, {BLOOM_K})) t(r)),
+    lk AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    lp AS (
+      SELECT l_orderkey, {h('l_orderkey', 'r')} AS pos
+      FROM lk, unnest(range(0, {BLOOM_K})) t(r)),
+    lflag AS (
+      SELECT l_orderkey, bool_and(b.pos IS NOT NULL) AS bloom_pass
+      FROM lp LEFT JOIN bits b USING (pos) GROUP BY l_orderkey),
+    j AS (
+      SELECT l.l_returnflag,
+             (d.o_orderkey IS NOT NULL) AS is_match,
+             f.bloom_pass
+      FROM lineitem l
+      LEFT JOIN dim d ON l.l_orderkey = d.o_orderkey
+      JOIN lflag f ON l.l_orderkey = f.l_orderkey)
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (WHERE is_match) AS BIGINT) AS n_match,
+           CAST(COUNT(*) FILTER (WHERE bloom_pass) AS BIGINT)
+             AS n_bloom_pass,
+           CAST(COUNT(*) FILTER (WHERE bloom_pass AND NOT is_match)
+                AS BIGINT) AS n_false_pass
+    FROM j GROUP BY l_returnflag
+    """
+
+
+@query("q159_bloom_join_prune", oracle=_q159_oracle())
+def q159_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, replayed bit-for-bit: the
+    filtered dimension's keys fold into a {BLOOM_M}-bit / {BLOOM_K}-
+    hash bloom bitmap; every fact row probes the bitmap in O(1)
+    (bit test against a broadcast word map — never a per-row scan of
+    a position list) and the exact join verifies only survivors. Per
+    return flag the output pins the exact match count, the bloom
+    pass count, and the false-positive spill — no false NEGATIVES by
+    construction, which the hash equality proves (every match row
+    also bloom-passes on both engines).
+
+    The hash family is the count-min module's portable md5 buckets
+    (``operators/sketch.py``) — a bloom filter IS that grid with
+    1-bit counters, so the two sketches share one replayable hash
+    convention.
+
+    Scale: the build side is a map-side-combined ``bit_or`` word
+    aggregate — the exchange carries at most m/64 = {BLOOM_M // 64}
+    longs per task and the finished bitmap broadcasts as ONE map row;
+    the probe is pure projection arithmetic on the fact scan. This is
+    exactly the shape Spark's AQE runtime row-level filtering
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) injects
+    automatically for selective joins; the explicit portable form
+    exists so heterogeneous engines (and the oracle) agree on every
+    bit, and so the pruning rate itself is a queryable, testable
+    number rather than an optimizer internal.
+    """
+    from ..operators import sketch
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = orders.filter(F.expr(BLOOM_DIM_PRED)).select("o_orderkey")
+
+    build_bucket = sketch._bucket_expr(
+        "cast(o_orderkey as string)", "r", BLOOM_M
+    )
+    words = (
+        dim.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {BLOOM_K} - 1),"
+                    f" r -> {build_bucket})"
+                )
+            ).alias("pos")
+        )
+        .select(
+            F.expr("pos div 64").alias("widx"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+        .agg(
+            F.expr(
+                "map_from_entries(collect_list(struct(widx, word)))"
+            ).alias("words")
+        )
+    )
+
+    def probe(r: int) -> str:
+        pos = sketch._bucket_expr(
+            "cast(l_orderkey as string)", str(r), BLOOM_M
+        )
+        return (
+            f"((coalesce(element_at(words, ({pos}) div 64), 0L)"
+            f" >> cast(({pos}) % 64 as int)) & 1) = 1"
+        )
+
+    bloom_pass = " AND ".join(probe(r) for r in range(BLOOM_K))
+    j = (
+        li.select("l_returnflag", "l_orderkey")
+        .crossJoin(F.broadcast(words))
+        .join(
+            F.broadcast(dim),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .select(
+            "l_returnflag",
+            F.col("o_orderkey").isNotNull().alias("is_match"),
+            F.expr(bloom_pass).alias("bloom_pass"),
+        )
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.expr("count_if(is_match)").alias("n_match"),
+        F.expr("count_if(bloom_pass)").alias("n_bloom_pass"),
+        F.expr("count_if(bloom_pass and not is_match)").alias(
+            "n_false_pass"
+        ),
+    )

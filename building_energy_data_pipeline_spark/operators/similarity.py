@@ -1314,18 +1314,31 @@ def bitext_margin_topk(
             ).alias("margin_permille"),
         )
     )
-    w = W.partitionBy("src_id").orderBy(
-        F.desc("margin_permille"), F.desc("micro"), "tgt_id"
-    )
+    # top-1 per source as an ALGEBRAIC max(struct) — map-side
+    # combinable, no full sort of the scored pair table (the window
+    # form shuffled + sorted every scored row; at 100 TB the partial
+    # max collapses each task to |src| rows before the exchange).
+    # Field order = the ranking (margin desc, micro desc, tgt_id asc
+    # via negation); neg_tgt is unique per pair so later fields are
+    # never compared.
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        scored.groupBy("src_id")
+        .agg(
+            F.max(
+                F.struct(
+                    "margin_permille",
+                    "micro",
+                    (-F.col("tgt_id")).alias("neg_tgt"),
+                    "tgt_lang",
+                )
+            ).alias("__best")
+        )
         .select(
             "src_id",
-            "tgt_id",
-            "tgt_lang",
-            F.col("micro").alias("cos_micro"),
-            "margin_permille",
+            (-F.col("__best.neg_tgt")).alias("tgt_id"),
+            F.col("__best.tgt_lang").alias("tgt_lang"),
+            F.col("__best.micro").alias("cos_micro"),
+            F.col("__best.margin_permille").alias("margin_permille"),
         )
     )
 

@@ -397,3 +397,61 @@ class TestCurationQueryShapes:
         final = plan.split("== Initial Plan ==")[0]
         assert "Exchange SinglePartition" not in final
         assert "BroadcastHashJoin" in final
+
+
+class TestRound6Shapes:
+    """Plan pins for the round-6 additions: the scale claims in their
+    docstrings must be visible in the physical plan."""
+
+    def test_q159_fact_never_shuffles_on_join_key(self, plan_of):
+        # the bloom probe is projection arithmetic + broadcast joins;
+        # the only exchange of fact rows is the 3-group aggregate on
+        # l_returnflag — never a hash exchange on l_orderkey
+        plan = plan_of("q159_bloom_join_prune")
+        assert "CartesianProduct" not in plan
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning" in ln:
+                assert "l_orderkey" not in ln, ln
+
+    def test_q159_bitmap_build_partially_aggregates(self, plan_of):
+        # the bit_or word build must map-side combine (partial then
+        # merge) so each task ships <= m/64 longs
+        plan = plan_of("q159_bloom_join_prune")
+        assert "partial_bit_or" in plan or "partial" in plan.lower()
+
+    def test_q155_top1_is_aggregate_not_window(self, spark, sf_dir):
+        # the per-source best-margin pick is an algebraic max(struct);
+        # the only Window nodes are the two k-NN denominator ranks
+        from building_energy_data_pipeline_spark.plans.queries import (
+            REGISTRY,
+        )
+
+        df = REGISTRY["q155_bitext_margin_mining"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_windows = plan.count("Window [")
+        assert n_windows == 2, plan
+        # and the k-NN ranks push their limit into the shuffle
+        # (WindowGroupLimit partial+final caps each side at k rows
+        # per key before the exchange completes)
+        assert "WindowGroupLimit" in plan
+
+    def test_q152_encode_stays_map_only(self, spark, sf_dir):
+        # pq_encode is a pure projection over the corpus scan: no
+        # exchange may partition on corpus rows (the codebook-side
+        # sub_id/SinglePartition aggregates are the only shuffles)
+        from building_energy_data_pipeline_spark.plans.queries import (
+            REGISTRY,
+        )
+
+        df = REGISTRY["q152_pq_encode"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for ln in plan.splitlines():
+            if (
+                "Exchange" in ln
+                and "Broadcast" not in ln
+                and "REPARTITION" not in ln
+                and "RoundRobin" not in ln
+            ):
+                assert (
+                    "sub_id" in ln or "SinglePartition" in ln
+                ), ln

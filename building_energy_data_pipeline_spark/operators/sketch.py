@@ -97,10 +97,15 @@ def countmin_estimate(
         ).alias("row_id", "bucket"),
     )
     other = [c for c in probes.columns if c != token_col]
+    # LEFT join + coalesce-0: a probe token the stream never touched
+    # has empty cells, i.e. counters of ZERO — an inner join would
+    # drop those cells and report min-over-present (overestimating a
+    # never-seen token, or losing it entirely when all d cells are
+    # empty) instead of the correct estimate 0
     return (
-        keyed.join(F.broadcast(grid), ["row_id", "bucket"])
+        keyed.join(F.broadcast(grid), ["row_id", "bucket"], "left")
         .groupBy(token_col, *other)
-        .agg(F.min("c").alias("cms_est"))
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("cms_est"))
     )
 
 

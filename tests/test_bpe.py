@@ -75,3 +75,48 @@ class TestBpeMergeTwins:
             )
             got = con.execute(sql).fetchone()[0]
             assert got == _py_greedy_merge(toks, a, b), (toks, a, b, got)
+
+
+class TestEmptyTopGuard:
+    """A corpus with NO adjacent pair anywhere (all single-token
+    docs) produces an empty top-pair table; both engines must pass
+    the symbol stream through unchanged instead of vanishing it
+    (the pre-guard cross joins emptied the stream)."""
+
+    def test_duck_round_passes_stream_through(self):
+        con = duckdb.connect()
+        sql = f"""
+        WITH t AS (
+          SELECT * FROM (VALUES (1, ['solo']::VARCHAR[]),
+                                (2, ['alone']::VARCHAR[])) v(doc_id, toks)),
+        stream0 AS (
+          SELECT doc_id, i, toks[i] AS tok
+          FROM t, unnest(range(1, len(toks) + 1)) r(i)
+        ),
+        {text.duck_bpe_round_sql('stream0', 1)}
+        SELECT doc_id, list(tok ORDER BY i) FROM stream1 GROUP BY doc_id
+        """
+        got = dict(con.execute(sql).fetchall())
+        assert got == {1: ["solo"], 2: ["alone"]}
+
+    def test_spark_merge_with_null_pair_is_identity(self, spark):
+        import pyspark.sql.functions as F
+
+        docs = spark.createDataFrame(
+            [(1, ["solo"]), (2, ["alone"])], "doc_id long, toks array<string>"
+        )
+        empty_top = spark.createDataFrame(
+            [], "pair_a string, pair_b string"
+        )
+        out = {
+            r.doc_id: r.merged
+            for r in docs.join(F.broadcast(empty_top), F.lit(True), "left")
+            .select(
+                "doc_id",
+                F.expr(
+                    text.bpe_merge_expr("toks", "pair_a", "pair_b")
+                ).alias("merged"),
+            )
+            .collect()
+        }
+        assert out == {1: ["solo"], 2: ["alone"]}

@@ -83,3 +83,23 @@ class TestCountMin:
         }
         con.close()
         assert grid == want
+
+
+class TestUnseenTokens:
+    def test_never_seen_token_estimates_zero(self, spark, stream):
+        """A probe the stream never contained has empty cells —
+        counters of ZERO, not min-over-whatever-collided (the
+        inner-join form overestimated unseen tokens or dropped
+        them when all d cells were empty)."""
+        grid = sketch.countmin_build(stream, d=3, w=1024)
+        probes = spark.createDataFrame(
+            [("t00", 1), ("never-seen-token", 0)], "tok string, exact_c int"
+        )
+        got = {
+            r.tok: r.cms_est
+            for r in sketch.countmin_estimate(
+                grid, probes, d=3, w=1024
+            ).collect()
+        }
+        assert got["never-seen-token"] == 0
+        assert got["t00"] >= 1

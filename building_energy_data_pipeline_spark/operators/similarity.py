@@ -1041,6 +1041,7 @@ def pq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    m: int | None = None,
 ) -> DataFrame:
     """Encode every vector as its m nearest code ids.
 
@@ -1051,7 +1052,10 @@ def pq_encode(
     row and all m argmins run as nested folds inside a single
     projection; the corpus is never exploded or shuffled.
     """
-    m = codebooks.agg(F.max("sub_id")).first()[0] + 1
+    # pass m explicitly to skip this (tiny, m·k-row) probe job —
+    # the registered queries do; the fallback derives it once
+    if m is None:
+        m = codebooks.agg(F.max("sub_id")).first()[0] + 1
     packed = _pack_codebooks(codebooks)
     dist = l2sq_expr("element_at(svs, s + 1)", "c")
     codes = f"""
@@ -1085,6 +1089,7 @@ def pq_adc_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    m: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k: exact query vs quantized corpus.
 
@@ -1104,7 +1109,10 @@ def pq_adc_topk(
     scale, filter candidates through ivf_topk's cell probe first
     (IVF-PQ).
     """
-    m = codebooks.agg(F.max("sub_id")).first()[0] + 1
+    # pass m explicitly to skip this (tiny, m·k-row) probe job —
+    # the registered queries do; the fallback derives it once
+    if m is None:
+        m = codebooks.agg(F.max("sub_id")).first()[0] + 1
     packed = _pack_codebooks(codebooks)
     dist = l2sq_expr("element_at(qsvs, s + 1)", "c")
     lut = f"""
@@ -1146,6 +1154,7 @@ def ivf_pq_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    m: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production billion-vector retrieval stack — coarse
     IVF cells prune the candidate set (:func:`assign_centroids`),
@@ -1167,7 +1176,10 @@ def ivf_pq_topk(
     probed cells — ~nprobe/k_coarse of the index scan, never the
     corpus. The top-k window partitions by query.
     """
-    m = codebooks.agg(F.max("sub_id")).first()[0] + 1
+    # pass m explicitly to skip this (tiny, m·k-row) probe job —
+    # the registered queries do; the fallback derives it once
+    if m is None:
+        m = codebooks.agg(F.max("sub_id")).first()[0] + 1
     index = assign_centroids(corpus, coarse_centroids, id_col, vec_col)
     packed = _pack_codebooks(codebooks)
     dist = l2sq_expr("element_at(svs, s + 1)", "c")

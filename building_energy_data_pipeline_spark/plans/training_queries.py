@@ -2022,7 +2022,7 @@ def q152_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, m=PQ_M, k=PQ_K, iters=TRAIN_ITERS,
         slot="similarity.pq_codebooks",
     )
-    return similarity.pq_encode(emb, cb).select(
+    return similarity.pq_encode(emb, cb, m=PQ_M).select(
         "vec_id", F.posexplode("codes").alias("sub_id", "code")
     )
 
@@ -2060,7 +2060,7 @@ def q153_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         slot="similarity.pq_codebooks",
     )
     return similarity.ivf_pq_topk(
-        queries, emb, cents, cb, k=PQ_TOPK, nprobe=NPROBE
+        queries, emb, cents, cb, k=PQ_TOPK, nprobe=NPROBE, m=PQ_M
     )
 
 
@@ -2120,7 +2120,7 @@ def q154_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", ANN_K
     ).select("query_id", "neighbor_id")
     approx = similarity.ivf_pq_topk(
-        queries, emb, coarse, cb, k=PQ_TOPK, nprobe=NPROBE
+        queries, emb, coarse, cb, k=PQ_TOPK, nprobe=NPROBE, m=PQ_M
     ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     return (
         exact.join(approx, ["query_id", "neighbor_id"], "left")

@@ -14,3 +14,8 @@ from .sessionctl import (  # noqa: F401
 )
 from .observe import QueryHistory, explain_analyze, explain_str  # noqa: F401
 from .access import AccessControl  # noqa: F401
+from .tls import (  # noqa: F401
+    configure_spark_ssl,
+    generate_self_signed_cert,
+    validate_certificate,
+)

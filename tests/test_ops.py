@@ -505,3 +505,92 @@ class TestAccessControlHardening:
         # ...but the NOLOGIN container itself cannot act
         with _pytest.raises(PermissionError, match="log in"):
             acl.read_table(spark, "group_role", "t", p)
+
+
+class TestTlsLifecycle:
+    """Reference parity: ``CaManager`` cert generation / validation /
+    SSL-config round trip (``src/ca_managing/ca_manager.py``,
+    ``tests/test_ca_manager.py`` — same generate-to-temp-paths,
+    custom-CN, and error-contract assertions)."""
+
+    def test_generate_and_validate(self, tmp_path):
+        import os
+
+        from building_energy_data_pipeline_spark.ops import (
+            generate_self_signed_cert,
+            validate_certificate,
+        )
+
+        cert = str(tmp_path / "server.crt")
+        key = str(tmp_path / "server.key")
+        generate_self_signed_cert(cert, key, common_name="example.com")
+        assert os.path.exists(cert) and os.path.exists(key)
+        # private key locked down (the reference chmods 0600)
+        assert oct(os.stat(key).st_mode & 0o777) == "0o600"
+        details = validate_certificate(cert, show_details=True)
+        assert details["common_name"] == "example.com"
+        assert details["not_valid_before"] < details["not_valid_after"]
+        # key matches cert: sign/verify round trip
+        from cryptography import x509
+        from cryptography.hazmat.primitives import hashes, serialization
+        from cryptography.hazmat.primitives.asymmetric import padding
+
+        with open(key, "rb") as f:
+            priv = serialization.load_pem_private_key(f.read(), None)
+        with open(cert, "rb") as f:
+            pub = x509.load_pem_x509_certificate(f.read()).public_key()
+        sig = priv.sign(b"probe", padding.PKCS1v15(), hashes.SHA256())
+        pub.verify(sig, b"probe", padding.PKCS1v15(), hashes.SHA256())
+
+    def test_validate_rejects_garbage_and_expired(self, tmp_path):
+        import pytest
+
+        from building_energy_data_pipeline_spark.ops import (
+            generate_self_signed_cert,
+            validate_certificate,
+        )
+
+        bad = tmp_path / "bad.crt"
+        bad.write_text("not a certificate")
+        with pytest.raises(Exception):
+            validate_certificate(str(bad))
+        expired = str(tmp_path / "expired.crt")
+        key = str(tmp_path / "expired.key")
+        generate_self_signed_cert(expired, key, days=0)
+        with pytest.raises(ValueError, match="validity window"):
+            validate_certificate(expired)
+
+    def test_openssl_error_contract(self, tmp_path):
+        import pytest
+
+        from building_energy_data_pipeline_spark.ops.tls import (
+            generate_cert_with_openssl,
+        )
+
+        with pytest.raises(FileNotFoundError):
+            generate_cert_with_openssl(
+                str(tmp_path / "c.crt"),
+                str(tmp_path / "k.key"),
+                openssl_path="/nonexistent/openssl",
+            )
+
+    def test_ssl_config_round_trip_idempotent(self, tmp_path):
+        from building_energy_data_pipeline_spark.ops import (
+            configure_spark_ssl,
+        )
+
+        conf = str(tmp_path / "spark-defaults.conf")
+        with open(conf, "w") as f:
+            f.write("spark.sql.shuffle.partitions 32\n")
+        configure_spark_ssl(conf, "/a.crt", "/a.key", enable=True)
+        configure_spark_ssl(conf, "/a.crt", "/a.key", enable=True)
+        content = open(conf).read()
+        # idempotent: repeated enable leaves exactly one stanza, and
+        # unrelated lines survive
+        assert content.count("spark.ssl.enabled true") == 1
+        assert content.count("spark.ssl.certFile") == 1
+        assert "spark.sql.shuffle.partitions 32" in content
+        configure_spark_ssl(conf, "/a.crt", "/a.key", enable=False)
+        content = open(conf).read()
+        assert "spark.ssl.enabled false" in content
+        assert "certFile" not in content

@@ -27,7 +27,7 @@ from . import cdc_queries  # noqa: F401  (MERGE upsert q105)
 #: at that index (the explicit sentinel tests assert against —
 #: ADVICE r4 #3: no comment parsing).
 DRIVER_WINDOW_SIZE = 50
-FIRST_BELOW_WINDOW = "q62_streaming_session_window"
+FIRST_BELOW_WINDOW = "q61_sql_pivot"
 
 #: Registry prefix — ROTATION RULE (round 4+): any query whose
 #: plan-affecting code changed since its LAST driver row, and any
@@ -43,8 +43,8 @@ FIRST_BELOW_WINDOW = "q62_streaming_session_window"
 #: the oldest r3-vintage rows (q07…q61; q62–q66 yielded their
 #: slots to the late-round additions q155 bitext miner, q156
 #: count-min sketch, q157 streaming sketch maintenance, q158
-#: approx-quantile bound, q159 bloom join pruning). Below the
-#: boundary:
+#: approx-quantile bound, q159 bloom join pruning, q160 streamed
+#: enrichment). Below the boundary:
 #: the rest of the r3 set (q67, q72–q95 — drains next round), then
 #: r4-green, then r5-green rows, all unchanged since their last
 #: driver row and re-verified by the local DuckDB-parity suite.
@@ -60,6 +60,7 @@ _CURATED_ORDER = [
     "q157_streaming_sketch_maintenance",
     "q158_approx_quantile_bound",
     "q159_bloom_join_prune",
+    "q160_stream_enrich",
     "q135_bpe_merge_step",
     "q136_bpe_train",
     "q139_bpe_transfer",

@@ -709,3 +709,53 @@ def q157_streaming_sketch_maintenance(
         )
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
+    "q160_stream_enrich",
+    oracle=f"""
+    SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           COUNT(*) AS n_events,
+           {dec_sum_sql("e.value")} AS sum_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q160_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join executed as a STREAM
+    (``streaming/ingest.enrich_stream`` — previously unit-only,
+    now driver-checked): the events stream is decorated per
+    micro-batch with the broadcast customer dimension (user →
+    market segment), unmatched events kept with an UNKNOWN segment
+    (the audit-friendly left default), then rolled up per segment —
+    the standard production shape for attaching account metadata to
+    a clickstream with NO streaming state (the static side
+    re-resolves per batch; no watermark, no store).
+
+    Scale: the stream side is untouched until the map-side broadcast
+    hash join; the rollup is the only exchange and carries one row
+    per segment per task. Slowly-changing dims ride the catalog-
+    table + REFRESH contract documented (and unit-pinned) on
+    ``enrich_stream``.
+    """
+    from ..sources.readers import load_table
+    from ..streaming.ingest import enrich_stream
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = enrich_stream(
+        read_events_stream(spark, sf_dir).select("user_id", "value"),
+        dim,
+        ["user_id"],
+    )
+    rollup = (
+        enriched.groupBy(
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+    )
+    return _drain_to_memory(rollup, "q160", "complete")

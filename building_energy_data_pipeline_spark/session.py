@@ -37,6 +37,18 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        # In local mode the driver JVM IS every executor, but Spark
+        # still defaults it to 1g — the round-6 bench ran 32 tasks
+        # (13 concurrent parquet writers) inside one 1 GiB heap and
+        # parquet's MemoryManager throttled row-group sizes to 58-95%
+        # (">95% of heap" warnings in BENCH_r06's tail; ADVICE r6).
+        # Size the heap to the thread count instead. Takes effect only
+        # when this call launches the JVM (first session in the
+        # process); on a real cluster spark-submit owns this knob.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+        )
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),

@@ -141,3 +141,148 @@ def duck_countmin_sql(
     SELECT tok, exact_c, cms_est, cms_est - exact_c AS overestimate
     FROM est
     """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — sublinear-memory distinct counting
+# ---------------------------------------------------------------------------
+
+#: registers per group (2^6 buckets — ~13% relative error, the demo
+#: setting; production uses 2^11+ by raising HLL_P)
+HLL_P = 6
+HLL_M = 1 << HLL_P
+#: Flajolet et al. 2007 bias constant for m = 64
+HLL_ALPHA = "cast(0.709 as double)"
+
+#: rho slice width: the SECOND 8-hex md5 slice gives 32 hash bits,
+#: so rho ∈ [1, 33] and 2^(33-rho) is BIGINT-exact — the register
+#: fold stays integer until the single final division
+_HLL_RHO_BITS = 33
+_HLL_POW = 1 << _HLL_RHO_BITS  # 2^33, the register-0 contribution
+
+
+def hll_registers(
+    values: DataFrame,
+    value_col: str = "tok",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fold a value stream to per-group HLL registers ``(…group,
+    bucket int, register int)`` — at most ``HLL_M`` rows per group.
+
+    The cardinality twin of :func:`countmin_build` (frequency):
+    bucket = first md5 slice mod m, register = max over the group of
+    ``rho`` (position of the highest set bit in the second 32-bit md5
+    slice, counted from the left: ``33 - length(bin(v))``, 33 for
+    v = 0). Registers merge across partitions / streams / days by
+    plain MAX — the mergeable-sketch shape — and map-side combine
+    bounds every task's exchange contribution at groups·m rows no
+    matter the stream size.
+
+    Hashes follow the repo's portable md5 convention
+    (``operators/dedup.py:176-221``) so DuckDB replays the exact
+    register state.
+    """
+    g = group_cols or []
+    bucket = (
+        f"cast(conv(substring(md5({value_col}), 1, 8), 16, 10)"
+        f" as bigint) % {HLL_M}"
+    )
+    v32 = f"cast(conv(substring(md5({value_col}), 9, 8), 16, 10) as bigint)"
+    rho = (
+        f"case when {v32} = 0 then {_HLL_RHO_BITS}"
+        f" else {_HLL_RHO_BITS} - length(bin({v32})) end"
+    )
+    return (
+        values.select(
+            *g,
+            F.expr(bucket).alias("bucket"),
+            F.expr(rho).alias("rho"),
+        )
+        .groupBy(*g, "bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Collapse per-group registers to ``hll_est`` (+ ``reg_checksum``
+    pinning the full register state). Integer-exact until the end:
+    the harmonic sum is ``Σ 2^(33-M_j)`` as BIGINT (absent buckets
+    contribute 2^33 each), with ONE double division for the raw
+    estimate and Flajolet's linear-counting fallback below 2.5m when
+    empty registers remain. ``floor(x + 0.5)`` rounding — not
+    ``round()`` — because the two engines disagree on tie behavior.
+    """
+    g = group_cols or []
+    agg = registers.groupBy(*g).agg(
+        F.count("*").alias("npresent"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {_HLL_RHO_BITS} - register)")
+        ).alias("s_present"),
+        F.sum(F.expr("bucket * register")).alias("reg_checksum"),
+    )
+    s = f"(s_present + ({HLL_M} - npresent) * cast({_HLL_POW} as bigint))"
+    raw = (
+        f"{HLL_ALPHA} * {HLL_M}.0 * {HLL_M}.0 * {_HLL_POW}.0"
+        f" / cast({s} as double)"
+    )
+    v = f"({HLL_M} - npresent)"
+    est = (
+        f"case when {raw} <= {2.5 * HLL_M} and {v} > 0"
+        f" then {HLL_M}.0 * ln({HLL_M}.0 / {v}) else {raw} end"
+    )
+    return agg.select(
+        *g,
+        F.expr(f"cast(floor({est} + 0.5) as bigint)").alias("hll_est"),
+        "reg_checksum",
+    )
+
+
+def duck_hll_sql(stream_sql: str, group_col: str) -> str:
+    """DuckDB twin of registers → estimate over a ``SELECT {group},
+    tok`` stream: ``({group}, exact_distinct, hll_est, err_bp,
+    reg_checksum)`` — the exact distinct count rides along so the
+    oracle hash pins the estimate AND its error (in floor'd basis
+    points, integer-safe)."""
+    m, bits, pw = HLL_M, _HLL_RHO_BITS, _HLL_POW
+    v32 = "CAST(concat('0x', substring(md5(tok), 9, 8)) AS BIGINT)"
+    return f"""
+    WITH stream AS ({stream_sql}),
+    slices AS (
+      SELECT {group_col} AS g,
+             CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT)
+               % {m} AS bucket,
+             CASE WHEN {v32} = 0 THEN {bits}
+                  ELSE {bits} - length(bin({v32})) END AS rho
+      FROM stream),
+    regs AS (
+      SELECT g, bucket, MAX(rho) AS register FROM slices GROUP BY 1, 2),
+    folded AS (
+      SELECT g, COUNT(*) AS npresent,
+             CAST(SUM((CAST(1 AS BIGINT) << ({bits} - register)))
+                  AS BIGINT) AS s_present,
+             CAST(SUM(bucket * register) AS BIGINT) AS reg_checksum
+      FROM regs GROUP BY g),
+    est AS (
+      SELECT g, reg_checksum,
+        CAST(floor(
+          CASE WHEN CAST(0.709 AS DOUBLE) * {m}.0 * {m}.0 * {pw}.0
+                    / CAST(s_present + ({m} - npresent)
+                           * CAST({pw} AS BIGINT) AS DOUBLE)
+                 <= {2.5 * m} AND ({m} - npresent) > 0
+          THEN {m}.0 * ln({m}.0 / ({m} - npresent))
+          ELSE CAST(0.709 AS DOUBLE) * {m}.0 * {m}.0 * {pw}.0
+               / CAST(s_present + ({m} - npresent)
+                      * CAST({pw} AS BIGINT) AS DOUBLE)
+          END + 0.5) AS BIGINT) AS hll_est
+      FROM folded),
+    exact AS (
+      SELECT {group_col} AS g, COUNT(DISTINCT tok) AS exact_distinct
+      FROM stream GROUP BY 1)
+    SELECT e.g AS {group_col}, x.exact_distinct, e.hll_est,
+           CAST(floor((e.hll_est - x.exact_distinct) * 10000.0
+                      / x.exact_distinct) AS BIGINT) AS err_bp,
+           e.reg_checksum
+    FROM est e JOIN exact x USING (g)
+    """

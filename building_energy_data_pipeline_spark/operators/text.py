@@ -445,3 +445,87 @@ def duck_bpe_round_sql(prev: str, r: int, count_where: str = "") -> str:
              out_tok AS tok
       FROM emitted{r} WHERE NOT consumed
     )"""
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking — hash-boundary document splitting
+# ---------------------------------------------------------------------------
+
+#: boundary-hash window (characters) and divisor: a boundary falls
+#: after any k-char window whose hash ≡ 0 (mod divisor), giving
+#: chunks of ~divisor chars on average
+CDC_WINDOW = 8
+CDC_DIVISOR = 64
+
+
+def cdc_chunk_exprs(
+    text_col: str = "text", k: int = CDC_WINDOW, d: int = CDC_DIVISOR
+) -> str:
+    """Spark SQL expression: sorted boundary-END positions for
+    content-defined chunking of ``text_col`` (LBFS/rsync-style, but
+    position-wise: the k-char window hash at each position is a pure
+    function of (text, i), so every position tests independently —
+    map-parallel, no sequential rolling state).
+
+    A boundary ends at position i (k ≤ i ≤ n) when the md5 slice of
+    ``substr(text, i-k+1, k)`` ≡ 0 (mod d); the document end is
+    always a boundary. Unlike q98's fixed-stride chunks, these
+    boundaries are content-anchored: inserting a line shifts only
+    the chunk it lands in, so chunk hashes stay stable corpus-wide —
+    the dedup-friendly chunking.
+
+    Documents shorter than k yield one whole-document chunk; the
+    ``n >= k`` guard matters because Spark's ``sequence(k, n)``
+    generates DESCENDING when k > n rather than empty (same trap
+    documented at q98).
+    """
+    n = f"length({text_col})"
+    win = f"substring({text_col}, i - {k - 1}, {k})"
+    h = f"cast(conv(substring(md5({win}), 1, 8), 16, 10) as bigint)"
+    hits = (
+        f"case when {n} >= {k}"
+        f" then filter(sequence({k}, {n}), i -> {h} % {d} = 0)"
+        f" else array() end"
+    )
+    return f"array_sort(array_distinct(concat({hits}, array({n}))))"
+
+
+def duck_cdc_chunks_sql(
+    docs_sql: str,
+    text_col: str = "text",
+    k: int = CDC_WINDOW,
+    d: int = CDC_DIVISOR,
+) -> str:
+    """DuckDB twin of :func:`cdc_chunk_exprs` + the explode: rows
+    ``(doc_id, chunk_idx, chunk_start, chunk_len, chunk_hash)`` —
+    identical md5 bytes, identical boundary set."""
+    n = f"length({text_col})"
+    win = f"{text_col}[i - {k - 1}:i]"
+    h = f"CAST(concat('0x', substring(md5({win}), 1, 8)) AS BIGINT)"
+    return f"""
+    WITH docs AS ({docs_sql}),
+    bset AS (
+      SELECT doc_id, {text_col},
+             list_sort(list_distinct(list_append(
+               CASE WHEN {n} >= {k}
+                 THEN [i FOR i IN range({k}, {n} + 1) IF {h} % {d} = 0]
+                 ELSE [] END, {n}))) AS ends
+      FROM docs WHERE {n} > 0),
+    chunks AS (
+      SELECT doc_id, {text_col}, ends,
+             CAST(u.ci AS BIGINT) AS ci
+      FROM bset, unnest(range(1, len(ends) + 1)) u(ci))
+    SELECT doc_id,
+           ci - 1 AS chunk_idx,
+           CAST(CASE WHEN ci = 1 THEN 0 ELSE ends[CAST(ci AS INT) - 1] END
+                AS BIGINT) AS chunk_start,
+           CAST(ends[CAST(ci AS INT)]
+                - CASE WHEN ci = 1 THEN 0
+                       ELSE ends[CAST(ci AS INT) - 1] END
+                AS BIGINT) AS chunk_len,
+           md5({text_col}[
+                 CAST(CASE WHEN ci = 1 THEN 0
+                      ELSE ends[CAST(ci AS INT) - 1] END AS INT) + 1
+                 :CAST(ends[CAST(ci AS INT)] AS INT)]) AS chunk_hash
+    FROM chunks
+    """

@@ -2328,3 +2328,53 @@ def q149_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
         .limit(WIN_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking — q161
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q161_cdc_chunking",
+    oracle=text.duck_cdc_chunks_sql("SELECT doc_id, text FROM documents"),
+)
+def q161_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (``operators/text.cdc_chunk_exprs``;
+    LBFS/rsync boundary scheme): split every document at positions
+    where the trailing 8-char window hash ≡ 0 (mod 64), so chunk
+    boundaries are anchored to CONTENT, not offsets — an insertion
+    shifts only the chunk it lands in and every other chunk keeps
+    its hash. The dedup-stable complement to q98's fixed-stride RAG
+    chunks: downstream, ``chunk_hash`` joins against the chunk store
+    exactly like a CAS/backup system, and near-identical documents
+    (q112's duplicate spans) collapse to mostly-shared chunk sets.
+
+    Each position's window hash is a pure function of ``(text, i)``,
+    so the whole operator is ONE map-only projection — generator +
+    HOF filter + posexplode, no shuffle, no sequential rolling state
+    — and chunk rows inherit the scan's partitioning at 100 TB.
+
+    The ``n >= k`` guard avoids Spark's descending ``sequence(k, n)``
+    trap (k > n); short documents yield one whole-document chunk.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ends = text.cdc_chunk_exprs("text")
+    start = "if(ci = 0, 0, element_at(ends, ci))"
+    return (
+        docs.filter(F.expr("length(text) > 0"))
+        .select("doc_id", "text", F.expr(ends).alias("ends"))
+        .select(
+            "doc_id", "text", "ends",
+            F.posexplode("ends").alias("ci", "e"),
+        )
+        .select(
+            "doc_id",
+            F.col("ci").cast("long").alias("chunk_idx"),
+            F.expr(start).cast("long").alias("chunk_start"),
+            F.expr(f"e - {start}").cast("long").alias("chunk_len"),
+            F.expr(
+                f"md5(substring(text, {start} + 1, e - {start}))"
+            ).alias("chunk_hash"),
+        )
+    )

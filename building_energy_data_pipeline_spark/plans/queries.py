@@ -932,3 +932,41 @@ def q79_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.select("c_custkey", "c_mktsegment"), "c_mktsegment",
         "c_custkey", n=100,
     )
+
+
+def _q163_oracle() -> str:
+    from ..schema.sampling import duck_weighted_reservoir_sql
+
+    return duck_weighted_reservoir_sql(
+        "SELECT o_orderkey, o_totalprice FROM orders",
+        "o_orderkey", "o_totalprice", 100,
+    )
+
+
+@query("q163_weighted_reservoir", oracle=_q163_oracle())
+def q163_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling (A-Res, Efraimidis & Spirtes 2006;
+    ``schema/sampling.weighted_reservoir_sample``): a 100-row sample
+    of orders where selection probability tracks ``o_totalprice`` —
+    the quality-weighted / importance-weighted corpus-sampling
+    primitive (upsample high-value documents without a full sort or
+    a second pass). Completes the sampling family: uniform q78,
+    stratified q79, systematic q23, now weighted.
+
+    Scale: priorities are a map-only projection; the top-n compiles
+    to TakeOrderedAndProject — per-partition heaps of 100 rows, a
+    driver merge of #partitions·100 candidates, the fact table never
+    shuffles. Priorities are mergeable across streams (max-heap
+    union), so the same operator runs incrementally over batches.
+
+    Determinism: integer md5 uniforms + ``ln`` verified bit-identical
+    across both engines on the real data; membership AND ordering are
+    pinned (``priority_floor``).
+    """
+    from ..schema.sampling import weighted_reservoir_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    return weighted_reservoir_sample(
+        orders.select("o_orderkey", "o_totalprice"),
+        "o_orderkey", "o_totalprice", n=100,
+    )

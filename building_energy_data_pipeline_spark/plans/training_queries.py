@@ -2233,3 +2233,62 @@ def q156_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_c")).alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count estimation — q162
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q162_hll_distinct",
+    oracle=sketch.duck_hll_sql(
+        f"SELECT source, unnest({DTOK}) AS tok FROM documents", "source"
+    ),
+)
+def q162_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimation per source
+    (``operators/sketch.py hll_registers``/``hll_estimate``; Flajolet
+    et al. 2007): the cardinality twin of q156's count-min frequency
+    sketch. Registers are integer-exact (max of md5-derived rho per
+    bucket), the harmonic mean folds as a BIGINT power-of-two sum
+    with ONE final double division, and the oracle hash pins the
+    estimate, its floor'd basis-point error vs the exact distinct
+    count, AND the full register state (``reg_checksum``).
+
+    Where Spark's own ``approx_count_distinct`` (q51) is a black-box
+    HLL++ the oracle can only bound, this one is replayed bit-for-bit
+    by DuckDB — and the register table is the production artifact:
+    per-day grids merge by plain MAX into rolling distinct counts
+    without rescanning history (the q157 `foreachBatch` maintenance
+    shape).
+
+    Scale: ONE tokenize pass; the exchange carries at most
+    groups·64 register partials per task (map-side max-combine —
+    the token string never shuffles). The exact COUNT(DISTINCT)
+    rides only to audit the estimate at test scale; at 100 TB the
+    grid alone answers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stream = scale.spread_scan(
+        docs, cols=["doc_id", "source", "text"], by=["doc_id"]
+    ).select("source", F.explode(F.expr(TOK)).alias("tok"))
+    est = sketch.hll_estimate(
+        sketch.hll_registers(stream, "tok", ["source"]), ["source"]
+    )
+    exact = stream.groupBy("source").agg(
+        F.countDistinct("tok").alias("exact_distinct")
+    )
+    return (
+        exact.join(F.broadcast(est), "source")
+        .select(
+            "source",
+            "exact_distinct",
+            "hll_est",
+            F.expr(
+                "cast(floor((hll_est - exact_distinct) * 10000.0"
+                " / exact_distinct) as bigint)"
+            ).alias("err_bp"),
+            "reg_checksum",
+        )
+    )

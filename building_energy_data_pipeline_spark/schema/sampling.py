@@ -184,3 +184,55 @@ def stratified_sample(
     quota = max(1, n // len(sizes))
     fractions = {k: min(1.0, quota / size) for k, size in sizes.items()}
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def weighted_reservoir_sample(
+    df: DataFrame, key_col: str, weight_col: str, n: int
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirtes
+    2006 A-Res): each row draws a deterministic uniform ``u`` from
+    its md5 bucket and ranks by priority ``u^(1/w)`` — implemented
+    as the monotone-equivalent ``ln(u)/w`` so the power never
+    overflows for tiny weights. The top-``n`` priorities ARE a
+    weighted-without-replacement sample; one pass, mergeable: the
+    union of two partitions' top-n re-topped is the stream's top-n,
+    which is exactly what Spark's sort-limit physical plan
+    (TakeOrderedAndProject) computes — per-partition heaps, no full
+    sort, no full shuffle.
+
+    Determinism: ``u`` is integer md5 math (:func:`hash_bucket`),
+    and both engines' ``ln``/division produce bit-identical doubles
+    for it (empirically verified over the full orders table at
+    sf0.01/sf0.1 — same top-200 set AND same key bits), so DuckDB
+    replays the exact sample. ``priority_floor`` (µ-scaled floor)
+    rides along to pin the ordering in the oracle hash without
+    exposing raw float text.
+    """
+    u = (hash_bucket(key_col) + 1) / F.lit(float(HASH_MOD))
+    k = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("__k", k)
+        .orderBy(F.desc("__k"), key_col)
+        .limit(n)
+        .select(
+            *df.columns,
+            F.floor(F.col("__k") * 1_000_000).cast("long").alias(
+                "priority_floor"
+            ),
+        )
+    )
+
+
+def duck_weighted_reservoir_sql(
+    table_sql: str, key_col: str, weight_col: str, n: int
+) -> str:
+    """DuckDB twin of :func:`weighted_reservoir_sample`."""
+    u = f"({duck_hash_bucket_sql(key_col)} + 1) / {float(HASH_MOD)}"
+    k = f"ln({u}) / CAST({weight_col} AS DOUBLE)"
+    return f"""
+    WITH base AS ({table_sql})
+    SELECT * EXCLUDE (__k),
+           CAST(floor(__k * 1000000) AS BIGINT) AS priority_floor
+    FROM (SELECT *, {k} AS __k FROM base)
+    ORDER BY __k DESC, {key_col} LIMIT {n}
+    """

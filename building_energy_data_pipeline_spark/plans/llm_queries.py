@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..operators import scale, text
+from ..operators import dedup, scale, text
 from ..sources.readers import load_table
 from .registry import query
 
@@ -2377,4 +2377,203 @@ def q161_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"md5(substring(text, {start} + 1, e - {start}))"
             ).alias("chunk_hash"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index construction — q164
+# ---------------------------------------------------------------------------
+
+#: posting lists emitted (hottest terms first) and the df floor
+IDX_TOP_TERMS = 200
+IDX_MIN_DF = 2
+
+
+@query(
+    "q164_inverted_index",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DTOK} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    td AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    gaps AS (
+      SELECT term, doc_id, tf,
+             doc_id - COALESCE(lag(doc_id) OVER (PARTITION BY term
+                                                 ORDER BY doc_id), 0) AS gap
+      FROM td),
+    agg AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS cf,
+             string_agg(CAST(gap AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings,
+             string_agg(CAST(tf AS VARCHAR), ',' ORDER BY doc_id) AS tfs
+      FROM gaps GROUP BY term HAVING COUNT(*) >= {IDX_MIN_DF})
+    SELECT term, df, cf, postings, tfs
+    FROM agg ORDER BY cf DESC, term LIMIT {IDX_TOP_TERMS}
+    """,
+)
+def q164_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the retrieval-side artifact
+    q148's BM25 scoring presumes: per term, document frequency,
+    collection frequency, and the posting list as DELTA-encoded
+    doc-id gaps plus aligned term frequencies (gap + varint is the
+    classic index compression; the gaps are what a production codec
+    would varint-pack). Emits the hottest {IDX_TOP_TERMS} terms.
+
+    Scale: tf fold is a map-side-combined groupBy on (term, doc_id);
+    the gap window repartitions by term only — rows are 3 integers,
+    never text. Posting-list length tracks df, so stop-word terms
+    are the classic straggler: at 100 TB the production form shards
+    each hot term's postings by doc-id range (same gap encoding per
+    shard, lists concatenate) — noted rather than built here because
+    the single-shard artifact is what the oracle can pin exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    td = (
+        scale.spread_scan(docs, cols=["doc_id", "text"], by=["doc_id"])
+        .select("doc_id", F.explode(F.expr(TOK)).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = W.partitionBy("term").orderBy("doc_id")
+    gaps = td.withColumn(
+        "gap", F.col("doc_id") - F.coalesce(F.lag("doc_id").over(w), F.lit(0))
+    )
+    return (
+        gaps.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+            F.expr(
+                "concat_ws(',', transform(sort_array(collect_list("
+                "struct(doc_id, gap))), x -> cast(x.gap as string)))"
+            ).alias("postings"),
+            F.expr(
+                "concat_ws(',', transform(sort_array(collect_list("
+                "struct(doc_id, tf))), x -> cast(x.tf as string)))"
+            ).alias("tfs"),
+        )
+        .filter(F.col("df") >= IDX_MIN_DF)
+        .orderBy(F.desc("cf"), "term")
+        .limit(IDX_TOP_TERMS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation — q166
+# ---------------------------------------------------------------------------
+
+#: rare-shingle blocking band: features shared by 2..LP_DF_CAP docs
+#: define edges — the cap is the anti-quadratic guard (a shingle in
+#: d docs contributes ≤ d² pairs; common shingles are excluded
+#: outright, the q149 frequency-cap discipline)
+LP_SHINGLE_K = 3
+LP_DF_CAP = 8
+
+
+@query(
+    "q166_label_propagation",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             {{dsh}} AS shs,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1000000 < 800000 AS is_labeled
+      FROM documents),
+    feat AS (
+      SELECT doc_id, source, is_labeled, unnest(shs) AS sh FROM t),
+    rare AS (
+      SELECT sh FROM (
+        SELECT sh, COUNT(DISTINCT doc_id) AS df FROM feat GROUP BY sh)
+      WHERE df BETWEEN 2 AND {LP_DF_CAP}),
+    edges AS (
+      SELECT DISTINCT u.doc_id, l.doc_id AS nbr, l.source AS nbr_label
+      FROM feat u JOIN rare USING (sh) JOIN feat l USING (sh)
+      WHERE NOT u.is_labeled AND l.is_labeled AND u.doc_id <> l.doc_id),
+    votes AS (
+      SELECT doc_id, nbr_label, COUNT(*) AS c FROM edges GROUP BY 1, 2),
+    pick AS (
+      SELECT doc_id, nbr_label, c,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, nbr_label) AS rn,
+             CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT)
+               AS n_labeled_neighbors
+      FROM votes)
+    SELECT p.doc_id, t.source AS true_source, p.nbr_label AS pred_source,
+           p.c AS votes, p.n_labeled_neighbors,
+           p.nbr_label = t.source AS correct
+    FROM pick p JOIN t ON p.doc_id = t.doc_id
+    WHERE p.rn = 1
+    """.format(dsh=dedup.duck_shingles_sql(DTOK, LP_SHINGLE_K)),
+)
+def q166_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One label-propagation step (Zhu & Ghahramani 2002, the
+    semi-supervised labeling pass): the 20% md5 split plays the
+    unlabeled pool, every unlabeled document takes the MAJORITY
+    ``source`` among labeled documents it shares a RARE 3-shingle
+    with (ties → lexicographically first label), with its true
+    source riding along so the oracle hash pins per-doc accuracy.
+    Completes the graph family: components q44, PageRank q109/q118,
+    now semi-supervised labeling on the same blocked-similarity
+    edges.
+
+    Scale: the rare-feature band [2, {LP_DF_CAP}] bounds pair space
+    at Σ df² over admitted shingles (q149's frequency-cap
+    discipline — hot boilerplate shingles never join); edges carry
+    two ids + a label, votes are a map-side-combined count, and the
+    per-doc argmax window partitions by doc_id (vote lists are
+    ≤ neighbors, never corpus-sized). Further rounds iterate the
+    same step with q118's localCheckpoint loop pattern.
+    """
+    from ..schema.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = (
+        docs.select(
+            "doc_id",
+            "source",
+            (hash_bucket("doc_id") < 800000).alias("is_labeled"),
+            F.explode(
+                F.expr(dedup.shingles_expr(TOK, LP_SHINGLE_K))
+            ).alias("sh"),
+        )
+    )
+    rare = (
+        feat.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df").between(2, LP_DF_CAP))
+        .select("sh")
+    )
+    lab = feat.filter("is_labeled").select(
+        "sh", F.col("doc_id").alias("nbr"), F.col("source").alias("nbr_label")
+    )
+    unlab = feat.filter("not is_labeled").select("sh", "doc_id")
+    edges = (
+        unlab.join(rare, "sh")
+        .join(lab, "sh")
+        .filter(F.col("doc_id") != F.col("nbr"))
+        .select("doc_id", "nbr", "nbr_label")
+        .distinct()
+    )
+    votes = edges.groupBy("doc_id", "nbr_label").agg(
+        F.count("*").alias("c")
+    )
+    w = W.partitionBy("doc_id")
+    pick = (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(w.orderBy(F.desc("c"), "nbr_label")),
+        )
+        .withColumn(
+            "n_labeled_neighbors", F.sum("c").over(w).cast("long")
+        )
+        .filter("rn = 1")
+    )
+    truth = docs.select("doc_id", F.col("source").alias("true_source"))
+    return pick.join(truth, "doc_id").select(
+        "doc_id",
+        "true_source",
+        F.col("nbr_label").alias("pred_source"),
+        F.col("c").alias("votes"),
+        "n_labeled_neighbors",
+        (F.col("nbr_label") == F.col("true_source")).alias("correct"),
     )

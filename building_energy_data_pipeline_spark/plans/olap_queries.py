@@ -825,3 +825,132 @@ def q159_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_false_pass"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced experiment readout — q167
+# ---------------------------------------------------------------------------
+
+#: shared solve text (both engines evaluate verbatim): θ from global
+#: covariance partials, arm means adjusted algebraically from DECIMAL
+#: sums — no row-level double accumulates anywhere, so the result is
+#: order-independent and engine-reproducible
+_CUPED_THETA = "((n * spo - sp * so) / (n * spp - sp * sp))"
+_CUPED_ADJ = (
+    f"((so_a - {_CUPED_THETA} * (sp_a - n_a * (sp / n))) / n_a)"
+)
+
+_CUPED_USER_DEC = """
+      CAST(COALESCE(SUM(CASE WHEN e < t THEN v END), 0)
+           AS DECIMAL(18, 6)) AS pre,
+      CAST(COALESCE(SUM(CASE WHEN e >= t THEN v END), 0)
+           AS DECIMAL(18, 6)) AS post"""
+
+#: DuckDB needs the explicit widen before the multiply (its decimal
+#: product keeps the operand width and range-errors past 1e18);
+#: Spark's (18,6)x(18,6) -> (37,12) widens on its own and both
+#: engines' products are exact, so the summed partials agree
+_CUPED_PARTIALS = """
+      CAST(COUNT(*) AS DOUBLE) AS n,
+      CAST(SUM(pre) AS DOUBLE) AS sp,
+      CAST(SUM(post) AS DOUBLE) AS so,
+      CAST(SUM(CAST(pre AS DECIMAL(20, 6)) * pre) AS DOUBLE) AS spp,
+      CAST(SUM(CAST(pre AS DECIMAL(20, 6)) * post) AS DOUBLE) AS spo"""
+
+
+@query(
+    "q167_cuped_readout",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch(ts) AS e,
+             CAST(value AS DECIMAL(18, 6)) AS v
+      FROM events),
+    bounds AS (
+      SELECT (MIN(e) + MAX(e)) // 2 AS t FROM ev),
+    users AS (
+      SELECT user_id, {_CUPED_USER_DEC}
+      FROM ev, bounds GROUP BY user_id),
+    p AS (SELECT {_CUPED_PARTIALS} FROM users),
+    arms AS (
+      SELECT user_id % 2 AS arm,
+             CAST(COUNT(*) AS DOUBLE) AS n_a,
+             CAST(SUM(pre) AS DOUBLE) AS sp_a,
+             CAST(SUM(post) AS DOUBLE) AS so_a
+      FROM users GROUP BY 1)
+    SELECT arm, CAST(n_a AS BIGINT) AS n_users,
+           CAST(floor(so_a / n_a * 1000000) AS BIGINT) AS mean_post_u,
+           CAST(floor({_CUPED_ADJ} * 1000000) AS BIGINT) AS mean_adj_u,
+           CAST(floor({_CUPED_THETA} * 1000000) AS BIGINT) AS theta_u
+    FROM arms, p
+    """,
+)
+def q167_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al. 2013, the
+    standard experimentation-platform estimator): users split into
+    two arms (``user_id % 2``), the observation window halved at the
+    midpoint epoch into pre/post periods, and each arm's post-period
+    mean adjusted by ``θ·(pre − mean_pre)`` with ``θ =
+    cov(pre, post)/var(pre)`` learned from ALL users — the
+    pre-period covariate soaks up between-user variance so arm
+    deltas need far fewer users to resolve.
+
+    Everything reduces to DECIMAL-exact per-user sums and five
+    global covariance partials (cast to double once, solved by SQL
+    text both engines evaluate verbatim): no row-order-dependent
+    float accumulation anywhere, so the oracle hash pins θ and both
+    arms' raw AND adjusted means to the µ.
+
+    Scale: one shuffle (user_id groupBy, map-side-combined decimal
+    partials), then partials-sized aggregates; the tiny bounds and
+    θ rows broadcast. The same partials shape extends to stratified
+    CUPED (group partials by stratum) without replanning.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_timestamp(ts)").alias("e"),
+        F.expr("cast(value as decimal(18, 6))").alias("v"),
+    )
+    bounds = ev.agg(
+        F.expr("(min(e) + max(e)) div 2").alias("t")
+    )
+    users = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "cast(coalesce(sum(case when e < t then v end), 0)"
+                " as decimal(18, 6))"
+            ).alias("pre"),
+            F.expr(
+                "cast(coalesce(sum(case when e >= t then v end), 0)"
+                " as decimal(18, 6))"
+            ).alias("post"),
+        )
+    )
+    p = users.agg(
+        F.expr("cast(count(*) as double)").alias("n"),
+        F.expr("cast(sum(pre) as double)").alias("sp"),
+        F.expr("cast(sum(post) as double)").alias("so"),
+        F.expr("cast(sum(pre * pre) as double)").alias("spp"),
+        F.expr("cast(sum(pre * post) as double)").alias("spo"),
+    )
+    arms = users.groupBy(
+        F.expr("user_id % 2").alias("arm")
+    ).agg(
+        F.expr("cast(count(*) as double)").alias("n_a"),
+        F.expr("cast(sum(pre) as double)").alias("sp_a"),
+        F.expr("cast(sum(post) as double)").alias("so_a"),
+    )
+    return arms.crossJoin(F.broadcast(p)).select(
+        "arm",
+        F.expr("cast(n_a as bigint)").alias("n_users"),
+        F.expr("cast(floor(so_a / n_a * 1000000) as bigint)").alias(
+            "mean_post_u"
+        ),
+        F.expr(f"cast(floor({_CUPED_ADJ} * 1000000) as bigint)").alias(
+            "mean_adj_u"
+        ),
+        F.expr(f"cast(floor({_CUPED_THETA} * 1000000) as bigint)").alias(
+            "theta_u"
+        ),
+    )

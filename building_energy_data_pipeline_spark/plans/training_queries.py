@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..operators import dedup, scale, similarity, sketch, text
+from ..operators import dedup, linear, scale, similarity, sketch, text
 from ..sources.readers import load_table
 from .registry import query
 
@@ -2291,4 +2291,90 @@ def q162_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_bp"),
             "reg_checksum",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality classifier — q165
+# ---------------------------------------------------------------------------
+
+_RW = linear.ridge3_weight_exprs()
+_Q165_PARTIALS = """
+      CAST(COUNT(*) AS DOUBLE) AS n,
+      CAST(SUM(x1) AS DOUBLE) AS s1,
+      CAST(SUM(x2) AS DOUBLE) AS s2,
+      CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+      CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+      CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+      CAST(SUM(y) AS DOUBLE) AS sy,
+      CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+      CAST(SUM(x2 * y) AS DOUBLE) AS s2y"""
+
+
+@query(
+    "q165_quality_classifier",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             CAST(n_chars AS BIGINT) AS x1,
+             CAST(len({DTOK}) AS BIGINT) AS x2,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1000000 < 800000 AS is_train
+      FROM documents),
+    p AS (SELECT {_Q165_PARTIALS} FROM feats WHERE is_train),
+    w AS (SELECT {_RW['w0']} AS w0, {_RW['w1']} AS w1, {_RW['w2']} AS w2
+          FROM p)
+    SELECT doc_id, lang, is_train,
+           CAST(floor((w0 + w1 * x1 + w2 * x2) * 1000000) AS BIGINT)
+             AS score_u,
+           (w0 + w1 * x1 + w2 * x2) > 0.5 AS pred_en
+    FROM feats, w
+    """,
+)
+def q165_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality/domain classifier (``operators/linear.py``)
+    — the DCLM / FineWeb-Edu curation pattern: TRAIN a linear model
+    on the labeled 80% md5 split, SCORE every document. Ridge normal
+    equations over two cheap features (chars, tokens; label:
+    ``lang = 'en'``) reduce training to ONE aggregation — nine
+    integer-exact Gram/moment partials — and a Cramer closed-form
+    solve whose SQL text both engines evaluate verbatim, so the
+    oracle hash pins the learned weights and all 100% of the scores
+    (µ-floored) with zero float drift.
+
+    Complements q144's DSIR importance weights (generative n-gram
+    ratios) with the discriminative-classifier route to the same
+    curation decision.
+
+    Scale: train pass = map-side-combined agg to 9 scalars (d²
+    exchange, q143/q150's shape); score pass = map-only projection
+    under the broadcast weight row. No shuffle of corpus rows at
+    any point; held-out docs are scored by weights their rows never
+    influenced (q139's transfer discipline).
+    """
+    from ..schema.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("x1"),
+        F.expr(f"cast(size({TOK}) as bigint)").alias("x2"),
+        F.expr("case when lang = 'en' then 1 else 0 end").alias("y"),
+        (hash_bucket("doc_id") < 800000).alias("is_train"),
+    )
+    parts = feats.filter("is_train").selectExpr(
+        *[e.strip() for e in _Q165_PARTIALS.split(",")]
+    )
+    w = parts.selectExpr(
+        f"{_RW['w0']} as w0", f"{_RW['w1']} as w1", f"{_RW['w2']} as w2"
+    )
+    score = "(w0 + w1 * x1 + w2 * x2)"
+    return feats.crossJoin(F.broadcast(w)).select(
+        "doc_id",
+        "lang",
+        "is_train",
+        F.expr(f"cast(floor({score} * 1000000) as bigint)").alias("score_u"),
+        F.expr(f"{score} > 0.5").alias("pred_en"),
     )

@@ -103,3 +103,57 @@ class TestUnseenTokens:
         }
         assert got["never-seen-token"] == 0
         assert got["t00"] >= 1
+
+
+class TestHyperLogLog:
+    def test_registers_merge_by_max(self, spark, stream):
+        """HLL(a ∪ b) register state == cellwise max of HLL(a),
+        HLL(b) — the property that makes per-day grids fold into
+        rolling distinct counts without rescanning history."""
+        a = stream.filter(F.col("tok") < "t20")
+        b = stream.filter(F.col("tok") >= "t20")
+        ra = sketch.hll_registers(a).withColumnRenamed("register", "ra")
+        rb = sketch.hll_registers(b).withColumnRenamed("register", "rb")
+        merged = (
+            ra.join(rb, "bucket", "full")
+            .select(
+                "bucket",
+                F.greatest(
+                    F.coalesce("ra", F.lit(0)), F.coalesce("rb", F.lit(0))
+                ).alias("register"),
+            )
+        )
+        whole = sketch.hll_registers(stream)
+        assert (
+            merged.join(whole, "bucket", "full")
+            .filter(
+                whole.register.eqNullSafe(F.lit(None))
+                | merged.register.eqNullSafe(F.lit(None))
+                | (merged.register != whole.register)
+            )
+            .count()
+            == 0
+        )
+
+    def test_estimate_tracks_exact_within_bound(self, spark):
+        # 500 distinct values, m=64 -> sigma ~= 1.04/8 ~ 13%; allow 3 sigma
+        vals = spark.createDataFrame(
+            [(f"v{i}",) for i in range(500)], "tok string"
+        )
+        est = sketch.hll_estimate(sketch.hll_registers(vals)).first()
+        assert abs(est.hll_est - 500) / 500 < 0.40
+
+    def test_duplicates_do_not_move_registers(self, spark):
+        once = spark.createDataFrame(
+            [(f"v{i}",) for i in range(100)], "tok string"
+        )
+        thrice = once.union(once).union(once)
+        r1 = sorted(
+            (r.bucket, r.register)
+            for r in sketch.hll_registers(once).collect()
+        )
+        r3 = sorted(
+            (r.bucket, r.register)
+            for r in sketch.hll_registers(thrice).collect()
+        )
+        assert r1 == r3

@@ -759,3 +759,126 @@ def q160_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_to_memory(rollup, "q160", "complete")
+
+
+def _q168_oracle() -> str:
+    from ..operators import sketch, text
+
+    dtok = text.DUCK_TOKENS.format(col="text")
+    return sketch.duck_hll_sql(
+        f"SELECT source, unnest({dtok}) AS tok FROM documents", "source"
+    )
+
+
+@query("q168_streaming_hll_maintenance", oracle=_q168_oracle())
+def q168_streaming_hll_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING HyperLogLog maintenance: q157's pattern with the
+    CARDINALITY sketch — the corpus replayed as an ingest stream,
+    each micro-batch's per-source registers merged into persisted
+    state by cellwise MAX inside ``foreachBatch``. Max is
+    associative, commutative, AND idempotent, so the final register
+    state is independent of batch boundaries — and unlike the
+    count-min merge, an at-least-once replay of a batch cannot even
+    inflate it (the idempotence is the exactly-once-free property;
+    q96's dedup gate is unnecessary for this state). The batch-SQL
+    oracle pins the streamed registers to a single-pass build,
+    estimate, checksum and all.
+
+    Scale: per batch one map-only tokenize + a ≤ sources·64-row
+    register fold; the state merge is register-sized, never
+    corpus-sized. A rolling distinct-token monitor rides a 100 TB
+    ingest at constant state forever.
+    """
+    import os
+    import shutil
+
+    from ..operators import sketch, text
+    from ..sources.readers import load_table
+
+    tok = text.SPARK_TOKENS.format(col="text")
+    base_dir = tempfile.mkdtemp(prefix="q168_hll_")
+    src_dir = os.path.join(base_dir, "docs")
+    ckpt = os.path.join(base_dir, "ckpt")
+    state: dict = {}
+
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        docs.repartitionByRange(4, "doc_id").write.parquet(src_dir)
+
+        stream = (
+            spark.readStream.schema("doc_id long, source string, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+
+        def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            g = sketch.hll_registers(
+                batch_df.select(
+                    "source", F.explode(F.expr(tok)).alias("tok")
+                ),
+                "tok",
+                ["source"],
+            )
+            prev = state.get("dir")
+            if prev is not None:
+                base = spark.read.parquet(prev)
+                g = (
+                    g.withColumnRenamed("register", "r_new")
+                    .join(
+                        base.withColumnRenamed("register", "r_old"),
+                        ["source", "bucket"],
+                        "full",
+                    )
+                    .select(
+                        "source",
+                        "bucket",
+                        F.greatest(
+                            F.coalesce("r_new", F.lit(0)),
+                            F.coalesce("r_old", F.lit(0)),
+                        ).alias("register"),
+                    )
+                )
+            nxt = os.path.join(base_dir, f"regs_v{batch_id}")
+            g.write.mode("overwrite").parquet(nxt)
+            old = state.get("dir")
+            state["dir"] = nxt
+            if old is not None:
+                shutil.rmtree(old, ignore_errors=True)
+
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q168: document stream did not drain")
+
+        regs = spark.read.parquet(state["dir"])
+        est = sketch.hll_estimate(regs, ["source"])
+        exact = (
+            docs.select("source", F.explode(F.expr(tok)).alias("tok"))
+            .groupBy("source")
+            .agg(F.countDistinct("tok").alias("exact_distinct"))
+        )
+        return (
+            exact.join(F.broadcast(est), "source")
+            .select(
+                "source",
+                "exact_distinct",
+                "hll_est",
+                F.expr(
+                    "cast(floor((hll_est - exact_distinct) * 10000.0"
+                    " / exact_distinct) as bigint)"
+                ).alias("err_bp"),
+                "reg_checksum",
+            )
+            .localCheckpoint(eager=True)  # materialize before cleanup
+        )
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

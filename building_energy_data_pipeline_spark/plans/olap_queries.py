@@ -934,9 +934,9 @@ def q167_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(sum(pre * pre) as double)").alias("spp"),
         F.expr("cast(sum(pre * post) as double)").alias("spo"),
     )
-    arms = users.groupBy(
-        F.expr("user_id % 2").alias("arm")
-    ).agg(
+    arms = users.select(
+        F.expr("user_id % 2").alias("arm"), "pre", "post"
+    ).groupBy("arm").agg(
         F.expr("cast(count(*) as double)").alias("n_a"),
         F.expr("cast(sum(pre) as double)").alias("sp_a"),
         F.expr("cast(sum(post) as double)").alias("so_a"),

@@ -455,3 +455,52 @@ class TestRound6Shapes:
                 assert (
                     "sub_id" in ln or "SinglePartition" in ln
                 ), ln
+
+
+class TestRound7Shapes:
+    def test_q161_cdc_chunking_is_map_only(self, spark, sf_dir):
+        # boundary hashing + explode is a pure projection chain: the
+        # executed plan must contain NO exchange of any kind
+        df = REGISTRY["q161_cdc_chunking"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+    def test_q163_reservoir_uses_partition_heaps(self, spark, sf_dir):
+        # A-Res top-n must compile to TakeOrderedAndProject (per-
+        # partition heaps + driver merge), never a global Sort
+        df = REGISTRY["q163_weighted_reservoir"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "Sort [" not in plan, plan
+
+    def test_q162_hll_registers_combine_map_side(self, plan_of):
+        # the register fold must partial-max below the exchange so
+        # tasks ship <= groups*64 rows regardless of stream size
+        plan = plan_of("q162_hll_distinct")
+        assert "partial_max" in plan, plan
+
+    def test_q165_score_pass_has_no_corpus_shuffle(self, spark, sf_dir):
+        # training collapses to 9 scalars (SinglePartition agg);
+        # scoring is map-only under a broadcast weight row — no
+        # exchange may hash-partition corpus rows
+        df = REGISTRY["q165_quality_classifier"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for ln in plan.splitlines():
+            if "Exchange" in ln and "Broadcast" not in ln:
+                assert "SinglePartition" in ln, ln
+
+    def test_q164_index_prunes_scan(self, plan_of):
+        # posting-list build reads (doc_id, text) only
+        plan = plan_of("q164_inverted_index")
+        read = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "lang" not in read and "source" not in read, read
+
+    def test_q167_cuped_shuffles_users_once(self, spark, sf_dir):
+        # the only hash exchanges allowed: user_id (the per-user
+        # fold) and arm (two-row re-agg); everything else must be a
+        # broadcast or the scalar SinglePartition partials
+        df = REGISTRY["q167_cuped_readout"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning" in ln:
+                assert "user_id" in ln or "arm" in ln, ln

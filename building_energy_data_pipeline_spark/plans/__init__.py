@@ -27,80 +27,36 @@ from . import cdc_queries  # noqa: F401  (MERGE upsert q105)
 #: at that index (the explicit sentinel tests assert against —
 #: ADVICE r4 #3: no comment parsing).
 DRIVER_WINDOW_SIZE = 50
-FIRST_BELOW_WINDOW = "q61_sql_pivot"
+FIRST_BELOW_WINDOW = "q85_token_dominance"
 
 #: Registry prefix — ROTATION RULE (round 4+): any query whose
 #: plan-affecting code changed since its LAST driver row, and any
 #: query with no driver row yet, goes INSIDE the 50-entry window;
 #: remaining slots refresh the queries with the oldest green rows.
-#: Round-6 window (the authoritative list is _CURATED_ORDER below):
-#: the NEW PQ family q152–q154 (no driver row yet); the round-6
-#: plan changes (q135/q136/q139 — BPE empty-top left-join guard,
-#: ADVICE r5 #4; q90 — broadcast-scalar cutoff, VERDICT r5 #6);
-#: the FULL r1-vintage drain (q10–q13, q15, q16, q19 — flagged two
-#: rounds running, VERDICT r5 #3) and the FULL r2-vintage drain
-#: (q45–q47, q49, q50, q55–q58, q69–q71); remaining slots refresh
-#: the oldest r3-vintage rows (q07…q61; q62–q66 yielded their
-#: slots to the late-round additions q155 bitext miner, q156
-#: count-min sketch, q157 streaming sketch maintenance, q158
-#: approx-quantile bound, q159 bloom join pruning, q160 streamed
-#: enrichment). Below the boundary:
-#: the rest of the r3 set (q67, q72–q95 — drains next round), then
-#: r4-green, then r5-green rows, all unchanged since their last
+#: Round-7 window (the authoritative list is _CURATED_ORDER below):
+#: q01 (flagship, every round), then the EIGHT new round-7 queries
+#: (q161 content-defined chunking, q162 HLL distinct, q163 weighted
+#: reservoir, q164 inverted index, q165 ridge quality classifier,
+#: q166 label propagation, q167 CUPED readout, q168 streaming HLL
+#: maintenance — no driver row yet), then the FULL r3-vintage drain
+#: (q61–q67, q72–q82, q88, q93–q95 — the 21 oldest green rows,
+#: promised "drains next round" in the r6 comment), then the 20
+#: lowest-numbered r4-vintage rows (q02…q84). Below the boundary:
+#: the rest of the r4 set (q85–q116 — drains next round), then
+#: r5-green, then r6-green rows, all unchanged since their last
 #: driver row and re-verified by the local DuckDB-parity suite.
 #: Ordering is evidence curation, not semantics: every query runs
 #: identically wherever it sits.
 _CURATED_ORDER = [
     "q01_pricing_summary",
-    "q152_pq_encode",
-    "q153_ivf_pq",
-    "q154_ivf_pq_recall",
-    "q155_bitext_margin_mining",
-    "q156_countmin_sketch",
-    "q157_streaming_sketch_maintenance",
-    "q158_approx_quantile_bound",
-    "q159_bloom_join_prune",
-    "q160_stream_enrich",
-    "q135_bpe_merge_step",
-    "q136_bpe_train",
-    "q139_bpe_transfer",
-    "q90_incremental_dedup",
-    "q10_cross_join_constants",
-    "q11_union_halves",
-    "q12_nation_key_set_ops",
-    "q13_regional_rollup",
-    "q15_string_functions",
-    "q16_monthly_orders",
-    "q19_column_stats",
-    "q45_rollup_acctbal",
-    "q46_cube_orders",
-    "q47_grouping_sets",
-    "q49_nation_intersect_except",
-    "q50_topk_with_ties",
-    "q55_correlated_subqueries",
-    "q56_salted_skew_join",
-    "q57_full_outer_join",
-    "q58_recursive_spine",
-    "q69_sql_unpivot",
-    "q70_histogram",
-    "q71_snapshot_diff",
-    "q07_event_gaps",
-    "q14_json_extract",
-    "q20_monotonicity_check",
-    "q24_minmax_normalize",
-    "q25_hourly_rollup",
-    "q26_exact_dedup",
-    "q38_percentiles_by_type",
-    "q39_user_journey_drift",
-    "q40_batch_bounds_json",
-    "q41_moving_average",
-    "q42_sessionize",
-    "q43_type_pivot",
-    "q48_range_join_bands",
-    "q51_approx_distinct",
-    "q52_streaming_hourly_rollup",
-    "q59_explode_tokens",
-    "q60_vector_norms",
+    "q161_cdc_chunking",
+    "q162_hll_distinct",
+    "q163_weighted_reservoir",
+    "q164_inverted_index",
+    "q165_quality_classifier",
+    "q166_label_propagation",
+    "q167_cuped_readout",
+    "q168_streaming_hll_maintenance",
     "q61_sql_pivot",
     "q62_streaming_session_window",
     "q63_map_functions",
@@ -210,6 +166,55 @@ _CURATED_ORDER = [
     "q149_winnowing_pairs",
     "q150_power_iteration",
     "q151_label_kappa",
+    "q07_event_gaps",
+    "q10_cross_join_constants",
+    "q11_union_halves",
+    "q12_nation_key_set_ops",
+    "q13_regional_rollup",
+    "q14_json_extract",
+    "q15_string_functions",
+    "q16_monthly_orders",
+    "q19_column_stats",
+    "q20_monotonicity_check",
+    "q24_minmax_normalize",
+    "q25_hourly_rollup",
+    "q26_exact_dedup",
+    "q38_percentiles_by_type",
+    "q39_user_journey_drift",
+    "q40_batch_bounds_json",
+    "q41_moving_average",
+    "q42_sessionize",
+    "q43_type_pivot",
+    "q45_rollup_acctbal",
+    "q46_cube_orders",
+    "q47_grouping_sets",
+    "q48_range_join_bands",
+    "q49_nation_intersect_except",
+    "q50_topk_with_ties",
+    "q51_approx_distinct",
+    "q52_streaming_hourly_rollup",
+    "q55_correlated_subqueries",
+    "q56_salted_skew_join",
+    "q57_full_outer_join",
+    "q58_recursive_spine",
+    "q59_explode_tokens",
+    "q60_vector_norms",
+    "q69_sql_unpivot",
+    "q70_histogram",
+    "q71_snapshot_diff",
+    "q90_incremental_dedup",
+    "q135_bpe_merge_step",
+    "q136_bpe_train",
+    "q139_bpe_transfer",
+    "q152_pq_encode",
+    "q153_ivf_pq",
+    "q154_ivf_pq_recall",
+    "q155_bitext_margin_mining",
+    "q156_countmin_sketch",
+    "q157_streaming_sketch_maintenance",
+    "q158_approx_quantile_bound",
+    "q159_bloom_join_prune",
+    "q160_stream_enrich",
 ]
 
 

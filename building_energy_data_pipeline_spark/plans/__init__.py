@@ -21,28 +21,32 @@ from . import array_queries  # noqa: F401  (explode/higher-order/pivot q59–q61
 from . import pipeline_queries  # noqa: F401  (packing/decontam/boilerplate q83–q86)
 from . import llm_queries  # noqa: F401  (repetition/chunking/ngram-LM q97–q99, split-leakage/kmeans/zipf/pagerank q106–q109, dup spans q112–q113)
 from . import cdc_queries  # noqa: F401  (MERGE upsert q105)
+from . import analytics_queries  # noqa: F401  (SCD2/SRM/MAD/EWMA/triangles q169+)
 
 #: The driver's correctness harness checks exactly this many leading
 #: ``queries()`` entries; ``FIRST_BELOW_WINDOW`` is the entry pinned
 #: at that index (the explicit sentinel tests assert against —
 #: ADVICE r4 #3: no comment parsing).
 DRIVER_WINDOW_SIZE = 50
-FIRST_BELOW_WINDOW = "q85_token_dominance"
+FIRST_BELOW_WINDOW = "q37_embedding_neardup"
 
 #: Registry prefix — ROTATION RULE (round 4+): any query whose
 #: plan-affecting code changed since its LAST driver row, and any
 #: query with no driver row yet, goes INSIDE the 50-entry window;
 #: remaining slots refresh the queries with the oldest green rows.
 #: Round-7 window (the authoritative list is _CURATED_ORDER below):
-#: q01 (flagship, every round), then the EIGHT new round-7 queries
+#: q01 (flagship, every round), then the SIXTEEN new round-7 queries
 #: (q161 content-defined chunking, q162 HLL distinct, q163 weighted
 #: reservoir, q164 inverted index, q165 ridge quality classifier,
 #: q166 label propagation, q167 CUPED readout, q168 streaming HLL
-#: maintenance — no driver row yet), then the FULL r3-vintage drain
-#: (q61–q67, q72–q82, q88, q93–q95 — the 21 oldest green rows,
-#: promised "drains next round" in the r6 comment), then the 20
-#: lowest-numbered r4-vintage rows (q02…q84). Below the boundary:
-#: the rest of the r4 set (q85–q116 — drains next round), then
+#: maintenance, q169 SCD2 history, q170 SRM check, q171 MAD
+#: outliers, q172 EWMA smoothing, q173 triangle count, q174
+#: quantile normalize, q175 sorted-neighborhood dedup, q176 SRP-LSH
+#: — no driver row yet), then the FULL r3-vintage drain (q61–q67,
+#: q72–q82, q88, q93–q95 — the 21 oldest green rows, promised
+#: "drains next round" in the r6 comment), then the 12
+#: lowest-numbered r4-vintage rows (q02…q34). Below the boundary:
+#: the rest of the r4 set (q37–q116 — drains next round), then
 #: r5-green, then r6-green rows, all unchanged since their last
 #: driver row and re-verified by the local DuckDB-parity suite.
 #: Ordering is evidence curation, not semantics: every query runs
@@ -57,6 +61,14 @@ _CURATED_ORDER = [
     "q166_label_propagation",
     "q167_cuped_readout",
     "q168_streaming_hll_maintenance",
+    "q169_scd2_history",
+    "q170_srm_check",
+    "q171_mad_outliers",
+    "q172_ewma_smoothing",
+    "q173_triangle_count",
+    "q174_quantile_normalize",
+    "q175_sorted_neighborhood",
+    "q176_srp_lsh",
     "q61_sql_pivot",
     "q62_streaming_session_window",
     "q63_map_functions",

@@ -27,6 +27,7 @@ from .registry import query
 
 @query(
     "q169_scd2_history",
+    headline=True,
     oracle="""
     WITH log AS (
       SELECT o_custkey AS custkey, o_orderpriority AS status,
@@ -348,6 +349,7 @@ def q172_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q173_triangle_count",
+    headline=True,
     oracle="""
     WITH co AS (
       SELECT DISTINCT l_orderkey AS o, l_partkey AS p
@@ -628,6 +630,7 @@ from ..operators import similarity as _sim  # noqa: E402  (oracle text below)
 
 @query(
     "q176_srp_lsh",
+    headline=True,
     oracle=f"""
     WITH b AS (
       SELECT vec_id, embedding,

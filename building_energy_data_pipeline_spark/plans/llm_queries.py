@@ -2391,6 +2391,7 @@ IDX_MIN_DF = 2
 
 @query(
     "q164_inverted_index",
+    headline=True,
     oracle=f"""
     WITH t AS (SELECT doc_id, {DTOK} AS toks FROM documents),
     tok AS (SELECT doc_id, unnest(toks) AS term FROM t),

@@ -2313,6 +2313,7 @@ _Q165_PARTIALS = """
 
 @query(
     "q165_quality_classifier",
+    headline=True,
     oracle=f"""
     WITH feats AS (
       SELECT doc_id, lang,

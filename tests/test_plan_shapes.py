@@ -504,3 +504,86 @@ class TestRound7Shapes:
         for ln in plan.splitlines():
             if "Exchange hashpartitioning" in ln:
                 assert "user_id" in ln or "arm" in ln, ln
+
+
+class TestRound7SecondBatchShapes:
+    def test_q169_single_custkey_exchange(self, spark, sf_dir):
+        # lag + lead + row_number share one (custkey, sort) window
+        # spec — the plan must hash-partition on custkey exactly once
+        df = REGISTRY["q169_scd2_history"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hashes = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln
+        ]
+        assert len(hashes) == 1 and "custkey" in hashes[0], plan
+
+    def test_q170_only_user_and_arm_exchanges(self, spark, sf_dir):
+        # distinct on user_id and the arm re-agg are the only hash
+        # shuffles; totals ride broadcasts
+        df = REGISTRY["q170_srm_check"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning" in ln:
+                assert "user_id" in ln or "arm" in ln, ln
+
+    def test_q171_groups_only_on_event_type(self, spark, sf_dir):
+        # median/MAD/outlier passes all reduce to event_type
+        # cardinality; no other key may hash-partition corpus rows
+        df = REGISTRY["q171_mad_outliers"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning" in ln:
+                assert "event_type" in ln, ln
+
+    def test_q172_one_window_no_explode(self, spark, sf_dir):
+        # the bounded-frame fold is one user_id window + HOF
+        # expressions: no Generate (explode) and no self-join
+        df = REGISTRY["q172_ewma_smoothing"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Generate" not in plan, plan
+        assert "Join" not in plan, plan
+        hashes = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln
+        ]
+        assert len(hashes) == 1 and "user_id" in hashes[0], plan
+
+    def test_q173_no_nested_loop_joins(self, spark, sf_dir):
+        # wedge + closure joins are equi-joins on node keys — a
+        # BNLJ/cartesian there is quadratic death at scale. The ONLY
+        # nested-loop joins allowed are the final scalar combines
+        # (1-row broadcast Cross of the n_edges/n_tri aggregates).
+        df = REGISTRY["q173_triangle_count"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        for ln in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in ln:
+                assert "Cross" in ln, ln
+
+    def test_q174_grid_join_broadcasts(self, spark, sf_dir):
+        # the rank-grid (≤ max per-source rows) must broadcast back;
+        # corpus rows shuffle only for the per-source window
+        df = REGISTRY["q174_quantile_normalize"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_q175_neighbor_join_is_equi(self, plan_of):
+        # pairing is an equi-join on rn+delta — never a banded
+        # non-equi join (BNLJ) over the corpus
+        plan = plan_of("q175_sorted_neighborhood")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q176_bucket_assignment_is_map_only(self, spark, sf_dir):
+        # the SRP projection must not shuffle corpus rows to assign
+        # buckets: every hash exchange partitions on bucket (the
+        # pair join), nothing else
+        df = REGISTRY["q176_srp_lsh"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning" in ln:
+                assert "bucket" in ln, ln
+        assert "Generate" not in plan, plan

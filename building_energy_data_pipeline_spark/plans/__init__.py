@@ -28,27 +28,32 @@ from . import analytics_queries  # noqa: F401  (SCD2/SRM/MAD/EWMA/triangles q169
 #: at that index (the explicit sentinel tests assert against —
 #: ADVICE r4 #3: no comment parsing).
 DRIVER_WINDOW_SIZE = 50
-FIRST_BELOW_WINDOW = "q37_embedding_neardup"
+FIRST_BELOW_WINDOW = "q02_filtered_scan"
 
 #: Registry prefix — ROTATION RULE (round 4+): any query whose
 #: plan-affecting code changed since its LAST driver row, and any
 #: query with no driver row yet, goes INSIDE the 50-entry window;
 #: remaining slots refresh the queries with the oldest green rows.
 #: Round-7 window (the authoritative list is _CURATED_ORDER below):
-#: q01 (flagship, every round), then the SIXTEEN new round-7 queries
-#: (q161 content-defined chunking, q162 HLL distinct, q163 weighted
-#: reservoir, q164 inverted index, q165 ridge quality classifier,
-#: q166 label propagation, q167 CUPED readout, q168 streaming HLL
-#: maintenance, q169 SCD2 history, q170 SRM check, q171 MAD
-#: outliers, q172 EWMA smoothing, q173 triangle count, q174
-#: quantile normalize, q175 sorted-neighborhood dedup, q176 SRP-LSH
-#: — no driver row yet), then the FULL r3-vintage drain (q61–q67,
-#: q72–q82, q88, q93–q95 — the 21 oldest green rows, promised
-#: "drains next round" in the r6 comment), then the 12
-#: lowest-numbered r4-vintage rows (q02…q34). Below the boundary:
-#: the rest of the r4 set (q37–q116 — drains next round), then
-#: r5-green, then r6-green rows, all unchanged since their last
-#: driver row and re-verified by the local DuckDB-parity suite.
+#: q01 (flagship, every round), then the TWENTY-EIGHT new round-7
+#: queries (q161 content-defined chunking, q162 HLL distinct, q163
+#: weighted reservoir, q164 inverted index, q165 ridge quality
+#: classifier, q166 label propagation, q167 CUPED readout, q168
+#: streaming HLL maintenance, q169 SCD2 history, q170 SRM check,
+#: q171 MAD outliers, q172 EWMA smoothing, q173 triangle count,
+#: q174 quantile normalize, q175 sorted-neighborhood dedup, q176
+#: SRP-LSH, q177 point-in-time SCD2 join, q178 RRF hybrid
+#: retrieval, q179 k-core peeling, q180 CUSUM drift, q181 hourly
+#: ACF, q182 Benford audit, q183 last-touch attribution, q184
+#: seasonal-naive backtest, q185 HLL set algebra, q186 streaming
+#: CUSUM, q187 TPC-H Q5 local supplier volume, q188 TPC-H Q8
+#: market share — no driver row yet), then the FULL r3-vintage
+#: drain (q61–q67, q72–q82, q88, q93–q95 — the 21 oldest green
+#: rows, promised "drains next round" in the r6 comment), filling
+#: the window exactly. Below the boundary: the r4 set (q02–q116 —
+#: drains next round), then r5-green, then r6-green rows, all
+#: unchanged since their last driver row and re-verified by the
+#: local DuckDB-parity suite.
 #: Ordering is evidence curation, not semantics: every query runs
 #: identically wherever it sits.
 _CURATED_ORDER = [
@@ -69,6 +74,18 @@ _CURATED_ORDER = [
     "q174_quantile_normalize",
     "q175_sorted_neighborhood",
     "q176_srp_lsh",
+    "q177_point_in_time_join",
+    "q178_rrf_hybrid",
+    "q179_kcore_peeling",
+    "q180_cusum_drift",
+    "q181_hourly_acf",
+    "q182_benford_audit",
+    "q183_last_touch_attribution",
+    "q184_seasonal_naive_backtest",
+    "q185_hll_set_algebra",
+    "q186_streaming_cusum",
+    "q187_local_supplier_volume",
+    "q188_market_share",
     "q61_sql_pivot",
     "q62_streaming_session_window",
     "q63_map_functions",

@@ -121,7 +121,7 @@ _SRM_CONTRIB = f"((n_obs - {_SRM_EXP}) * (n_obs - {_SRM_EXP}) / {_SRM_EXP})"
       SELECT arm, n_obs, wt, n_total,
              {_SRM_CONTRIB} AS c
       FROM obs, tot),
-    chi AS (SELECT SUM(c) AS chi2 FROM contrib)
+    chi AS (SELECT list_reduce(list_prepend(0.0, list(c ORDER BY arm)), (a, b) -> a + b) AS chi2 FROM contrib)
     SELECT arm,
            CAST(n_obs AS BIGINT) AS n_users,
            CAST(floor({_SRM_EXP} * 1000000) AS BIGINT) AS expected_u,
@@ -160,15 +160,31 @@ def q170_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN user_id % 4 <= 1 THEN 0.5 ELSE 0.25 END"
         ).alias("wt"),
     )
-    obs = assign.groupBy("arm").agg(
-        F.min("wt").alias("wt"),
-        F.count("*").cast("double").alias("n_obs"),
+    from .. import caching
+
+    # the contrib→chi→final scalar-combine tree reads this 3-row
+    # table three times — persist it so the user_id distinct (the
+    # only corpus-sized work) runs ONCE
+    obs = caching.slot_persist(
+        "q170_arms",
+        assign.groupBy("arm").agg(
+            F.min("wt").alias("wt"),
+            F.count("*").cast("double").alias("n_obs"),
+        ),
     )
     tot = obs.agg(F.expr("cast(sum(n_obs) as double)").alias("n_total"))
     contrib = obs.crossJoin(F.broadcast(tot)).withColumn(
         "c", F.expr(_SRM_CONTRIB)
     )
-    chi = contrib.agg(F.sum("c").alias("chi2"))
+    # chi2 folds THREE doubles — an unordered SUM's result depends
+    # on partial-aggregation order and can flip the last bit under
+    # floor(); fold in explicit arm order on both engines instead
+    chi = contrib.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(arm, c))),"
+            " cast(0.0 as double), (acc, s) -> acc + s.c)"
+        ).alias("chi2")
+    )
     return contrib.crossJoin(F.broadcast(chi)).select(
         "arm",
         F.expr("cast(n_obs as bigint)").alias("n_users"),
@@ -793,9 +809,10 @@ def q177_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     through ``operators/asof.asof_join`` (union – sort – carry-
     forward, ``right_unique=True``).
 
-    Scale: ONE custkey shuffle serves the history windows and the
-    as-of union; facts join orders on the orderkey they're already
-    co-partitioned by in a keyed warehouse. No interval explosion,
+    Scale: two custkey shuffles total — one building the history
+    windows, one sorting the as-of union (the union of two inputs
+    cannot inherit either's partitioning); facts join orders on the
+    orderkey they're already co-partitioned by in a keyed warehouse. No interval explosion,
     no range join — the carry-forward trick turns point-in-time
     lookup into a linear merge per key.
     """
@@ -1028,3 +1045,764 @@ def q178_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rrf_u"),
     )
     return fused.orderBy(F.desc("rrf_u"), "doc_id").limit(_RRF_TOP)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (2 peeling rounds) — q179
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 2
+
+#: shared edge-build text (q173's co-purchase graph)
+_Q179_EDGES = """
+    co AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-10-01'),
+    e0 AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM co a JOIN co b ON a.o = b.o AND a.p < b.p)
+"""
+
+
+def _q179_oracle() -> str:
+    k = _KCORE_K
+    parts = [_Q179_EDGES]
+    stats = [
+        """sel0 AS (
+      SELECT CAST(0 AS BIGINT) AS round,
+             CAST((SELECT COUNT(DISTINCT node) FROM
+                   (SELECT u AS node FROM e0
+                    UNION ALL SELECT v FROM e0)) AS BIGINT) AS n_nodes,
+             CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges)"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        prev = f"e{r - 1}"
+        parts.append(
+            f"""d{r} AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+      GROUP BY node),
+    keep{r} AS (SELECT node FROM d{r} WHERE d >= {k}),
+    e{r} AS (
+      SELECT u, v FROM {prev}
+      WHERE u IN (SELECT node FROM keep{r})
+        AND v IN (SELECT node FROM keep{r}))"""
+        )
+        stats.append(
+            f"""sel{r} AS (
+      SELECT CAST({r} AS BIGINT) AS round,
+             CAST((SELECT COUNT(*) FROM keep{r}) AS BIGINT) AS n_nodes,
+             CAST((SELECT COUNT(*) FROM e{r}) AS BIGINT) AS n_edges)"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM sel{r}" for r in range(_KCORE_ROUNDS + 1)
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts + stats)
+        + f"\n    {union}"
+    )
+
+
+@query("q179_kcore_peeling", oracle=_q179_oracle())
+def q179_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition ({_KCORE_ROUNDS} peeling rounds, k =
+    {_KCORE_K}) of the q173 co-purchase graph: repeatedly delete
+    nodes with degree < k and the edges they carry — the standard
+    graph-density filter that strips hair/tendrils before community
+    detection or GNN neighborhood sampling, and the connectivity
+    analogue of q44's connected components. Per-round (n_nodes,
+    n_edges) survivor counts are the output; the fixpoint loop is a
+    driver ``for`` at a fixed round budget (the q107/q109/q117
+    policy: one oracle-checked step, CTE-unrolled twin).
+
+    Scale: each round is a degree aggregate (map-side combined) +
+    two semi-joins on node ids — all hash-partitioned by node;
+    the edge table is slot-staged per round so the next round and
+    the stats read the SAME materialization, and nothing driver-
+    sized exists except the {_KCORE_ROUNDS + 1}-row report.
+    """
+    from .. import caching
+
+    co = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < F.lit("1996-10-01"))
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e = caching.slot_persist(
+        "q179_e0",
+        co.alias("a")
+        .join(co.alias("b"), "o")
+        .filter(F.expr("a.p < b.p"))
+        .select(F.expr("a.p").alias("u"), F.expr("b.p").alias("v"))
+        .distinct(),
+    )
+    # round-0 stats: distinct node + edge counts of the staged table
+    nodes0 = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+        .count()
+    )
+    edges0 = e.count()
+    spark_rows = [(0, nodes0, edges0)]
+    cur = e
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("node")
+        cur = caching.slot_persist(
+            f"q179_e{r}",
+            cur.join(
+                keep.withColumnRenamed("node", "u"), "u", "left_semi"
+            ).join(
+                keep.withColumnRenamed("node", "v"), "v", "left_semi"
+            ).select("u", "v"),
+        )
+        spark_rows.append((r, keep.count(), cur.count()))
+    return spark.createDataFrame(
+        spark_rows, "round bigint, n_nodes bigint, n_edges bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection — q180
+# ---------------------------------------------------------------------------
+
+#: CUSUM slack (reference shift /2) and decision threshold, in the
+#: 1e4-scaled integer units of ``floor(value * 10000)``
+_CUSUM_SLACK = 50_000
+_CUSUM_H = 3_000_000
+
+
+@query(
+    "q180_cusum_drift",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 10000) AS BIGINT) AS x
+      FROM events),
+    m AS (
+      SELECT event_type, SUM(x) // COUNT(*) AS mu
+      FROM e GROUP BY event_type),
+    c AS (
+      SELECT e.event_type, ts, event_id,
+             SUM(x - mu - {_CUSUM_SLACK}) OVER w AS cs
+      FROM e JOIN m USING (event_type)
+      WINDOW w AS (PARTITION BY e.event_type ORDER BY ts, event_id)),
+    r AS (
+      SELECT event_type, cs,
+             MIN(cs) OVER (PARTITION BY event_type
+                           ORDER BY ts, event_id) AS rmin
+      FROM c),
+    s AS (
+      SELECT event_type, CAST(cs - LEAST(0, rmin) AS BIGINT) AS S
+      FROM r)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(S) AS BIGINT) AS max_s,
+           CAST(SUM(CASE WHEN S > {_CUSUM_H} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alerts
+    FROM s GROUP BY event_type
+    """,
+)
+def q180_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection (Page 1954) per event type:
+    the sequential change-point statistic Sᵢ = max(0, Sᵢ₋₁ + xᵢ − μ
+    − slack) that fires when a metric drifts upward persistently —
+    the monitoring primitive behind data-quality and model-drift
+    alarms. The recursive max() does NOT distribute; the engine uses
+    the prefix closed form **Sᵢ = csᵢ − min(0, min_{{j≤i}} csⱼ)**
+    (cs = running sum of deviations), which is two stacked windows
+    over ONE partition ordering — fully parallel per key. All
+    arithmetic is int64 on 1e-4-scaled values, so max_s/n_alerts
+    hash-match exactly.
+
+    Scale: one event_type shuffle serves both windows (same
+    partition + order spec); the per-type mean is a broadcast-back
+    aggregate. Per-type series length is the only sequential axis —
+    the same constraint any order-dependent statistic has — and keys
+    are independent, so 1000 executors run 1000 types.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("cast(floor(value * 10000) as bigint)").alias("x"),
+    )
+    mu = ev.groupBy("event_type").agg(
+        F.expr("sum(x) div count(*)").alias("mu")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = (
+        ev.join(F.broadcast(mu), "event_type")
+        .withColumn(
+            "cs", F.sum(F.expr(f"x - mu - {_CUSUM_SLACK}")).over(w)
+        )
+        .withColumn("rmin", F.min("cs").over(w))
+        .select(
+            "event_type",
+            F.expr("cast(cs - least(0L, rmin) as bigint)").alias("S"),
+        )
+    )
+    return s.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.max("S").alias("max_s"),
+        F.expr(
+            f"cast(sum(case when S > {_CUSUM_H} then 1 else 0 end)"
+            " as bigint)"
+        ).alias("n_alerts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function (lags 1..3) — q181
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = 3
+
+
+@query(
+    "q181_hourly_acf",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+             CAST(floor(value * 100) AS BIGINT) AS x
+      FROM events),
+    h AS (
+      SELECT event_type, hr,
+             SUM(x) * 100 // COUNT(*) AS v
+      FROM e GROUP BY event_type, hr),
+    n AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(v) // COUNT(*) AS BIGINT) AS mu
+      FROM h GROUP BY event_type),
+    y AS (
+      SELECT h.event_type, hr, cnt, (v - mu) AS y
+      FROM h JOIN n USING (event_type)),
+    lagged AS (
+      SELECT event_type, cnt, y,
+             {", ".join(f"lag(y, {k}) OVER (PARTITION BY event_type ORDER BY hr) AS y{k}" for k in range(1, _ACF_LAGS + 1))}
+      FROM y),
+    den AS (
+      SELECT event_type, CAST(SUM(y * y) AS BIGINT) AS den
+      FROM y GROUP BY event_type),
+    acf AS (
+      {" UNION ALL ".join(
+        f'''SELECT event_type, CAST({k} AS BIGINT) AS lag,
+             CAST(COUNT(y{k}) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN y{k} IS NULL THEN 0
+                           ELSE y * y{k} END) AS BIGINT) AS num
+      FROM lagged GROUP BY event_type'''
+        for k in range(1, _ACF_LAGS + 1)
+      )})
+    SELECT a.event_type, a.lag, a.n_pairs, a.num, d.den,
+           CAST(floor(a.num * 1000000.0 / d.den) AS BIGINT) AS acf_u
+    FROM acf a JOIN den d USING (event_type)
+    """,
+)
+def q181_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of each event type's hourly mean series at
+    lags 1..{_ACF_LAGS} — the seasonality/persistence probe that
+    decides whether a metric needs differencing before forecasting
+    or anomaly scoring (q172's EWMA assumes short memory; this
+    measures it). The mean is removed in EXACT integer form: the
+    series (hour-means vᵢ, 1e4 units) is centered at the FLOORED
+    integer mean yᵢ = vᵢ − (Σv div n) — the ≤1-unit centering bias
+    is identical on both engines and keeps y² bounded (the exact
+    n-scaled form n·vᵢ−Σv overflows int64 once the series passes
+    ~10³ hours) — and r_k = Σ yᵢ·yᵢ₊ₖ / Σ yᵢ² needs one final
+    division, evaluated from the same BIGINTs by the same double
+    expression text on both engines.
+
+    Scale: the corpus collapses to (type × hour) rows in one
+    map-side-combined aggregate; everything after runs on the
+    series table (thousands of rows per type-year). The lag windows
+    share one (event_type, hr) ordering — a single exchange —
+    and the lag-k variants come from the SAME window pass.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(unix_timestamp(ts) as bigint) div 3600").alias("hr"),
+        F.expr("cast(floor(value * 100) as bigint)").alias("x"),
+    )
+    h = ev.groupBy("event_type", "hr").agg(
+        F.expr("sum(x) * 100 div count(*)").alias("v")
+    )
+    n = h.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.expr("sum(v) div count(*)").alias("mu"),
+    )
+    w = W.partitionBy("event_type").orderBy("hr")
+    y = h.join(F.broadcast(n), "event_type").select(
+        "event_type", "hr", F.expr("v - mu").alias("y")
+    )
+    lagged = y.select(
+        "event_type",
+        "y",
+        *[
+            F.lag("y", k).over(w).alias(f"y{k}")
+            for k in range(1, _ACF_LAGS + 1)
+        ],
+    )
+    # ONE aggregate computes every lag's numerator, its pair count,
+    # and the shared denominator — the series is scanned once, not
+    # once per lag (the 3-way union form measured 3 extra series
+    # exchanges); the per-lag rows come from stack() on the compact
+    # per-type result
+    agg = lagged.groupBy("event_type").agg(
+        F.expr("cast(sum(y * y) as bigint)").alias("den"),
+        *[
+            c
+            for k in range(1, _ACF_LAGS + 1)
+            for c in (
+                F.count(f"y{k}").alias(f"np{k}"),
+                F.expr(
+                    f"cast(sum(case when y{k} is null then 0"
+                    f" else y * y{k} end) as bigint)"
+                ).alias(f"num{k}"),
+            )
+        ],
+    )
+    stacked = ", ".join(
+        f"{k}L, np{k}, num{k}" for k in range(1, _ACF_LAGS + 1)
+    )
+    return agg.select(
+        "event_type",
+        F.expr(
+            f"stack({_ACF_LAGS}, {stacked}) as (lag, n_pairs, num)"
+        ),
+        "den",
+    ).select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        "num",
+        "den",
+        F.expr("cast(floor(num * 1000000.0 / den) as bigint)").alias(
+            "acf_u"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — q182
+# ---------------------------------------------------------------------------
+
+#: floor(log10(1 + 1/d) * 1e6) for d = 1..9 — precomputed so neither
+#: engine evaluates a transcendental (q137's exp(PMI) argument)
+_BENFORD_U = (301029, 176091, 124938, 96910, 79181, 66946, 57991,
+              51152, 45757)
+_BENFORD_CASE = "CASE d " + " ".join(
+    f"WHEN {i + 1} THEN {u}" for i, u in enumerate(_BENFORD_U)
+) + " END"
+
+
+@query(
+    "q182_benford_audit",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1),
+    obs AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM v GROUP BY d),
+    digits AS (
+      SELECT CAST(g AS BIGINT) AS d,
+             CAST({_BENFORD_CASE.replace("CASE d", "CASE g")} AS BIGINT)
+               AS expected_u
+      FROM generate_series(1, 9) AS s(g)),
+    j AS (
+      SELECT digits.d, digits.expected_u,
+             COALESCE(obs.n_obs, 0) AS n_obs
+      FROM digits LEFT JOIN obs ON digits.d = obs.d),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM j),
+    c AS (
+      SELECT d, n_obs, expected_u, n,
+             (expected_u * n / 1000000.0) AS exp_n
+      FROM j, tot),
+    chi AS (
+      SELECT list_reduce(list_prepend(0.0,
+               list((n_obs - exp_n) * (n_obs - exp_n) / exp_n
+                    ORDER BY d)),
+             (a, b) -> a + b) AS chi2
+      FROM c)
+    SELECT d, n_obs,
+           CAST(n_obs * 1000000 // n AS BIGINT) AS share_u,
+           expected_u,
+           CAST(floor(chi2 * 1000) AS BIGINT) AS chi2_m,
+           (chi2 > 20.09) AS benford_alert
+    FROM c, chi
+    """,
+)
+def q182_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: observed leading-
+    digit shares vs Benford's log10(1+1/d) expectation with a
+    chi-square fit statistic (df=8, alert ≈ p<0.01) — the classic
+    fabricated-/synthetic-data detector used in financial and data-
+    quality audits. The expected frequencies are PRECOMPUTED integer
+    micro-units (no engine evaluates a log), the digit extraction is
+    exact bigint→string, and the chi-square is one shared double
+    expression over exact integers — so every column hash-matches.
+    (The synthetic uniform-ish totals genuinely fail Benford; the
+    alert firing TRUE is the expected, pinned outcome.)
+
+    Scale: one scan folding to ≤9 groups map-side; everything after
+    is a 9-row table with a broadcast total. Nothing else.
+    """
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.expr(
+                "cast(substring(cast(cast(floor(o_totalprice) as bigint)"
+                " as string), 1, 1) as bigint)"
+            ).alias("d")
+        )
+    )
+    obs = v.groupBy("d").agg(F.count("*").alias("n_obs"))
+    digits = spark.range(1, 10).select(
+        F.col("id").alias("d"),
+        F.expr(f"cast({_BENFORD_CASE} as bigint)").alias("expected_u"),
+    )
+    from .. import caching
+
+    # the scalar-combine tree below reads this table four times —
+    # persist the 9 rows so the orders scan behind it runs ONCE
+    j = caching.slot_persist(
+        "q182_digits",
+        digits.join(F.broadcast(obs), "d", "left").select(
+            "d", "expected_u", F.expr("coalesce(n_obs, 0L)").alias("n_obs")
+        ),
+    )
+    tot = j.agg(F.sum("n_obs").alias("n"))
+    c = j.crossJoin(F.broadcast(tot)).withColumn(
+        "exp_n", F.expr("expected_u * n / 1000000.0")
+    )
+    # nine-double fold in explicit digit order (the q170 argument:
+    # unordered double SUM is partial-agg-order dependent)
+    chi = c.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(d,"
+            " (n_obs - exp_n) * (n_obs - exp_n) / exp_n as c0))),"
+            " cast(0.0 as double), (acc, s) -> acc + s.c0)"
+        ).alias("chi2")
+    )
+    return c.crossJoin(F.broadcast(chi)).select(
+        "d",
+        "n_obs",
+        F.expr("cast(n_obs * 1000000 div n as bigint)").alias("share_u"),
+        "expected_u",
+        F.expr("cast(floor(chi2 * 1000) as bigint)").alias("chi2_m"),
+        F.expr("chi2 > 20.09").alias("benford_alert"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch marketing attribution — q183
+# ---------------------------------------------------------------------------
+
+#: attribution lookback window, seconds
+_ATTR_WINDOW = 7 * 86_400
+
+
+def _q183_oracle() -> str:
+    from ..functions.scalar import dec_sum_sql
+
+    return f"""
+    WITH p AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+      FROM events WHERE event_type = 'purchase'),
+    t AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events WHERE event_type <> 'purchase'),
+    attributed AS (
+      SELECT p.event_id, p.value, t.event_type AS touch_type,
+             p.t - t.t AS gap
+      FROM p JOIN t ON p.user_id = t.user_id AND t.t <= p.t
+      QUALIFY row_number() OVER (
+        PARTITION BY p.event_id ORDER BY t.t DESC, t.event_id DESC) = 1)
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_attributed,
+           {dec_sum_sql("value")} AS attributed_value,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_s
+    FROM attributed WHERE gap <= {_ATTR_WINDOW}
+    GROUP BY touch_type
+    """
+
+
+@query("q183_last_touch_attribution", oracle=_q183_oracle())
+def q183_last_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch attribution: every purchase credits its value to
+    the user's MOST RECENT non-purchase event within a 7-day
+    lookback — the warehouse op behind every marketing-spend report,
+    and the event-stream twin of q177's point-in-time dimension
+    lookup. Ties at identical timestamps break on the larger
+    event_id, so attribution is deterministic on both engines.
+
+    The engine routes through ``operators/asof.asof_join`` (union –
+    sort – carry-forward: O(n log n) per user, no pairwise
+    purchase×touch join) with the lookback applied as a post-filter;
+    the oracle re-derives the same winner relationally (per-purchase
+    row_number over the time-bounded join) — two formulations, one
+    contract.
+
+    Scale: one user_id shuffle for the as-of union; the touch
+    stream is never joined pairwise (the relational form the oracle
+    uses is quadratic per user — exactly what the carry-forward
+    avoids); the rollup is touch-type cardinality.
+    """
+    from ..functions.scalar import dec_sum
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("cast(unix_timestamp(ts) as bigint)").alias("t"),
+        "value",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t", "value"
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("t"),
+        F.col("event_type").alias("touch_type"),
+        F.col("event_id").alias("touch_id"),
+    )
+    j = asof_join(
+        purchases,
+        touches,
+        on=["user_id"],
+        left_ts="t",
+        right_ts="t",
+        right_order=["touch_id"],
+    )
+    return (
+        j.withColumn("gap", F.expr("t - right_ts"))
+        .filter(F.col("gap") <= _ATTR_WINDOW)
+        .groupBy(F.col("right_touch_type").alias("touch_type"))
+        .agg(
+            F.count("*").alias("n_attributed"),
+            dec_sum("value").alias("attributed_value"),
+            F.max("gap").cast("bigint").alias("max_gap_s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest — q184
+# ---------------------------------------------------------------------------
+
+_SEASON_HOURS = 24
+
+
+@query(
+    "q184_seasonal_naive_backtest",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+             CAST(floor(value * 100) AS BIGINT) AS x
+      FROM events),
+    h AS (
+      SELECT event_type, hr, SUM(x) * 100 // COUNT(*) AS v
+      FROM e GROUP BY event_type, hr),
+    f AS (
+      SELECT cur.event_type, cur.hr, cur.v,
+             prev.v AS v_hat,
+             abs(cur.v - prev.v) AS abs_err,
+             cur.v - prev.v AS err
+      FROM h cur JOIN h prev
+        ON cur.event_type = prev.event_type
+       AND cur.hr = prev.hr + {_SEASON_HOURS})
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+           CAST(SUM(abs_err) * 100 // COUNT(*) AS BIGINT) AS mae_cu,
+           CAST(SUM(err) AS BIGINT) AS bias_sum,
+           CAST(MAX(abs_err) AS BIGINT) AS worst_abs
+    FROM f GROUP BY event_type
+    """,
+)
+def q184_seasonal_naive_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hour's mean
+    metric as the value {_SEASON_HOURS} hours earlier and score
+    MAE / bias / worst-case against actuals — the baseline every
+    forecasting deployment must beat before anything fancier ships
+    (q172 smooths, q181 measures memory; this closes the loop with
+    an evaluated predictor). The season lag is an EQUI-join on
+    ``hr − {_SEASON_HOURS}``, not a row-offset window — hours with
+    a missing season ancestor produce no forecast instead of
+    silently borrowing a nearer row when the series has gaps.
+
+    All errors are exact integers on the 1e-4-scaled hourly means
+    (q181's series), so every metric hash-matches.
+
+    Scale: the corpus folds to (type × hour) in one map-side
+    aggregate; the self-join runs on the compact series table keyed
+    by (event_type, hr) — thousands of rows, broadcastable, and the
+    join key is the partitioning the fold already produced.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(unix_timestamp(ts) as bigint) div 3600").alias("hr"),
+        F.expr("cast(floor(value * 100) as bigint)").alias("x"),
+    )
+    h = ev.groupBy("event_type", "hr").agg(
+        F.expr("sum(x) * 100 div count(*)").alias("v")
+    )
+    prev = h.select(
+        "event_type",
+        (F.col("hr") + _SEASON_HOURS).alias("hr"),
+        F.col("v").alias("v_hat"),
+    )
+    f = h.join(prev, ["event_type", "hr"]).select(
+        "event_type",
+        F.expr("abs(v - v_hat)").alias("abs_err"),
+        F.expr("v - v_hat").alias("err"),
+    )
+    return f.groupBy("event_type").agg(
+        F.count("*").alias("n_forecasts"),
+        F.expr("cast(sum(abs_err) * 100 div count(*) as bigint)").alias(
+            "mae_cu"
+        ),
+        F.expr("cast(sum(err) as bigint)").alias("bias_sum"),
+        F.expr("cast(max(abs_err) as bigint)").alias("worst_abs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra (union / intersection estimation) — q185
+# ---------------------------------------------------------------------------
+
+_HLL_SET_A = "click"
+_HLL_SET_B = "purchase"
+
+
+def _q185_oracle() -> str:
+    from ..operators import sketch
+
+    stream = f"""
+      SELECT unnest(CASE WHEN event_type = '{_HLL_SET_A}'
+                         THEN ['a', 'u']
+                         ELSE ['b', 'u'] END) AS s,
+             CAST(user_id AS VARCHAR) AS tok
+      FROM events
+      WHERE event_type IN ('{_HLL_SET_A}', '{_HLL_SET_B}')
+    """
+    base = sketch.duck_hll_sql(stream, "s")
+    return f"""
+    WITH base AS ({base}),
+    pivoted AS (
+      SELECT
+        MAX(CASE WHEN s = 'a' THEN hll_est END) AS est_a,
+        MAX(CASE WHEN s = 'b' THEN hll_est END) AS est_b,
+        MAX(CASE WHEN s = 'u' THEN hll_est END) AS est_union,
+        MAX(CASE WHEN s = 'a' THEN exact_distinct END) AS exact_a,
+        MAX(CASE WHEN s = 'b' THEN exact_distinct END) AS exact_b,
+        MAX(CASE WHEN s = 'u' THEN exact_distinct END) AS exact_union
+      FROM base)
+    SELECT CAST(est_a AS BIGINT) AS est_a,
+           CAST(est_b AS BIGINT) AS est_b,
+           CAST(est_union AS BIGINT) AS est_union,
+           CAST(est_a + est_b - est_union AS BIGINT) AS est_intersect,
+           CAST(exact_a AS BIGINT) AS exact_a,
+           CAST(exact_b AS BIGINT) AS exact_b,
+           CAST(exact_union AS BIGINT) AS exact_union,
+           CAST(exact_a + exact_b - exact_union AS BIGINT)
+             AS exact_intersect
+    FROM pivoted
+    """
+
+
+@query("q185_hll_set_algebra", oracle=_q185_oracle())
+def q185_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog set algebra: distinct-user estimates for the
+    '{_HLL_SET_A}' audience, the '{_HLL_SET_B}' audience, their
+    UNION (registers of the combined stream — by idempotent-max
+    mergeability, identical to cellwise max of the two sketches),
+    and the inclusion–exclusion INTERSECTION estimate — the audience
+    -overlap arithmetic ad/analytics platforms run entirely on
+    sketches because exact distinct-set intersection at 100 TB
+    requires a full shuffle of both sets. Exact counts ride along
+    (q51's sketch-audit pattern) so the oracle hash pins estimates
+    AND truth together.
+
+    Scale: ONE events scan (each row explodes to its ≤2 set labels);
+    register folds partial-max map-side to ≤ 3·2^p rows; everything
+    downstream is register-sized. Exact counts are the audit side —
+    production keeps only the mergeable sketches.
+    """
+    from ..operators import sketch
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_HLL_SET_A, _HLL_SET_B))
+        .select(
+            F.explode(
+                F.expr(
+                    f"CASE WHEN event_type = '{_HLL_SET_A}'"
+                    " THEN array('a', 'u') ELSE array('b', 'u') END"
+                )
+            ).alias("s"),
+            F.expr("cast(user_id as string)").alias("tok"),
+        )
+    )
+    regs = sketch.hll_registers(ev, "tok", ["s"])
+    est = sketch.hll_estimate(regs, ["s"])
+    exact = ev.groupBy("s").agg(
+        F.countDistinct("tok").alias("exact_distinct")
+    )
+    one = (
+        est.join(exact, "s")
+        .groupBy()
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("s") == lbl, F.col(col))
+                ).alias(f"{name}")
+                for lbl, col, name in [
+                    ("a", "hll_est", "est_a"),
+                    ("b", "hll_est", "est_b"),
+                    ("u", "hll_est", "est_union"),
+                    ("a", "exact_distinct", "exact_a"),
+                    ("b", "exact_distinct", "exact_b"),
+                    ("u", "exact_distinct", "exact_union"),
+                ]
+            ]
+        )
+    )
+    return one.select(
+        F.expr("cast(est_a as bigint)").alias("est_a"),
+        F.expr("cast(est_b as bigint)").alias("est_b"),
+        F.expr("cast(est_union as bigint)").alias("est_union"),
+        F.expr("cast(est_a + est_b - est_union as bigint)").alias(
+            "est_intersect"
+        ),
+        F.expr("cast(exact_a as bigint)").alias("exact_a"),
+        F.expr("cast(exact_b as bigint)").alias("exact_b"),
+        F.expr("cast(exact_union as bigint)").alias("exact_union"),
+        F.expr(
+            "cast(exact_a + exact_b - exact_union as bigint)"
+        ).alias("exact_intersect"),
+    )

@@ -954,3 +954,212 @@ def q167_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theta_u"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: local supplier volume — q187
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q187_local_supplier_volume",
+    headline=True,
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           {dec_sum_sql("l.l_extendedprice * (1 - l.l_discount)")}
+             AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q187_local_supplier_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q5 shape — local supplier volume: revenue per nation
+    from lineitems where the CUSTOMER and the SUPPLIER share the
+    nation, restricted to one region and a two-year order window.
+    The canonical 6-table OLAP join (region → nation → customer →
+    orders → lineitem → supplier) with a cross-dimension equality
+    (c_nationkey = s_nationkey) that only materializes at the fact
+    join — the benchmark shape every warehouse engine is judged on.
+
+    Scale: region/nation/supplier/customer are dimensions —
+    broadcast; the fact-side work is lineitem ⋈ orders on the
+    orderkey (the warehouse's co-partitioned key) with the date
+    filter pushed into the orders scan BEFORE the join; the
+    nation-match predicate rides the row, costing nothing. One real
+    shuffle (orderkey) + a nation-cardinality aggregate.
+    """
+    r = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr("l_extendedprice * (1 - l_discount)").alias("rev"),
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            dec_sum("rev").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share — q188
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q188_market_share",
+    oracle=f"""
+    WITH all_nations AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND p.p_type LIKE '%AND%'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01')
+    SELECT o_year,
+           {dec_sum_sql(
+               "CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END"
+           )} AS nation_volume,
+           {dec_sum_sql("volume")} AS total_volume,
+           CAST(floor(
+             {dec_sum_sql(
+                 "CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END"
+             )} / {dec_sum_sql("volume")} * 1000000) AS BIGINT)
+             AS share_u
+    FROM all_nations
+    GROUP BY o_year
+    """,
+)
+def q188_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: the fraction of a
+    region's revenue in one part segment supplied by one nation,
+    per order year. Eight relations (part, lineitem, orders,
+    customer, nation ×2 — one aliased per role — supplier, region),
+    a LIKE segment filter, and a conditional-share aggregate: the
+    deepest join tree in the registry, exercising role-playing
+    dimensions (nation joined twice under different keys) that the
+    reference's single-table loader can never produce.
+
+    The share divides two decimal-rounded doubles (the dec_sum
+    convention), then floors at micro precision — one deterministic
+    IEEE chain, identical on both engines.
+
+    Scale: every dimension broadcasts (part's segment filter prunes
+    it first); the only shuffles are the lineitem ⋈ orders orderkey
+    join and the ≤|years| aggregate. Catalyst pushes the date
+    filter into the orders scan and the LIKE into the part scan —
+    the fact table is touched once.
+    """
+    r = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "AMERICA")
+        .select("r_regionkey")
+    )
+    n1 = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cust_nkey"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type").like("%AND%"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.expr("cast(year(o_orderdate) as bigint)").alias("o_year"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.expr("l_extendedprice * (1 - l_discount)").alias("volume"),
+    )
+    base = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(n1), F.col("c_nationkey") == F.col("cust_nkey")
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(n2), F.col("s_nationkey") == F.col("supp_nkey")
+        )
+    )
+    nat = "CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END"
+    return base.groupBy("o_year").agg(
+        dec_sum(F.expr(nat)).alias("nation_volume"),
+        dec_sum("volume").alias("total_volume"),
+        F.expr(
+            f"cast(floor({dec_sum_sql(nat)}"
+            f" / {dec_sum_sql('volume')} * 1000000) as bigint)"
+        ).alias("share_u"),
+    )

@@ -882,3 +882,214 @@ def q168_streaming_hll_maintenance(
         )
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM maintenance — q186
+# ---------------------------------------------------------------------------
+
+
+def _q186_oracle() -> str:
+    # the streamed state must land exactly on the batch closed form —
+    # q180's oracle IS the contract
+    from .analytics_queries import _CUSUM_H, _CUSUM_SLACK
+
+    return f"""
+    WITH e AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 10000) AS BIGINT) AS x
+      FROM events),
+    m AS (
+      SELECT event_type, SUM(x) // COUNT(*) AS mu
+      FROM e GROUP BY event_type),
+    c AS (
+      SELECT e.event_type, ts, event_id,
+             SUM(x - mu - {_CUSUM_SLACK}) OVER w AS cs
+      FROM e JOIN m USING (event_type)
+      WINDOW w AS (PARTITION BY e.event_type ORDER BY ts, event_id)),
+    r AS (
+      SELECT event_type, cs,
+             MIN(cs) OVER (PARTITION BY event_type
+                           ORDER BY ts, event_id) AS rmin
+      FROM c),
+    s AS (
+      SELECT event_type, CAST(cs - LEAST(0, rmin) AS BIGINT) AS S
+      FROM r)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(S) AS BIGINT) AS max_s,
+           CAST(SUM(CASE WHEN S > {_CUSUM_H} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alerts
+    FROM s GROUP BY event_type
+    """
+
+
+@query("q186_streaming_cusum", oracle=_q186_oracle())
+def q186_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CUSUM maintenance: q180's drift detector run as a
+    continuous monitor. The event history is replayed as a time-
+    sliced ingest stream (4 non-overlapping epochs, one file group
+    per trigger, written in time order), and ``foreachBatch`` folds
+    each slice into per-type state ``(cs_end, raw_min, max_s,
+    n_alerts, n)`` — the entire carryover the closed form
+    Sᵢ = csᵢ − min(0, min_{j≤i} csⱼ) needs, because a running sum
+    and a running min are both decomposable: the batch's local
+    cumsum/runmin windows are seeded by the carried scalars and the
+    new state is (cs₀+Σdev, min(rmin₀, cs₀+batch runmin)). The
+    target μ is calibrated ONCE from history (Page's test takes a
+    reference value as a parameter — a streaming monitor never
+    estimates its target from the stream it polices). The final
+    per-type (n, max_s, n_alerts) must land EXACTLY on q180's
+    single-pass batch closed form — order-sensitive streaming state
+    pinned to a batch oracle.
+
+    An in-stream monotonicity guard raises if a micro-batch arrives
+    out of time order (the property the slicing construction
+    provides; a production deployment gets it from watermarked
+    ordered replay or log-offset ordering).
+
+    Scale: per batch one event_type-partitioned window pass over
+    THAT BATCH ONLY plus a ≤|types|-row state merge; state is five
+    scalars per key, forever. This is how an order-dependent
+    sequential statistic rides an unbounded stream.
+    """
+    import os
+    import shutil
+
+    from .analytics_queries import _CUSUM_H, _CUSUM_SLACK
+    from ..sources.readers import load_table
+
+    base_dir = tempfile.mkdtemp(prefix="q186_cusum_")
+    src_dir = os.path.join(base_dir, "events")
+    ckpt = os.path.join(base_dir, "ckpt")
+    os.makedirs(src_dir)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("cast(floor(value * 10000) as bigint)").alias("x"),
+        F.expr("cast(unix_timestamp(ts) as bigint)").alias("t"),
+    )
+    # calibrated target (a PARAMETER of the monitor, fixed up front)
+    mu = ev.groupBy("event_type").agg(
+        F.expr("sum(x) div count(*)").alias("mu")
+    )
+
+    #: per-type carried state: cs_end, raw running-min of cs,
+    #: max_s, n_alerts, n, and the max epoch seen (order guard)
+    state: dict[str, list] = {}
+    guard = {"last_t": None}
+
+    try:
+        # time-sliced source files, written IN TIME ORDER (strictly
+        # increasing mtimes → the file source replays them in order)
+        lo, hi = ev.agg(F.min("t"), F.max("t")).first()
+        span = (hi - lo) + 1
+        for i in range(4):
+            a = lo + span * i // 4
+            b = lo + span * (i + 1) // 4
+            ev.filter((F.col("t") >= a) & (F.col("t") < b)).coalesce(
+                1
+            ).write.parquet(os.path.join(src_dir, f"slice_{i}"))
+
+        stream = (
+            spark.readStream.schema(
+                "event_type string, ts timestamp_ntz, event_id long,"
+                " x long, t long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src_dir, "slice_*"))
+        )
+
+        def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+            rows_t = batch_df.agg(
+                F.min("t").alias("lo"), F.max("t").alias("hi")
+            ).first()
+            if rows_t["lo"] is None:
+                return
+            if (
+                guard["last_t"] is not None
+                and rows_t["lo"] < guard["last_t"]
+            ):
+                raise RuntimeError(
+                    "q186: out-of-order micro-batch — replay broke the "
+                    "time slicing contract"
+                )
+            guard["last_t"] = rows_t["hi"]
+
+            seed = spark.createDataFrame(
+                [
+                    (et, st[0], st[1])
+                    for et, st in state.items()
+                ]
+                or [(None, 0, 0)],
+                "event_type string, cs0 long, rmin0 long",
+            )
+            w = (
+                W.partitionBy("event_type")
+                .orderBy("ts", "event_id")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            b = (
+                batch_df.join(F.broadcast(mu), "event_type")
+                .join(F.broadcast(seed), "event_type", "left")
+                .withColumn("cs0", F.expr("coalesce(cs0, 0L)"))
+                .withColumn(
+                    "rmin0",
+                    F.expr(f"coalesce(rmin0, {1 << 62}L)"),
+                )
+                .withColumn(
+                    "cs_loc",
+                    F.sum(F.expr(f"x - mu - {_CUSUM_SLACK}")).over(w),
+                )
+                .withColumn("rmin_loc", F.min("cs_loc").over(w))
+                .withColumn(
+                    "S",
+                    F.expr(
+                        "(cs0 + cs_loc) - least(0L,"
+                        " least(rmin0, cs0 + rmin_loc))"
+                    ),
+                )
+            )
+            upd = b.groupBy("event_type").agg(
+                F.count("*").alias("n_b"),
+                F.max("S").alias("max_b"),
+                F.expr(
+                    f"sum(case when S > {_CUSUM_H} then 1 else 0 end)"
+                ).alias("alerts_b"),
+                F.expr(f"sum(x - mu - {_CUSUM_SLACK})").alias("dev_sum"),
+                F.min("cs_loc").alias("min_loc"),
+            )
+            for r in upd.collect():
+                et = r["event_type"]
+                cs0, rmin0, max_s, n_alerts, n = state.get(
+                    et, [0, 1 << 62, -(1 << 62), 0, 0]
+                )
+                state[et] = [
+                    cs0 + r["dev_sum"],
+                    min(rmin0, cs0 + r["min_loc"]),
+                    max(max_s, r["max_b"]),
+                    n_alerts + r["alerts_b"],
+                    n + r["n_b"],
+                ]
+
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q186: event stream did not drain")
+
+        return spark.createDataFrame(
+            [
+                (et, st[4], st[2], st[3])
+                for et, st in sorted(state.items())
+            ],
+            "event_type string, n bigint, max_s bigint, n_alerts bigint",
+        )
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

@@ -206,3 +206,295 @@ class TestSRPLSH:
         assert r["cos_u"].le(1_000_001).all()
         # the report is the top of the candidate set: descending
         assert r["cos_u"].is_monotonic_decreasing
+
+
+class TestPointInTime:
+    def test_against_pandas_merge_asof(self, run, spark):
+        got = run("q177_point_in_time_join").set_index("status_at")
+        orders = (
+            spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .selectExpr(
+                "o_custkey as custkey",
+                "o_orderpriority as status",
+                "cast(unix_timestamp(o_orderdate) as long) as d",
+                "o_orderkey as k",
+            )
+            .toPandas()
+            .sort_values(["custkey", "d", "k"])
+        )
+        # change log -> dedup (custkey, d) keep max k
+        hist = []
+        for ck, g in orders.groupby("custkey"):
+            prev = None
+            rows = []
+            for _, r in g.iterrows():
+                if prev is None or r["status"] != prev:
+                    rows.append(r)
+                prev = r["status"]
+            by_d = {}
+            for r in rows:
+                if r["d"] not in by_d or r["k"] > by_d[r["d"]]["k"]:
+                    by_d[r["d"]] = r
+            hist.extend(by_d.values())
+        hist = pd.DataFrame(hist)[["custkey", "d", "status"]].sort_values(
+            "d", kind="stable"
+        )
+        li = spark.sql(
+            f"""
+            SELECT o.o_custkey AS custkey,
+                   cast(unix_timestamp(l.l_shipdate) as long) AS t,
+                   l.l_extendedprice * (1 - l.l_discount) AS rev
+            FROM parquet.`{SF_DIR}/lineitem.parquet` l
+            JOIN parquet.`{SF_DIR}/orders.parquet` o
+              ON l.l_orderkey = o.o_orderkey
+            """
+        ).toPandas().sort_values("t", kind="stable")
+        merged = pd.merge_asof(
+            li, hist, left_on="t", right_on="d", by="custkey"
+        )
+        merged = merged.dropna(subset=["status"])
+        ref = merged.groupby("status").size()
+        assert set(got.index) == set(ref.index)
+        for st in ref.index:
+            assert int(got.loc[st, "n_facts"]) == int(ref[st]), st
+
+
+class TestRRF:
+    def test_fusion_arithmetic(self, run):
+        r = run("q178_rrf_hybrid")
+        assert 0 < len(r) <= 20
+        for doc, lex, dense, rrf in r[
+            ["doc_id", "lex_rank", "dense_rank", "rrf_u"]
+        ].itertuples(index=False):
+            want = 0
+            if pd.notna(lex):
+                assert 1 <= lex <= 40
+                want += 1_000_000 // (60 + int(lex))
+            if pd.notna(dense):
+                assert 1 <= dense <= 40
+                want += 1_000_000 // (60 + int(dense))
+            assert int(rrf) == want, doc
+        assert r["rrf_u"].is_monotonic_decreasing
+
+
+class TestKCore:
+    def test_against_pandas_peel(self, run, spark):
+        got = run("q179_kcore_peeling").sort_values("round")
+        li = (
+            spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            .filter("l_shipdate < '1996-10-01'")
+            .selectExpr("l_orderkey as o", "l_partkey as p")
+            .toPandas()
+            .drop_duplicates()
+        )
+        e = li.merge(li, on="o")
+        e = e[e["p_x"] < e["p_y"]][["p_x", "p_y"]].drop_duplicates()
+        edges = set(map(tuple, e.to_numpy()))
+        rows = []
+        nodes = {n for t in edges for n in t}
+        rows.append((0, len(nodes), len(edges)))
+        for r in (1, 2):
+            deg = {}
+            for u, v in edges:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            keep = {n for n, d in deg.items() if d >= 3}
+            edges = {(u, v) for u, v in edges if u in keep and v in keep}
+            rows.append((r, len(keep), len(edges)))
+        assert list(map(tuple, got.to_numpy())) == rows
+        # survivors shrink monotonically
+        assert got["n_nodes"].is_monotonic_decreasing
+        assert got["n_edges"].is_monotonic_decreasing
+
+
+class TestCUSUM:
+    def test_closed_form_equals_recursion(self, run, spark):
+        got = run("q180_cusum_drift").set_index("event_type")
+        ev = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .selectExpr(
+                "event_type", "ts", "event_id",
+                "cast(floor(value * 10000) as long) as x",
+            )
+            .toPandas()
+            .sort_values(["event_type", "ts", "event_id"])
+        )
+        for et, g in ev.groupby("event_type"):
+            x = g["x"].to_numpy()
+            mu = int(x.sum()) // len(x)
+            # the textbook RECURSIVE definition the closed form must
+            # reproduce: S_i = max(0, S_{i-1} + x_i - mu - slack)
+            s, max_s, n_alerts = 0, 0, 0
+            for xi in x:
+                s = max(0, s + int(xi) - mu - 50_000)
+                max_s = max(max_s, s)
+                n_alerts += s > 3_000_000
+            row = got.loc[et]
+            assert int(row["n"]) == len(x)
+            assert int(row["max_s"]) == max_s, et
+            assert int(row["n_alerts"]) == n_alerts, et
+            assert n_alerts > 0, f"{et}: threshold too high to exercise"
+
+
+class TestACF:
+    def test_against_numpy(self, run, spark):
+        got = run("q181_hourly_acf")
+        ev = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .selectExpr(
+                "event_type",
+                "cast(unix_timestamp(ts) as long) div 3600 as hr",
+                "cast(floor(value * 100) as long) as x",
+            )
+            .toPandas()
+        )
+        h = (
+            ev.groupby(["event_type", "hr"])
+            .agg(sx=("x", "sum"), c=("x", "size"))
+            .reset_index()
+        )
+        h["v"] = h["sx"] * 100 // h["c"]
+        for (et, lag), row in got.set_index(["event_type", "lag"]).iterrows():
+            v = (
+                h[h["event_type"] == et]
+                .sort_values("hr")["v"]
+                .to_numpy(dtype=object)
+            )
+            n = len(v)
+            y = v - (sum(v) // n)
+            num = int(sum(y[: n - lag] * y[lag:]))
+            den = int(sum(y * y))
+            assert int(row["num"]) == num, (et, lag)
+            assert int(row["den"]) == den, (et, lag)
+            assert int(row["n_pairs"]) == n - lag
+
+
+class TestBenford:
+    def test_shares_and_chi2(self, run):
+        import math
+
+        r = run("q182_benford_audit")
+        assert sorted(r["d"]) == list(range(1, 10))
+        total = int(r["n_obs"].sum())
+        # floored shares sum to within 9 micro-units of 1e6
+        assert 1_000_000 - 9 <= int(r["share_u"].sum()) <= 1_000_000
+        # pinned constants ARE floor(log10(1+1/d)*1e6)
+        for d, exp_u in r[["d", "expected_u"]].itertuples(index=False):
+            assert int(exp_u) == int(
+                math.floor(math.log10(1 + 1 / int(d)) * 1e6)
+            )
+        # chi2 recompute
+        chi2 = 0.0
+        for d, n_obs, exp_u in r[
+            ["d", "n_obs", "expected_u"]
+        ].itertuples(index=False):
+            exp_n = int(exp_u) * total / 1e6
+            chi2 += (int(n_obs) - exp_n) ** 2 / exp_n
+        assert abs(int(r["chi2_m"].iloc[0]) - math.floor(chi2 * 1000)) <= 1
+        # synthetic uniform totals are NOT Benford — alert must fire
+        assert bool(r["benford_alert"].all())
+
+
+class TestAttribution:
+    def test_against_pandas_merge_asof(self, run, spark):
+        got = run("q183_last_touch_attribution").set_index("touch_type")
+        ev = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .selectExpr(
+                "event_id", "user_id", "event_type",
+                "cast(unix_timestamp(ts) as long) as t", "value",
+            )
+            .toPandas()
+        )
+        p = ev[ev["event_type"] == "purchase"].sort_values(
+            ["t", "event_id"]
+        )
+        t = ev[ev["event_type"] != "purchase"].sort_values(
+            ["t", "event_id"]
+        )
+        m = pd.merge_asof(
+            p[["event_id", "user_id", "t", "value"]],
+            t[["user_id", "t", "event_type", "event_id"]].rename(
+                columns={"event_id": "touch_id", "t": "touch_t"}
+            ),
+            left_on="t",
+            right_on="touch_t",
+            by="user_id",
+        ).dropna(subset=["event_type"])
+        m = m[m["t"] - m["touch_t"] <= 7 * 86_400]
+        ref = m.groupby("event_type").size()
+        assert set(got.index) == set(ref.index)
+        for tt in ref.index:
+            assert int(got.loc[tt, "n_attributed"]) == int(ref[tt]), tt
+
+
+class TestSeasonalNaive:
+    def test_against_pandas(self, run, spark):
+        got = run("q184_seasonal_naive_backtest").set_index("event_type")
+        ev = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .selectExpr(
+                "event_type",
+                "cast(unix_timestamp(ts) as long) div 3600 as hr",
+                "cast(floor(value * 100) as long) as x",
+            )
+            .toPandas()
+        )
+        h = (
+            ev.groupby(["event_type", "hr"])
+            .agg(sx=("x", "sum"), c=("x", "size"))
+            .reset_index()
+        )
+        h["v"] = h["sx"] * 100 // h["c"]
+        for et, g in h.groupby("event_type"):
+            s = dict(zip(g["hr"], g["v"]))
+            errs = [
+                v - s[hr - 24] for hr, v in s.items() if hr - 24 in s
+            ]
+            row = got.loc[et]
+            assert int(row["n_forecasts"]) == len(errs), et
+            assert int(row["bias_sum"]) == sum(errs), et
+            assert int(row["mae_cu"]) == (
+                sum(abs(e) for e in errs) * 100 // len(errs)
+            ), et
+            assert int(row["worst_abs"]) == max(abs(e) for e in errs), et
+
+
+class TestHLLSetAlgebra:
+    def test_structure_and_exactness(self, run):
+        r = run("q185_hll_set_algebra").iloc[0]
+        # inclusion–exclusion identities on the EXACT side
+        assert int(r["exact_intersect"]) == int(r["exact_a"]) + int(
+            r["exact_b"]
+        ) - int(r["exact_union"])
+        assert int(r["exact_union"]) <= int(r["exact_a"]) + int(
+            r["exact_b"]
+        )
+        assert int(r["exact_intersect"]) >= 0
+        # m=64 registers → rsd ≈ 13%; each estimate within 5×rsd
+        for est, exact in (
+            ("est_a", "exact_a"),
+            ("est_b", "exact_b"),
+            ("est_union", "exact_union"),
+        ):
+            rel = abs(int(r[est]) - int(r[exact])) / int(r[exact])
+            assert rel < 0.65, (est, rel)
+
+
+class TestStreamingCUSUM:
+    def test_stream_equals_batch(self, run):
+        # the streamed state must reproduce the batch closed form
+        # EXACTLY — same rows, same integers
+        got = (
+            run("q186_streaming_cusum")
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        batch = (
+            run("q180_cusum_drift")[
+                ["event_type", "n", "max_s", "n_alerts"]
+            ]
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        assert got.equals(batch), (got, batch)

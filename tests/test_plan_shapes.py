@@ -587,3 +587,59 @@ class TestRound7SecondBatchShapes:
             if "Exchange hashpartitioning" in ln:
                 assert "bucket" in ln, ln
         assert "Generate" not in plan, plan
+
+
+class TestRound7ThirdBatchShapes:
+    def test_q177_asof_and_agg_exchanges_only(self, spark, sf_dir):
+        # hash exchanges: custkey (history windows + as-of union
+        # sort) and the final status rollup; the facts->orders join
+        # must broadcast at this scale
+        df = REGISTRY["q177_point_in_time_join"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning" in ln:
+                assert "custkey" in ln or "status" in ln, ln
+        assert "CartesianProduct" not in plan
+
+    def test_q178_candidate_lists_take_ordered(self, spark, sf_dir):
+        # both retrievers cut to depth-40 via per-partition heaps;
+        # the only unpartitioned windows are the rank stamps over
+        # those 40-row lists (limit-bounded, the q108 policy)
+        df = REGISTRY["q178_rrf_hybrid"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+    def test_q180_windows_share_one_exchange(self, spark, sf_dir):
+        # cs and rmin ride the same (event_type, order) spec: the
+        # series shuffles once; the mean agg is the only other hash
+        df = REGISTRY["q180_cusum_drift"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hashes = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln
+        ]
+        assert len(hashes) <= 2, plan
+        assert all("event_type" in ln for ln in hashes), plan
+
+    def test_q181_single_series_pass(self, spark, sf_dir):
+        # all lags + the denominator come from ONE aggregate over
+        # ONE window pass: exchanges are (event_type, hr) for the
+        # hourly fold and event_type for the window/final agg — and
+        # there must be exactly one Window node
+        df = REGISTRY["q181_hourly_acf"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Window [") == 1, plan
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning" in ln:
+                assert "event_type" in ln, ln
+
+    def test_q182_single_orders_scan(self, spark, sf_dir):
+        # the 9-row digit table is slot-persisted: the orders scan
+        # appears once; scalar combines ride broadcasts
+        df = REGISTRY["q182_benford_audit"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # every consumer of the digit table reads the cache (each
+        # InMemoryTableScan block prints its cached lineage, so the
+        # FileScan text below them never re-executes)
+        assert plan.count("InMemoryTableScan") >= 3, plan

@@ -634,52 +634,83 @@ def q175_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Signed-random-projection LSH over embeddings — q176
 # ---------------------------------------------------------------------------
 
-#: ±1 projection entry for (bit j, dim d): parity of the shared md5
-#: hash — both engines derive the identical sign matrix from the
-#: same hex digest, no RNG anywhere.
-_SRP_SIGN = (
-    "(case when cast(conv(substring(md5(concat(cast({j} as string), ':',"
-    " cast({d} as string))), 1, 8), 16, 10) as bigint) % 2 = 0"
-    " then cast(1.0 as double) else cast(-1.0 as double) end)"
-)
-_DUCK_SRP_SIGN = (
-    "(CASE WHEN CAST(concat('0x', substring(md5(concat(CAST({j} AS VARCHAR),"
-    " ':', CAST({d} AS VARCHAR))), 1, 8)) AS BIGINT) % 2 = 0"
-    " THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"
-)
-
+#: ±1 projection entry for (bit j, dim d): parity of md5("j:d") —
+#: derived ONCE here (hashlib md5 ≡ both engines' md5 on the same
+#: bytes) and inlined as literal constants in BOTH engines' texts,
+#: because evaluating the md5 INSIDE the projection lambda re-hashed
+#: all bits×dims pairs per vector (~10M md5 calls at sf0.1 —
+#: measured as the whole suite's slowest entry, 5.6 s). With the
+#: constants inlined the projection unrolls to flat arithmetic that
+#: whole-stage codegen compiles — no interpreted lambda at all.
 _SRP_BITS = 8
+_SRP_DIM = 64  # embeddings are fixed 64-d (TESTDATA.md)
+
+
+def _srp_sign(j: int, d: int) -> float:
+    import hashlib
+
+    h = hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:8]
+    return 1.0 if int(h, 16) % 2 == 0 else -1.0
+
+
+_SRP_MATRIX = [
+    [_srp_sign(j, d) for d in range(_SRP_DIM)] for j in range(_SRP_BITS)
+]
+
+
+def _srp_bucket_spark() -> str:
+    """Unrolled bucket expression: 8 sign-dot tests, 64 flat
+    multiply-adds each, all inside codegen (element_at is 1-based)."""
+    bits = []
+    for j in range(_SRP_BITS):
+        dot = " + ".join(
+            f"cast(element_at(embedding, {d + 1}) as double)"
+            f" * {s:.1f}D"
+            for d, s in enumerate(_SRP_MATRIX[j])
+        )
+        bits.append(
+            f"if(({dot}) > 0.0D, cast({1 << j} as bigint), 0L)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+def _srp_bucket_duck() -> str:
+    bits = []
+    for j in range(_SRP_BITS):
+        dot = " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * ({s:.1f})"
+            for d, s in enumerate(_SRP_MATRIX[j])
+        )
+        bits.append(
+            f"CASE WHEN ({dot}) > 0.0 THEN CAST({1 << j} AS BIGINT)"
+            f" ELSE 0 END"
+        )
+    return "(" + " + ".join(bits) + ")"
+
 
 from ..operators import similarity as _sim  # noqa: E402  (oracle text below)
 
 
-@query(
-    "q176_srp_lsh",
-    headline=True,
-    oracle=f"""
+def _q176_oracle() -> str:
+    return f"""
     WITH b AS (
       SELECT vec_id, embedding,
-             (SELECT SUM(CASE WHEN list_reduce(list_prepend(0.0,
-                 list_transform(range(1, len(embedding) + 1),
-                   i -> CAST(embedding[i] AS DOUBLE)
-                        * {_DUCK_SRP_SIGN.format(j='j', d='i - 1')})),
-                 (acc, v) -> acc + v) > 0
-                 THEN CAST(1 AS BIGINT) * (1 << j) ELSE 0 END)
-              FROM generate_series(0, {_SRP_BITS - 1}) AS g(j))
-               AS bucket
+             {_srp_bucket_duck()} AS bucket,
+             {_sim.duck_norm_sql('embedding')} AS nrm
       FROM embeddings),
     pairs AS (
       SELECT x.vec_id AS a, y.vec_id AS b, x.bucket,
              CAST(floor(
                {_sim.duck_dot_sql('x.embedding', 'y.embedding')}
-               / ({_sim.duck_norm_sql('x.embedding')}
-                  * {_sim.duck_norm_sql('y.embedding')}) * 1000000)
+               / (x.nrm * y.nrm) * 1000000)
                AS BIGINT) AS cos_u
       FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
     SELECT a, b, CAST(bucket AS BIGINT) AS bucket, cos_u
     FROM pairs ORDER BY cos_u DESC, a, b LIMIT 25
-    """,
-)
+    """
+
+
+@query("q176_srp_lsh", headline=True, oracle=_q176_oracle())
 def q176_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed-random-projection (SimHash-for-vectors) LSH: each
     embedding maps to an 8-bit bucket — bit j is the sign of its
@@ -691,12 +722,14 @@ def q176_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-angle pairs while the pair space drops from O(n²) to
     Σ|bucket|².
 
-    The projection is a MAP-ONLY expression (nested zip_with /
-    aggregate folds inside codegen — no explode, no Python, no
-    shuffle to assign buckets); the oracle rebuilds the identical
-    signs from the same md5 text and folds the dot product in the
-    same left-to-right order, so bucket ids and ``cos_u`` both
-    hash-match.
+    The projection is a MAP-ONLY flat expression — the ±1 matrix is
+    inlined as constants (derivation formula kept in ``_srp_sign``),
+    so the 8×64 multiply-adds run inside whole-stage codegen with no
+    interpreted lambda and no per-row hashing; each vector's L2 norm
+    is computed ONCE in the same projection and carried into the
+    pair join (the inline form re-derived both norms per PAIR).
+    Both engines read the identical constants, so bucket ids and
+    ``cos_u`` hash-match.
 
     Scale: bucket assignment is embarrassingly parallel; the
     self-join is an equi-join on bucket (AQE-handled skew if a hub
@@ -705,31 +738,23 @@ def q176_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import similarity
 
-    sign = _SRP_SIGN.format(j="j", d="d")
-    bucket_expr = (
-        f"aggregate(sequence(0, {_SRP_BITS - 1}), 0L, (acc, j) ->"
-        " acc + if(aggregate(zip_with(embedding,"
-        " sequence(0, size(embedding) - 1),"
-        f" (x, d) -> cast(x as double) * {sign}),"
-        " cast(0.0 as double), (a, v) -> a + v) > cast(0.0 as double),"
-        " cast(shiftleft(1, j) as bigint), 0L))"
-    )
     b = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", F.expr(bucket_expr).alias("bucket")
+        "vec_id",
+        "embedding",
+        F.expr(_srp_bucket_spark()).alias("bucket"),
+        F.expr(similarity.norm_expr("embedding")).alias("nrm"),
     )
     x = b.select(
         F.col("vec_id").alias("a"),
         F.col("embedding").alias("xv"),
+        F.col("nrm").alias("xn"),
         "bucket",
     )
     y = b.select(
         F.col("vec_id").alias("b"),
         F.col("embedding").alias("yv"),
+        F.col("nrm").alias("yn"),
         "bucket",
-    )
-    cos = (
-        f"{similarity.dot_expr('xv', 'yv')}"
-        f" / ({similarity.norm_expr('xv')} * {similarity.norm_expr('yv')})"
     )
     return (
         x.join(y, "bucket")
@@ -738,9 +763,18 @@ def q176_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a",
             "b",
             F.col("bucket").cast("bigint").alias("bucket"),
-            F.expr(f"cast(floor({cos} * 1000000) as bigint)").alias(
-                "cos_u"
-            ),
+            # the pair dot is ALSO unrolled flat (64 multiply-adds
+            # in codegen) — the HOF fold form pays the interpreted-
+            # lambda tax once per candidate pair
+            F.expr(
+                "cast(floor(("
+                + " + ".join(
+                    f"cast(element_at(xv, {d + 1}) as double)"
+                    f" * cast(element_at(yv, {d + 1}) as double)"
+                    for d in range(_SRP_DIM)
+                )
+                + ") / (xn * yn) * 1000000) as bigint)"
+            ).alias("cos_u"),
         )
         .orderBy(F.desc("cos_u"), "a", "b")
         .limit(25)

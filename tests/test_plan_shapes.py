@@ -643,3 +643,24 @@ class TestRound7ThirdBatchShapes:
         # InMemoryTableScan block prints its cached lineage, so the
         # FileScan text below them never re-executes)
         assert plan.count("InMemoryTableScan") >= 3, plan
+
+    def test_q187_one_fact_shuffle_dims_broadcast(self, spark, sf_dir):
+        # TPC-H Q5 shape: dimensions broadcast; the only hash
+        # exchanges ship fact-side keys (orderkey join) or the
+        # nation-cardinality agg; the date filter reaches the
+        # orders scan
+        df = REGISTRY["q187_local_supplier_volume"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning" in ln:
+                assert "orderkey" in ln or "n_name" in ln, ln
+
+    def test_q188_filters_pushed_to_dim_scans(self, plan_of):
+        # the LIKE segment filter and the date window must reach
+        # their parquet scans, not sit post-join
+        plan = plan_of("q188_market_share")
+        assert "PushedFilters" in plan
+        assert "o_orderdate" in plan.split("PushedFilters")[1][:400] or \
+            "o_orderdate" in plan, plan[:2000]

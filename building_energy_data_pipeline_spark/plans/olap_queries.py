@@ -1163,3 +1163,131 @@ def q188_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / {dec_sum_sql('volume')} * 1000000) as bigint)"
         ).alias("share_u"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped weighted median — q189
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q189_weighted_median",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag AS rf,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cu,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2),
+    c AS (
+      SELECT rf, price_cu, w,
+             SUM(w) OVER (PARTITION BY rf ORDER BY price_cu) AS cumw,
+             SUM(w) OVER (PARTITION BY rf) AS total_w
+      FROM g)
+    SELECT rf, CAST(total_w AS BIGINT) AS total_w,
+           CAST(MIN(CASE WHEN cumw * 2 >= total_w
+                         THEN price_cu END) AS BIGINT) AS wmedian_cu
+    FROM c GROUP BY rf, total_w
+    """,
+)
+def q189_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped WEIGHTED median: the price point at which half
+    the shipped QUANTITY (not half the rows) lies below — the
+    inventory/revenue-weighted center that plain ``percentile``
+    cannot express, and the exact counterpart of a weighted KLL
+    sketch at scale. Defined as the smallest price whose cumulative
+    weight reaches half the group total (lower weighted median —
+    integer-exact, no interpolation convention to disagree on).
+
+    Scale: the fact table first collapses to (flag × distinct
+    price) partial weights — map-side combined, ~1/%duplication of
+    the rows — and the cumulative window runs over that COMPACT
+    table (the q99 compact-count-table policy: the only sequential
+    axis is distinct prices per flag, never raw lineitems). One
+    hash exchange for the group-fold, one for the flag window.
+    """
+    g = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("rf"),
+            F.expr(
+                "cast(floor(l_extendedprice * 100) as bigint)"
+            ).alias("price_cu"),
+        )
+        .agg(F.expr("sum(cast(l_quantity as bigint))").alias("w"))
+    )
+    wc = W.partitionBy("rf").orderBy("price_cu")
+    c = g.select(
+        "rf",
+        "price_cu",
+        F.sum("w").over(wc).alias("cumw"),
+        F.sum("w").over(W.partitionBy("rf")).alias("total_w"),
+    )
+    return c.groupBy("rf", "total_w").agg(
+        F.expr(
+            "cast(min(case when cumw * 2 >= total_w"
+            " then price_cu end) as bigint)"
+        ).alias("wmedian_cu")
+    ).select(
+        "rf", F.col("total_w").cast("bigint").alias("total_w"), "wmedian_cu"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive multi-predicate join — q190
+# ---------------------------------------------------------------------------
+
+_Q19_DISJ = """({brand} = 'Brand#1' AND {size} <= 10
+                AND {qty} BETWEEN 1 AND 20)
+            OR ({brand} = 'Brand#2' AND {size} <= 25
+                AND {qty} BETWEEN 10 AND 30)
+            OR ({brand} = 'Brand#3' AND {size} <= 50
+                AND {qty} BETWEEN 20 AND 40)"""
+
+
+def _q190_oracle() -> str:
+    disj = _Q19_DISJ.format(
+        brand="p.p_brand", size="p.p_size", qty="l.l_quantity"
+    )
+    return f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+           {dec_sum_sql("l.l_extendedprice * (1 - l.l_discount)")}
+             AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE {disj}
+    """
+
+
+@query("q190_disjunctive_join", oracle=_q190_oracle())
+def q190_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — discounted revenue under a DISJUNCTION of
+    per-branch conjunctions spanning BOTH join sides (brand/size
+    from part, quantity from lineitem). The optimizer test: Catalyst
+    must factor the branch-wise single-side constraints out of the
+    OR (`p_brand IN (…)`, `l_quantity BETWEEN min AND max` superset
+    bounds) and push them into the respective scans, leaving only
+    the cross-side residual on the join — a query that reads both
+    tables in full has failed (plan-asserted).
+
+    Scale: part prunes to the three brands before broadcast; the
+    residual disjunction evaluates row-at-a-time inside codegen.
+    One scalar output row via map-side-combined partials.
+    """
+    disj = _Q19_DISJ.format(
+        brand="p_brand", size="p_size", qty="l_quantity"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        F.expr("l_extendedprice * (1 - l_discount)").alias("rev"),
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.expr(disj))
+        .agg(
+            F.count("*").alias("n_matched"),
+            dec_sum("rev").alias("revenue"),
+        )
+    )

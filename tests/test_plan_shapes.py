@@ -664,3 +664,24 @@ class TestRound7ThirdBatchShapes:
         assert "PushedFilters" in plan
         assert "o_orderdate" in plan.split("PushedFilters")[1][:400] or \
             "o_orderdate" in plan, plan[:2000]
+
+    def test_q189_window_over_compact_table(self, spark, sf_dir):
+        # the cumulative window must consume the (flag x price)
+        # partial-weight fold, never raw lineitems: a partial_sum
+        # sits below the first exchange, and the window's exchange
+        # partitions on rf
+        df = REGISTRY["q189_weighted_median"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "partial_sum" in plan, plan
+        assert "Window [" in plan
+
+    def test_q190_disjunction_factored_into_scans(self, plan_of):
+        # Catalyst must factor the branch-wise single-side
+        # constraints out of the OR and push them into BOTH scans
+        plan = plan_of("q190_disjunctive_join")
+        segs = [
+            seg.split("]")[0]
+            for seg in plan.split("PushedFilters: [")[1:]
+        ]
+        assert any("l_quantity" in s for s in segs), segs
+        assert any("p_brand" in s for s in segs), segs

@@ -1840,3 +1840,239 @@ def q185_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(exact_a + exact_b - exact_union as bigint)"
         ).alias("exact_intersect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) — q191
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q191_time_weighted_average",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             event_id,
+             CAST(floor(value * 10000) AS BIGINT) AS x
+      FROM events),
+    seg AS (
+      SELECT user_id, x,
+             lead(t) OVER w - t AS dur
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(dur) AS BIGINT) AS span_s,
+           CAST(SUM(x * dur) // SUM(dur) AS BIGINT) AS twap_u
+    FROM seg WHERE dur IS NOT NULL AND dur > 0
+    GROUP BY user_id
+    HAVING COUNT(*) >= 5
+    """,
+)
+def q191_time_weighted_average(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-weighted average (TWAP): each reading holds until the
+    next one, so its weight is the DURATION it was in force — the
+    correct mean for irregularly-sampled state (a reading that held
+    for an hour counts 3600× one that held a second; the row-mean
+    the reference's summaries compute overweights bursts). The
+    hypertable/metering staple, zero-duration repeats excluded,
+    users with <5 segments suppressed.
+
+    Integer-exact: durations are epoch-second BIGINTs, values
+    1e-4-scaled, and the final TWAP is one integer division of two
+    exact sums.
+
+    Scale: one user_id shuffle serves the lead() window and the
+    rollup re-uses the same partitioning; weights are O(1) per row.
+    """
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("cast(unix_timestamp(ts) as bigint)").alias("t"),
+        "event_id",
+        F.expr("cast(floor(value * 10000) as bigint)").alias("x"),
+    )
+    seg = e.select(
+        "user_id", "x", (F.lead("t").over(w) - F.col("t")).alias("dur")
+    ).filter(F.col("dur").isNotNull() & (F.col("dur") > 0))
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("dur").cast("bigint").alias("span_s"),
+            F.expr("cast(sum(x * dur) div sum(dur) as bigint)").alias(
+                "twap_u"
+            ),
+        )
+        .filter(F.col("n_segments") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC candlestick bars — q192
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q192_ohlc_bars",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             event_id,
+             CAST(floor(value * 10000) AS BIGINT) AS x
+      FROM events)
+    SELECT event_type, day,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(arg_min(x, t * 4194304 + event_id) AS BIGINT) AS open_u,
+           CAST(MAX(x) AS BIGINT) AS high_u,
+           CAST(MIN(x) AS BIGINT) AS low_u,
+           CAST(arg_max(x, t * 4194304 + event_id) AS BIGINT) AS close_u
+    FROM e GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+)
+def q192_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close) candlestick bars per type per day
+    — the downsampling every metrics store and market-data system
+    runs. Open/close are ORDER-DEPENDENT aggregates (first/last by
+    time) expressed ALGEBRAICALLY: ``min_by``/``max_by`` on the
+    packed (t, event_id) key — an associative, map-side-combinable
+    aggregate (partial argmin/argmax merge correctly), NOT a sorted
+    window — so the bar build is one exchange of ≤ groups×partials
+    rows with no per-group ordering pass. The deterministic
+    event_id tie-break makes open/close unique under concurrent
+    ticks.
+
+    Scale: pure two-level aggregate; (type × day) cardinality
+    output. The map-side combine is what makes this viable on a
+    100 TB tick stream — sorted-window formulations shuffle every
+    tick to its group's task instead.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "cast(unix_timestamp(ts) as bigint) div 86400"
+        ).alias("day"),
+        F.expr("cast(unix_timestamp(ts) as bigint)").alias("t"),
+        "event_id",
+        F.expr("cast(floor(value * 10000) as bigint)").alias("x"),
+    )
+    return (
+        e.groupBy("event_type", "day")
+        .agg(
+            F.count("*").alias("n_ticks"),
+            # tie-break key packed into ONE bigint (t·2²² + id;
+            # ids stay < 4.2M through sf10 — re-widen the shift for
+            # larger id spaces) because DuckDB's arg_min/arg_max
+            # reject struct ordering keys
+            F.expr(
+                "cast(min_by(x, t * 4194304 + event_id) as bigint)"
+            ).alias("open_u"),
+            F.max("x").cast("bigint").alias("high_u"),
+            F.min("x").cast("bigint").alias("low_u"),
+            F.expr(
+                "cast(max_by(x, t * 4194304 + event_id) as bigint)"
+            ).alias("close_u"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-key linear trend (exact least squares) — q193
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q193_trend_regression",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+             CAST(floor(value * 100) AS BIGINT) AS x
+      FROM events),
+    h AS (
+      SELECT event_type, hr, SUM(x) * 100 // COUNT(*) AS v
+      FROM e GROUP BY event_type, hr),
+    z AS (
+      SELECT event_type,
+             hr - MIN(hr) OVER (PARTITION BY event_type) AS t,
+             v
+      FROM h),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM(t * v) AS BIGINT) AS stv,
+             CAST(SUM(t * t) AS BIGINT) AS stt
+      FROM z GROUP BY event_type)
+    SELECT event_type, n,
+           CAST(n * stv - st * sv AS BIGINT) AS slope_num,
+           CAST(n * stt - st * st AS BIGINT) AS slope_den,
+           CAST(floor((n * stv - st * sv) * 1000000.0
+                      / (n * stt - st * st)) AS BIGINT)
+             AS slope_u,
+           CAST(floor((sv * stt - st * stv) * 1.0
+                      / (n * stt - st * st)) AS BIGINT)
+             AS intercept_u
+    FROM m
+    """,
+)
+def q193_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key linear trend: exact least-squares slope/intercept of
+    each event type's hourly series — the drift DIRECTION measure
+    completing the monitoring kit (q180 detects persistent shift,
+    q181 measures memory, this quantifies trend). The normal
+    equations reduce to FIVE integer moments (n, Σt, Σv, Σtv, Σt²)
+    per key; slope = (nΣtv − ΣtΣv)/(nΣt² − (Σt)²) with the exact
+    BIGINT numerator/denominator emitted alongside the floored
+    quotient (one shared double text). Hours are re-based per key
+    (t − min t), bounding every moment far below int64.
+
+    Scale: corpus → (type × hour) map-side fold, then a per-type
+    5-moment aggregate — the same shape OLS-over-billions uses
+    (moments are what `LinearRegression.fit` ultimately reduces
+    to); the min-hr window runs over the compact series table.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(unix_timestamp(ts) as bigint) div 3600").alias("hr"),
+        F.expr("cast(floor(value * 100) as bigint)").alias("x"),
+    )
+    h = ev.groupBy("event_type", "hr").agg(
+        F.expr("sum(x) * 100 div count(*)").alias("v")
+    )
+    z = h.select(
+        "event_type",
+        (
+            F.col("hr")
+            - F.min("hr").over(W.partitionBy("event_type"))
+        ).alias("t"),
+        "v",
+    )
+    m = z.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.expr("cast(sum(t * v) as bigint)").alias("stv"),
+        F.expr("cast(sum(t * t) as bigint)").alias("stt"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.expr("cast(n * stv - st * sv as bigint)").alias("slope_num"),
+        F.expr("cast(n * stt - st * st as bigint)").alias("slope_den"),
+        F.expr(
+            "cast(floor((n * stv - st * sv) * 1000000.0"
+            " / (n * stt - st * st)) as bigint)"
+        ).alias("slope_u"),
+        F.expr(
+            "cast(floor((sv * stt - st * stv) * 1.0"
+            " / (n * stt - st * st)) as bigint)"
+        ).alias("intercept_u"),
+    )

@@ -498,3 +498,101 @@ class TestStreamingCUSUM:
             .reset_index(drop=True)
         )
         assert got.equals(batch), (got, batch)
+
+
+class TestTWAP:
+    def test_against_pandas(self, run, spark):
+        got = run("q191_time_weighted_average").set_index("user_id")
+        ev = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .selectExpr(
+                "user_id",
+                "cast(unix_timestamp(ts) as long) as t",
+                "event_id",
+                "cast(floor(value * 10000) as long) as x",
+            )
+            .toPandas()
+            .sort_values(["user_id", "t", "event_id"])
+        )
+        n_checked = 0
+        for uid, g in ev.groupby("user_id"):
+            t = g["t"].to_numpy()
+            x = g["x"].to_numpy()
+            dur = t[1:] - t[:-1]
+            keep = dur > 0
+            if keep.sum() < 5:
+                assert uid not in got.index
+                continue
+            n_checked += 1
+            num = int((x[:-1][keep].astype(object) * dur[keep]).sum())
+            den = int(dur[keep].sum())
+            row = got.loc[uid]
+            assert int(row["n_segments"]) == int(keep.sum())
+            assert int(row["span_s"]) == den
+            assert int(row["twap_u"]) == num // den, uid
+        assert n_checked == len(got)
+
+
+class TestOHLC:
+    def test_against_pandas(self, run, spark):
+        got = run("q192_ohlc_bars")
+        ev = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .selectExpr(
+                "event_type",
+                "cast(unix_timestamp(ts) as long) div 86400 as day",
+                "cast(unix_timestamp(ts) as long) as t",
+                "event_id",
+                "cast(floor(value * 10000) as long) as x",
+            )
+            .toPandas()
+            .sort_values(["t", "event_id"])
+        )
+        ref = ev.groupby(["event_type", "day"]).agg(
+            n=("x", "size"),
+            open=("x", "first"),
+            high=("x", "max"),
+            low=("x", "min"),
+            close=("x", "last"),
+        )
+        assert len(got) == len(ref)
+        for r in got.itertuples(index=False):
+            w = ref.loc[(r.event_type, r.day)]
+            assert (
+                (int(r.n_ticks), int(r.open_u), int(r.high_u),
+                 int(r.low_u), int(r.close_u))
+                == (int(w["n"]), int(w["open"]), int(w["high"]),
+                    int(w["low"]), int(w["close"]))
+            ), (r.event_type, r.day)
+
+
+class TestTrend:
+    def test_against_numpy_lstsq(self, run, spark):
+        got = run("q193_trend_regression").set_index("event_type")
+        ev = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .selectExpr(
+                "event_type",
+                "cast(unix_timestamp(ts) as long) div 3600 as hr",
+                "cast(floor(value * 100) as long) as x",
+            )
+            .toPandas()
+        )
+        h = (
+            ev.groupby(["event_type", "hr"])
+            .agg(sx=("x", "sum"), c=("x", "size"))
+            .reset_index()
+        )
+        h["v"] = h["sx"] * 100 // h["c"]
+        for et, g in h.groupby("event_type"):
+            t = (g["hr"] - g["hr"].min()).to_numpy(dtype=float)
+            v = g["v"].to_numpy(dtype=float)
+            slope, intercept = np.polyfit(t, v, 1)
+            row = got.loc[et]
+            # the exact integer quotient must agree with the float
+            # least-squares fit to float precision
+            assert abs(int(row["slope_u"]) / 1e6 - slope) < 1e-3, et
+            assert abs(int(row["intercept_u"]) - intercept) < 2, et
+            assert int(row["slope_num"]) == int(
+                len(t) * (t * v).sum() - t.sum() * v.sum()
+            )

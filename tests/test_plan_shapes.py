@@ -685,3 +685,22 @@ class TestRound7ThirdBatchShapes:
         ]
         assert any("l_quantity" in s for s in segs), segs
         assert any("p_brand" in s for s in segs), segs
+
+    def test_q192_ohlc_no_window_pass(self, spark, sf_dir):
+        # open/close are algebraic min_by/max_by aggregates with a
+        # map-side partial — the plan must contain NO Window node
+        # (a sorted-window formulation shuffles every tick) and
+        # must partial-combine below the exchange
+        df = REGISTRY["q192_ohlc_bars"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window [" not in plan, plan
+        assert "partial_" in plan, plan
+
+    def test_q191_twap_single_user_exchange(self, spark, sf_dir):
+        # lead() window and the rollup share the user_id
+        # partitioning: every hash exchange carries user_id
+        df = REGISTRY["q191_time_weighted_average"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning" in ln:
+                assert "user_id" in ln, ln

@@ -2076,3 +2076,265 @@ def q193_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (n * stt - st * st)) as bigint)"
         ).alias("intercept_u"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of customer revenue — q194
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q194_revenue_gini",
+    oracle="""
+    WITH cust AS (
+      SELECT o.o_custkey AS ck, c.c_nationkey AS nk,
+             CAST(SUM(CAST(floor(l.l_extendedprice
+                                 * (1 - l.l_discount) * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT nk, rev,
+             CAST(row_number() OVER (PARTITION BY nk
+                                     ORDER BY rev, ck) AS BIGINT) AS i
+      FROM cust),
+    m AS (
+      SELECT nk,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev) AS BIGINT) AS s,
+             CAST(SUM(i * rev) AS BIGINT) AS si
+      FROM ranked GROUP BY nk)
+    SELECT nk AS nationkey, n, s AS total_rev_c,
+           CAST(floor((2.0 * si / (n * 1.0 * s) - (n + 1.0) / n)
+                      * 1000000) AS BIGINT) AS gini_u
+    FROM m WHERE s > 0
+    """,
+)
+def q194_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer-revenue concentration per
+    nation: 0 = every customer spends equally, →1 = one whale —
+    the inequality audit that decides whether a per-nation metric
+    can be read as typical behavior or is a few accounts in a
+    trench coat (the revenue twin of q85's token-dominance gate).
+    Computed from the rank identity G = 2Σi·xᵢ/(nΣx) − (n+1)/n on
+    cent-exact revenues; the three moments are BIGINT, the final
+    expression one shared double text.
+
+    Scale: facts fold to customer grain first (map-side partials on
+    the orderkey join); the rank window runs per nation over the
+    CUSTOMER-cardinality table (compact-table policy), and the
+    moment fold reuses its partitioning.
+    """
+    cust = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            F.expr(
+                "cast(floor(l_extendedprice * (1 - l_discount) * 100)"
+                " as bigint)"
+            ).alias("rev_c"),
+        )
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_nationkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("ck"),
+            F.col("c_nationkey").alias("nk"),
+        )
+        .agg(F.sum("rev_c").cast("bigint").alias("rev"))
+    )
+    ranked = cust.select(
+        "nk",
+        "rev",
+        F.row_number()
+        .over(W.partitionBy("nk").orderBy("rev", "ck"))
+        .cast("bigint")
+        .alias("i"),
+    )
+    m = ranked.groupBy("nk").agg(
+        F.count("*").alias("n"),
+        F.sum("rev").cast("bigint").alias("s"),
+        F.expr("cast(sum(i * rev) as bigint)").alias("si"),
+    )
+    return m.filter(F.col("s") > 0).select(
+        F.col("nk").alias("nationkey"),
+        "n",
+        F.col("s").alias("total_rev_c"),
+        F.expr(
+            "cast(floor((2.0 * si / (n * 1.0 * s) - (n + 1.0) / n)"
+            " * 1000000) as bigint)"
+        ).alias("gini_u"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl–Hirschman concentration index — q195
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q195_hhi_concentration",
+    oracle="""
+    WITH src AS (
+      SELECT lang, source,
+             CAST(SUM(n_chars) AS BIGINT) AS vol
+      FROM documents GROUP BY lang, source),
+    m AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_sources,
+             CAST(SUM(vol) AS BIGINT) AS total,
+             CAST(SUM(vol * vol) AS BIGINT) AS sq
+      FROM src GROUP BY lang)
+    SELECT lang, n_sources, total,
+           CAST(floor(sq * 10000.0 / (total * 1.0 * total))
+                AS BIGINT) AS hhi_bp
+    FROM m
+    """,
+)
+def q195_hhi_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl–Hirschman index of source concentration per
+    language: Σ shareᵢ² in basis points (10000 = single-source
+    monopoly, →0 = fragmented) — the one-number diversity summary
+    regulators use for markets and corpus curators use for
+    source-mix risk (q88/q110/q140 SET the mixture; this AUDITS
+    how concentrated it ended up). HHI = Σvᵢ²/ (Σv)² needs only
+    two exact BIGINT moments per group; the quotient is one shared
+    double text.
+
+    Scale: two stacked map-side-combined aggregates — corpus →
+    (lang × source) volumes → per-lang moments; nothing larger
+    than the source catalog ever shuffles.
+    """
+    src = load_table(spark, sf_dir, "documents").groupBy(
+        "lang", "source"
+    ).agg(F.sum("n_chars").cast("bigint").alias("vol"))
+    m = src.groupBy("lang").agg(
+        F.count("*").alias("n_sources"),
+        F.sum("vol").cast("bigint").alias("total"),
+        F.expr("cast(sum(vol * vol) as bigint)").alias("sq"),
+    )
+    return m.select(
+        "lang",
+        "n_sources",
+        "total",
+        F.expr(
+            "cast(floor(sq * 10000.0 / (total * 1.0 * total))"
+            " as bigint)"
+        ).alias("hhi_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test readout — q196
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q196_welch_ttest",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id % 2 AS arm,
+             CAST(floor(value * 10000) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase'),
+    m AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS ss
+      FROM assign GROUP BY arm),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+        MAX(CASE WHEN arm = 0 THEN s END) AS s0,
+        MAX(CASE WHEN arm = 0 THEN ss END) AS ss0,
+        MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+        MAX(CASE WHEN arm = 1 THEN s END) AS s1,
+        MAX(CASE WHEN arm = 1 THEN ss END) AS ss1
+      FROM m),
+    stats AS (
+      SELECT n0, n1,
+             s0 * 1.0 / n0 AS m0,
+             s1 * 1.0 / n1 AS m1,
+             (ss0 - s0 * 1.0 / n0 * s0) / (n0 - 1.0) AS v0,
+             (ss1 - s1 * 1.0 / n1 * s1) / (n1 - 1.0) AS v1
+      FROM wide)
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           CAST(floor(m0 * 100) AS BIGINT) AS mean0_cu,
+           CAST(floor(m1 * 100) AS BIGINT) AS mean1_cu,
+           CAST(floor((m1 - m0) * 100) AS BIGINT) AS lift_cu,
+           CAST(floor((m1 - m0) / sqrt(v0 / n0 + v1 / n1)
+                      * 1000000) AS BIGINT) AS t_u,
+           (abs((m1 - m0) / sqrt(v0 / n0 + v1 / n1)) > 1.96)
+             AS significant
+    FROM stats
+    """,
+)
+def q196_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on purchase values between
+    the two ``user_id % 2`` arms — the significance readout that
+    completes the experimentation kit (q170 validates the split,
+    q167 reduces the variance, this decides). Means and variances
+    come from exact integer moments (n, Σx, Σx²) per arm; the t
+    statistic is one shared double text over those BIGINTs, so the
+    readout hash-pins including the >1.96 decision (the expected
+    outcome on hash-split synthetic data is NOT significant — an
+    A/A test, which is itself the standard platform health check).
+
+    Scale: one scan folding to two (n, Σx, Σx²) rows map-side;
+    everything after is constant-size. This is the moment-sketch
+    shape every sequential/covariate-adjusted estimator reduces to.
+    """
+    assign = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.expr("user_id % 2").alias("arm"),
+            F.expr("cast(floor(value * 10000) as bigint)").alias("x"),
+        )
+    )
+    m = assign.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.expr("cast(sum(x * x) as bigint)").alias("ss"),
+    )
+    wide = m.groupBy().agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c))).alias(f"{c}{a}")
+            for a in (0, 1)
+            for c in ("n", "s", "ss")
+        ]
+    )
+    stats = wide.selectExpr(
+        "n0",
+        "n1",
+        "s0 * 1.0 / n0 as m0",
+        "s1 * 1.0 / n1 as m1",
+        "(ss0 - s0 * 1.0 / n0 * s0) / (n0 - 1.0) as v0",
+        "(ss1 - s1 * 1.0 / n1 * s1) / (n1 - 1.0) as v1",
+    )
+    return stats.selectExpr(
+        "cast(n0 as bigint) as n0",
+        "cast(n1 as bigint) as n1",
+        "cast(floor(m0 * 100) as bigint) as mean0_cu",
+        "cast(floor(m1 * 100) as bigint) as mean1_cu",
+        "cast(floor((m1 - m0) * 100) as bigint) as lift_cu",
+        "cast(floor((m1 - m0) / sqrt(v0 / n0 + v1 / n1)"
+        " * 1000000) as bigint) as t_u",
+        "(abs((m1 - m0) / sqrt(v0 / n0 + v1 / n1)) > 1.96)"
+        " as significant",
+    )

@@ -596,3 +596,66 @@ class TestTrend:
             assert int(row["slope_num"]) == int(
                 len(t) * (t * v).sum() - t.sum() * v.sum()
             )
+
+
+class TestGini:
+    def test_against_pandas(self, run, spark):
+        got = run("q194_revenue_gini").set_index("nationkey")
+        df = spark.sql(
+            f"""
+            SELECT o.o_custkey AS ck, c.c_nationkey AS nk,
+                   sum(cast(floor(l.l_extendedprice
+                                  * (1 - l.l_discount) * 100) as long))
+                     AS rev
+            FROM parquet.`{SF_DIR}/lineitem.parquet` l
+            JOIN parquet.`{SF_DIR}/orders.parquet` o
+              ON l.l_orderkey = o.o_orderkey
+            JOIN parquet.`{SF_DIR}/customer.parquet` c
+              ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+            """
+        ).toPandas()
+        for nk, g in df.groupby("nk"):
+            x = np.sort(g["rev"].to_numpy(dtype=float))
+            n = len(x)
+            # textbook mean-absolute-difference form — a fully
+            # independent formulation of the same coefficient
+            gini = np.abs(x[:, None] - x[None, :]).sum() / (
+                2 * n * n * x.mean()
+            )
+            assert (
+                abs(int(got.loc[nk, "gini_u"]) / 1e6 - gini) < 2e-6
+            ), nk
+            assert 0 <= int(got.loc[nk, "gini_u"]) <= 1_000_000
+
+
+class TestHHI:
+    def test_identities(self, run):
+        r = run("q195_hhi_concentration")
+        # HHI bounds: 10000/n_sources <= hhi <= 10000
+        for lang, ns, hhi in r[
+            ["lang", "n_sources", "hhi_bp"]
+        ].itertuples(index=False):
+            assert 10_000 // int(ns) <= int(hhi) <= 10_000, lang
+
+
+class TestWelch:
+    def test_against_float_reference(self, run, spark):
+        got = run("q196_welch_ttest").iloc[0]
+        ev = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .filter("event_type = 'purchase'")
+            .selectExpr(
+                "user_id % 2 as arm",
+                "cast(floor(value * 10000) as long) as x",
+            )
+            .toPandas()
+        )
+        a = ev[ev["arm"] == 0]["x"].to_numpy(dtype=float)
+        b = ev[ev["arm"] == 1]["x"].to_numpy(dtype=float)
+        t = (b.mean() - a.mean()) / np.sqrt(
+            a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+        )
+        assert int(got["n0"]) == len(a) and int(got["n1"]) == len(b)
+        assert abs(int(got["t_u"]) / 1e6 - t) < 1e-4
+        assert bool(got["significant"]) == (abs(t) > 1.96)

@@ -2338,3 +2338,228 @@ def q196_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(abs((m1 - m0) / sqrt(v0 / n0 + v1 / n1)) > 1.96)"
         " as significant",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation between metric series — q197
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q197_cross_correlation",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+             CAST(floor(value * 100) AS BIGINT) AS x
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    h AS (
+      SELECT event_type, hr, SUM(x) * 100 // COUNT(*) AS v
+      FROM e GROUP BY event_type, hr),
+    wide AS (
+      SELECT hr,
+             MAX(CASE WHEN event_type = 'click' THEN v END) AS va,
+             MAX(CASE WHEN event_type = 'purchase' THEN v END) AS vb
+      FROM h GROUP BY hr
+      HAVING MAX(CASE WHEN event_type = 'click' THEN v END)
+               IS NOT NULL
+         AND MAX(CASE WHEN event_type = 'purchase' THEN v END)
+               IS NOT NULL),
+    mu AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(va) // COUNT(*) AS BIGINT) AS ma,
+             CAST(SUM(vb) // COUNT(*) AS BIGINT) AS mb
+      FROM wide),
+    c AS (
+      SELECT n,
+             CAST(SUM((va - ma) * (vb - mb)) AS BIGINT) AS sab,
+             CAST(SUM((va - ma) * (va - ma)) AS BIGINT) AS saa,
+             CAST(SUM((vb - mb) * (vb - mb)) AS BIGINT) AS sbb
+      FROM wide, mu GROUP BY n)
+    SELECT n, sab, saa, sbb,
+           CAST(floor(sab * 1000000.0 / sqrt(saa * 1.0 * sbb))
+                AS BIGINT) AS corr_u
+    FROM c
+    """,
+)
+def q197_cross_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson cross-correlation between two metric series (click
+    vs purchase hourly means on their common hours) — the
+    metric-coupling probe behind dashboards' "these move together"
+    panels and the input to any lead/lag causality check (q181's
+    OWN-series twin). Deviations are taken from FLOORED integer
+    means (q181's overflow-safe convention); the three centered
+    moments are exact BIGINTs and the correlation one shared double
+    text, so ``corr_u`` hash-pins.
+
+    Scale: corpus → (type × hour) fold, hour-keyed pivot to an
+    aligned pair table (compact), one scalar moment aggregate. At
+    M metrics the pivot generalizes to the q143 covariance form —
+    this is its two-series, hash-pinned special case.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_type",
+            F.expr(
+                "cast(unix_timestamp(ts) as bigint) div 3600"
+            ).alias("hr"),
+            F.expr("cast(floor(value * 100) as bigint)").alias("x"),
+        )
+    )
+    h = ev.groupBy("event_type", "hr").agg(
+        F.expr("sum(x) * 100 div count(*)").alias("v")
+    )
+    wide = (
+        h.groupBy("hr")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", F.col("v"))
+            ).alias("va"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", F.col("v"))
+            ).alias("vb"),
+        )
+        .filter(F.col("va").isNotNull() & F.col("vb").isNotNull())
+    )
+    mu = wide.groupBy().agg(
+        F.count("*").alias("n"),
+        F.expr("cast(sum(va) div count(*) as bigint)").alias("ma"),
+        F.expr("cast(sum(vb) div count(*) as bigint)").alias("mb"),
+    )
+    c = wide.crossJoin(F.broadcast(mu)).groupBy("n").agg(
+        F.expr("cast(sum((va - ma) * (vb - mb)) as bigint)").alias(
+            "sab"
+        ),
+        F.expr("cast(sum((va - ma) * (va - ma)) as bigint)").alias(
+            "saa"
+        ),
+        F.expr("cast(sum((vb - mb) * (vb - mb)) as bigint)").alias(
+            "sbb"
+        ),
+    )
+    return c.select(
+        "n",
+        "sab",
+        "saa",
+        "sbb",
+        F.expr(
+            "cast(floor(sab * 1000000.0 / sqrt(saa * 1.0 * sbb))"
+            " as bigint)"
+        ).alias("corr_u"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mix-shift (rate/mix) revenue decomposition — q198
+# ---------------------------------------------------------------------------
+
+#: period split: orders before/after the midpoint year
+_MIX_SPLIT = "1998-01-01"
+
+
+@query(
+    "q198_mix_shift_decomposition",
+    oracle=f"""
+    WITH f AS (
+      SELECT o.o_orderpriority AS seg,
+             (o.o_orderdate >= TIMESTAMP '{_MIX_SPLIT}') AS p2,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS rev_c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    seg AS (
+      SELECT seg,
+             CAST(SUM(CASE WHEN NOT p2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             CAST(SUM(CASE WHEN NOT p2 THEN rev_c ELSE 0 END)
+                  AS BIGINT) AS r1,
+             CAST(SUM(CASE WHEN p2 THEN rev_c ELSE 0 END) AS BIGINT)
+               AS r2
+      FROM f GROUP BY seg),
+    tot AS (
+      SELECT CAST(SUM(n1) AS BIGINT) AS tn1,
+             CAST(SUM(n2) AS BIGINT) AS tn2 FROM seg)
+    SELECT seg.seg, n1, n2, r1, r2,
+           CAST(floor((n2 * 1.0 / tn2 - n1 * 1.0 / tn1)
+                      * (r1 * 1.0 / n1) * tn2) AS BIGINT)
+             AS mix_effect_c,
+           CAST(floor((r2 * 1.0 / n2 - r1 * 1.0 / n1)
+                      * (n2 * 1.0 / tn2) * tn2) AS BIGINT)
+             AS rate_effect_c
+    FROM seg, tot WHERE n1 > 0 AND n2 > 0
+    """,
+)
+def q198_mix_shift_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mix-shift decomposition of period-over-period revenue: for
+    each order-priority segment, how much of the change came from
+    the segment's SHARE of volume moving (mix effect) vs its
+    per-line revenue RATE moving (rate effect) — the standard FP&A
+    / growth-accounting bridge (Laspeyres-style: mix priced at
+    period-1 rates, rate weighted at period-2 mix). Every input
+    moment is an exact BIGINT; the two effects are shared double
+    texts floored to cents.
+
+    Scale: one fact scan folding to segment × period partials
+    map-side (the CASE-conditional aggregate shape, no second
+    scan); the totals row broadcasts. Output is segment-sized.
+    """
+    f = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            F.expr(
+                "cast(floor(l_extendedprice * (1 - l_discount) * 100)"
+                " as bigint)"
+            ).alias("rev_c"),
+        )
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                F.col("o_orderpriority").alias("seg"),
+                (F.col("o_orderdate") >= F.lit(_MIX_SPLIT)).alias("p2"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    seg = f.groupBy("seg").agg(
+        F.expr("cast(sum(case when not p2 then 1 else 0 end) as bigint)")
+        .alias("n1"),
+        F.expr("cast(sum(case when p2 then 1 else 0 end) as bigint)")
+        .alias("n2"),
+        F.expr(
+            "cast(sum(case when not p2 then rev_c else 0 end) as bigint)"
+        ).alias("r1"),
+        F.expr(
+            "cast(sum(case when p2 then rev_c else 0 end) as bigint)"
+        ).alias("r2"),
+    )
+    tot = seg.agg(
+        F.sum("n1").cast("bigint").alias("tn1"),
+        F.sum("n2").cast("bigint").alias("tn2"),
+    )
+    return (
+        seg.crossJoin(F.broadcast(tot))
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .select(
+            "seg",
+            "n1",
+            "n2",
+            "r1",
+            "r2",
+            F.expr(
+                "cast(floor((n2 * 1.0 / tn2 - n1 * 1.0 / tn1)"
+                " * (r1 * 1.0 / n1) * tn2) as bigint)"
+            ).alias("mix_effect_c"),
+            F.expr(
+                "cast(floor((r2 * 1.0 / n2 - r1 * 1.0 / n1)"
+                " * (n2 * 1.0 / tn2) * tn2) as bigint)"
+            ).alias("rate_effect_c"),
+        )
+    )

@@ -1,0 +1,165 @@
+"""Volume stress for the engine's scale levers: the sf0.001 suites
+prove semantics; these prove the same constructions still behave on
+multi-million-row inputs generated with ``spark.range`` — partition-
+count independence, no driver funnels, closed forms matching their
+sequential definitions at length, skew machinery swallowing a 90 %
+hot key. Runtime budget ~2 min on local[32].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from building_energy_data_pipeline_spark.operators import scale
+
+
+N_BIG = 5_000_000
+
+
+class TestGlobalRowIndexVolume:
+    def test_dense_rank_on_5m_rows(self, spark):
+        df = spark.range(N_BIG).select(
+            (F.col("id") * 2654435761 % 1_000_003).alias("k"),
+            "id",
+        )
+        r = scale.global_row_index(df, ["k", "id"], index_name="rn")
+        stats = r.agg(
+            F.count("*").alias("n"),
+            F.min("rn").alias("lo"),
+            F.max("rn").alias("hi"),
+            F.count_distinct("rn").alias("nd"),
+        ).first()
+        assert stats["n"] == N_BIG
+        assert (stats["lo"], stats["hi"]) == (1, N_BIG)
+        assert stats["nd"] == N_BIG
+        plan = r._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan
+
+    def test_rank_order_matches_sort_on_boundary_sample(self, spark):
+        # the rows ranked 1..1000 must be exactly the 1000 smallest
+        df = spark.range(N_BIG).select(
+            (F.col("id") * 40503 % 999_983).alias("k"), "id"
+        )
+        r = scale.global_row_index(df, ["k", "id"], index_name="rn")
+        head = (
+            r.filter(F.col("rn") <= 1000)
+            .orderBy("rn")
+            .select("k", "id")
+            .collect()
+        )
+        want = df.orderBy("k", "id").limit(1000).collect()
+        assert [tuple(x) for x in head] == [tuple(x) for x in want]
+
+
+class TestSkewVolume:
+    def test_salted_join_swallows_90pct_hot_key(self, spark):
+        n = 2_000_000
+        # 90% of fact rows hit key 0; dim has 1000 keys
+        fact = spark.range(n).select(
+            F.expr(
+                "case when id % 10 < 9 then 0L else id % 1000 end"
+            ).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("attr")
+        )
+        got = scale.salted_join(fact, dim, on=["k"], salt=16).agg(
+            F.count("*").alias("n"), F.sum("attr").alias("s")
+        ).first()
+        want = fact.join(dim, "k").agg(
+            F.count("*").alias("n"), F.sum("attr").alias("s")
+        ).first()
+        assert (got["n"], got["s"]) == (want["n"], want["s"])
+
+
+class TestClosedFormsAtLength:
+    def test_cusum_closed_form_on_1m_row_series(self, spark):
+        # one key, 1M ordered points: the two-window closed form must
+        # equal the sequential recursion — at a length where any
+        # off-by-one in frame bounds would diverge wildly
+        n = 1_000_000
+        df = spark.range(n).select(
+            F.lit("k").alias("g"),
+            F.col("id").alias("t"),
+            ((F.col("id") * 48271) % 1999 - 999).alias("dev"),
+        )
+        from pyspark.sql import Window as W
+
+        w = (
+            W.partitionBy("g")
+            .orderBy("t")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        s = (
+            df.withColumn("cs", F.sum("dev").over(w))
+            .withColumn("rmin", F.min("cs").over(w))
+            .selectExpr("t", "cs - least(0L, rmin) as S")
+        )
+        got = s.agg(
+            F.max("S").alias("mx"),
+            F.expr("sum(case when S > 100000 then 1 else 0 end)").alias(
+                "alerts"
+            ),
+        ).first()
+        dev = (np.arange(n, dtype=np.int64) * 48271) % 1999 - 999
+        cs = np.cumsum(dev)
+        S = cs - np.minimum(np.minimum.accumulate(cs), 0)
+        assert got["mx"] == int(S.max())
+        assert got["alerts"] == int((S > 100_000).sum())
+
+    def test_ohlc_argminmax_partitioning_independent(self, spark):
+        # min_by/max_by partial merge must give identical bars no
+        # matter how the input is split
+        n = 3_000_000
+        base = spark.range(n).select(
+            (F.col("id") % 7).alias("g"),
+            F.col("id").alias("t"),
+            ((F.col("id") * 22695477) % 100_000).alias("x"),
+        )
+        agg_exprs = [
+            F.expr("min_by(x, t)").alias("open"),
+            F.max("x").alias("high"),
+            F.min("x").alias("low"),
+            F.expr("max_by(x, t)").alias("close"),
+        ]
+        a = {
+            r["g"]: (r["open"], r["high"], r["low"], r["close"])
+            for r in base.repartition(64).groupBy("g").agg(*agg_exprs)
+            .collect()
+        }
+        b = {
+            r["g"]: (r["open"], r["high"], r["low"], r["close"])
+            for r in base.coalesce(2).groupBy("g").agg(*agg_exprs)
+            .collect()
+        }
+        assert a == b
+
+    def test_weighted_median_compact_path_matches_numpy(self, spark):
+        n = 2_000_000
+        df = spark.range(n).select(
+            ((F.col("id") * 69069) % 10_000).alias("price"),
+            ((F.col("id") * 1103515245) % 50 + 1).alias("w"),
+        )
+        g = df.groupBy("price").agg(F.sum("w").alias("tw"))
+        from pyspark.sql import Window as W
+
+        c = g.select(
+            "price",
+            F.sum("tw").over(W.orderBy("price")).alias("cumw"),
+            F.sum("tw").over(
+                W.partitionBy(F.lit(1))
+            ).alias("total"),
+        )
+        got = c.filter(
+            F.col("cumw") * 2 >= F.col("total")
+        ).agg(F.min("price")).first()[0]
+
+        price = (np.arange(n, dtype=np.int64) * 69069) % 10_000
+        w = (np.arange(n, dtype=np.int64) * 1103515245) % 50 + 1
+        order = np.argsort(price, kind="stable")
+        cw = np.cumsum(w[order])
+        want = int(price[order][np.searchsorted(cw, cw[-1] / 2)])
+        assert got == want

@@ -12,7 +12,7 @@ from .sessionctl import (  # noqa: F401
     run_in_job_group,
     run_with_timeout,
 )
-from .observe import QueryHistory, explain_analyze, explain_str  # noqa: F401
+from .observe import QueryHistory, explain_analyze, explain_str, shuffle_count  # noqa: F401
 from .access import AccessControl  # noqa: F401
 from .tls import (  # noqa: F401
     configure_spark_ssl,

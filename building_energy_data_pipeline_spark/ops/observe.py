@@ -46,6 +46,30 @@ def _walk_plan(node):
         yield from _walk_plan(it.next())
 
 
+def shuffle_count(df: DataFrame) -> int:
+    """Number of real shuffle exchanges in the (pre-execution)
+    physical plan — the engine-wide "shuffle budget" number.
+
+    Counts ``ShuffleExchangeExec`` nodes by walking the plan TREE,
+    not by grepping the plan STRING: ``toString`` re-prints every
+    ``InMemoryTableScan``'s cached build lineage, so a slot-using
+    query's text shows the same exchanges once per cache consumer
+    (q173's string shows 71 where the tree holds a handful).
+    Broadcast exchanges are deliberately excluded — they are the
+    cheap alternative the budget is steering toward.
+    """
+    n = 0
+    for node in _walk_plan(df._jdf.queryExecution().executedPlan()):  # noqa: SLF001
+        try:
+            if node.getClass().getSimpleName().startswith(
+                "ShuffleExchange"
+            ):
+                n += 1
+        except Exception:  # noqa: BLE001 — non-JVM probing safety
+            pass
+    return n
+
+
 def explain_analyze(
     df: DataFrame, action: Callable[[DataFrame], Any] | None = None
 ) -> dict[str, Any]:

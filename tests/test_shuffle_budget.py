@@ -1,0 +1,87 @@
+"""Shuffle-budget regression guard for every headline query.
+
+Each operator's docstring documents the shuffles its semantics force;
+this test pins that budget as a NUMBER, counted on the physical-plan
+tree (``ops.observe.shuffle_count`` — tree walk, not string grep:
+``toString`` re-prints cached lineage once per cache consumer, so
+slot-using queries' text wildly overcounts). A refactor that adds an
+exchange — a lost broadcast, a window that stopped sharing its
+partitioning, a join that re-shuffled an already-partitioned side —
+fails here with the delta, BEFORE it shows up as a bench regression.
+
+Budgets are exact current values, asserted as an upper bound; going
+UNDER the budget is progress (update the table with the lower number
+and the reason).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from building_energy_data_pipeline_spark import caching
+from building_energy_data_pipeline_spark.ops.observe import shuffle_count
+from building_energy_data_pipeline_spark.plans.queries import (
+    HEADLINE,
+    REGISTRY,
+)
+
+#: max ShuffleExchange nodes allowed per headline query (measured on
+#: the cold-slot plan; broadcast exchanges excluded by design)
+SHUFFLE_BUDGET = {
+    "q01_pricing_summary": 2,
+    "q02_filtered_scan": 0,
+    "q03_top_revenue_orders": 1,
+    "q08_unpivot_metrics": 2,
+    "q09_nullsafe_pair_join": 1,
+    "q25_hourly_rollup": 1,
+    "q28_minhash_lsh_pairs": 3,
+    "q33_quality_scores": 0,
+    "q34_ann_bruteforce": 2,
+    "q129_semantic_dedup": 2,
+    "q143_embedding_covariance": 0,
+    "q150_power_iteration": 2,
+    "q154_ivf_pq_recall": 11,
+    "q155_bitext_margin_mining": 3,
+    "q165_quality_classifier": 1,
+    "q36_asof_join": 1,
+    "q45_rollup_acctbal": 1,
+    "q48_range_join_bands": 1,
+    "q187_local_supplier_volume": 1,
+    "q169_scd2_history": 1,
+    "q173_triangle_count": 8,
+    "q176_srp_lsh": 0,
+    "q177_point_in_time_join": 3,
+    "q109_pagerank_step": 4,
+    "q118_pagerank_train": 0,
+    "q112_duplicate_spans": 3,
+    "q130_segment_dedup": 2,
+    "q148_bm25_retrieval": 1,
+    "q149_winnowing_pairs": 5,
+    "q164_inverted_index": 2,
+    "q178_rrf_hybrid": 1,
+    "q59_explode_tokens": 2,
+    "q63_map_functions": 3,
+    "q65_tfidf_top_terms": 5,
+    "q66_label_centroids": 1,
+    "q83_sequence_packing": 1,
+    "q91_quantized_topk": 2,
+    "q90_incremental_dedup": 5,
+    "q144_dsir_proxy": 4,
+    "q105_merge_upsert": 2,
+}
+
+
+def test_budget_table_covers_every_headline_query():
+    # a new headline entry must declare its budget when it ships
+    assert set(SHUFFLE_BUDGET) == set(HEADLINE)
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_shuffle_budget(spark, sf_dir, name):
+    caching.release_caches()
+    got = shuffle_count(REGISTRY[name].spark(spark, sf_dir))
+    assert got <= SHUFFLE_BUDGET[name], (
+        f"{name}: {got} shuffle exchanges, budget "
+        f"{SHUFFLE_BUDGET[name]} — a broadcast was lost or a "
+        f"partitioning stopped being reused"
+    )

@@ -2563,3 +2563,184 @@ def q198_mix_shift_decomposition(
             ).alias("rate_effect_c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU stickiness — q199
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q199_dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+    wau AS (
+      SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+      FROM days d JOIN ud u
+        ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day)
+    SELECT dau.day, dau.dau, wau.wau,
+           CAST(dau.dau * 1000000 // wau.wau AS BIGINT)
+             AS stickiness_u
+    FROM dau JOIN wau ON dau.day = wau.day
+    ORDER BY dau.day
+    """,
+)
+def q199_dau_wau_stickiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DAU/WAU stickiness: daily active users over trailing-7-day
+    active users per day — THE product-engagement ratio. Distinct-
+    users-over-a-sliding-window does NOT decompose like a sum (a
+    user active twice in the window counts once), so the engine
+    collapses the stream to the (user × day) activity grid first
+    and re-counts per window via a 7-day band join on the day spine
+    — the grid is the only corpus-sized artifact and it shrinks by
+    the per-day event multiplicity.
+
+    Scale: one map-side distinct to the grid; the band join fans
+    each grid row out ×7 to day keys (bounded, not data-dependent);
+    the distinct count per day is exact. At 100 TB the exact WAU
+    swaps for q162's mergeable HLL registers per day, unioned over
+    the window — same plan shape, constant state.
+    """
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                "cast(unix_timestamp(ts) as bigint) div 86400"
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    # fan each activity row out to the ≤7 window-anchor days it
+    # serves (equi-join on the anchor key, no banded theta join)
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, day + 6)")
+        ).alias("anchor"),
+    )
+    days = ud.select(F.col("day").alias("anchor")).distinct()
+    wau = (
+        fan.join(days, "anchor", "left_semi")
+        .groupBy("anchor")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["anchor"])
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("cast(dau * 1000000 div wau as bigint)").alias(
+                "stickiness_u"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering — q200
+# ---------------------------------------------------------------------------
+
+_CF_TOP = 5
+
+
+@query(
+    "q200_item_cf",
+    oracle=f"""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+      FROM lineitem),
+    cnt AS (
+      SELECT i, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY i),
+    co AS (
+      SELECT x.i AS i, y.i AS j, CAST(COUNT(*) AS BIGINT) AS cij
+      FROM b x JOIN b y ON x.o = y.o AND x.i <> y.i
+      GROUP BY x.i, y.i),
+    scored AS (
+      SELECT co.i, co.j, co.cij,
+             CAST(floor(co.cij * 1000000.0
+                        / sqrt(ci.c * 1.0 * cj.c)) AS BIGINT)
+               AS cosine_u
+      FROM co JOIN cnt ci ON co.i = ci.i JOIN cnt cj ON co.j = cj.i)
+    SELECT i, j, cij, cosine_u
+    FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY i ORDER BY cosine_u DESC, j) <= {_CF_TOP}
+    ORDER BY i, cosine_u DESC, j
+    """,
+)
+def q200_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar et al. 2001, the
+    Amazon-style recommender): co-occurrence cosine
+    cᵢⱼ/√(cᵢ·cⱼ) over order baskets, top-{_CF_TOP} neighbors per
+    item — the complement of q137's pointwise-lift mining (lift
+    finds surprising pairs; cosine ranks RECOMMENDABLE neighbors)
+    and the classical-CF counterpart of the embedding k-NN stack
+    (q34/q35). Counts are exact BIGINTs; the cosine is one shared
+    double text, so the neighbor lists hash-pin.
+
+    Scale: baskets dedup map-side; the co-occurrence self-join is
+    keyed on the basket id with fan-out ≤ C(basket,2) per order —
+    the bounded-basket assumption every CF system makes; item
+    counts broadcast back; per-item top-k is a WindowGroupLimit
+    (rank pushed into the shuffle). Hub items (every-basket
+    staples) are the known skew — the production guard is a
+    max-basket / max-item-frequency cap like q149's boilerplate
+    cap, documented not applied at demo scale.
+    """
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
+        )
+        .distinct()
+    )
+    cnt = b.groupBy("i").agg(F.count("*").alias("c"))
+    co = (
+        b.alias("x")
+        .join(b.alias("y"), "o")
+        .filter(F.expr("x.i <> y.i"))
+        .groupBy(F.expr("x.i").alias("i"), F.expr("y.i").alias("j"))
+        .agg(F.count("*").alias("cij"))
+    )
+    scored = (
+        co.join(
+            F.broadcast(cnt.withColumnRenamed("c", "ci")), "i"
+        )
+        .join(
+            F.broadcast(
+                cnt.select(
+                    F.col("i").alias("j"), F.col("c").alias("cj")
+                )
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            "cij",
+            F.expr(
+                "cast(floor(cij * 1000000.0 / sqrt(ci * 1.0 * cj))"
+                " as bigint)"
+            ).alias("cosine_u"),
+        )
+    )
+    wn = W.partitionBy("i").orderBy(F.desc("cosine_u"), "j")
+    return (
+        scored.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= _CF_TOP)
+        .drop("rn")
+        .orderBy("i", F.desc("cosine_u"), "j")
+    )

@@ -193,3 +193,60 @@ def global_row_index(
         .withColumn(index_name, (F.col("__off") + F.col("__lrn")).cast("long"))
         .drop("__pid", "__lrn", "__off")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    sum_name: str = "__cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive global prefix sum of ``value_col`` in ``order_cols``
+    order WITHOUT a single-partition window — the scalable form of
+    ``SUM(v) OVER (ORDER BY ...)`` and the sibling of
+    :func:`global_row_index` (same three-phase distributed-scan
+    construction, same determinism and ``localCheckpoint`` contract;
+    see that docstring for why a persist is NOT equivalent):
+
+    1. range-partition on the ordering key,
+    2. per-partition inclusive running sum (partitioned window),
+    3. per-partition TOTALS (one row each, collected) → cumulative
+       offsets, broadcast back; global prefix = offset + local.
+
+    ``order_cols`` must be a total order (include a tiebreaker) or
+    the prefix at ties is partition-placement-dependent.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+    ranged = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = (
+        ranged.groupBy("__pid").agg(F.sum(value_col).alias("__tot")).collect()
+    )
+    offsets, acc = {}, 0
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["__tot"] or 0
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
+    )
+
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn("__lcum", F.sum(value_col).over(w))
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn(sum_name, (F.col("__off") + F.col("__lcum")).cast("long"))
+        .drop("__pid", "__lcum", "__off")
+    )

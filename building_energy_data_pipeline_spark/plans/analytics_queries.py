@@ -2744,3 +2744,342 @@ def q200_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("i", F.desc("cosine_u"), "j")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier time-to-event curve — q201
+# ---------------------------------------------------------------------------
+
+#: the studied event: the user's first "big purchase"
+_KM_VALUE_CUT = 150
+
+
+@query(
+    "q201_kaplan_meier",
+    oracle=f"""
+    WITH f AS (
+      SELECT user_id,
+             CAST(floor(epoch(MIN(ts))) AS BIGINT) AS t0,
+             CAST(floor(epoch(MAX(ts))) AS BIGINT) AS t1
+      FROM events GROUP BY user_id),
+    ev AS (
+      SELECT user_id,
+             CAST(floor(epoch(MIN(ts))) AS BIGINT) AS te
+      FROM events
+      WHERE event_type = 'purchase' AND value > {_KM_VALUE_CUT}
+      GROUP BY user_id),
+    obs AS (
+      SELECT f.user_id,
+             (COALESCE(ev.te, f.t1) - f.t0) // 604800 AS w,
+             (ev.te IS NOT NULL) AS event
+      FROM f LEFT JOIN ev ON f.user_id = ev.user_id),
+    risk AS (
+      SELECT w,
+             CAST(SUM(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT)
+               AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM obs GROUP BY w),
+    tl AS (
+      SELECT w, d, leaving,
+             CAST(SUM(leaving) OVER (ORDER BY w DESC) AS BIGINT) AS n
+      FROM risk),
+    flist AS (
+      SELECT list(struct_pack(w := w, d := d, n := n) ORDER BY w)
+               AS fs
+      FROM tl),
+    km AS (
+      SELECT t.w, t.d, t.n,
+             list_reduce(list_prepend(1.0,
+               list_transform(list_filter(fs, f -> f.w <= t.w),
+                 f -> 1.0 - f.d * 1.0 / f.n)),
+               (a, b) -> a * b) AS s
+      FROM tl t, flist)
+    SELECT w AS week, d AS n_events, n AS n_at_risk,
+           CAST(floor(s * 1000000) AS BIGINT) AS survival_u
+    FROM km WHERE d > 0 ORDER BY w
+    """,
+)
+def q201_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-event curve: survival probability by
+    week from a user's first activity to their first BIG purchase
+    (value > {_KM_VALUE_CUT}), with users who never get there
+    RIGHT-CENSORED at their last observed activity — the
+    product-limit estimator S(w) = Π(1 − dᵢ/nᵢ) is how censored
+    subjects contribute without bias (a naive "conversion by week
+    w" curve treats them as failures and systematically understates
+    survival). The time-to-event statistics layer q141's cohort
+    counts and q203's converter-only latencies don't provide.
+
+    The running product folds the per-week factors in EXPLICIT week
+    order on both engines (the q170 ordered-fold rule — an
+    unordered product of doubles is order-dependent), so
+    ``survival_u`` hash-pins. At-risk counts are a reverse
+    cumulative sum over the week-cardinality risk table (bounded by
+    the observation span — the q108 constant-bounded-window
+    precedent), and the factor list is one row of ≤|weeks| structs.
+
+    Scale: stream → per-user (first, last, first-event) folds —
+    all map-side; every survival computation runs at week
+    cardinality.
+    """
+    f = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.expr("cast(unix_timestamp(min(ts)) as bigint)").alias("t0"),
+        F.expr("cast(unix_timestamp(max(ts)) as bigint)").alias("t1"),
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") > _KM_VALUE_CUT)
+        )
+        .groupBy("user_id")
+        .agg(F.expr("cast(unix_timestamp(min(ts)) as bigint)").alias("te"))
+    )
+    obs = f.join(ev, "user_id", "left").select(
+        F.expr("(coalesce(te, t1) - t0) div 604800").alias("w"),
+        F.col("te").isNotNull().alias("event"),
+    )
+    risk = obs.groupBy("w").agg(
+        F.expr(
+            "cast(sum(case when event then 1 else 0 end) as bigint)"
+        ).alias("d"),
+        F.count("*").alias("leaving"),
+    )
+    tl = risk.select(
+        "w",
+        "d",
+        F.sum("leaving")
+        .over(
+            W.orderBy(F.desc("w")).rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        )
+        .cast("bigint")
+        .alias("n"),
+    )
+    km = tl.crossJoin(
+        F.broadcast(
+            tl.agg(
+                F.expr(
+                    "array_sort(collect_list(struct(w, d, n)))"
+                ).alias("fs")
+            )
+        )
+    ).select(
+        "w",
+        "d",
+        "n",
+        F.expr(
+            "aggregate(filter(fs, f -> f.w <= w), cast(1.0 as double),"
+            " (acc, f) -> acc * (1.0 - f.d * 1.0 / f.n))"
+        ).alias("s"),
+    )
+    return (
+        km.filter(F.col("d") > 0)
+        .select(
+            F.col("w").alias("week"),
+            F.col("d").alias("n_events"),
+            F.col("n").alias("n_at_risk"),
+            F.expr("cast(floor(s * 1000000) as bigint)").alias(
+                "survival_u"
+            ),
+        )
+        .orderBy("week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto revenue classification — q202
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q202_abc_classification",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(floor(l_extendedprice
+                                 * (1 - l_discount) * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY l_partkey),
+    r AS (
+      SELECT pk, rev_c,
+             SUM(rev_c) OVER (ORDER BY rev_c DESC, pk) AS cum,
+             SUM(rev_c) OVER () AS total
+      FROM pr),
+    cls AS (
+      SELECT pk, rev_c,
+             CASE WHEN (cum - rev_c) * 100 < total * 80 THEN 'A'
+                  WHEN (cum - rev_c) * 100 < total * 95 THEN 'B'
+                  ELSE 'C' END AS cls
+      FROM r)
+    SELECT cls,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_c) AS BIGINT) AS rev_c,
+           CAST(SUM(rev_c) * 1000000 //
+                (SELECT SUM(rev_c) FROM pr) AS BIGINT) AS share_u
+    FROM cls GROUP BY cls ORDER BY cls
+    """,
+)
+def q202_abc_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: class A =
+    the head items up to 80 % of cumulative revenue, B to 95 %, C
+    the tail — the inventory-management standard (and the 80/20
+    check q194's Gini summarizes into one number). An item's class
+    is decided by the cumulative revenue STRICTLY ABOVE it, so the
+    item straddling a boundary lands in the higher class — the
+    convention that makes classes partition-stable. Cent-exact
+    integers throughout; boundaries compared as cross-multiplied
+    BIGINTs, no percentage division anywhere.
+
+    Scale: facts fold to part grain map-side; the descending
+    cumulative sum runs through ``scale.global_running_sum`` (range
+    partition → per-partition prefix sums → broadcast offsets — the
+    distributed prefix-sum lever this query motivated) — the
+    single-partition window the SQL text implies is exactly what the
+    engine avoids (the oracle may single-thread; the engine must
+    not). Class rollup is 3 rows.
+    """
+    from ..operators import scale
+
+    pr = load_table(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_partkey").alias("pk")
+    ).agg(
+        F.expr(
+            "cast(sum(cast(floor(l_extendedprice * (1 - l_discount)"
+            " * 100) as bigint)) as bigint)"
+        ).alias("rev_c")
+    )
+    # descending cumulative revenue WITHOUT a single-partition
+    # window: scale.global_running_sum range-partitions on
+    # (-rev_c, pk), prefix-sums per partition, and broadcasts the
+    # per-partition offsets back — the distributed-scan shape, so
+    # the Pareto sweep holds at ANY part cardinality
+    cum = scale.global_running_sum(
+        pr.withColumn("neg", F.expr("-rev_c")),
+        ["neg", "pk"],
+        "rev_c",
+        sum_name="cum",
+    ).drop("neg")
+    tot = pr.agg(F.sum("rev_c").cast("bigint").alias("total"))
+    cls = cum.crossJoin(F.broadcast(tot)).select(
+        "rev_c",
+        F.expr(
+            "case when (cum - rev_c) * 100 < total * 80 then 'A'"
+            " when (cum - rev_c) * 100 < total * 95 then 'B'"
+            " else 'C' end"
+        ).alias("cls"),
+    )
+    tot = pr.agg(F.sum("rev_c").cast("bigint").alias("t"))
+    return (
+        cls.groupBy("cls")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("rev_c").cast("bigint").alias("rev_c"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cls",
+            "n_parts",
+            "rev_c",
+            F.expr("cast(rev_c * 1000000 div t as bigint)").alias(
+                "share_u"
+            ),
+        )
+        .orderBy("cls")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert funnel latency — q203
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q203_time_to_convert",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(floor(epoch(MIN(ts))) AS BIGINT) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id,
+             CAST(floor(epoch(MIN(e.ts))) AS BIGINT) AS t_conv
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase'
+        AND CAST(floor(epoch(e.ts)) AS BIGINT) >= s.t_signup
+      GROUP BY e.user_id),
+    j AS (
+      SELECT s.user_id,
+             s.t_signup // 604800 AS cohort_w,
+             p.t_conv - s.t_signup AS lat
+      FROM s LEFT JOIN p ON s.user_id = p.user_id)
+    SELECT cohort_w,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(COUNT(lat) AS BIGINT) AS n_converted,
+           CAST(COUNT(lat) * 1000 // COUNT(*) AS BIGINT)
+             AS conv_permille,
+           CAST(floor(quantile_cont(lat, 0.5) / 3600) AS BIGINT)
+             AS p50_hours,
+           CAST(floor(quantile_cont(lat, 0.9) / 3600) AS BIGINT)
+             AS p90_hours
+    FROM j GROUP BY cohort_w ORDER BY cohort_w
+    """,
+)
+def q203_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert funnel latency by signup cohort: per weekly
+    cohort, the conversion rate and the p50/p90 hours from first
+    signup to first subsequent purchase — the funnel-VELOCITY
+    readout q72's step-count funnel doesn't give (two cohorts can
+    convert equally often at 10× different speeds). Non-converters
+    stay in the denominator via the left join (dropping them is the
+    classic survivorship bug); the exact interpolating percentile
+    on integer-second latencies is engine-identical (the q171
+    convention).
+
+    Scale: two user-grained map-side folds (first signup, first
+    qualifying purchase) joined on the user key, then
+    cohort-cardinality aggregates. Exact percentile buffers per
+    cohort; the documented 100 TB swap is ``approx_percentile``
+    (q158's bounded-state contract).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("cast(unix_timestamp(ts) as bigint)").alias("t"),
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_signup"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("t") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_conv"))
+    )
+    j = s.join(p, "user_id", "left").select(
+        F.expr("t_signup div 604800").alias("cohort_w"),
+        (F.col("t_conv") - F.col("t_signup")).alias("lat"),
+    )
+    return (
+        j.groupBy("cohort_w")
+        .agg(
+            F.count("*").alias("n_signups"),
+            F.count("lat").alias("n_converted"),
+            F.expr(
+                "cast(count(lat) * 1000 div count(*) as bigint)"
+            ).alias("conv_permille"),
+            F.expr(
+                "cast(floor(percentile(lat, 0.5) / 3600) as bigint)"
+            ).alias("p50_hours"),
+            F.expr(
+                "cast(floor(percentile(lat, 0.9) / 3600) as bigint)"
+            ).alias("p90_hours"),
+        )
+        .orderBy("cohort_w")
+    )

@@ -1093,3 +1093,158 @@ def q186_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming OHLC bar maintenance — q204
+# ---------------------------------------------------------------------------
+
+
+def _q204_oracle() -> str:
+    # the streamed bars must equal q192's batch aggregate exactly
+    return """
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             event_id,
+             CAST(floor(value * 10000) AS BIGINT) AS x
+      FROM events)
+    SELECT event_type, day,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(arg_min(x, t * 4194304 + event_id) AS BIGINT) AS open_u,
+           CAST(MAX(x) AS BIGINT) AS high_u,
+           CAST(MIN(x) AS BIGINT) AS low_u,
+           CAST(arg_max(x, t * 4194304 + event_id) AS BIGINT) AS close_u
+    FROM e GROUP BY event_type, day
+    ORDER BY event_type, day
+    """
+
+
+@query("q204_streaming_ohlc", oracle=_q204_oracle())
+def q204_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING OHLC maintenance: q192's candlestick bars kept
+    current inside ``foreachBatch`` over the replayed event stream —
+    completing the streaming-merge family with the ARGMIN/ARGMAX
+    merge class (q157 merges by +, q168 by max, q186 carries
+    order-dependent scalars; open/close merge by keeping the value
+    whose packed time key is smaller/larger — associative AND
+    commutative, so unlike q186 NO replay order is required and no
+    monotonicity guard appears). Per batch: the q192 aggregate on
+    the batch's rows, then a keyed merge into the persisted bar
+    state via least/greatest on the packed keys; the final bars are
+    pinned to the single-pass batch oracle.
+
+    Scale: state is one row per (type × day) — bar-cardinality
+    forever; each micro-batch costs its own aggregate plus a merge
+    join against only the bars it touches.
+    """
+    import os
+    import shutil
+
+    from ..sources.readers import load_table
+
+    base_dir = tempfile.mkdtemp(prefix="q204_ohlc_")
+    src_dir = os.path.join(base_dir, "events")
+    ckpt = os.path.join(base_dir, "ckpt")
+    state: dict = {}
+
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_type",
+            F.expr(
+                "cast(unix_timestamp(ts) as bigint) div 86400"
+            ).alias("day"),
+            F.expr(
+                "cast(unix_timestamp(ts) as bigint) * 4194304"
+                " + event_id"
+            ).alias("k"),
+            F.expr("cast(floor(value * 10000) as bigint)").alias("x"),
+        )
+        ev.repartitionByRange(4, "k").write.parquet(src_dir)
+
+        stream = (
+            spark.readStream.schema(
+                "event_type string, day long, k long, x long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+
+        def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            bars = batch_df.groupBy("event_type", "day").agg(
+                F.count("*").alias("n"),
+                F.expr("min(k)").alias("ko"),
+                F.expr("min_by(x, k)").alias("open"),
+                F.max("x").alias("high"),
+                F.min("x").alias("low"),
+                F.expr("max(k)").alias("kc"),
+                F.expr("max_by(x, k)").alias("close"),
+            )
+            prev = state.get("dir")
+            if prev is not None:
+                base = spark.read.parquet(prev)
+                bars = (
+                    bars.alias("n")
+                    .join(
+                        base.alias("o"),
+                        ["event_type", "day"],
+                        "full",
+                    )
+                    .selectExpr(
+                        "event_type",
+                        "day",
+                        "coalesce(n.n, 0L) + coalesce(o.n, 0L) as n",
+                        # argmin merge: keep the value behind the
+                        # smaller packed key
+                        "case when o.ko is null or (n.ko is not null"
+                        " and n.ko < o.ko) then n.ko else o.ko end"
+                        " as ko",
+                        "case when o.ko is null or (n.ko is not null"
+                        " and n.ko < o.ko) then n.open else o.open end"
+                        " as open",
+                        "greatest(coalesce(n.high, -9223372036854775808),"
+                        " coalesce(o.high, -9223372036854775808)) as high",
+                        "least(coalesce(n.low, 9223372036854775807),"
+                        " coalesce(o.low, 9223372036854775807)) as low",
+                        "case when o.kc is null or (n.kc is not null"
+                        " and n.kc > o.kc) then n.kc else o.kc end"
+                        " as kc",
+                        "case when o.kc is null or (n.kc is not null"
+                        " and n.kc > o.kc) then n.close else o.close end"
+                        " as close",
+                    )
+                )
+            nxt = os.path.join(base_dir, f"bars_v{batch_id}")
+            bars.write.mode("overwrite").parquet(nxt)
+            old = state.get("dir")
+            state["dir"] = nxt
+            if old is not None:
+                shutil.rmtree(old, ignore_errors=True)
+
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q204: event stream did not drain")
+
+        bars = spark.read.parquet(state["dir"])
+        return (
+            bars.select(
+                "event_type",
+                "day",
+                F.col("n").alias("n_ticks"),
+                F.col("open").alias("open_u"),
+                F.col("high").alias("high_u"),
+                F.col("low").alias("low_u"),
+                F.col("close").alias("close_u"),
+            )
+            .orderBy("event_type", "day")
+            .localCheckpoint(eager=True)  # materialize before cleanup
+        )
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

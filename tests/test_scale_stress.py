@@ -163,3 +163,42 @@ class TestClosedFormsAtLength:
         cw = np.cumsum(w[order])
         want = int(price[order][np.searchsorted(cw, cw[-1] / 2)])
         assert got == want
+
+
+class TestGlobalRunningSumVolume:
+    def test_matches_serial_window_and_stays_distributed(self, spark):
+        n = 2_000_000
+        df = spark.range(n).select(
+            ((F.col("id") * 2654435761) % 1_000_003).alias("k"),
+            "id",
+            ((F.col("id") * 31) % 1000).alias("v"),
+        )
+        r = scale.global_running_sum(df, ["k", "id"], "v", sum_name="cum")
+        plan = r._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan
+        # endpoint identities: final prefix == total; all prefixes
+        # positive and strictly increasing along the order
+        agg = r.agg(
+            F.max("cum").alias("mx"), F.sum("v").alias("tot")
+        ).first()
+        assert agg["mx"] == agg["tot"]
+        # spot-check the first 1000 prefixes against a serial window
+        from pyspark.sql import Window
+
+        head = (
+            r.orderBy("k", "id").limit(1000).select("k", "id", "cum")
+        ).collect()
+        want = (
+            df.orderBy("k", "id")
+            .limit(1000)
+            .withColumn(
+                "cum",
+                F.sum("v").over(
+                    Window.orderBy("k", "id").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                ),
+            )
+            .select("k", "id", "cum")
+        ).collect()
+        assert [tuple(x) for x in head] == [tuple(x) for x in want]

@@ -3083,3 +3083,214 @@ def q203_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_w")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U (rank-sum) test — q205
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q205_mann_whitney",
+    oracle="""
+    WITH s AS (
+      SELECT user_id % 2 AS arm,
+             CAST(floor(value * 10000) AS BIGINT) AS x
+      FROM events WHERE event_type = 'view'),
+    r AS (
+      SELECT arm, x,
+             CAST(2 * rank() OVER (ORDER BY x)
+                  + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT)
+               AS dr
+      FROM s),
+    m AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 1 THEN dr ELSE 0 END) AS BIGINT)
+          AS dr1,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n1,
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n0
+      FROM r)
+    SELECT n0, n1,
+           CAST((dr1 - n1 * (n1 + 1)) // 2 AS BIGINT) AS u1,
+           CAST(n0 * n1 AS BIGINT) AS u_max,
+           CAST((dr1 - n1 * (n1 + 1)) * 1000000
+                // (2 * n0 * n1) AS BIGINT) AS auc_u
+    FROM m
+    """,
+)
+def q205_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between the two hash
+    arms on 'view' values — the NONPARAMETRIC A/B readout that
+    q196's t-test cannot replace when the metric is heavy-tailed
+    (exactly this exponential-ish distribution). U/(n₀·n₁) is also
+    the AUC of "arm 1 stochastically larger" — the common-language
+    effect size. Tied values get midranks, kept integer by working
+    with DOUBLED ranks: dr = 2·rank + ties_at(x) − 1 (midrank×2),
+    so U₁ = (Σdr₁ − n₁(n₁+1))/2 is exact BIGINT arithmetic and
+    ``auc_u`` an integer division — no float anywhere.
+
+    Scale: the global value rank is the one ordered pass (the
+    engine routes it through ``scale.global_row_index``'s range
+    machinery via rank-on-sorted-key; tie counts are a value-keyed
+    aggregate joined back); the rest is a 1-row moment fold. The
+    doubled-rank trick is what keeps midranks off the float path.
+    """
+    from ..operators import scale
+
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.expr("user_id % 2").alias("arm"),
+            F.expr("cast(floor(value * 10000) as bigint)").alias("x"),
+            "event_id",
+        )
+    )
+    # rank() over x == count of rows strictly below + 1: derive it
+    # from the distributed prefix machinery — per distinct value,
+    # rows_below = running count excluding the value's own rows
+    vc = s.groupBy("x").agg(F.count("*").alias("ties"))
+    cum = scale.global_running_sum(
+        vc, ["x"], "ties", sum_name="cum_incl"
+    )
+    # doubled midrank per value: 2*(rows_below + 1) + ties - 1
+    dr = cum.select(
+        "x",
+        "ties",
+        F.expr("2 * (cum_incl - ties + 1) + ties - 1").alias("dr"),
+    )
+    m = (
+        s.join(F.broadcast(dr), "x")
+        .groupBy()
+        .agg(
+            F.expr(
+                "cast(sum(case when arm = 1 then dr else 0 end)"
+                " as bigint)"
+            ).alias("dr1"),
+            F.expr(
+                "cast(sum(case when arm = 1 then 1 else 0 end)"
+                " as bigint)"
+            ).alias("n1"),
+            F.expr(
+                "cast(sum(case when arm = 0 then 1 else 0 end)"
+                " as bigint)"
+            ).alias("n0"),
+        )
+    )
+    return m.select(
+        "n0",
+        "n1",
+        F.expr("cast((dr1 - n1 * (n1 + 1)) div 2 as bigint)").alias(
+            "u1"
+        ),
+        F.expr("cast(n0 * n1 as bigint)").alias("u_max"),
+        F.expr(
+            "cast((dr1 - n1 * (n1 + 1)) * 1000000"
+            " div (2 * n0 * n1) as bigint)"
+        ).alias("auc_u"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov–Smirnov two-sample test — q206
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q206_ks_test",
+    oracle="""
+    WITH s AS (
+      SELECT user_id % 2 AS arm,
+             CAST(floor(value * 10000) AS BIGINT) AS x
+      FROM events WHERE event_type = 'click'),
+    n AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n0,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n1
+      FROM s),
+    vc AS (
+      SELECT x,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1
+      FROM s GROUP BY x),
+    cum AS (
+      SELECT x,
+             SUM(c0) OVER (ORDER BY x) AS f0,
+             SUM(c1) OVER (ORDER BY x) AS f1
+      FROM vc),
+    d AS (
+      SELECT MAX(abs(f0 * n1 - f1 * n0)) AS dnum
+      FROM cum, n)
+    SELECT n0, n1,
+           CAST(dnum AS BIGINT) AS d_num,
+           CAST(n0 * n1 AS BIGINT) AS d_den,
+           CAST(dnum * 1000000 // (n0 * n1) AS BIGINT) AS ks_u
+    FROM d, n
+    """,
+)
+def q206_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the hash
+    arms on 'click' values: D = sup|F₀(x) − F₁(x)| — the
+    whole-DISTRIBUTION drift test completing the trio (q196 means,
+    q205 stochastic order, q206 any shape difference at all; it is
+    also the q145 snapshot-drift alarm for continuous metrics).
+    Cross-multiplied as |f₀·n₁ − f₁·n₀| over the shared support,
+    the supremum is exact BIGINT and ``ks_u`` one integer division
+    — the ECDF never materializes as a float.
+
+    Scale: values fold to per-distinct-value arm counts map-side;
+    both ECDFs ride ONE distributed prefix pass over the value-
+    cardinality table (``scale.global_running_sum`` twice on the
+    same ordering — same range partitioning, reused); the sup is a
+    plain max aggregate.
+    """
+    from ..operators import scale
+
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.expr("user_id % 2").alias("arm"),
+            F.expr("cast(floor(value * 10000) as bigint)").alias("x"),
+        )
+    )
+    n = s.groupBy().agg(
+        F.expr(
+            "cast(sum(case when arm = 0 then 1 else 0 end) as bigint)"
+        ).alias("n0"),
+        F.expr(
+            "cast(sum(case when arm = 1 then 1 else 0 end) as bigint)"
+        ).alias("n1"),
+    )
+    vc = s.groupBy("x").agg(
+        F.expr(
+            "cast(sum(case when arm = 0 then 1 else 0 end) as bigint)"
+        ).alias("c0"),
+        F.expr(
+            "cast(sum(case when arm = 1 then 1 else 0 end) as bigint)"
+        ).alias("c1"),
+    )
+    cum = scale.global_running_sum(
+        scale.global_running_sum(vc, ["x"], "c0", sum_name="f0"),
+        ["x"],
+        "c1",
+        sum_name="f1",
+    )
+    d = cum.crossJoin(F.broadcast(n)).agg(
+        F.expr("max(abs(f0 * n1 - f1 * n0))").alias("dnum")
+    )
+    return d.crossJoin(F.broadcast(n)).select(
+        "n0",
+        "n1",
+        F.expr("cast(dnum as bigint)").alias("d_num"),
+        F.expr("cast(n0 * n1 as bigint)").alias("d_den"),
+        F.expr("cast(dnum * 1000000 div (n0 * n1) as bigint)").alias(
+            "ks_u"
+        ),
+    )

@@ -659,3 +659,61 @@ class TestWelch:
         assert int(got["n0"]) == len(a) and int(got["n1"]) == len(b)
         assert abs(int(got["t_u"]) / 1e6 - t) < 1e-4
         assert bool(got["significant"]) == (abs(t) > 1.96)
+
+
+class TestMannWhitney:
+    def test_against_numpy_reference(self, run, spark):
+        got = run("q205_mann_whitney").iloc[0]
+        ev = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .filter("event_type = 'view'")
+            .selectExpr(
+                "user_id % 2 as arm",
+                "cast(floor(value * 10000) as long) as x",
+            )
+            .toPandas()
+        )
+        # independent midrank computation via scipy-free formula
+        x = ev["x"].to_numpy()
+        order = np.argsort(x, kind="stable")
+        ranks = np.empty(len(x), dtype=float)
+        sx = x[order]
+        i = 0
+        pos = 1
+        while i < len(sx):
+            j = i
+            while j < len(sx) and sx[j] == sx[i]:
+                j += 1
+            ranks[order[i:j]] = (pos + (pos + (j - i) - 1)) / 2
+            pos += j - i
+            i = j
+        arm = ev["arm"].to_numpy()
+        n1 = int((arm == 1).sum())
+        n0 = int((arm == 0).sum())
+        r1 = float(ranks[arm == 1].sum())
+        u1 = r1 - n1 * (n1 + 1) / 2
+        assert int(got["n0"]) == n0 and int(got["n1"]) == n1
+        assert int(got["u1"]) == int(u1)
+        assert int(got["auc_u"]) == int(u1 * 1_000_000 // (n0 * n1))
+
+
+class TestKS:
+    def test_against_numpy_reference(self, run, spark):
+        got = run("q206_ks_test").iloc[0]
+        ev = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .filter("event_type = 'click'")
+            .selectExpr(
+                "user_id % 2 as arm",
+                "cast(floor(value * 10000) as long) as x",
+            )
+            .toPandas()
+        )
+        a = np.sort(ev[ev["arm"] == 0]["x"].to_numpy())
+        b = np.sort(ev[ev["arm"] == 1]["x"].to_numpy())
+        support = np.unique(np.concatenate([a, b]))
+        fa = np.searchsorted(a, support, side="right") / len(a)
+        fb = np.searchsorted(b, support, side="right") / len(b)
+        d = float(np.abs(fa - fb).max())
+        assert int(got["n0"]) == len(a) and int(got["n1"]) == len(b)
+        assert abs(int(got["d_num"]) / int(got["d_den"]) - d) < 1e-12

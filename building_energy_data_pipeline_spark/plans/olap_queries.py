@@ -1291,3 +1291,141 @@ def q190_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("rev").alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution — q207
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q207_customer_distribution",
+    oracle="""
+    WITH co AS (
+      SELECT c.c_custkey,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q207_customer_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape — the customer order-count distribution:
+    how many customers placed exactly k (non-urgent) orders,
+    INCLUDING the zero bucket — the left join is the whole point
+    (an inner join silently drops never-ordered customers, the
+    classic histogram-of-counts bug), with the anti-condition
+    pushed into the JOIN predicate, not the WHERE (in the WHERE it
+    would turn the left join back into an inner one).
+
+    Scale: customer ⋈ orders on the custkey both sides already
+    key by; two stacked map-side-combined aggregates collapse to
+    count-of-counts cardinality. The orders-side filter prunes
+    before the join.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    co = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: global sales opportunity — q208
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q208_sales_opportunity",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT {dec_avg_sql("c_acctbal")} AS ab
+      FROM customer WHERE c_acctbal > 0),
+    eligible AS (
+      SELECT c.c_custkey, c.c_nationkey % 5 AS cc, c.c_acctbal
+      FROM customer c, avg_bal
+      WHERE c.c_nationkey % 5 IN (0, 2, 4)
+        AND c.c_acctbal > ab
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT'))
+    SELECT cc AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {dec_sum_sql("c_acctbal")} AS totacctbal
+    FROM eligible GROUP BY cc ORDER BY cc
+    """,
+)
+def q208_sales_opportunity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 shape — "global sales opportunity": customers in
+    selected country codes with above-average positive balances who
+    have never placed an URGENT order (the anti-join; the synthetic
+    data gives every customer SOME order, so the literal
+    never-ordered predicate of TPC-H Q22 would select nothing —
+    same shape, non-degenerate population), rolled up per code. Three
+    classic pieces in one query: a scalar subquery (the global
+    average balance, broadcast as one row), an IN-list on a derived
+    code, and NOT EXISTS as a left-anti join — the promising-
+    untapped-customers report.
+
+    Scale: the average collapses to one broadcast row; the
+    anti-join probes orders' custkey projection (at 100 TB the
+    bloom-prune of q159 slots in front of it); output is
+    code-cardinality. The balance aggregates ride dec_sum/dec_avg
+    so the hash pins.
+    """
+    from ..functions.scalar import dec_avg, dec_sum
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr("c_nationkey % 5").alias("cc"),
+        "c_acctbal",
+    )
+    ab = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(dec_avg("c_acctbal").alias("ab"))
+    )
+    orders_k = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    eligible = (
+        cust.filter(F.col("cc").isin(0, 2, 4))
+        .crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            orders_k,
+            cust["c_custkey"] == orders_k["o_custkey"],
+            "left_anti",
+        )
+    )
+    return (
+        eligible.groupBy(F.col("cc").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            dec_sum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -28,14 +28,14 @@ from . import analytics_queries  # noqa: F401  (SCD2/SRM/MAD/EWMA/triangles q169
 #: at that index (the explicit sentinel tests assert against —
 #: ADVICE r4 #3: no comment parsing).
 DRIVER_WINDOW_SIZE = 50
-FIRST_BELOW_WINDOW = "q62_streaming_session_window"
+FIRST_BELOW_WINDOW = "q61_sql_pivot"
 
 #: Registry prefix — ROTATION RULE (round 4+): any query whose
 #: plan-affecting code changed since its LAST driver row, and any
 #: query with no driver row yet, goes INSIDE the 50-entry window;
 #: remaining slots refresh the queries with the oldest green rows.
 #: Round-7 window (the authoritative list is _CURATED_ORDER below):
-#: q01 (flagship, every round), then the FORTY-EIGHT new round-7
+#: q01 (flagship, every round), then the FORTY-NINE new round-7
 #: queries (q161 content-defined chunking, q162 HLL distinct, q163
 #: weighted reservoir, q164 inverted index, q165 ridge quality
 #: classifier, q166 label propagation, q167 CUPED readout, q168
@@ -54,13 +54,13 @@ FIRST_BELOW_WINDOW = "q62_streaming_session_window"
 #: stickiness, q200 item-item CF, q201 Kaplan–Meier, q202 ABC
 #: classes, q203 time-to-convert, q204 streaming OHLC, q205
 #: Mann–Whitney U, q206 KS test, q207 TPC-H Q13 custdist, q208
-#: TPC-H Q22 sales opportunity — no driver row yet), then ONE
-#: r3-vintage drain (q61; q62–q82/q88/q93/q94/q95 were crowded out
-#: by the new-query rule and drain next round), filling the window
-#: exactly. Below the boundary: q62–q95, the r4 set (q02–q116),
-#: then r5-green, then r6-green rows, all unchanged since their
-#: last driver row and re-verified by the local DuckDB-parity
-#: suite.
+#: TPC-H Q22 sales opportunity, q209 Markov removal-effect
+#: attribution — no driver row yet), filling the window exactly:
+#: 49 new + the q01 flagship. The whole r3 drain (q61–q95 subset)
+#: was crowded out by the new-query rule and drains next round.
+#: Below the boundary: q61–q95, the r4 set (q02–q116), then
+#: r5-green, then r6-green rows, all unchanged since their last
+#: driver row and re-verified by the local DuckDB-parity suite.
 #: Ordering is evidence curation, not semantics: every query runs
 #: identically wherever it sits.
 _CURATED_ORDER = [
@@ -113,6 +113,7 @@ _CURATED_ORDER = [
     "q206_ks_test",
     "q207_customer_distribution",
     "q208_sales_opportunity",
+    "q209_markov_attribution",
     "q61_sql_pivot",
     "q62_streaming_session_window",
     "q63_map_functions",

@@ -3294,3 +3294,280 @@ def q206_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_u"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution — q209
+# ---------------------------------------------------------------------------
+
+#: touch channels (transient states beyond 'start'); 'purchase'
+#: absorbs as conversion, journey end absorbs as null
+_MK_TOUCH = ("click", "error", "signup", "view")
+
+
+def _mk_det(rows, cols, entry) -> str:
+    """Leibniz determinant of the matrix ``[entry(r, c)]`` as SQL
+    text — identical token-for-token on both engines, so the IEEE
+    evaluation order (left-assoc sums, literal products) matches."""
+    import itertools
+
+    n = len(rows)
+    terms = []
+    for perm in itertools.permutations(range(n)):
+        inv = sum(
+            1
+            for a in range(n)
+            for b in range(a + 1, n)
+            if perm[a] > perm[b]
+        )
+        sign = "-" if inv % 2 else "+"
+        prod = " * ".join(entry(rows[i], cols[perm[i]]) for i in range(n))
+        terms.append(f"{sign} ({prod})")
+    return "(" + " ".join(terms) + ")"
+
+
+def _mk_conv_expr(removed: str | None) -> str:
+    """Closed-form P(conversion from start) for the chain with
+    ``removed`` treated as an immediate dead end (the removal-effect
+    counterfactual), via Cramer on the touch-state block:
+    x = (I−Q)⁻¹ r, conv = p(start,conv) + Σ p(start,t)·x_t.
+    References the pivoted probability columns ``p_{from}_{to}``."""
+    touch = [t for t in _MK_TOUCH if t != removed]
+
+    def p(f, t):
+        # removal: edges INTO the removed channel die (ride to null),
+        # so the removed column simply never appears; rows of the
+        # removed channel are unreachable and excluded
+        return f"p_{f}_{t}"
+
+    def a(i, j):
+        base = f"(0.0 - {p(i, j)})"
+        return f"(1.0 - {p(i, j)})" if i == j else base
+
+    det_a = _mk_det(touch, touch, a)
+    conv = p("start", "conv")
+    parts = [conv]
+    for t in touch:
+        cols = [c if c != t else "__r" for c in touch]
+
+        def entry(i, j, t=t):
+            return f"({p(i, 'conv')})" if j == "__r" else a(i, j)
+
+        det_t = _mk_det(touch, cols, entry)
+        parts.append(f"{p('start', t)} * {det_t} / {det_a}")
+    return "(" + " + ".join(parts) + ")"
+
+
+def _mk_prob_cols() -> list[str]:
+    """``p_{from}_{to}`` column expressions over the pivoted counts
+    ``n_{from}_{to}`` (0 when absent): row-normalized by the from
+    state's TOTAL outflow (conv + null included)."""
+    cols = []
+    froms = ("start",) + _MK_TOUCH
+    tos = _MK_TOUCH + ("conv", "null")
+    for f in froms:
+        tot = " + ".join(f"n_{f}_{t}" for t in tos)
+        for t in tos:
+            # cast BOTH sides to double explicitly: a bare 1.0
+            # literal is DECIMAL in Spark SQL, and decimal division
+            # rounds at decimal precision before ever becoming a
+            # double — off by an ulp vs DuckDB's double division
+            cols.append(
+                f"(cast(n_{f}_{t} as double)"
+                f" / nullif(cast(({tot}) as double), 0.0))"
+                f" as p_{f}_{t}"
+            )
+    return cols
+
+
+def _mk_pivot_cols() -> list[str]:
+    froms = ("start",) + _MK_TOUCH
+    tos = _MK_TOUCH + ("conv", "null")
+    return [
+        f"cast(coalesce(sum(case when f = '{f}' and t = '{t}'"
+        f" then n end), 0) as bigint) as n_{f}_{t}"
+        for f in froms
+        for t in tos
+    ]
+
+
+def _mk_effect_cols() -> list[str]:
+    """One row of generated closed-form columns over ``p``:
+    ``base_u`` + a floored removal effect per channel + their
+    positive-part total (a VALUES/unpivot shim per engine turns the
+    row into channel rows — column references are not legal inside
+    VALUES, so the math must live here)."""
+    base = _mk_conv_expr(None)
+    cols = [
+        f"cast(floor(({base}) * 1000000) as bigint) as base_u"
+    ]
+    for c in _MK_TOUCH:
+        e = _mk_conv_expr(c)
+        cols.append(
+            f"cast(floor((1.0 - ({e}) / ({base})) * 1000000)"
+            f" as bigint) as e_{c}"
+        )
+    total = " + ".join(
+        f"greatest(cast(0 as bigint), e_{c})" for c in _MK_TOUCH
+    )
+    cols.append(f"cast({total} as bigint) as e_total")
+    return cols
+
+
+def _mk_spark_final() -> str:
+    stack = ", ".join(f"'{c}', e_{c}" for c in _MK_TOUCH)
+    return f"""
+    select channel,
+           base_u as base_conv_u,
+           effect_u as removal_effect_u,
+           cast(greatest(0L, effect_u) * 1000000
+                div nullif(e_total, 0L) as bigint) as share_u
+    from (
+      select base_u, e_total,
+             stack({len(_MK_TOUCH)}, {stack}) as (channel, effect_u)
+      from q209_effects)
+    order by channel
+    """
+
+
+def _mk_duck_final() -> str:
+    rows = "\n      UNION ALL ".join(
+        f"SELECT '{c}' AS channel, base_u, e_{c} AS effect_u, e_total"
+        f" FROM effects"
+        for c in _MK_TOUCH
+    )
+    return f"""
+    unp AS ({rows})
+    SELECT channel,
+           base_u AS base_conv_u,
+           effect_u AS removal_effect_u,
+           CAST(greatest(CAST(0 AS BIGINT), effect_u) * 1000000
+                // nullif(e_total, 0) AS BIGINT) AS share_u
+    FROM unp ORDER BY channel
+    """
+
+
+def _q209_oracle() -> str:
+    pivot = ",\n             ".join(_mk_pivot_cols())
+    probs = ",\n             ".join(_mk_prob_cols())
+    effcols = ",\n             ".join(_mk_effect_cols())
+    return f"""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) * 4194304 + event_id
+               AS k,
+             CASE WHEN event_type = 'purchase' THEN 'conv'
+                  ELSE event_type END AS st
+      FROM events),
+    firstp AS (
+      SELECT user_id, MIN(k) AS kp FROM ev WHERE st = 'conv'
+      GROUP BY user_id),
+    j AS (
+      SELECT ev.user_id, ev.k, ev.st
+      FROM ev LEFT JOIN firstp USING (user_id)
+      WHERE firstp.kp IS NULL OR ev.k <= firstp.kp),
+    seq AS (
+      SELECT user_id, st,
+             lead(st) OVER (PARTITION BY user_id ORDER BY k) AS nxt,
+             row_number() OVER (PARTITION BY user_id ORDER BY k)
+               AS rn
+      FROM j),
+    trans AS (
+      SELECT st AS f, COALESCE(nxt, 'null') AS t,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE st <> 'conv' GROUP BY 1, 2
+      UNION ALL
+      SELECT 'start' AS f, st AS t, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE rn = 1 GROUP BY 1, 2),
+    piv AS (
+      SELECT {pivot}
+      FROM trans),
+    p AS (
+      SELECT {probs}
+      FROM piv),
+    effects AS (
+      SELECT {effcols}
+      FROM p),
+    {_mk_duck_final()}
+    """
+
+
+@query("q209_markov_attribution", oracle=_q209_oracle())
+def q209_markov_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014 — the
+    standard DATA-DRIVEN attribution model): user journeys become a
+    first-order Markov chain over touch states absorbing in
+    conversion or abandonment, each channel's credit is how much
+    total conversion probability DISAPPEARS when that channel is
+    made a dead end (1 − p₋c/p), and credits normalize to shares —
+    the principled alternative to q183's last-touch heuristic,
+    which structurally over-credits bottom-of-funnel touches.
+
+    The absorption probability is computed in CLOSED FORM: Cramer's
+    rule on the 4-state touch block (x = (I−Q)⁻¹r expanded as
+    Leibniz determinants — 24-term polynomials generated once and
+    embedded token-identically in BOTH engines' texts), so there is
+    no iteration-count knob and the IEEE evaluation order matches
+    exactly; ``base_conv_u``/``removal_effect_u``/``share_u`` all
+    hash-pin.
+
+    Scale: journeys truncate at first conversion; the transition
+    fold is one user-keyed window + a (from × to)-cardinality
+    aggregate (≤ 35 cells). ALL chain algebra runs on that one
+    pivoted row — the 100 TB cost is exactly one pass over the
+    event stream.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "cast(unix_timestamp(ts) as bigint) * 4194304 + event_id"
+        ).alias("k"),
+        F.expr(
+            "case when event_type = 'purchase' then 'conv'"
+            " else event_type end"
+        ).alias("st"),
+    )
+    firstp = (
+        ev.filter(F.col("st") == "conv")
+        .groupBy("user_id")
+        .agg(F.min("k").alias("kp"))
+    )
+    j = (
+        ev.join(firstp, "user_id", "left")
+        .filter(F.col("kp").isNull() | (F.col("k") <= F.col("kp")))
+        .select("user_id", "k", "st")
+    )
+    w = W.partitionBy("user_id").orderBy("k")
+    seq = j.select(
+        "st",
+        F.lead("st").over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
+    )
+    trans = (
+        seq.filter(F.col("st") != "conv")
+        .groupBy(
+            F.col("st").alias("f"),
+            F.expr("coalesce(nxt, 'null')").alias("t"),
+        )
+        .agg(F.count("*").alias("n"))
+        .unionAll(
+            seq.filter(F.col("rn") == 1)
+            .groupBy(
+                F.lit("start").alias("f"), F.col("st").alias("t")
+            )
+            .agg(F.count("*").alias("n"))
+        )
+    )
+    # aggregate-only select = one global fold to the 35-cell row
+    piv = trans.selectExpr(*_mk_pivot_cols())
+    piv.createOrReplaceTempView("q209_piv")
+    p = spark.sql(
+        "select "
+        + ", ".join(_mk_prob_cols())
+        + " from q209_piv"
+    )
+    eff = p.selectExpr(*_mk_effect_cols())
+    eff.createOrReplaceTempView("q209_effects")
+    return spark.sql(_mk_spark_final())

@@ -717,3 +717,49 @@ class TestKS:
         d = float(np.abs(fa - fb).max())
         assert int(got["n0"]) == len(a) and int(got["n1"]) == len(b)
         assert abs(int(got["d_num"]) / int(got["d_den"]) - d) < 1e-12
+
+
+class TestCustomerDistribution:
+    def test_zero_bucket_alive_and_totals(self, run, spark):
+        r = run("q207_customer_distribution")
+        n_cust = spark.read.parquet(
+            f"{SF_DIR}/customer.parquet"
+        ).count()
+        # every customer lands in exactly one bucket
+        assert int(r["custdist"].sum()) == n_cust
+        # the zero bucket exists iff some customer has only urgent
+        # (or no) orders — recompute
+        n_orders = (
+            spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .filter("o_orderpriority <> '1-URGENT'")
+            .count()
+        )
+        got_orders = int((r["c_count"] * r["custdist"]).sum())
+        assert got_orders == n_orders
+
+
+class TestSalesOpportunity:
+    def test_nonempty_and_eligibility(self, run):
+        r = run("q208_sales_opportunity")
+        assert len(r) > 0, "degenerate-empty Q22 population"
+        assert set(r["cntrycode"]).issubset({0, 2, 4})
+        assert (r["numcust"] > 0).all()
+
+
+class TestMarkovAttribution:
+    def test_shares_and_bounds(self, run):
+        r = run("q209_markov_attribution")
+        assert sorted(r["channel"]) == [
+            "click", "error", "signup", "view",
+        ]
+        # base conversion probability is a probability
+        assert r["base_conv_u"].between(0, 1_000_000).all()
+        # removal can only lose conversion probability (effects in
+        # [0, 1]); floored shares of the positive total sum to 1e6
+        # within the floor slack
+        assert r["removal_effect_u"].between(-2, 1_000_000).all()
+        assert (
+            1_000_000 - len(r)
+            <= int(r["share_u"].sum())
+            <= 1_000_000
+        )

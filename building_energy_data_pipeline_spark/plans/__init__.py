@@ -28,14 +28,14 @@ from . import analytics_queries  # noqa: F401  (SCD2/SRM/MAD/EWMA/triangles q169
 #: at that index (the explicit sentinel tests assert against —
 #: ADVICE r4 #3: no comment parsing).
 DRIVER_WINDOW_SIZE = 50
-FIRST_BELOW_WINDOW = "q61_sql_pivot"
+FIRST_BELOW_WINDOW = "q162_hll_distinct"
 
 #: Registry prefix — ROTATION RULE (round 4+): any query whose
 #: plan-affecting code changed since its LAST driver row, and any
 #: query with no driver row yet, goes INSIDE the 50-entry window;
 #: remaining slots refresh the queries with the oldest green rows.
 #: Round-7 window (the authoritative list is _CURATED_ORDER below):
-#: q01 (flagship, every round), then the FORTY-NINE new round-7
+#: q01 (flagship, every round), then the FIFTY-ONE new round-7
 #: queries (q161 content-defined chunking, q162 HLL distinct, q163
 #: weighted reservoir, q164 inverted index, q165 ridge quality
 #: classifier, q166 label propagation, q167 CUPED readout, q168
@@ -55,19 +55,20 @@ FIRST_BELOW_WINDOW = "q61_sql_pivot"
 #: classes, q203 time-to-convert, q204 streaming OHLC, q205
 #: Mann–Whitney U, q206 KS test, q207 TPC-H Q13 custdist, q208
 #: TPC-H Q22 sales opportunity, q209 Markov removal-effect
-#: attribution — no driver row yet), filling the window exactly:
-#: 49 new + the q01 flagship. The whole r3 drain (q61–q95 subset)
-#: was crowded out by the new-query rule and drains next round.
-#: Below the boundary: q61–q95, the r4 set (q02–q116), then
-#: r5-green, then r6-green rows, all unchanged since their last
+#: attribution, q210 journey paths, q211 RFM segmentation — no
+#: driver row yet). With 51 new + q01 the window OVERFLOWS by two:
+#: q162/q163 (round-7 first-batch, lowest information loss — their
+#: operator modules are additionally unit-tested and q168 re-proves
+#: the q162 register machinery inside the window) sit first below
+#: the boundary and take their driver row next round. The whole r3
+#: drain was likewise crowded out. Below: q162, q163, q61–q95, the
+#: r4 set, then r5/r6-green rows, all unchanged since their last
 #: driver row and re-verified by the local DuckDB-parity suite.
 #: Ordering is evidence curation, not semantics: every query runs
 #: identically wherever it sits.
 _CURATED_ORDER = [
     "q01_pricing_summary",
     "q161_cdc_chunking",
-    "q162_hll_distinct",
-    "q163_weighted_reservoir",
     "q164_inverted_index",
     "q165_quality_classifier",
     "q166_label_propagation",
@@ -114,6 +115,10 @@ _CURATED_ORDER = [
     "q207_customer_distribution",
     "q208_sales_opportunity",
     "q209_markov_attribution",
+    "q210_journey_paths",
+    "q211_rfm_segmentation",
+    "q162_hll_distinct",
+    "q163_weighted_reservoir",
     "q61_sql_pivot",
     "q62_streaming_session_window",
     "q63_map_functions",

@@ -3571,3 +3571,153 @@ def q209_markov_attribution(
     eff = p.selectExpr(*_mk_effect_cols())
     eff.createOrReplaceTempView("q209_effects")
     return spark.sql(_mk_spark_final())
+
+
+# ---------------------------------------------------------------------------
+# Top journey paths — q210
+# ---------------------------------------------------------------------------
+
+_PATH_LEN = 3
+_PATH_TOP = 15
+
+
+@query(
+    "q210_journey_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS s,
+             lead(event_type, 1) OVER w AS s1,
+             lead(event_type, 2) OVER w AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY
+                   CAST(floor(epoch(ts)) AS BIGINT), event_id)),
+    paths AS (
+      SELECT s || '>' || s1 || '>' || s2 AS path
+      FROM seq WHERE s2 IS NOT NULL)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM paths GROUP BY path
+    ORDER BY n DESC, path LIMIT {_PATH_TOP}
+    """,
+)
+def q210_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top {_PATH_TOP} three-step journey paths — the "what do
+    users actually do" path-frequency report behind every funnel
+    redesign (q72 checks ONE prescribed funnel; this mines which
+    sequences dominate, the exploratory step before prescribing
+    one). Sliding {_PATH_LEN}-grams over each user's ordered event
+    stream via lead() — the event-sequence twin of the token n-gram
+    machinery (q99/q137).
+
+    Scale: one user_id shuffle for the window, map-side-combined
+    path counts (path cardinality ≤ \\|types\\|³ = tiny),
+    TakeOrdered top-{_PATH_TOP}.
+    """
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    seq = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("cast(unix_timestamp(ts) as bigint)").alias("t"),
+        F.col("event_type").alias("s"),
+    ).select(
+        "s",
+        F.lead("s", 1).over(w).alias("s1"),
+        F.lead("s", 2).over(w).alias("s2"),
+    )
+    return (
+        seq.filter(F.col("s2").isNotNull())
+        .select(
+            F.expr("concat(s, '>', s1, '>', s2)").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(_PATH_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation — q211
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q211_rfm_segmentation",
+    oracle="""
+    WITH f AS (
+      SELECT l.l_orderkey, o.o_custkey,
+             CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS t,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS rev_c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    cust AS (
+      SELECT o_custkey AS ck,
+             CAST(MAX(t) AS BIGINT) AS last_t,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS freq,
+             CAST(SUM(rev_c) AS BIGINT) AS monetary_c
+      FROM f GROUP BY o_custkey),
+    scored AS (
+      SELECT ck,
+             ntile(4) OVER (ORDER BY last_t, ck) AS r_q,
+             ntile(4) OVER (ORDER BY freq, ck) AS f_q,
+             ntile(4) OVER (ORDER BY monetary_c, ck) AS m_q
+      FROM cust)
+    SELECT r_q, f_q, m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q
+    """,
+)
+def q211_rfm_segmentation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RFM segmentation — the CRM classic: customers scored into
+    recency / frequency / monetary quartiles (ntile with a
+    deterministic ck tie-break so quartile edges are stable), then
+    counted per (R,F,M) cell; "champions" are (4,4,4), "at risk"
+    high-FM/low-R, and the cell counts are what campaign planning
+    actually consumes. Composes q75's equal-frequency machinery
+    into the three-dimensional production report.
+
+    Scale: facts fold to customer grain once (orderkey join + one
+    custkey aggregate); the three ntile windows run over the
+    CUSTOMER-cardinality table. A global ntile is ordered — at
+    catalog scale it stays the compact-table exception (q108/q189
+    policy); beyond that each quartile boundary is an
+    `approx_percentile` cut, which changes only the window into a
+    broadcast threshold join.
+    """
+    f = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            F.expr(
+                "cast(floor(l_extendedprice * (1 - l_discount) * 100)"
+                " as bigint)"
+            ).alias("rev_c"),
+        )
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                "o_custkey",
+                F.expr(
+                    "cast(unix_timestamp(o_orderdate) as bigint)"
+                ).alias("t"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    cust = f.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max("t").alias("last_t"),
+        F.count_distinct("l_orderkey").alias("freq"),
+        F.sum("rev_c").cast("bigint").alias("monetary_c"),
+    )
+    scored = cust.select(
+        F.ntile(4).over(W.orderBy("last_t", "ck")).alias("r_q"),
+        F.ntile(4).over(W.orderBy("freq", "ck")).alias("f_q"),
+        F.ntile(4).over(W.orderBy("monetary_c", "ck")).alias("m_q"),
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("r_q", "f_q", "m_q")
+    )

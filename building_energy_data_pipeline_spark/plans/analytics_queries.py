@@ -3529,21 +3529,32 @@ def q209_markov_attribution(
             " else event_type end"
         ).alias("st"),
     )
-    firstp = (
-        ev.filter(F.col("st") == "conv")
-        .groupBy("user_id")
-        .agg(F.min("k").alias("kp"))
-    )
+    # first-conversion cutoff as a WINDOW over the same user
+    # partitioning the sequence windows need — ONE events scan, one
+    # user shuffle (the aggregate-join form scanned events twice)
+    wu = W.partitionBy("user_id")
+    w = W.partitionBy("user_id").orderBy("k")
     j = (
-        ev.join(firstp, "user_id", "left")
+        ev.withColumn(
+            "kp",
+            F.min(
+                F.when(F.col("st") == "conv", F.col("k"))
+            ).over(wu),
+        )
         .filter(F.col("kp").isNull() | (F.col("k") <= F.col("kp")))
         .select("user_id", "k", "st")
     )
-    w = W.partitionBy("user_id").orderBy("k")
-    seq = j.select(
-        "st",
-        F.lead("st").over(w).alias("nxt"),
-        F.row_number().over(w).alias("rn"),
+    from .. import caching
+
+    # the transition fold reads seq TWICE (pair rows + start rows);
+    # stage it so the events scan and the user-window run once
+    seq = caching.slot_persist(
+        "q209_seq",
+        j.select(
+            "st",
+            F.lead("st").over(w).alias("nxt"),
+            F.row_number().over(w).alias("rn"),
+        ),
     )
     trans = (
         seq.filter(F.col("st") != "conv")

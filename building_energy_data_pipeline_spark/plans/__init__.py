@@ -22,6 +22,7 @@ from . import pipeline_queries  # noqa: F401  (packing/decontam/boilerplate q83â
 from . import llm_queries  # noqa: F401  (repetition/chunking/ngram-LM q97â€“q99, split-leakage/kmeans/zipf/pagerank q106â€“q109, dup spans q112â€“q113)
 from . import cdc_queries  # noqa: F401  (MERGE upsert q105)
 from . import analytics_queries  # noqa: F401  (SCD2/SRM/MAD/EWMA/triangles q169+)
+from . import tpch_queries  # noqa: F401  (remaining TPC-H shapes q212â€“q226)
 
 #: The driver's correctness harness checks exactly this many leading
 #: ``queries()`` entries; ``FIRST_BELOW_WINDOW`` is the entry pinned
@@ -119,6 +120,21 @@ _CURATED_ORDER = [
     "q211_rfm_segmentation",
     "q162_hll_distinct",
     "q163_weighted_reservoir",
+    "q212_min_cost_supplier",
+    "q213_priority_late_ship",
+    "q214_forecast_revenue",
+    "q215_volume_shipping",
+    "q216_product_profit",
+    "q217_returned_items",
+    "q218_important_part_values",
+    "q219_delay_priority_buckets",
+    "q220_promo_revenue_share",
+    "q221_top_supplier",
+    "q222_supplier_part_counts",
+    "q223_small_qty_revenue",
+    "q224_large_volume_customers",
+    "q225_dominant_shippers",
+    "q226_waiting_orders",
     "q61_sql_pivot",
     "q62_streaming_session_window",
     "q63_map_functions",

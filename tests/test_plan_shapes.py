@@ -745,3 +745,69 @@ class TestRound7ThirdBatchShapes:
         for ln in plan.splitlines():
             if "Window [" in ln:
                 assert "__pid" in ln, ln
+
+
+class TestTpchCompletionShapes:
+    def test_q214_all_predicates_reach_scan(self, plan_of):
+        # Q6's whole point: date range, discount band, quantity cap
+        # must ALL push into the parquet reader
+        plan = plan_of("q214_forecast_revenue")
+        pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+        assert "l_shipdate" in pushed
+        assert "LessThan(l_quantity,24" in pushed
+
+    def test_q216_single_fact_shuffle_all_dims_broadcast(
+        self, spark, sf_dir
+    ):
+        # Q9 shape: part/supplier/nation broadcast; with AQE folding
+        # the orders side too, at most ONE real exchange survives
+        from building_energy_data_pipeline_spark.ops.observe import (
+            shuffle_count,
+        )
+
+        df = REGISTRY["q216_product_profit"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert shuffle_count(df) <= 1
+
+    def test_q226_window_reuses_orderkey_partitioning(
+        self, spark, sf_dir
+    ):
+        # ONE orderkey exchange serves the orders join and both
+        # per-order window counts (the supplier-grain rollup may add
+        # its own tiny s_name exchange); the windows themselves must
+        # partition on the orderkey
+        df = REGISTRY["q226_waiting_orders"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        order_ex = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln and "orderkey" in ln
+        ]
+        assert len(order_ex) == 1, plan
+        for ln in plan.splitlines():
+            if "Window [" in ln:
+                assert "l_orderkey" in ln, ln
+        assert "TakeOrderedAndProject" in plan
+
+    def test_q212_pair_agg_then_partkey_window(self, spark, sf_dir):
+        # Q2 shape: the correlated-MIN window partitions on partkey
+        # (distributed), never on an empty partition spec
+        df = REGISTRY["q212_min_cost_supplier"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for ln in plan.splitlines():
+            if "Window [" in ln:
+                assert "l_partkey" in ln, ln
+
+    def test_q217_topk_is_heap_not_sort(self, plan_of):
+        assert "TakeOrderedAndProject" in plan_of("q217_returned_items")
+
+    def test_q190_sibling_disjunct_pushdown_still_q219_one_scan(
+        self, spark, sf_dir
+    ):
+        # Q12 shape: one fact scan serves both priority classes — the
+        # conditional agg must not split into per-class scans
+        df = REGISTRY["q219_delay_priority_buckets"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("lineitem.parquet") == 1, plan

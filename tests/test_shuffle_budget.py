@@ -68,6 +68,8 @@ SHUFFLE_BUDGET = {
     "q90_incremental_dedup": 5,
     "q144_dsir_proxy": 4,
     "q105_merge_upsert": 2,
+    "q216_product_profit": 1,
+    "q226_waiting_orders": 2,
 }
 
 

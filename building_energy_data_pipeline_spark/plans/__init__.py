@@ -135,6 +135,7 @@ _CURATED_ORDER = [
     "q224_large_volume_customers",
     "q225_dominant_shippers",
     "q226_waiting_orders",
+    "q227_seasonal_decomposition",
     "q61_sql_pivot",
     "q62_streaming_session_window",
     "q63_map_functions",

@@ -3732,3 +3732,153 @@ def q211_rfm_segmentation(
         .agg(F.count("*").alias("n_customers"))
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition (trend / daily-seasonal split) — q227
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q227_seasonal_decomposition",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+             CAST(floor(value * 100) AS BIGINT) AS x
+      FROM events),
+    h AS (
+      SELECT event_type, hr, CAST(SUM(x) AS BIGINT) AS s
+      FROM e GROUP BY event_type, hr),
+    span AS (
+      SELECT event_type, MIN(hr) AS mn, MAX(hr) AS mx
+      FROM h GROUP BY event_type),
+    grid AS (
+      SELECT event_type, UNNEST(range(mn, mx + 1)) AS hr FROM span),
+    dense AS (
+      SELECT g.event_type, g.hr, COALESCE(h.s, 0) AS s
+      FROM grid g LEFT JOIN h
+        ON g.event_type = h.event_type AND g.hr = h.hr),
+    w AS (
+      SELECT event_type, hr, s,
+             SUM(s)   OVER w25 AS s25,
+             COUNT(*) OVER w25 AS c25,
+             lag(s, 12)  OVER ws AS sp,
+             lead(s, 12) OVER ws AS sn
+      FROM dense WINDOW
+        ws  AS (PARTITION BY event_type ORDER BY hr),
+        w25 AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+    d AS (
+      SELECT event_type, hr % 24 AS how,
+             48 * s - (2 * s25 - sp - sn) AS dn
+      FROM w WHERE c25 = 25)
+    SELECT event_type, how,
+           CAST(COUNT(*) AS BIGINT) AS s_cnt,
+           CAST(SUM(dn) AS BIGINT) AS s_num,
+           CAST(floor(CAST(SUM(dn) AS DOUBLE)
+                      / CAST(48 * COUNT(*) AS DOUBLE)
+                      * CAST(100 AS DOUBLE)) AS BIGINT) AS seasonal_u
+    FROM d GROUP BY event_type, how
+    """,
+)
+def q227_seasonal_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical additive decomposition of each event type's hourly
+    VOLUME series into trend + daily-seasonal components (the
+    textbook 2x24 centered moving average; Hyndman & Athanasopoulos
+    ch. 3): the hour-of-day load profile every capacity planner and
+    anomaly baseline starts from, which q181's ACF can only hint at
+    and q184's seasonal-naive forecast assumes rather than measures.
+
+    The series is the hourly cent-total (never a mean — totals stay
+    BIGINT, no division enters the pipeline), and the hour grid is
+    DENSIFIED before windowing: an absent hour in an event stream is
+    a true zero, not a gap to impute, and without densification the
+    row-offset trend frame would silently borrow non-adjacent hours
+    (the q184 gap lesson; at sf0.001 no raw 25-hour window is even
+    complete). The grid is ``sequence(min_hr, max_hr)`` per type —
+    calendar-bounded (~1e5 rows/decade/type) at ANY data scale.
+
+    Trend at hour t is the even-period centered MA with half-weight
+    ends, kept exact as the 48-scaled BIGINT ``2*S25 - x[t-12] -
+    x[t+12]``; the detrended value ``dn = 48*x - trend_num`` is
+    therefore integer-exact, and the per-(type, hour-of-day)
+    seasonal index folds BIGINTs order-independently. ONE double
+    division (shared expression text) renders the index at the end;
+    interior-only hours (c25 = 25) enter, so every engine sees the
+    identical support set. 48*x fits int64 below ~2e17 hourly cents.
+
+    Scale: the fact table collapses map-side to (type, hour) partials
+    — the only data-sized exchange; the dense grid joins back on the
+    series' own (type, hr) hash partitioning; the three window
+    frames (sum/count/lag/lead) share ONE (type, hr) ordering
+    (plan-asserted), and the final rollup is 24x|types| rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(unix_timestamp(ts) as bigint) div 3600").alias(
+            "hr"
+        ),
+        F.expr("cast(floor(value * 100) as bigint)").alias("x"),
+    )
+    from .. import caching
+
+    # the series is consumed twice (span probe + grid join-back);
+    # the slot keeps it to ONE fact-table scan
+    h = caching.slot_persist(
+        "q227_hourly_series",
+        ev.groupBy("event_type", "hr").agg(
+            F.expr("cast(sum(x) as bigint)").alias("s")
+        ),
+    )
+    span = h.groupBy("event_type").agg(
+        F.min("hr").alias("mn"), F.max("hr").alias("mx")
+    )
+    grid = span.select(
+        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("hr")
+    )
+    dense = grid.join(h, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce("s", F.lit(0).cast("bigint")).alias("s"),
+    )
+    ws = W.partitionBy("event_type").orderBy("hr")
+    w25 = ws.rowsBetween(-12, 12)
+    d = (
+        dense.select(
+            "event_type",
+            "hr",
+            "s",
+            F.sum("s").over(w25).alias("s25"),
+            F.count("s").over(w25).alias("c25"),
+            F.lag("s", 12).over(ws).alias("sp"),
+            F.lead("s", 12).over(ws).alias("sn"),
+        )
+        .where("c25 = 25")
+        .select(
+            "event_type",
+            F.expr("hr % 24").alias("how"),
+            F.expr("48 * s - (2 * s25 - sp - sn)").alias("dn"),
+        )
+    )
+    return (
+        d.groupBy("event_type", "how")
+        .agg(
+            F.count("*").alias("s_cnt"),
+            F.expr("cast(sum(dn) as bigint)").alias("s_num"),
+        )
+        .select(
+            "event_type",
+            "how",
+            "s_cnt",
+            "s_num",
+            F.expr(
+                "cast(floor(cast(s_num as double)"
+                " / cast(48 * s_cnt as double)"
+                " * cast(100 as double)) as bigint)"
+            ).alias("seasonal_u"),
+        )
+        .orderBy("event_type", "how")
+    )

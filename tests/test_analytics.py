@@ -763,3 +763,54 @@ class TestMarkovAttribution:
             <= int(r["share_u"].sum())
             <= 1_000_000
         )
+
+
+class TestSeasonalDecomposition:
+    def test_q227_matches_pandas_decomposition(self, spark):
+        got = (
+            REGISTRY["q227_seasonal_decomposition"]
+            .spark(spark, SF_DIR)
+            .toPandas()
+            .sort_values(["event_type", "how"])
+            .reset_index(drop=True)
+        )
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+        secs = ev["ts"].values.astype("datetime64[s]").astype("int64")
+        hr = pd.Series(secs // 3600, index=ev.index)
+        x = np.floor(ev["value"] * 100).astype("int64")
+        h = (
+            pd.DataFrame({"t": ev["event_type"], "hr": hr, "x": x})
+            .groupby(["t", "hr"])["x"]
+            .sum()
+        )
+        rows = []
+        for t, s in h.groupby(level=0):
+            s = s.droplevel(0)
+            s = s.reindex(
+                range(int(s.index.min()), int(s.index.max()) + 1),
+                fill_value=0,
+            )
+            s25 = s.rolling(25, center=True).sum()
+            dn = 48 * s - (2 * s25 - s.shift(12) - s.shift(-12))
+            dn = dn.dropna().astype("int64")
+            for how, grp in dn.groupby(dn.index % 24):
+                rows.append(
+                    (t, how, len(grp), int(grp.sum()))
+                )
+        want = (
+            pd.DataFrame(
+                rows, columns=["event_type", "how", "s_cnt", "s_num"]
+            )
+            .sort_values(["event_type", "how"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want)
+        assert (got["s_cnt"].values == want["s_cnt"].values).all()
+        assert (got["s_num"].values == want["s_num"].values).all()
+        # the rendered index is the exact BIGINT quotient, floored
+        ref = np.floor(
+            want["s_num"].values.astype(float)
+            / (48.0 * want["s_cnt"].values)
+            * 100.0
+        )
+        assert (got["seasonal_u"].values == ref).all()

@@ -811,3 +811,24 @@ class TestTpchCompletionShapes:
         df = REGISTRY["q219_delay_priority_buckets"].spark(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("lineitem.parquet") == 1, plan
+
+
+class TestSeasonalDecompositionShape:
+    def test_q227_windows_share_type_partitioning(self, spark, sf_dir):
+        # the trend frames (sum/count/lag/lead) all ride the
+        # (event_type, hr) ordering, and the final (type, how)
+        # rollup REUSES the window's event_type hash partitioning —
+        # no exchange after the series is built
+        from building_energy_data_pipeline_spark.ops.observe import (
+            shuffle_count,
+        )
+
+        df = REGISTRY["q227_seasonal_decomposition"].spark(
+            spark, sf_dir
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for ln in plan.splitlines():
+            if "Window [" in ln:
+                assert "event_type" in ln, ln
+        assert "CartesianProduct" not in plan
+        assert shuffle_count(df) <= 3

@@ -136,6 +136,8 @@ _CURATED_ORDER = [
     "q225_dominant_shippers",
     "q226_waiting_orders",
     "q227_seasonal_decomposition",
+    "q228_pareto_skyline",
+    "q229_typo_neighbor_join",
     "q61_sql_pivot",
     "q62_streaming_session_window",
     "q63_map_functions",

@@ -3882,3 +3882,176 @@ def q227_seasonal_decomposition(
         )
         .orderBy("event_type", "how")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (non-dominated set) — q228
+# ---------------------------------------------------------------------------
+
+#: price-bucket width in cents for the skyline's distributed prefix
+#: pass; the bucket table is bounded by the PRICE DOMAIN (~10 buckets
+#: for the synthetic 900..1000 range), not by row count
+_SKY_BUCKET_C = 1000
+
+
+@query(
+    "q228_pareto_skyline",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+               AS price_c,
+             CAST(p_size AS BIGINT) AS sz
+      FROM part)
+    SELECT a.p_partkey, a.price_c, a.sz
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price_c <= a.price_c AND b.sz >= a.sz
+        AND (b.price_c < a.price_c OR b.sz > a.sz))
+    """,
+)
+def q228_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline of the part catalog — every part for which no
+    other part is at-least-as-cheap AND at-least-as-large with one
+    strict improvement (Börzsönyi et al. 2001, "The Skyline
+    Operator"): the multi-objective shortlist (cheapest-per-size
+    frontier) that a plain ORDER BY cannot express.
+
+    The engine never forms the quadratic dominance join the oracle
+    uses. A 2-D skyline is a PREFIX-MAX problem: ordered by price, a
+    part is dominated iff a strictly cheaper part reaches its size,
+    or an equal-priced part exceeds it. That prefix max is computed
+    in two distributed layers (the q202 prefix-sum pattern, in max
+    form): parts hash into fixed-width price BUCKETS — within a
+    bucket a range window (ordered by price, frame ending at −1
+    cent) gives the strictly-cheaper local max; across buckets the
+    per-bucket maxes collapse to a bucket-cardinality table whose
+    running max is broadcast back. The only ordered window over
+    unbounded data partitions on the bucket key; the cross-bucket
+    window runs on the ~price-range/width-row bucket table (compact-
+    table policy — bounded by the price DOMAIN, not the data).
+    Equal-price ties use a third window partitioned by exact price;
+    duplicate (price, size) rows dominate each other strictly in
+    neither direction and both stay, matching the NOT EXISTS oracle.
+
+    Scale: one part scan; exchanges are bucket / price hashes of the
+    slim (key, price, size) projection; no self-join, no cartesian
+    anywhere — the 100 TB form of a query whose textbook SQL is
+    O(n²).
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr(
+            "cast(floor(p_retailprice * 100 + cast(0.5 as double))"
+            " as bigint)"
+        ).alias("price_c"),
+        F.col("p_size").cast("bigint").alias("sz"),
+    ).withColumn("bucket", F.expr(f"price_c div {_SKY_BUCKET_C}"))
+    wb = (
+        W.partitionBy("bucket")
+        .orderBy("price_c")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    wp = W.partitionBy("price_c")
+    bmax = p.groupBy("bucket").agg(F.max("sz").alias("bmax"))
+    # compact table: <= price_domain / bucket_width rows
+    wseq = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    prev = bmax.select(
+        "bucket", F.max("bmax").over(wseq).alias("prev_max")
+    )
+    scored = (
+        p.join(F.broadcast(prev), "bucket", "left")
+        .select(
+            "p_partkey",
+            "price_c",
+            "sz",
+            F.greatest(
+                F.coalesce(F.max("sz").over(wb), F.lit(-1)),
+                F.coalesce("prev_max", F.lit(-1)),
+            ).alias("cheaper_max"),
+            F.max("sz").over(wp).alias("same_price_max"),
+        )
+    )
+    return (
+        scored.where(
+            "cheaper_max < sz AND same_price_max <= sz"
+        )
+        .select("p_partkey", "price_c", "sz")
+        .orderBy("price_c", "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deletion-neighborhood similarity join (FastSS) — q229
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q229_typo_neighbor_join",
+    oracle="""
+    WITH c AS (SELECT c_name FROM customer)
+    SELECT a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS d
+    FROM c a JOIN c b ON a.c_name < b.c_name
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q229_typo_neighbor_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """All customer-name pairs within edit distance 1 — the
+    typo-dedup / entity-linkage primitive — via DELETION-NEIGHBORHOOD
+    blocking (FastSS, Bocek et al. 2007): each name expands to
+    itself plus its |s| single-character deletions; two strings
+    within one edit ALWAYS share a variant (substitution pairs meet
+    at the deletion of the differing position, indel pairs at the
+    shorter string itself), so an equi-join on the variant finds
+    every true pair, and `levenshtein` verifies the candidates
+    (same-variant false positives like ab/ba are distance 2 and drop
+    out). A distinct on the candidate pair runs BEFORE the verify so
+    each pair pays one edit-distance evaluation.
+
+    The oracle is the direct quadratic formulation — a deliberately
+    different algorithm proving the blocked join loses nothing.
+
+    This is the string-side sibling of the q175 sorted-neighborhood
+    blocker: q175 bounds candidates by sort locality (misses pairs
+    whose keys diverge early), deletion neighborhoods are EXACT for
+    distance 1. Scale: pair space is sum over variant buckets of
+    |bucket|^2 — variants are near-unique for real identifiers —
+    versus the oracle's |n|^2; the variant fan-out is |s|+1 slim
+    (name, variant) rows per name, map-side generated (HOF transform
+    in codegen, no Python), and the only exchanges are the variant-
+    key self-join and the pair distinct.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_name")
+    v = c.select(
+        "c_name",
+        F.explode(
+            F.expr(
+                "array_union(array(c_name),"
+                " transform(sequence(0, length(c_name) - 1),"
+                " i -> concat(substring(c_name, 1, i),"
+                " substring(c_name, i + 2))))"
+            )
+        ).alias("v"),
+    )
+    pairs = (
+        v.alias("a")
+        .join(v.alias("b"), "v")
+        .where(F.expr("a.c_name < b.c_name"))
+        .select(
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+        )
+        .distinct()
+        .where(F.expr("levenshtein(name_a, name_b) <= 1"))
+    )
+    return pairs.select(
+        "name_a",
+        "name_b",
+        F.expr("cast(levenshtein(name_a, name_b) as bigint)").alias(
+            "d"
+        ),
+    )

@@ -832,3 +832,29 @@ class TestSeasonalDecompositionShape:
                 assert "event_type" in ln, ln
         assert "CartesianProduct" not in plan
         assert shuffle_count(df) <= 3
+
+
+class TestSkylineAndFastSSShapes:
+    def test_q228_no_quadratic_join(self, spark, sf_dir):
+        # the engine must realize the skyline as prefix-max windows,
+        # never the oracle's O(n^2) dominance join
+        df = REGISTRY["q228_pareto_skyline"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan  # only the broadcast of
+        # the bucket-cardinality prefix table may join
+        # the unbounded-ordered window runs ONLY over the bucket
+        # table (bmax); every windowed pass over part rows carries a
+        # partition key
+        for ln in plan.splitlines():
+            if "Window [" in ln and "bucket" not in ln:
+                assert "price_c" in ln, ln
+
+    def test_q229_blocked_join_not_cartesian(self, spark, sf_dir):
+        df = REGISTRY["q229_typo_neighbor_join"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the variant fan-out is generated map-side (HOF transform),
+        # joined on the variant key
+        assert "Generate explode" in plan, plan

@@ -138,6 +138,8 @@ _CURATED_ORDER = [
     "q227_seasonal_decomposition",
     "q228_pareto_skyline",
     "q229_typo_neighbor_join",
+    "q230_peak_concurrency",
+    "q231_largest_remainder_allocation",
     "q61_sql_pivot",
     "q62_streaming_session_window",
     "q63_map_functions",

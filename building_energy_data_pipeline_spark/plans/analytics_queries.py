@@ -4055,3 +4055,214 @@ def q229_typo_neighbor_join(
             "d"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak interval concurrency (sweep line) — q230
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q230_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS sd,
+             CAST(MAX(l.l_shipdate) AS DATE) AS ed
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate),
+    ev AS (
+      SELECT sd AS d, CAST(1 AS BIGINT) AS delta FROM iv
+      UNION ALL
+      SELECT ed + 1, CAST(-1 AS BIGINT) FROM iv),
+    net AS (SELECT d, SUM(delta) AS net FROM ev GROUP BY d),
+    run AS (
+      SELECT d, SUM(net) OVER (ORDER BY d) AS active FROM net)
+    SELECT CAST(year(d) * 100 + month(d) AS BIGINT) AS ym,
+           CAST(MAX(active) AS BIGINT) AS peak_active,
+           CAST(MIN(active) AS BIGINT) AS min_active
+    FROM run GROUP BY ym
+    """,
+)
+def q230_peak_concurrency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Peak number of simultaneously open orders per month — the
+    sweep-line concurrency/occupancy readout (how many orders are
+    in flight between order date and last shipment) behind capacity,
+    WIP, and staffing dashboards; no join or window over raw fact
+    rows can answer it directly because activity at date d depends
+    on EVERY interval covering d.
+
+    Sweep line, fully distributed until the calendar: each order
+    interval [orderdate, last_shipdate] emits +1 at its start and −1
+    the day AFTER its end (so the running total AT d counts
+    intervals with sd <= d <= ed, with no same-day tie-ordering to
+    define — deltas are summed per day before the scan). The
+    running sum then runs over the per-DAY net table, which is
+    calendar-bounded (~2.5k rows for the 1992–2001 synthetic span,
+    ~365 rows/year forever) — the q108/q189 compact-table policy;
+    the unbounded-ordered window never sees data-scaled input. The
+    monthly rollup reuses nothing fancier than max/min of the
+    running level.
+
+    Scale: one lineitem pass collapses to per-order intervals on the
+    orderkey exchange the orders join shares; interval rows are
+    order-cardinality; everything past the per-day net is calendar-
+    sized.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.expr("cast(max(l_shipdate) as date)").alias("ed"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr("cast(o_orderdate as date)").alias("sd")
+    )
+    iv = o.join(li, o.o_orderkey == li.l_orderkey).select("sd", "ed")
+    ev = iv.select(
+        F.expr(
+            "stack(2, sd, cast(1 as bigint),"
+            " date_add(ed, 1), cast(-1 as bigint)) as (d, delta)"
+        )
+    )
+    net = ev.groupBy("d").agg(F.sum("delta").alias("net"))
+    # compact table: per-day rows, calendar-bounded at any data scale
+    run = net.select(
+        "d", F.sum("net").over(W.orderBy("d")).alias("active")
+    )
+    return (
+        run.groupBy(
+            F.expr("cast(year(d) * 100 + month(d) as bigint)").alias(
+                "ym"
+            )
+        )
+        .agg(
+            F.expr("cast(max(active) as bigint)").alias("peak_active"),
+            F.expr("cast(min(active) as bigint)").alias("min_active"),
+        )
+        .orderBy("ym")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder integer allocation — q231
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q231_largest_remainder_allocation",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 50
+               AS fee_c
+      FROM orders),
+    l AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem),
+    j AS (
+      SELECT l.l_orderkey, l.l_linenumber, l.w, f.fee_c
+      FROM l JOIN f ON l.l_orderkey = f.o_orderkey),
+    t AS (
+      SELECT *, SUM(w) OVER (PARTITION BY l_orderkey) AS tw FROM j),
+    b AS (
+      SELECT *, fee_c * w // tw AS base,
+             fee_c * w - (fee_c * w // tw) * tw AS frac
+      FROM t),
+    r AS (
+      SELECT *,
+             fee_c - SUM(base) OVER (PARTITION BY l_orderkey) AS rem,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY frac DESC, l_linenumber)
+               AS rn
+      FROM b),
+    a AS (
+      SELECT l_orderkey, fee_c, l_linenumber,
+             base + CASE WHEN rn <= rem THEN 1 ELSE 0 END AS alloc
+      FROM r)
+    SELECT l_orderkey, MAX(fee_c) AS fee_c,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(alloc) AS BIGINT) AS alloc_sum,
+           CAST(SUM(alloc * l_linenumber) AS BIGINT) AS alloc_check
+    FROM a GROUP BY l_orderkey
+    """,
+)
+def q231_largest_remainder_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Allocate each order's 2 % handling fee (integer cents) across
+    its lineitems proportionally to quantity so the parts sum to the
+    fee EXACTLY — the largest-remainder (Hamilton) apportionment
+    every billing, tax-proration, and cost-allocation pipeline
+    needs: floor the proportional shares, then hand the leftover
+    cents to the largest fractional remainders (frac DESC,
+    l_linenumber as the deterministic tie-break). Floating-point
+    proration cannot make the parts reconcile; this is integer-exact
+    end to end (fee_c·w fits int64 at ~9 decimal orders of
+    headroom), and `alloc_sum == fee_c` BY CONSTRUCTION — the
+    oracle-compared output carries the reconciliation column so the
+    driver hash re-proves the invariant on every row.
+
+    The remainder count per order is fee_c − Σ floor(fee_c·w/tw) =
+    ceil-distributed mass < n_lines, so `rn <= rem` promotes exactly
+    the right lines. DuckDB's `//` floors like Spark's `div`
+    truncates because every operand is non-negative (the q205/q206
+    sign rule).
+
+    Scale: ONE orderkey exchange serves the orders equi-join, the
+    per-order total/base-sum windows, the remainder ranking, and the
+    final per-order rollup (all partition on the same key); no
+    window ever lacks a partition spec.
+    """
+    f = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "cast(floor(o_totalprice * 100 + cast(0.5 as double))"
+            " as bigint) div 50"
+        ).alias("fee_c"),
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("cast(l_quantity as bigint)").alias("w"),
+    )
+    j = l.join(f, l.l_orderkey == f.o_orderkey).drop("o_orderkey")
+    wk = W.partitionBy("l_orderkey")
+    wr = wk.orderBy(F.desc("frac"), "l_linenumber")
+    b = j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "fee_c",
+        F.expr("fee_c * w").alias("fw"),
+        F.sum("w").over(wk).alias("tw"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "fee_c",
+        F.expr("fw div tw").alias("base"),
+        F.expr("fw - (fw div tw) * tw").alias("frac"),
+    )
+    a = b.select(
+        "l_orderkey",
+        "l_linenumber",
+        "fee_c",
+        "base",
+        (F.col("fee_c") - F.sum("base").over(wk)).alias("rem"),
+        F.row_number().over(wr).alias("rn"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "fee_c",
+        F.expr(
+            "base + CASE WHEN rn <= rem THEN 1 ELSE 0 END"
+        ).alias("alloc"),
+    )
+    return a.groupBy("l_orderkey").agg(
+        F.max("fee_c").alias("fee_c"),
+        F.count("*").alias("n_lines"),
+        F.expr("cast(sum(alloc) as bigint)").alias("alloc_sum"),
+        F.expr("cast(sum(alloc * l_linenumber) as bigint)").alias(
+            "alloc_check"
+        ),
+    )

@@ -814,3 +814,44 @@ class TestSeasonalDecomposition:
             * 100.0
         )
         assert (got["seasonal_u"].values == ref).all()
+
+
+class TestLargestRemainderAllocation:
+    def test_q231_reconciles_and_matches_pandas(self, spark):
+        got = (
+            REGISTRY["q231_largest_remainder_allocation"]
+            .spark(spark, SF_DIR)
+            .toPandas()
+            .sort_values("l_orderkey")
+            .reset_index(drop=True)
+        )
+        # the defining invariant: parts sum EXACTLY to the fee
+        assert (got["alloc_sum"] == got["fee_c"]).all()
+
+        o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+        li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+        fee = pd.DataFrame(
+            {
+                "l_orderkey": o["o_orderkey"],
+                "fee_c": np.floor(
+                    o["o_totalprice"] * 100 + 0.5
+                ).astype("int64")
+                // 50,
+            }
+        )
+        j = li[["l_orderkey", "l_linenumber", "l_quantity"]].merge(
+            fee, on="l_orderkey"
+        )
+        j["w"] = j["l_quantity"].astype("int64")
+        checks = {}
+        for k, g in j.groupby("l_orderkey"):
+            tw = g["w"].sum()
+            base = g["fee_c"] * g["w"] // tw
+            frac = g["fee_c"] * g["w"] - base * tw
+            rem = int(g["fee_c"].iloc[0] - base.sum())
+            order = np.lexsort((g["l_linenumber"].values, -frac.values))
+            alloc = base.values.copy()
+            alloc[order[:rem]] += 1
+            checks[k] = int((alloc * g["l_linenumber"].values).sum())
+        want = pd.Series(checks, name="alloc_check").sort_index()
+        assert (got["alloc_check"].values == want.values).all()

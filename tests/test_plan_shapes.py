@@ -858,3 +858,38 @@ class TestSkylineAndFastSSShapes:
         # the variant fan-out is generated map-side (HOF transform),
         # joined on the variant key
         assert "Generate explode" in plan, plan
+
+
+class TestSweepLineAndAllocationShapes:
+    def test_q230_sweep_is_compact_above_day_grain(self, spark, sf_dir):
+        from building_energy_data_pipeline_spark.ops.observe import (
+            shuffle_count,
+        )
+
+        df = REGISTRY["q230_peak_concurrency"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        # fact-side exchanges: orderkey (interval build) + per-day
+        # net + the calendar-sized single-partition scan
+        assert shuffle_count(df) <= 4
+
+    def test_q231_one_orderkey_exchange_serves_everything(
+        self, spark, sf_dir
+    ):
+        from building_energy_data_pipeline_spark.ops.observe import (
+            shuffle_count,
+        )
+
+        df = REGISTRY["q231_largest_remainder_allocation"].spark(
+            spark, sf_dir
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # every window partitions on the order key; the join, both
+        # window passes, and the rollup ride the same partitioning
+        for ln in plan.splitlines():
+            if "Window [" in ln:
+                assert "l_orderkey" in ln, ln
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning" in ln:
+                assert "orderkey" in ln, ln
+        assert shuffle_count(df) <= 2

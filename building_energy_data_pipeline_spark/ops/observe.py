@@ -283,3 +283,72 @@ class QueryHistory:
             "p50_s": durs[len(durs) // 2],
             "max_s": durs[-1],
         }
+
+
+def plan_lint(df: DataFrame) -> list[str]:
+    """Static scale-killer audit of a DataFrame's physical plan —
+    the codified form of the review checklist every query in
+    ``plans/`` is held to (and the check the reference's EXPLAIN
+    tooling, ``postgres_manager.py:537-540``, leaves to a human).
+
+    Walks the plan TREE (same rationale as ``shuffle_count`` — the
+    string re-prints cached lineage) and reports, as
+    ``"code: detail"`` strings:
+
+    - ``cartesian-product`` — ``CartesianProductExec`` anywhere;
+    - ``python-row-udf`` — ``BatchEvalPythonExec``, the
+      row-at-a-time Python eval the engine bans (Arrow/pandas
+      evals pass: they are the sanctioned vectorized path);
+    - ``unpartitioned-window`` — a window operator whose partition
+      spec is empty, i.e. a single-partition sort of its input.
+      Legitimate ONLY under the compact-table policy (input bounded
+      by a catalog/calendar/domain, never by data volume) — the
+      registry audit in ``tests/test_plan_lint.py`` whitelists
+      exactly the documented cases;
+    - ``single-partition-exchange`` — a shuffle INTO one partition
+      whose child is NOT a partial aggregate. A SinglePartition
+      exchange under a final ungrouped aggregate carries one
+      partial row per task and is how EVERY engine computes a
+      global aggregate; one under anything else is a
+      ``repartition(1)``-style funnel of real rows.
+
+    ``BroadcastNestedLoopJoinExec`` is deliberately NOT flagged: a
+    BNLJ by construction has a broadcast side, and the engine's
+    sanctioned broadcast-scalar / tiny-cross-join pattern (every
+    ``crossJoin`` site broadcasts a bounded aggregate) compiles to
+    exactly that operator; the all-pairs killer — no broadcast side
+    at all — is ``CartesianProductExec``, which stays flagged.
+    """
+    findings: list[str] = []
+    for node in _walk_plan(
+        df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+    ):
+        try:
+            cls = node.getClass().getSimpleName()
+        except Exception:  # noqa: BLE001
+            continue
+        if cls.startswith("CartesianProduct"):
+            findings.append("cartesian-product: " + cls)
+        elif cls.startswith("BatchEvalPython"):
+            findings.append("python-row-udf: " + cls)
+        elif "Window" in cls:
+            try:
+                if node.partitionSpec().isEmpty():
+                    findings.append("unpartitioned-window: " + cls)
+            except Exception:  # noqa: BLE001 — no partitionSpec()
+                pass
+        elif cls.startswith("ShuffleExchange"):
+            try:
+                if (
+                    node.outputPartitioning().toString()
+                    == "SinglePartition"
+                ):
+                    child = node.child().getClass().getSimpleName()
+                    if "Aggregate" not in child:
+                        findings.append(
+                            "single-partition-exchange: "
+                            f"{cls} over {child}"
+                        )
+            except Exception:  # noqa: BLE001
+                pass
+    return findings

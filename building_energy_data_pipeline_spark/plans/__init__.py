@@ -140,6 +140,7 @@ _CURATED_ORDER = [
     "q229_typo_neighbor_join",
     "q230_peak_concurrency",
     "q231_largest_remainder_allocation",
+    "q232_interval_union",
     "q61_sql_pivot",
     "q62_streaming_session_window",
     "q63_map_functions",

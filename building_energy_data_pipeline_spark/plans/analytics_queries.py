@@ -4065,11 +4065,14 @@ def q229_typo_neighbor_join(
 @query(
     "q230_peak_concurrency",
     oracle="""
-    WITH iv AS (
-      SELECT CAST(o.o_orderdate AS DATE) AS sd,
-             CAST(MAX(l.l_shipdate) AS DATE) AS ed
+    WITH iv0 AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS sd0,
+             CAST(MAX(l.l_shipdate) AS DATE) AS ed0
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       GROUP BY o.o_orderkey, o.o_orderdate),
+    iv AS (
+      SELECT least(sd0, ed0) AS sd, greatest(sd0, ed0) AS ed
+      FROM iv0),
     ev AS (
       SELECT sd AS d, CAST(1 AS BIGINT) AS delta FROM iv
       UNION ALL
@@ -4105,6 +4108,11 @@ def q230_peak_concurrency(
     monthly rollup reuses nothing fancier than max/min of the
     running level.
 
+    The synthetic ship dates are generated independently of order
+    dates, so some intervals arrive inverted (last ship before the
+    order date); each interval is normalized to [least, greatest]
+    before the sweep — otherwise the running level dips spuriously.
+
     Scale: one lineitem pass collapses to per-order intervals on the
     orderkey exchange the orders join shares; interval rows are
     order-cardinality; everything past the per-day net is calendar-
@@ -4118,11 +4126,14 @@ def q230_peak_concurrency(
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.expr("cast(o_orderdate as date)").alias("sd")
     )
-    iv = o.join(li, o.o_orderkey == li.l_orderkey).select("sd", "ed")
+    iv = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.expr("least(sd, ed)").alias("lo"),
+        F.expr("greatest(sd, ed)").alias("hi"),
+    )
     ev = iv.select(
         F.expr(
-            "stack(2, sd, cast(1 as bigint),"
-            " date_add(ed, 1), cast(-1 as bigint)) as (d, delta)"
+            "stack(2, lo, cast(1 as bigint),"
+            " date_add(hi, 1), cast(-1 as bigint)) as (d, delta)"
         )
     )
     net = ev.groupBy("d").agg(F.sum("delta").alias("net"))
@@ -4265,4 +4276,130 @@ def q231_largest_remainder_allocation(
         F.expr("cast(sum(alloc * l_linenumber) as bigint)").alias(
             "alloc_check"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-customer interval union (merged busy periods) — q232
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q232_interval_union",
+    oracle="""
+    WITH iv0 AS (
+      SELECT o.o_custkey AS ck,
+             CAST(o.o_orderdate AS DATE) AS sd0,
+             CAST(MAX(l.l_shipdate) AS DATE) AS ed0
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate),
+    iv AS (
+      SELECT ck, least(sd0, ed0) AS sd, greatest(sd0, ed0) AS ed
+      FROM iv0),
+    ev AS (
+      SELECT ck, sd AS d, CAST(1 AS BIGINT) AS delta FROM iv
+      UNION ALL
+      SELECT ck, ed + 1, CAST(-1 AS BIGINT) FROM iv),
+    net AS (
+      SELECT ck, d, SUM(delta) AS net,
+             SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS starts
+      FROM ev GROUP BY ck, d),
+    run AS (
+      SELECT ck, d, net, starts,
+             SUM(net) OVER (PARTITION BY ck ORDER BY d) AS active,
+             lead(d) OVER (PARTITION BY ck ORDER BY d) AS nxt
+      FROM net)
+    SELECT ck AS custkey,
+           CAST(SUM(CASE WHEN active > 0
+                         THEN date_diff('day', d, nxt)
+                         ELSE 0 END) AS BIGINT) AS covered_days,
+           CAST(SUM(CASE WHEN active > 0 AND active - net = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_periods,
+           CAST(SUM(starts) AS BIGINT) AS n_orders
+    FROM run
+    GROUP BY ck
+    """,
+)
+def q232_interval_union(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Union of each customer's order intervals — total DISTINCT
+    days with at least one open order (overlaps counted once) and
+    the number of disjoint busy periods after merging. The classic
+    "merge overlapping intervals" problem, which per-interval
+    arithmetic cannot answer (overlaps double-count) and which at
+    scale must NOT be solved by the textbook sort-and-scan over a
+    collected list.
+
+    Same sweep-line algebra as q230 but keyed: boundary deltas net
+    per (customer, day), a customer-partitioned running sum gives
+    the active count AT each boundary day, and because every
+    interval closes, the final boundary always has active = 0 — so
+    a boundary with active > 0 covers exactly the days up to the
+    NEXT boundary (lead), and a boundary where the running count
+    rises from zero (active > 0 and active − net = 0) opens a new
+    merged period. Start events at a boundary (positive net) also
+    yield the order count in the same pass.
+
+    Intervals are normalized to [least, greatest] first — the
+    synthetic ship dates are independent of order dates, so some
+    arrive inverted (q230's note).
+
+    Scale: fully distributed — every window partitions on custkey
+    (no compact-table exception needed, unlike q230's global
+    calendar); one orderkey exchange builds intervals, one custkey
+    exchange serves the net aggregate, both windows, and the final
+    rollup.
+    """
+    iv = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.expr("cast(o_orderdate as date)").alias("sd"),
+        )
+        .join(
+            load_table(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.expr("cast(max(l_shipdate) as date)").alias("ed")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.expr("least(sd, ed)").alias("lo"),
+            F.expr("greatest(sd, ed)").alias("hi"),
+        )
+    )
+    ev = iv.select(
+        "ck",
+        F.expr(
+            "stack(2, lo, cast(1 as bigint),"
+            " date_add(hi, 1), cast(-1 as bigint)) as (d, delta)"
+        ),
+    )
+    net = ev.groupBy("ck", "d").agg(
+        F.sum("delta").alias("net"),
+        F.expr(
+            "sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END)"
+        ).alias("starts"),
+    )
+    wc = W.partitionBy("ck").orderBy("d")
+    run = net.select(
+        "ck",
+        "d",
+        "net",
+        "starts",
+        F.sum("net").over(wc).alias("active"),
+        F.lead("d").over(wc).alias("nxt"),
+    )
+    return run.groupBy(F.col("ck").alias("custkey")).agg(
+        F.expr(
+            "cast(sum(CASE WHEN active > 0"
+            " THEN datediff(nxt, d) ELSE 0 END) as bigint)"
+        ).alias("covered_days"),
+        F.expr(
+            "cast(sum(CASE WHEN active > 0 AND active - net = 0"
+            " THEN 1 ELSE 0 END) as bigint)"
+        ).alias("n_periods"),
+        F.expr("cast(sum(starts) as bigint)").alias("n_orders"),
     )

@@ -855,3 +855,42 @@ class TestLargestRemainderAllocation:
             checks[k] = int((alloc * g["l_linenumber"].values).sum())
         want = pd.Series(checks, name="alloc_check").sort_index()
         assert (got["alloc_check"].values == want.values).all()
+
+
+class TestIntervalUnion:
+    def test_q232_matches_pandas_interval_merge(self, spark):
+        got = (
+            REGISTRY["q232_interval_union"]
+            .spark(spark, SF_DIR)
+            .toPandas()
+            .set_index("custkey")
+            .sort_index()
+        )
+        o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+        li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+        ed = li.groupby("l_orderkey")["l_shipdate"].max()
+        iv = o.join(ed, on="o_orderkey", how="inner")
+        a = iv["o_orderdate"].values.astype("datetime64[D]")
+        b = iv["l_shipdate"].values.astype("datetime64[D]")
+        # the synthetic ship dates are independent of order dates, so
+        # some intervals arrive inverted — normalize to [min, max],
+        # exactly as the query does
+        iv["sd"] = np.minimum(a, b)
+        iv["ed"] = np.maximum(a, b)
+        for ck, g in iv.groupby("o_custkey"):
+            segs = []
+            for s, e in sorted(
+                zip(g["sd"].values, g["ed"].values), key=lambda t: t[0]
+            ):
+                if segs and s <= segs[-1][1] + np.timedelta64(1, "D"):
+                    segs[-1][1] = max(segs[-1][1], e)
+                else:
+                    segs.append([s, e])
+            covered = sum(
+                int((e - s) / np.timedelta64(1, "D")) + 1
+                for s, e in segs
+            )
+            row = got.loc[ck]
+            assert int(row["n_orders"]) == len(g), ck
+            assert int(row["n_periods"]) == len(segs), ck
+            assert int(row["covered_days"]) == covered, ck

@@ -893,3 +893,22 @@ class TestSweepLineAndAllocationShapes:
             if "Exchange hashpartitioning" in ln:
                 assert "orderkey" in ln, ln
         assert shuffle_count(df) <= 2
+
+
+class TestIntervalUnionShape:
+    def test_q232_fully_keyed_no_compact_exception(
+        self, spark, sf_dir
+    ):
+        from building_energy_data_pipeline_spark.ops.observe import (
+            plan_lint,
+            shuffle_count,
+        )
+
+        df = REGISTRY["q232_interval_union"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # unlike q230's global calendar, every window here is keyed
+        assert plan_lint(df) == []
+        for ln in plan.splitlines():
+            if "Window [" in ln:
+                assert "ck" in ln, ln
+        assert shuffle_count(df) <= 3

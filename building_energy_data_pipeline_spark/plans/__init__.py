@@ -141,6 +141,7 @@ _CURATED_ORDER = [
     "q230_peak_concurrency",
     "q231_largest_remainder_allocation",
     "q232_interval_union",
+    "q233_incremental_rollup",
     "q61_sql_pivot",
     "q62_streaming_session_window",
     "q63_map_functions",

@@ -4403,3 +4403,103 @@ def q232_interval_union(
         ).alias("n_periods"),
         F.expr("cast(sum(starts) as bigint)").alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance (IVM) — q233
+# ---------------------------------------------------------------------------
+
+_IVM_CUTOFF = "timestamp'1998-01-01'"
+
+
+@query(
+    "q233_incremental_rollup",
+    oracle="""
+    WITH l AS (
+      SELECT l_returnflag,
+             CAST(year(l_shipdate) * 100 + month(l_shipdate)
+               AS BIGINT) AS ym,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               AS price_c
+      FROM lineitem
+      WHERE NOT (l_shipdate < TIMESTAMP '1998-01-01'
+                 AND l_orderkey % 7 = 0))
+    SELECT l_returnflag, ym,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(qty) AS BIGINT) AS sum_qty,
+           CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+           MIN(price_c) AS min_price_c,
+           MAX(price_c) AS max_price_c
+    FROM l GROUP BY l_returnflag, ym
+    """,
+)
+def q233_incremental_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Materialized-rollup refresh WITHOUT a full recompute
+    (`operators/ivm.py`): the per-(returnflag, ship-month) rollup is
+    built from the pre-1998 facts, then a CDC batch — every 1998+
+    row as an insert, every seventh pre-1998 order's lines as
+    deletes — is applied through :func:`ivm.maintain_rollup`.
+    Count/sum patch algebraically from the batch alone; min/max
+    patch algebraically EXCEPT where a delete ties the stored
+    extreme (the last-witness problem), and only those dirty groups
+    re-aggregate their slice of the post-change detail.
+
+    The DuckDB oracle is the full recompute over the post-change
+    detail — hash equality IS the IVM-correctness proof, and the
+    keying (~100 base groups, inserts landing in brand-new months)
+    makes every path non-vacuously populated at sf0.001:
+    untouched groups pass through the full-outer join, delete-heavy
+    groups split between algebraic and dirty, 1998+ months enter as
+    insert-only new groups (`tests/test_ivm.py` pins the path
+    census, plus a crafted truth table incl. group-emptying
+    deletes).
+
+    Scale: the CDC fold is map-side over the BATCH; the state patch
+    joins state-cardinality rows; the dirty recompute scans only the
+    dirty groups' detail slices via a broadcast semi-join
+    (partition-prunable on the group key at a real warehouse
+    layout). A nightly full recompute is the 100 TB anti-pattern
+    this replaces.
+    """
+    from .. import caching
+    from ..operators import ivm
+
+    l = caching.slot_persist(
+        "q233_detail",
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            F.expr(
+                "cast(year(l_shipdate) * 100 + month(l_shipdate)"
+                " as bigint)"
+            ).alias("ym"),
+            F.expr("cast(l_quantity as bigint)").alias("qty"),
+            F.expr(
+                "cast(floor(l_extendedprice * 100"
+                " + cast(0.5 as double)) as bigint)"
+            ).alias("price_c"),
+            "l_orderkey",
+            "l_shipdate",
+        ),
+    )
+    keys = ["l_returnflag", "ym"]
+    sums, mms = ["qty", "price_c"], ["price_c"]
+    base = l.where(f"l_shipdate < {_IVM_CUTOFF}")
+    cdc = (
+        l.where(f"l_shipdate >= {_IVM_CUTOFF}")
+        .withColumn(ivm.OP_COL, F.lit("I"))
+        .unionByName(
+            base.where("l_orderkey % 7 = 0").withColumn(
+                ivm.OP_COL, F.lit("D")
+            )
+        )
+    )
+    after = l.where(
+        f"NOT (l_shipdate < {_IVM_CUTOFF} AND l_orderkey % 7 = 0)"
+    )
+    state0 = ivm.rollup_state(base, keys, sums, mms)
+    return ivm.maintain_rollup(
+        state0, cdc, after, keys, sums, mms
+    ).orderBy(*keys)

@@ -4370,29 +4370,46 @@ def q232_interval_union(
             F.expr("greatest(sd, ed)").alias("hi"),
         )
     )
+    return interval_union(iv, "ck").withColumnRenamed(
+        "key", "custkey"
+    )
+
+
+def interval_union(iv: DataFrame, key: str) -> DataFrame:
+    """The keyed sweep q232 drives (factored out so crafted edge
+    cases — adjacent, identical, contained, single-day intervals —
+    are unit-testable on tiny frames; ``tests/test_analytics.py``).
+
+    ``iv``: one row per interval with ``key``, ``lo``, ``hi``
+    (dates, lo <= hi, both ends inclusive). Returns per ``key``:
+    ``covered_days`` (distinct days under >= 1 interval),
+    ``n_periods`` (disjoint merged intervals; ADJACENT intervals —
+    next starts the day after previous ends — merge, matching the
+    day-granularity semantics), ``n_orders`` (interval count).
+    """
     ev = iv.select(
-        "ck",
+        F.col(key).alias("key"),
         F.expr(
             "stack(2, lo, cast(1 as bigint),"
             " date_add(hi, 1), cast(-1 as bigint)) as (d, delta)"
         ),
     )
-    net = ev.groupBy("ck", "d").agg(
+    net = ev.groupBy("key", "d").agg(
         F.sum("delta").alias("net"),
         F.expr(
             "sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END)"
         ).alias("starts"),
     )
-    wc = W.partitionBy("ck").orderBy("d")
+    wc = W.partitionBy("key").orderBy("d")
     run = net.select(
-        "ck",
+        "key",
         "d",
         "net",
         "starts",
         F.sum("net").over(wc).alias("active"),
         F.lead("d").over(wc).alias("nxt"),
     )
-    return run.groupBy(F.col("ck").alias("custkey")).agg(
+    return run.groupBy("key").agg(
         F.expr(
             "cast(sum(CASE WHEN active > 0"
             " THEN datediff(nxt, d) ELSE 0 END) as bigint)"

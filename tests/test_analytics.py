@@ -894,3 +894,42 @@ class TestIntervalUnion:
             assert int(row["n_orders"]) == len(g), ck
             assert int(row["n_periods"]) == len(segs), ck
             assert int(row["covered_days"]) == covered, ck
+
+
+class TestIntervalUnionEdgeCases:
+    def test_sweep_on_crafted_intervals(self, spark):
+        import datetime as dt
+
+        from building_energy_data_pipeline_spark.plans.analytics_queries import (
+            interval_union,
+        )
+
+        D = dt.date
+        rows = [
+            # k1: identical twice + contained + overlapping
+            ("k1", D(2024, 1, 1), D(2024, 1, 10)),
+            ("k1", D(2024, 1, 1), D(2024, 1, 10)),
+            ("k1", D(2024, 1, 3), D(2024, 1, 5)),
+            ("k1", D(2024, 1, 8), D(2024, 1, 15)),
+            # k2: ADJACENT (second starts the day after) -> merge
+            ("k2", D(2024, 2, 1), D(2024, 2, 5)),
+            ("k2", D(2024, 2, 6), D(2024, 2, 9)),
+            # k3: one-day gap -> two periods
+            ("k3", D(2024, 3, 1), D(2024, 3, 5)),
+            ("k3", D(2024, 3, 7), D(2024, 3, 9)),
+            # k4: single-day interval
+            ("k4", D(2024, 4, 4), D(2024, 4, 4)),
+        ]
+        iv = spark.createDataFrame(
+            rows, "key string, lo date, hi date"
+        )
+        got = (
+            interval_union(iv, "key")
+            .toPandas()
+            .set_index("key")
+            .sort_index()
+        )
+        assert got.loc["k1"].tolist() == [15, 1, 4]
+        assert got.loc["k2"].tolist() == [9, 1, 2]
+        assert got.loc["k3"].tolist() == [8, 2, 2]
+        assert got.loc["k4"].tolist() == [1, 1, 1]

@@ -142,6 +142,7 @@ _CURATED_ORDER = [
     "q231_largest_remainder_allocation",
     "q232_interval_union",
     "q233_incremental_rollup",
+    "q234_greedy_coverage",
     "q61_sql_pivot",
     "q62_streaming_session_window",
     "q63_map_functions",

@@ -4520,3 +4520,138 @@ def q233_incremental_rollup(
     return ivm.maintain_rollup(
         state0, cdc, after, keys, sums, mms
     ).orderBy(*keys)
+
+
+# ---------------------------------------------------------------------------
+# Greedy max-coverage document selection — q234
+# ---------------------------------------------------------------------------
+
+_GREEDY_ROUNDS = 3
+
+
+def _greedy_oracle() -> str:
+    from ..operators.dedup import duck_shingles_sql
+    from ..operators.text import duck_tokens_sql
+
+    sh = duck_shingles_sql(duck_tokens_sql("text"), 3)
+    parts = [
+        "WITH toks AS (\n"
+        f"  SELECT doc_id, unnest({sh}) AS tok\n"
+        "  FROM documents)"
+    ]
+    prev_cov = None
+    for r in range(1, _GREEDY_ROUNDS + 1):
+        flt = (
+            f"WHERE tok NOT IN (SELECT tok FROM c{r - 1})"
+            if prev_cov
+            else ""
+        )
+        parts.append(
+            f"g{r} AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT)"
+            f" AS gain FROM toks {flt} GROUP BY doc_id)"
+        )
+        parts.append(
+            f"w{r} AS (SELECT doc_id, gain FROM g{r}"
+            f" ORDER BY gain DESC, doc_id LIMIT 1)"
+        )
+        cov = (
+            f"c{r} AS (SELECT tok FROM toks WHERE doc_id IN"
+            f" (SELECT doc_id FROM w{r})"
+            + (f" UNION SELECT tok FROM c{r - 1}" if prev_cov else "")
+            + ")"
+        )
+        parts.append(cov)
+        prev_cov = f"c{r}"
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rnd, doc_id, gain FROM w{r}"
+        for r in range(1, _GREEDY_ROUNDS + 1)
+    )
+    return ",\n".join(parts) + "\n" + sel
+
+
+@query("q234_greedy_coverage", oracle=_greedy_oracle())
+def q234_greedy_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Greedy maximum-coverage selection of {_GREEDY_ROUNDS}
+    documents — each round picks the document adding the most
+    NOT-YET-COVERED 3-token shingles (q28's shingle machinery; the
+    whitespace-token vocabulary is a 31-word synthetic pool, too
+    small to rank coverage; ties to the smallest doc_id): the
+    submodular coreset-selection pattern behind vocabulary-coverage
+    / facility-location data curation (greedy is (1−1/e)-optimal,
+    Nemhauser et al. 1978), complementing q144's importance weights
+    and q88's source mixtures with an explicitly diversity-seeking
+    selector.
+
+    Fully declarative: unlike the q117/q179 driver-``for`` trainers
+    there is NO per-round collect — the round-r winner is a one-row
+    aggregate (``max_by`` over a packed (gain, −doc_id) key), the
+    covered set is a broadcast-semi-join of the token table against
+    that one-row frame, and round r+1's candidate gains anti-join
+    the growing covered set; three rounds chain into ONE DAG whose
+    oracle is the CTE-unrolled DuckDB twin (generated by the same
+    Python for both engines' round count). Assumes each round still
+    has a positive-gain document (true whenever distinct vocabulary
+    exceeds what {_GREEDY_ROUNDS} documents span — always, here).
+
+    Scale: the corpus collapses ONCE to the distinct (doc, token)
+    table (slot-persisted, the only data-sized shuffle); each round
+    adds a token-keyed anti-join against a covered set bounded by
+    {_GREEDY_ROUNDS} documents' vocabularies and a map-side gain
+    fold. k rounds = k passes over the token table — the known cost
+    of exact greedy; the lazy/stochastic-greedy variants are the
+    documented at-scale swap.
+    """
+    from .. import caching
+    from ..operators import dedup, text
+
+    toks = caching.slot_persist(
+        "q234_toks",
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    dedup.shingles_expr(
+                        text.SPARK_TOKENS.format(col="text"), 3
+                    )
+                )
+            ).alias("tok"),
+        ),
+    )
+    covered = None
+    winners = []
+    for rnd in range(1, _GREEDY_ROUNDS + 1):
+        cand = (
+            toks
+            if covered is None
+            else toks.join(covered, "tok", "left_anti")
+        )
+        w = (
+            cand.groupBy("doc_id")
+            .agg(F.count("*").alias("gain"))
+            .agg(
+                F.expr(
+                    "max_by(struct(doc_id, gain),"
+                    " struct(gain, -doc_id)) as w"
+                )
+            )
+            .select(
+                F.lit(rnd).cast("bigint").alias("rnd"),
+                F.col("w.doc_id").alias("doc_id"),
+                F.col("w.gain").alias("gain"),
+            )
+        )
+        winners.append(w)
+        newly = toks.join(
+            F.broadcast(w.select("doc_id")), "doc_id", "left_semi"
+        ).select("tok")
+        covered = (
+            newly
+            if covered is None
+            else covered.unionByName(newly)
+        )
+    out = winners[0]
+    for w in winners[1:]:
+        out = out.unionByName(w)
+    return out

@@ -933,3 +933,41 @@ class TestIntervalUnionEdgeCases:
         assert got.loc["k2"].tolist() == [9, 1, 2]
         assert got.loc["k3"].tolist() == [8, 2, 2]
         assert got.loc["k4"].tolist() == [1, 1, 1]
+
+
+class TestGreedyCoverage:
+    def test_q234_greedy_invariants(self, spark):
+        got = (
+            REGISTRY["q234_greedy_coverage"]
+            .spark(spark, SF_DIR)
+            .toPandas()
+            .sort_values("rnd")
+        )
+        assert list(got["rnd"]) == [1, 2, 3]
+        assert got["doc_id"].nunique() == 3  # never re-selects
+        # submodularity: marginal gains weakly decrease in greedy order
+        g = got["gain"].tolist()
+        assert g[0] >= g[1] >= g[2] > 0
+        # round-1 winner really is the argmax document by distinct
+        # shingle count (pandas re-derivation)
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        import re as _re
+
+        def shingles(t):
+            toks = [w for w in _re.split(r"\s+", t.lower()) if w]
+            if len(toks) < 3:
+                return {" ".join(toks)}
+            return {
+                " ".join(toks[i : i + 3])
+                for i in range(len(toks) - 2)
+            }
+
+        counts = {
+            r.doc_id: len(shingles(r.text))
+            for r in docs.itertuples()
+        }
+        best = min(
+            ((-n, d) for d, n in counts.items())
+        )
+        assert int(got.iloc[0]["doc_id"]) == best[1]
+        assert int(got.iloc[0]["gain"]) == -best[0]

@@ -143,6 +143,7 @@ _CURATED_ORDER = [
     "q232_interval_union",
     "q233_incremental_rollup",
     "q234_greedy_coverage",
+    "q235_streaming_ivm",
     "q61_sql_pivot",
     "q62_streaming_session_window",
     "q63_map_functions",

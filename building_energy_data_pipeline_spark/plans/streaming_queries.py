@@ -1248,3 +1248,171 @@ def q204_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental rollup maintenance — q235
+# ---------------------------------------------------------------------------
+
+
+def _q235_oracle() -> str:
+    # the streamed maintenance must land exactly on the full
+    # recompute over the post-change detail — q233's oracle
+    return """
+    WITH l AS (
+      SELECT l_returnflag,
+             CAST(year(l_shipdate) * 100 + month(l_shipdate)
+               AS BIGINT) AS ym,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               AS price_c
+      FROM lineitem
+      WHERE NOT (l_shipdate < TIMESTAMP '1998-01-01'
+                 AND l_orderkey % 7 = 0))
+    SELECT l_returnflag, ym,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(qty) AS BIGINT) AS sum_qty,
+           CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+           MIN(price_c) AS min_price_c,
+           MAX(price_c) AS max_price_c
+    FROM l GROUP BY l_returnflag, ym
+    """
+
+
+@query("q235_streaming_ivm", oracle=_q235_oracle())
+def q235_streaming_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING materialized-view maintenance: q233's rollup kept
+    current inside ``foreachBatch`` over the replayed CDC stream —
+    extending the streaming-merge family (q157 +, q168 max, q186
+    ordered carry, q204 argmin/argmax) with the DIRTY-RECOMPUTE
+    class: count/sum merge algebraically per batch, min/max fall
+    back to re-aggregating only the groups whose stored extreme a
+    batch delete removed (`operators/ivm.py`).
+
+    Batch-boundary independence here is INDUCTIVE, not algebraic:
+    each batch leaves ``state == rollup(detail-so-far)`` exactly
+    (the operator's per-batch contract), so the final state equals
+    the single-pass oracle no matter how the CDC rows were batched
+    — deletes target base rows present from batch zero, so no
+    ordering guard is needed. The detail table is maintained
+    alongside (anti-join deletes, append inserts) exactly as the
+    q105/q115 CDC apply would in production, and the dirty
+    recompute reads only the maintained detail.
+
+    Scale: state stays group-cardinality; per-batch cost is the
+    batch fold + a state-sized patch join + the dirty slices'
+    re-aggregation (partition-prunable on the group key).
+    """
+    import os
+    import shutil
+
+    from ..operators import ivm
+    from ..sources.readers import load_table
+
+    base_dir = tempfile.mkdtemp(prefix="q235_ivm_")
+    src_dir = os.path.join(base_dir, "cdc")
+    ckpt = os.path.join(base_dir, "ckpt")
+    slots: dict = {}
+    keys = ["l_returnflag", "ym"]
+    sums, mms = ["qty", "price_c"], ["price_c"]
+
+    try:
+        l = load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            F.expr(
+                "cast(year(l_shipdate) * 100 + month(l_shipdate)"
+                " as bigint)"
+            ).alias("ym"),
+            F.expr("cast(l_quantity as bigint)").alias("qty"),
+            F.expr(
+                "cast(floor(l_extendedprice * 100"
+                " + cast(0.5 as double)) as bigint)"
+            ).alias("price_c"),
+            "l_orderkey",
+            "l_shipdate",
+        )
+        base = l.where("l_shipdate < timestamp'1998-01-01'").drop(
+            "l_shipdate"
+        )
+        cdc = (
+            l.where("l_shipdate >= timestamp'1998-01-01'")
+            .drop("l_shipdate")
+            .withColumn(ivm.OP_COL, F.lit("I"))
+            .unionByName(
+                base.where("l_orderkey % 7 = 0").withColumn(
+                    ivm.OP_COL, F.lit("D")
+                )
+            )
+        )
+        # seed state + detail (version 0), then replay the CDC in
+        # ~4 file-batches
+        det0 = os.path.join(base_dir, "detail_v0")
+        st0 = os.path.join(base_dir, "state_v0")
+        base.write.parquet(det0)
+        ivm.rollup_state(
+            spark.read.parquet(det0), keys, sums, mms
+        ).write.parquet(st0)
+        slots["detail"], slots["state"] = det0, st0
+        cdc.repartitionByRange(4, "l_orderkey").write.parquet(src_dir)
+
+        stream = (
+            spark.readStream.schema(
+                "l_returnflag string, ym long, qty long,"
+                " price_c long, l_orderkey long, op string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            detail = spark.read.parquet(slots["detail"])
+            state = spark.read.parquet(slots["state"])
+            batch_df = batch_df.localCheckpoint(eager=True)
+            dels = batch_df.where(
+                f"{ivm.OP_COL} = 'D'"
+            ).select("l_orderkey").distinct()
+            detail_next = detail.join(
+                F.broadcast(dels), "l_orderkey", "left_anti"
+            ).unionByName(
+                batch_df.where(f"{ivm.OP_COL} = 'I'").drop(
+                    ivm.OP_COL
+                )
+            )
+            det_dir = os.path.join(
+                base_dir, f"detail_v{batch_id + 1}"
+            )
+            detail_next.write.mode("overwrite").parquet(det_dir)
+            new_state = ivm.maintain_rollup(
+                state,
+                batch_df,
+                spark.read.parquet(det_dir),
+                keys,
+                sums,
+                mms,
+            )
+            st_dir = os.path.join(
+                base_dir, f"state_v{batch_id + 1}"
+            )
+            new_state.write.mode("overwrite").parquet(st_dir)
+            for slot, nxt in (("detail", det_dir), ("state", st_dir)):
+                old = slots[slot]
+                slots[slot] = nxt
+                shutil.rmtree(old, ignore_errors=True)
+
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q235: CDC stream did not drain")
+
+        return (
+            spark.read.parquet(slots["state"])
+            .orderBy(*keys)
+            .localCheckpoint(eager=True)  # materialize before cleanup
+        )
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

@@ -4655,3 +4655,133 @@ def q234_greedy_coverage(
     for w in winners[1:]:
         out = out.unionByName(w)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Data-contract audit — q236
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q236_data_contract_audit",
+    oracle="""
+    SELECT 'orders' AS tbl, 'unique_orderkey' AS chk,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'custkey_not_null',
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'status_accepted',
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                          OR o_orderstatus NOT IN ('P', 'O', 'F')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'priority_top3_only',
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL
+                          OR o_orderpriority NOT IN
+                            ('1-URGENT', '2-HIGH', '3-MEDIUM')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'has_lineitems',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT 'lineitem', 'fk_orderkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem', 'discount_contract_band',
+           CAST(SUM(CASE WHEN l_discount IS NULL
+                          OR NOT (l_discount BETWEEN 0.0 AND 0.05)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'quantity_positive',
+           CAST(SUM(CASE WHEN l_quantity IS NULL
+                          OR NOT (l_quantity BETWEEN 1 AND 50)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def q236_data_contract_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data-contract audit of the warehouse (`ops/expect.py`):
+    uniqueness, nullability, accepted-value, range, and referential
+    checks compiled to aggregate passes — dbt-test semantics as a
+    single registered query, with the violation COUNTS themselves
+    oracle-hashed. The contract is deliberately tighter than the
+    data in two places (a 0–5 % discount band where 10 % discounts
+    exist; a top-3 priority whitelist against five real values) and
+    the reverse-FK check surfaces the orders with no lineitems —
+    non-zero violation rows prove the audit measures, zero rows
+    prove it doesn't cry wolf.
+
+    Scale: all four row-predicate checks on orders fold into ONE
+    scan (`violation_counts` stacks conditional sums; adding a
+    check never adds a scan), both lineitem predicates into
+    another; uniqueness is the count−distinct identity; the two
+    referential checks are anti-join counts against the
+    broadcastable key sets.
+    """
+    from ..ops import expect
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = [
+        expect.unique_violations(
+            o, ["o_orderkey"], "unique_orderkey"
+        ).select(F.lit("orders").alias("tbl"), "chk", "n_violations"),
+        expect.violation_counts(
+            o,
+            {
+                "custkey_not_null": expect.not_null("o_custkey"),
+                "status_accepted": expect.accepted(
+                    "o_orderstatus", ["P", "O", "F"]
+                ),
+                "priority_top3_only": expect.accepted(
+                    "o_orderpriority",
+                    ["1-URGENT", "2-HIGH", "3-MEDIUM"],
+                ),
+            },
+        ).select(F.lit("orders").alias("tbl"), "chk", "n_violations"),
+        expect.fk_violations(
+            o, "o_orderkey", li.selectExpr(
+                "l_orderkey as o_orderkey"
+            ), "o_orderkey", "has_lineitems"
+        ).select(F.lit("orders").alias("tbl"), "chk", "n_violations"),
+        expect.fk_violations(
+            li, "l_orderkey", o.selectExpr(
+                "o_orderkey as l_orderkey"
+            ), "l_orderkey", "fk_orderkey"
+        ).select(
+            F.lit("lineitem").alias("tbl"), "chk", "n_violations"
+        ),
+        expect.violation_counts(
+            li,
+            {
+                "discount_contract_band": expect.in_range(
+                    "l_discount", 0.0, 0.05
+                ),
+                "quantity_positive": expect.in_range(
+                    "l_quantity", 1, 50
+                ),
+            },
+        ).select(
+            F.lit("lineitem").alias("tbl"), "chk", "n_violations"
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("tbl", "chk")

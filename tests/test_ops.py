@@ -594,3 +594,60 @@ class TestTlsLifecycle:
         content = open(conf).read()
         assert "spark.ssl.enabled false" in content
         assert "certFile" not in content
+
+
+class TestExpectations:
+    def test_primitives_on_crafted_frame(self, spark):
+        from building_energy_data_pipeline_spark.ops import expect
+
+        df = spark.createDataFrame(
+            [
+                (1, "a", 5.0),
+                (1, "a", 5.0),      # duplicate id
+                (2, None, 0.5),     # null name
+                (3, "zz", -1.0),    # bad value + out of range
+            ],
+            "id bigint, name string, v double",
+        )
+        u = expect.unique_violations(df, ["id"]).first()
+        assert (u["chk"], u["n_violations"]) == ("unique", 1)
+        counts = {
+            r["chk"]: r["n_violations"]
+            for r in expect.violation_counts(
+                df,
+                {
+                    "name_not_null": expect.not_null("name"),
+                    "name_accepted": expect.accepted(
+                        "name", ["a", "b"]
+                    ),
+                    "v_range": expect.in_range("v", 0.0, 10.0),
+                },
+            ).collect()
+        }
+        # accepted treats NULL as violating too (2 bad: null + zz)
+        assert counts == {
+            "name_not_null": 1,
+            "name_accepted": 2,
+            "v_range": 1,
+        }
+        parent = spark.createDataFrame(
+            [(1,), (2,)], "id bigint"
+        )
+        fk = expect.fk_violations(df, "id", parent, "id").first()
+        assert fk["n_violations"] == 1  # id=3 orphaned
+
+    def test_single_scan_compilation(self, spark, sf_dir):
+        from building_energy_data_pipeline_spark.ops import expect
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        df = expect.violation_counts(
+            o,
+            {
+                "a": expect.not_null("o_custkey"),
+                "b": expect.in_range("o_totalprice", 0, 1e9),
+                "c": expect.accepted("o_orderstatus", ["P"]),
+            },
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # adding checks must not add scans
+        assert plan.count("orders.parquet") == 1

@@ -145,6 +145,7 @@ _CURATED_ORDER = [
     "q234_greedy_coverage",
     "q235_streaming_ivm",
     "q236_data_contract_audit",
+    "q237_calibration_curve",
     "q61_sql_pivot",
     "q62_streaming_session_window",
     "q63_map_functions",

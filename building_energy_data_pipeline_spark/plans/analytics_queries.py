@@ -4785,3 +4785,98 @@ def q236_data_contract_audit(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("tbl", "chk")
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration curve — q237
+# ---------------------------------------------------------------------------
+
+
+def _q237_oracle() -> str:
+    from .registry import REGISTRY as _REG
+
+    q165 = _REG["q165_quality_classifier"].oracle
+    return f"""
+    WITH scored AS ({q165})
+    SELECT is_train,
+           least(greatest(score_u, 0) // 100000, 9) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_pos,
+           CAST(SUM(score_u) AS BIGINT) AS sum_score_u,
+           CAST(SUM(score_u) // COUNT(*) AS BIGINT)
+             AS mean_score_u,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                * 10000 // COUNT(*) AS BIGINT) AS pos_rate_bp,
+           CAST(SUM((score_u - CASE WHEN lang = 'en'
+                                    THEN 1000000 ELSE 0 END)
+                    * (score_u - CASE WHEN lang = 'en'
+                                      THEN 1000000 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS brier_u
+    FROM scored
+    GROUP BY is_train, bin
+    """
+
+
+@query("q237_calibration_curve", oracle=_q237_oracle())
+def q237_calibration_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability diagram + per-bin Brier score for q165's ridge
+    quality classifier — the deployment gate between "the model
+    ranks well" and "the score IS a probability": per clamped score
+    decile, the mean predicted score against the empirical positive
+    rate, split by train/holdout so calibration-on-train vs
+    calibration-on-holdout is read off the same table (the
+    overconfidence diagnostic; DeGroot & Fienberg 1983 / the
+    Platt-scaling literature).
+
+    INTEGER-exact end to end, unusual for a calibration readout:
+    q165's scores are already floored 1e6-scaled integers, so bin
+    assignment (clamped integer div), mean score, positive rate
+    (basis points), and the per-bin Brier numerator
+    Σ(score_u − y·1e6)² are all BIGINT folds — no float enters
+    either engine, and the oracle nests q165's full training CTE so
+    ONE hash pins train → score → calibrate. Composition is literal
+    reuse: the Spark side calls the registered q165 callable, the
+    oracle embeds its SQL text.
+
+    Scale: q165 scoring is map-only under a broadcast weight row;
+    the calibration rollup adds one ≤20-group aggregate — nothing
+    data-sized shuffles beyond q165's own training partials.
+    """
+    from .registry import REGISTRY as _reg
+
+    scored = _reg["q165_quality_classifier"].spark(spark, sf_dir)
+    return (
+        scored.select(
+            "is_train",
+            F.expr(
+                "least(greatest(score_u, 0L) div 100000, 9L)"
+            ).alias("bin"),
+            F.expr(
+                "CASE WHEN lang = 'en' THEN 1L ELSE 0L END"
+            ).alias("y"),
+            "score_u",
+        )
+        .groupBy("is_train", "bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("cast(sum(y) as bigint)").alias("n_pos"),
+            F.expr("cast(sum(score_u) as bigint)").alias(
+                "sum_score_u"
+            ),
+            F.expr(
+                "cast(sum(score_u) div count(*) as bigint)"
+            ).alias("mean_score_u"),
+            F.expr(
+                "cast(sum(y) * 10000 div count(*) as bigint)"
+            ).alias("pos_rate_bp"),
+            F.expr(
+                "cast(sum((score_u - y * 1000000)"
+                " * (score_u - y * 1000000)) div count(*)"
+                " as bigint)"
+            ).alias("brier_u"),
+        )
+        .orderBy("is_train", "bin")
+    )

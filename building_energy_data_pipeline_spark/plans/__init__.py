@@ -57,13 +57,18 @@ FIRST_BELOW_WINDOW = "q162_hll_distinct"
 #: Mann–Whitney U, q206 KS test, q207 TPC-H Q13 custdist, q208
 #: TPC-H Q22 sales opportunity, q209 Markov removal-effect
 #: attribution, q210 journey paths, q211 RFM segmentation — no
-#: driver row yet). With 51 new + q01 the window OVERFLOWS by two:
-#: q162/q163 (round-7 first-batch, lowest information loss — their
-#: operator modules are additionally unit-tested and q168 re-proves
-#: the q162 register machinery inside the window) sit first below
-#: the boundary and take their driver row next round. The whole r3
-#: drain was likewise crowded out. Below: q162, q163, q61–q95, the
-#: r4 set, then r5/r6-green rows, all unchanged since their last
+#: driver row yet). Round 7 ultimately added SEVENTY-SEVEN new
+#: queries (q161–q237), so the window overflows by 28: q162/q163
+#: (round-7 first-batch, lowest information loss — their operator
+#: modules are additionally unit-tested and q168 re-proves the q162
+#: register machinery inside the window) sit first below the
+#: boundary, followed by the late-round additions q212–q237 (TPC-H
+#: completion, seasonal decomposition, skyline, FastSS, sweep-line
+#: concurrency, allocation, interval union, IVM batch + streaming,
+#: greedy coverage, data contract, calibration) in authoring order;
+#: all take their first driver row in the r8 rotation. The whole r3
+#: drain was likewise crowded out. Below those: q61–q95, the r4
+#: set, then r5/r6-green rows, all unchanged since their last
 #: driver row and re-verified by the local DuckDB-parity suite.
 #: Ordering is evidence curation, not semantics: every query runs
 #: identically wherever it sits.

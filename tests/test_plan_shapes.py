@@ -910,5 +910,5 @@ class TestIntervalUnionShape:
         assert plan_lint(df) == []
         for ln in plan.splitlines():
             if "Window [" in ln:
-                assert "ck" in ln, ln
+                assert "key" in ln, ln
         assert shuffle_count(df) <= 3

@@ -4431,6 +4431,7 @@ _IVM_CUTOFF = "timestamp'1998-01-01'"
 
 @query(
     "q233_incremental_rollup",
+    headline=True,
     oracle="""
     WITH l AS (
       SELECT l_returnflag,
@@ -4569,7 +4570,9 @@ def _greedy_oracle() -> str:
     return ",\n".join(parts) + "\n" + sel
 
 
-@query("q234_greedy_coverage", oracle=_greedy_oracle())
+@query(
+    "q234_greedy_coverage", headline=True, oracle=_greedy_oracle()
+)
 def q234_greedy_coverage(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -70,6 +70,11 @@ SHUFFLE_BUDGET = {
     "q105_merge_upsert": 2,
     "q216_product_profit": 1,
     "q226_waiting_orders": 2,
+    # IVM: CDC fold + state agg + full-outer patch + dirty recompute
+    "q233_incremental_rollup": 6,
+    # greedy coverage: 3 chained rounds over the slot-persisted
+    # shingle table (anti-join + gain fold + winner semi-join each)
+    "q234_greedy_coverage": 14,
 }
 
 

@@ -202,3 +202,98 @@ class TestGlobalRunningSumVolume:
             .select("k", "id", "cum")
         ).collect()
         assert [tuple(x) for x in head] == [tuple(x) for x in want]
+
+
+class TestIntervalUnionVolume:
+    def test_2m_intervals_match_closed_form(self, spark):
+        # per key: 1000 decade-groups of two overlapping intervals
+        # ([s, s+5] and [s, s+8] at s = 10*j) -> merged coverage is
+        # exactly 9 days per group, 1000 disjoint periods, 2000
+        # intervals; a construction whose union is known in closed
+        # form at any volume
+        from building_energy_data_pipeline_spark.ops.observe import (
+            plan_lint,
+        )
+        from building_energy_data_pipeline_spark.plans.analytics_queries import (
+            interval_union,
+        )
+
+        n_keys, n_iv = 1000, 2000
+        iv = spark.range(n_keys * n_iv).select(
+            (F.col("id") % n_keys).alias("key"),
+            (F.col("id") / n_keys).cast("long").alias("i"),
+        ).select(
+            "key",
+            F.expr(
+                "date_add(date'2000-01-01', cast((i div 2) * 10 as int))"
+            ).alias("lo"),
+            F.expr(
+                "date_add(date'2000-01-01',"
+                " cast((i div 2) * 10 + 5 + (i % 2) * 3 as int))"
+            ).alias("hi"),
+        )
+        out = interval_union(iv, "key")
+        assert plan_lint(out) == []
+        stats = out.agg(
+            F.count("*").alias("n"),
+            F.min("covered_days").alias("c_lo"),
+            F.max("covered_days").alias("c_hi"),
+            F.min("n_periods").alias("p_lo"),
+            F.max("n_periods").alias("p_hi"),
+            F.min("n_orders").alias("o_lo"),
+            F.max("n_orders").alias("o_hi"),
+        ).first()
+        assert stats["n"] == n_keys
+        assert (stats["c_lo"], stats["c_hi"]) == (9 * 1000, 9 * 1000)
+        assert (stats["p_lo"], stats["p_hi"]) == (1000, 1000)
+        assert (stats["o_lo"], stats["o_hi"]) == (n_iv, n_iv)
+
+
+class TestIVMVolume:
+    def test_3m_detail_100k_batch_maintains_exactly(self, spark):
+        from building_energy_data_pipeline_spark.operators import ivm
+
+        n, n_ins, groups = 3_000_000, 500_000, 1000
+        detail = spark.range(n).select(
+            (F.col("id") % groups).alias("g"),
+            F.col("id").alias("v"),
+        )
+        # per-group min is id = g itself, so every g % 10 == 0 group
+        # loses its min witness -> 100 genuinely dirty groups
+        dels = detail.where("v % 10 = 0").withColumn(
+            ivm.OP_COL, F.lit("D")
+        )
+        ins = spark.range(n, n + n_ins).select(
+            (F.col("id") % groups).alias("g"),
+            F.col("id").alias("v"),
+            F.lit("I").alias(ivm.OP_COL),
+        )
+        cdc = dels.unionByName(ins)
+        after = detail.where("v % 10 != 0").unionByName(
+            ins.drop(ivm.OP_COL)
+        )
+        keys, sums, mms = ["g"], ["v"], ["v"]
+        state0 = ivm.rollup_state(detail, keys, sums, mms)
+        census = dict(
+            ivm.maintenance_census(state0, cdc, keys, mms)
+            .groupBy("path")
+            .count()
+            .collect()
+        )
+        assert census.get("dirty", 0) == groups // 10
+        assert census.get("algebraic", 0) == groups - groups // 10
+        got = (
+            ivm.maintain_rollup(state0, cdc, after, keys, sums, mms)
+            .toPandas()
+            .set_index("g")
+            .sort_index()
+        )
+        want = (
+            ivm.rollup_state(after, keys, sums, mms)
+            .toPandas()
+            .set_index("g")
+            .sort_index()
+        )
+        assert len(got) == groups
+        for col in ("cnt", "sum_v", "min_v", "max_v"):
+            assert (got[col] == want[col]).all(), col

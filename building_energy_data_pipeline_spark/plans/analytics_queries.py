@@ -4883,3 +4883,95 @@ def q237_calibration_curve(
         )
         .orderBy("is_train", "bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Golden-record survivorship — q238
+# ---------------------------------------------------------------------------
+
+
+def _q238_oracle() -> str:
+    from .window_queries import _cluster_oracle
+
+    return f"""
+    WITH comp AS ({_cluster_oracle()}),
+    m AS (
+      SELECT c.component, d.doc_id, d.lang, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, d.doc_id)
+               AS rk
+      FROM comp c JOIN documents d ON d.doc_id = c.node)
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+             AS survivor_doc_id,
+           CAST(MAX(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+             AS survivor_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           array_to_string(list_sort(list_distinct(list(lang))), ',')
+             AS langs
+    FROM m GROUP BY component
+    """
+
+
+@query("q238_golden_record", oracle=_q238_oracle())
+def q238_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship — the MDM step AFTER entity
+    resolution that q44 stops short of: within each near-dup
+    cluster (q28 LSH pairs → connected components), elect the
+    surviving record by a deterministic rule (most content, ties to
+    the smallest doc_id) and merge the cluster's attributes into
+    one master row (member count, total chars, the sorted distinct
+    language set). Completes the resolution pipeline: block (q28)
+    → link (q44) → audit (q147) → SURVIVE (here); docs in no
+    cluster are already golden and stay out of scope, like the
+    dedup family's convention.
+
+    Survivorship is a per-component window (partitioned — component
+    cardinality scales with duplicates, not the corpus) over rows
+    already keyed by the component join; the language set folds
+    deterministically via sorted collect_set (the A6/q06 string-agg
+    discipline). The oracle re-derives the clusters with its own
+    recursive-CTE closure, then applies the same election in SQL —
+    the whole chain (pairs → components → election → merge) under
+    one hash.
+    """
+    from ..operators import dedup
+    from ..operators.graph import connected_components
+    from .training_queries import TOK
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", TOK, k=3)
+    pairs = dedup.minhash_lsh_pairs(sigs, "doc_id", min_jaccard=0.5)
+    comp = connected_components(pairs)
+    m = comp.join(
+        docs.select("doc_id", "lang", "n_chars"),
+        comp.node == F.col("doc_id"),
+    ).select("component", "doc_id", "lang", "n_chars")
+    rk = F.row_number().over(
+        W.partitionBy("component").orderBy(
+            F.desc("n_chars"), "doc_id"
+        )
+    )
+    return (
+        m.withColumn("rk", rk)
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.expr(
+                "cast(max(CASE WHEN rk = 1 THEN doc_id END)"
+                " as bigint)"
+            ).alias("survivor_doc_id"),
+            F.expr(
+                "cast(max(CASE WHEN rk = 1 THEN n_chars END)"
+                " as bigint)"
+            ).alias("survivor_chars"),
+            F.expr("cast(sum(n_chars) as bigint)").alias(
+                "total_chars"
+            ),
+            F.expr(
+                "concat_ws(',', array_sort(collect_set(lang)))"
+            ).alias("langs"),
+        )
+        .orderBy("component")
+    )

@@ -115,6 +115,53 @@ def salted_join(
     return sk.join(sm, on + ["__salt"], how).drop("__salt")
 
 
+def hot_salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt: int = 8,
+    hot_threshold: int = 100_000,
+    how: str = "inner",
+) -> DataFrame:
+    """:func:`salted_join` that salts ONLY the hot keys.
+
+    Blanket salting replicates the whole dimension ``salt``x — fine
+    for a broadcastable build side, wasteful when the dimension is
+    merely small-ish. The sharper treatment (what AQE's skew-join
+    split does at stage boundaries, done deterministically in the
+    logical plan): count keys on the skewed side (map-side partial
+    fold — the probe exchange carries one row per DISTINCT key, not
+    data), call keys above ``hot_threshold`` hot, and split the
+    join: the hot slice salts against only the hot rows of the
+    dimension (replicated ``salt``x — by the skew premise this is a
+    HANDFUL of rows), the cold slice joins normally. The hot-key
+    set broadcasts to both splits.
+
+    Inner joins only: an outer split-union would double-emit
+    unmatched rows. The probe is exact; at 100 TB swap in a sampled
+    count with a scaled threshold if even the key-cardinality fold
+    is too hot (documented, not implemented — exactness keeps the
+    oracle story clean).
+
+    Output columns = the natural join's, like :func:`salted_join`.
+    """
+    if how != "inner":
+        raise ValueError("hot_salted_join supports inner joins only")
+    hot_keys = (
+        skewed.groupBy(*on)
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") >= hot_threshold)
+        .select(*on)
+    )
+    hot_keys = F.broadcast(hot_keys)
+    sk_hot = skewed.join(hot_keys, on, "left_semi")
+    sk_cold = skewed.join(hot_keys, on, "left_anti")
+    sm_hot = small.join(hot_keys, on, "left_semi")
+    hot_part = salted_join(sk_hot, sm_hot, on, salt=salt, how="inner")
+    cold_part = sk_cold.join(small, on, "inner")
+    return hot_part.unionByName(cold_part)
+
+
 def global_row_index(
     df: DataFrame,
     order_cols: list,

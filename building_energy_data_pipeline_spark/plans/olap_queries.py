@@ -1429,3 +1429,46 @@ def q208_sales_opportunity(
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "q239_hot_salted_join",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           {dec_sum_sql("l_extendedprice")} AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+    """,
+)
+def q239_hot_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q56's skew treatment, sharpened: ``scale.hot_salted_join``
+    salts ONLY the keys an exact map-side probe finds hot, joins the
+    cold slice untouched, and unions — so the dimension is
+    replicated ``salt``x for a HANDFUL of hot rows instead of
+    wholesale (what AQE's skew split does at stage boundaries, done
+    deterministically in the logical plan; inner joins only — an
+    outer split-union would double-emit unmatched rows). The oracle
+    is again the PLAIN join: the split-salt-union is a pure physical
+    rewrite.
+
+    The threshold is test-scaled (an order has <= 7 lines, so >= 5
+    marks the fat orders "hot") so BOTH splits are non-vacuously
+    populated at every sf; at 100 TB the threshold is the task-size
+    budget.
+    """
+    from ..operators.scale import hot_salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    joined = hot_salted_join(
+        li, orders, on=["l_orderkey"], salt=4, hot_threshold=5
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        dec_sum("l_extendedprice").alias("sum_price"),
+    )

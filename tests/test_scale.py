@@ -642,3 +642,44 @@ class TestRound5LateQueryShapes:
         for ln in plan.splitlines():
             if "Exchange hashpartitioning" in ln:
                 assert "embedding#" not in ln, ln
+
+
+class TestHotSaltedJoin:
+    def test_matches_plain_join_and_splits(self, spark):
+        from building_energy_data_pipeline_spark.operators.scale import (
+            hot_salted_join,
+        )
+
+        skewed = spark.range(10_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        small = spark.range(100).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 11).alias("w"),
+        )
+        out = hot_salted_join(
+            skewed, small, ["k"], salt=4, hot_threshold=1000
+        )
+        plain = skewed.join(small, "k")
+        assert out.count() == plain.count()
+        a = out.groupBy("k").count().toPandas().set_index("k")
+        b = plain.groupBy("k").count().toPandas().set_index("k")
+        assert a.sort_index().equals(b.sort_index())
+        # sum equality over all columns (row multiset check)
+        sa = out.agg(F.sum("v"), F.sum("w")).first()
+        sb = plain.agg(F.sum("v"), F.sum("w")).first()
+        assert tuple(sa) == tuple(sb)
+
+    def test_inner_only(self, spark):
+        import pytest as _pytest
+
+        from building_energy_data_pipeline_spark.operators.scale import (
+            hot_salted_join,
+        )
+
+        df = spark.range(2).select(F.col("id").alias("k"))
+        with _pytest.raises(ValueError):
+            hot_salted_join(df, df, ["k"], how="left")

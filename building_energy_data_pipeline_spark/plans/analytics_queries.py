@@ -4975,3 +4975,124 @@ def q238_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting (new / retained / resurrected / churned) — q240
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q240_growth_accounting",
+    oracle="""
+    WITH grid AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+      FROM events WHERE event_type = 'purchase'),
+    tagged AS (
+      SELECT user_id, wk,
+             lag(wk) OVER (PARTITION BY user_id ORDER BY wk)
+               AS prev_wk,
+             MIN(wk) OVER (PARTITION BY user_id) AS first_wk
+      FROM grid),
+    wkly AS (
+      SELECT wk,
+             CAST(COUNT(*) AS BIGINT) AS actives,
+             CAST(SUM(CASE WHEN wk = first_wk THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_retained,
+             CAST(SUM(CASE WHEN prev_wk IS NOT NULL
+                            AND prev_wk < wk - 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_resurrected
+      FROM tagged GROUP BY wk)
+    SELECT w.wk, w.actives, w.n_new, w.n_retained, w.n_resurrected,
+           CAST(coalesce(p.actives, 0) - w.n_retained AS BIGINT)
+             AS n_churned,
+           CAST(CASE WHEN coalesce(p.actives, 0) - w.n_retained > 0
+                     THEN (w.n_new + w.n_resurrected) * 10000
+                          // (coalesce(p.actives, 0) - w.n_retained)
+                     ELSE -1 END AS BIGINT) AS quick_ratio_bp
+    FROM wkly w LEFT JOIN wkly p ON p.wk = w.wk - 1
+    """,
+)
+def q240_growth_accounting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekly growth accounting — every active user classified as
+    NEW (first-ever week), RETAINED (also active last week), or
+    RESURRECTED (returning after a gap), with CHURNED derived as
+    last week's actives minus this week's retained, and the quick
+    ratio (new + resurrected per churned, basis points, −1 when
+    nothing churned) — the standard MAU-decomposition framework
+    that explains WHY the q199 DAU/WAU line moved, which the q141
+    signup-cohort matrix cannot (it never distinguishes a
+    comeback from steady retention).
+
+    The identity actives(w) = new + retained + resurrected holds by
+    construction (the three cases partition the per-user week rows)
+    and is pinned in `tests/test_analytics.py` along with a pandas
+    re-derivation.
+
+    Scale: the stream collapses to the distinct (user × week) grid
+    (one map-side-combined exchange); both classification windows
+    share the user partitioning; the weekly rollup and the
+    self-join on week−1 run at calendar cardinality.
+    """
+    grid = (
+        load_table(spark, sf_dir, "events")
+        .where("event_type = 'purchase'")
+        .select(
+            "user_id",
+            F.expr(
+                "cast(unix_timestamp(ts) as bigint) div 604800"
+            ).alias("wk"),
+        )
+        .distinct()
+    )
+    wu = W.partitionBy("user_id")
+    tagged = grid.select(
+        "wk",
+        F.lag("wk").over(wu.orderBy("wk")).alias("prev_wk"),
+        F.min("wk").over(wu).alias("first_wk"),
+    )
+    wkly = tagged.groupBy("wk").agg(
+        F.count("*").alias("actives"),
+        F.expr(
+            "cast(sum(CASE WHEN wk = first_wk THEN 1 ELSE 0 END)"
+            " as bigint)"
+        ).alias("n_new"),
+        F.expr(
+            "cast(sum(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END)"
+            " as bigint)"
+        ).alias("n_retained"),
+        F.expr(
+            "cast(sum(CASE WHEN prev_wk IS NOT NULL"
+            " AND prev_wk < wk - 1 THEN 1 ELSE 0 END) as bigint)"
+        ).alias("n_resurrected"),
+    )
+    prev = wkly.select(
+        (F.col("wk") + 1).alias("wk"),
+        F.col("actives").alias("prev_actives"),
+    )
+    return (
+        wkly.join(prev, "wk", "left")
+        .select(
+            "wk",
+            "actives",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.expr(
+                "cast(coalesce(prev_actives, 0L) - n_retained"
+                " as bigint)"
+            ).alias("n_churned"),
+            F.expr(
+                "cast(CASE WHEN coalesce(prev_actives, 0L)"
+                " - n_retained > 0 THEN (n_new + n_resurrected)"
+                " * 10000 div (coalesce(prev_actives, 0L)"
+                " - n_retained) ELSE -1 END as bigint)"
+            ).alias("quick_ratio_bp"),
+        )
+        .orderBy("wk")
+    )

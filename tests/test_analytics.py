@@ -971,3 +971,55 @@ class TestGreedyCoverage:
         )
         assert int(got.iloc[0]["doc_id"]) == best[1]
         assert int(got.iloc[0]["gain"]) == -best[0]
+
+
+class TestGrowthAccounting:
+    def test_q240_identity_and_pandas_rederivation(self, spark):
+        got = (
+            REGISTRY["q240_growth_accounting"]
+            .spark(spark, SF_DIR)
+            .toPandas()
+            .sort_values("wk")
+            .reset_index(drop=True)
+        )
+        # the partition identity: every active is exactly one class
+        assert (
+            got["actives"]
+            == got["n_new"] + got["n_retained"] + got["n_resurrected"]
+        ).all()
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+        ev = ev[ev["event_type"] == "purchase"]
+        secs = ev["ts"].values.astype("datetime64[s]").astype("int64")
+        grid = (
+            pd.DataFrame(
+                {"u": ev["user_id"].values, "wk": secs // 604800}
+            )
+            .drop_duplicates()
+            .sort_values(["u", "wk"])
+        )
+        grid["prev"] = grid.groupby("u")["wk"].shift()
+        grid["first"] = grid.groupby("u")["wk"].transform("min")
+        by_wk = grid.groupby("wk")
+        want = pd.DataFrame(
+            {
+                "actives": by_wk.size(),
+                "n_new": grid[grid.wk == grid["first"]]
+                .groupby("wk")
+                .size(),
+                "n_retained": grid[grid.prev == grid.wk - 1]
+                .groupby("wk")
+                .size(),
+                "n_resurrected": grid[
+                    grid.prev.notna() & (grid.prev < grid.wk - 1)
+                ]
+                .groupby("wk")
+                .size(),
+            }
+        ).fillna(0).astype(int)
+        m = got.set_index("wk")[want.columns]
+        assert m.equals(want.sort_index())
+        # churn closes the books: actives(w-1) = retained(w) + churned(w)
+        prev_act = got["actives"].shift().fillna(0).astype(int)
+        assert (
+            prev_act == got["n_retained"] + got["n_churned"]
+        ).all()

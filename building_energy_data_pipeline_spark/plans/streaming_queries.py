@@ -1416,3 +1416,100 @@ def q235_streaming_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming top-k maintenance — q241
+# ---------------------------------------------------------------------------
+
+_Q241_K = 20
+
+
+def _q241_oracle() -> str:
+    return f"""
+    SELECT CAST(floor(value * 10000) AS BIGINT) AS x,
+           event_id, event_type
+    FROM events
+    ORDER BY x DESC, event_id
+    LIMIT {_Q241_K}
+    """
+
+
+@query("q241_streaming_topk", oracle=_q241_oracle())
+def q241_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING top-k maintenance: the global top-{_Q241_K} events
+    by value kept current inside ``foreachBatch`` — the SIXTH
+    streaming-merge class (q157 +, q168 max, q186 ordered carry,
+    q204 argmin/argmax, q235 dirty-recompute): bounded ORDER
+    STATISTICS, mergeable because truncation is stable —
+    ``topk(A ∪ B) = topk(topk(A) ∪ topk(B))`` (dropping anything
+    below a set's k-th element can never evict a global top-k
+    member), so per batch only the batch's own top-{_Q241_K} meets
+    the ≤{_Q241_K}-row state and the merge re-truncates. Total
+    order (value desc, event_id) makes ties deterministic; state is
+    k rows FOREVER and each batch costs its own TakeOrdered — the
+    shape behind every streaming leaderboard. Final state pinned to
+    the single-pass batch oracle.
+    """
+    import os
+    import shutil
+
+    from ..sources.readers import load_table
+
+    base_dir = tempfile.mkdtemp(prefix="q241_topk_")
+    src_dir = os.path.join(base_dir, "events")
+    ckpt = os.path.join(base_dir, "ckpt")
+    slots: dict = {}
+
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            F.expr("cast(floor(value * 10000) as bigint)").alias("x"),
+            "event_id",
+            "event_type",
+        )
+        ev.repartitionByRange(4, "event_id").write.parquet(src_dir)
+
+        stream = (
+            spark.readStream.schema(
+                "x long, event_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+
+        def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            top = batch_df.orderBy(
+                F.desc("x"), "event_id"
+            ).limit(_Q241_K)
+            prev = slots.get("dir")
+            if prev is not None:
+                top = (
+                    spark.read.parquet(prev)
+                    .unionByName(top)
+                    .orderBy(F.desc("x"), "event_id")
+                    .limit(_Q241_K)
+                )
+            nxt = os.path.join(base_dir, f"topk_v{batch_id}")
+            top.write.mode("overwrite").parquet(nxt)
+            old = slots.get("dir")
+            slots["dir"] = nxt
+            if old is not None:
+                shutil.rmtree(old, ignore_errors=True)
+
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q241: event stream did not drain")
+
+        return (
+            spark.read.parquet(slots["dir"])
+            .orderBy(F.desc("x"), "event_id")
+            .localCheckpoint(eager=True)  # materialize before cleanup
+        )
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

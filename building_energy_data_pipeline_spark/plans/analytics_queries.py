@@ -5096,3 +5096,100 @@ def q240_growth_accounting(
         )
         .orderBy("wk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed / winsorized means — q242
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q242_trimmed_winsorized_mean",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(value * 10000) AS BIGINT) AS x,
+             event_id
+      FROM events),
+    r AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY x, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM e),
+    g AS (
+      SELECT event_type, MAX(n) AS n, MAX(n) // 10 AS k,
+             CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                           THEN x ELSE 0 END) AS BIGINT) AS kept_sum,
+             CAST(MAX(CASE WHEN rn = n // 10 + 1 THEN x END)
+               AS BIGINT) AS lo_b,
+             CAST(MAX(CASE WHEN rn = n - n // 10 THEN x END)
+               AS BIGINT) AS hi_b
+      FROM r GROUP BY event_type)
+    SELECT event_type, n, k, lo_b, hi_b,
+           CAST(kept_sum // (n - 2 * k) AS BIGINT) AS trimmed_mean_u,
+           CAST((kept_sum + k * lo_b + k * hi_b) // n AS BIGINT)
+             AS winsor_mean_u
+    FROM g
+    """,
+)
+def q242_trimmed_winsorized_mean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """10 % two-sided trimmed and winsorized means per event type —
+    the robust location estimates between the mean (outlier-hostage)
+    and the median (throws information away), completing the robust
+    kit next to q171's MAD. Trimming is BY RANK, not by value
+    threshold: drop the lowest and highest ⌊n/10⌋ ROWS under the
+    total order (value, event_id) — rank-based trimming is
+    deterministic under ties where interpolated-percentile
+    thresholds are boundary-fragile cross-engine (the q171 dyadic
+    caveat), and winsorizing clamps to the exact boundary ROWS'
+    values, so everything stays BIGINT: kept-sum, boundary values,
+    and two integer divisions at the end.
+
+    Scale: one rank window + one count window share a single
+    event_type exchange; the grouped fold reuses the same
+    partitioning — one data-sized shuffle total (plan-pinned ≤2).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(floor(value * 10000) as bigint)").alias("x"),
+        "event_id",
+    )
+    wt = W.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "x",
+        F.row_number().over(wt.orderBy("x", "event_id")).alias("rn"),
+        F.count("*").over(wt).alias("n"),
+    )
+    g = r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.expr("max(n) div 10").alias("k"),
+        F.expr(
+            "cast(sum(CASE WHEN rn > n div 10"
+            " AND rn <= n - n div 10 THEN x ELSE 0 END) as bigint)"
+        ).alias("kept_sum"),
+        F.expr(
+            "cast(max(CASE WHEN rn = n div 10 + 1 THEN x END)"
+            " as bigint)"
+        ).alias("lo_b"),
+        F.expr(
+            "cast(max(CASE WHEN rn = n - n div 10 THEN x END)"
+            " as bigint)"
+        ).alias("hi_b"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        "k",
+        "lo_b",
+        "hi_b",
+        F.expr(
+            "cast(kept_sum div (n - 2 * k) as bigint)"
+        ).alias("trimmed_mean_u"),
+        F.expr(
+            "cast((kept_sum + k * lo_b + k * hi_b) div n as bigint)"
+        ).alias("winsor_mean_u"),
+    ).orderBy("event_type")

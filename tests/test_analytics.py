@@ -1023,3 +1023,32 @@ class TestGrowthAccounting:
         assert (
             prev_act == got["n_retained"] + got["n_churned"]
         ).all()
+
+
+class TestTrimmedWinsorized:
+    def test_q242_matches_scipy_style_reference(self, spark):
+        got = (
+            REGISTRY["q242_trimmed_winsorized_mean"]
+            .spark(spark, SF_DIR)
+            .toPandas()
+            .set_index("event_type")
+        )
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+        x = np.floor(ev["value"].values * 10000).astype("int64")
+        df = pd.DataFrame(
+            {"t": ev["event_type"], "x": x, "e": ev["event_id"]}
+        )
+        for t, g in df.groupby("t"):
+            v = g.sort_values(["x", "e"])["x"].values
+            n = len(v)
+            k = n // 10
+            kept = v[k : n - k]
+            row = got.loc[t]
+            assert int(row["n"]) == n and int(row["k"]) == k
+            assert int(row["lo_b"]) == kept[0]
+            assert int(row["hi_b"]) == kept[-1]
+            assert int(row["trimmed_mean_u"]) == int(
+                kept.sum() // (n - 2 * k)
+            )
+            wins = np.clip(v, kept[0], kept[-1])
+            assert int(row["winsor_mean_u"]) == int(wins.sum() // n)

@@ -5193,3 +5193,69 @@ def q242_trimmed_winsorized_mean(
             "cast((kept_sum + k * lo_b + k * hi_b) div n as bigint)"
         ).alias("winsor_mean_u"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Diversity-constrained top-k — q243
+# ---------------------------------------------------------------------------
+
+_DIV_K = 20
+_DIV_PER_SOURCE = 3
+
+
+@query(
+    "q243_diversified_topk",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS sz,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id)
+               AS rk_in_source
+      FROM documents)
+    SELECT doc_id, source, sz, rk_in_source
+    FROM r WHERE rk_in_source <= {_DIV_PER_SOURCE}
+    ORDER BY sz DESC, doc_id LIMIT {_DIV_K}
+    """,
+)
+def q243_diversified_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Global top-{_DIV_K} documents by size with AT MOST
+    {_DIV_PER_SOURCE} per source — the diversity-constrained
+    ranking every feed, search-results page, and curation shortlist
+    needs (an unconstrained top-k lets one prolific source flood
+    the list; q82's per-group top-k has no global budget; this has
+    both constraints at once).
+
+    Two-stage selection with a per-item proof the constraint holds:
+    rank WITHIN source (Spark plans the rank+filter as
+    WindowGroupLimit — per-partition group-limit pushdown, only
+    {_DIV_PER_SOURCE} rows per source survive the exchange), then a
+    global TakeOrderedAndProject over the ≤{_DIV_PER_SOURCE}·
+    |sources| survivors. ``rk_in_source`` rides into the output so
+    the oracle hash certifies each selected row's within-source
+    standing, not just membership. Ties deterministic on (size
+    desc, doc_id) at both stages.
+
+    Scale: one source-keyed exchange of slim (doc, source, size)
+    rows; the global stage sees survivors only — source-cardinality
+    bounded — and is a heap, not a sort (plan-pinned).
+    """
+    r = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("sz"),
+        )
+        .withColumn(
+            "rk_in_source",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(
+                    F.desc("sz"), "doc_id"
+                )
+            ),
+        )
+        .where(F.col("rk_in_source") <= _DIV_PER_SOURCE)
+    )
+    return r.orderBy(F.desc("sz"), "doc_id").limit(_DIV_K)

@@ -912,3 +912,16 @@ class TestIntervalUnionShape:
             if "Window [" in ln:
                 assert "key" in ln, ln
         assert shuffle_count(df) <= 3
+
+
+class TestDiversifiedTopkShape:
+    def test_q243_group_limit_then_heap(self, spark, sf_dir):
+        df = REGISTRY["q243_diversified_topk"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # stage 1: per-source limit pushes into WindowGroupLimit
+        # (only 3 rows per source survive the exchange);
+        # stage 2: a heap over the survivors, never a global sort
+        assert "WindowGroupLimit" in plan
+        assert "TakeOrderedAndProject" in plan
+        got = df.toPandas()
+        assert (got.groupby("source").size() <= 3).all()

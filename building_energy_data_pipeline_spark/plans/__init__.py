@@ -58,16 +58,16 @@ FIRST_BELOW_WINDOW = "q162_hll_distinct"
 #: TPC-H Q22 sales opportunity, q209 Markov removal-effect
 #: attribution, q210 journey paths, q211 RFM segmentation — no
 #: driver row yet). Round 7 ultimately added SEVENTY-SEVEN new
-#: queries (q161–q243), so the window overflows by 34: q162/q163
+#: queries (q161–q244), so the window overflows by 35: q162/q163
 #: (round-7 first-batch, lowest information loss — their operator
 #: modules are additionally unit-tested and q168 re-proves the q162
 #: register machinery inside the window) sit first below the
-#: boundary, followed by the late-round additions q212–q243 (TPC-H
+#: boundary, followed by the late-round additions q212–q244 (TPC-H
 #: completion, seasonal decomposition, skyline, FastSS, sweep-line
 #: concurrency, allocation, interval union, IVM batch + streaming,
 #: greedy coverage, data contract, calibration, golden record,
 #: hot-salted join, growth accounting, streaming top-k, trimmed
-#: means, diversified top-k) in
+#: means, diversified top-k, Shapley attribution) in
 #: authoring order;
 #: all take their first driver row in the r8 rotation. The whole r3
 #: drain was likewise crowded out. Below those: q61–q95, the r4
@@ -160,6 +160,7 @@ _CURATED_ORDER = [
     "q241_streaming_topk",
     "q242_trimmed_winsorized_mean",
     "q243_diversified_topk",
+    "q244_shapley_attribution",
     "q61_sql_pivot",
     "q62_streaming_session_window",
     "q63_map_functions",

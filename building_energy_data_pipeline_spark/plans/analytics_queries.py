@@ -5259,3 +5259,165 @@ def q243_diversified_topk(
         .where(F.col("rk_in_source") <= _DIV_PER_SOURCE)
     )
     return r.orderBy(F.desc("sz"), "doc_id").limit(_DIV_K)
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value attribution — q244
+# ---------------------------------------------------------------------------
+
+#: channel → bit, alphabetical; purchase is the conversion event,
+#: never a channel
+_SHAP_BITS = {"click": 1, "error": 2, "signup": 4, "view": 8}
+#: 24·weight for a coalition of size s out of 4 channels:
+#: s!(4−s−1)! for s = 0..3
+_SHAP_W24 = {0: 6, 1: 2, 2: 2, 3: 6}
+
+
+def _shap_terms() -> list[tuple[str, int, int, int]]:
+    """(channel, S, S∪{i}, 24·weight) for every channel i and every
+    coalition S not containing i — 32 rows, generated ONCE and
+    embedded in both engines."""
+    rows = []
+    for ch, bit in sorted(_SHAP_BITS.items()):
+        others = [b for b in _SHAP_BITS.values() if b != bit]
+        for s_id in range(8):
+            s_mask = sum(b for j, b in enumerate(others) if s_id >> j & 1)
+            size = bin(s_mask).count("1")
+            rows.append((ch, s_mask, s_mask | bit, _SHAP_W24[size]))
+    return rows
+
+
+def _q244_oracle() -> str:
+    case = " ".join(
+        f"WHEN '{c}' THEN {b}" for c, b in sorted(_SHAP_BITS.items())
+    )
+    values = ", ".join(
+        f"('{c}', {s}, {su}, {w})" for c, s, su, w in _shap_terms()
+    )
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk,
+             CAST(coalesce(SUM(DISTINCT CASE event_type {case}
+                                        ELSE 0 END), 0) AS BIGINT)
+               AS mask,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id, wk),
+    m AS (
+      SELECT mask, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) AS n_conv
+      FROM u GROUP BY mask),
+    t AS (
+      SELECT ch, s, su, w24,
+             coalesce(CAST(ms.n_conv AS DOUBLE)
+                      / CAST(ms.n AS DOUBLE), CAST(0 AS DOUBLE))
+               AS v_s,
+             coalesce(CAST(mu.n_conv AS DOUBLE)
+                      / CAST(mu.n AS DOUBLE), CAST(0 AS DOUBLE))
+               AS v_su
+      FROM (VALUES {values}) AS terms(ch, s, su, w24)
+      LEFT JOIN m ms ON ms.mask = terms.s
+      LEFT JOIN m mu ON mu.mask = terms.su),
+    p AS (
+      SELECT ch, s,
+             CAST(w24 AS DOUBLE) * (v_su - v_s)
+               / CAST(24 AS DOUBLE) AS term
+      FROM t)
+    SELECT ch AS channel,
+           CAST(floor(list_reduce(list_prepend(0.0,
+                 list(term ORDER BY s)), (a, b) -> a + b)
+                 * 1000000) AS BIGINT) AS shapley_u
+    FROM p GROUP BY ch
+    """
+
+
+@query("q244_shapley_attribution", oracle=_q244_oracle())
+def q244_shapley_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shapley-value channel attribution — the game-theoretic member
+    completing the attribution trio (q183 last-touch heuristic →
+    q209 Markov removal effects → here the axiomatic standard,
+    Shapley 1953 / Dalessandro et al. 2012): each channel's credit
+    is its average marginal lift in conversion rate over every
+    coalition of the other channels, with the characteristic
+    function v(S) read off the DATA (conversion rate of journeys
+    whose touched-channel set is S; unobserved sets contribute 0 —
+    the telescoping efficiency identity Σᵢ φᵢ = v(C) − v(∅) still
+    holds exactly, pinned in tests). A journey is a USER-WEEK
+    (channels touched that week, converted = purchased that week):
+    per-user-lifetime masks are degenerate on the synthetic stream
+    (every user eventually touches everything — only one coalition
+    would ever be observed, the q240 lesson), while weekly journeys
+    populate many coalitions.
+
+    Determinism: the 32 (channel, coalition) terms and their 24×
+    integer weights are generated ONCE by the same Python and
+    embedded as literals in both engines; each term is one shared
+    double expression; the ≤8 per-channel terms fold in EXPLICIT
+    coalition order (the q170/q182 rule — an unordered double SUM
+    is partial-agg-order dependent).
+
+    Scale: the stream collapses per-user map-side (SUM DISTINCT of
+    bits + conversion max on one user exchange), users collapse to
+    ≤16 mask rows, and everything after — the coalition joins, the
+    32 terms, the folds — is constant-sized.
+    """
+    case = " ".join(
+        f"WHEN '{c}' THEN {b}" for c, b in sorted(_SHAP_BITS.items())
+    )
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.expr(
+                "cast(unix_timestamp(ts) as bigint) div 604800"
+            ).alias("wk"),
+        )
+        .agg(
+            F.expr(
+                f"cast(coalesce(sum(DISTINCT CASE event_type {case}"
+                " ELSE 0 END), 0) as bigint)"
+            ).alias("mask"),
+            F.expr(
+                "max(CASE WHEN event_type = 'purchase'"
+                " THEN 1 ELSE 0 END)"
+            ).alias("conv"),
+        )
+    )
+    m = u.groupBy("mask").agg(
+        F.count("*").alias("n"),
+        F.expr("cast(sum(conv) as bigint)").alias("n_conv"),
+    )
+    terms = spark.createDataFrame(
+        _shap_terms(), "ch string, s long, su long, w24 long"
+    )
+    ms = m.selectExpr("mask as s", "n as n_s", "n_conv as c_s")
+    mu = m.selectExpr("mask as su", "n as n_su", "n_conv as c_su")
+    t = (
+        terms.join(F.broadcast(ms), "s", "left")
+        .join(F.broadcast(mu), "su", "left")
+        .select(
+            "ch",
+            "s",
+            F.expr(
+                "cast(w24 as double) * ("
+                "coalesce(cast(c_su as double) / cast(n_su as double),"
+                " cast(0 as double))"
+                " - coalesce(cast(c_s as double) / cast(n_s as double),"
+                " cast(0 as double))) / cast(24 as double)"
+            ).alias("term"),
+        )
+    )
+    return (
+        t.groupBy(F.col("ch").alias("channel"))
+        .agg(
+            F.expr(
+                "cast(floor(aggregate(array_sort(collect_list("
+                "struct(s, term))), cast(0.0 as double),"
+                " (acc, x) -> acc + x.term) * 1000000) as bigint)"
+            ).alias("shapley_u")
+        )
+        .orderBy("channel")
+    )

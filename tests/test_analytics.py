@@ -1052,3 +1052,57 @@ class TestTrimmedWinsorized:
             )
             wins = np.clip(v, kept[0], kept[-1])
             assert int(row["winsor_mean_u"]) == int(wins.sum() // n)
+
+
+class TestShapleyAttribution:
+    def test_q244_matches_closed_form_and_efficiency(self, spark):
+        from math import factorial
+
+        got = (
+            REGISTRY["q244_shapley_attribution"]
+            .spark(spark, SF_DIR)
+            .toPandas()
+            .set_index("channel")["shapley_u"]
+        )
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+        secs = ev["ts"].values.astype("datetime64[s]").astype("int64")
+        bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+        df = pd.DataFrame(
+            {
+                "u": ev["user_id"],
+                "wk": secs // 604800,
+                "bit": ev["event_type"].map(bits).fillna(0).astype(int),
+                "conv": (ev["event_type"] == "purchase").astype(int),
+            }
+        )
+        j = df.groupby(["u", "wk"]).agg(
+            mask=("bit", lambda b: int(sum(set(b)))),
+            conv=("conv", "max"),
+        )
+        stats = j.groupby("mask").agg(n=("conv", "size"), c=("conv", "sum"))
+
+        def v(mask):
+            if mask in stats.index:
+                return stats.loc[mask, "c"] / stats.loc[mask, "n"]
+            return 0.0
+
+        shap = {}
+        for ch, bit in bits.items():
+            others = [b for b in bits.values() if b != bit]
+            total = 0.0
+            terms = []
+            for s_id in range(8):
+                s = sum(b for k, b in enumerate(others) if s_id >> k & 1)
+                w = (
+                    factorial(bin(s).count("1"))
+                    * factorial(3 - bin(s).count("1"))
+                    / factorial(4)
+                )
+                terms.append((s, w * (v(s | bit) - v(s))))
+            for _, t in sorted(terms):
+                total += t
+            shap[ch] = total
+        for ch in bits:
+            assert abs(int(got[ch]) - np.floor(shap[ch] * 1e6)) <= 1, ch
+        # efficiency: credits telescope to v(all) - v(none) exactly
+        assert abs(sum(shap.values()) - (v(15) - v(0))) < 1e-12

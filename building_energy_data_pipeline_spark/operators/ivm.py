@@ -20,7 +20,11 @@ a cost proportional to the BATCH — not the table:
   groups' slices.
 - groups whose count reaches zero are dropped; keys never seen
   before enter through the full-outer join with their insert-only
-  aggregates.
+  aggregates — UNLESS the batch also deletes rows of that key
+  (updates are modeled as delete + insert, so an unseen key can
+  carry intra-batch I+D pairs): with no stored extreme to compare
+  against, a delete may have removed the batch's own insert
+  extreme, so such keys route to the dirty recompute too.
 
 This is the standard IVM treatment of non-invertible aggregates
 (dirty-group recompute; cf. the summary-delta method of Mumick et
@@ -37,6 +41,18 @@ from pyspark.sql import functions as F
 #: CDC operation column: 'I' (insert) or 'D' (delete). Updates are
 #: modeled as delete + insert, the q105/q115 convention.
 OP_COL = "op"
+
+
+def _has_delete_extremes(minmax_cols: list[str]) -> str:
+    """SQL predicate: the folded batch contains at least one delete
+    carrying a non-null value for some min/max column. Per-column
+    nullness of ``dmin_<c>``/``dmax_<c>`` coincides (both come from
+    the same D rows), so probing ``dmin`` suffices; a D row whose
+    value is NULL can never have been an extreme witness, so it
+    needs no recompute."""
+    return " OR ".join(
+        f"dmin_{c} IS NOT NULL" for c in minmax_cols
+    ) or "false"
 
 
 def rollup_state(detail: DataFrame, keys: list[str], sum_cols: list[str], minmax_cols: list[str]) -> DataFrame:
@@ -106,11 +122,16 @@ def maintenance_census(
         f"dmin_{c} <= min_{c} OR dmax_{c} >= max_{c}"
         for c in minmax_cols
     ) or "false"
+    has_deletes = _has_delete_extremes(minmax_cols)
     return j.select(
         *keys,
         F.expr(
             "CASE"
             " WHEN cnt_d IS NULL THEN 'untouched'"
+            # an unseen key whose batch also deletes rows (intra-
+            # batch I+D, the update convention) cannot be patched
+            # from inserts alone — it is dirty, not 'new'
+            f" WHEN cnt IS NULL AND ({has_deletes}) THEN 'dirty'"
             " WHEN cnt IS NULL THEN 'new'"
             " WHEN cnt + cnt_d <= 0 THEN 'dropped'"
             f" WHEN coalesce({dirty_pred}, false) THEN 'dirty'"
@@ -146,11 +167,16 @@ def maintain_rollup(
     ) or "false"
     # coalesce: a group with no deletes has null dmin/dmax, and the
     # OR chain must read as "not dirty", not as null (which would
-    # drop the group from BOTH branches)
+    # drop the group from BOTH branches). An unseen key (cnt IS
+    # NULL) with any non-null delete extreme is dirty outright: the
+    # delete may have removed the batch's own insert extreme, and
+    # there is no stored extreme to patch from (ADVICE r7).
+    has_deletes = _has_delete_extremes(minmax_cols)
     patched = j.withColumn("new_cnt", new_cnt).withColumn(
         "is_dirty",
         F.expr(
-            f"cnt IS NOT NULL AND coalesce({dirty_pred}, false)"
+            f"CASE WHEN cnt IS NULL THEN ({has_deletes})"
+            f" ELSE coalesce({dirty_pred}, false) END"
         ),
     )
 

@@ -104,7 +104,20 @@ def salted_join(
     Output columns = the natural join's (salt column dropped).
     ``small`` should be the dimension side — its row count multiplies
     by ``salt``.
+
+    ``inner``/``left``/``left_semi``/``left_anti`` only: the salted
+    skewed side matches exactly one replica, so skewed-side rows
+    (matched or not) emit once. Right/full outer would emit ``salt``
+    null-extended copies of every UNMATCHED small-side row — one per
+    replica — so those modes raise (ADVICE r7, mirroring
+    :func:`hot_salted_join`'s guard).
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "leftsemi", "leftanti"):
+        raise ValueError(
+            "salted_join replicates the small side %d x; %r would "
+            "emit duplicate null-extended rows for unmatched small-"
+            "side keys — use inner/left/left_semi/left_anti" % (salt, how)
+        )
     sk = skewed.withColumn(
         "__salt",
         F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt)),

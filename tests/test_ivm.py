@@ -98,6 +98,60 @@ class TestCraftedTruthTable:
             "E": "untouched",
         }
 
+    def test_new_key_with_intra_batch_delete_is_dirty(self, spark):
+        # ADVICE r7 (medium): an UNSEEN key whose batch carries both
+        # inserts and deletes (the 'update = delete + insert'
+        # convention) must recompute — the algebraic branch would
+        # take max from the insert extremes alone. Repro from the
+        # advice: state {} + I(10), I(5), D(10) → true max is 5.
+        before = _detail(spark, [("Z", 0, 1)])  # unrelated key only
+        cdc = (
+            _detail(spark, [("N", 1, 10), ("N", 2, 5)]).withColumn(
+                ivm.OP_COL, F.lit("I")
+            )
+        ).unionByName(
+            _detail(spark, [("N", 1, 10)]).withColumn(
+                ivm.OP_COL, F.lit("D")
+            )
+        )
+        after = _detail(spark, [("Z", 0, 1), ("N", 2, 5)])
+        state0 = ivm.rollup_state(before, KEYS, SUMS, MMS)
+        got = (
+            ivm.maintain_rollup(state0, cdc, after, KEYS, SUMS, MMS)
+            .toPandas()
+            .set_index("g")
+        )
+        assert int(got.loc["N", "cnt"]) == 1
+        assert int(got.loc["N", "sum_v"]) == 5
+        assert int(got.loc["N", "min_v"]) == 5
+        assert int(got.loc["N", "max_v"]) == 5  # not 10
+        census = dict(
+            ivm.maintenance_census(state0, cdc, KEYS, MMS)
+            .toPandas()
+            .set_index("g")["path"]
+        )
+        assert census["N"] == "dirty"  # not 'new'
+
+    def test_new_key_net_deleted_is_dropped(self, spark):
+        # unseen key whose inserts and deletes cancel: the dirty
+        # route must not resurrect it (new_cnt = 0 filter)
+        before = _detail(spark, [("Z", 0, 1)])
+        cdc = (
+            _detail(spark, [("N", 1, 10)]).withColumn(
+                ivm.OP_COL, F.lit("I")
+            )
+        ).unionByName(
+            _detail(spark, [("N", 1, 10)]).withColumn(
+                ivm.OP_COL, F.lit("D")
+            )
+        )
+        after = _detail(spark, [("Z", 0, 1)])
+        state0 = ivm.rollup_state(before, KEYS, SUMS, MMS)
+        got = ivm.maintain_rollup(
+            state0, cdc, after, KEYS, SUMS, MMS
+        ).toPandas()
+        assert list(got["g"]) == ["Z"]
+
     def test_insert_extends_extremes_algebraically(self, spark):
         before = _detail(spark, [("A", 1, 10), ("A", 2, 20)])
         cdc = _detail(spark, [("A", 3, 5), ("A", 4, 99)]).withColumn(

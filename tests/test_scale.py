@@ -71,6 +71,29 @@ class TestSalting:
         ).first()
         assert plain == salted
 
+    def test_salted_join_rejects_right_and_full_outer(self, spark):
+        # ADVICE r7 (low): the small side is replicated salt×, so a
+        # right/full outer join would emit `salt` null-extended
+        # copies of every unmatched small-side row — guard, like
+        # hot_salted_join
+        import pytest
+
+        df = spark.range(10).select(F.col("id").alias("k"))
+        for how in ("right", "full", "outer", "full_outer"):
+            with pytest.raises(ValueError):
+                salted_join(df, df, ["k"], how=how)
+        # left joins stay supported: skewed-side rows emit once
+        left = salted_join(
+            spark.range(5).select(F.col("id").alias("k")),
+            spark.range(2).select(
+                F.col("id").alias("k"), F.lit("x").alias("name")
+            ),
+            ["k"],
+            salt=4,
+            how="left",
+        )
+        assert left.count() == 5
+
     def test_salt_spreads_hot_key(self, spark):
         hot = spark.range(1_000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
         small = spark.range(1).select(F.col("id").alias("k"))

@@ -1106,3 +1106,170 @@ class TestShapleyAttribution:
             assert abs(int(got[ch]) - np.floor(shap[ch] * 1e6)) <= 1, ch
         # efficiency: credits telescope to v(all) - v(none) exactly
         assert abs(sum(shap.values()) - (v(15) - v(0))) < 1e-12
+
+
+class TestNtileFromRank:
+    def test_matches_native_ntile_every_small_n(self, spark):
+        """q211's rank→bucket formula must reproduce Spark's ntile
+        bit-for-bit for every n and bucket count that exercises the
+        big/small-bucket split and the k=0 (n < buckets) edge."""
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        from building_energy_data_pipeline_spark.plans.analytics_queries import (
+            _ntile_from_rank,
+        )
+
+        for n in (1, 2, 3, 4, 5, 7, 8, 97, 100):
+            df = (
+                spark.range(1, n + 1)
+                .selectExpr("id as rn", f"cast({n} as bigint) as n_tot")
+            )
+            for b in (2, 3, 4, 5):
+                got = (
+                    df.select(
+                        "rn", _ntile_from_rank("rn", "n_tot", b).alias("x")
+                    )
+                    .orderBy("rn")
+                    .toPandas()["x"]
+                    .tolist()
+                )
+                want = (
+                    spark.range(1, n + 1)
+                    .select(
+                        F.col("id").alias("rn"),
+                        F.ntile(b).over(W.orderBy("id")).alias("x"),
+                    )
+                    .orderBy("rn")
+                    .toPandas()["x"]
+                    .tolist()
+                )
+                assert got == want, (n, b)
+
+
+class TestRfmApproxThresholds:
+    def test_exact_thresholds_match_numpy_rank_rule(self, spark, run):
+        """q245's percentile_disc values re-derived independently:
+        sorted v, threshold = v[ceil(p*n) - 1] (the convention both
+        engines were verified to share)."""
+        import math
+
+        from building_energy_data_pipeline_spark.plans.analytics_queries import (
+            _rfm_customer_grain,
+        )
+
+        got = run("q245_rfm_approx_thresholds").set_index("dim")
+        cust = _rfm_customer_grain(spark, SF_DIR).toPandas()
+        series = {
+            "recency": cust["last_t"],
+            "frequency": cust["freq"],
+            "monetary": cust["monetary_c"],
+        }
+        for dim, s in series.items():
+            v = np.sort(s.to_numpy())
+            n = len(v)
+            assert int(got.loc[dim, "n_cust"]) == n
+            for p, col in ((0.25, "t25"), (0.50, "t50"), (0.75, "t75")):
+                want = int(v[math.ceil(p * n) - 1])
+                assert int(got.loc[dim, col]) == want, (dim, col)
+        assert got["within_bound"].all()
+
+    def test_thresholds_are_monotone_data_values(self, run):
+        got = run("q245_rfm_approx_thresholds")
+        assert (got["t25"] <= got["t50"]).all()
+        assert (got["t50"] <= got["t75"]).all()
+
+
+class TestWauHllWindow:
+    def test_exact_wau_matches_pandas(self, spark, run):
+        got = run("q246_wau_hll_window").set_index("day")
+        from building_energy_data_pipeline_spark.sources.readers import (
+            load_table,
+        )
+        from pyspark.sql import functions as F
+
+        ud = (
+            load_table(spark, SF_DIR, "events")
+            .select(
+                "user_id",
+                F.expr(
+                    "cast(unix_timestamp(ts) as bigint) div 86400"
+                ).alias("day"),
+            )
+            .distinct()
+            .toPandas()
+        )
+        for day in got.index:
+            want = ud[(ud["day"] >= day - 6) & (ud["day"] <= day)][
+                "user_id"
+            ].nunique()
+            assert int(got.loc[day, "wau_exact"]) == want
+        assert got["within_bound"].all()
+        assert (got["err_bp"].abs() <= 3000).all()
+
+    def test_window_merge_equals_pooled_registers(self, spark):
+        """HLL mergeability, the property q246 rides on: max-merging
+        per-day registers over the window must equal registers built
+        from the pooled 7-day slice directly."""
+        from building_energy_data_pipeline_spark.operators import sketch
+        from building_energy_data_pipeline_spark.sources.readers import (
+            load_table,
+        )
+        from pyspark.sql import functions as F
+
+        ud = (
+            load_table(spark, SF_DIR, "events")
+            .selectExpr(
+                "cast(user_id as string) as tok",
+                "cast(unix_timestamp(ts) as bigint) div 86400 as day",
+            )
+            .distinct()
+        )
+        anchor = ud.agg(F.max("day")).first()[0]
+        merged = (
+            sketch.hll_registers(ud, "tok", ["day"])
+            .where(f"day between {anchor} - 6 and {anchor}")
+            .groupBy("bucket")
+            .agg(F.max("register").alias("register"))
+            .toPandas()
+            .set_index("bucket")["register"]
+        )
+        pooled = (
+            sketch.hll_registers(
+                ud.where(f"day between {anchor} - 6 and {anchor}"),
+                "tok",
+            )
+            .toPandas()
+            .set_index("bucket")["register"]
+        )
+        assert merged.sort_index().equals(pooled.sort_index())
+
+
+class TestIvmRollupCube:
+    def test_leaf_cells_equal_q233_state(self, run):
+        cube = run("q247_ivm_rollup_cube")
+        state = run("q233_incremental_rollup")
+        leaves = (
+            cube[cube["ym"].notna() & cube["l_returnflag"].notna()]
+            .astype({"ym": "int64"})
+            .sort_values(["l_returnflag", "ym"])
+            .reset_index(drop=True)
+        )
+        want = state.sort_values(["l_returnflag", "ym"]).reset_index(
+            drop=True
+        )
+        assert leaves[want.columns.tolist()].equals(want)
+
+    def test_hierarchy_is_internally_consistent(self, run):
+        cube = run("q247_ivm_rollup_cube")
+        leaves = cube[cube["ym"].notna()]
+        subs = cube[cube["ym"].isna() & cube["l_returnflag"].notna()]
+        total = cube[cube["l_returnflag"].isna()]
+        assert len(total) == 1
+        for flag, grp in leaves.groupby("l_returnflag"):
+            sub = subs[subs["l_returnflag"] == flag].iloc[0]
+            assert int(sub["cnt"]) == int(grp["cnt"].sum())
+            assert int(sub["sum_qty"]) == int(grp["sum_qty"].sum())
+            assert int(sub["min_price_c"]) == int(grp["min_price_c"].min())
+            assert int(sub["max_price_c"]) == int(grp["max_price_c"].max())
+        assert int(total["cnt"].iloc[0]) == int(leaves["cnt"].sum())

@@ -43,9 +43,6 @@ ALLOWED: dict[str, set[str]] = {
     "q178_rrf_hybrid": {"unpartitioned-window"},
     # per-week survival factors: week-cardinality (calendar-bounded)
     "q201_kaplan_meier": {"unpartitioned-window"},
-    # ntile quartiles over the customer-grain fold; the documented
-    # at-scale swap is the approx-percentile threshold join
-    "q211_rfm_segmentation": {"unpartitioned-window"},
     # cross-bucket prefix max over the price-DOMAIN-bounded bucket
     # table
     "q228_pareto_skyline": {"unpartitioned-window"},

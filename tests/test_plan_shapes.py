@@ -925,3 +925,78 @@ class TestDiversifiedTopkShape:
         assert "TakeOrderedAndProject" in plan
         got = df.toPandas()
         assert (got.groupby("source").size() <= 3).all()
+
+
+class TestR8SwapShapes:
+    def test_q211_no_unpartitioned_window(self, spark, sf_dir):
+        """The r7 verdict's weakest exemption, retired: the customer-
+        grain quartiles must carry NO data-scaled single-partition
+        stage — every window is __pid-partitioned (global_row_index's
+        per-range ranking), and the scalar n_tot joins as a
+        broadcast."""
+        from building_energy_data_pipeline_spark.ops.observe import (
+            plan_lint,
+        )
+
+        df = REGISTRY["q211_rfm_segmentation"].spark(spark, sf_dir)
+        assert plan_lint(df) == []
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for ln in plan.splitlines():
+            if "Window [" in ln:
+                assert "__pid" in ln, ln
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    def test_q245_sketch_is_partial_aggregable(self, plan_of):
+        """The production side (approx_percentile) must fold map-side
+        — a partial aggregate below the dim exchange carrying the
+        sketch."""
+        plan = plan_of("q245_rfm_approx_thresholds")
+        assert "approx_percentile" in plan
+        assert "partial_" in plan
+
+    def test_q246_registers_bound_the_exchange(self, spark, sf_dir):
+        """The window union must move register rows (<= 64/day), not
+        users: the merge aggregate's input is the register fan-out,
+        and its exchange is (anchor, bucket)-keyed — the user string
+        never appears past the per-day distinct."""
+        from building_energy_data_pipeline_spark.ops.observe import (
+            plan_lint,
+        )
+
+        from building_energy_data_pipeline_spark.operators import sketch
+        from building_energy_data_pipeline_spark.sources.readers import (
+            load_table,
+        )
+
+        df = REGISTRY["q246_wau_hll_window"].spark(spark, sf_dir)
+        assert plan_lint(df) == []
+        # the estimate side joins back as a broadcast (register-table
+        # cardinality, never user cardinality)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan
+        # register table cardinality: at most HLL_M = 64 per day
+        ud = (
+            load_table(spark, sf_dir, "events")
+            .selectExpr(
+                "cast(user_id as string) as tok",
+                "cast(unix_timestamp(ts) as bigint) div 86400 as day",
+            )
+            .distinct()
+        )
+        per_day = (
+            sketch.hll_registers(ud, "tok", ["day"])
+            .groupBy("day")
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .first()["mx"]
+        )
+        assert per_day <= sketch.HLL_M
+
+    def test_q247_state_not_fact_feeds_the_rollup(self, spark, sf_dir):
+        """The grouping sets must aggregate the MAINTAINED STATE:
+        Expand (the rollup operator) sits above the IVM union, and
+        the dirty-recompute branch stays a broadcast semi-join."""
+        df = REGISTRY["q247_ivm_rollup_cube"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" in plan
+        assert "LeftSemi, BuildRight" in plan or "left_semi" in plan.lower()

@@ -75,6 +75,14 @@ SHUFFLE_BUDGET = {
     # greedy coverage: 3 chained rounds over the slot-persisted
     # shingle table (anti-join + gain fold + winner semi-join each)
     "q234_greedy_coverage": 14,
+    # r8 at-scale swaps + IVM composition (VERDICT r7 #3/#7/#8):
+    # customer fold (join + agg) + stack exchange + sketch/exact agg
+    "q245_rfm_approx_thresholds": 4,
+    # per-day distinct + register fold + window merge + exact-WAU
+    # audit branch (drops with the audit in production)
+    "q246_wau_hll_window": 8,
+    # q233's six + the rollup Expand aggregate over state rows
+    "q247_ivm_rollup_cube": 7,
 }
 
 

@@ -29,54 +29,104 @@ from . import tpch_queries  # noqa: F401  (remaining TPC-H shapes q212–q226)
 #: at that index (the explicit sentinel tests assert against —
 #: ADVICE r4 #3: no comment parsing).
 DRIVER_WINDOW_SIZE = 50
-FIRST_BELOW_WINDOW = "q162_hll_distinct"
+FIRST_BELOW_WINDOW = "q75_ntile_segmentation"
 
 #: Registry prefix — ROTATION RULE (round 4+): any query whose
 #: plan-affecting code changed since its LAST driver row, and any
 #: query with no driver row yet, goes INSIDE the 50-entry window;
 #: remaining slots refresh the queries with the oldest green rows.
-#: Round-7 window (the authoritative list is _CURATED_ORDER below):
-#: q01 (flagship, every round), then the FIFTY-ONE new round-7
-#: queries (q161 content-defined chunking, q162 HLL distinct, q163
-#: weighted reservoir, q164 inverted index, q165 ridge quality
-#: classifier, q166 label propagation, q167 CUPED readout, q168
-#: streaming HLL maintenance, q169 SCD2 history, q170 SRM check,
-#: q171 MAD outliers, q172 EWMA smoothing, q173 triangle count,
-#: q174 quantile normalize, q175 sorted-neighborhood dedup, q176
-#: SRP-LSH, q177 point-in-time SCD2 join, q178 RRF hybrid
-#: retrieval, q179 k-core peeling, q180 CUSUM drift, q181 hourly
-#: ACF, q182 Benford audit, q183 last-touch attribution, q184
-#: seasonal-naive backtest, q185 HLL set algebra, q186 streaming
-#: CUSUM, q187 TPC-H Q5 local supplier volume, q188 TPC-H Q8
-#: market share, q189 weighted median, q190 disjunctive join,
-#: q191 TWAP, q192 OHLC bars, q193 trend regression, q194 revenue
-#: Gini, q195 HHI concentration, q196 Welch t-test, q197 cross-
-#: correlation, q198 mix-shift decomposition, q199 DAU/WAU
-#: stickiness, q200 item-item CF, q201 Kaplan–Meier, q202 ABC
-#: classes, q203 time-to-convert, q204 streaming OHLC, q205
-#: Mann–Whitney U, q206 KS test, q207 TPC-H Q13 custdist, q208
-#: TPC-H Q22 sales opportunity, q209 Markov removal-effect
-#: attribution, q210 journey paths, q211 RFM segmentation — no
-#: driver row yet). Round 7 ultimately added SEVENTY-SEVEN new
-#: queries (q161–q244), so the window overflows by 35: q162/q163
-#: (round-7 first-batch, lowest information loss — their operator
-#: modules are additionally unit-tested and q168 re-proves the q162
-#: register machinery inside the window) sit first below the
-#: boundary, followed by the late-round additions q212–q244 (TPC-H
-#: completion, seasonal decomposition, skyline, FastSS, sweep-line
-#: concurrency, allocation, interval union, IVM batch + streaming,
-#: greedy coverage, data contract, calibration, golden record,
-#: hot-salted join, growth accounting, streaming top-k, trimmed
-#: means, diversified top-k, Shapley attribution) in
-#: authoring order;
-#: all take their first driver row in the r8 rotation. The whole r3
-#: drain was likewise crowded out. Below those: q61–q95, the r4
-#: set, then r5/r6-green rows, all unchanged since their last
-#: driver row and re-verified by the local DuckDB-parity suite.
+#: Round-8 window (the authoritative list is _CURATED_ORDER below),
+#: filling exactly 50:
+#: - q01 (flagship, every round);
+#: - the THIRTY-FIVE round-7 queries that overflowed the r7 window
+#:   and have never had a driver row: q162 HLL distinct, q163
+#:   weighted reservoir, then q212–q244 in authoring order (TPC-H
+#:   completion q212–q226, seasonal decomposition, skyline, FastSS,
+#:   sweep-line concurrency, allocation, interval union, IVM batch
+#:   + streaming, greedy coverage, data contract, calibration,
+#:   golden record, hot-salted join, growth accounting, streaming
+#:   top-k, trimmed means, diversified top-k, Shapley attribution);
+#: - q211 RFM segmentation, whose plan CHANGED this round (the
+#:   unpartitioned ntile windows were replaced by
+#:   scale.global_row_index ranks + the integer-exact
+#:   ntile-from-rank formula — its r7 plan-lint exemption is
+#:   retired), plus q233/q235 above (already in the 35) covering
+#:   the ivm.py new-key dirty-routing fix (ADVICE r8);
+#: - the THREE new round-8 queries: q245 RFM approx-percentile
+#:   thresholds (q211's documented at-scale swap, q51/q158 audit
+#:   pattern), q246 WAU via per-day HLL register windows (q199's
+#:   documented swap), q247 grouping sets answered from the
+#:   IVM-maintained rollup (the q233 + q45 composition);
+#: - TEN r3-vintage drains — the queries with the OLDEST driver
+#:   rows (last hashed round 3): q61–q67 and q72–q74.
+#: The remaining r3-vintage rows (q75, q77–q82, q88, q93–q95 —
+#: eleven queries) sit FIRST below the boundary, scheduled to drain
+#: in round 9; below those, the r7-window queries whose rows are
+#: freshly green from round 7, then the r4–r6 rows as before.
 #: Ordering is evidence curation, not semantics: every query runs
 #: identically wherever it sits.
 _CURATED_ORDER = [
     "q01_pricing_summary",
+    "q162_hll_distinct",
+    "q163_weighted_reservoir",
+    "q212_min_cost_supplier",
+    "q213_priority_late_ship",
+    "q214_forecast_revenue",
+    "q215_volume_shipping",
+    "q216_product_profit",
+    "q217_returned_items",
+    "q218_important_part_values",
+    "q219_delay_priority_buckets",
+    "q220_promo_revenue_share",
+    "q221_top_supplier",
+    "q222_supplier_part_counts",
+    "q223_small_qty_revenue",
+    "q224_large_volume_customers",
+    "q225_dominant_shippers",
+    "q226_waiting_orders",
+    "q227_seasonal_decomposition",
+    "q228_pareto_skyline",
+    "q229_typo_neighbor_join",
+    "q230_peak_concurrency",
+    "q231_largest_remainder_allocation",
+    "q232_interval_union",
+    "q233_incremental_rollup",
+    "q234_greedy_coverage",
+    "q235_streaming_ivm",
+    "q236_data_contract_audit",
+    "q237_calibration_curve",
+    "q238_golden_record",
+    "q239_hot_salted_join",
+    "q240_growth_accounting",
+    "q241_streaming_topk",
+    "q242_trimmed_winsorized_mean",
+    "q243_diversified_topk",
+    "q244_shapley_attribution",
+    "q211_rfm_segmentation",
+    "q245_rfm_approx_thresholds",
+    "q246_wau_hll_window",
+    "q247_ivm_rollup_cube",
+    "q61_sql_pivot",
+    "q62_streaming_session_window",
+    "q63_map_functions",
+    "q64_stateful_gap_tracker",
+    "q65_tfidf_top_terms",
+    "q66_label_centroids",
+    "q67_variant_json",
+    "q72_event_funnel",
+    "q73_gapfill_locf",
+    "q74_continuous_aggregate",
+    "q75_ntile_segmentation",
+    "q77_modern_aggregates",
+    "q78_random_sample",
+    "q79_stratified_sample",
+    "q80_sliding_window",
+    "q81_first_nth_value",
+    "q82_lateral_topk",
+    "q88_source_mixture",
+    "q93_sink_roundtrip",
+    "q94_footer_rowcounts",
+    "q95_crossmodal_quality_norms",
     "q161_cdc_chunking",
     "q164_inverted_index",
     "q165_quality_classifier",
@@ -125,63 +175,6 @@ _CURATED_ORDER = [
     "q208_sales_opportunity",
     "q209_markov_attribution",
     "q210_journey_paths",
-    "q211_rfm_segmentation",
-    "q162_hll_distinct",
-    "q163_weighted_reservoir",
-    "q212_min_cost_supplier",
-    "q213_priority_late_ship",
-    "q214_forecast_revenue",
-    "q215_volume_shipping",
-    "q216_product_profit",
-    "q217_returned_items",
-    "q218_important_part_values",
-    "q219_delay_priority_buckets",
-    "q220_promo_revenue_share",
-    "q221_top_supplier",
-    "q222_supplier_part_counts",
-    "q223_small_qty_revenue",
-    "q224_large_volume_customers",
-    "q225_dominant_shippers",
-    "q226_waiting_orders",
-    "q227_seasonal_decomposition",
-    "q228_pareto_skyline",
-    "q229_typo_neighbor_join",
-    "q230_peak_concurrency",
-    "q231_largest_remainder_allocation",
-    "q232_interval_union",
-    "q233_incremental_rollup",
-    "q234_greedy_coverage",
-    "q235_streaming_ivm",
-    "q236_data_contract_audit",
-    "q237_calibration_curve",
-    "q238_golden_record",
-    "q239_hot_salted_join",
-    "q240_growth_accounting",
-    "q241_streaming_topk",
-    "q242_trimmed_winsorized_mean",
-    "q243_diversified_topk",
-    "q244_shapley_attribution",
-    "q61_sql_pivot",
-    "q62_streaming_session_window",
-    "q63_map_functions",
-    "q64_stateful_gap_tracker",
-    "q65_tfidf_top_terms",
-    "q66_label_centroids",
-    "q67_variant_json",
-    "q72_event_funnel",
-    "q73_gapfill_locf",
-    "q74_continuous_aggregate",
-    "q75_ntile_segmentation",
-    "q77_modern_aggregates",
-    "q78_random_sample",
-    "q79_stratified_sample",
-    "q80_sliding_window",
-    "q81_first_nth_value",
-    "q82_lateral_topk",
-    "q88_source_mixture",
-    "q93_sink_roundtrip",
-    "q94_footer_rowcounts",
-    "q95_crossmodal_quality_norms",
     "q02_filtered_scan",
     "q03_top_revenue_orders",
     "q08_unpivot_metrics",

@@ -284,3 +284,41 @@ def test_curated_window_holds_exactly_fifty_entries():
         f"window boundary drifted: {FIRST_BELOW_WINDOW} at "
         f"{names.index(FIRST_BELOW_WINDOW)}"
     )
+
+
+def test_window_composition_matches_documented_counts():
+    """The rotation comment's counts, DERIVED not hand-written
+    (ADVICE r7 #3: two r7 sync commits each landed a different wrong
+    hand-counted number). The round-8 window is documented as
+    1 flagship + 35 r7-overflow first-rows + q211 (changed plan)
+    + 3 new r8 queries + 10 r3-vintage drains = 50."""
+    from building_energy_data_pipeline_spark.plans import (
+        DRIVER_WINDOW_SIZE,
+        REGISTRY,
+    )
+
+    window = list(REGISTRY)[:DRIVER_WINDOW_SIZE]
+    assert window[0] == "q01_pricing_summary"
+
+    def num(n: str) -> int:
+        return int(n[1:4]) if n[1:4].isdigit() else int(n[1:3])
+
+    r7_overflow = [
+        n
+        for n in window
+        if n in ("q162_hll_distinct", "q163_weighted_reservoir")
+        or 212 <= num(n) <= 244
+    ]
+    assert len(r7_overflow) == 35
+    r8_new = [n for n in window if 245 <= num(n) <= 247]
+    assert len(r8_new) == 3
+    drains = [n for n in window if 61 <= num(n) <= 95]
+    assert len(drains) == 10
+    changed = [n for n in window if n == "q211_rfm_segmentation"]
+    assert len(changed) == 1
+    assert 1 + len(r7_overflow) + len(r8_new) + len(drains) + len(
+        changed
+    ) == DRIVER_WINDOW_SIZE
+    # round-7's registry growth, the number the r7 prose got wrong
+    # twice: q161–q244 is 84 entries (q89 unused)
+    assert len([n for n in REGISTRY if 161 <= num(n) <= 244]) == 84

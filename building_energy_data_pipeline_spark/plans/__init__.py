@@ -29,7 +29,7 @@ from . import tpch_queries  # noqa: F401  (remaining TPC-H shapes q212–q226)
 #: at that index (the explicit sentinel tests assert against —
 #: ADVICE r4 #3: no comment parsing).
 DRIVER_WINDOW_SIZE = 50
-FIRST_BELOW_WINDOW = "q75_ntile_segmentation"
+FIRST_BELOW_WINDOW = "q74_continuous_aggregate"
 
 #: Registry prefix — ROTATION RULE (round 4+): any query whose
 #: plan-affecting code changed since its LAST driver row, and any
@@ -52,15 +52,18 @@ FIRST_BELOW_WINDOW = "q75_ntile_segmentation"
 #:   ntile-from-rank formula — its r7 plan-lint exemption is
 #:   retired), plus q233/q235 above (already in the 35) covering
 #:   the ivm.py new-key dirty-routing fix (ADVICE r8);
-#: - the THREE new round-8 queries: q245 RFM approx-percentile
+#: - the FOUR new round-8 queries: q245 RFM approx-percentile
 #:   thresholds (q211's documented at-scale swap, q51/q158 audit
 #:   pattern), q246 WAU via per-day HLL register windows (q199's
 #:   documented swap), q247 grouping sets answered from the
-#:   IVM-maintained rollup (the q233 + q45 composition);
-#: - TEN r3-vintage drains — the queries with the OLDEST driver
-#:   rows (last hashed round 3): q61–q67 and q72–q74.
-#: The remaining r3-vintage rows (q75, q77–q82, q88, q93–q95 —
-#: eleven queries) sit FIRST below the boundary, scheduled to drain
+#:   IVM-maintained rollup (the q233 + q45 composition), q248
+#:   conversion-latency quantiles via approx-percentile threshold
+#:   join (q203's documented swap — the LAST documented swap, all
+#:   three now implemented);
+#: - NINE r3-vintage drains — the queries with the OLDEST driver
+#:   rows (last hashed round 3): q61–q67 and q72–q73.
+#: The remaining r3-vintage rows (q74, q75, q77–q82, q88, q93–q95 —
+#: twelve queries) sit FIRST below the boundary, scheduled to drain
 #: in round 9; below those, the r7-window queries whose rows are
 #: freshly green from round 7, then the r4–r6 rows as before.
 #: Ordering is evidence curation, not semantics: every query runs
@@ -106,6 +109,7 @@ _CURATED_ORDER = [
     "q245_rfm_approx_thresholds",
     "q246_wau_hll_window",
     "q247_ivm_rollup_cube",
+    "q248_latency_approx_quantiles",
     "q61_sql_pivot",
     "q62_streaming_session_window",
     "q63_map_functions",

@@ -5851,3 +5851,146 @@ def q247_ivm_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "ym")
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-latency quantiles via approx-percentile threshold join — q248
+# ---------------------------------------------------------------------------
+
+#: GK rank-error slack for the q248 audit, in ranks: 5× the sketch's
+#: guaranteed εn (accuracy 1000 → ε = 0.001) plus 2 for the two
+#: engines'/conventions' ±1 target-rank ambiguity — integer-exact, so
+#: the bound cannot flap at small cohort sizes the way a value-space
+#: margin would (an interpolated percentile window narrower than one
+#: rank contains NO data value).
+_Q248_SLACK = "(n_conv div 200 + 2)"
+
+
+@query(
+    "q248_latency_approx_quantiles",
+    headline=True,
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(floor(epoch(MIN(ts))) AS BIGINT) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id,
+             CAST(floor(epoch(MIN(e.ts))) AS BIGINT) AS t_conv
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase'
+        AND CAST(floor(epoch(e.ts)) AS BIGINT) >= s.t_signup
+      GROUP BY e.user_id),
+    conv AS (
+      SELECT s.t_signup // 604800 AS cohort_w,
+             p.t_conv - s.t_signup AS lat
+      FROM s JOIN p ON s.user_id = p.user_id)
+    SELECT cohort_w,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(floor(quantile_cont(lat, 0.5) / 3600) AS BIGINT)
+             AS p50_hours,
+           CAST(floor(quantile_cont(lat, 0.9) / 3600) AS BIGINT)
+             AS p90_hours,
+           TRUE AS within_bound
+    FROM conv GROUP BY cohort_w ORDER BY cohort_w
+    """,
+)
+def q248_latency_approx_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q203's documented at-scale swap, shipped as the literal
+    "approx-percentile threshold join" its docstring promises — the
+    third and LAST documented swap turned into an oracle-checked
+    query (q245 covered q211's, q246 covered q199's): per signup
+    cohort, the p50/p90 conversion-latency thresholds come from a
+    one-pass mergeable ``approx_percentile`` sketch, broadcast back
+    onto the latencies, and AUDITED in rank space — count how many
+    latencies fall at/below each threshold and require that rank
+    window to sit within 5εn + 2 ranks of the target rank
+    (integer-exact; a value-space margin is undefined at small
+    cohorts where one rank spans a wide value gap, the reason this
+    audit counts ranks instead of comparing values, unlike
+    q245/q158 whose margins span many ranks).
+
+    The hash pins the exact interpolated p50/p90 hours (q203's own
+    audit side, engine-identical by the q171 convention) AND
+    ``within_bound``; cohort assignment against the broadcast
+    thresholds is exactly how production buckets converts
+    above/below median at 100 TB — no per-cohort sort, fixed-size
+    sketch state, one extra broadcast join.
+
+    Scale: two user-grained folds (as q203) → cohort-cardinality
+    sketch → broadcast threshold join back over the converts → one
+    counting aggregate. The exact percentile rides only to audit.
+    """
+    from .. import caching
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("cast(unix_timestamp(ts) as bigint)").alias("t"),
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_signup"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("t") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_conv"))
+    )
+    conv = caching.slot_persist(
+        "q248_conv",
+        s.join(p, "user_id").select(
+            F.expr("t_signup div 604800").alias("cohort_w"),
+            (F.col("t_conv") - F.col("t_signup")).alias("lat"),
+        ),
+    )
+    th = conv.groupBy("cohort_w").agg(
+        F.expr(
+            "approx_percentile(lat, array(0.5D, 0.9D), 1000)"
+        ).alias("ap"),
+    )
+    joined = conv.join(F.broadcast(th), "cohort_w")
+    audit = joined.groupBy("cohort_w").agg(
+        F.count("*").alias("n_conv"),
+        F.expr(
+            "cast(floor(percentile(lat, 0.5) / 3600) as bigint)"
+        ).alias("p50_hours"),
+        F.expr(
+            "cast(floor(percentile(lat, 0.9) / 3600) as bigint)"
+        ).alias("p90_hours"),
+        F.expr("sum(CASE WHEN lat <= ap[0] THEN 1 ELSE 0 END)").alias(
+            "le50"
+        ),
+        F.expr("sum(CASE WHEN lat < ap[0] THEN 1 ELSE 0 END)").alias(
+            "lt50"
+        ),
+        F.expr("sum(CASE WHEN lat <= ap[1] THEN 1 ELSE 0 END)").alias(
+            "le90"
+        ),
+        F.expr("sum(CASE WHEN lat < ap[1] THEN 1 ELSE 0 END)").alias(
+            "lt90"
+        ),
+    )
+    # the threshold's occupied rank interval [lt+1, le] must come
+    # within `slack` ranks of the target rank ceil(p * n)
+    within = (
+        f"le50 >= (n_conv + 1) div 2 - {_Q248_SLACK}"
+        f" AND lt50 < (n_conv + 1) div 2 + {_Q248_SLACK}"
+        f" AND le90 >= (9 * n_conv + 9) div 10 - {_Q248_SLACK}"
+        f" AND lt90 < (9 * n_conv + 9) div 10 + {_Q248_SLACK}"
+    )
+    return (
+        audit.select(
+            "cohort_w",
+            F.col("n_conv").alias("n_converted"),
+            "p50_hours",
+            "p90_hours",
+            F.expr(within).alias("within_bound"),
+        )
+        .orderBy("cohort_w")
+    )

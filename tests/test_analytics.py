@@ -1273,3 +1273,52 @@ class TestIvmRollupCube:
             assert int(sub["min_price_c"]) == int(grp["min_price_c"].min())
             assert int(sub["max_price_c"]) == int(grp["max_price_c"].max())
         assert int(total["cnt"].iloc[0]) == int(leaves["cnt"].sum())
+
+
+class TestLatencyApproxQuantiles:
+    def test_rank_audit_matches_numpy(self, spark, run):
+        """q248's exact p50/p90 re-derived with numpy's linear
+        interpolation, and the rank audit re-checked offline."""
+        got = run("q248_latency_approx_quantiles").set_index("cohort_w")
+        from building_energy_data_pipeline_spark.sources.readers import (
+            load_table,
+        )
+        from pyspark.sql import functions as F
+
+        ev = (
+            load_table(spark, SF_DIR, "events")
+            .select(
+                "user_id",
+                "event_type",
+                F.expr("cast(unix_timestamp(ts) as bigint)").alias("t"),
+            )
+            .toPandas()
+        )
+        s = (
+            ev[ev["event_type"] == "signup"]
+            .groupby("user_id")["t"]
+            .min()
+            .rename("t_signup")
+        )
+        p = ev[ev["event_type"] == "purchase"].merge(
+            s, on="user_id"
+        )
+        p = p[p["t"] >= p["t_signup"]]
+        conv = (
+            p.groupby("user_id")
+            .agg(t_conv=("t", "min"), t_signup=("t_signup", "first"))
+            .assign(
+                cohort_w=lambda d: d["t_signup"] // 604800,
+                lat=lambda d: d["t_conv"] - d["t_signup"],
+            )
+        )
+        for cw, grp in conv.groupby("cohort_w"):
+            lat = grp["lat"].to_numpy()
+            assert int(got.loc[cw, "n_converted"]) == len(lat)
+            assert int(got.loc[cw, "p50_hours"]) == int(
+                np.percentile(lat, 50, method="linear") // 3600
+            )
+            assert int(got.loc[cw, "p90_hours"]) == int(
+                np.percentile(lat, 90, method="linear") // 3600
+            )
+        assert got["within_bound"].all()

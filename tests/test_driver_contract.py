@@ -291,7 +291,7 @@ def test_window_composition_matches_documented_counts():
     (ADVICE r7 #3: two r7 sync commits each landed a different wrong
     hand-counted number). The round-8 window is documented as
     1 flagship + 35 r7-overflow first-rows + q211 (changed plan)
-    + 3 new r8 queries + 10 r3-vintage drains = 50."""
+    + 4 new r8 queries + 9 r3-vintage drains = 50."""
     from building_energy_data_pipeline_spark.plans import (
         DRIVER_WINDOW_SIZE,
         REGISTRY,
@@ -310,10 +310,10 @@ def test_window_composition_matches_documented_counts():
         or 212 <= num(n) <= 244
     ]
     assert len(r7_overflow) == 35
-    r8_new = [n for n in window if 245 <= num(n) <= 247]
-    assert len(r8_new) == 3
+    r8_new = [n for n in window if 245 <= num(n) <= 248]
+    assert len(r8_new) == 4
     drains = [n for n in window if 61 <= num(n) <= 95]
-    assert len(drains) == 10
+    assert len(drains) == 9
     changed = [n for n in window if n == "q211_rfm_segmentation"]
     assert len(changed) == 1
     assert 1 + len(r7_overflow) + len(r8_new) + len(drains) + len(

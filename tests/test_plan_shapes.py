@@ -1000,3 +1000,19 @@ class TestR8SwapShapes:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Expand" in plan
         assert "LeftSemi, BuildRight" in plan or "left_semi" in plan.lower()
+
+    def test_q248_threshold_join_is_broadcast(self, spark, sf_dir):
+        """The sketch thresholds must come back as a BROADCAST join
+        (cohort-cardinality), and the whole plan carries no
+        scale-killer — the production bucket-assignment shape."""
+        from building_energy_data_pipeline_spark.ops.observe import (
+            plan_lint,
+        )
+
+        df = REGISTRY["q248_latency_approx_quantiles"].spark(
+            spark, sf_dir
+        )
+        assert plan_lint(df) == []
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "approx_percentile" in plan

@@ -83,6 +83,9 @@ SHUFFLE_BUDGET = {
     "q246_wau_hll_window": 8,
     # q233's six + the rollup Expand aggregate over state rows
     "q247_ivm_rollup_cube": 7,
+    # user-grain signup/purchase folds + cohort sketch agg; the
+    # threshold join back is a broadcast (not counted by design)
+    "q248_latency_approx_quantiles": 3,
 }
 
 

@@ -297,3 +297,80 @@ class TestIVMVolume:
         assert len(got) == groups
         for col in ("cnt", "sum_v", "min_v", "max_v"):
             assert (got[col] == want[col]).all(), col
+
+
+class TestNtileFromRankVolume:
+    def test_quartiles_on_2m_rows_without_single_partition(self, spark):
+        """q211's rank→bucket path at volume: 2M rows through
+        global_row_index + _ntile_from_rank must produce four buckets
+        whose sizes differ by ≤1 and whose boundaries respect the
+        order — with no single-partition stage (native ntile at this
+        cardinality would funnel 2M rows through one task)."""
+        from building_energy_data_pipeline_spark.plans.analytics_queries import (
+            _ntile_from_rank,
+        )
+
+        n = 2_000_000
+        df = spark.range(n).select(
+            (F.col("id") * 2654435761 % 999_983).alias("v"),
+            F.col("id").alias("tie"),
+        )
+        ranked = scale.global_row_index(df, ["v", "tie"], "rn")
+        n_df = ranked.agg(F.count("*").alias("n_tot"))
+        scored = ranked.crossJoin(F.broadcast(n_df)).select(
+            "v", _ntile_from_rank("rn", "n_tot", 4).alias("q")
+        )
+        from building_energy_data_pipeline_spark.ops.observe import (
+            plan_lint,
+        )
+
+        # the only SinglePartition exchange allowed is the sanctioned
+        # partial→final step of the scalar n_tot aggregate, which
+        # plan_lint distinguishes from a data funnel
+        assert plan_lint(scored) == []
+        sizes = dict(scored.groupBy("q").count().collect())
+        assert sorted(sizes) == [1, 2, 3, 4]
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        # boundary order: bucket value ranges are monotone (a tied
+        # value may straddle adjacent buckets — rank splits ties — so
+        # assert lo/hi monotonicity, not strict disjointness)
+        b = scored.groupBy("q").agg(
+            F.min("v").alias("lo"), F.max("v").alias("hi")
+        )
+        rows = {r["q"]: (r["lo"], r["hi"]) for r in b.collect()}
+        for i in (1, 2, 3):
+            assert rows[i][0] <= rows[i + 1][0], rows
+            assert rows[i][1] <= rows[i + 1][1], rows
+
+
+class TestHLLWindowVolume:
+    def test_register_fan_is_metadata_sized_at_5m_events(self, spark):
+        """q246's core scale claim: 5M (user, day) activity rows fold
+        to ≤ 64 registers/day, so the 7-day window union moves
+        sketch rows only; the merged estimate stays within the m=64
+        error envelope against the exact distinct count."""
+        from building_energy_data_pipeline_spark.operators import sketch
+
+        n, days, users = 5_000_000, 30, 200_000
+        ud = spark.range(n).select(
+            F.expr(f"cast(id % {users} as string)").alias("tok"),
+            (F.col("id") % days).alias("day"),
+        ).distinct()
+        regs = sketch.hll_registers(ud, "tok", ["day"])
+        assert regs.count() <= days * sketch.HLL_M
+        anchor = days - 1
+        merged = (
+            regs.where(f"day between {anchor} - 6 and {anchor}")
+            .groupBy("bucket")
+            .agg(F.max("register").alias("register"))
+        )
+        est = sketch.hll_estimate(
+            merged.withColumn("g", F.lit(1)), ["g"]
+        ).first()["hll_est"]
+        exact = (
+            ud.where(f"day between {anchor} - 6 and {anchor}")
+            .select("tok")
+            .distinct()
+            .count()
+        )
+        assert abs(est - exact) / exact <= 0.40  # ~3σ for m = 64

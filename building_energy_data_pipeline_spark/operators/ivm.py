@@ -55,6 +55,23 @@ def _has_delete_extremes(minmax_cols: list[str]) -> str:
     ) or "false"
 
 
+def _dirty_pred(minmax_cols: list[str]) -> str:
+    """SQL predicate over a state⋈delta row: some delete may have
+    removed the last witness of a stored extreme. Per column this is
+    a non-null delete extreme that (a) ties or passes the stored
+    min/max, or (b) meets a NULL stored extreme — a seen group whose
+    base values were all NULL has no extreme to compare against, so
+    an intra-batch insert+delete pair would otherwise fabricate one
+    from the insert side (same bug class as the unseen-key rule, one
+    branch later). Never NULL: every disjunct is guarded by the
+    IS NOT NULL probe."""
+    return " OR ".join(
+        f"(dmin_{c} IS NOT NULL AND (min_{c} IS NULL"
+        f" OR dmin_{c} <= min_{c} OR dmax_{c} >= max_{c}))"
+        for c in minmax_cols
+    ) or "false"
+
+
 def rollup_state(detail: DataFrame, keys: list[str], sum_cols: list[str], minmax_cols: list[str]) -> DataFrame:
     """The materialized rollup this module maintains: per ``keys``,
     ``cnt`` plus ``sum_<c>`` for each sum column and ``min_<c>`` /
@@ -118,23 +135,23 @@ def maintenance_census(
     refresh cost driver at scale)."""
     d = _delta(cdc, keys, [], minmax_cols)
     j = state.join(d, keys, "full_outer")
-    dirty_pred = " OR ".join(
-        f"dmin_{c} <= min_{c} OR dmax_{c} >= max_{c}"
-        for c in minmax_cols
-    ) or "false"
     has_deletes = _has_delete_extremes(minmax_cols)
     return j.select(
         *keys,
         F.expr(
             "CASE"
             " WHEN cnt_d IS NULL THEN 'untouched'"
+            # unseen key whose inserts and deletes cancel: no state
+            # row is produced and no recompute runs — 'dropped',
+            # faithful to maintain_rollup's new_cnt > 0 gate
+            " WHEN cnt IS NULL AND cnt_d <= 0 THEN 'dropped'"
             # an unseen key whose batch also deletes rows (intra-
             # batch I+D, the update convention) cannot be patched
             # from inserts alone — it is dirty, not 'new'
             f" WHEN cnt IS NULL AND ({has_deletes}) THEN 'dirty'"
             " WHEN cnt IS NULL THEN 'new'"
             " WHEN cnt + cnt_d <= 0 THEN 'dropped'"
-            f" WHEN coalesce({dirty_pred}, false) THEN 'dirty'"
+            f" WHEN {_dirty_pred(minmax_cols)} THEN 'dirty'"
             " ELSE 'algebraic' END"
         ).alias("path"),
     )
@@ -154,29 +171,35 @@ def maintain_rollup(
     ``detail_after`` is the post-change detail table (maintained by
     the CDC apply itself, q105/q115) and is touched ONLY for dirty
     groups. Returns the refreshed state with the same schema.
+
+    NULL convention for sum columns: the algebraic patch folds with
+    ``coalesce(_, 0)``, so a surviving group whose remaining sum-
+    column values are ALL NULL reports ``sum_<c> = 0`` where a fresh
+    :func:`rollup_state` would report NULL (SQL SUM over no non-null
+    rows). Callers needing SQL NULL semantics should track a
+    non-null count column alongside. Min/max columns are exact in
+    every case — NULL stored extremes route to the dirty recompute
+    whenever a non-null delete extreme meets them (see
+    :func:`_dirty_pred`).
     """
     delta = _delta(cdc, keys, sum_cols, minmax_cols)
 
     j = state.join(delta, keys, "full_outer")
     new_cnt = F.expr("coalesce(cnt, 0L) + coalesce(cnt_d, 0L)")
-    # a delete equal to the stored extreme may remove its last
-    # witness — the only case the state cannot patch algebraically
-    dirty_pred = " OR ".join(
-        f"dmin_{c} <= min_{c} OR dmax_{c} >= max_{c}"
-        for c in minmax_cols
-    ) or "false"
-    # coalesce: a group with no deletes has null dmin/dmax, and the
-    # OR chain must read as "not dirty", not as null (which would
-    # drop the group from BOTH branches). An unseen key (cnt IS
-    # NULL) with any non-null delete extreme is dirty outright: the
-    # delete may have removed the batch's own insert extreme, and
-    # there is no stored extreme to patch from (ADVICE r7).
+    # a delete tying/passing the stored extreme — or meeting a NULL
+    # stored extreme — may remove the last witness; an unseen key
+    # (cnt IS NULL) with any non-null delete extreme is dirty
+    # outright: the delete may have removed the batch's own insert
+    # extreme, and there is no stored extreme to patch from (ADVICE
+    # r7 + the seen-key NULL-extreme case of the same bug class).
+    # _dirty_pred is never NULL (IS NOT NULL-guarded disjuncts), so
+    # a group with no deletes cleanly reads "not dirty".
     has_deletes = _has_delete_extremes(minmax_cols)
     patched = j.withColumn("new_cnt", new_cnt).withColumn(
         "is_dirty",
         F.expr(
             f"CASE WHEN cnt IS NULL THEN ({has_deletes})"
-            f" ELSE coalesce({dirty_pred}, false) END"
+            f" ELSE {_dirty_pred(minmax_cols)} END"
         ),
     )
 

@@ -112,7 +112,17 @@ def salted_join(
     replica — so those modes raise (ADVICE r7, mirroring
     :func:`hot_salted_join`'s guard).
     """
-    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "leftsemi", "leftanti"):
+    # every Spark spelling of the safe modes (JoinType.apply's
+    # aliases): inner, left/leftouter, semi/leftsemi, anti/leftanti
+    if how.lower().replace("_", "") not in (
+        "inner",
+        "left",
+        "leftouter",
+        "semi",
+        "leftsemi",
+        "anti",
+        "leftanti",
+    ):
         raise ValueError(
             "salted_join replicates the small side %d x; %r would "
             "emit duplicate null-extended rows for unmatched small-"

@@ -246,6 +246,7 @@ def duck_hll_sql(stream_sql: str, group_col: str) -> str:
     oracle hash pins the estimate AND its error (in floor'd basis
     points, integer-safe)."""
     m, bits, pw = HLL_M, _HLL_RHO_BITS, _HLL_POW
+    alpha = HLL_ALPHA  # one source for the bias constant (m-dependent)
     v32 = "CAST(concat('0x', substring(md5(tok), 9, 8)) AS BIGINT)"
     return f"""
     WITH stream AS ({stream_sql}),
@@ -267,12 +268,12 @@ def duck_hll_sql(stream_sql: str, group_col: str) -> str:
     est AS (
       SELECT g, reg_checksum,
         CAST(floor(
-          CASE WHEN CAST(0.709 AS DOUBLE) * {m}.0 * {m}.0 * {pw}.0
+          CASE WHEN {alpha} * {m}.0 * {m}.0 * {pw}.0
                     / CAST(s_present + ({m} - npresent)
                            * CAST({pw} AS BIGINT) AS DOUBLE)
                  <= {2.5 * m} AND ({m} - npresent) > 0
           THEN {m}.0 * ln({m}.0 / ({m} - npresent))
-          ELSE CAST(0.709 AS DOUBLE) * {m}.0 * {m}.0 * {pw}.0
+          ELSE {alpha} * {m}.0 * {m}.0 * {pw}.0
                / CAST(s_present + ({m} - npresent)
                       * CAST({pw} AS BIGINT) AS DOUBLE)
           END + 0.5) AS BIGINT) AS hll_est

@@ -3724,32 +3724,15 @@ def q211_rfm_segmentation(
     variant (value thresholds, no rank machinery at all) ships as
     q245 with its error-bound audit.
     """
-    f = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(
-            "l_orderkey",
-            F.expr(
-                "cast(floor(l_extendedprice * (1 - l_discount) * 100)"
-                " as bigint)"
-            ).alias("rev_c"),
-        )
-        .join(
-            load_table(spark, sf_dir, "orders").select(
-                "o_orderkey",
-                "o_custkey",
-                F.expr(
-                    "cast(unix_timestamp(o_orderdate) as bigint)"
-                ).alias("t"),
-            ),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-    )
+    from .. import caching
     from ..operators.scale import global_row_index
 
-    cust = f.groupBy(F.col("o_custkey").alias("ck")).agg(
-        F.max("t").alias("last_t"),
-        F.count_distinct("l_orderkey").alias("freq"),
-        F.sum("rev_c").cast("bigint").alias("monetary_c"),
+    # shared with q245 (same slot): the fold computes once per
+    # session, and the three eager global_row_index materializations
+    # below read the cached customer grain instead of re-running the
+    # fact join per rank pass
+    cust = caching.slot_persist(
+        "rfm_cust", _rfm_customer_grain(spark, sf_dir)
     )
     n_df = cust.agg(F.count("*").alias("n_tot"))
     ranked = (
@@ -5587,7 +5570,11 @@ def q245_rfm_approx_thresholds(
     whose state is fixed-size and mergeable, and the customer fold
     itself is one shuffle.
     """
-    cust = _rfm_customer_grain(spark, sf_dir)
+    from .. import caching
+
+    cust = caching.slot_persist(
+        "rfm_cust", _rfm_customer_grain(spark, sf_dir)
+    )
     long = cust.select(
         F.expr(
             "stack(3, 'recency', last_t, 'frequency', freq,"
@@ -5647,10 +5634,13 @@ _WAU_HLL_BOUND_BP = 3000
 def _q246_oracle() -> str:
     from ..operators import sketch
 
-    m, bits, pw = sketch.HLL_M, 33, 1 << 33
+    # every estimator constant derives from the sketch module so the
+    # two texts cannot drift if HLL_P/alpha ever change
+    m, bits = sketch.HLL_M, sketch._HLL_RHO_BITS
+    pw, alpha = 1 << bits, sketch.HLL_ALPHA
     v32 = "CAST(concat('0x', substring(md5(tok), 9, 8)) AS BIGINT)"
     raw = (
-        f"CAST(0.709 AS DOUBLE) * {m}.0 * {m}.0 * {pw}.0"
+        f"{alpha} * {m}.0 * {m}.0 * {pw}.0"
         f" / CAST(s_present + ({m} - npresent)"
         f" * CAST({pw} AS BIGINT) AS DOUBLE)"
     )

@@ -134,7 +134,9 @@ class TestCraftedTruthTable:
 
     def test_new_key_net_deleted_is_dropped(self, spark):
         # unseen key whose inserts and deletes cancel: the dirty
-        # route must not resurrect it (new_cnt = 0 filter)
+        # route must not resurrect it (new_cnt = 0 filter), and the
+        # census reports it 'dropped' — not 'dirty' — so the
+        # recompute cost estimate stays faithful (r8 review #4)
         before = _detail(spark, [("Z", 0, 1)])
         cdc = (
             _detail(spark, [("N", 1, 10)]).withColumn(
@@ -151,6 +153,85 @@ class TestCraftedTruthTable:
             state0, cdc, after, KEYS, SUMS, MMS
         ).toPandas()
         assert list(got["g"]) == ["Z"]
+        census = dict(
+            ivm.maintenance_census(state0, cdc, KEYS, MMS)
+            .toPandas()
+            .set_index("g")["path"]
+        )
+        assert census["N"] == "dropped"
+
+    def test_seen_key_with_null_extremes_routes_dirty(self, spark):
+        # r8 review #1 (live repro): a SEEN key whose stored min/max
+        # are NULL (all base values NULL) with an intra-batch I+D
+        # pair of the same value must recompute — the clean branch
+        # would fabricate min=max=10 from the insert extreme where
+        # the truth is NULL/NULL
+        rows = [("A", 1, None), ("A", 2, None)]
+        before = spark.createDataFrame(
+            rows, "g string, id bigint, v bigint"
+        )
+        cdc = (
+            _detail(spark, [("A", 3, 10)]).withColumn(
+                ivm.OP_COL, F.lit("I")
+            )
+        ).unionByName(
+            _detail(spark, [("A", 3, 10)]).withColumn(
+                ivm.OP_COL, F.lit("D")
+            )
+        )
+        after = before
+        state0 = ivm.rollup_state(before, KEYS, SUMS, MMS)
+        got = (
+            ivm.maintain_rollup(state0, cdc, after, KEYS, SUMS, MMS)
+            .toPandas()
+            .set_index("g")
+        )
+        want = (
+            ivm.rollup_state(after, KEYS, SUMS, MMS)
+            .toPandas()
+            .set_index("g")
+        )
+        assert int(got.loc["A", "cnt"]) == int(want.loc["A", "cnt"])
+        assert got.loc["A", "min_v"] is None or (
+            got.loc["A", "min_v"] != got.loc["A", "min_v"]
+        )  # NULL (pandas NaN), never a fabricated 10
+        assert got.loc["A", "max_v"] is None or (
+            got.loc["A", "max_v"] != got.loc["A", "max_v"]
+        )
+        census = dict(
+            ivm.maintenance_census(state0, cdc, KEYS, MMS)
+            .toPandas()
+            .set_index("g")["path"]
+        )
+        assert census["A"] == "dirty"
+
+    def test_null_valued_deletes_stay_algebraic(self, spark):
+        # a D row whose min/max value is NULL can never have been an
+        # extreme witness — it must NOT trigger a recompute, and the
+        # algebraic patch must still be exact
+        before = spark.createDataFrame(
+            [("A", 1, 10), ("A", 2, 20), ("A", 3, None)],
+            "g string, id bigint, v bigint",
+        )
+        cdc = spark.createDataFrame(
+            [("A", 3, None)], "g string, id bigint, v bigint"
+        ).withColumn(ivm.OP_COL, F.lit("D"))
+        after = _detail(spark, [("A", 1, 10), ("A", 2, 20)])
+        state0 = ivm.rollup_state(before, KEYS, SUMS, MMS)
+        census = dict(
+            ivm.maintenance_census(state0, cdc, KEYS, MMS)
+            .toPandas()
+            .set_index("g")["path"]
+        )
+        assert census["A"] == "algebraic"
+        got = (
+            ivm.maintain_rollup(state0, cdc, after, KEYS, SUMS, MMS)
+            .toPandas()
+            .set_index("g")
+        )
+        assert int(got.loc["A", "cnt"]) == 2
+        assert int(got.loc["A", "min_v"]) == 10
+        assert int(got.loc["A", "max_v"]) == 20
 
     def test_insert_extends_extremes_algebraically(self, spark):
         before = _detail(spark, [("A", 1, 10), ("A", 2, 20)])

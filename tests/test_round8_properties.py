@@ -152,6 +152,105 @@ class TestIVMRouting:
         assert got == want
 
 
+class TestIVMRoutingNullable:
+    """Same identity with a NULLABLE min/max column (the r8 review's
+    seen-key-NULL-extremes bug class): min/max ignore NULLs, a NULL-
+    valued delete never dirties, and a non-null delete meeting a NULL
+    stored extreme must recompute."""
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),
+                st.one_of(
+                    st.none(), st.integers(min_value=-20, max_value=20)
+                ),
+            ),
+            max_size=25,
+        ),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),
+                st.one_of(
+                    st.none(), st.integers(min_value=-20, max_value=20)
+                ),
+            ),
+            max_size=12,
+        ),
+        st.data(),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_minmax_patch_equals_recompute(self, base, inserts, data):
+        pool = base + inserts
+        mask = data.draw(
+            st.lists(
+                st.booleans(), min_size=len(pool), max_size=len(pool)
+            )
+        )
+        deletes = [row for row, d in zip(pool, mask) if d]
+
+        def mm(rows):
+            state = {}
+            for g, v in rows:
+                c, mn, mx = state.get(g, (0, None, None))
+                if v is not None:
+                    mn = v if mn is None else min(mn, v)
+                    mx = v if mx is None else max(mx, v)
+                state[g] = (c + 1, mn, mx)
+            return state
+
+        state0 = mm(base)
+        after = list(base + inserts)
+        for row in deletes:
+            after.remove(row)
+        want = mm(after)
+
+        got = {}
+        keys = {g for g, _ in base + inserts + deletes}
+        for g in keys:
+            ins = [v for k, v in inserts if k == g]
+            dels = [v for k, v in deletes if k == g]
+            dels_nn = [v for v in dels if v is not None]
+            ins_nn = [v for v in ins if v is not None]
+            c0, mn0, mx0 = state0.get(g, (0, None, None))
+            new_cnt = c0 + len(ins) - len(dels)
+            if g not in state0:
+                dirty = bool(dels_nn)
+            else:
+                # the fixed predicate: non-null delete extreme that
+                # ties/passes the stored extreme OR meets a NULL one
+                dirty = bool(dels_nn) and (
+                    mn0 is None
+                    or min(dels_nn) <= mn0
+                    or max(dels_nn) >= mx0
+                )
+            if new_cnt <= 0:
+                continue
+            if dirty:
+                got[g] = mm([(g, v) for k, v in after if k == g])[g]
+            else:
+                mn = (
+                    mn0
+                    if not ins_nn
+                    else (
+                        min(ins_nn)
+                        if mn0 is None
+                        else min(mn0, min(ins_nn))
+                    )
+                )
+                mx = (
+                    mx0
+                    if not ins_nn
+                    else (
+                        max(ins_nn)
+                        if mx0 is None
+                        else max(mx0, max(ins_nn))
+                    )
+                )
+                got[g] = (new_cnt, mn, mx)
+        assert got == want
+
+
 class TestQ248RankAudit:
     """The rank-space audit accepts any threshold whose true rank
     error is within the sketch guarantee, and rejects one beyond the

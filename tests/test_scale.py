@@ -82,17 +82,25 @@ class TestSalting:
         for how in ("right", "full", "outer", "full_outer"):
             with pytest.raises(ValueError):
                 salted_join(df, df, ["k"], how=how)
-        # left joins stay supported: skewed-side rows emit once
-        left = salted_join(
-            spark.range(5).select(F.col("id").alias("k")),
-            spark.range(2).select(
-                F.col("id").alias("k"), F.lit("x").alias("name")
-            ),
-            ["k"],
-            salt=4,
-            how="left",
+        # every Spark spelling of the safe modes stays supported —
+        # the guard must not reject valid aliases (r8 review #5)
+        sk = spark.range(5).select(F.col("id").alias("k"))
+        sm = spark.range(2).select(
+            F.col("id").alias("k"), F.lit("x").alias("name")
         )
-        assert left.count() == 5
+        for how, want in (
+            ("left", 5),
+            ("leftouter", 5),
+            ("left_outer", 5),
+            ("semi", 2),
+            ("leftsemi", 2),
+            ("left_semi", 2),
+            ("anti", 3),
+            ("leftanti", 3),
+            ("left_anti", 3),
+            ("inner", 2),
+        ):
+            assert salted_join(sk, sm, ["k"], salt=4, how=how).count() == want, how
 
     def test_salt_spreads_hot_key(self, spark):
         hot = spark.range(1_000).select(F.lit(0).alias("k"), F.col("id").alias("v"))

@@ -14,19 +14,27 @@ asks it to:
   ``mapInPandas`` stages — Arrow moves the bytes zero-copy into
   Python once per batch, not per row.
 
-The actual codecs (PIL/libsndfile/ffmpeg) are NOT in this
-environment, so ``decode_image`` is **STUBBED**: with
-``use_real_codec=True`` it raises ``NotImplementedError`` unless PIL
-is importable; the default is a **deterministic fake decoder**
-(content-hash-seeded pixels) so every piece of Spark-side plumbing —
-schema, UDF signatures, Arrow batch shapes, partitioning — is real
-and tested end-to-end. Swapping in the real codec changes one
-function.
+COMPRESSED codecs (PIL/libsndfile/ffmpeg for JPEG/PNG/MP3/video) are
+NOT in this environment, so those paths stay gated: with
+``use_real_codec=True`` on a non-BMP payload ``decode_image`` raises
+``NotImplementedError`` unless PIL is importable. UNCOMPRESSED
+containers need no external codec: :func:`decode_bmp` /
+:func:`encode_bmp` (24/32-bit BI_RGB, top-down or bottom-up,
+stride-padded — the Windows BITMAPINFOHEADER public spec) and
+:func:`decode_wav` / :func:`encode_wav` (RIFF/WAVE chunk walk,
+16-bit PCM) are pure numpy + struct, so the REAL decode path runs
+end-to-end in this environment for those formats —
+``decode_image(..., use_real_codec=True)`` sniffs the ``BM`` magic
+and decodes BMP natively before falling back to PIL. The default
+remains the **deterministic fake decoder** (content-hash-seeded
+pixels) so driver queries stay oracle-stable; the q53/q102 payloads
+are hash-chain/raw-PCM synthetic, not containers.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -69,12 +77,125 @@ def repartition_for_payload(df: DataFrame, avg_row_bytes: int) -> DataFrame:
     return df.repartition(int(n))
 
 
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Pure-numpy BMP decoder (public BITMAPFILEHEADER +
+    BITMAPINFOHEADER spec): 24- or 32-bit uncompressed BI_RGB,
+    bottom-up (positive height) or top-down (negative), rows padded
+    to 4-byte strides, BGR(A) byte order → (h, w, 3) uint8 RGB.
+    Needs no external codec, so the REAL decode path of
+    :func:`decode_image` is exercisable in codec-free environments.
+    Compressed/paletted BMPs raise ``NotImplementedError`` (they need
+    a real imaging library)."""
+    if content[:2] != b"BM" or len(content) < 54:
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", content, 10)
+    (header_size,) = struct.unpack_from("<I", content, 14)
+    if header_size < 40:
+        raise NotImplementedError(
+            "BITMAPCOREHEADER BMPs are not supported"
+        )
+    w, h = struct.unpack_from("<ii", content, 18)
+    (bpp,) = struct.unpack_from("<H", content, 28)
+    (compression,) = struct.unpack_from("<I", content, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BI_RGB supported "
+            f"(got bpp={bpp}, compression={compression})"
+        )
+    top_down, height = h < 0, abs(h)
+    nb = bpp // 8
+    stride = (w * nb + 3) // 4 * 4
+    buf = np.frombuffer(
+        content, np.uint8, count=stride * height, offset=offset
+    ).reshape(height, stride)
+    px = buf[:, : w * nb].reshape(height, w, nb)
+    rgb = px[..., [2, 1, 0]]  # stored BGR(A) -> RGB, alpha dropped
+    if not top_down:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Pure-struct BMP writer (24-bit BI_RGB, bottom-up, stride
+    padded): the sink twin of :func:`decode_bmp`, used by the
+    round-trip units and by callers exporting decoded frames without
+    an imaging library."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[..., [2, 1, 0]].reshape(h, w * 3)  # RGB->BGR
+    pixels = rows[::-1].tobytes()  # bottom-up
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + pixels
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """Pure-struct RIFF/WAVE parser for 16-bit PCM: walks the chunk
+    list (chunks pad to even offsets), requires ``fmt`` audio format
+    1 with 16 bits/sample, and returns ``((n_frames, channels) int16,
+    sample_rate)``. Compressed formats raise ``NotImplementedError``
+    (they need libsndfile)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV supported (format={audio_format}, "
+            f"bits={bits})"
+        )
+    pcm = np.frombuffer(
+        data[: len(data) // (2 * channels) * 2 * channels], dtype="<i2"
+    )
+    return pcm.reshape(-1, channels), sample_rate
+
+
+def encode_wav(pcm: np.ndarray, sample_rate: int) -> bytes:
+    """Canonical 44-byte-header 16-bit PCM WAV writer, the sink twin
+    of :func:`decode_wav`. ``pcm``: (n,) or (n, channels) int16."""
+    pcm = np.asarray(pcm, dtype="<i2")
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    channels = pcm.shape[1]
+    data = pcm.tobytes()
+    block = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, 16
+    )
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16)
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
 def decode_image(
     content: bytes, use_real_codec: bool = False
 ) -> np.ndarray:
     """Decode an image payload to an (h, w, 3) uint8 array.
 
-    STUB: the real path needs PIL (absent here); the fake path is a
+    Real path: BMP payloads (``BM`` magic) decode natively via
+    :func:`decode_bmp` — no external codec; anything else needs PIL
+    (absent here → ``NotImplementedError``). The fake path is a
     deterministic pseudo-image seeded by the content hash — stable
     across runs/executors, so tests can assert exact features.
 
@@ -85,14 +206,17 @@ def decode_image(
     oracle instead of a rows-only check.
     """
     if use_real_codec:
+        if content[:2] == b"BM":
+            return decode_bmp(content)
         try:
             import io
 
             from PIL import Image  # noqa: F401
         except ImportError as exc:  # pragma: no cover - env-dependent
             raise NotImplementedError(
-                "real image decoding requires PIL, which is not "
-                "available in this environment; use the deterministic "
+                "real decoding of non-BMP images requires PIL, which "
+                "is not available in this environment; BMP decodes "
+                "natively (decode_bmp), or use the deterministic "
                 "fake decoder (use_real_codec=False)"
             ) from exc
         return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
@@ -277,13 +401,16 @@ def decode_frames(df: DataFrame) -> DataFrame:
 AUDIO_INT_SCHEMA = "media_id long, n_samples long, sum_abs long, peak long"
 
 
-def audio_int_stats(df: DataFrame) -> DataFrame:
-    """Integer audio statistics over int16-PCM payloads — the
+def audio_int_stats(df: DataFrame, container: str = "pcm") -> DataFrame:
+    """Integer audio statistics over int16 payloads — the
     oracle-friendly twin of :func:`extract_audio_features` (the q53
     pattern: all-integer outputs are bit-exact across engines, so the
     binary → Arrow → Python decode path gets a HARD value-hash check
-    from the driver). Odd-length payloads truncate to whole samples
-    (``frombuffer`` would otherwise raise on a trailing byte)."""
+    from the driver). ``container='pcm'`` (default, q102's contract)
+    reads raw little-endian samples, odd trailing bytes truncated
+    (``frombuffer`` would otherwise raise); ``container='wav'`` walks
+    the RIFF header via :func:`decode_wav` first — the REAL container
+    path, runnable here without libsndfile."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -292,9 +419,16 @@ def audio_int_stats(df: DataFrame) -> DataFrame:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 raw = bytes(content) if content is not None else b""
-                pcm = np.frombuffer(
-                    raw[: len(raw) // 2 * 2], dtype="<i2"
-                ).astype(np.int64)
+                if container == "wav":
+                    pcm = (
+                        decode_wav(raw)[0].ravel().astype(np.int64)
+                        if raw
+                        else np.zeros(0, dtype=np.int64)
+                    )
+                else:
+                    pcm = np.frombuffer(
+                        raw[: len(raw) // 2 * 2], dtype="<i2"
+                    ).astype(np.int64)
                 mag = np.abs(pcm)
                 rows.append(
                     {

@@ -146,3 +146,167 @@ class TestNullPayloads:
         # decode, identical across the two functions' shared decoder
         f2 = next(r for r in sums if r.media_id == 2)
         assert f2.height > 0 and f2.width > 0
+
+
+class TestPureNumpyCodecs:
+    """Round-8: the REAL decode path runs in this codec-free
+    environment for uncompressed containers — pure numpy/struct BMP
+    and WAV implementations from the public specs, exercised both
+    driver-side and through the distributed mapInPandas stages."""
+
+    def test_bmp_roundtrip_through_real_decode_path(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_image,
+            encode_bmp,
+        )
+
+        arr = decode_image(b"seed")  # deterministic fake RGB array
+        bmp = encode_bmp(arr)
+        out = decode_image(bmp, use_real_codec=True)  # REAL path
+        assert np.array_equal(out, arr)
+
+    def test_bmp_known_pixels_and_padding(self):
+        import struct
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_bmp,
+            encode_bmp,
+        )
+
+        # 2x2: red, green / blue, white — w*3=6 pads to stride 8
+        px = np.array(
+            [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+            dtype=np.uint8,
+        )
+        bmp = encode_bmp(px)
+        assert struct.unpack_from("<H", bmp, 28)[0] == 24
+        assert np.array_equal(decode_bmp(bmp), px)
+
+    def test_bmp_top_down_and_32bit(self):
+        import struct
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_bmp,
+        )
+
+        # hand-build a top-down 32-bit BMP (1x2): BGRA byte order
+        w, h = 2, 1
+        pixels = bytes([3, 2, 1, 0, 30, 20, 10, 0])  # 2 BGRA px
+        fh = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+        ih = struct.pack(
+            "<IiiHHIIiiII", 40, w, -h, 1, 32, 0, len(pixels), 0, 0, 0, 0
+        )
+        out = decode_bmp(fh + ih + pixels)
+        assert out.shape == (1, 2, 3)
+        assert out[0, 0].tolist() == [1, 2, 3]  # RGB
+        assert out[0, 1].tolist() == [10, 20, 30]
+
+    def test_bmp_rejects_compressed(self):
+        import struct
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_bmp,
+        )
+
+        fh = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+        ih = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 8, 1, 0, 0, 0, 0, 0)
+        with pytest.raises(NotImplementedError):
+            decode_bmp(fh + ih)
+
+    def test_wav_roundtrip_mono_and_stereo(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        mono = np.array([0, 100, -100, 32767, -32768], dtype=np.int16)
+        pcm, sr = decode_wav(encode_wav(mono, 16000))
+        assert sr == 16000
+        assert np.array_equal(pcm.ravel(), mono)
+        stereo = np.array([[1, -1], [2, -2], [3, -3]], dtype=np.int16)
+        pcm2, sr2 = decode_wav(encode_wav(stereo, 44100))
+        assert sr2 == 44100
+        assert np.array_equal(pcm2, stereo)
+
+    def test_wav_chunk_walk_skips_extra_chunks(self):
+        import struct
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        # inject a LIST chunk with odd size (forces even-padding walk)
+        base = encode_wav(np.array([7, -7], dtype=np.int16), 8000)
+        fmt_and_data = base[12:]
+        extra = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"
+        raw = (
+            struct.pack(
+                "<4sI4s",
+                b"RIFF",
+                4 + len(extra) + len(fmt_and_data),
+                b"WAVE",
+            )
+            + extra
+            + fmt_and_data
+        )
+        pcm, sr = decode_wav(raw)
+        assert sr == 8000 and pcm.ravel().tolist() == [7, -7]
+
+    def test_real_codec_distributed_image_sums(self, spark):
+        """End-to-end: BMP payloads through the mapInPandas real-codec
+        path — the distributed decode the stub gates previously kept
+        theoretical — must match driver-side numpy sums exactly."""
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_image,
+            encode_bmp,
+            image_channel_sums,
+        )
+
+        payloads = {
+            mid: encode_bmp(decode_image(f"img-{mid}".encode()))
+            for mid in (1, 2, 3)
+        }
+        df = spark.createDataFrame(
+            [(mid, bytearray(b)) for mid, b in payloads.items()],
+            "media_id long, content binary",
+        )
+        got = {
+            r["media_id"]: r
+            for r in image_channel_sums(df, use_real_codec=True).collect()
+        }
+        for mid, b in payloads.items():
+            arr = decode_image(b, use_real_codec=True)
+            sums = arr.reshape(-1, 3).sum(axis=0)
+            assert got[mid]["height"] == arr.shape[0]
+            assert got[mid]["width"] == arr.shape[1]
+            assert got[mid]["sum_r"] == int(sums[0])
+            assert got[mid]["sum_g"] == int(sums[1])
+            assert got[mid]["sum_b"] == int(sums[2])
+
+    def test_wav_container_distributed_audio_stats(self, spark):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            audio_int_stats,
+            encode_wav,
+        )
+
+        sig = {
+            1: np.array([10, -20, 30], dtype=np.int16),
+            2: np.array([-32768, 32767], dtype=np.int16),
+        }
+        df = spark.createDataFrame(
+            [
+                (mid, bytearray(encode_wav(p, 16000)))
+                for mid, p in sig.items()
+            ],
+            "media_id long, content binary",
+        )
+        got = {
+            r["media_id"]: r
+            for r in audio_int_stats(df, container="wav").collect()
+        }
+        for mid, p in sig.items():
+            mag = np.abs(p.astype(np.int64))
+            assert got[mid]["n_samples"] == len(p)
+            assert got[mid]["sum_abs"] == int(mag.sum())
+            assert got[mid]["peak"] == int(mag.max())

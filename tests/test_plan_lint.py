@@ -85,9 +85,44 @@ def test_lint_detects_planted_killers(spark, sf_dir):
     )
 
 
-def test_every_registered_plan_is_clean(spark):
+def test_every_registered_plan_is_clean_and_within_shuffle_snapshot(
+    spark,
+):
+    """Two registry-wide audits in one plan-building pass:
+
+    1. `plan_lint` — no unexplained scale-killer in ANY plan;
+    2. shuffle-count snapshot — every query's exchange count is
+       pinned in `tests/shuffle_budgets_all.json` (the full-registry
+       extension of the hand-annotated headline budgets in
+       `test_shuffle_budget.py`): a refactor that adds an exchange to
+       ANY of the 247 queries fails here with the delta, and a NEW
+       query cannot register without adding its snapshot row.
+
+    Snapshot counts are cold-slot plans (caches released per query,
+    the `test_shuffle_budget` convention). Going under a snapshot is
+    progress — regenerate with:
+    ``python - <<'PY'`` … build every plan with
+    ``ops.observe.shuffle_count`` after ``caching.release_caches()``
+    and dump the dict to the JSON, sorted.
+    """
+    import json
+    import pathlib
+
+    from building_energy_data_pipeline_spark import caching
+    from building_energy_data_pipeline_spark.ops.observe import (
+        shuffle_count,
+    )
+
+    snapshot = json.loads(
+        (
+            pathlib.Path(__file__).parent / "shuffle_budgets_all.json"
+        ).read_text()
+    )
     bad: dict[str, list[str]] = {}
+    missing: list[str] = []
+    over: dict[str, tuple[int, int]] = {}
     for name in sorted(REGISTRY):
+        caching.release_caches()
         df = REGISTRY[name].spark(spark, SF_DIR)
         findings = [
             f
@@ -96,4 +131,15 @@ def test_every_registered_plan_is_clean(spark):
         ]
         if findings:
             bad[name] = findings
+        if name not in snapshot:
+            missing.append(name)
+        else:
+            got = shuffle_count(df)
+            if got > snapshot[name]:
+                over[name] = (got, snapshot[name])
     assert bad == {}, bad
+    assert missing == [], f"add snapshot rows for {missing}"
+    assert over == {}, (
+        f"shuffle regressions (got, pinned): {over} — a broadcast "
+        "was lost or a partitioning stopped being reused"
+    )

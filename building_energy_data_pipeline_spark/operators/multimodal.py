@@ -103,8 +103,15 @@ def decode_bmp(content: bytes) -> np.ndarray:
             f"(got bpp={bpp}, compression={compression})"
         )
     top_down, height = h < 0, abs(h)
+    if w <= 0 or height == 0:
+        raise ValueError(f"invalid BMP dimensions {w}x{h}")
     nb = bpp // 8
     stride = (w * nb + 3) // 4 * 4
+    if offset + stride * height > len(content):
+        raise ValueError(
+            f"truncated BMP payload: need {offset + stride * height}"
+            f" bytes, have {len(content)}"
+        )
     buf = np.frombuffer(
         content, np.uint8, count=stride * height, offset=offset
     ).reshape(height, stride)
@@ -149,6 +156,10 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
         (size,) = struct.unpack_from("<I", content, pos + 4)
         body = content[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(
+                    f"malformed WAV fmt chunk ({len(body)} bytes)"
+                )
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -161,6 +172,8 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
             f"only 16-bit PCM WAV supported (format={audio_format}, "
             f"bits={bits})"
         )
+    if channels < 1:
+        raise ValueError("malformed WAV: zero channels")
     pcm = np.frombuffer(
         data[: len(data) // (2 * channels) * 2 * channels], dtype="<i2"
     )
@@ -207,17 +220,22 @@ def decode_image(
     """
     if use_real_codec:
         if content[:2] == b"BM":
-            return decode_bmp(content)
+            try:
+                return decode_bmp(content)
+            except NotImplementedError:
+                # paletted/RLE/core-header BMP variants: fall through
+                # to PIL, which decodes them where it exists
+                pass
         try:
             import io
 
             from PIL import Image  # noqa: F401
         except ImportError as exc:  # pragma: no cover - env-dependent
             raise NotImplementedError(
-                "real decoding of non-BMP images requires PIL, which "
-                "is not available in this environment; BMP decodes "
-                "natively (decode_bmp), or use the deterministic "
-                "fake decoder (use_real_codec=False)"
+                "real decoding of this payload requires PIL, which "
+                "is not available in this environment; uncompressed "
+                "24/32-bit BMP decodes natively (decode_bmp), or use "
+                "the deterministic fake decoder (use_real_codec=False)"
             ) from exc
         return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
     seed_hex = hashlib.md5(content).hexdigest()

@@ -310,3 +310,65 @@ class TestPureNumpyCodecs:
             assert got[mid]["n_samples"] == len(p)
             assert got[mid]["sum_abs"] == int(mag.sum())
             assert got[mid]["peak"] == int(mag.max())
+
+    def test_malformed_payloads_raise_diagnosable_errors(self):
+        """r8 review: corrupt-but-magic'd payloads must fail with the
+        documented ValueError/NotImplementedError contract, never
+        numpy reshape internals or ZeroDivisionError — in a
+        distributed decode stage the exception text is all the
+        operator gets back."""
+        import struct
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_bmp,
+            decode_wav,
+            encode_wav,
+        )
+
+        # negative width
+        fh = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+        ih = struct.pack(
+            "<IiiHHIIiiII", 40, -2, 1, 1, 24, 0, 0, 0, 0, 0, 0
+        )
+        with pytest.raises(ValueError, match="dimensions"):
+            decode_bmp(fh + ih)
+        # truncated pixel data (declares 100x100, ships 10 bytes)
+        ih2 = struct.pack(
+            "<IiiHHIIiiII", 40, 100, 100, 1, 24, 0, 0, 0, 0, 0, 0
+        )
+        with pytest.raises(ValueError, match="truncated"):
+            decode_bmp(fh + ih2 + b"0123456789")
+        # zero-channel WAV
+        base = encode_wav(np.array([1], dtype=np.int16), 8000)
+        broken = base[:22] + struct.pack("<H", 0) + base[24:]
+        with pytest.raises(ValueError, match="zero channels"):
+            decode_wav(broken)
+        # short fmt chunk
+        short = (
+            struct.pack("<4sI4s", b"RIFF", 16, b"WAVE")
+            + struct.pack("<4sI", b"fmt ", 4)
+            + b"\x01\x00\x01\x00"
+        )
+        with pytest.raises(ValueError, match="fmt chunk"):
+            decode_wav(short)
+
+    def test_unsupported_bmp_variant_falls_through_to_pil_gate(self):
+        """r8 review: a paletted BMP must reach the PIL path (decoding
+        there when PIL exists), not die on decode_bmp's
+        NotImplementedError — here, PIL-absent, that surfaces as the
+        PIL gate message."""
+        import importlib.util
+        import struct
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        fh = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+        ih = struct.pack(
+            "<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 0, 0, 0, 0, 0
+        )
+        if importlib.util.find_spec("PIL") is not None:
+            pytest.skip("PIL present: the gate does not fire")
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_image(fh + ih, use_real_codec=True)

@@ -118,6 +118,10 @@ def test_every_registered_plan_is_clean_and_within_shuffle_snapshot(
             pathlib.Path(__file__).parent / "shuffle_budgets_all.json"
         ).read_text()
     )
+    # both directions: every query pinned, no dead pins lingering
+    # after a rename/delete (the headline twin's set-equality rule)
+    stale = set(snapshot) - set(REGISTRY)
+    assert stale == set(), f"remove stale snapshot rows: {stale}"
     bad: dict[str, list[str]] = {}
     missing: list[str] = []
     over: dict[str, tuple[int, int]] = {}

@@ -76,8 +76,9 @@ SHUFFLE_BUDGET = {
     # shingle table (anti-join + gain fold + winner semi-join each)
     "q234_greedy_coverage": 14,
     # r8 at-scale swaps + IVM composition (VERDICT r7 #3/#7/#8):
-    # customer fold (join + agg) + stack exchange + sketch/exact agg
-    "q245_rfm_approx_thresholds": 4,
+    # customer fold agg (fact join broadcasts) + dim sketch/exact agg
+    # — the stack unpivot is narrow and the threshold join broadcast
+    "q245_rfm_approx_thresholds": 2,
     # per-day distinct + register fold + window merge + exact-WAU
     # audit branch (drops with the audit in production)
     "q246_wau_hll_window": 8,

@@ -349,3 +349,95 @@ class TestHLLRegisterDerivation:
     @settings(max_examples=100, deadline=None)
     def test_register_table_is_bounded(self, values):
         assert len(self._regs(values)) <= self.M
+
+
+class TestCodecRoundTrips:
+    """Hypothesis fuzz for the pure-numpy container codecs: encode →
+    decode is the identity for every array shape/content, including
+    the stride-padding widths (w % 4 ≠ 0) and extreme sample
+    values — the property the hand-picked unit cases sample."""
+
+    @given(
+        st.integers(min_value=1, max_value=13),
+        st.integers(min_value=1, max_value=13),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_bmp_identity(self, h, w, seed):
+        import numpy as np
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_bmp,
+            encode_bmp,
+        )
+
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(arr)), arr)
+
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=1,
+            max_size=200,
+        ),
+        st.integers(min_value=1, max_value=4),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_wav_identity(self, flat, channels, rate):
+        import numpy as np
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        n = len(flat) // channels * channels
+        if n == 0:
+            return
+        pcm = np.array(flat[:n], dtype=np.int16).reshape(-1, channels)
+        out, sr = decode_wav(encode_wav(pcm, rate))
+        assert sr == rate
+        assert np.array_equal(out, pcm)
+
+
+class TestDiscreteQuantileConvention:
+    """q245's cross-engine contract: the rank = ceil(p·n) discrete
+    quantile (verified identical in Spark percentile_disc and DuckDB
+    quantile_disc) re-derived for arbitrary multisets, and its
+    monotonicity in p — the property the threshold audit leans on."""
+
+    @given(
+        st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=1,
+            max_size=300,
+        ),
+        st.sampled_from([0.25, 0.5, 0.75, 0.245, 0.255, 0.9]),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_ceil_rank_value_bounds_cume_dist(self, xs, p):
+        xs.sort()
+        n = len(xs)
+        v = xs[math.ceil(p * n) - 1]
+        # defining property: v is the smallest value whose cumulative
+        # distribution reaches p
+        assert sum(1 for x in xs if x <= v) / n >= p
+        smaller = [x for x in xs if x < v]
+        if smaller:
+            assert len(smaller) / n < p
+
+    @given(
+        st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=1,
+            max_size=300,
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_monotone_in_p(self, xs):
+        xs.sort()
+        n = len(xs)
+        qs = [xs[math.ceil(p * n) - 1] for p in (0.1, 0.25, 0.5, 0.75, 0.9)]
+        assert qs == sorted(qs)

@@ -13,11 +13,13 @@ a cost proportional to the BATCH — not the table:
 - **min/max** are self-maintainable on INSERT (``least``/
   ``greatest`` against the stored extreme) but not on DELETE: a
   delete that removes the last witness of the stored extreme makes
-  the new extreme unknowable from the state. Such groups — and ONLY
-  such groups (a deleted value equal to the stored min or max) —
-  are marked dirty and recomputed from the post-change detail via a
-  broadcast semi-join, i.e. a partition-prunable scan of the dirty
-  groups' slices.
+  the new extreme unknowable from the state. Dirty — recomputed from
+  the post-change detail via a broadcast semi-join (a partition-
+  prunable scan of the dirty groups' slices) — is any group where a
+  non-null delete extreme ties or passes the stored min/max, meets a
+  NULL stored extreme (nothing to compare against), or belongs to a
+  group with no stored row at all (see next bullet); everything else
+  patches algebraically.
 - groups whose count reaches zero are dropped; keys never seen
   before enter through the full-outer join with their insert-only
   aggregates — UNLESS the batch also deletes rows of that key
@@ -43,28 +45,19 @@ from pyspark.sql import functions as F
 OP_COL = "op"
 
 
-def _has_delete_extremes(minmax_cols: list[str]) -> str:
-    """SQL predicate: the folded batch contains at least one delete
-    carrying a non-null value for some min/max column. Per-column
-    nullness of ``dmin_<c>``/``dmax_<c>`` coincides (both come from
-    the same D rows), so probing ``dmin`` suffices; a D row whose
-    value is NULL can never have been an extreme witness, so it
-    needs no recompute."""
-    return " OR ".join(
-        f"dmin_{c} IS NOT NULL" for c in minmax_cols
-    ) or "false"
-
-
 def _dirty_pred(minmax_cols: list[str]) -> str:
     """SQL predicate over a state⋈delta row: some delete may have
     removed the last witness of a stored extreme. Per column this is
     a non-null delete extreme that (a) ties or passes the stored
-    min/max, or (b) meets a NULL stored extreme — a seen group whose
-    base values were all NULL has no extreme to compare against, so
-    an intra-batch insert+delete pair would otherwise fabricate one
-    from the insert side (same bug class as the unseen-key rule, one
-    branch later). Never NULL: every disjunct is guarded by the
-    IS NOT NULL probe."""
+    min/max, or (b) meets a NULL stored extreme — which covers BOTH
+    a seen group whose base values were all NULL (an intra-batch
+    insert+delete pair would otherwise fabricate an extreme from the
+    insert side) AND an unseen group (``min_<c>`` is NULL through the
+    full-outer join, and the delete may have removed the batch's own
+    insert extreme with no stored extreme to patch from). One
+    predicate, no special-cased branches. Never NULL: every disjunct
+    is guarded by the IS NOT NULL probe; a D row whose value is NULL
+    can never have been an extreme witness, so it never dirties."""
     return " OR ".join(
         f"(dmin_{c} IS NOT NULL AND (min_{c} IS NULL"
         f" OR dmin_{c} <= min_{c} OR dmax_{c} >= max_{c}))"
@@ -77,10 +70,21 @@ def rollup_state(detail: DataFrame, keys: list[str], sum_cols: list[str], minmax
     ``cnt`` plus ``sum_<c>`` for each sum column and ``min_<c>`` /
     ``max_<c>`` for each min/max column. Build it once from the
     detail table; thereafter :func:`maintain_rollup` keeps it
-    current per CDC batch."""
+    current per CDC batch.
+
+    Sum convention: a group whose sum-column values are ALL NULL
+    stores ``sum_<c> = 0`` (``coalesce`` over SQL SUM), not NULL —
+    the ONE convention shared by this builder, the algebraic patch,
+    and the dirty recompute, so the maintained state equals
+    ``rollup_state(detail_after)`` exactly regardless of which route
+    each batch took (an r8 review found the two branches disagreeing
+    on all-NULL groups). Min/max keep SQL semantics (NULL when no
+    non-null value exists)."""
     aggs = [F.count("*").alias("cnt")]
     aggs += [
-        F.expr(f"cast(sum({c}) as bigint)").alias(f"sum_{c}")
+        F.expr(f"cast(coalesce(sum({c}), 0L) as bigint)").alias(
+            f"sum_{c}"
+        )
         for c in sum_cols
     ]
     for c in minmax_cols:
@@ -135,23 +139,21 @@ def maintenance_census(
     refresh cost driver at scale)."""
     d = _delta(cdc, keys, [], minmax_cols)
     j = state.join(d, keys, "full_outer")
-    has_deletes = _has_delete_extremes(minmax_cols)
     return j.select(
         *keys,
         F.expr(
             "CASE"
             " WHEN cnt_d IS NULL THEN 'untouched'"
-            # unseen key whose inserts and deletes cancel: no state
-            # row is produced and no recompute runs — 'dropped',
-            # faithful to maintain_rollup's new_cnt > 0 gate
-            " WHEN cnt IS NULL AND cnt_d <= 0 THEN 'dropped'"
-            # an unseen key whose batch also deletes rows (intra-
-            # batch I+D, the update convention) cannot be patched
-            # from inserts alone — it is dirty, not 'new'
-            f" WHEN cnt IS NULL AND ({has_deletes}) THEN 'dirty'"
-            " WHEN cnt IS NULL THEN 'new'"
-            " WHEN cnt + cnt_d <= 0 THEN 'dropped'"
+            # a group whose count reaches (or, unseen, never exceeds)
+            # zero: no state row, no recompute — faithful to
+            # maintain_rollup's new_cnt > 0 gate
+            " WHEN coalesce(cnt, 0L) + cnt_d <= 0 THEN 'dropped'"
+            # one predicate covers seen AND unseen dirty groups
+            # (unseen keys have NULL stored extremes — see
+            # _dirty_pred); an insert-only unseen key has NULL
+            # delete extremes and falls through to 'new'
             f" WHEN {_dirty_pred(minmax_cols)} THEN 'dirty'"
+            " WHEN cnt IS NULL THEN 'new'"
             " ELSE 'algebraic' END"
         ).alias("path"),
     )
@@ -172,35 +174,28 @@ def maintain_rollup(
     the CDC apply itself, q105/q115) and is touched ONLY for dirty
     groups. Returns the refreshed state with the same schema.
 
-    NULL convention for sum columns: the algebraic patch folds with
-    ``coalesce(_, 0)``, so a surviving group whose remaining sum-
-    column values are ALL NULL reports ``sum_<c> = 0`` where a fresh
-    :func:`rollup_state` would report NULL (SQL SUM over no non-null
-    rows). Callers needing SQL NULL semantics should track a
-    non-null count column alongside. Min/max columns are exact in
-    every case — NULL stored extremes route to the dirty recompute
-    whenever a non-null delete extreme meets them (see
-    :func:`_dirty_pred`).
+    Sum columns follow :func:`rollup_state`'s 0-for-all-NULL
+    convention on BOTH routes (the algebraic ``coalesce`` patch and
+    the dirty recompute share it with the initial build), so the
+    maintained state equals ``rollup_state(detail_after)`` exactly
+    whatever routing history a group has. Callers needing SQL NULL
+    semantics should track a non-null count column alongside.
+    Min/max columns are exact in every case — NULL stored extremes
+    route to the dirty recompute whenever a non-null delete extreme
+    meets them (see :func:`_dirty_pred`).
     """
     delta = _delta(cdc, keys, sum_cols, minmax_cols)
 
     j = state.join(delta, keys, "full_outer")
     new_cnt = F.expr("coalesce(cnt, 0L) + coalesce(cnt_d, 0L)")
     # a delete tying/passing the stored extreme — or meeting a NULL
-    # stored extreme — may remove the last witness; an unseen key
-    # (cnt IS NULL) with any non-null delete extreme is dirty
-    # outright: the delete may have removed the batch's own insert
-    # extreme, and there is no stored extreme to patch from (ADVICE
-    # r7 + the seen-key NULL-extreme case of the same bug class).
-    # _dirty_pred is never NULL (IS NOT NULL-guarded disjuncts), so
-    # a group with no deletes cleanly reads "not dirty".
-    has_deletes = _has_delete_extremes(minmax_cols)
+    # stored extreme, which covers both all-NULL seen groups and
+    # unseen keys (ADVICE r7 + its seen-key sibling; see
+    # _dirty_pred) — may remove the last witness. The predicate is
+    # never NULL (IS NOT NULL-guarded disjuncts), so a group with no
+    # deletes cleanly reads "not dirty".
     patched = j.withColumn("new_cnt", new_cnt).withColumn(
-        "is_dirty",
-        F.expr(
-            f"CASE WHEN cnt IS NULL THEN ({has_deletes})"
-            f" ELSE {_dirty_pred(minmax_cols)} END"
-        ),
+        "is_dirty", F.expr(_dirty_pred(minmax_cols))
     )
 
     dirty_keys = (

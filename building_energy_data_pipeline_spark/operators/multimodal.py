@@ -94,6 +94,13 @@ def decode_bmp(content: bytes) -> np.ndarray:
         raise NotImplementedError(
             "BITMAPCOREHEADER BMPs are not supported"
         )
+    if offset < 14 + header_size:
+        # a corrupt bfOffBits inside the headers would silently
+        # decode header bytes as pixels (r8 review)
+        raise ValueError(
+            f"invalid BMP pixel offset {offset} (headers end at "
+            f"{14 + header_size})"
+        )
     w, h = struct.unpack_from("<ii", content, 18)
     (bpp,) = struct.unpack_from("<H", content, 28)
     (compression,) = struct.unpack_from("<I", content, 30)
@@ -147,7 +154,16 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     list (chunks pad to even offsets), requires ``fmt`` audio format
     1 with 16 bits/sample, and returns ``((n_frames, channels) int16,
     sample_rate)``. Compressed formats raise ``NotImplementedError``
-    (they need libsndfile)."""
+    (they need libsndfile).
+
+    Deliberately NOT the stdlib ``wave`` module: this parser keeps
+    the operator contract's exception types (``ValueError`` /
+    ``NotImplementedError``, never ``wave.Error``) so mapInPandas
+    failures stay diagnosable, and its lenient behaviors are pinned
+    by tests as part of the contract — a declared data size larger
+    than the payload truncates to whole frames (matching the raw-PCM
+    path's convention), and unknown chunks are skipped with even
+    padding."""
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos, fmt, data = 12, None, None
@@ -222,9 +238,13 @@ def decode_image(
         if content[:2] == b"BM":
             try:
                 return decode_bmp(content)
-            except NotImplementedError:
-                # paletted/RLE/core-header BMP variants: fall through
-                # to PIL, which decodes them where it exists
+            except (NotImplementedError, ValueError):
+                # paletted/RLE/core-header variants AND malformed-
+                # but-BM-magic payloads (truncated padding, corrupt
+                # offsets, non-BMP bytes starting 'BM') fall through
+                # to PIL, which decodes or rejects them where it
+                # exists; PIL-absent, the gate below reports the
+                # contract's NotImplementedError
                 pass
         try:
             import io
@@ -429,6 +449,13 @@ def audio_int_stats(df: DataFrame, container: str = "pcm") -> DataFrame:
     (``frombuffer`` would otherwise raise); ``container='wav'`` walks
     the RIFF header via :func:`decode_wav` first — the REAL container
     path, runnable here without libsndfile."""
+
+    if container not in ("pcm", "wav"):
+        # a typo ('WAV', 'riff') would otherwise silently parse the
+        # 44-byte header bytes as samples (r8 review)
+        raise ValueError(
+            f"unknown audio container {container!r}: use 'pcm' or 'wav'"
+        )
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

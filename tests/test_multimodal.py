@@ -372,3 +372,44 @@ class TestPureNumpyCodecs:
             pytest.skip("PIL present: the gate does not fire")
         with pytest.raises(NotImplementedError, match="PIL"):
             decode_image(fh + ih, use_real_codec=True)
+
+    def test_corrupt_offset_and_container_typo_rejected(self):
+        """r8 review round 2: a bfOffBits pointing inside the headers
+        must not silently decode header bytes as pixels, and a
+        container typo must not silently parse RIFF headers as
+        samples."""
+        import struct
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            audio_int_stats,
+            decode_bmp,
+            decode_image,
+            encode_bmp,
+        )
+
+        arr = decode_image(b"offset-test")
+        bmp = bytearray(encode_bmp(arr))
+        struct.pack_into("<I", bmp, 10, 0)  # offset into the header
+        with pytest.raises(ValueError, match="pixel offset"):
+            decode_bmp(bytes(bmp))
+        with pytest.raises(ValueError, match="container"):
+            audio_int_stats(None, container="WAV")
+
+    def test_malformed_bm_magic_falls_through_to_pil_gate(self):
+        """A truncated 'BM'-magic payload must reach the PIL path
+        (ValueError fall-through), surfacing here as the gate's
+        NotImplementedError rather than a raw ValueError."""
+        import importlib.util
+        import struct
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_image,
+            encode_bmp,
+        )
+
+        if importlib.util.find_spec("PIL") is not None:
+            pytest.skip("PIL present: the gate does not fire")
+        arr = decode_image(b"truncate-test")
+        truncated = encode_bmp(arr)[:-3]  # drop final padding bytes
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_image(truncated, use_real_codec=True)

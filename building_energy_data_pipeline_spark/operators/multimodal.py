@@ -14,27 +14,31 @@ asks it to:
   ``mapInPandas`` stages — Arrow moves the bytes zero-copy into
   Python once per batch, not per row.
 
-COMPRESSED codecs (PIL/libsndfile/ffmpeg for JPEG/PNG/MP3/video) are
-NOT in this environment, so those paths stay gated: with
-``use_real_codec=True`` on a non-BMP payload ``decode_image`` raises
-``NotImplementedError`` unless PIL is importable. UNCOMPRESSED
-containers need no external codec: :func:`decode_bmp` /
-:func:`encode_bmp` (24/32-bit BI_RGB, top-down or bottom-up,
-stride-padded — the Windows BITMAPINFOHEADER public spec) and
+External-library codecs (PIL/libsndfile/ffmpeg for JPEG/MP3/video)
+are NOT in this environment, so those paths stay gated: with
+``use_real_codec=True`` on such a payload ``decode_image`` raises
+``NotImplementedError`` unless PIL is importable. Formats with a
+fully public, dependency-free spec decode natively: :func:`decode_bmp`
+/ :func:`encode_bmp` (24/32-bit BI_RGB, top-down or bottom-up,
+stride-padded — the Windows BITMAPINFOHEADER public spec),
 :func:`decode_wav` / :func:`encode_wav` (RIFF/WAVE chunk walk,
-16-bit PCM) are pure numpy + struct, so the REAL decode path runs
-end-to-end in this environment for those formats —
-``decode_image(..., use_real_codec=True)`` sniffs the ``BM`` magic
-and decodes BMP natively before falling back to PIL. The default
-remains the **deterministic fake decoder** (content-hash-seeded
-pixels) so driver queries stay oracle-stable; the q53/q102 payloads
-are hash-chain/raw-PCM synthetic, not containers.
+16-bit PCM) — and, since round 9, the first COMPRESSED format:
+:func:`decode_png` / :func:`encode_png` (stdlib ``zlib`` inflate +
+numpy scanline unfiltering, all five filter types — the W3C PNG
+spec). ``decode_image(..., use_real_codec=True)`` sniffs the ``BM``
+magic / PNG signature and decodes natively before falling back to
+PIL. The default remains the **deterministic fake decoder**
+(content-hash-seeded pixels) so driver queries stay oracle-stable;
+the q53/q102 payloads are hash-chain/raw-PCM synthetic, not
+containers, while q249 round-trips REAL zlib-compressed PNG
+containers distributed.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -149,6 +153,183 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return file_header + info_header + pixels
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decoder (W3C PNG spec / RFC 2083): chunk walk
+    with CRC verification, concatenated-IDAT ``zlib`` inflate, and
+    per-scanline unfiltering in numpy — the first COMPRESSED format
+    to run the real decode path without an imaging library (BMP/WAV
+    covered the uncompressed containers in round 8).
+
+    Supported: 8-bit truecolor (color type 2) and truecolor+alpha
+    (type 6, alpha dropped), non-interlaced → ``(h, w, 3)`` uint8
+    RGB. All FIVE scanline filters invert: None and Up are
+    mod-256-homomorphic vector adds; Sub is a per-channel-lane
+    cumulative sum (``recon[x] = filt[x] + recon[x - bpp]``); Average
+    and Paeth carry a true left-neighbor dependency through a
+    floor/branch, so they reconstruct pixel-by-pixel against the
+    already-reconstructed previous row (w-step loop — scanlines are
+    short; the heavy lifting, inflate + the two vector filters, stays
+    in C/numpy). Palette/16-bit/interlaced variants raise
+    ``NotImplementedError`` (they need a real imaging library);
+    structural damage (bad magic, CRC mismatch, truncated chunks,
+    inflate size mismatch) raises ``ValueError`` — the same
+    exception contract as :func:`decode_bmp` / :func:`decode_wav`.
+    """
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        if pos + 12 + length > len(content):
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        data = content[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        # ancillary chunks (tEXt, gAMA, ...) are CRC-checked and skipped
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError(
+            f"invalid PNG compression/filter method ({comp}/{filt})"
+        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth != 8 or color not in (2, 6):
+        raise NotImplementedError(
+            f"only 8-bit RGB/RGBA PNG supported (depth={depth}, "
+            f"color type={color})"
+        )
+    if w == 0 or h == 0:
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
+    ch = 3 if color == 2 else 4
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG pixel data: {exc}") from exc
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG pixel data length mismatch: expected "
+            f"{h * (stride + 1)} bytes, inflated {len(raw)}"
+        )
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(
+            stride, np.int32
+        )
+        if f == 0:  # None
+            rec = cur
+        elif f == 1:  # Sub: per-lane cumsum (mod-256 homomorphic)
+            rec = np.cumsum(
+                cur.reshape(w, ch), axis=0, dtype=np.int64
+            ).reshape(stride)
+        elif f == 2:  # Up (mod-256 homomorphic)
+            rec = cur + prev
+        elif f == 3:  # Average: floor((left+up)/2) is NOT mod-
+            # homomorphic — reconstruct left-to-right on true bytes
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth: branchy predictor, same dependency
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (
+                    a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                )
+                rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG scanline filter {f}")
+        out[y] = (rec & 0xFF).astype(np.uint8)
+    px = out.reshape(h, w, ch)
+    return np.ascontiguousarray(px[..., :3])  # alpha dropped
+
+
+def encode_png(arr: np.ndarray, filter_strategy: str = "none") -> bytes:
+    """Pure-stdlib PNG writer (8-bit RGB, non-interlaced), the sink
+    twin of :func:`decode_png`. ``filter_strategy``: ``'none'`` emits
+    every scanline with filter 0 (fastest, what a production raw-dump
+    sink would pick); ``'cycle'`` filters row ``y`` with type
+    ``y % 5`` — deliberately exercising all five unfilter paths of
+    the decoder in one payload, which is what the distributed
+    round-trip query (q249) and the fuzz units encode with. Filters
+    are computed vectorized on the RAW bytes of the current/previous
+    rows (the spec's definition), subtraction mod 256."""
+    if filter_strategy not in ("none", "cycle"):
+        raise ValueError(
+            f"unknown filter_strategy {filter_strategy!r}:"
+            " use 'none' or 'cycle'"
+        )
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) uint8 array, got {arr.shape}")
+    h, w = arr.shape[:2]
+    ch = 3
+    flat = arr.reshape(h, w * ch).astype(np.int16)
+    # raw-byte neighbor planes, vectorized: left (shift by bpp), up
+    # (previous row), upleft (both)
+    left = np.zeros_like(flat)
+    left[:, ch:] = flat[:, :-ch]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    upleft = np.zeros_like(flat)
+    upleft[1:, ch:] = flat[:-1, :-ch]
+    p = left + up - upleft
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+    paeth = np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+    )
+    filtered = {
+        0: flat,
+        1: (flat - left) & 0xFF,
+        2: (flat - up) & 0xFF,
+        3: (flat - ((left + up) >> 1)) & 0xFF,
+        4: (flat - paeth) & 0xFF,
+    }
+    lines = bytearray()
+    for y in range(h):
+        f = (y % 5) if filter_strategy == "cycle" else 0
+        lines.append(f)
+        lines += filtered[f][y].astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     """Pure-struct RIFF/WAVE parser for 16-bit PCM: walks the chunk
     list (chunks pad to even offsets), requires ``fmt`` audio format
@@ -162,8 +343,11 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     failures stay diagnosable, and its lenient behaviors are pinned
     by tests as part of the contract — a declared data size larger
     than the payload truncates to whole frames (matching the raw-PCM
-    path's convention), and unknown chunks are skipped with even
-    padding."""
+    path's convention), unknown chunks are skipped with even padding,
+    and a duplicate ``data`` chunk is ignored (FIRST wins — RIFF
+    defines one data chunk per WAVE form, so the first is the
+    canonical one and anything after it is trailing junk; ADVICE r8
+    flagged the previous silent last-wins)."""
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos, fmt, data = 12, None, None
@@ -177,8 +361,8 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
                     f"malformed WAV fmt chunk ({len(body)} bytes)"
                 )
             fmt = struct.unpack_from("<HHIIHH", body, 0)
-        elif cid == b"data":
-            data = body
+        elif cid == b"data" and data is None:
+            data = body  # first data chunk wins (see docstring)
         pos += 8 + size + (size & 1)  # chunks pad to even
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
@@ -223,10 +407,16 @@ def decode_image(
     """Decode an image payload to an (h, w, 3) uint8 array.
 
     Real path: BMP payloads (``BM`` magic) decode natively via
-    :func:`decode_bmp` — no external codec; anything else needs PIL
-    (absent here → ``NotImplementedError``). The fake path is a
-    deterministic pseudo-image seeded by the content hash — stable
-    across runs/executors, so tests can assert exact features.
+    :func:`decode_bmp` and PNG payloads (``\\x89PNG`` signature) via
+    :func:`decode_png` — no external codec; anything else needs PIL
+    (absent here → ``NotImplementedError``). When a native decode
+    FAILS (unsupported variant or corrupt payload) and PIL is also
+    absent, the raised ``NotImplementedError`` chains ``from`` the
+    native failure and quotes it, so a mapInPandas stack trace
+    distinguishes bad data from a missing codec (ADVICE r8). The
+    fake path is a deterministic pseudo-image seeded by the content
+    hash — stable across runs/executors, so tests can assert exact
+    features.
 
     The fake pixel stream is an md5 hash chain, NOT a PRNG: byte
     block ``i`` is ``md5(f"{md5(content).hexdigest()}-{i}")``.  The
@@ -235,27 +425,45 @@ def decode_image(
     oracle instead of a rows-only check.
     """
     if use_real_codec:
+        native_err: Exception | None = None
         if content[:2] == b"BM":
             try:
                 return decode_bmp(content)
-            except (NotImplementedError, ValueError):
+            except (NotImplementedError, ValueError) as exc:
                 # paletted/RLE/core-header variants AND malformed-
                 # but-BM-magic payloads (truncated padding, corrupt
                 # offsets, non-BMP bytes starting 'BM') fall through
                 # to PIL, which decodes or rejects them where it
-                # exists; PIL-absent, the gate below reports the
-                # contract's NotImplementedError
-                pass
+                # exists; PIL-absent, the captured failure chains
+                # through the gate below (ADVICE r8: don't misreport
+                # corrupt data as a missing codec)
+                native_err = exc
+        elif content[:8] == _PNG_SIG:
+            try:
+                return decode_png(content)
+            except (NotImplementedError, ValueError) as exc:
+                # palette/16-bit/interlaced variants and corrupt
+                # payloads — same fall-through contract as BMP
+                native_err = exc
         try:
             import io
 
             from PIL import Image  # noqa: F401
         except ImportError as exc:  # pragma: no cover - env-dependent
+            if native_err is not None:
+                raise NotImplementedError(
+                    f"native decode failed ({native_err!r}) and PIL "
+                    "is not available to retry the payload — a "
+                    "chained ValueError means corrupt data, a chained "
+                    "NotImplementedError an unsupported format "
+                    "variant, not a missing codec"
+                ) from native_err
             raise NotImplementedError(
                 "real decoding of this payload requires PIL, which "
                 "is not available in this environment; uncompressed "
-                "24/32-bit BMP decodes natively (decode_bmp), or use "
-                "the deterministic fake decoder (use_real_codec=False)"
+                "24/32-bit BMP (decode_bmp) and 8-bit RGB/RGBA PNG "
+                "(decode_png) decode natively, or use the "
+                "deterministic fake decoder (use_real_codec=False)"
             ) from exc
         return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
     seed_hex = hashlib.md5(content).hexdigest()

@@ -413,3 +413,182 @@ class TestPureNumpyCodecs:
         truncated = encode_bmp(arr)[:-3]  # drop final padding bytes
         with pytest.raises(NotImplementedError, match="PIL"):
             decode_image(truncated, use_real_codec=True)
+
+
+class TestPngCodec:
+    """Round 9: pure-stdlib PNG (zlib inflate + numpy unfiltering) —
+    the first COMPRESSED format on the real decode path (VERDICT r8
+    #4). Structural expectations here; randomized round-trips live in
+    tests/test_round9_properties.py."""
+
+    def test_roundtrip_all_filters(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        y, x = np.mgrid[0:20, 0:13]
+        arr = np.stack(
+            [(y * 3 + x) % 256, (y + x * 5) % 256, (y * 7 + x * 11) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        for strat in ("none", "cycle"):
+            assert np.array_equal(decode_png(encode_png(arr, strat)), arr)
+
+    def test_known_pixels_and_signature(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        arr = np.array(
+            [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [9, 8, 7]]],
+            dtype=np.uint8,
+        )
+        payload = encode_png(arr)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        assert payload[12:16] == b"IHDR"
+        assert payload[-8:-4] == b"IEND"
+        assert np.array_equal(decode_png(payload), arr)
+
+    def test_rgba_alpha_dropped(self):
+        """Hand-built color-type-6 payload: decode must return the
+        RGB planes and drop alpha (the decode_bmp 32-bit convention)."""
+        import struct
+        import zlib
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            _png_chunk,
+            decode_png,
+        )
+
+        rgba = np.array(
+            [[[1, 2, 3, 200], [4, 5, 6, 100]]], dtype=np.uint8
+        )  # 1x2 RGBA
+        raw = b"\x00" + rgba.tobytes()  # single row, filter 0
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(payload), rgba[..., :3])
+
+    def test_ancillary_chunks_skipped_and_split_idat(self):
+        """tEXt between split IDAT halves: ancillary chunks skip,
+        IDAT segments concatenate before inflate (both spec'd)."""
+        import struct
+        import zlib
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            _png_chunk,
+            decode_png,
+        )
+
+        arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        rows = b"".join(
+            b"\x00" + arr[r].tobytes() for r in range(2)
+        )
+        z = zlib.compress(rows)
+        ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", z[: len(z) // 2])
+            + _png_chunk(b"tEXt", b"Comment\x00split idat")
+            + _png_chunk(b"IDAT", z[len(z) // 2 :])
+            + _png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(payload), arr)
+
+    def test_unsupported_variants_gate_not_valueerror(self):
+        """Interlaced / 16-bit / palette variants are format gaps
+        (NotImplementedError → PIL fall-through), not data corruption."""
+        import struct
+        import zlib
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            _png_chunk,
+            decode_png,
+        )
+
+        def mk(depth, color, interlace):
+            ihdr = struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, interlace)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
+                + _png_chunk(b"IEND", b"")
+            )
+
+        with pytest.raises(NotImplementedError, match="interlaced"):
+            decode_png(mk(8, 2, 1))
+        with pytest.raises(NotImplementedError, match="8-bit RGB"):
+            decode_png(mk(16, 2, 0))
+        with pytest.raises(NotImplementedError, match="8-bit RGB"):
+            decode_png(mk(8, 3, 0))
+
+    def test_corruption_is_valueerror_with_cause_chain(self):
+        """CRC damage, truncation, and inflate-size mismatch are
+        ValueError; through decode_image (PIL absent) they chain as
+        the NotImplementedError's __cause__ (ADVICE r8 #3)."""
+        import importlib.util
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_image,
+            decode_png,
+            encode_png,
+        )
+
+        arr = np.full((4, 4, 3), 7, dtype=np.uint8)
+        good = encode_png(arr, "cycle")
+        corrupt = bytearray(good)
+        corrupt[40] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(corrupt))
+        # cut past IEND and into IDAT's tail so the chunk header
+        # declares more bytes than the payload carries (dropping
+        # IEND alone is tolerated, like most decoders)
+        with pytest.raises(ValueError, match="truncated"):
+            decode_png(good[:-16])
+        if importlib.util.find_spec("PIL") is not None:
+            pytest.skip("PIL present: the gate does not fire")
+        with pytest.raises(NotImplementedError) as ei:
+            decode_image(bytes(corrupt), use_real_codec=True)
+        assert isinstance(ei.value.__cause__, ValueError)
+        assert "CRC" in str(ei.value)
+
+    def test_real_codec_distributed_png_sums(self, spark):
+        """End-to-end: PNG payloads (cycle strategy → all five filter
+        types inside each payload) through the mapInPandas real-codec
+        path must match driver-side numpy sums exactly — the q53-shape
+        check, now over a genuinely compressed container."""
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_image,
+            encode_png,
+            image_channel_sums,
+        )
+
+        payloads = {
+            mid: encode_png(decode_image(f"png-{mid}".encode()), "cycle")
+            for mid in (1, 2, 3, 4, 5)
+        }
+        df = spark.createDataFrame(
+            [(mid, bytearray(b)) for mid, b in payloads.items()],
+            "media_id long, content binary",
+        ).repartition(3)
+        got = {
+            r["media_id"]: r
+            for r in image_channel_sums(df, use_real_codec=True).collect()
+        }
+        for mid, b in payloads.items():
+            arr = decode_image(b, use_real_codec=True)
+            sums = arr.reshape(-1, 3).sum(axis=0)
+            assert got[mid]["height"] == arr.shape[0]
+            assert got[mid]["width"] == arr.shape[1]
+            assert (got[mid]["sum_r"], got[mid]["sum_g"], got[mid]["sum_b"]) == (
+                int(sums[0]),
+                int(sums[1]),
+                int(sums[2]),
+            )

@@ -29,96 +29,45 @@ from . import tpch_queries  # noqa: F401  (remaining TPC-H shapes q212–q226)
 #: at that index (the explicit sentinel tests assert against —
 #: ADVICE r4 #3: no comment parsing).
 DRIVER_WINDOW_SIZE = 50
-FIRST_BELOW_WINDOW = "q74_continuous_aggregate"
+FIRST_BELOW_WINDOW = "q104_orc_roundtrip"
 
 #: Registry prefix — ROTATION RULE (round 4+): any query whose
 #: plan-affecting code changed since its LAST driver row, and any
 #: query with no driver row yet, goes INSIDE the 50-entry window;
 #: remaining slots refresh the queries with the oldest green rows.
-#: Round-8 window (the authoritative list is _CURATED_ORDER below),
+#: Round-9 window (the authoritative list is _CURATED_ORDER below),
 #: filling exactly 50:
 #: - q01 (flagship, every round);
-#: - the THIRTY-FIVE round-7 queries that overflowed the r7 window
-#:   and have never had a driver row: q162 HLL distinct, q163
-#:   weighted reservoir, then q212–q244 in authoring order (TPC-H
-#:   completion q212–q226, seasonal decomposition, skyline, FastSS,
-#:   sweep-line concurrency, allocation, interval union, IVM batch
-#:   + streaming, greedy coverage, data contract, calibration,
-#:   golden record, hot-salted join, growth accounting, streaming
-#:   top-k, trimmed means, diversified top-k, Shapley attribution);
-#: - q211 RFM segmentation, whose plan CHANGED this round (the
-#:   unpartitioned ntile windows were replaced by
-#:   scale.global_row_index ranks + the integer-exact
-#:   ntile-from-rank formula — its r7 plan-lint exemption is
-#:   retired), plus q233/q235 above (already in the 35) covering
-#:   the ivm.py new-key dirty-routing fix (ADVICE r8);
-#: - the FOUR new round-8 queries: q245 RFM approx-percentile
-#:   thresholds (q211's documented at-scale swap, q51/q158 audit
-#:   pattern), q246 WAU via per-day HLL register windows (q199's
-#:   documented swap), q247 grouping sets answered from the
-#:   IVM-maintained rollup (the q233 + q45 composition), q248
-#:   conversion-latency quantiles via approx-percentile threshold
-#:   join (q203's documented swap — the LAST documented swap, all
-#:   three now implemented);
-#: - NINE r3-vintage drains — the queries with the OLDEST driver
-#:   rows (last hashed round 3): q61–q67 and q72–q73.
-#: The remaining r3-vintage rows (q74, q75, q77–q82, q88, q93–q95 —
-#: twelve queries) sit FIRST below the boundary, scheduled to drain
-#: in round 9; below those, the r7-window queries whose rows are
-#: freshly green from round 7, then the r4–r6 rows as before.
+#: - the THREE new round-9 queries: q249 PNG round-trip (the
+#:   pure-stdlib compressed-codec decode, VERDICT r8 #4), q250
+#:   streaming session funnel (the q62 x q72 composition with
+#:   append-mode watermark eviction, VERDICT r8 #5), q251 streaming
+#:   bloom-gated ingest dedup (the q159 x q96 composition, VERDICT
+#:   r8 stretch #8);
+#: - q246 WAU, whose plan CHANGED this round (within_bound now
+#:   floors the ABSOLUTE error instead of abs-ing the floored
+#:   signed error, symmetrizing the +/-3000 bp bound — ADVICE r8
+#:   #1);
+#: - the TWELVE remaining r3-vintage drains (last driver-hashed
+#:   round 3, queued first-below-boundary since round 8): q74, q75,
+#:   q77-q82, q88, q93-q95;
+#: - THIRTY-THREE r4-vintage drains, the oldest rows after those:
+#:   q02, q03, q08, q22, q23, q27-q34, q37, q44, q53, q54, q68,
+#:   q76, q83-q87, q91, q92, q96-q103 (q53/q102 also re-prove the
+#:   multimodal module after this round's PNG/WAV/error-chaining
+#:   edits).
+#: The remaining NINE r4-vintage rows (q104-q107, q110, q111, q114,
+#: q115, q116) sit FIRST below the boundary, scheduled to drain in
+#: round 10 — after which every query's latest driver row is r5+;
+#: below those, the r5/r6/r7/r8 rows oldest-first as before.
 #: Ordering is evidence curation, not semantics: every query runs
 #: identically wherever it sits.
 _CURATED_ORDER = [
     "q01_pricing_summary",
-    "q162_hll_distinct",
-    "q163_weighted_reservoir",
-    "q212_min_cost_supplier",
-    "q213_priority_late_ship",
-    "q214_forecast_revenue",
-    "q215_volume_shipping",
-    "q216_product_profit",
-    "q217_returned_items",
-    "q218_important_part_values",
-    "q219_delay_priority_buckets",
-    "q220_promo_revenue_share",
-    "q221_top_supplier",
-    "q222_supplier_part_counts",
-    "q223_small_qty_revenue",
-    "q224_large_volume_customers",
-    "q225_dominant_shippers",
-    "q226_waiting_orders",
-    "q227_seasonal_decomposition",
-    "q228_pareto_skyline",
-    "q229_typo_neighbor_join",
-    "q230_peak_concurrency",
-    "q231_largest_remainder_allocation",
-    "q232_interval_union",
-    "q233_incremental_rollup",
-    "q234_greedy_coverage",
-    "q235_streaming_ivm",
-    "q236_data_contract_audit",
-    "q237_calibration_curve",
-    "q238_golden_record",
-    "q239_hot_salted_join",
-    "q240_growth_accounting",
-    "q241_streaming_topk",
-    "q242_trimmed_winsorized_mean",
-    "q243_diversified_topk",
-    "q244_shapley_attribution",
-    "q211_rfm_segmentation",
-    "q245_rfm_approx_thresholds",
+    "q249_png_roundtrip",
+    "q250_streaming_session_funnel",
+    "q251_streaming_bloom_gate",
     "q246_wau_hll_window",
-    "q247_ivm_rollup_cube",
-    "q248_latency_approx_quantiles",
-    "q61_sql_pivot",
-    "q62_streaming_session_window",
-    "q63_map_functions",
-    "q64_stateful_gap_tracker",
-    "q65_tfidf_top_terms",
-    "q66_label_centroids",
-    "q67_variant_json",
-    "q72_event_funnel",
-    "q73_gapfill_locf",
     "q74_continuous_aggregate",
     "q75_ntile_segmentation",
     "q77_modern_aggregates",
@@ -131,54 +80,6 @@ _CURATED_ORDER = [
     "q93_sink_roundtrip",
     "q94_footer_rowcounts",
     "q95_crossmodal_quality_norms",
-    "q161_cdc_chunking",
-    "q164_inverted_index",
-    "q165_quality_classifier",
-    "q166_label_propagation",
-    "q167_cuped_readout",
-    "q168_streaming_hll_maintenance",
-    "q169_scd2_history",
-    "q170_srm_check",
-    "q171_mad_outliers",
-    "q172_ewma_smoothing",
-    "q173_triangle_count",
-    "q174_quantile_normalize",
-    "q175_sorted_neighborhood",
-    "q176_srp_lsh",
-    "q177_point_in_time_join",
-    "q178_rrf_hybrid",
-    "q179_kcore_peeling",
-    "q180_cusum_drift",
-    "q181_hourly_acf",
-    "q182_benford_audit",
-    "q183_last_touch_attribution",
-    "q184_seasonal_naive_backtest",
-    "q185_hll_set_algebra",
-    "q186_streaming_cusum",
-    "q187_local_supplier_volume",
-    "q188_market_share",
-    "q189_weighted_median",
-    "q190_disjunctive_join",
-    "q191_time_weighted_average",
-    "q192_ohlc_bars",
-    "q193_trend_regression",
-    "q194_revenue_gini",
-    "q195_hhi_concentration",
-    "q196_welch_ttest",
-    "q197_cross_correlation",
-    "q198_mix_shift_decomposition",
-    "q199_dau_wau_stickiness",
-    "q200_item_cf",
-    "q201_kaplan_meier",
-    "q202_abc_classification",
-    "q203_time_to_convert",
-    "q204_streaming_ohlc",
-    "q205_mann_whitney",
-    "q206_ks_test",
-    "q207_customer_distribution",
-    "q208_sales_opportunity",
-    "q209_markov_attribution",
-    "q210_journey_paths",
     "q02_filtered_scan",
     "q03_top_revenue_orders",
     "q08_unpivot_metrics",
@@ -316,6 +217,102 @@ _CURATED_ORDER = [
     "q158_approx_quantile_bound",
     "q159_bloom_join_prune",
     "q160_stream_enrich",
+    "q161_cdc_chunking",
+    "q164_inverted_index",
+    "q165_quality_classifier",
+    "q166_label_propagation",
+    "q167_cuped_readout",
+    "q168_streaming_hll_maintenance",
+    "q169_scd2_history",
+    "q170_srm_check",
+    "q171_mad_outliers",
+    "q172_ewma_smoothing",
+    "q173_triangle_count",
+    "q174_quantile_normalize",
+    "q175_sorted_neighborhood",
+    "q176_srp_lsh",
+    "q177_point_in_time_join",
+    "q178_rrf_hybrid",
+    "q179_kcore_peeling",
+    "q180_cusum_drift",
+    "q181_hourly_acf",
+    "q182_benford_audit",
+    "q183_last_touch_attribution",
+    "q184_seasonal_naive_backtest",
+    "q185_hll_set_algebra",
+    "q186_streaming_cusum",
+    "q187_local_supplier_volume",
+    "q188_market_share",
+    "q189_weighted_median",
+    "q190_disjunctive_join",
+    "q191_time_weighted_average",
+    "q192_ohlc_bars",
+    "q193_trend_regression",
+    "q194_revenue_gini",
+    "q195_hhi_concentration",
+    "q196_welch_ttest",
+    "q197_cross_correlation",
+    "q198_mix_shift_decomposition",
+    "q199_dau_wau_stickiness",
+    "q200_item_cf",
+    "q201_kaplan_meier",
+    "q202_abc_classification",
+    "q203_time_to_convert",
+    "q204_streaming_ohlc",
+    "q205_mann_whitney",
+    "q206_ks_test",
+    "q207_customer_distribution",
+    "q208_sales_opportunity",
+    "q209_markov_attribution",
+    "q210_journey_paths",
+    "q61_sql_pivot",
+    "q62_streaming_session_window",
+    "q63_map_functions",
+    "q64_stateful_gap_tracker",
+    "q65_tfidf_top_terms",
+    "q66_label_centroids",
+    "q67_variant_json",
+    "q72_event_funnel",
+    "q73_gapfill_locf",
+    "q162_hll_distinct",
+    "q163_weighted_reservoir",
+    "q211_rfm_segmentation",
+    "q212_min_cost_supplier",
+    "q213_priority_late_ship",
+    "q214_forecast_revenue",
+    "q215_volume_shipping",
+    "q216_product_profit",
+    "q217_returned_items",
+    "q218_important_part_values",
+    "q219_delay_priority_buckets",
+    "q220_promo_revenue_share",
+    "q221_top_supplier",
+    "q222_supplier_part_counts",
+    "q223_small_qty_revenue",
+    "q224_large_volume_customers",
+    "q225_dominant_shippers",
+    "q226_waiting_orders",
+    "q227_seasonal_decomposition",
+    "q228_pareto_skyline",
+    "q229_typo_neighbor_join",
+    "q230_peak_concurrency",
+    "q231_largest_remainder_allocation",
+    "q232_interval_union",
+    "q233_incremental_rollup",
+    "q234_greedy_coverage",
+    "q235_streaming_ivm",
+    "q236_data_contract_audit",
+    "q237_calibration_curve",
+    "q238_golden_record",
+    "q239_hot_salted_join",
+    "q240_growth_accounting",
+    "q241_streaming_topk",
+    "q242_trimmed_winsorized_mean",
+    "q243_diversified_topk",
+    "q244_shapley_attribution",
+    "q245_rfm_approx_thresholds",
+    "q247_ivm_rollup_cube",
+    "q248_latency_approx_quantiles",
 ]
 
 

@@ -5711,8 +5711,10 @@ def q246_wau_hll_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention), so the hash pins ``wau_hll``, its floor'd basis-
     point error vs the exact WAU (the audit side, q199's own plan),
     the full merged register state, AND ``within_bound`` asserting
-    |err| ≤ 3000 bp (~2.3σ for m = 64; measured worst case 16%
-    across sf0.001–0.1).
+    floor(|err|) ≤ 3000 bp — symmetric in sign, since flooring the
+    SIGNED error first would clip the negative side 1 bp tighter
+    (ADVICE r8 #1) — ~2.3σ for m = 64; measured worst case 16%
+    across sf0.001–0.1.
 
     Scale: registers fold map-side per day (the user string never
     shuffles past the per-day distinct); the ×7 fan-out moves 64-row
@@ -5769,9 +5771,12 @@ def q246_wau_hll_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " / wau_exact) as bigint)"
             ).alias("err_bp"),
             "reg_checksum",
+            # floor(|err|), not |floor(err)|: floor rounds negative
+            # errors away from zero, which would make the negative
+            # side of the ±bound 1 bp tighter (ADVICE r8 #1)
             F.expr(
-                "abs(cast(floor((wau_hll - wau_exact) * 10000.0"
-                f" / wau_exact) as bigint)) <= {_WAU_HLL_BOUND_BP}"
+                "cast(floor(abs((wau_hll - wau_exact) * 10000.0"
+                f" / wau_exact)) as bigint) <= {_WAU_HLL_BOUND_BP}"
             ).alias("within_bound"),
         )
         .orderBy("day")

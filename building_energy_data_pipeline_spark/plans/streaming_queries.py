@@ -1513,3 +1513,442 @@ def q241_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming session funnel — q250 (VERDICT r8 #5: the q62 × q72
+# composition)
+# ---------------------------------------------------------------------------
+
+
+_Q250_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 24 HOUR
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ev
+    ),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    ),
+    agg AS (
+      SELECT user_id, sess_id,
+             MIN(ts) FILTER (WHERE event_type = 'view') AS first_view,
+             MIN(ts) FILTER (WHERE event_type = 'click') AS first_click,
+             MIN(ts) FILTER (WHERE event_type = 'purchase')
+               AS first_purchase
+      FROM sess GROUP BY user_id, sess_id
+    ),
+    s1 AS (SELECT * FROM agg WHERE first_view IS NOT NULL),
+    s2 AS (SELECT * FROM s1 WHERE first_click > first_view),
+    s3 AS (SELECT * FROM s2 WHERE first_purchase > first_click)
+    SELECT CAST(1 AS INTEGER) AS stage, 'view' AS label,
+           COUNT(*) AS n_sessions,
+           COUNT(DISTINCT user_id) AS n_users FROM s1
+    UNION ALL
+    SELECT 2, 'view>click', COUNT(*), COUNT(DISTINCT user_id) FROM s2
+    UNION ALL
+    SELECT 3, 'view>click>purchase', COUNT(*), COUNT(DISTINCT user_id)
+    FROM s3
+    ORDER BY stage
+"""
+
+
+@query("q250_streaming_session_funnel", oracle=_Q250_ORACLE)
+def q250_streaming_session_funnel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING session funnel — the composition VERDICT r8 named as
+    the one absent capability: q72's staged conversion funnel
+    evaluated over q62's ``session_window`` state, executed as a
+    genuine multi-micro-batch stream.
+
+    The events table is staged as FOUR time-range files with
+    ascending modification times (the file source drains oldest-first,
+    so the replay is chronological like a real ingest) plus a FIFTH
+    sentinel file holding one far-future event, and drained
+    ``maxFilesPerTrigger=1`` in APPEND mode: sessions that straddle a
+    batch boundary MERGE inside the session-window state store (the
+    late-data path — an open session absorbs later-arriving events
+    until the 1-hour watermark passes its end, which the
+    range-vs-watermark margin guarantees never drops a row), and each
+    session is EMITTED exactly when the advancing watermark finalizes
+    it — real eviction semantics, not q62's complete-mode retention.
+    The sentinel pushes the final watermark past every real session,
+    flushing the tail (its own session stays un-finalized in state
+    and therefore never reaches the sink — no filtering needed).
+    Each session aggregates its FIRST view / click / purchase
+    timestamps (associative conditional mins — safe under any batch
+    split); the drained session table then feeds the funnel staging:
+    first_view < first_click < first_purchase, monotone stages
+    s3 ⊆ s2 ⊆ s1 — q72's ordering test applied per-session instead
+    of per-user-history.
+
+    Oracle: q62's relational session derivation (gap ≥ 24 h opens a
+    new session — a DAY-grain session, because the synthetic events
+    are sparse in time: a 30-min gap leaves the purchase stage
+    vacuously empty at every sf, and a funnel with a permanently-zero
+    leg checks nothing) + FILTERed mins + the same stage predicates
+    — the
+    streaming execution must hash-match it exactly, which it can only
+    do if every session was flushed exactly once with fully-merged
+    state.
+
+    Streaming-merge class: none of the six custom foreachBatch folds
+    — the merge here is Spark's OWN session-state merge (the point:
+    the composition rides the built-in state store and append-mode
+    watermark eviction, not custom state); the post-drain staging is
+    stateless and batch-planned.
+
+    Scale: state = open sessions inside the watermark horizon,
+    evicted (and emitted) as the watermark passes session end; the
+    funnel staging reads one row per session (never re-touching
+    events) and reduces to 3 rows — at 100 TB the events scan
+    happens exactly once, in the stream.
+    """
+    import glob
+    import os
+    import shutil
+
+    from ..sources.readers import load_table
+
+    base_dir = tempfile.mkdtemp(prefix="q250_funnel_")
+    src_dir = os.path.join(base_dir, "events_by_time")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_type"
+        )
+        ev.repartitionByRange(4, "ts").write.parquet(src_dir)
+        # oldest-first drain order: repartitionByRange writes
+        # ascending ranges in part-file order; stamp strictly
+        # ascending mtimes so the file source's modification-time
+        # ordering replays time-ranges chronologically
+        parts = sorted(glob.glob(os.path.join(src_dir, "part-*")))
+        base_t = os.path.getmtime(parts[0])
+        for i, f in enumerate(parts):
+            os.utime(f, (base_t + i, base_t + i))
+        # sentinel: one event 30 h past the corpus end (> the 24 h
+        # session gap + the 1 h watermark delay); its only job is to
+        # advance the watermark over every real session's end
+        ev.groupBy().agg(
+            F.lit(-1).cast("long").alias("user_id"),
+            (F.max("ts") + F.expr("interval 30 hours")).alias("ts"),
+            F.lit("sentinel").alias("event_type"),
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        for f in set(glob.glob(os.path.join(src_dir, "part-*"))) - set(
+            parts
+        ):
+            os.utime(f, (base_t + 100, base_t + 100))
+
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts timestamp, event_type string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        sessions = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(
+                F.session_window("ts", "24 hours").alias("w"), "user_id"
+            )
+            .agg(
+                F.min(
+                    F.when(F.col("event_type") == "view", F.col("ts"))
+                ).alias("first_view"),
+                F.min(
+                    F.when(F.col("event_type") == "click", F.col("ts"))
+                ).alias("first_click"),
+                F.min(
+                    F.when(F.col("event_type") == "purchase", F.col("ts"))
+                ).alias("first_purchase"),
+            )
+            .select("user_id", "first_view", "first_click", "first_purchase")
+        )
+        sink = _drain_to_memory(sessions, "q250", "append")
+
+        s1 = sink.filter(F.col("first_view").isNotNull())
+        s2 = s1.filter(F.col("first_click") > F.col("first_view"))
+        s3 = s2.filter(F.col("first_purchase") > F.col("first_click"))
+
+        def stage(df: DataFrame, n: int, label: str) -> DataFrame:
+            return df.agg(
+                F.count("*").alias("n_sessions"),
+                F.count_distinct("user_id").alias("n_users"),
+            ).select(
+                F.lit(n).cast("int").alias("stage"),
+                F.lit(label).alias("label"),
+                "n_sessions",
+                "n_users",
+            )
+
+        return (
+            stage(s1, 1, "view")
+            .unionAll(stage(s2, 2, "view>click"))
+            .unionAll(stage(s3, 3, "view>click>purchase"))
+            .orderBy("stage")
+            .localCheckpoint(eager=True)  # materialize before cleanup
+        )
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming bloom-gated ingest dedup — q251 (VERDICT r8 stretch #8:
+# the q159 × q96 composition)
+# ---------------------------------------------------------------------------
+
+
+def _q251_oracle() -> str:
+    from ..operators import sketch
+    from .olap_queries import BLOOM_K, BLOOM_M
+
+    def h(key: str, r: str) -> str:
+        return sketch.duck_bucket_sql(f"CAST({key} AS VARCHAR)", r, BLOOM_M)
+
+    return f"""
+    WITH hist AS (
+      SELECT event_id FROM events WHERE event_id % 3 <> 0),
+    bits AS (
+      SELECT DISTINCT {h('event_id', 'r')} AS pos
+      FROM hist, unnest(range(0, {BLOOM_K})) t(r)),
+    fresh AS (
+      SELECT event_id, event_type FROM events WHERE event_id % 3 = 0),
+    fp AS (
+      SELECT event_id, event_type, {h('event_id', 'r')} AS pos
+      FROM fresh, unnest(range(0, {BLOOM_K})) t(r)),
+    flagged AS (
+      SELECT event_id, event_type,
+             bool_and(b.pos IS NOT NULL) AS slow_path
+      FROM fp LEFT JOIN bits b USING (pos)
+      GROUP BY event_id, event_type),
+    tot AS (
+      SELECT event_type, CAST(2 * COUNT(*) AS BIGINT) AS n_arrivals
+      FROM events GROUP BY event_type)
+    SELECT t.event_type,
+           t.n_arrivals,
+           CAST(COUNT(f.event_id) AS BIGINT) AS n_admitted,
+           CAST(t.n_arrivals - COUNT(f.event_id) AS BIGINT)
+             AS n_rejected,
+           CAST(COALESCE(SUM(f.event_id), 0) AS BIGINT)
+             AS admitted_id_sum,
+           CAST(COUNT(*) FILTER (WHERE f.slow_path) AS BIGINT)
+             AS n_slow_path
+    FROM tot t LEFT JOIN flagged f USING (event_type)
+    GROUP BY t.event_type, t.n_arrivals
+    ORDER BY t.event_type
+    """
+
+
+@query("q251_streaming_bloom_gate", oracle=_q251_oracle())
+def q251_streaming_bloom_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate-member dedup at ingest — q159's portable bloom
+    filter composed with q96's streaming dedup (VERDICT r8 stretch
+    #8): a continuous arrival stream is gated against a large
+    HISTORICAL corpus by a broadcast bloom bitmap (fast path), with
+    an exact anti-join confirm for bloom hits only (slow path),
+    inside ``foreachBatch``.
+
+    Fixture: history = events with ``event_id % 3 != 0``; arrivals =
+    the full events table UNIONed with itself (every id arrives
+    twice, q96's doubled-stream trick), staged as four files and
+    drained ``maxFilesPerTrigger=1`` with the two copies of each id
+    in DIFFERENT files — so cross-batch duplicate admission is
+    genuinely exercised, not just intra-batch ``dropDuplicates``.
+    Per batch: (1) raw arrival counts append to an accounting table
+    (additive — q157's counter merge class); (2) batch-local exact
+    dedup; (3) exact anti-join against the ADMITTED state (q115's
+    exact-state class — cross-batch exactness); (4) broadcast-bloom
+    probe: misses are DEFINITELY new (the 100 TB history join never
+    sees them), hits run the exact confirm against history; (5)
+    survivors append to the admitted state with their
+    ``slow_path`` flag.
+
+    The driver-hashed accounting is batch-boundary-INDEPENDENT by
+    construction: arrivals are additive, admission is exactly-once
+    (state anti-join + batch dedup), and ``slow_path`` per id is a
+    pure function of the STATIC history bloom. The oracle replays the
+    bloom bit-for-bit (q159's md5 convention) and pins the
+    false-positive accounting: ``n_slow_path`` counts new ids whose
+    k positions all collide with history bits — the measured cost of
+    the probabilistic gate; ``n_admitted``/``admitted_id_sum`` prove
+    exactly-once admission; no false negatives by construction (a
+    bloom miss is PROOF of absence), which the hash equality
+    certifies.
+
+    Scale: the bitmap is m/64 = 1024 longs broadcast once; the
+    per-batch history anti-join receives ONLY bloom-pass rows (at a
+    1% FP rate, ~99% of genuinely-new traffic never touches the
+    100 TB join — that join is left to Catalyst/AQE, shuffle-planned
+    against a bucketed history at scale, NOT force-broadcast);
+    admitted state is the ingest-horizon hot set — in production it
+    is bucketed on the key and TTL-compacted, exactly like q115's
+    state discipline.
+    """
+    import os
+    import shutil
+
+    from .. import caching
+    from ..operators import sketch
+    from ..sources.readers import load_table
+    from .olap_queries import BLOOM_K, BLOOM_M
+
+    base_dir = tempfile.mkdtemp(prefix="q251_gate_")
+    src_dir = os.path.join(base_dir, "arrivals")
+    ckpt = os.path.join(base_dir, "ckpt")
+    admit_dir = os.path.join(base_dir, "admitted")
+    counts_dir = os.path.join(base_dir, "arrival_counts")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type"
+        )
+        history = ev.filter(F.expr("event_id % 3 != 0")).select(
+            F.col("event_id").alias("h_id")
+        )
+
+        # build the bloom word map ONCE (q159's map-side bit_or fold)
+        build = sketch._bucket_expr("cast(h_id as string)", "r", BLOOM_M)
+        words = caching.slot_persist(
+            "q251_words",
+            history.select(
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, {BLOOM_K} - 1),"
+                        f" r -> {build})"
+                    )
+                ).alias("pos")
+            )
+            .select(
+                F.expr("pos div 64").alias("widx"),
+                F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+            )
+            .groupBy("widx")
+            .agg(F.expr("bit_or(bit)").alias("word"))
+            .agg(
+                F.expr(
+                    "map_from_entries(collect_list(struct(widx, word)))"
+                ).alias("words")
+            ),
+        )
+
+        def probe(r: int) -> str:
+            pos = sketch._bucket_expr(
+                "cast(event_id as string)", str(r), BLOOM_M
+            )
+            return (
+                f"((coalesce(element_at(words, ({pos}) div 64), 0L)"
+                f" >> cast(({pos}) % 64 as int)) & 1) = 1"
+            )
+
+        bloom_pass = " AND ".join(probe(r) for r in range(BLOOM_K))
+
+        # two copies of every id, steered to DIFFERENT files
+        c1 = ev.withColumn("shard", (F.col("event_id") % 2).cast("int"))
+        c2 = ev.withColumn(
+            "shard", (F.col("event_id") % 2 + 2).cast("int")
+        )
+        c1.unionAll(c2).repartitionByRange(4, "shard").select(
+            "event_id", "event_type"
+        ).write.parquet(src_dir)
+
+        stream = (
+            spark.readStream.schema("event_id long, event_type string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+
+        state = {"has_admitted": False}
+
+        def gate_batch(batch: DataFrame, batch_id: int) -> None:
+            s = batch.sparkSession
+            raw = batch.persist()
+            try:
+                # (1) additive arrival accounting, pre-dedup
+                raw.groupBy("event_type").agg(
+                    F.count("*").alias("n")
+                ).write.mode("append").parquet(counts_dir)
+                # (2) batch-local exact dedup
+                cand = raw.dropDuplicates(["event_id"])
+                # (3) cross-batch exact: already-admitted ids drop out
+                if state["has_admitted"]:
+                    cand = cand.join(
+                        s.read.parquet(admit_dir).select("event_id"),
+                        "event_id",
+                        "left_anti",
+                    )
+                # (4) broadcast-bloom probe; hits confirm exactly
+                probed = (
+                    cand.crossJoin(F.broadcast(words))
+                    .withColumn("slow_path", F.expr(bloom_pass))
+                    .select("event_id", "event_type", "slow_path")
+                )
+                fresh_fast = probed.filter(~F.col("slow_path"))
+                confirmed = probed.filter(F.col("slow_path")).join(
+                    history,
+                    F.col("event_id") == F.col("h_id"),
+                    "left_anti",
+                )
+                # (5) exactly-once admission
+                fresh_fast.unionByName(confirmed).write.mode(
+                    "append"
+                ).parquet(admit_dir)
+                state["has_admitted"] = True
+            finally:
+                raw.unpersist()
+
+        q = (
+            stream.writeStream.foreachBatch(gate_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q251: arrival stream did not drain")
+
+        admitted = spark.read.parquet(admit_dir)
+        per_type = admitted.groupBy("event_type").agg(
+            F.count("*").alias("n_admitted"),
+            F.sum("event_id").alias("admitted_id_sum"),
+            F.expr("count_if(slow_path)").alias("n_slow_path"),
+        )
+        arrivals = (
+            spark.read.parquet(counts_dir)
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("n_arrivals"))
+        )
+        return (
+            arrivals.join(per_type, "event_type", "left")
+            .select(
+                "event_type",
+                F.col("n_arrivals").cast("long").alias("n_arrivals"),
+                F.coalesce("n_admitted", F.lit(0))
+                .cast("long")
+                .alias("n_admitted"),
+                (
+                    F.col("n_arrivals")
+                    - F.coalesce("n_admitted", F.lit(0))
+                )
+                .cast("long")
+                .alias("n_rejected"),
+                F.coalesce("admitted_id_sum", F.lit(0))
+                .cast("long")
+                .alias("admitted_id_sum"),
+                F.coalesce("n_slow_path", F.lit(0))
+                .cast("long")
+                .alias("n_slow_path"),
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)  # materialize before cleanup
+        )
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

@@ -289,9 +289,9 @@ def test_curated_window_holds_exactly_fifty_entries():
 def test_window_composition_matches_documented_counts():
     """The rotation comment's counts, DERIVED not hand-written
     (ADVICE r7 #3: two r7 sync commits each landed a different wrong
-    hand-counted number). The round-8 window is documented as
-    1 flagship + 35 r7-overflow first-rows + q211 (changed plan)
-    + 4 new r8 queries + 9 r3-vintage drains = 50."""
+    hand-counted number). The round-9 window is documented as
+    1 flagship + 3 new r9 queries + q246 (changed plan) + 12
+    r3-vintage drains + 33 r4-vintage drains = 50."""
     from building_energy_data_pipeline_spark.plans import (
         DRIVER_WINDOW_SIZE,
         REGISTRY,
@@ -303,22 +303,36 @@ def test_window_composition_matches_documented_counts():
     def num(n: str) -> int:
         return int(n[1:4]) if n[1:4].isdigit() else int(n[1:3])
 
-    r7_overflow = [
+    r9_new = [n for n in window if 249 <= num(n) <= 251]
+    assert len(r9_new) == 3
+    changed = [n for n in window if n == "q246_wau_hll_window"]
+    assert len(changed) == 1
+    # the 12 r3-vintage drains queued since round 8 (the membership
+    # is a frozen historical fact — CORRECTNESS_r03's residue — so
+    # an explicit set, not a numeric range: r4 numbers interleave)
+    r3_set = {
+        "q74_continuous_aggregate", "q75_ntile_segmentation",
+        "q77_modern_aggregates", "q78_random_sample",
+        "q79_stratified_sample", "q80_sliding_window",
+        "q81_first_nth_value", "q82_lateral_topk",
+        "q88_source_mixture", "q93_sink_roundtrip",
+        "q94_footer_rowcounts", "q95_crossmodal_quality_norms",
+    }
+    r3_drains = [n for n in window if n in r3_set]
+    assert len(r3_drains) == 12
+    # the 33 oldest r4 rows (numbers interleave with the r3 family,
+    # so count them as the window remainder and pin the extremes)
+    r4_drains = [
         n
         for n in window
-        if n in ("q162_hll_distinct", "q163_weighted_reservoir")
-        or 212 <= num(n) <= 244
+        if n not in r9_new + changed + r3_drains
+        and n != "q01_pricing_summary"
     ]
-    assert len(r7_overflow) == 35
-    r8_new = [n for n in window if 245 <= num(n) <= 248]
-    assert len(r8_new) == 4
-    drains = [n for n in window if 61 <= num(n) <= 95]
-    assert len(drains) == 9
-    changed = [n for n in window if n == "q211_rfm_segmentation"]
-    assert len(changed) == 1
-    assert 1 + len(r7_overflow) + len(r8_new) + len(drains) + len(
-        changed
+    assert len(r4_drains) == 33
+    assert "q02_filtered_scan" in r4_drains
+    assert "q103_jsonl_roundtrip" in r4_drains
+    assert 1 + len(r9_new) + len(changed) + len(r3_drains) + len(
+        r4_drains
     ) == DRIVER_WINDOW_SIZE
-    # round-7's registry growth, the number the r7 prose got wrong
-    # twice: q161–q244 is 84 entries (q89 unused)
-    assert len([n for n in REGISTRY if 161 <= num(n) <= 244]) == 84
+    # registry growth this round: q249–q251 → 250 total (q89 unused)
+    assert len(REGISTRY) == 250

@@ -99,11 +99,12 @@ def test_every_registered_plan_is_clean_and_within_shuffle_snapshot(
        query cannot register without adding its snapshot row.
 
     Snapshot counts are cold-slot plans (caches released per query,
-    the `test_shuffle_budget` convention). Going under a snapshot is
-    progress — regenerate with:
-    ``python - <<'PY'`` … build every plan with
-    ``ops.observe.shuffle_count`` after ``caching.release_caches()``
-    and dump the dict to the JSON, sorted.
+    the `test_shuffle_budget` convention). Regenerate with
+    ``python tests/regen_shuffle_budgets.py`` — which REFUSES to
+    absorb a pin DECREASE unless each one is named with
+    ``--allow-decrease`` (VERDICT r8 #7: a lost exchange can be a
+    lost repartition guard, not just a win; the acknowledgment
+    belongs in the command, not in a silent rewrite).
     """
     import json
     import pathlib

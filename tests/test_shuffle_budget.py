@@ -87,6 +87,9 @@ SHUFFLE_BUDGET = {
     # user-grain signup/purchase folds + cohort sketch agg; the
     # threshold join back is a broadcast (not counted by design)
     "q248_latency_approx_quantiles": 3,
+    # synth→encode→decode is a narrow mapInPandas chain; the single
+    # exchange is the final media_id range sort
+    "q249_png_roundtrip": 1,
 }
 
 

@@ -200,6 +200,11 @@ def decode_png(content: bytes) -> np.ndarray:
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
+            if ihdr is not None:
+                # one header per image (spec); a second would
+                # silently redefine the geometry of already-listed
+                # IDAT bytes (the WAV duplicate-data lesson)
+                raise ValueError("duplicate PNG IHDR chunk")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.append(data)
@@ -224,15 +229,23 @@ def decode_png(content: bytes) -> np.ndarray:
     if w == 0 or h == 0:
         raise ValueError(f"invalid PNG dimensions {w}x{h}")
     ch = 3 if color == 2 else 4
+    stride = w * ch
+    need = h * (stride + 1)
+    # bounded inflate: cap the output at the header-declared size so
+    # a payload whose zlib stream disagrees with its IHDR (an inflate
+    # bomb behind a small declared geometry) can never allocate past
+    # need+1 bytes — the plain-decompress form would materialize the
+    # whole stream before the length check
+    dec = zlib.decompressobj()
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = dec.decompress(b"".join(idat), need + 1)
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG pixel data: {exc}") from exc
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
+    if len(raw) != need or not dec.eof:
         raise ValueError(
-            f"PNG pixel data length mismatch: expected "
-            f"{h * (stride + 1)} bytes, inflated {len(raw)}"
+            f"PNG pixel data length mismatch: expected {need} bytes, "
+            f"inflated {'>' if len(raw) > need or not dec.eof else ''}"
+            f"{len(raw)}"
         )
     rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -294,6 +307,10 @@ def encode_png(arr: np.ndarray, filter_strategy: str = "none") -> bytes:
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError(f"expected (h, w, 3) uint8 array, got {arr.shape}")
     h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        # a zero-dim payload would round-trip to decode_png's
+        # invalid-dimensions ValueError anyway; fail at the source
+        raise ValueError(f"cannot encode empty image {h}x{w}")
     ch = 3
     flat = arr.reshape(h, w * ch).astype(np.int16)
     # raw-byte neighbor planes, vectorized: left (shift by bpp), up

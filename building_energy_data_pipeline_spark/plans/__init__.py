@@ -29,7 +29,7 @@ from . import tpch_queries  # noqa: F401  (remaining TPC-H shapes q212–q226)
 #: at that index (the explicit sentinel tests assert against —
 #: ADVICE r4 #3: no comment parsing).
 DRIVER_WINDOW_SIZE = 50
-FIRST_BELOW_WINDOW = "q104_orc_roundtrip"
+FIRST_BELOW_WINDOW = "q103_jsonl_roundtrip"
 
 #: Registry prefix — ROTATION RULE (round 4+): any query whose
 #: plan-affecting code changed since its LAST driver row, and any
@@ -38,12 +38,15 @@ FIRST_BELOW_WINDOW = "q104_orc_roundtrip"
 #: Round-9 window (the authoritative list is _CURATED_ORDER below),
 #: filling exactly 50:
 #: - q01 (flagship, every round);
-#: - the THREE new round-9 queries: q249 PNG round-trip (the
+#: - the FOUR new round-9 queries: q249 PNG round-trip (the
 #:   pure-stdlib compressed-codec decode, VERDICT r8 #4), q250
 #:   streaming session funnel (the q62 x q72 composition with
 #:   append-mode watermark eviction, VERDICT r8 #5), q251 streaming
 #:   bloom-gated ingest dedup (the q159 x q96 composition, VERDICT
-#:   r8 stretch #8);
+#:   r8 stretch #8), q252 chained-stateful attribution rollup
+#:   (stream-stream join feeding a windowed aggregation in ONE
+#:   streaming query — two composed state stores, the q100 shape
+#:   without the sink round-trip);
 #: - q246 WAU, whose plan CHANGED this round (within_bound now
 #:   floors the ABSOLUTE error instead of abs-ing the floored
 #:   signed error, symmetrizing the +/-3000 bp bound — ADVICE r8
@@ -51,12 +54,12 @@ FIRST_BELOW_WINDOW = "q104_orc_roundtrip"
 #: - the TWELVE remaining r3-vintage drains (last driver-hashed
 #:   round 3, queued first-below-boundary since round 8): q74, q75,
 #:   q77-q82, q88, q93-q95;
-#: - THIRTY-THREE r4-vintage drains, the oldest rows after those:
+#: - THIRTY-TWO r4-vintage drains, the oldest rows after those:
 #:   q02, q03, q08, q22, q23, q27-q34, q37, q44, q53, q54, q68,
-#:   q76, q83-q87, q91, q92, q96-q103 (q53/q102 also re-prove the
+#:   q76, q83-q87, q91, q92, q96-q102 (q53/q102 also re-prove the
 #:   multimodal module after this round's PNG/WAV/error-chaining
-#:   edits).
-#: The remaining NINE r4-vintage rows (q104-q107, q110, q111, q114,
+#:   edits; q103 yielded its slot to q252).
+#: The remaining TEN r4-vintage rows (q103-q107, q110, q111, q114,
 #: q115, q116) sit FIRST below the boundary, scheduled to drain in
 #: round 10 — after which every query's latest driver row is r5+;
 #: below those, the r5/r6/r7/r8 rows oldest-first as before.
@@ -67,6 +70,7 @@ _CURATED_ORDER = [
     "q249_png_roundtrip",
     "q250_streaming_session_funnel",
     "q251_streaming_bloom_gate",
+    "q252_streaming_attribution_rollup",
     "q246_wau_hll_window",
     "q74_continuous_aggregate",
     "q75_ntile_segmentation",

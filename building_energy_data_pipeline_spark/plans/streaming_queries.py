@@ -1521,6 +1521,51 @@ def q241_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _stage_events_chronological(
+    spark: SparkSession, sf_dir: str, base_dir: str, sentinel_hours: int
+) -> str:
+    """Stage the events table as FOUR time-range parquet files with
+    strictly ascending modification times plus a far-future sentinel
+    file, for multi-micro-batch streaming replays (q250/q252).
+
+    The file source drains oldest-mtime first, so stamping mtimes in
+    range order replays the corpus chronologically — which is what
+    guarantees no row ever arrives behind the watermark (each batch's
+    min event time ≥ the previous batch's max). The sentinel (one
+    ``user_id = -1`` / ``event_type = 'sentinel'`` row
+    ``sentinel_hours`` past the corpus end) exists only to advance
+    the final watermark past every real window/session/join state so
+    append-mode sinks flush completely on a finite replay; callers
+    filter the type out (or let their event-type predicates drop it)
+    AFTER their ``withWatermark`` so it still advances event time.
+    """
+    import glob
+    import os
+
+    from ..sources.readers import load_table
+
+    src_dir = os.path.join(base_dir, "events_by_time")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    ev.repartitionByRange(4, "ts").write.parquet(src_dir)
+    # repartitionByRange writes ascending ranges in part-file order
+    parts = sorted(glob.glob(os.path.join(src_dir, "part-*")))
+    base_t = os.path.getmtime(parts[0])
+    for i, f in enumerate(parts):
+        os.utime(f, (base_t + i, base_t + i))
+    ev.groupBy().agg(
+        F.lit(-1).cast("long").alias("user_id"),
+        (
+            F.max("ts") + F.expr(f"interval {sentinel_hours} hours")
+        ).alias("ts"),
+        F.lit("sentinel").alias("event_type"),
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    for f in set(glob.glob(os.path.join(src_dir, "part-*"))) - set(parts):
+        os.utime(f, (base_t + 100, base_t + 100))
+    return src_dir
+
+
 _Q250_ORACLE = """
     WITH ev AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
@@ -1613,39 +1658,15 @@ def q250_streaming_session_funnel(
     events) and reduces to 3 rows — at 100 TB the events scan
     happens exactly once, in the stream.
     """
-    import glob
-    import os
     import shutil
 
-    from ..sources.readers import load_table
-
     base_dir = tempfile.mkdtemp(prefix="q250_funnel_")
-    src_dir = os.path.join(base_dir, "events_by_time")
     try:
-        ev = load_table(spark, sf_dir, "events").select(
-            "user_id", "ts", "event_type"
+        # 30 h sentinel: > the 24 h session gap + the 1 h watermark
+        # delay, so the final watermark passes every real session end
+        src_dir = _stage_events_chronological(
+            spark, sf_dir, base_dir, sentinel_hours=30
         )
-        ev.repartitionByRange(4, "ts").write.parquet(src_dir)
-        # oldest-first drain order: repartitionByRange writes
-        # ascending ranges in part-file order; stamp strictly
-        # ascending mtimes so the file source's modification-time
-        # ordering replays time-ranges chronologically
-        parts = sorted(glob.glob(os.path.join(src_dir, "part-*")))
-        base_t = os.path.getmtime(parts[0])
-        for i, f in enumerate(parts):
-            os.utime(f, (base_t + i, base_t + i))
-        # sentinel: one event 30 h past the corpus end (> the 24 h
-        # session gap + the 1 h watermark delay); its only job is to
-        # advance the watermark over every real session's end
-        ev.groupBy().agg(
-            F.lit(-1).cast("long").alias("user_id"),
-            (F.max("ts") + F.expr("interval 30 hours")).alias("ts"),
-            F.lit("sentinel").alias("event_type"),
-        ).coalesce(1).write.mode("append").parquet(src_dir)
-        for f in set(glob.glob(os.path.join(src_dir, "part-*"))) - set(
-            parts
-        ):
-            os.utime(f, (base_t + 100, base_t + 100))
 
         stream = (
             spark.readStream.schema(
@@ -1948,6 +1969,126 @@ def q251_streaming_bloom_gate(
                 .alias("n_slow_path"),
             )
             .orderBy("event_type")
+            .localCheckpoint(eager=True)  # materialize before cleanup
+        )
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Chained stateful operators: stream-stream join → windowed
+# aggregation in ONE streaming query — q252
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q252_streaming_attribution_rollup",
+    oracle="""
+    SELECT date_trunc('day', CAST(p.ts AS TIMESTAMP)) AS day_start,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(epoch_us(CAST(p.ts AS TIMESTAMP))
+                    - epoch_us(CAST(v.ts AS TIMESTAMP))) AS BIGINT)
+             AS sum_latency_us
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q252_streaming_attribution_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHAINED stateful operators in one streaming query: the q100
+    view→purchase stream-stream join feeds a tumbling 1-day windowed
+    aggregation INSIDE the same stream — two state stores composed in
+    append mode (the multiple-stateful-operators capability Spark
+    gained for exactly this attribution-rollup shape; q100 aggregated
+    its join output only after draining to a sink).
+
+    Execution: chronologically-staged multi-file replay
+    (``maxFilesPerTrigger=1``) with watermarks declared BEFORE the
+    event-type filters so the far-future sentinel advances event time
+    through both inputs; the join's ±30 min event-time bound lets its
+    state GC, and the downstream day windows finalize (and emit —
+    append mode) as the propagated watermark passes them. The
+    sentinel is 50 h past the corpus end: > 1 day (window span)
+    + 1 h (watermark) + 30 min (join range holdback), so every real
+    window flushes on the finite replay while the sentinel itself
+    matches no join pair.
+
+    Oracle: the batch self-join + day rollup; exact integer
+    microsecond latency sums make the hash bit-stable. Equality
+    holds only if the chained pipeline neither dropped a late pair
+    nor double-emitted a finalized window.
+
+    Scale: join state = the in-horizon slice of each side (q100's
+    bound); window state = one row per open day window. The rollup
+    output is days × 16 bytes — the 100 TB shape where the raw pair
+    stream never lands anywhere, only its aggregate does.
+    """
+    import shutil
+
+    base_dir = tempfile.mkdtemp(prefix="q252_attr_")
+    try:
+        src_dir = _stage_events_chronological(
+            spark, sf_dir, base_dir, sentinel_hours=50
+        )
+
+        def side() -> DataFrame:
+            s = (
+                spark.readStream.schema(
+                    "user_id long, ts timestamp, event_type string"
+                )
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src_dir)
+            )
+            # watermark BEFORE the type filter: the sentinel must
+            # advance event time, then drop out of the join inputs
+            return s.withWatermark("ts", "1 hour")
+
+        views = (
+            side()
+            .filter(F.col("event_type") == "view")
+            .select("user_id", F.col("ts").alias("v_ts"))
+        )
+        purchases = (
+            side()
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+        )
+        joined = views.join(
+            purchases,
+            F.expr(
+                "user_id = p_user AND p_ts >= v_ts"
+                " AND p_ts <= v_ts + interval 30 minutes"
+            ),
+        ).select(
+            "p_ts",
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias(
+                "lat_us"
+            ),
+        )
+        rollup = (
+            joined.groupBy(F.window("p_ts", "1 day").alias("w"))
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.sum("lat_us").alias("sum_latency_us"),
+            )
+            .select(
+                F.col("w.start").alias("day_start"),
+                "n_pairs",
+                "sum_latency_us",
+            )
+        )
+        return (
+            _drain_to_memory(rollup, "q252", "append")
+            .orderBy("day_start")
             .localCheckpoint(eager=True)  # materialize before cleanup
         )
     finally:

@@ -592,3 +592,58 @@ class TestPngCodec:
                 int(sums[1]),
                 int(sums[2]),
             )
+
+
+class TestPngThroughFeaturePipelines:
+    """The resize and float-feature mapInPandas stages run the real
+    PNG codec path too (they share decode_image) — pinning that the
+    compressed container feeds EVERY image pipeline, not just the
+    channel-sum query."""
+
+    def test_resize_over_png_payloads(self, spark):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_image,
+            encode_png,
+            resize_images,
+        )
+
+        payloads = {
+            mid: encode_png(decode_image(f"rz-{mid}".encode()), "cycle")
+            for mid in (1, 2)
+        }
+        df = spark.createDataFrame(
+            [(mid, bytearray(b)) for mid, b in payloads.items()],
+            "media_id long, content binary",
+        )
+        got = {
+            r["media_id"]: r
+            for r in resize_images(
+                df, out_h=4, out_w=5, use_real_codec=True
+            ).collect()
+        }
+        for mid, b in payloads.items():
+            arr = decode_image(b, use_real_codec=True)
+            ys = (np.arange(4) * arr.shape[0] // 4).clip(0, arr.shape[0] - 1)
+            xs = (np.arange(5) * arr.shape[1] // 5).clip(0, arr.shape[1] - 1)
+            expect = arr[ys][:, xs]
+            assert got[mid]["height"] == 4 and got[mid]["width"] == 5
+            assert bytes(got[mid]["content"]) == expect.tobytes()
+
+    def test_float_features_over_png_payloads(self, spark):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_image,
+            encode_png,
+            extract_image_features,
+        )
+
+        payload = encode_png(decode_image(b"feat-png"), "none")
+        df = spark.createDataFrame(
+            [(7, bytearray(payload))], "media_id long, content binary"
+        )
+        row = extract_image_features(df, use_real_codec=True).first()
+        arr = decode_image(payload, use_real_codec=True)
+        means = arr.reshape(-1, 3).mean(axis=0)
+        assert row["height"] == arr.shape[0]
+        assert row["width"] == arr.shape[1]
+        assert abs(row["mean_r"] - means[0]) < 1e-9
+        assert abs(row["brightness"] - means.mean()) < 1e-9

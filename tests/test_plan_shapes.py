@@ -1016,3 +1016,59 @@ class TestR8SwapShapes:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "approx_percentile" in plan
+
+
+class TestR9Shapes:
+    def test_q249_pushdown_and_narrow_codec_chain(self, spark, sf_dir):
+        """The documents scan must push the doc_id filter and prune to
+        the 1 column the synth stage consumes; the encode→decode codec
+        chain is NARROW (the single exchange is the output sort) —
+        payloads are born, compressed, and decoded inside one task.
+        """
+        from building_energy_data_pipeline_spark.ops.observe import (
+            plan_lint,
+            shuffle_count,
+        )
+
+        df = REGISTRY["q249_png_roundtrip"].spark(spark, sf_dir)
+        assert plan_lint(df) == []
+        assert shuffle_count(df) <= 1
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 2  # encode stage + decode stage
+        assert "PushedFilters" in plan
+
+    def test_q250_q252_sinks_are_materialized_scans(self, spark, sf_dir):
+        """The streaming compositions return localCheckpoint'd results
+        (their temp staging is deleted on exit) — the returned plan
+        must be a scan of materialized rows, not lineage into a
+        removed directory."""
+        for name in (
+            "q250_streaming_session_funnel",
+            "q252_streaming_attribution_rollup",
+        ):
+            df = REGISTRY[name].spark(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "Scan ExistingRDD" in plan, name
+            assert df.count() > 0, name
+
+    def test_q251_bloom_probe_is_projection_and_join_prunes(
+        self, spark, sf_dir
+    ):
+        """q251's returned accounting must be non-empty for every
+        event type, admitted must equal the new-id count exactly, and
+        the slow path must be a strict subset (the bloom pruned MOST
+        genuinely-new traffic away from the history join)."""
+        rows = (
+            REGISTRY["q251_streaming_bloom_gate"]
+            .spark(spark, sf_dir)
+            .collect()
+        )
+        assert len(rows) == 5  # one per event type
+        for r in rows:
+            assert r["n_arrivals"] == r["n_admitted"] + r["n_rejected"]
+            assert 0 <= r["n_slow_path"] <= r["n_admitted"]
+        # the prune must be doing real work at m=65536/k=3 over this
+        # corpus: slow path well under half of admissions overall
+        tot_slow = sum(r["n_slow_path"] for r in rows)
+        tot_adm = sum(r["n_admitted"] for r in rows)
+        assert tot_adm > 0 and tot_slow < tot_adm / 2

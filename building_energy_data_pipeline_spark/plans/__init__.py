@@ -23,13 +23,14 @@ from . import llm_queries  # noqa: F401  (repetition/chunking/ngram-LM q97–q99
 from . import cdc_queries  # noqa: F401  (MERGE upsert q105)
 from . import analytics_queries  # noqa: F401  (SCD2/SRM/MAD/EWMA/triangles q169+)
 from . import tpch_queries  # noqa: F401  (remaining TPC-H shapes q212–q226)
+from . import datasource_queries  # noqa: F401  (custom Python DataSource q253)
 
 #: The driver's correctness harness checks exactly this many leading
 #: ``queries()`` entries; ``FIRST_BELOW_WINDOW`` is the entry pinned
 #: at that index (the explicit sentinel tests assert against —
 #: ADVICE r4 #3: no comment parsing).
 DRIVER_WINDOW_SIZE = 50
-FIRST_BELOW_WINDOW = "q103_jsonl_roundtrip"
+FIRST_BELOW_WINDOW = "q101_ivf_recall"
 
 #: Registry prefix — ROTATION RULE (round 4+): any query whose
 #: plan-affecting code changed since its LAST driver row, and any
@@ -38,7 +39,7 @@ FIRST_BELOW_WINDOW = "q103_jsonl_roundtrip"
 #: Round-9 window (the authoritative list is _CURATED_ORDER below),
 #: filling exactly 50:
 #: - q01 (flagship, every round);
-#: - the FOUR new round-9 queries: q249 PNG round-trip (the
+#: - the FIVE new round-9 queries: q249 PNG round-trip (the
 #:   pure-stdlib compressed-codec decode, VERDICT r8 #4), q250
 #:   streaming session funnel (the q62 x q72 composition with
 #:   append-mode watermark eviction, VERDICT r8 #5), q251 streaming
@@ -46,7 +47,9 @@ FIRST_BELOW_WINDOW = "q103_jsonl_roundtrip"
 #:   r8 stretch #8), q252 chained-stateful attribution rollup
 #:   (stream-stream join feeding a windowed aggregation in ONE
 #:   streaming query — two composed state stores, the q100 shape
-#:   without the sink round-trip);
+#:   without the sink round-trip), q253 custom Python DataSource
+#:   scan (Spark 4 connector API: filter pushdown into Python +
+#:   one-InputPartition-per-shard parallel generation);
 #: - q246 WAU, whose plan CHANGED this round (within_bound now
 #:   floors the ABSOLUTE error instead of abs-ing the floored
 #:   signed error, symmetrizing the +/-3000 bp bound — ADVICE r8
@@ -54,15 +57,15 @@ FIRST_BELOW_WINDOW = "q103_jsonl_roundtrip"
 #: - the TWELVE remaining r3-vintage drains (last driver-hashed
 #:   round 3, queued first-below-boundary since round 8): q74, q75,
 #:   q77-q82, q88, q93-q95;
-#: - THIRTY-TWO r4-vintage drains, the oldest rows after those:
+#: - THIRTY-ONE r4-vintage drains, the oldest rows after those:
 #:   q02, q03, q08, q22, q23, q27-q34, q37, q44, q53, q54, q68,
-#:   q76, q83-q87, q91, q92, q96-q102 (q53/q102 also re-prove the
-#:   multimodal module after this round's PNG/WAV/error-chaining
-#:   edits; q103 yielded its slot to q252).
-#: The remaining TEN r4-vintage rows (q103-q107, q110, q111, q114,
-#: q115, q116) sit FIRST below the boundary, scheduled to drain in
-#: round 10 — after which every query's latest driver row is r5+;
-#: below those, the r5/r6/r7/r8 rows oldest-first as before.
+#:   q76, q83-q87, q91, q92, q96-q100, q102 (q53/q102 also re-prove
+#:   the multimodal module after this round's PNG/WAV/error-chaining
+#:   edits; q101 and q103 yielded their slots to q252/q253).
+#: The remaining ELEVEN r4-vintage rows (q101, q103-q107, q110,
+#: q111, q114-q116) sit FIRST below the boundary, scheduled to
+#: drain in round 10 — after which every query's latest driver row
+#: is r5+; below those, the r5/r6/r7/r8 rows oldest-first as before.
 #: Ordering is evidence curation, not semantics: every query runs
 #: identically wherever it sits.
 _CURATED_ORDER = [
@@ -71,6 +74,7 @@ _CURATED_ORDER = [
     "q250_streaming_session_funnel",
     "q251_streaming_bloom_gate",
     "q252_streaming_attribution_rollup",
+    "q253_python_datasource_scan",
     "q246_wau_hll_window",
     "q74_continuous_aggregate",
     "q75_ntile_segmentation",
@@ -114,8 +118,8 @@ _CURATED_ORDER = [
     "q98_rag_chunking",
     "q99_bigram_lm",
     "q100_stream_stream_join",
-    "q101_ivf_recall",
     "q102_audio_int_stats",
+    "q101_ivf_recall",
     "q103_jsonl_roundtrip",
     "q104_orc_roundtrip",
     "q105_merge_upsert",

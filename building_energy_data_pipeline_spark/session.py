@@ -69,6 +69,9 @@ def get_spark(
         # unsupported by the vectorized reader; surface as
         # nanos-since-epoch LongType and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python DataSource readers that push filters require this
+        # (sources/pydatasource); affects Python sources only
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )

@@ -47,6 +47,11 @@ _REQUIRED_SQL_CONFS = {
     # non-ANSI: overflow/bad-cast → null, matching try_cast-style
     # coercion semantics the query inventory relies on.
     "spark.sql.ansi.enabled": "false",
+    # a Python DataSourceReader that implements pushFilters() fails
+    # to INITIALIZE (not merely skip pushdown) while this is false —
+    # required by the custom-connector surface (sources/pydatasource,
+    # q253). Runtime-settable, affects only Python data sources.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -1,0 +1,202 @@
+"""Custom Python DataSource tests (``sources/pydatasource.py``):
+reader-level pushdown semantics, partition planning, the streaming
+twin's offset contract, and plain-session behavior — the connector
+surface q253 drives through the oracle harness.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThanOrEqual,
+    IsNotNull,
+    LessThan,
+    StringContains,
+)
+
+from building_energy_data_pipeline_spark.sources.pydatasource import (
+    TelemetryReader,
+    TelemetryStreamReader,
+    reading_value,
+    register_telemetry_source,
+)
+
+OPTS = {"sensors": "6", "days": "10", "slots": "4"}
+
+
+class TestReaderPushdown:
+    def test_consumed_filters_not_reyielded(self):
+        r = TelemetryReader(OPTS)
+        rest = list(
+            r.pushFilters(
+                [
+                    EqualTo(("sensor",), 3),
+                    GreaterThanOrEqual(("day",), 2),
+                    LessThan(("day",), 7),
+                ]
+            )
+        )
+        assert rest == []  # all three handled by the source
+        parts = r.partitions()
+        assert len(parts) == 1
+        assert (parts[0].sensor, parts[0].day_lo, parts[0].day_hi) == (
+            3,
+            2,
+            6,
+        )
+
+    def test_unsupported_filters_returned(self):
+        r = TelemetryReader(OPTS)
+        unsupported = [
+            IsNotNull(("reading",)),
+            StringContains(("sensor",), "x"),
+        ]
+        rest = list(r.pushFilters(list(unsupported)))
+        assert rest == unsupported  # re-applied by Spark post-scan
+        assert len(r.partitions()) == 6  # no pruning happened
+
+    def test_contradictory_equalities_empty_scan(self):
+        r = TelemetryReader(OPTS)
+        list(r.pushFilters([EqualTo(("sensor",), 1), EqualTo(("sensor",), 2)]))
+        assert r.partitions() == []
+
+    def test_out_of_range_sensor_prunes_everything(self):
+        r = TelemetryReader(OPTS)
+        list(r.pushFilters([EqualTo(("sensor",), 99)]))
+        assert r.partitions() == []
+
+    def test_read_generates_exactly_the_pruned_range(self):
+        r = TelemetryReader(OPTS)
+        list(
+            r.pushFilters(
+                [EqualTo(("sensor",), 2), GreaterThanOrEqual(("day",), 8)]
+            )
+        )
+        (part,) = r.partitions()
+        rows = list(r.read(part))
+        assert len(rows) == 2 * 4  # days 8..9 × 4 slots
+        assert all(s == 2 and d >= 8 for s, d, _, _ in rows)
+        assert all(
+            v == reading_value(s, d, t) for s, d, t, v in rows
+        )
+
+
+class TestBatchScanThroughSpark:
+    def test_full_scan_row_count_and_values(self, spark):
+        register_telemetry_source(spark)
+        df = (
+            spark.read.format("synthetic_telemetry")
+            .options(**OPTS)
+            .load()
+        )
+        assert df.count() == 6 * 10 * 4
+        row = df.filter("sensor = 5 AND day = 9 AND slot = 3").first()
+        assert row["reading"] == reading_value(5, 9, 3)
+
+    def test_pushdown_leaves_no_residual_day_filter(self, spark):
+        register_telemetry_source(spark)
+        df = (
+            spark.read.format("synthetic_telemetry")
+            .options(**OPTS)
+            .load()
+            .filter("sensor = 1 AND day >= 3 AND day < 5")
+        )
+        assert df.count() == 2 * 4
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the day/sensor comparisons were consumed by pushFilters —
+        # only null guards may survive in the Spark-side Filter
+        filter_lines = [
+            ln for ln in plan.splitlines() if "Filter" in ln
+        ]
+        for ln in filter_lines:
+            assert ">=" not in ln and "<" not in ln and "= 1" not in ln
+
+    def test_plain_session_gets_pushdown_conf(self, spark):
+        """The driver runs queries under ITS OWN session; q253 heals
+        the Python-pushdown conf via ensure_session_confs like the
+        nanos flag (a reader with pushFilters FAILS to initialize,
+        not merely skips pushdown, when the conf is off)."""
+        from building_energy_data_pipeline_spark.sources.readers import (
+            ensure_session_confs,
+        )
+
+        plain = spark.newSession()
+        try:
+            plain.conf.unset("spark.sql.python.filterPushdown.enabled")
+        except Exception:
+            pass
+        ensure_session_confs(plain)
+        register_telemetry_source(plain)
+        df = (
+            plain.read.format("synthetic_telemetry")
+            .options(**OPTS)
+            .load()
+            .filter("sensor = 0")
+        )
+        assert df.count() == 10 * 4
+
+
+class TestStreamingTwin:
+    def test_offsets_advance_one_day_per_batch_then_stop(self):
+        r = TelemetryStreamReader(OPTS)
+        off = r.initialOffset()
+        assert off == {"day": 0}
+        total = 0
+        for day in range(10):
+            rows, off = r.read(off)
+            rows = list(rows)
+            assert len(rows) == 6 * 4
+            assert {d for _, d, _, _ in rows} == {day}
+            total += len(rows)
+        # exhausted: offset stops advancing, read returns nothing
+        rows, off2 = r.read(off)
+        assert list(rows) == [] and off2 == off
+        assert total == 6 * 10 * 4
+
+    def test_replay_between_offsets_exact(self):
+        r = TelemetryStreamReader(OPTS)
+        replay = list(r.readBetweenOffsets({"day": 3}, {"day": 6}))
+        assert len(replay) == 3 * 6 * 4
+        assert all(3 <= d < 6 for _, d, _, _ in replay)
+        assert all(
+            v == reading_value(s, d, t) for s, d, t, v in replay
+        )
+
+    def test_streaming_scan_end_to_end(self, spark, tmp_path):
+        """Continuous drain of the simple stream reader: every day
+        arrives exactly once and totals match the batch scan.
+        (``availableNow`` drains only the prefetched first batch for
+        SIMPLE readers, so the finite test polls a running query and
+        stops it once the deterministic total lands.)"""
+        import time
+        import uuid
+
+        register_telemetry_source(spark)
+        stream = (
+            spark.readStream.format("synthetic_telemetry")
+            .options(**OPTS)
+            .load()
+        )
+        name = "pyds_" + uuid.uuid4().hex[:8]
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        expected = 6 * 10 * 4
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if spark.table(name).count() >= expected:
+                    break
+                time.sleep(1)
+        finally:
+            q.stop()
+        got = spark.table(name)
+        assert got.count() == expected  # and never MORE: exactly-once
+        assert got.select("day").distinct().count() == 10
+        assert got.distinct().count() == expected
+        spark.catalog.dropTempView(name)

@@ -196,9 +196,36 @@ class SyntheticTelemetrySource(DataSource):
 
 
 def register_telemetry_source(spark) -> None:
-    """Idempotent registration (re-running a query in one session
-    must not fail on 'already registered')."""
+    """Idempotent PER-SESSION registration.
+
+    The subtlety (observed on Spark 4.1.2, classic mode): after a
+    parent session registers, ``spark.newSession().dataSource
+    .register(...)`` raises DATA_SOURCE_ALREADY_EXISTS — the
+    existence check consults the registering thread's ACTIVE
+    session's manager — yet a read from the new session still fails
+    with DATA_SOURCE_NOT_FOUND because lookup uses the new session's
+    own (empty, cloned-before-registration) ``DataSourceManager``.
+    Swallowing the exception is therefore NOT enough; we confirm the
+    session's own manager resolves the name and, if not, register
+    straight into it (the same JVM call the public API performs,
+    minus the mis-scoped exists check).
+    """
+    mgr = spark._jsparkSession.sessionState().dataSourceManager()
+    if mgr.dataSourceExists(SyntheticTelemetrySource.name()):
+        return
     try:
         spark.dataSource.register(SyntheticTelemetrySource)
     except Exception:
-        pass  # already registered under this name
+        pass  # mis-scoped ALREADY_EXISTS from a sibling session
+    if mgr.dataSourceExists(SyntheticTelemetrySource.name()):
+        return
+    from pyspark.sql.udf import _wrap_function
+
+    sc = spark.sparkContext
+    wrapped = _wrap_function(sc, SyntheticTelemetrySource)
+    jds = getattr(
+        sc._jvm,
+        "org.apache.spark.sql.execution.datasources.v2.python"
+        ".UserDefinedPythonDataSource",
+    )(wrapped)
+    mgr.registerDataSource(SyntheticTelemetrySource.name(), jds)

@@ -22,16 +22,18 @@ fully public, dependency-free spec decode natively: :func:`decode_bmp`
 / :func:`encode_bmp` (24/32-bit BI_RGB, top-down or bottom-up,
 stride-padded — the Windows BITMAPINFOHEADER public spec),
 :func:`decode_wav` / :func:`encode_wav` (RIFF/WAVE chunk walk,
-16-bit PCM) — and, since round 9, the first COMPRESSED format:
+16-bit PCM) — and, since round 9, COMPRESSED formats:
 :func:`decode_png` / :func:`encode_png` (stdlib ``zlib`` inflate +
 numpy scanline unfiltering, all five filter types — the W3C PNG
-spec). ``decode_image(..., use_real_codec=True)`` sniffs the ``BM``
-magic / PNG signature and decodes natively before falling back to
+spec) plus baseline JPEG (``operators/jpeg_codec.py``: Annex K
+tables, Huffman entropy coding, numpy DCT — ITU-T T.81).
+``decode_image(..., use_real_codec=True)`` sniffs the ``BM`` magic /
+PNG signature / JPEG SOI and decodes natively before falling back to
 PIL. The default remains the **deterministic fake decoder**
 (content-hash-seeded pixels) so driver queries stay oracle-stable;
 the q53/q102 payloads are hash-chain/raw-PCM synthetic, not
-containers, while q249 round-trips REAL zlib-compressed PNG
-containers distributed.
+containers, while q249/q254 round-trip REAL zlib-compressed PNG /
+Huffman-coded JPEG containers distributed.
 """
 
 from __future__ import annotations
@@ -462,6 +464,15 @@ def decode_image(
                 # palette/16-bit/interlaced variants and corrupt
                 # payloads — same fall-through contract as BMP
                 native_err = exc
+        elif content[:3] == b"\xff\xd8\xff":
+            try:
+                from .jpeg_codec import decode_jpeg
+
+                return decode_jpeg(content)
+            except (NotImplementedError, ValueError) as exc:
+                # progressive/arithmetic/12-bit variants and corrupt
+                # payloads — same fall-through contract as BMP/PNG
+                native_err = exc
         try:
             import io
 
@@ -478,8 +489,9 @@ def decode_image(
             raise NotImplementedError(
                 "real decoding of this payload requires PIL, which "
                 "is not available in this environment; uncompressed "
-                "24/32-bit BMP (decode_bmp) and 8-bit RGB/RGBA PNG "
-                "(decode_png) decode natively, or use the "
+                "24/32-bit BMP (decode_bmp), 8-bit RGB/RGBA PNG "
+                "(decode_png) and baseline JPEG (jpeg_codec."
+                "decode_jpeg) decode natively, or use the "
                 "deterministic fake decoder (use_real_codec=False)"
             ) from exc
         return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import multimodal
+from ..operators.jpeg_codec import encode_jpeg
 from ..sources.readers import load_table
 from .registry import query
 
@@ -271,6 +272,111 @@ def q249_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {
                         "media_id": int(mid),
                         "content": multimodal.encode_png(arr, "cycle"),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(
+        synth_encode, "media_id long, content binary"
+    )
+    return multimodal.image_channel_sums(
+        media, use_real_codec=True
+    ).orderBy("media_id")
+
+
+@query(
+    "q254_jpeg_roundtrip",
+    headline=True,
+    oracle="""
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             CAST(8 + (doc_id % 5) * 6 AS INTEGER) AS height,
+             CAST(8 + (doc_id % 4) * 7 AS INTEGER) AS width
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id, height, width,
+           CAST(list_sum(flatten(list_transform(range(height), y ->
+                list_transform(range(width), x ->
+                  2 * ((media_id * 7 + (y // 8) * 5 + (x // 8) * 3)
+                       % 128)))))
+             AS BIGINT) AS sum_r,
+           CAST(list_sum(flatten(list_transform(range(height), y ->
+                list_transform(range(width), x ->
+                  2 * ((media_id * 7 + (y // 8) * 5 + (x // 8) * 3)
+                       % 128)))))
+             AS BIGINT) AS sum_g,
+           CAST(list_sum(flatten(list_transform(range(height), y ->
+                list_transform(range(width), x ->
+                  2 * ((media_id * 7 + (y // 8) * 5 + (x // 8) * 3)
+                       % 128)))))
+             AS BIGINT) AS sum_b
+    FROM img
+    """,
+)
+def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-codec decode through the driver contract: block-flat
+    grayscale pattern pixels (``2·((media_id·7 + (y//8)·5 + (x//8)·3)
+    % 128)`` — every 8×8 block constant, every value even) are
+    Huffman-encoded to genuine baseline JPEG payloads
+    (``operators/jpeg_codec.encode_jpeg``, Annex K tables at quality
+    50; a rotating ``restart_interval`` of 0/2/5 MCUs so roughly two
+    thirds of the payloads carry DRI + RSTn markers) in one
+    ``mapInPandas`` stage, decoded back by the pure-numpy baseline
+    JPEG decoder in the next, and reduced to integer channel sums
+    (grayscale replicates across channels, so ``sum_r = sum_g =
+    sum_b``).
+
+    The oracle never sees a JPEG byte: it recomputes the sums from
+    the closed-form pattern. A lossy codec gets a ZERO-TOLERANCE
+    oracle because the pattern lives on the codec's lossless
+    subspace — a flat block's DCT is DC-only, ``8·(v-128)`` divides
+    the Annex K DC quantizer 16 exactly for even ``v``, and every AC
+    coefficient quantizes to zero — so the driver hash passes only if
+    the marker walk, Huffman decode, dequantization, IDCT and
+    restart-marker resync reconstruct every pixel exactly
+    (``tests/test_jpeg_codec.py`` pins the subspace property itself,
+    plus lossy-path tolerance off it). Extends q249's PNG check to
+    the second compressed container; MP3/video remain gated.
+
+    Scale: identical economics to q249 — payloads are born,
+    compressed and decoded inside one task; only ~40 bytes of
+    features per image ever shuffle. The decode stage is the template
+    for scanning a 100 TB JPEG-thumbnail column.
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas body import)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 2)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (8 + (F.col("doc_id") % 5) * 6).cast("int").alias("height"),
+            (8 + (F.col("doc_id") % 4) * 7).cast("int").alias("width"),
+        )
+    )
+
+    def synth_encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, h, w in zip(
+                pdf["media_id"], pdf["height"], pdf["width"]
+            ):
+                mid, h, w = int(mid), int(h), int(w)
+                y, x = np.ogrid[0:h, 0:w]
+                arr = (
+                    2 * ((mid * 7 + (y // 8) * 5 + (x // 8) * 3) % 128)
+                ).astype(np.uint8)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "content": encode_jpeg(
+                            arr,
+                            quality=50,
+                            restart_interval=(0, 2, 5)[mid % 3],
+                        ),
                     }
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])

@@ -1,0 +1,359 @@
+"""Baseline JPEG codec tests (``operators/jpeg_codec.py``) — the
+second compressed container on the real decode path: spec-table
+checks, exact round-trips on the DC-only subspace, lossy-path
+tolerance, marker/variant/corruption contracts, the distributed
+mapInPandas path, and hypothesis fuzz.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from building_energy_data_pipeline_spark.operators import jpeg_codec as jc
+from building_energy_data_pipeline_spark.operators.jpeg_codec import (
+    decode_jpeg,
+    encode_jpeg,
+)
+
+#: ITU-T T.81 figure A.6 zigzag sequence (flattened natural indices),
+#: transcribed independently from the spec — pins the generated order
+SPEC_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _block_flat_gray(mid: int, h: int, w: int) -> np.ndarray:
+    """The q254 pattern: every 8x8 block flat, every value even."""
+    y, x = np.ogrid[0:h, 0:w]
+    return (2 * ((mid * 7 + (y // 8) * 5 + (x // 8) * 3) % 128)).astype(
+        np.uint8
+    )
+
+
+class TestSpecTables:
+    def test_zigzag_matches_spec_figure(self):
+        assert list(jc.ZIGZAG_FLAT) == SPEC_ZIGZAG
+
+    def test_quality_scaling_identity_at_50(self):
+        assert np.array_equal(
+            jc.scale_quant_table(jc.QUANT_LUMA, 50), jc.QUANT_LUMA
+        )
+        # IJG endpoints: Q100 -> all ones, Q25 -> 2x (clipped 255)
+        assert (jc.scale_quant_table(jc.QUANT_LUMA, 100) == 1).all()
+        assert np.array_equal(
+            jc.scale_quant_table(jc.QUANT_LUMA, 25),
+            np.clip(jc.QUANT_LUMA * 2, 1, 255),
+        )
+        with pytest.raises(ValueError):
+            jc.scale_quant_table(jc.QUANT_LUMA, 0)
+
+    def test_huffman_tables_are_prefix_complete(self):
+        for bits, vals in (
+            (jc.DC_LUMA_BITS, jc.DC_LUMA_VALS),
+            (jc.DC_CHROMA_BITS, jc.DC_CHROMA_VALS),
+            (jc.AC_LUMA_BITS, jc.AC_LUMA_VALS),
+            (jc.AC_CHROMA_BITS, jc.AC_CHROMA_VALS),
+        ):
+            assert sum(bits) == len(vals)
+            codes = jc._build_codes(bits, vals)
+            # Kraft sum < 1 (JPEG reserves the all-ones codes)
+            assert sum(2.0 ** -length for _, length in codes.values()) < 1
+            # no code is a prefix of another
+            as_strings = sorted(
+                format(c, f"0{n}b") for c, n in codes.values()
+            )
+            for a, b in zip(as_strings, as_strings[1:]):
+                assert not b.startswith(a)
+
+
+class TestExactRoundTrip:
+    """The DC-only lossless subspace the q254 oracle lives on."""
+
+    def test_flat_even_gray_exact(self):
+        arr = np.full((16, 24), 100, dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(arr, 50))
+        assert dec.shape == (16, 24, 3)
+        assert (dec == 100).all()  # gray replicated across channels
+
+    def test_block_flat_pattern_exact_odd_dims(self):
+        for mid, h, w in ((7, 26, 29), (0, 8, 8), (123, 31, 9)):
+            arr = _block_flat_gray(mid, h, w)
+            dec = decode_jpeg(encode_jpeg(arr, 50))
+            assert dec.shape == (h, w, 3)
+            assert (dec[..., 0] == arr).all()
+            assert (dec[..., 1] == arr).all()
+
+    def test_restart_markers_do_not_change_pixels(self):
+        arr = ((np.arange(32 * 32) * 37) % 256).astype(np.uint8).reshape(
+            32, 32
+        )
+        plain = encode_jpeg(arr, 75)
+        rst = encode_jpeg(arr, 75, restart_interval=2)
+        assert any(
+            bytes([0xFF, 0xD0 + i]) in rst for i in range(8)
+        )
+        assert np.array_equal(decode_jpeg(plain), decode_jpeg(rst))
+
+
+class TestLossyTolerance:
+    def test_flat_color_within_one(self):
+        rgb = np.stack(
+            [np.full((25, 19), 120), np.full((25, 19), 64),
+             np.full((25, 19), 30)],
+            axis=-1,
+        ).astype(np.uint8)
+        for sub in ("444", "420"):
+            dec = decode_jpeg(encode_jpeg(rgb, 95, subsampling=sub))
+            assert dec.shape == rgb.shape
+            assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 2
+
+    def test_smooth_gradient_q90_close(self):
+        y, x = np.mgrid[0:40, 0:36]
+        rgb = np.stack(
+            [(y * 2) % 256, (x * 2) % 256, ((y + x)) % 256], axis=-1
+        ).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(rgb, 90))
+        err = np.abs(dec.astype(int) - rgb.astype(int))
+        assert err.mean() < 12  # smooth content, high quality
+
+    def test_420_with_restart_odd_dims(self):
+        y, x = np.mgrid[0:25, 0:21]
+        rgb = np.stack(
+            [(y * 3) % 256, (x * 3) % 256, np.full_like(y, 50)], axis=-1
+        ).astype(np.uint8)
+        dec = decode_jpeg(
+            encode_jpeg(rgb, 90, subsampling="420", restart_interval=1)
+        )
+        assert dec.shape == (25, 21, 3)
+
+
+class TestMarkerStructure:
+    def test_stream_markers(self):
+        enc = encode_jpeg(np.full((8, 8), 50, dtype=np.uint8), 50)
+        assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+        assert b"JFIF\x00" in enc
+        for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+            assert marker in enc
+
+    def test_sixteen_bit_dqt_parses(self):
+        """Hand-built stream with Pq=1 (16-bit quant table): an 8x8
+        flat gray block, table value 16 everywhere — exercises the
+        DQT precision branch the encoder never emits."""
+        writer = jc._BitWriter()
+        dc = jc._build_codes(jc.DC_LUMA_BITS, jc.DC_LUMA_VALS)
+        ac = jc._build_codes(jc.AC_LUMA_BITS, jc.AC_LUMA_VALS)
+        # flat v=100: DC = 8*(100-128)/16 = -14 -> category 4
+        diff = -14
+        size = diff.bit_length()
+        code, length = dc[size]
+        writer.write(code, length)
+        writer.write((diff + (1 << size) - 1) & ((1 << size) - 1), size)
+        code, length = ac[0x00]  # EOB
+        writer.write(code, length)
+        entropy = writer.flush()
+
+        dqt = b"\x11" + b"".join(  # Pq=1 (16-bit), Tq=1
+            struct.pack(">H", 16) for _ in range(64)
+        )
+        sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 1])
+        dht0 = bytes([0x00]) + bytes(jc.DC_LUMA_BITS) + bytes(
+            jc.DC_LUMA_VALS
+        )
+        dht1 = bytes([0x10]) + bytes(jc.AC_LUMA_BITS) + bytes(
+            jc.AC_LUMA_VALS
+        )
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+
+        def seg(marker: bytes, body: bytes) -> bytes:
+            return marker + struct.pack(">H", 2 + len(body)) + body
+
+        stream = (
+            b"\xff\xd8"
+            + seg(b"\xff\xdb", dqt)
+            + seg(b"\xff\xc0", sof)
+            + seg(b"\xff\xc4", dht0)
+            + seg(b"\xff\xc4", dht1)
+            + seg(b"\xff\xda", sos)
+            + entropy
+            + b"\xff\xd9"
+        )
+        dec = decode_jpeg(stream)
+        assert dec.shape == (8, 8, 3)
+        assert (dec == 100).all()
+
+
+class TestVariantAndCorruptionContract:
+    """NotImplementedError = unsupported spec feature;
+    ValueError = corrupt payload (the multimodal gate contract)."""
+
+    def _enc(self) -> bytes:
+        return encode_jpeg(np.full((8, 8), 100, dtype=np.uint8), 50)
+
+    def test_progressive_gated(self):
+        enc = bytearray(self._enc())
+        enc[enc.index(b"\xff\xc0") + 1] = 0xC2  # SOF0 -> SOF2
+        with pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg(bytes(enc))
+
+    def test_twelve_bit_precision_gated(self):
+        enc = bytearray(self._enc())
+        enc[enc.index(b"\xff\xc0") + 4] = 12
+        with pytest.raises(NotImplementedError, match="12-bit"):
+            decode_jpeg(bytes(enc))
+
+    def test_large_sampling_factor_gated(self):
+        enc = bytearray(self._enc())
+        # marker(2) len(2) prec(1) h(2) w(2) ncomp(1) cid(1) -> hv at +11
+        enc[enc.index(b"\xff\xc0") + 11] = 0x33
+        with pytest.raises(NotImplementedError, match="sampling"):
+            decode_jpeg(bytes(enc))
+
+    def test_corruption_is_valueerror(self):
+        enc = self._enc()
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\x00\x01")  # no SOI
+        with pytest.raises(ValueError):
+            decode_jpeg(enc[:20])  # truncated mid-segment
+        with pytest.raises(ValueError):
+            # EOI immediately after SOI: no scan
+            decode_jpeg(b"\xff\xd8\xff\xd9")
+        # entropy stream truncated: chop before EOI
+        with pytest.raises(ValueError):
+            decode_jpeg(enc[:-8])
+
+    def test_decode_image_sniffs_jpeg(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        arr = _block_flat_gray(3, 16, 16)
+        dec = decode_image(encode_jpeg(arr, 50), use_real_codec=True)
+        assert (dec[..., 0] == arr).all()
+
+    def test_decode_image_chains_native_failure(self):
+        """Corrupt payload with a JPEG magic: the PIL-absent gate must
+        chain the native ValueError, not claim a missing codec
+        (ADVICE r8 contract, extended to JPEG)."""
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        pytest.importorskip  # noqa: B018 — PIL may exist someday
+        try:
+            import PIL  # noqa: F401
+
+            pytest.skip("PIL present: fall-through decodes instead")
+        except ImportError:
+            pass
+        with pytest.raises(NotImplementedError) as exc_info:
+            decode_image(b"\xff\xd8\xff\xe0garbage", use_real_codec=True)
+        assert isinstance(exc_info.value.__cause__, ValueError)
+
+    def test_encoder_input_validation(self):
+        with pytest.raises(ValueError, match="uint8"):
+            encode_jpeg(np.zeros((8, 8), dtype=np.int32))
+        with pytest.raises(ValueError, match="expected"):
+            encode_jpeg(np.zeros((8, 8, 4), dtype=np.uint8))
+        with pytest.raises(ValueError, match="subsampling"):
+            encode_jpeg(
+                np.zeros((8, 8, 3), dtype=np.uint8), subsampling="422"
+            )
+        with pytest.raises(ValueError, match="dimensions"):
+            encode_jpeg(np.zeros((0, 8), dtype=np.uint8))
+
+
+class TestHypothesisFuzz:
+    @settings(max_examples=25, deadline=None)
+    @given(
+        mid=st.integers(0, 10_000),
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+    )
+    def test_block_flat_even_gray_always_exact(self, mid, h, w):
+        arr = _block_flat_gray(mid, h, w)
+        dec = decode_jpeg(encode_jpeg(arr, 50))
+        assert dec.shape == (h, w, 3)
+        assert (dec[..., 0] == arr).all()
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        seed=st.integers(0, 2**32 - 1),
+        h=st.integers(1, 33),
+        w=st.integers(1, 33),
+        quality=st.sampled_from([30, 50, 75, 90]),
+        channels=st.sampled_from(["gray", "444", "420"]),
+        rst=st.sampled_from([0, 1, 3]),
+    )
+    def test_arbitrary_content_decodes_with_correct_shape(
+        self, seed, h, w, quality, channels, rst
+    ):
+        rng = np.random.default_rng(seed)
+        if channels == "gray":
+            arr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            enc = encode_jpeg(arr, quality, restart_interval=rst)
+        else:
+            arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            enc = encode_jpeg(
+                arr, quality, subsampling=channels, restart_interval=rst
+            )
+        dec = decode_jpeg(enc)
+        assert dec.shape == (h, w, 3)
+        assert dec.dtype == np.uint8
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        seed=st.integers(0, 2**32 - 1),
+        nblocks_y=st.integers(1, 4),
+        nblocks_x=st.integers(1, 4),
+    )
+    def test_random_even_block_mosaic_exact(
+        self, seed, nblocks_y, nblocks_x
+    ):
+        """ANY block-flat even-valued gray image is on the lossless
+        subspace — not just the q254 formula's."""
+        rng = np.random.default_rng(seed)
+        blocks = rng.integers(0, 128, (nblocks_y, nblocks_x)) * 2
+        arr = np.repeat(
+            np.repeat(blocks, 8, axis=0), 8, axis=1
+        ).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(arr, 50))
+        assert (dec[..., 0] == arr).all()
+
+
+@pytest.mark.usefixtures("spark")
+class TestDistributed:
+    def test_channel_sums_over_jpeg_payloads(self, spark):
+        """The q254 shape: encode in one mapInPandas stage, decode
+        via image_channel_sums(use_real_codec=True) in the next,
+        compare against locally computed sums."""
+        import pandas as pd
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            image_channel_sums,
+        )
+
+        metas = [(i, 8 + (i % 5) * 6, 8 + (i % 4) * 7) for i in range(12)]
+        expected = {}
+        rows = []
+        for mid, h, w in metas:
+            arr = _block_flat_gray(mid, h, w)
+            expected[mid] = int(arr.sum())
+            rows.append((mid, bytearray(encode_jpeg(arr, 50))))
+        df = spark.createDataFrame(
+            rows, "media_id long, content binary"
+        ).repartition(4)
+        got = {
+            r["media_id"]: (r["sum_r"], r["sum_g"], r["sum_b"])
+            for r in image_channel_sums(df, use_real_codec=True).collect()
+        }
+        assert set(got) == set(expected)
+        for mid, (sr, sg, sb) in got.items():
+            assert sr == sg == sb == expected[mid]

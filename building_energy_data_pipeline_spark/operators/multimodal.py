@@ -420,6 +420,190 @@ def encode_wav(pcm: np.ndarray, sample_rate: int) -> bytes:
     )
 
 
+def encode_avi_mjpeg(
+    frames: list, fps: int = 10, quality: int = 50
+) -> bytes:
+    """Minimal Motion-JPEG AVI writer (the Microsoft RIFF-AVI public
+    layout): ``RIFF('AVI ' LIST(hdrl avih LIST(strl strh strf))
+    LIST(movi 00dc...) idx1)`` with one ``vids/MJPG`` stream — each
+    frame a baseline JPEG from :func:`jpeg_codec.encode_jpeg`. All
+    frames must share one (h, w[, 3]) shape; ``fps`` lands in both
+    ``avih.dwMicroSecPerFrame`` and ``strh.dwRate/dwScale``."""
+    from .jpeg_codec import encode_jpeg
+
+    if not frames:
+        raise ValueError("cannot encode an AVI with zero frames")
+    if fps <= 0:
+        raise ValueError(f"fps must be positive, got {fps}")
+    shape = np.asarray(frames[0]).shape
+    payloads = []
+    for f in frames:
+        arr = np.asarray(f)
+        if arr.shape != shape:
+            raise ValueError(
+                f"frame shape {arr.shape} != first frame {shape}"
+            )
+        payloads.append(encode_jpeg(arr, quality))
+    h, w = shape[0], shape[1]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            cid + struct.pack("<I", len(body)) + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    def lst(form: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", form + body)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        0, 0,
+        0x10,  # AVIF_HASINDEX
+        len(payloads), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIIIIIIIIII4H",
+        b"vids", b"MJPG", 0, 0, 0,
+        1, fps,  # dwScale, dwRate: fps = rate/scale
+        0, len(payloads), 0, 0xFFFFFFFF, 0,
+        0, 0, w, h,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+        h * ((w * 3 + 3) & ~3), 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"movi"
+    offsets = []
+    for p in payloads:
+        offsets.append((len(movi_body), len(p)))
+        movi_body += chunk(b"00dc", p)
+    movi = chunk(b"LIST", movi_body)
+    idx = b"".join(
+        b"00dc" + struct.pack("<III", 0x10, off, ln)
+        for off, ln in offsets
+    )
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(content: bytes) -> tuple[list, float]:
+    """Walk a RIFF-AVI container and decode every video chunk
+    (``##dc``/``##db``) as baseline JPEG; returns ``(frames, fps)``
+    with each frame an (h, w, 3) uint8 array. The chunk walk uses the
+    WAV parser's conventions (even padding, unknown chunks skipped,
+    ``ValueError`` for corrupt structure). Non-MJPG video streams
+    raise ``NotImplementedError`` (they need ffmpeg); so do
+    unsupported JPEG variants inside frames, via
+    :func:`jpeg_codec.decode_jpeg`."""
+    from .jpeg_codec import decode_jpeg
+
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    fps = 0.0
+    frames: list = []
+
+    def walk(data: bytes, pos: int, end: int) -> None:
+        nonlocal fps
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            body_end = body_start + size
+            if body_end > end:
+                raise ValueError(
+                    f"AVI chunk {cid!r} overruns its parent "
+                    f"({body_end} > {end})"
+                )
+            if cid == b"LIST":
+                walk(data, body_start + 4, body_end)
+            elif cid == b"avih":
+                if size < 56:
+                    raise ValueError("truncated avih header")
+                usec = struct.unpack_from("<I", data, body_start)[0]
+                if fps == 0.0 and usec:
+                    fps = 1_000_000 / usec
+            elif cid == b"strh":
+                if size < 56:
+                    raise ValueError("truncated strh header")
+                fcc_type = data[body_start : body_start + 4]
+                handler = data[body_start + 4 : body_start + 8]
+                if fcc_type == b"vids":
+                    if handler not in (b"MJPG", b"mjpg"):
+                        raise NotImplementedError(
+                            f"AVI video codec {handler!r} not "
+                            "supported — MJPG only (others need "
+                            "ffmpeg)"
+                        )
+                    scale, rate = struct.unpack_from(
+                        "<II", data, body_start + 20
+                    )
+                    if scale:
+                        fps = rate / scale  # stream header wins
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                frames.append(
+                    decode_jpeg(data[body_start:body_end])
+                )
+            pos = body_end + (size & 1)  # chunks pad to even
+
+    walk(content, 12, min(len(content), 8 + struct.unpack_from(
+        "<I", content, 4)[0]))
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    return frames, fps
+
+
+VIDEO_FRAME_SUM_SCHEMA = (
+    "media_id long, frame_idx int, height int, width int,"
+    " sum_r long, sum_g long, sum_b long"
+)
+
+
+def mjpeg_frame_sums(df: DataFrame) -> DataFrame:
+    """Per-frame integer channel sums over MJPEG-AVI payloads — the
+    video member of the oracle-friendly checksum family (q53 images /
+    q102 audio / q254 JPEG stills): container walk + per-frame JPEG
+    decode run INSIDE the task via ``mapInPandas``; only ~50 bytes of
+    features per frame ever shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = [
+            "media_id", "frame_idx", "height", "width",
+            "sum_r", "sum_g", "sum_b",
+        ]
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                frames, _ = decode_avi_mjpeg(raw)
+                for i, arr in enumerate(frames):
+                    sums = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": i,
+                            "height": arr.shape[0],
+                            "width": arr.shape[1],
+                            "sum_r": int(sums[0]),
+                            "sum_g": int(sums[1]),
+                            "sum_b": int(sums[2]),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        run, VIDEO_FRAME_SUM_SCHEMA
+    )
+
+
 def decode_image(
     content: bytes, use_real_codec: bool = False
 ) -> np.ndarray:
@@ -663,13 +847,51 @@ def sample_frame_plan(df: DataFrame, every_ms: int) -> DataFrame:
     )
 
 
-def decode_frames(df: DataFrame) -> DataFrame:
-    """STUB: real video frame extraction requires ffmpeg bindings,
-    absent in this environment."""
-    raise NotImplementedError(
-        "video frame decoding requires ffmpeg, not available here; "
-        "sample_frame_plan() produces the distributed work plan this "
-        "stage would consume"
+DECODED_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, height int, width int, content binary"
+)
+
+
+def decode_frames(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """Video frame extraction. The REAL path (round 9) decodes
+    Motion-JPEG AVI containers natively (:func:`decode_avi_mjpeg` —
+    RIFF walk + the pure-numpy baseline JPEG decoder) and returns one
+    row per frame with the raw RGB buffer as the payload; any other
+    container still requires ffmpeg bindings, absent in this
+    environment, and the default gate preserves the original
+    contract."""
+    if not use_real_codec:
+        raise NotImplementedError(
+            "general video frame decoding requires ffmpeg, not "
+            "available here; MJPEG-AVI payloads decode natively via "
+            "decode_frames(df, use_real_codec=True), and "
+            "sample_frame_plan() produces the distributed work plan "
+            "an ffmpeg stage would consume"
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ["media_id", "frame_idx", "height", "width", "content"]
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                frames, _ = decode_avi_mjpeg(raw)
+                for i, arr in enumerate(frames):
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": i,
+                            "height": arr.shape[0],
+                            "width": arr.shape[1],
+                            "content": arr.tobytes(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        run, DECODED_FRAME_SCHEMA
     )
 
 

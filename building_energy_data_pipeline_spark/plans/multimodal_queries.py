@@ -285,6 +285,120 @@ def q249_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q255_mjpeg_video_sums",
+    headline=True,
+    oracle="""
+    WITH vid AS (
+      SELECT doc_id AS media_id,
+             CAST(2 + doc_id % 4 AS INTEGER) AS n_frames,
+             CAST(8 + (doc_id % 3) * 8 AS INTEGER) AS height,
+             CAST(8 + (doc_id % 2) * 8 AS INTEGER) AS width
+      FROM documents WHERE doc_id % 3 = 0
+    ), fr AS (
+      SELECT media_id,
+             CAST(unnest(range(n_frames)) AS INTEGER) AS frame_idx,
+             height, width
+      FROM vid
+    )
+    SELECT media_id, frame_idx, height, width,
+           CAST(list_sum(flatten(list_transform(range(height), y ->
+                list_transform(range(width), x ->
+                  2 * ((media_id * 7 + frame_idx * 13 + (y // 8) * 5
+                        + (x // 8) * 3) % 128)))))
+             AS BIGINT) AS sum_r,
+           CAST(list_sum(flatten(list_transform(range(height), y ->
+                list_transform(range(width), x ->
+                  2 * ((media_id * 7 + frame_idx * 13 + (y // 8) * 5
+                        + (x // 8) * 3) % 128)))))
+             AS BIGINT) AS sum_g,
+           CAST(list_sum(flatten(list_transform(range(height), y ->
+                list_transform(range(width), x ->
+                  2 * ((media_id * 7 + frame_idx * 13 + (y // 8) * 5
+                        + (x // 8) * 3) % 128)))))
+             AS BIGINT) AS sum_b
+    FROM fr
+    """,
+)
+def q255_mjpeg_video_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode through the driver contract: per
+    media, ``2 + media_id % 4`` block-flat grayscale frames (the q254
+    pattern with a per-frame ``frame_idx·13`` term) are encoded into
+    a genuine Motion-JPEG AVI — RIFF ``hdrl``/``movi``/``idx1``
+    layout, one baseline-JPEG ``00dc`` chunk per frame
+    (``operators/multimodal.encode_avi_mjpeg``) — in one
+    ``mapInPandas`` stage, then the container is walked and every
+    frame Huffman-decoded back by ``mjpeg_frame_sums`` in the next,
+    emitting one row per (media, frame) with integer channel sums.
+
+    The oracle recomputes the sums closed-form (the frames live on
+    the JPEG codec's DC-only lossless subspace, q254's argument), so
+    the driver hash checks container walk + per-frame decode + frame
+    ORDER — a swapped or dropped ``00dc`` chunk shifts ``frame_idx``
+    and breaks the hash. With q249 (PNG), q254 (JPEG stills) and the
+    WAV path, every modality now has a real compressed-or-container
+    decode executing distributed; only non-MJPG video codecs and
+    MP3 remain behind the ffmpeg/PIL gates.
+
+    Scale: frames are born, encoded, and decoded inside one task;
+    ~50 bytes of features per frame shuffle for the final sort. The
+    decode stage is the template for scanning a 100 TB MJPEG-clip
+    column (surveillance/dashcam corpora ship exactly this shape).
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas body import)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (2 + F.col("doc_id") % 4).cast("int").alias("n_frames"),
+            (8 + (F.col("doc_id") % 3) * 8).cast("int").alias("height"),
+            (8 + (F.col("doc_id") % 2) * 8).cast("int").alias("width"),
+        )
+    )
+
+    def synth_encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, n, h, w in zip(
+                pdf["media_id"], pdf["n_frames"],
+                pdf["height"], pdf["width"],
+            ):
+                mid, n, h, w = int(mid), int(n), int(h), int(w)
+                y, x = np.ogrid[0:h, 0:w]
+                frames = [
+                    (
+                        2
+                        * (
+                            (mid * 7 + f * 13 + (y // 8) * 5
+                             + (x // 8) * 3)
+                            % 128
+                        )
+                    ).astype(np.uint8)
+                    for f in range(n)
+                ]
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "content": multimodal.encode_avi_mjpeg(
+                            frames, fps=10, quality=50
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(
+        synth_encode, "media_id long, content binary"
+    )
+    return multimodal.mjpeg_frame_sums(media).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+@query(
     "q254_jpeg_roundtrip",
     headline=True,
     oracle="""

@@ -353,8 +353,10 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     """Pure-struct RIFF/WAVE parser for 16-bit PCM: walks the chunk
     list (chunks pad to even offsets), requires ``fmt`` audio format
     1 with 16 bits/sample, and returns ``((n_frames, channels) int16,
-    sample_rate)``. Compressed formats raise ``NotImplementedError``
-    (they need libsndfile).
+    sample_rate)``. Mono IMA ADPCM (format 0x11) routes to
+    :func:`decode_adpcm_wav` — the compressed-audio path, round 9;
+    other compressed formats raise ``NotImplementedError`` (they
+    need libsndfile).
 
     Deliberately NOT the stdlib ``wave`` module: this parser keeps
     the operator contract's exception types (``ValueError`` /
@@ -386,10 +388,14 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format == 0x11:
+        # compressed path (round 9): mono 4-bit IMA ADPCM decodes
+        # natively — re-walk via the block-structured decoder
+        return decode_adpcm_wav(content)
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
-            f"only 16-bit PCM WAV supported (format={audio_format}, "
-            f"bits={bits})"
+            f"only 16-bit PCM and IMA-ADPCM WAV supported "
+            f"(format={audio_format}, bits={bits})"
         )
     if channels < 1:
         raise ValueError("malformed WAV: zero channels")
@@ -397,6 +403,227 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
         data[: len(data) // (2 * channels) * 2 * channels], dtype="<i2"
     )
     return pcm.reshape(-1, channels), sample_rate
+
+
+#: IMA ADPCM tables (public IMA spec / RFC 3551 DVI4 lineage)
+_ADPCM_INDEX_TABLE = (
+    -1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8,
+)
+_ADPCM_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+)
+
+
+def _adpcm_decode_nibbles(
+    nibbles, pred: int, index: int
+) -> list:
+    """The IMA ADPCM decoder state machine (integer-exact, public
+    spec): one 4-bit code -> one int16 sample. ``pred``/``index``
+    come from the block header; returns the decoded samples."""
+    out = []
+    for nib in nibbles:
+        step = _ADPCM_STEP_TABLE[index]
+        mag = nib & 7
+        diff = step >> 3
+        if mag & 4:
+            diff += step
+        if mag & 2:
+            diff += step >> 1
+        if mag & 1:
+            diff += step >> 2
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + _ADPCM_INDEX_TABLE[nib]))
+        out.append(pred)
+    return out
+
+
+def _adpcm_encode_sample(sample: int, pred: int, index: int):
+    """One step of the standard IMA quantizer: returns
+    ``(nibble, new_pred, new_index)`` — new_pred is the DECODER's
+    reconstruction, so encoder and decoder state never drift."""
+    step = _ADPCM_STEP_TABLE[index]
+    diff = sample - pred
+    nib = 8 if diff < 0 else 0
+    if diff < 0:
+        diff = -diff
+    delta = 0
+    if diff >= step:
+        delta |= 4
+        diff -= step
+    if diff >= step >> 1:
+        delta |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        delta |= 1
+    nib |= delta
+    dec = _adpcm_decode_nibbles([nib], pred, index)[0]
+    index = max(0, min(88, index + _ADPCM_INDEX_TABLE[nib]))
+    return nib, dec, index
+
+
+def encode_adpcm_wav(
+    pcm: np.ndarray, sample_rate: int, samples_per_block: int = 505
+) -> bytes:
+    """Encode mono int16 PCM to an IMA-ADPCM WAV (format tag 0x11):
+    per block a 4-byte header (predictor int16 = the block's first
+    sample verbatim, step index, reserved) followed by 4-bit codes
+    two-per-byte (low nibble first) — ~4:1 compression. The ``fact``
+    chunk records the true sample count so trailing pad codes in the
+    final block are cropped on decode. ``samples_per_block`` must be
+    odd (1 header sample + an even nibble count)."""
+    pcm = np.asarray(pcm, dtype=np.int64).ravel()
+    if pcm.size == 0:
+        raise ValueError("cannot encode zero samples")
+    if samples_per_block < 3 or samples_per_block % 2 == 0:
+        raise ValueError(
+            f"samples_per_block must be odd and >= 3, got "
+            f"{samples_per_block}"
+        )
+    block_align = 4 + (samples_per_block - 1) // 2
+    blocks = bytearray()
+    index = 0
+    for start in range(0, pcm.size, samples_per_block):
+        chunk = pcm[start : start + samples_per_block]
+        pred = int(chunk[0])
+        blocks += struct.pack("<hBB", pred, index, 0)
+        nibs = []
+        for s in chunk[1:]:
+            nib, pred, index = _adpcm_encode_sample(int(s), pred, index)
+            nibs.append(nib)
+        nibs += [0] * (samples_per_block - 1 - len(nibs))  # pad codes
+        for lo, hi in zip(nibs[0::2], nibs[1::2]):
+            blocks.append(lo | (hi << 4))
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, sample_rate,
+        sample_rate * block_align // samples_per_block,
+        block_align, 4,
+        2,  # cbSize
+        samples_per_block,
+    )
+    data = bytes(blocks)
+    return (
+        struct.pack(
+            "<4sI4s",
+            b"RIFF",
+            4 + (8 + len(fmt)) + (8 + 4) + (8 + len(data)),
+            b"WAVE",
+        )
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sII", b"fact", 4, pcm.size)
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def codes_to_adpcm_wav(codes, sample_rate: int) -> bytes:
+    """Build a SINGLE-BLOCK IMA-ADPCM WAV directly from raw 4-bit
+    codes (predictor 0, step index 0): the decoder-driven synthesis
+    q256 uses — the decoded waveform is then a pure fold of the
+    public state machine over the code stream, which a DuckDB
+    recursive CTE can replay bit-for-bit. Pads the nibble area to an
+    even count; the ``fact`` chunk crops the pad on decode."""
+    codes = list(codes)
+    if any(not 0 <= c <= 15 for c in codes):
+        raise ValueError("ADPCM codes must be 4-bit (0..15)")
+    n_samples = len(codes) + 1  # header predictor is sample 0
+    if len(codes) % 2:
+        codes.append(0)  # pad nibble (cropped via fact)
+    block = struct.pack("<hBB", 0, 0, 0) + bytes(
+        lo | (hi << 4) for lo, hi in zip(codes[0::2], codes[1::2])
+    )
+    block_align = len(block)
+    samples_per_block = 1 + 2 * (block_align - 4)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, sample_rate,
+        max(1, sample_rate * block_align // samples_per_block),
+        block_align, 4, 2, samples_per_block,
+    )
+    return (
+        struct.pack(
+            "<4sI4s",
+            b"RIFF",
+            4 + (8 + len(fmt)) + (8 + 4) + (8 + len(block)),
+            b"WAVE",
+        )
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sII", b"fact", 4, n_samples)
+        + struct.pack("<4sI", b"data", len(block))
+        + block
+    )
+
+
+def decode_adpcm_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """Decode a mono IMA-ADPCM WAV (format tag 0x11) produced by
+    :func:`encode_adpcm_wav` or any spec-conforming writer: walks the
+    RIFF chunks with :func:`decode_wav`'s conventions, then runs the
+    block-structured state machine; the ``fact`` chunk (when present)
+    crops trailing pad codes. Returns ``((n, 1) int16, rate)``."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data, fact = 12, None, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(
+                    f"malformed WAV fmt chunk ({len(body)} bytes)"
+                )
+            fmt = body
+        elif cid == b"fact" and len(body) >= 4:
+            fact = struct.unpack_from("<I", body, 0)[0]
+        elif cid == b"data" and data is None:
+            data = body  # first data chunk wins (decode_wav contract)
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, channels, rate, _, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if tag != 0x11:
+        raise NotImplementedError(
+            f"decode_adpcm_wav handles IMA ADPCM (0x11) only, got "
+            f"format {tag}"
+        )
+    if channels != 1 or bits != 4:
+        raise NotImplementedError(
+            f"mono 4-bit IMA ADPCM only (channels={channels}, "
+            f"bits={bits})"
+        )
+    if block_align < 5:
+        raise ValueError(f"ADPCM block_align too small: {block_align}")
+    samples = []
+    for start in range(0, len(data) // block_align * block_align,
+                       block_align):
+        block = data[start : start + block_align]
+        pred, index, _ = struct.unpack_from("<hBB", block, 0)
+        if index > 88:
+            raise ValueError(f"ADPCM step index {index} out of range")
+        samples.append(pred)
+        nibbles = []
+        for b in block[4:]:
+            nibbles.append(b & 0x0F)
+            nibbles.append(b >> 4)
+        samples.extend(_adpcm_decode_nibbles(nibbles, pred, index))
+    if fact is not None:
+        samples = samples[:fact]
+    return (
+        np.asarray(samples, dtype=np.int16).reshape(-1, 1),
+        rate,
+    )
 
 
 def encode_wav(pcm: np.ndarray, sample_rate: int) -> bytes:

@@ -398,6 +398,132 @@ def q255_mjpeg_video_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q256_oracle() -> str:
+    """Recursive-CTE replay of the IMA ADPCM decoder: the step and
+    index tables are rendered FROM the source module's constants (the
+    q253 convention — the two texts cannot drift), and DuckDB folds
+    the public state machine over the same closed-form code stream
+    the Spark side synthesizes. Zero tolerance on a compressed audio
+    codec, without the signal having to be losslessly encodable."""
+    step_list = "[" + ",".join(
+        str(v) for v in multimodal._ADPCM_STEP_TABLE
+    ) + "]"
+    idx_list = "[" + ",".join(
+        str(v) for v in multimodal._ADPCM_INDEX_TABLE[:8]
+    ) + "]"
+    return f"""
+    WITH RECURSIVE au AS (
+      SELECT doc_id AS media_id,
+             CAST(32 + doc_id % 32 AS INTEGER) AS n
+      FROM documents WHERE doc_id % 3 = 1
+    ), walk(media_id, n, k, pred, idx, sabs, pk) AS (
+      SELECT media_id, n, 0, CAST(0 AS BIGINT), 0,
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM au
+      UNION ALL
+      SELECT media_id, n, k + 1, new_pred,
+             CAST(greatest(0, least(88,
+                  idx + ({idx_list})[(nib % 8) + 1])) AS INTEGER),
+             sabs + abs(new_pred), greatest(pk, abs(new_pred))
+      FROM (
+        SELECT media_id, n, k, idx, sabs, pk, nib,
+               CAST(greatest(-32768, least(32767,
+                 CASE WHEN nib >= 8 THEN pred - diff
+                      ELSE pred + diff END)) AS BIGINT) AS new_pred
+        FROM (
+          SELECT media_id, n, k, pred, idx, sabs, pk, nib,
+                 (step >> 3)
+                 + CASE WHEN ((nib % 8) & 4) > 0 THEN step
+                        ELSE 0 END
+                 + CASE WHEN ((nib % 8) & 2) > 0 THEN step >> 1
+                        ELSE 0 END
+                 + CASE WHEN ((nib % 8) & 1) > 0 THEN step >> 2
+                        ELSE 0 END AS diff
+          FROM (
+            SELECT media_id, n, k, pred, idx, sabs, pk,
+                   CAST((media_id * 3 + (k + 1) * 7) % 16
+                        AS INTEGER) AS nib,
+                   ({step_list})[idx + 1] AS step
+            FROM walk WHERE k < n - 1
+          )
+        )
+      )
+    )
+    SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+           sabs AS sum_abs, pk AS peak
+    FROM walk WHERE k = n - 1
+    """
+
+
+@query("q256_adpcm_audio_stats", headline=True, oracle=_q256_oracle())
+def q256_adpcm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-AUDIO decode through the driver contract: per
+    media a closed-form 4-bit code stream (``(media_id·3 + k·7) %
+    16``) is packed into a genuine single-block IMA-ADPCM WAV
+    (format tag 0x11, predictor/index header, two codes per byte,
+    ``fact``-cropped pad — ``operators/multimodal
+    .codes_to_adpcm_wav``) in one ``mapInPandas`` stage, then decoded
+    by the pure-integer IMA state machine via the ordinary
+    ``audio_int_stats(container='wav')`` path (``decode_wav`` routes
+    tag 0x11 to ``decode_adpcm_wav``) and reduced to integer sample
+    statistics.
+
+    The oracle replays the SAME state machine in a DuckDB RECURSIVE
+    CTE — step/index tables rendered from the module constants, one
+    recursion step per sample, clamps and bit-tests in SQL — so a
+    lossy codec gets a zero-tolerance hash without needing a
+    losslessly-encodable signal (the q254 trick's complement:
+    deterministic DECODE of a crafted stream rather than a lossless
+    round-trip). Any drift in table values, clamp order, sign
+    handling or index walk breaks the hash. Completes the modality
+    set: PNG + JPEG (images), MJPEG-AVI (video), IMA ADPCM (audio)
+    all decode real compressed containers distributed; only
+    MP3/non-MJPG video remain gated on external codecs.
+
+    Scale: single narrow mapInPandas over the documents scan —
+    payloads are born and decoded inside one task, ~32 bytes of
+    features per row shuffle for the final exchange. The decode
+    economics match a 100 TB voice-note column scan.
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas body import)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (32 + F.col("doc_id") % 32).cast("int").alias("n"),
+        )
+    )
+
+    def synth_encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, n in zip(pdf["media_id"], pdf["n"]):
+                mid, n = int(mid), int(n)
+                codes = [
+                    (mid * 3 + k * 7) % 16 for k in range(1, n)
+                ]
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "content": multimodal.codes_to_adpcm_wav(
+                            codes, sample_rate=16000
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(
+        synth_encode, "media_id long, content binary"
+    )
+    return multimodal.audio_int_stats(media, container="wav").orderBy(
+        "media_id"
+    )
+
+
 @query(
     "q254_jpeg_roundtrip",
     headline=True,

@@ -776,3 +776,132 @@ class TestAviMjpeg:
         assert set(got) == set(expected)
         for k, (sr, sg, sb) in got.items():
             assert sr == sg == sb == expected[k]
+
+
+class TestAdpcm:
+    """Round 9: IMA ADPCM — the compressed-audio decode (format tag
+    0x11), pure-integer state machine from the public IMA spec."""
+
+    def test_roundtrip_tracks_smooth_signal(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_adpcm_wav,
+            encode_adpcm_wav,
+        )
+
+        t = np.arange(2000)
+        sine = (8000 * np.sin(t / 30)).astype(np.int16)
+        payload = encode_adpcm_wav(sine, 16000)
+        dec, rate = decode_adpcm_wav(payload)
+        assert rate == 16000
+        assert dec.shape == (2000, 1)
+        # ~4:1 compression and bounded tracking error
+        assert len(payload) < 0.3 * 2 * sine.size
+        err = np.abs(dec[:, 0].astype(int) - sine.astype(int))
+        assert err.mean() < 100
+
+    def test_multi_block_state_resets_and_fact_crop(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_adpcm_wav,
+            encode_adpcm_wav,
+        )
+
+        pcm = (np.arange(1011) % 997 - 500).astype(np.int16)
+        dec, _ = decode_adpcm_wav(
+            encode_adpcm_wav(pcm, 8000, samples_per_block=505)
+        )
+        assert dec.shape[0] == 1011  # fact crops final-block pad
+        # block headers carry the first sample verbatim
+        assert dec[0, 0] == pcm[0]
+        assert dec[505, 0] == pcm[505]
+
+    def test_decode_wav_routes_format_11(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_adpcm_wav,
+            decode_wav,
+            encode_adpcm_wav,
+        )
+
+        pcm = (np.arange(300) * 50 % 4000 - 2000).astype(np.int16)
+        payload = encode_adpcm_wav(pcm, 8000)
+        a, ra = decode_wav(payload)
+        b, rb = decode_adpcm_wav(payload)
+        assert ra == rb and np.array_equal(a, b)
+
+    def test_codes_to_wav_decodes_like_state_machine(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            _adpcm_decode_nibbles,
+            codes_to_adpcm_wav,
+            decode_adpcm_wav,
+        )
+
+        codes = [(3 * k + 7) % 16 for k in range(63)]  # odd count
+        dec, _ = decode_adpcm_wav(codes_to_adpcm_wav(codes, 16000))
+        want = [0] + _adpcm_decode_nibbles(codes, 0, 0)
+        assert dec[:, 0].tolist() == want
+
+    def test_clamp_extremes(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            _adpcm_decode_nibbles,
+        )
+
+        # drive hard negative: max magnitude, negative sign forever
+        samples = _adpcm_decode_nibbles([0xF] * 64, 0, 88)
+        assert min(samples) == -32768  # clamped, no wraparound
+        # index clamps at 0 with all-zero codes
+        samples = _adpcm_decode_nibbles([0] * 16, 100 % 89, 0)
+        assert all(-32768 <= s <= 32767 for s in samples)
+
+    def test_error_contract(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            codes_to_adpcm_wav,
+            decode_adpcm_wav,
+            encode_adpcm_wav,
+        )
+
+        with pytest.raises(ValueError, match="zero samples"):
+            encode_adpcm_wav(np.array([], dtype=np.int16), 8000)
+        with pytest.raises(ValueError, match="odd"):
+            encode_adpcm_wav(
+                np.ones(10, dtype=np.int16), 8000, samples_per_block=4
+            )
+        with pytest.raises(ValueError, match="4-bit"):
+            codes_to_adpcm_wav([16], 8000)
+        with pytest.raises(ValueError, match="not a WAV"):
+            decode_adpcm_wav(b"\x00" * 16)
+        # corrupt step index in a block header
+        good = bytearray(
+            encode_adpcm_wav(np.ones(9, dtype=np.int16), 8000,
+                             samples_per_block=9)
+        )
+        data_at = bytes(good).rfind(b"data") + 8
+        good[data_at + 2] = 120  # index byte > 88
+        with pytest.raises(ValueError, match="out of range"):
+            decode_adpcm_wav(bytes(good))
+
+    def test_audio_int_stats_wav_container_adpcm(self, spark):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            _adpcm_decode_nibbles,
+            audio_int_stats,
+            codes_to_adpcm_wav,
+        )
+
+        rows_in, expected = [], {}
+        for mid in range(8):
+            codes = [(mid * 3 + k * 7) % 16 for k in range(1, 40 + mid)]
+            samples = [0] + _adpcm_decode_nibbles(codes, 0, 0)
+            expected[mid] = (
+                len(samples),
+                sum(abs(s) for s in samples),
+                max(abs(s) for s in samples),
+            )
+            rows_in.append(
+                (mid, bytearray(codes_to_adpcm_wav(codes, 16000)))
+            )
+        df = spark.createDataFrame(
+            rows_in, "media_id long, content binary"
+        ).repartition(3)
+        got = {
+            r["media_id"]: (r["n_samples"], r["sum_abs"], r["peak"])
+            for r in audio_int_stats(df, container="wav").collect()
+        }
+        assert got == expected

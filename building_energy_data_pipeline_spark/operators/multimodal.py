@@ -174,24 +174,29 @@ def decode_png(content: bytes) -> np.ndarray:
     to run the real decode path without an imaging library (BMP/WAV
     covered the uncompressed containers in round 8).
 
-    Supported: 8-bit truecolor (color type 2) and truecolor+alpha
-    (type 6, alpha dropped), non-interlaced → ``(h, w, 3)`` uint8
-    RGB. All FIVE scanline filters invert: None and Up are
-    mod-256-homomorphic vector adds; Sub is a per-channel-lane
-    cumulative sum (``recon[x] = filt[x] + recon[x - bpp]``); Average
-    and Paeth carry a true left-neighbor dependency through a
-    floor/branch, so they reconstruct pixel-by-pixel against the
-    already-reconstructed previous row (w-step loop — scanlines are
-    short; the heavy lifting, inflate + the two vector filters, stays
-    in C/numpy). Palette/16-bit/interlaced variants raise
-    ``NotImplementedError`` (they need a real imaging library);
-    structural damage (bad magic, CRC mismatch, truncated chunks,
-    inflate size mismatch) raises ``ValueError`` — the same
-    exception contract as :func:`decode_bmp` / :func:`decode_wav`.
+    Supported, non-interlaced, → ``(h, w, 3)`` uint8 RGB: 8-bit
+    truecolor (color type 2), truecolor+alpha (type 6, alpha
+    dropped), 8-bit grayscale (type 0, replicated across channels) —
+    and, since the round-9 continuation, PALETTE images (type 3) at
+    every legal indexed depth (1/2/4/8 bits, MSB-first sub-byte
+    packing per the spec, PLTE lookup; ``tRNS`` transparency is
+    dropped like type 6's alpha). All FIVE scanline filters invert:
+    None and Up are mod-256-homomorphic vector adds; Sub is a
+    per-byte-lane cumulative sum (``recon[x] = filt[x] + recon[x -
+    bpp]``); Average and Paeth carry a true left-neighbor dependency
+    through a floor/branch, so they reconstruct pixel-by-pixel
+    against the already-reconstructed previous row (stride-step loop
+    — scanlines are short; the heavy lifting, inflate + the two
+    vector filters, stays in C/numpy). 16-bit/interlaced variants
+    raise ``NotImplementedError`` (they need a real imaging
+    library); structural damage (bad magic, CRC mismatch, truncated
+    chunks, inflate size mismatch, out-of-range palette index)
+    raises ``ValueError`` — the same exception contract as
+    :func:`decode_bmp` / :func:`decode_wav`.
     """
     if content[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 12 <= len(content):
         (length,) = struct.unpack_from(">I", content, pos)
         ctype = content[pos + 4 : pos + 8]
@@ -208,11 +213,16 @@ def decode_png(content: bytes) -> np.ndarray:
                 # IDAT bytes (the WAV duplicate-data lesson)
                 raise ValueError("duplicate PNG IHDR chunk")
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if length % 3 or length == 0 or length > 256 * 3:
+                raise ValueError(f"malformed PLTE chunk ({length} bytes)")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
             break
-        # ancillary chunks (tEXt, gAMA, ...) are CRC-checked and skipped
+        # ancillary chunks (tEXt, gAMA, tRNS, ...) are CRC-checked
+        # and skipped
         pos += 12 + length
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
@@ -223,15 +233,29 @@ def decode_png(content: bytes) -> np.ndarray:
         )
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG not supported")
-    if depth != 8 or color not in (2, 6):
+    if color in (0, 2, 6):
+        if depth != 8:
+            raise NotImplementedError(
+                f"only 8-bit gray/RGB/RGBA PNG supported "
+                f"(depth={depth}, color type={color})"
+            )
+    elif color == 3:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(
+                f"illegal palette PNG bit depth {depth}"
+            )
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+    else:
         raise NotImplementedError(
-            f"only 8-bit RGB/RGBA PNG supported (depth={depth}, "
-            f"color type={color})"
+            f"PNG color type {color} not supported (depth={depth})"
         )
     if w == 0 or h == 0:
         raise ValueError(f"invalid PNG dimensions {w}x{h}")
-    ch = 3 if color == 2 else 4
-    stride = w * ch
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    # filtering operates on BYTES: bpp = filter offset, stride =
+    # bytes per scanline (sub-byte palette rows pack MSB-first)
+    stride = (w * ch * depth + 7) // 8
     need = h * (stride + 1)
     # bounded inflate: cap the output at the header-declared size so
     # a payload whose zlib stream disagrees with its IHDR (an inflate
@@ -250,6 +274,7 @@ def decode_png(content: bytes) -> np.ndarray:
             f"{len(raw)}"
         )
     rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    bpp = max(1, ch * depth // 8)
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         f = int(rows[y, 0])
@@ -261,7 +286,7 @@ def decode_png(content: bytes) -> np.ndarray:
             rec = cur
         elif f == 1:  # Sub: per-lane cumsum (mod-256 homomorphic)
             rec = np.cumsum(
-                cur.reshape(w, ch), axis=0, dtype=np.int64
+                cur.reshape(-1, bpp), axis=0, dtype=np.int64
             ).reshape(stride)
         elif f == 2:  # Up (mod-256 homomorphic)
             rec = cur + prev
@@ -269,14 +294,14 @@ def decode_png(content: bytes) -> np.ndarray:
             # homomorphic — reconstruct left-to-right on true bytes
             rec = np.zeros(stride, np.int32)
             for x in range(stride):
-                left = rec[x - ch] if x >= ch else 0
+                left = rec[x - bpp] if x >= bpp else 0
                 rec[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
         elif f == 4:  # Paeth: branchy predictor, same dependency
             rec = np.zeros(stride, np.int32)
             for x in range(stride):
-                a = rec[x - ch] if x >= ch else 0
+                a = rec[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = (
@@ -286,6 +311,26 @@ def decode_png(content: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unknown PNG scanline filter {f}")
         out[y] = (rec & 0xFF).astype(np.uint8)
+    if color == 3:
+        if depth == 8:
+            idx = out
+        else:
+            # MSB-first sub-byte unpack, cropped to w indices per row
+            bits = np.unpackbits(out, axis=1)
+            idx = bits.reshape(h, -1, depth)
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            idx = (idx * weights).sum(axis=2)[:, :w]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError(
+                f"palette index {int(idx.max())} out of range "
+                f"(PLTE has {plte.shape[0]} entries)"
+            )
+        return np.ascontiguousarray(plte[idx[:, :w]])
+    if color == 0:
+        gray = out[:, :w]
+        return np.ascontiguousarray(
+            np.repeat(gray[:, :, None], 3, axis=2)
+        )
     px = out.reshape(h, w, ch)
     return np.ascontiguousarray(px[..., :3])  # alpha dropped
 

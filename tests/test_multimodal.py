@@ -503,8 +503,11 @@ class TestPngCodec:
         assert np.array_equal(decode_png(payload), arr)
 
     def test_unsupported_variants_gate_not_valueerror(self):
-        """Interlaced / 16-bit / palette variants are format gaps
-        (NotImplementedError → PIL fall-through), not data corruption."""
+        """Interlaced / 16-bit variants are format gaps
+        (NotImplementedError → PIL fall-through), not data
+        corruption. Palette (type 3) became a SUPPORTED format in
+        the round-9 continuation — its failure modes are now
+        ValueErrors, covered by TestPngPaletteAndGray."""
         import struct
         import zlib
 
@@ -524,10 +527,12 @@ class TestPngCodec:
 
         with pytest.raises(NotImplementedError, match="interlaced"):
             decode_png(mk(8, 2, 1))
-        with pytest.raises(NotImplementedError, match="8-bit RGB"):
+        with pytest.raises(NotImplementedError, match="8-bit gray/RGB"):
             decode_png(mk(16, 2, 0))
-        with pytest.raises(NotImplementedError, match="8-bit RGB"):
-            decode_png(mk(8, 3, 0))
+        with pytest.raises(NotImplementedError, match="8-bit gray/RGB"):
+            decode_png(mk(16, 0, 0))
+        with pytest.raises(NotImplementedError, match="not supported"):
+            decode_png(mk(8, 4, 0))  # gray+alpha stays gated
 
     def test_corruption_is_valueerror_with_cause_chain(self):
         """CRC damage, truncation, and inflate-size mismatch are
@@ -905,3 +910,148 @@ class TestAdpcm:
             for r in audio_int_stats(df, container="wav").collect()
         }
         assert got == expected
+
+
+class TestPngPaletteAndGray:
+    """Round-9 continuation: palette (type 3, depths 1/2/4/8) and
+    grayscale (type 0) PNG decode — further narrowing the PNG gate
+    to 16-bit/interlaced only."""
+
+    @staticmethod
+    def _png(w, h, depth, color, raw_rows, extra=b""):
+        import struct
+        import zlib
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            _png_chunk,
+        )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+        raw = b"".join(b"\x00" + r for r in raw_rows)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + extra
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    _PAL = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]],
+        dtype=np.uint8,
+    )
+
+    def test_grayscale_replicates_channels(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            _png_chunk,
+            decode_png,
+        )
+
+        g = ((np.arange(5 * 7) * 11) % 256).astype(np.uint8).reshape(5, 7)
+        d = decode_png(
+            self._png(7, 5, 8, 0, [g[r].tobytes() for r in range(5)])
+        )
+        assert d.shape == (5, 7, 3)
+        assert (d == g[:, :, None]).all()
+
+    def test_palette_depths(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            _png_chunk,
+            decode_png,
+        )
+
+        plte = _png_chunk(b"PLTE", self._PAL.tobytes())
+        # 8-bit
+        idx8 = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+        d = decode_png(
+            self._png(4, 2, 8, 3,
+                      [idx8[r].tobytes() for r in range(2)], plte)
+        )
+        assert np.array_equal(d, self._PAL[idx8])
+        # 4-bit, odd width (padded trailing nibble)
+        idx4 = np.array([[0, 1, 2], [3, 1, 0]], dtype=np.uint8)
+        rows = [
+            bytes([(idx4[r, 0] << 4) | idx4[r, 1], idx4[r, 2] << 4])
+            for r in range(2)
+        ]
+        assert np.array_equal(
+            decode_png(self._png(3, 2, 4, 3, rows, plte)),
+            self._PAL[idx4],
+        )
+        # 2-bit
+        idx2 = np.array([[0, 1, 2, 3, 1]], dtype=np.uint8)
+        packed = bytes([
+            (idx2[0, 0] << 6) | (idx2[0, 1] << 4)
+            | (idx2[0, 2] << 2) | idx2[0, 3],
+            idx2[0, 4] << 6,
+        ])
+        assert np.array_equal(
+            decode_png(self._png(5, 1, 2, 3, [packed], plte)),
+            self._PAL[idx2],
+        )
+        # 1-bit
+        pal2 = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+        idx1 = (np.arange(20) % 2).astype(np.uint8).reshape(2, 10)
+        rows = [np.packbits(idx1[r]).tobytes() for r in range(2)]
+        d = decode_png(
+            self._png(10, 2, 1, 3, rows,
+                      _png_chunk(b"PLTE", pal2.tobytes()))
+        )
+        assert np.array_equal(d, pal2[idx1])
+
+    def test_palette_filters_apply_on_packed_bytes(self):
+        """Sub filter over 4-bit packed rows: the spec filters BYTES
+        (bpp=1), so a Sub-filtered palette row reconstructs by byte
+        cumsum, not per-index."""
+        import zlib
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            _png_chunk,
+            decode_png,
+        )
+
+        plte = _png_chunk(b"PLTE", self._PAL.tobytes())
+        packed = np.array([0x01, 0x23], dtype=np.uint8)  # indices 0,1,2,3
+        # Sub-filter the packed bytes ourselves: filt[0]=raw[0],
+        # filt[x]=raw[x]-raw[x-1]
+        filt = np.array(
+            [packed[0], (int(packed[1]) - int(packed[0])) & 0xFF],
+            dtype=np.uint8,
+        )
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(
+                b"IHDR",
+                __import__("struct").pack(">IIBBBBB", 4, 1, 4, 3, 0, 0, 0),
+            )
+            + plte
+            + _png_chunk(b"IDAT", zlib.compress(b"\x01" + filt.tobytes()))
+            + _png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(
+            decode_png(png),
+            self._PAL[np.array([[0, 1, 2, 3]])],
+        )
+
+    def test_palette_error_contract(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            _png_chunk,
+            decode_png,
+        )
+
+        plte = _png_chunk(b"PLTE", self._PAL.tobytes())
+        with pytest.raises(ValueError, match="out of range"):
+            decode_png(
+                self._png(4, 1, 8, 3, [b"\x00\x01\x09\x03"], plte)
+            )
+        with pytest.raises(ValueError, match="missing PLTE"):
+            decode_png(self._png(4, 1, 8, 3, [b"\x00\x01\x02\x03"]))
+        with pytest.raises(ValueError, match="malformed PLTE"):
+            decode_png(
+                self._png(4, 1, 8, 3, [b"\x00\x01\x02\x03"],
+                          _png_chunk(b"PLTE", b"\x01\x02"))
+            )
+        with pytest.raises(ValueError, match="illegal palette"):
+            decode_png(self._png(4, 1, 3, 3, [b"\x00\x01"], plte))
+        with pytest.raises(NotImplementedError):
+            decode_png(self._png(2, 1, 16, 0, [b"\x00" * 4]))

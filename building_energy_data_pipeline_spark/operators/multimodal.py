@@ -85,13 +85,15 @@ def repartition_for_payload(df: DataFrame, avg_row_bytes: int) -> DataFrame:
 
 def decode_bmp(content: bytes) -> np.ndarray:
     """Pure-numpy BMP decoder (public BITMAPFILEHEADER +
-    BITMAPINFOHEADER spec): 24- or 32-bit uncompressed BI_RGB,
+    BITMAPINFOHEADER spec): uncompressed BI_RGB at 24/32 bits
+    (BGR(A) byte order, alpha dropped) or — since the round-9
+    continuation — 8-bit PALETTED (BGRX color table between the
+    headers and the pixel array, biClrUsed honored, 0 = full 256),
     bottom-up (positive height) or top-down (negative), rows padded
-    to 4-byte strides, BGR(A) byte order → (h, w, 3) uint8 RGB.
-    Needs no external codec, so the REAL decode path of
-    :func:`decode_image` is exercisable in codec-free environments.
-    Compressed/paletted BMPs raise ``NotImplementedError`` (they need
-    a real imaging library)."""
+    to 4-byte strides → (h, w, 3) uint8 RGB. Needs no external
+    codec, so the REAL decode path of :func:`decode_image` is
+    exercisable in codec-free environments. RLE-compressed and
+    1/2/4-bit BMPs raise ``NotImplementedError``."""
     if content[:2] != b"BM" or len(content) < 54:
         raise ValueError("not a BMP payload")
     (offset,) = struct.unpack_from("<I", content, 10)
@@ -110,15 +112,34 @@ def decode_bmp(content: bytes) -> np.ndarray:
     w, h = struct.unpack_from("<ii", content, 18)
     (bpp,) = struct.unpack_from("<H", content, 28)
     (compression,) = struct.unpack_from("<I", content, 30)
-    if compression != 0 or bpp not in (24, 32):
+    (clr_used,) = struct.unpack_from("<I", content, 46)
+    if compression != 0 or bpp not in (8, 24, 32):
         raise NotImplementedError(
-            f"only uncompressed 24/32-bit BI_RGB supported "
-            f"(got bpp={bpp}, compression={compression})"
+            f"only uncompressed 8-bit-paletted/24/32-bit BI_RGB "
+            f"supported (got bpp={bpp}, compression={compression})"
         )
     top_down, height = h < 0, abs(h)
     if w <= 0 or height == 0:
         raise ValueError(f"invalid BMP dimensions {w}x{h}")
-    nb = bpp // 8
+    palette = None
+    if bpp == 8:
+        n_colors = clr_used or 256
+        if n_colors > 256:
+            raise ValueError(f"invalid BMP color count {n_colors}")
+        tbl_at = 14 + header_size
+        if tbl_at + n_colors * 4 > min(offset, len(content)):
+            raise ValueError(
+                f"BMP color table ({n_colors} entries at {tbl_at}) "
+                "overruns the pixel offset"
+            )
+        palette = (
+            np.frombuffer(
+                content, np.uint8, count=n_colors * 4, offset=tbl_at
+            )
+            .reshape(n_colors, 4)[:, [2, 1, 0]]  # BGRX -> RGB
+            .copy()
+        )
+    nb = 1 if bpp == 8 else bpp // 8
     stride = (w * nb + 3) // 4 * 4
     if offset + stride * height > len(content):
         raise ValueError(
@@ -128,8 +149,17 @@ def decode_bmp(content: bytes) -> np.ndarray:
     buf = np.frombuffer(
         content, np.uint8, count=stride * height, offset=offset
     ).reshape(height, stride)
-    px = buf[:, : w * nb].reshape(height, w, nb)
-    rgb = px[..., [2, 1, 0]]  # stored BGR(A) -> RGB, alpha dropped
+    if palette is not None:
+        idx = buf[:, :w]
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            raise ValueError(
+                f"BMP palette index {int(idx.max())} out of range "
+                f"({palette.shape[0]} entries)"
+            )
+        rgb = palette[idx]
+    else:
+        px = buf[:, : w * nb].reshape(height, w, nb)
+        rgb = px[..., [2, 1, 0]]  # stored BGR(A) -> RGB, alpha dropped
     if not top_down:
         rgb = rgb[::-1]
     return np.ascontiguousarray(rgb)

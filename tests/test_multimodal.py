@@ -1055,3 +1055,101 @@ class TestPngPaletteAndGray:
             decode_png(self._png(4, 1, 3, 3, [b"\x00\x01"], plte))
         with pytest.raises(NotImplementedError):
             decode_png(self._png(2, 1, 16, 0, [b"\x00" * 4]))
+
+
+class TestBmpPalette:
+    """Round-9 continuation: 8-bit paletted BMP decode."""
+
+    @staticmethod
+    def _bmp8(idx: np.ndarray, palette: np.ndarray,
+              clr_used: int | None = None,
+              top_down: bool = False) -> bytes:
+        """clr_used=None declares the table size (the common case);
+        0 means 'full 256 entries' per spec, so callers passing 0
+        must supply a 256-entry palette."""
+        import struct
+
+        h, w = idx.shape
+        n = palette.shape[0]
+        if clr_used is None:
+            clr_used = n
+        stride = (w + 3) // 4 * 4
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, :w] = idx
+        if not top_down:
+            rows = rows[::-1]
+        table = np.zeros((n, 4), dtype=np.uint8)
+        table[:, [2, 1, 0]] = palette  # RGB -> BGRX
+        offset = 14 + 40 + n * 4
+        header = struct.pack(
+            "<2sIHHI", b"BM", offset + rows.size, 0, 0, offset
+        ) + struct.pack(
+            "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 8, 0,
+            rows.size, 2835, 2835, clr_used, 0,
+        )
+        return header + table.tobytes() + rows.tobytes()
+
+    _PAL = np.array(
+        [[9, 8, 7], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+        dtype=np.uint8,
+    )
+
+    def test_known_pixels_both_orientations(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_bmp,
+        )
+
+        idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+        for td in (False, True):
+            got = decode_bmp(self._bmp8(idx, self._PAL, top_down=td))
+            assert np.array_equal(got, self._PAL[idx]), td
+
+    def test_clr_used_honored_and_range_checked(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_bmp,
+        )
+
+        idx = np.array([[0, 1, 2, 3]], dtype=np.uint8)
+        got = decode_bmp(self._bmp8(idx, self._PAL, clr_used=4))
+        assert np.array_equal(got, self._PAL[idx])
+        # clr_used=0 means a FULL 256-entry table (spec default)
+        pal256 = np.arange(256 * 3, dtype=np.uint8).reshape(256, 3)
+        got = decode_bmp(
+            self._bmp8(np.array([[0, 200]], dtype=np.uint8),
+                       pal256, clr_used=0)
+        )
+        assert np.array_equal(got[0, 1], pal256[200])
+        # index beyond the declared table -> corrupt data, ValueError
+        bad = np.array([[0, 9]], dtype=np.uint8)
+        with pytest.raises(ValueError, match="out of range"):
+            decode_bmp(self._bmp8(bad, self._PAL, clr_used=4))
+        # declared table bigger than the room before the pixels
+        with pytest.raises(ValueError, match="overruns"):
+            decode_bmp(self._bmp8(idx, self._PAL, clr_used=200))
+
+    def test_decode_image_real_path_takes_paletted_bmp(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_bmp,
+            decode_image,
+        )
+
+        idx = (np.arange(40, dtype=np.uint8) % 4).reshape(5, 8)
+        payload = self._bmp8(idx, self._PAL)
+        assert np.array_equal(
+            decode_image(payload, use_real_codec=True),
+            decode_bmp(payload),
+        )
+
+    def test_low_depths_still_gated(self):
+        import struct
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_bmp,
+        )
+
+        payload = bytearray(self._bmp8(
+            np.zeros((1, 4), dtype=np.uint8), self._PAL
+        ))
+        struct.pack_into("<H", payload, 28, 4)  # biBitCount = 4
+        with pytest.raises(NotImplementedError, match="8-bit-paletted"):
+            decode_bmp(bytes(payload))

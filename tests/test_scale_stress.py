@@ -374,3 +374,120 @@ class TestHLLWindowVolume:
             .count()
         )
         assert abs(est - exact) / exact <= 0.40  # ~3σ for m = 64
+
+
+class TestCodecVolume:
+    """Round-9 continuation: the pure-Python codec stages at volume —
+    thousands of real compressed payloads born, encoded, and decoded
+    inside mapInPandas tasks with exact integer checksums. Proves the
+    q254/q255/q256 shapes keep their per-task economics when the row
+    count is 30x the sf0.01 driver runs (the knob a 100 TB scan turns
+    is partition count, which this pins at 16)."""
+
+    def test_5k_jpegs_decode_distributed_exact(self, spark):
+        from building_energy_data_pipeline_spark.operators import (
+            multimodal,
+        )
+
+        n = 5_000
+        docs = spark.range(n).select(
+            F.col("id").alias("media_id"),
+            (8 + (F.col("id") % 5) * 6).cast("int").alias("height"),
+            (8 + (F.col("id") % 4) * 7).cast("int").alias("width"),
+        ).repartition(16)
+
+        def synth(batches):
+            import numpy as np
+            import pandas as pd
+
+            from building_energy_data_pipeline_spark.operators.jpeg_codec import (
+                encode_jpeg,
+            )
+
+            for pdf in batches:
+                rows = []
+                for mid, h, w in zip(
+                    pdf["media_id"], pdf["height"], pdf["width"]
+                ):
+                    mid, h, w = int(mid), int(h), int(w)
+                    y, x = np.ogrid[0:h, 0:w]
+                    arr = (
+                        2 * ((mid * 7 + (y // 8) * 5 + (x // 8) * 3)
+                             % 128)
+                    ).astype(np.uint8)
+                    rows.append(
+                        {"media_id": mid,
+                         "content": encode_jpeg(arr, 50)}
+                    )
+                yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+        media = docs.mapInPandas(
+            synth, "media_id long, content binary"
+        )
+        out = multimodal.image_channel_sums(media, use_real_codec=True)
+        # closed-form total: sum over media of sum over pixels
+        total = out.agg(
+            F.count("*").alias("n"),
+            F.sum("sum_r").alias("sr"),
+            F.sum("sum_g").alias("sg"),
+        ).first()
+        assert total["n"] == n
+        expect = 0
+        for mid in range(n):
+            h, w = 8 + (mid % 5) * 6, 8 + (mid % 4) * 7
+            y, x = np.ogrid[0:h, 0:w]
+            expect += int(
+                (2 * ((mid * 7 + (y // 8) * 5 + (x // 8) * 3) % 128))
+                .sum()
+            )
+        assert total["sr"] == total["sg"] == expect
+
+    def test_2k_adpcm_streams_decode_distributed_exact(self, spark):
+        from building_energy_data_pipeline_spark.operators import (
+            multimodal,
+        )
+
+        n = 2_000
+        docs = spark.range(n).select(
+            F.col("id").alias("media_id"),
+            (32 + F.col("id") % 32).cast("int").alias("n_samples"),
+        ).repartition(16)
+
+        def synth(batches):
+            import pandas as pd
+
+            from building_energy_data_pipeline_spark.operators.multimodal import (
+                codes_to_adpcm_wav,
+            )
+
+            for pdf in batches:
+                rows = []
+                for mid, ns in zip(pdf["media_id"], pdf["n_samples"]):
+                    mid, ns = int(mid), int(ns)
+                    codes = [(mid * 3 + k * 7) % 16
+                             for k in range(1, ns)]
+                    rows.append(
+                        {"media_id": mid,
+                         "content": codes_to_adpcm_wav(codes, 16000)}
+                    )
+                yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+        media = docs.mapInPandas(
+            synth, "media_id long, content binary"
+        )
+        got = multimodal.audio_int_stats(media, container="wav").agg(
+            F.count("*").alias("n"),
+            F.sum("sum_abs").alias("sa"),
+            F.max("peak").alias("pk"),
+        ).first()
+        assert got["n"] == n
+        expect_sa, expect_pk = 0, 0
+        for mid in range(n):
+            ns = 32 + mid % 32
+            codes = [(mid * 3 + k * 7) % 16 for k in range(1, ns)]
+            samples = multimodal._adpcm_decode_nibbles(codes, 0, 0)
+            expect_sa += sum(abs(s) for s in samples)
+            expect_pk = max(expect_pk,
+                            max(abs(s) for s in samples))
+        assert got["sa"] == expect_sa
+        assert got["pk"] == expect_pk

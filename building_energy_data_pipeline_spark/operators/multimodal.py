@@ -263,7 +263,7 @@ def decode_png(content: bytes) -> np.ndarray:
         )
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG not supported")
-    if color in (0, 2, 6):
+    if color in (0, 2, 4, 6):
         if depth != 8:
             raise NotImplementedError(
                 f"only 8-bit gray/RGB/RGBA PNG supported "
@@ -282,7 +282,7 @@ def decode_png(content: bytes) -> np.ndarray:
         )
     if w == 0 or h == 0:
         raise ValueError(f"invalid PNG dimensions {w}x{h}")
-    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     # filtering operates on BYTES: bpp = filter offset, stride =
     # bytes per scanline (sub-byte palette rows pack MSB-first)
     stride = (w * ch * depth + 7) // 8
@@ -356,8 +356,9 @@ def decode_png(content: bytes) -> np.ndarray:
                 f"(PLTE has {plte.shape[0]} entries)"
             )
         return np.ascontiguousarray(plte[idx[:, :w]])
-    if color == 0:
-        gray = out[:, :w]
+    if color in (0, 4):
+        # gray / gray+alpha: take the luma plane, drop alpha
+        gray = out.reshape(h, w, ch)[..., 0]
         return np.ascontiguousarray(
             np.repeat(gray[:, :, None], 3, axis=2)
         )

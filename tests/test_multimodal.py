@@ -531,8 +531,8 @@ class TestPngCodec:
             decode_png(mk(16, 2, 0))
         with pytest.raises(NotImplementedError, match="8-bit gray/RGB"):
             decode_png(mk(16, 0, 0))
-        with pytest.raises(NotImplementedError, match="not supported"):
-            decode_png(mk(8, 4, 0))  # gray+alpha stays gated
+        with pytest.raises(NotImplementedError, match="8-bit gray/RGB"):
+            decode_png(mk(16, 4, 0))  # 16-bit gray+alpha
 
     def test_corruption_is_valueerror_with_cause_chain(self):
         """CRC damage, truncation, and inflate-size mismatch are
@@ -952,6 +952,22 @@ class TestPngPaletteAndGray:
             self._png(7, 5, 8, 0, [g[r].tobytes() for r in range(5)])
         )
         assert d.shape == (5, 7, 3)
+        assert (d == g[:, :, None]).all()
+
+    def test_gray_alpha_drops_alpha(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            _png_chunk,
+            decode_png,
+        )
+
+        g = ((np.arange(3 * 4) * 17) % 256).astype(np.uint8).reshape(3, 4)
+        rows = [
+            np.stack([g[r], np.full(4, 128, np.uint8)], axis=1)
+            .tobytes()
+            for r in range(3)
+        ]
+        d = decode_png(self._png(4, 3, 8, 4, rows))
+        assert d.shape == (3, 4, 3)
         assert (d == g[:, :, None]).all()
 
     def test_palette_depths(self):

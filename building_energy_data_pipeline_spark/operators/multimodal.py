@@ -217,11 +217,13 @@ def decode_png(content: bytes) -> np.ndarray:
     through a floor/branch, so they reconstruct pixel-by-pixel
     against the already-reconstructed previous row (stride-step loop
     — scanlines are short; the heavy lifting, inflate + the two
-    vector filters, stays in C/numpy). 16-bit/interlaced variants
-    raise ``NotImplementedError`` (they need a real imaging
-    library); structural damage (bad magic, CRC mismatch, truncated
-    chunks, inflate size mismatch, out-of-range palette index)
-    raises ``ValueError`` — the same exception contract as
+    vector filters, stays in C/numpy). 16-bit samples reduce to
+    their high byte (the standard depth reduction — filters still
+    run on the full 2-byte lanes first, per spec). The ONLY
+    remaining gate is Adam7 interlacing (``NotImplementedError``);
+    structural damage (bad magic, CRC mismatch, truncated chunks,
+    inflate size mismatch, out-of-range palette index) raises
+    ``ValueError`` — the same exception contract as
     :func:`decode_bmp` / :func:`decode_wav`.
     """
     if content[:8] != _PNG_SIG:
@@ -264,9 +266,9 @@ def decode_png(content: bytes) -> np.ndarray:
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG not supported")
     if color in (0, 2, 4, 6):
-        if depth != 8:
+        if depth not in (8, 16):
             raise NotImplementedError(
-                f"only 8-bit gray/RGB/RGBA PNG supported "
+                f"only 8/16-bit gray/RGB/RGBA PNG supported "
                 f"(depth={depth}, color type={color})"
             )
     elif color == 3:
@@ -356,6 +358,12 @@ def decode_png(content: bytes) -> np.ndarray:
                 f"(PLTE has {plte.shape[0]} entries)"
             )
         return np.ascontiguousarray(plte[idx[:, :w]])
+    if depth == 16:
+        # big-endian 16-bit samples reduce to their HIGH byte (the
+        # standard 16 -> 8 depth reduction; matches PIL's convert)
+        out = np.ascontiguousarray(
+            out.reshape(h, w * ch, 2)[..., 0]
+        )
     if color in (0, 4):
         # gray / gray+alpha: take the luma plane, drop alpha
         gray = out.reshape(h, w, ch)[..., 0]

@@ -503,11 +503,11 @@ class TestPngCodec:
         assert np.array_equal(decode_png(payload), arr)
 
     def test_unsupported_variants_gate_not_valueerror(self):
-        """Interlaced / 16-bit variants are format gaps
+        """Adam7 interlacing is the ONE remaining format gap
         (NotImplementedError → PIL fall-through), not data
-        corruption. Palette (type 3) became a SUPPORTED format in
-        the round-9 continuation — its failure modes are now
-        ValueErrors, covered by TestPngPaletteAndGray."""
+        corruption. Palette, gray(+alpha) and 16-bit became
+        SUPPORTED in the round-9 continuation — their failure modes
+        are ValueErrors, covered by TestPngPaletteAndGray."""
         import struct
         import zlib
 
@@ -527,12 +527,12 @@ class TestPngCodec:
 
         with pytest.raises(NotImplementedError, match="interlaced"):
             decode_png(mk(8, 2, 1))
-        with pytest.raises(NotImplementedError, match="8-bit gray/RGB"):
-            decode_png(mk(16, 2, 0))
-        with pytest.raises(NotImplementedError, match="8-bit gray/RGB"):
-            decode_png(mk(16, 0, 0))
-        with pytest.raises(NotImplementedError, match="8-bit gray/RGB"):
-            decode_png(mk(16, 4, 0))  # 16-bit gray+alpha
+        with pytest.raises(NotImplementedError, match="interlaced"):
+            decode_png(mk(16, 2, 1))
+        # 1x1 isn't a legal gray depth for type 2; bad depths that
+        # aren't the documented 8/16 set still gate, not crash
+        with pytest.raises(NotImplementedError, match="8/16-bit"):
+            decode_png(mk(4, 2, 0))
 
     def test_corruption_is_valueerror_with_cause_chain(self):
         """CRC damage, truncation, and inflate-size mismatch are
@@ -954,6 +954,33 @@ class TestPngPaletteAndGray:
         assert d.shape == (5, 7, 3)
         assert (d == g[:, :, None]).all()
 
+    def test_sixteen_bit_reduces_to_high_byte(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            _png_chunk,
+            decode_png,
+        )
+
+        # 16-bit RGB, 2x2: samples big-endian (hi, lo); decode takes hi
+        hi = np.array(
+            [[[10, 20, 30], [40, 50, 60]],
+             [[70, 80, 90], [100, 110, 120]]],
+            dtype=np.uint8,
+        )
+        rows = []
+        for r in range(2):
+            interleaved = np.zeros(2 * 3 * 2, dtype=np.uint8)
+            interleaved[0::2] = hi[r].reshape(-1)  # high bytes
+            interleaved[1::2] = 0xAB  # low bytes ignored
+            rows.append(interleaved.tobytes())
+        d = decode_png(self._png(2, 2, 16, 2, rows))
+        assert np.array_equal(d, hi)
+        # 16-bit grayscale
+        g = np.array([[5, 250, 13]], dtype=np.uint8)
+        row = np.zeros(6, dtype=np.uint8)
+        row[0::2] = g[0]
+        d = decode_png(self._png(3, 1, 16, 0, [row.tobytes()]))
+        assert (d == g[:, :, None]).all()
+
     def test_gray_alpha_drops_alpha(self):
         from building_energy_data_pipeline_spark.operators.multimodal import (
             _png_chunk,
@@ -1069,8 +1096,9 @@ class TestPngPaletteAndGray:
             )
         with pytest.raises(ValueError, match="illegal palette"):
             decode_png(self._png(4, 1, 3, 3, [b"\x00\x01"], plte))
-        with pytest.raises(NotImplementedError):
-            decode_png(self._png(2, 1, 16, 0, [b"\x00" * 4]))
+        # 16-bit gray now DECODES (high-byte reduction)
+        d = decode_png(self._png(2, 1, 16, 0, [b"\x07\xff\x09\xff"]))
+        assert d[0, 0, 0] == 7 and d[0, 1, 0] == 9
 
 
 class TestBmpPalette:

@@ -197,6 +197,108 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
+def _png_unfilter(
+    raw: bytes, height: int, stride: int, bpp: int
+) -> np.ndarray:
+    """Invert the five PNG scanline filters over one (sub-)image:
+    ``raw`` is ``height`` rows of ``1 + stride`` bytes (filter tag +
+    packed scanline); returns the reconstructed ``(height, stride)``
+    bytes. ``bpp`` is the spec's filter byte-offset (bytes per
+    pixel, min 1)."""
+    rows = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        f = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(
+            stride, np.int32
+        )
+        if f == 0:  # None
+            rec = cur
+        elif f == 1:  # Sub: per-lane cumsum (mod-256 homomorphic)
+            if stride % bpp:
+                # stride is only guaranteed lane-aligned for whole-
+                # byte pixels; sub-byte rows use bpp=1 so this is
+                # unreachable, but guard against a corrupt geometry
+                raise ValueError(
+                    f"PNG stride {stride} not divisible by bpp {bpp}"
+                )
+            rec = np.cumsum(
+                cur.reshape(-1, bpp), axis=0, dtype=np.int64
+            ).reshape(stride)
+        elif f == 2:  # Up (mod-256 homomorphic)
+            rec = cur + prev
+        elif f == 3:  # Average: floor((left+up)/2) is NOT mod-
+            # homomorphic — reconstruct left-to-right on true bytes
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth: branchy predictor, same dependency
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (
+                    a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                )
+                rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG scanline filter {f}")
+        out[y] = (rec & 0xFF).astype(np.uint8)
+    return out
+
+
+def _png_pixels(
+    out: np.ndarray,
+    w: int,
+    h: int,
+    ch: int,
+    depth: int,
+    color: int,
+    plte,
+) -> np.ndarray:
+    """Unfiltered scanline bytes of one (sub-)image → ``(h, w, 3)``
+    uint8 RGB: MSB-first sub-byte unpack (palette indices or
+    scaled grayscale), 16-bit high-byte reduction, palette lookup,
+    gray replication, alpha drop."""
+    if depth < 8:
+        bits = np.unpackbits(out, axis=1)
+        vals = bits.reshape(h, -1, depth)
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        vals = (vals * weights).sum(axis=2)[:, :w]
+        if color == 3:
+            if int(vals.max(initial=0)) >= plte.shape[0]:
+                raise ValueError(
+                    f"palette index {int(vals.max())} out of range "
+                    f"(PLTE has {plte.shape[0]} entries)"
+                )
+            return plte[vals]
+        # sub-byte grayscale: scale 0..2^d-1 to the full 8-bit range
+        # (255/(2^d-1) is integral for d in 1/2/4)
+        gray = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    if color == 3:
+        idx = out[:, :w]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError(
+                f"palette index {int(idx.max())} out of range "
+                f"(PLTE has {plte.shape[0]} entries)"
+            )
+        return plte[idx]
+    if depth == 16:
+        # big-endian 16-bit samples reduce to their HIGH byte (the
+        # standard 16 -> 8 depth reduction; matches PIL's convert)
+        out = np.ascontiguousarray(out.reshape(h, w * ch, 2)[..., 0])
+    if color in (0, 4):
+        gray = out.reshape(h, w, ch)[..., 0]
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    return out.reshape(h, w, ch)[..., :3]  # alpha dropped
+
+
 def decode_png(content: bytes) -> np.ndarray:
     """Pure-stdlib PNG decoder (W3C PNG spec / RFC 2083): chunk walk
     with CRC verification, concatenated-IDAT ``zlib`` inflate, and
@@ -204,27 +306,27 @@ def decode_png(content: bytes) -> np.ndarray:
     to run the real decode path without an imaging library (BMP/WAV
     covered the uncompressed containers in round 8).
 
-    Supported, non-interlaced, → ``(h, w, 3)`` uint8 RGB: 8-bit
-    truecolor (color type 2), truecolor+alpha (type 6, alpha
-    dropped), 8-bit grayscale (type 0, replicated across channels) —
-    and, since the round-9 continuation, PALETTE images (type 3) at
-    every legal indexed depth (1/2/4/8 bits, MSB-first sub-byte
-    packing per the spec, PLTE lookup; ``tRNS`` transparency is
-    dropped like type 6's alpha). All FIVE scanline filters invert:
-    None and Up are mod-256-homomorphic vector adds; Sub is a
-    per-byte-lane cumulative sum (``recon[x] = filt[x] + recon[x -
-    bpp]``); Average and Paeth carry a true left-neighbor dependency
-    through a floor/branch, so they reconstruct pixel-by-pixel
-    against the already-reconstructed previous row (stride-step loop
-    — scanlines are short; the heavy lifting, inflate + the two
-    vector filters, stays in C/numpy). 16-bit samples reduce to
-    their high byte (the standard depth reduction — filters still
-    run on the full 2-byte lanes first, per spec). The ONLY
-    remaining gate is Adam7 interlacing (``NotImplementedError``);
-    structural damage (bad magic, CRC mismatch, truncated chunks,
-    inflate size mismatch, out-of-range palette index) raises
-    ``ValueError`` — the same exception contract as
-    :func:`decode_bmp` / :func:`decode_wav`.
+    Since the round-9 continuation this decoder covers EVERY legal
+    static-image combination in the PNG spec → ``(h, w, 3)`` uint8
+    RGB: color types 0/2/3/4/6 at all their legal bit depths
+    (grayscale 1/2/4/8/16 — sub-byte scaled to full range, 16-bit
+    reduced to the high byte; truecolor±alpha 8/16, alpha dropped;
+    palette 1/2/4/8, MSB-first sub-byte packing, PLTE lookup;
+    ``tRNS`` transparency dropped like alpha), both interlace
+    methods (none and Adam7 — seven per-pass filtered sub-images
+    scattered back onto the pixel grid). All FIVE scanline filters
+    invert (:func:`_png_unfilter`): None and Up are mod-256-
+    homomorphic vector adds; Sub is a per-byte-lane cumulative sum;
+    Average and Paeth carry a true left-neighbor dependency, so they
+    reconstruct pixel-by-pixel against the already-reconstructed
+    previous row (stride-step loop — scanlines are short; the heavy
+    lifting, inflate + the two vector filters, stays in C/numpy).
+    There is no ``NotImplementedError`` path left: anything this
+    decoder rejects — bad magic, CRC mismatch, truncated chunks,
+    inflate size mismatch, illegal color/depth combination,
+    out-of-range palette index — is a corrupt payload and raises
+    ``ValueError`` (the :func:`decode_bmp` / :func:`decode_wav`
+    contract).
     """
     if content[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
@@ -263,32 +365,47 @@ def decode_png(content: bytes) -> np.ndarray:
         raise ValueError(
             f"invalid PNG compression/filter method ({comp}/{filt})"
         )
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
-    if color in (0, 2, 4, 6):
-        if depth not in (8, 16):
-            raise NotImplementedError(
-                f"only 8/16-bit gray/RGB/RGBA PNG supported "
-                f"(depth={depth}, color type={color})"
-            )
-    elif color == 3:
-        if depth not in (1, 2, 4, 8):
-            raise ValueError(
-                f"illegal palette PNG bit depth {depth}"
-            )
-        if plte is None:
-            raise ValueError("palette PNG missing PLTE chunk")
-    else:
-        raise NotImplementedError(
-            f"PNG color type {color} not supported (depth={depth})"
+    legal_depths = {
+        0: (1, 2, 4, 8, 16),
+        2: (8, 16),
+        3: (1, 2, 4, 8),
+        4: (8, 16),
+        6: (8, 16),
+    }
+    if color not in legal_depths or depth not in legal_depths[color]:
+        raise ValueError(
+            f"illegal PNG color-type/bit-depth combination "
+            f"(color={color}, depth={depth})"
         )
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if w == 0 or h == 0:
         raise ValueError(f"invalid PNG dimensions {w}x{h}")
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     # filtering operates on BYTES: bpp = filter offset, stride =
-    # bytes per scanline (sub-byte palette rows pack MSB-first)
-    stride = (w * ch * depth + 7) // 8
-    need = h * (stride + 1)
+    # bytes per scanline (sub-byte rows pack MSB-first)
+    bpp = max(1, ch * depth // 8)
+
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, w, h)]
+    else:  # Adam7 (spec 4.5.2): (x0, y0, dx, dy) per pass
+        passes = []
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                passes.append((x0, y0, dx, dy, pw, ph))
+
+    def pass_stride(pw: int) -> int:
+        return (pw * ch * depth + 7) // 8
+
+    need = sum(ph * (pass_stride(pw) + 1)
+               for _, _, _, _, pw, ph in passes)
     # bounded inflate: cap the output at the header-declared size so
     # a payload whose zlib stream disagrees with its IHDR (an inflate
     # bomb behind a small declared geometry) can never allocate past
@@ -305,73 +422,18 @@ def decode_png(content: bytes) -> np.ndarray:
             f"inflated {'>' if len(raw) > need or not dec.eof else ''}"
             f"{len(raw)}"
         )
-    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
-    bpp = max(1, ch * depth // 8)
-    out = np.zeros((h, stride), dtype=np.uint8)
-    for y in range(h):
-        f = int(rows[y, 0])
-        cur = rows[y, 1:].astype(np.int32)
-        prev = out[y - 1].astype(np.int32) if y else np.zeros(
-            stride, np.int32
+
+    result = np.zeros((h, w, 3), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        stride = pass_stride(pw)
+        out = _png_unfilter(raw[off : off + ph * (stride + 1)],
+                            ph, stride, bpp)
+        off += ph * (stride + 1)
+        result[y0::dy, x0::dx] = _png_pixels(
+            out, pw, ph, ch, depth, color, plte
         )
-        if f == 0:  # None
-            rec = cur
-        elif f == 1:  # Sub: per-lane cumsum (mod-256 homomorphic)
-            rec = np.cumsum(
-                cur.reshape(-1, bpp), axis=0, dtype=np.int64
-            ).reshape(stride)
-        elif f == 2:  # Up (mod-256 homomorphic)
-            rec = cur + prev
-        elif f == 3:  # Average: floor((left+up)/2) is NOT mod-
-            # homomorphic — reconstruct left-to-right on true bytes
-            rec = np.zeros(stride, np.int32)
-            for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                rec[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth: branchy predictor, same dependency
-            rec = np.zeros(stride, np.int32)
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = (
-                    a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                )
-                rec[x] = (cur[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG scanline filter {f}")
-        out[y] = (rec & 0xFF).astype(np.uint8)
-    if color == 3:
-        if depth == 8:
-            idx = out
-        else:
-            # MSB-first sub-byte unpack, cropped to w indices per row
-            bits = np.unpackbits(out, axis=1)
-            idx = bits.reshape(h, -1, depth)
-            weights = 1 << np.arange(depth - 1, -1, -1)
-            idx = (idx * weights).sum(axis=2)[:, :w]
-        if int(idx.max(initial=0)) >= plte.shape[0]:
-            raise ValueError(
-                f"palette index {int(idx.max())} out of range "
-                f"(PLTE has {plte.shape[0]} entries)"
-            )
-        return np.ascontiguousarray(plte[idx[:, :w]])
-    if depth == 16:
-        # big-endian 16-bit samples reduce to their HIGH byte (the
-        # standard 16 -> 8 depth reduction; matches PIL's convert)
-        out = np.ascontiguousarray(
-            out.reshape(h, w * ch, 2)[..., 0]
-        )
-    if color in (0, 4):
-        # gray / gray+alpha: take the luma plane, drop alpha
-        gray = out.reshape(h, w, ch)[..., 0]
-        return np.ascontiguousarray(
-            np.repeat(gray[:, :, None], 3, axis=2)
-        )
-    px = out.reshape(h, w, ch)
-    return np.ascontiguousarray(px[..., :3])  # alpha dropped
+    return result
 
 
 def encode_png(arr: np.ndarray, filter_strategy: str = "none") -> bytes:

@@ -502,12 +502,13 @@ class TestPngCodec:
         )
         assert np.array_equal(decode_png(payload), arr)
 
-    def test_unsupported_variants_gate_not_valueerror(self):
-        """Adam7 interlacing is the ONE remaining format gap
-        (NotImplementedError → PIL fall-through), not data
-        corruption. Palette, gray(+alpha) and 16-bit became
-        SUPPORTED in the round-9 continuation — their failure modes
-        are ValueErrors, covered by TestPngPaletteAndGray."""
+    def test_illegal_header_combinations_are_valueerror(self):
+        """Since the round-9 continuation decode_png covers the FULL
+        static PNG spec (every color type × legal depth, both
+        interlace methods) — so anything rejected is CORRUPTION
+        (ValueError), never a format gap; the NotImplementedError
+        path is gone. Illegal color/depth combinations and unknown
+        interlace methods are spec violations."""
         import struct
         import zlib
 
@@ -525,14 +526,14 @@ class TestPngCodec:
                 + _png_chunk(b"IEND", b"")
             )
 
-        with pytest.raises(NotImplementedError, match="interlaced"):
-            decode_png(mk(8, 2, 1))
-        with pytest.raises(NotImplementedError, match="interlaced"):
-            decode_png(mk(16, 2, 1))
-        # 1x1 isn't a legal gray depth for type 2; bad depths that
-        # aren't the documented 8/16 set still gate, not crash
-        with pytest.raises(NotImplementedError, match="8/16-bit"):
-            decode_png(mk(4, 2, 0))
+        with pytest.raises(ValueError, match="illegal"):
+            decode_png(mk(4, 2, 0))  # sub-byte truecolor
+        with pytest.raises(ValueError, match="illegal"):
+            decode_png(mk(16, 3, 0))  # 16-bit palette
+        with pytest.raises(ValueError, match="illegal"):
+            decode_png(mk(8, 5, 0))  # undefined color type
+        with pytest.raises(ValueError, match="interlace method"):
+            decode_png(mk(8, 2, 2))  # undefined interlace method
 
     def test_corruption_is_valueerror_with_cause_chain(self):
         """CRC damage, truncation, and inflate-size mismatch are
@@ -1094,7 +1095,7 @@ class TestPngPaletteAndGray:
                 self._png(4, 1, 8, 3, [b"\x00\x01\x02\x03"],
                           _png_chunk(b"PLTE", b"\x01\x02"))
             )
-        with pytest.raises(ValueError, match="illegal palette"):
+        with pytest.raises(ValueError, match="illegal"):
             decode_png(self._png(4, 1, 3, 3, [b"\x00\x01"], plte))
         # 16-bit gray now DECODES (high-byte reduction)
         d = decode_png(self._png(2, 1, 16, 0, [b"\x07\xff\x09\xff"]))
@@ -1197,3 +1198,156 @@ class TestBmpPalette:
         struct.pack_into("<H", payload, 28, 4)  # biBitCount = 4
         with pytest.raises(NotImplementedError, match="8-bit-paletted"):
             decode_bmp(bytes(payload))
+
+
+class TestPngAdam7:
+    """Round-9 continuation: Adam7 interlaced decode — the last PNG
+    format gap closed. The builder constructs spec-conforming
+    interlaced payloads by extracting the seven sub-images and
+    filtering each pass independently (filter 0 rows)."""
+
+    _PASSES = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+
+    @classmethod
+    def _interlaced_png(cls, arr: np.ndarray) -> bytes:
+        """arr: (h, w, 3) uint8 -> Adam7 type-2 PNG, filter 0."""
+        import struct
+        import zlib
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            _png_chunk,
+        )
+
+        h, w = arr.shape[:2]
+        raw = bytearray()
+        for x0, y0, dx, dy in cls._PASSES:
+            sub = arr[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for r in range(sub.shape[0]):
+                raw += b"\x00" + sub[r].tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    def test_interlaced_matches_progressive_source(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_png,
+        )
+
+        y, x = np.mgrid[0:21, 0:13]
+        arr = np.stack(
+            [(y * 3 + x) % 256, (y + x * 5) % 256, (y * 7 + x * 11) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        assert np.array_equal(decode_png(self._interlaced_png(arr)), arr)
+
+    def test_small_images_with_empty_passes(self):
+        """Images narrower/shorter than the pass grid skip whole
+        passes (spec: zero-dimension passes contribute no bytes)."""
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_png,
+        )
+
+        for h, w in ((1, 1), (2, 3), (5, 4), (8, 8), (3, 9)):
+            arr = (
+                (np.arange(h * w * 3) * 29) % 256
+            ).astype(np.uint8).reshape(h, w, 3)
+            assert np.array_equal(
+                decode_png(self._interlaced_png(arr)), arr
+            ), (h, w)
+
+    def test_truncated_interlaced_stream_is_valueerror(self):
+        import struct
+        import zlib
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            _png_chunk,
+            decode_png,
+        )
+
+        arr = np.zeros((8, 8, 3), dtype=np.uint8)
+        good = self._interlaced_png(arr)
+        # rebuild with one pass row missing
+        ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 1)
+        raw = bytearray()
+        for x0, y0, dx, dy in self._PASSES:
+            sub = arr[y0::dy, x0::dx]
+            for r in range(sub.shape[0]):
+                raw += b"\x00" + sub[r].tobytes()
+        bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw[:-9])))
+            + _png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(good), arr)
+        with pytest.raises(ValueError, match="length mismatch"):
+            decode_png(bad)
+
+    def test_interlaced_subbyte_gray(self):
+        """Adam7 × 1-bit grayscale: pass rows re-pack sub-byte
+        samples at the PASS width (the compounding detail real
+        interlaced bilevel scans exercise)."""
+        import struct
+        import zlib
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            _png_chunk,
+            decode_png,
+        )
+
+        h, w = 9, 11
+        bits = ((np.arange(h * w) * 7) % 2).astype(np.uint8).reshape(h, w)
+        raw = bytearray()
+        for x0, y0, dx, dy in self._PASSES:
+            sub = bits[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for r in range(sub.shape[0]):
+                raw += b"\x00" + np.packbits(sub[r]).tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 1)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+        d = decode_png(png)
+        assert np.array_equal(d[..., 0], bits * 255)
+        assert np.array_equal(d[..., 1], bits * 255)
+
+    def test_subbyte_gray_progressive_scaling(self):
+        """Non-interlaced sub-byte grayscale: 2-bit values scale by
+        85, 4-bit by 17 (full-range expansion)."""
+        import struct
+        import zlib
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            _png_chunk,
+            decode_png,
+        )
+
+        def mk(depth, w, rows):
+            ihdr = struct.pack(">IIBBBBB", w, len(rows), depth, 0, 0, 0, 0)
+            raw = b"".join(b"\x00" + r for r in rows)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(raw))
+                + _png_chunk(b"IEND", b"")
+            )
+
+        # 2-bit: values 0,1,2,3 in one byte
+        d = decode_png(mk(2, 4, [bytes([0b00011011])]))
+        assert d[0, :, 0].tolist() == [0, 85, 170, 255]
+        # 4-bit: values 0xF, 0x3
+        d = decode_png(mk(4, 2, [bytes([0xF3])]))
+        assert d[0, :, 0].tolist() == [255, 51]

@@ -90,6 +90,12 @@ SHUFFLE_BUDGET = {
     # synth→encode→decode is a narrow mapInPandas chain; the single
     # exchange is the final media_id range sort
     "q249_png_roundtrip": 1,
+    # round-9 continuation codecs: scan -> mapInPandas x2 -> one
+    # sort exchange; q255's per-frame explode happens INSIDE the
+    # Python stage, never as a shuffle
+    "q254_jpeg_roundtrip": 1,
+    "q255_mjpeg_video_sums": 1,
+    "q256_adpcm_audio_stats": 1,
 }
 
 

@@ -689,6 +689,17 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            if ns != len(frame[2]) and not (ns == 1):
+                raise ValueError(
+                    f"scan has {ns} components, frame has "
+                    f"{len(frame[2])}"
+                )
+            if ns == 1 and len(frame[2]) > 1:
+                raise NotImplementedError(
+                    "sequential per-component (non-interleaved "
+                    "multi-scan) baseline JPEG not supported — "
+                    "single interleaved scan only"
+                )
             scan = []
             for c in range(ns):
                 cs = body[1 + c * 2]
@@ -717,14 +728,34 @@ def _decode_scan(
     by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
     hmax = max(hs for _, hs, _, _ in comps)
     vmax = max(vs for _, _, vs, _ in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
+    non_interleaved = len(scan) == 1
+    if non_interleaved:
+        # single-component scan = NON-interleaved (spec A.2.2): the
+        # MCU is ONE block on the component's own grid; declared
+        # sampling factors only set the component's sub-grid size,
+        # which for a one-component frame is the full image
+        cs0 = scan[0][0]
+        hs0, vs0, _ = by_id.get(cs0, (1, 1, 0))
+        comp_w = (w * hs0 + hmax - 1) // hmax
+        comp_h = (h * vs0 + vmax - 1) // vmax
+        mcus_x = (comp_w + 7) // 8
+        mcus_y = (comp_h + 7) // 8
+    else:
+        mcu_w, mcu_h = 8 * hmax, 8 * vmax
+        mcus_x = (w + mcu_w - 1) // mcu_w
+        mcus_y = (h + mcu_h - 1) // mcu_h
 
+    # effective blocks-per-MCU: the component's (hs, vs) when
+    # interleaved, 1x1 when non-interleaved
+    eff = {
+        cid: ((1, 1) if non_interleaved else (hs, vs))
+        for cid, hs, vs, tq in comps
+    }
     planes = {}
     for cid, hs, vs, tq in comps:
+        ehs, evs = eff[cid]
         planes[cid] = np.zeros(
-            (mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64
+            (mcus_y * evs * 8, mcus_x * ehs * 8), dtype=np.float64
         )
         if tq not in qtables:
             raise ValueError(f"missing quantization table {tq}")
@@ -749,7 +780,8 @@ def _decode_scan(
                 rst_index = (rst_index + 1) % 8
                 preds = {cs: 0 for cs, _, _ in scan}
             for cs, td, ta in scan:
-                hs, vs, tq = by_id[cs]
+                _, _, tq = by_id[cs]
+                hs, vs = eff[cs]
                 qt = qtables[tq]
                 for v in range(vs):
                     for u in range(hs):

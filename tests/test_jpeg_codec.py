@@ -216,6 +216,41 @@ class TestVariantAndCorruptionContract:
         with pytest.raises(NotImplementedError, match="sampling"):
             decode_jpeg(bytes(enc))
 
+    def test_single_component_scan_is_non_interleaved(self):
+        """Spec A.2.2: a one-component scan uses ONE block per MCU on
+        the component's own grid, IGNORING declared sampling factors
+        — a foreign gray JPEG declaring 2x2 sampling must decode
+        identically to the 1x1 stream (the entropy data is the
+        same block sequence either way)."""
+        arr = ((np.arange(24 * 17) * 37) % 256).astype(
+            np.uint8
+        ).reshape(24, 17)
+        enc = bytearray(encode_jpeg(arr, 75, restart_interval=2))
+        base = decode_jpeg(bytes(enc))
+        enc[enc.index(b"\xff\xc0") + 11] = 0x22  # declare 2x2
+        assert np.array_equal(decode_jpeg(bytes(enc)), base)
+
+    def test_multi_scan_baseline_gated(self):
+        """Sequential per-component scans (ns=1 on a 3-component
+        frame) gate as NotImplementedError, and a scan/frame
+        component-count mismatch is corruption."""
+        rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+        enc = bytearray(encode_jpeg(rgb, 75))
+        sos = enc.index(b"\xff\xda")
+        # rewrite SOS to a single-component scan on the 3-comp frame
+        new_sos = bytes(
+            [0xFF, 0xDA, 0, 8, 1, 1, 0x00, 0, 63, 0]
+        )
+        patched = bytes(enc[:sos]) + new_sos + bytes(enc[sos + 12:])
+        with pytest.raises(NotImplementedError, match="multi-scan"):
+            decode_jpeg(patched)
+        # ns=2 on a 3-component frame: neither interleaved-complete
+        # nor single-component -> corrupt
+        enc2 = bytearray(encode_jpeg(rgb, 75))
+        enc2[enc2.index(b"\xff\xda") + 4] = 2
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(enc2))
+
     def test_corruption_is_valueerror(self):
         enc = self._enc()
         with pytest.raises(ValueError):

@@ -253,6 +253,13 @@ def q249_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (8 + F.col("doc_id") % 9).cast("int").alias("height"),
             (8 + F.col("doc_id") % 7).cast("int").alias("width"),
         )
+        # the synthetic metadata table arrives as ONE parquet split at
+        # test scales, which would serialize both Python codec stages
+        # on a single core; spreading the 12-byte rows across the
+        # executor slots costs a trivial exchange. A production media
+        # scan already has file-granular splits — this is the local
+        # stand-in for that, not an extra shuffle at 100 TB.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def synth_encode(batches):
@@ -355,6 +362,9 @@ def q255_mjpeg_video_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
             (8 + (F.col("doc_id") % 3) * 8).cast("int").alias("height"),
             (8 + (F.col("doc_id") % 2) * 8).cast("int").alias("width"),
         )
+        # spread the metadata rows across slots before the codec
+        # stages (q249's single-split note)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def synth_encode(batches):
@@ -494,6 +504,9 @@ def q256_adpcm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("media_id"),
             (32 + F.col("doc_id") % 32).cast("int").alias("n"),
         )
+        # spread the metadata rows across slots before the codec
+        # stages (q249's single-split note)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def synth_encode(batches):
@@ -593,6 +606,9 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (8 + (F.col("doc_id") % 5) * 6).cast("int").alias("height"),
             (8 + (F.col("doc_id") % 4) * 7).cast("int").alias("width"),
         )
+        # spread the metadata rows across slots before the codec
+        # stages (q249's single-split note)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def synth_encode(batches):

@@ -87,15 +87,15 @@ SHUFFLE_BUDGET = {
     # user-grain signup/purchase folds + cohort sketch agg; the
     # threshold join back is a broadcast (not counted by design)
     "q248_latency_approx_quantiles": 3,
-    # synth→encode→decode is a narrow mapInPandas chain; the single
-    # exchange is the final media_id range sort
-    "q249_png_roundtrip": 1,
-    # round-9 continuation codecs: scan -> mapInPandas x2 -> one
-    # sort exchange; q255's per-frame explode happens INSIDE the
-    # Python stage, never as a shuffle
-    "q254_jpeg_roundtrip": 1,
-    "q255_mjpeg_video_sums": 1,
-    "q256_adpcm_audio_stats": 1,
+    # codec family: scan -> repartition (spread the single metadata
+    # split across slots before the Python stages — a production
+    # media scan already has file-granular splits) -> mapInPandas x2
+    # -> one final range-sort exchange; q255's per-frame explode
+    # happens INSIDE the Python stage, never as a shuffle
+    "q249_png_roundtrip": 2,
+    "q254_jpeg_roundtrip": 2,
+    "q255_mjpeg_video_sums": 2,
+    "q256_adpcm_audio_stats": 2,
 }
 
 

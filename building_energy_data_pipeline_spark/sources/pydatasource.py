@@ -21,7 +21,15 @@ that matter at scale:
 - **a streaming twin** (:class:`SimpleDataSourceStreamReader`
   subclass): the same rows delivered one day per micro-batch with a
   monotone offset — the replayable-offset contract a production feed
-  needs for exactly-once sinks.
+  needs for exactly-once sinks;
+- **the write half** (round-9 continuation): :class:`JsonDirSink` /
+  :class:`JsonDirWriter` implement the two-phase staged-commit
+  protocol — per-task ``write`` to a staging area returning a
+  picklable commit message, driver-side ``commit`` renaming parts
+  and writing a ``_SUCCESS`` manifest only when every task
+  succeeded, ``abort`` leaving the destination untouched — the
+  DataSourceV2 writer contract in pure Python, testable end-to-end
+  including injected task failure.
 
 Rows are a CLOSED-FORM function of (sensor, day, slot):
 ``reading = (sensor*7919 + day*104729 + slot*31) % 10000`` — so a
@@ -39,6 +47,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -47,6 +56,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 #: the generation formula's constants (documented so the oracle SQL
@@ -210,22 +220,164 @@ def register_telemetry_source(spark) -> None:
     straight into it (the same JVM call the public API performs,
     minus the mis-scoped exists check).
     """
+    _register(spark, SyntheticTelemetrySource)
+
+
+# ---------------------------------------------------------------------------
+# Write path: the connector API's sink half (round-9 continuation)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PartFileCommit(WriterCommitMessage):
+    """One task's commit message: where its staged part landed and
+    how many rows it holds (picklable, collected on the driver)."""
+
+    staged: str
+    rows: int
+
+
+class JsonDirWriter(DataSourceWriter):
+    """Staged-commit JSONL directory sink — the two-phase protocol
+    every production sink needs, in its minimal observable form:
+
+    - ``write`` (one call per task, ON THE EXECUTOR) streams rows to
+      ``<path>/_staging/part-<uuid>.jsonl`` and returns a
+      :class:`PartFileCommit`; nothing under ``<path>`` itself is
+      touched, so readers never see a half-written job;
+    - ``commit`` (driver, only if EVERY task succeeded) renames the
+      staged parts to ``part-NNNNN.jsonl`` — clearing prior parts
+      first in overwrite mode — and writes a ``_SUCCESS`` manifest
+      naming each part and the total row count;
+    - ``abort`` (driver, any task failed) deletes whatever was
+      staged; the destination is untouched.
+
+    Local-filesystem staging keeps the protocol inspectable in
+    tests; a production variant swaps the file ops for an object
+    store's multipart/rename API — the message flow is identical.
+    The ``fail_on_reading`` option injects a mid-write failure so
+    the abort path is testable end-to-end.
+    """
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options.get("path") or options.get("__path__")
+        if not self.path:
+            raise ValueError(
+                "jsonl_dir sink requires a path "
+                "(.option('path', ...) or .save(path))"
+            )
+        self.overwrite = overwrite
+        self.fail_on_reading = (
+            int(options["fail_on_reading"])
+            if "fail_on_reading" in options
+            else None
+        )
+
+    def write(self, iterator) -> PartFileCommit:
+        import json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                rec = row.asDict(recursive=True)
+                if (
+                    self.fail_on_reading is not None
+                    and rec.get("reading") == self.fail_on_reading
+                ):
+                    raise ValueError(
+                        f"injected failure on reading="
+                        f"{self.fail_on_reading}"
+                    )
+                fh.write(json.dumps(rec, default=str) + "\n")
+                n += 1
+        return PartFileCommit(staged=fname, rows=n)
+
+    def commit(self, messages) -> None:
+        import glob
+        import json
+        import os
+
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                os.remove(old)
+            old_manifest = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(old_manifest):
+                os.remove(old_manifest)
+        parts, total = [], 0
+        existing = len(
+            glob.glob(os.path.join(self.path, "part-*.jsonl"))
+        )
+        for i, msg in enumerate(m for m in messages if m is not None):
+            final = os.path.join(
+                self.path, f"part-{existing + i:05d}.jsonl"
+            )
+            os.replace(msg.staged, final)
+            parts.append(os.path.basename(final))
+            total += msg.rows
+        with open(
+            os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8"
+        ) as fh:
+            json.dump({"parts": parts, "rows": total}, fh)
+        self._clean_staging()
+
+    def abort(self, messages) -> None:
+        import os
+
+        for msg in messages:
+            if msg is not None and os.path.exists(msg.staged):
+                os.remove(msg.staged)
+        self._clean_staging()
+
+    def _clean_staging(self) -> None:
+        import os
+        import shutil
+
+        staging = os.path.join(self.path, "_staging")
+        if os.path.isdir(staging):
+            shutil.rmtree(staging, ignore_errors=True)
+
+
+class JsonDirSink(DataSource):
+    """``df.write.format("jsonl_dir").option("path", ...)`` after
+    :func:`register_jsonl_dir_sink` — the write-capable half of the
+    connector surface (the telemetry source is the read half)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def writer(self, schema, overwrite: bool) -> JsonDirWriter:
+        return JsonDirWriter(self.options, overwrite)
+
+
+def register_jsonl_dir_sink(spark) -> None:
+    """Per-session registration with the same mis-scoped-exists-check
+    workaround as :func:`register_telemetry_source`."""
+    _register(spark, JsonDirSink)
+
+
+def _register(spark, source_cls) -> None:
     mgr = spark._jsparkSession.sessionState().dataSourceManager()
-    if mgr.dataSourceExists(SyntheticTelemetrySource.name()):
+    if mgr.dataSourceExists(source_cls.name()):
         return
     try:
-        spark.dataSource.register(SyntheticTelemetrySource)
+        spark.dataSource.register(source_cls)
     except Exception:
         pass  # mis-scoped ALREADY_EXISTS from a sibling session
-    if mgr.dataSourceExists(SyntheticTelemetrySource.name()):
+    if mgr.dataSourceExists(source_cls.name()):
         return
     from pyspark.sql.udf import _wrap_function
 
     sc = spark.sparkContext
-    wrapped = _wrap_function(sc, SyntheticTelemetrySource)
+    wrapped = _wrap_function(sc, source_cls)
     jds = getattr(
         sc._jvm,
         "org.apache.spark.sql.execution.datasources.v2.python"
         ".UserDefinedPythonDataSource",
     )(wrapped)
-    mgr.registerDataSource(SyntheticTelemetrySource.name(), jds)
+    mgr.registerDataSource(source_cls.name(), jds)

@@ -200,3 +200,97 @@ class TestStreamingTwin:
         assert got.select("day").distinct().count() == 10
         assert got.distinct().count() == expected
         spark.catalog.dropTempView(name)
+
+
+class TestWritePath:
+    """The connector API's sink half: two-phase staged commit
+    (per-task staging -> driver commit/abort), manifest accounting,
+    overwrite semantics, and destination isolation under failure."""
+
+    @staticmethod
+    def _telemetry(spark):
+        from building_energy_data_pipeline_spark.sources.pydatasource import (
+            register_jsonl_dir_sink,
+        )
+
+        register_telemetry_source(spark)
+        register_jsonl_dir_sink(spark)
+        return (
+            spark.read.format("synthetic_telemetry")
+            .options(**OPTS)
+            .load()
+        )
+
+    def test_append_commit_manifest_and_exact_rows(self, spark, tmp_path):
+        import glob
+        import json
+        import os
+
+        from building_energy_data_pipeline_spark.sources.pydatasource import (
+            reading_value,
+        )
+
+        out = str(tmp_path / "sink")
+        df = self._telemetry(spark)
+        df.write.format("jsonl_dir").mode("append").option(
+            "path", out
+        ).save()
+        parts = sorted(glob.glob(out + "/part-*.jsonl"))
+        manifest = json.load(open(out + "/_SUCCESS"))
+        rows = [json.loads(ln) for p in parts for ln in open(p)]
+        assert manifest["parts"] == [os.path.basename(p) for p in parts]
+        assert manifest["rows"] == len(rows) == 6 * 10 * 4
+        assert sum(r["reading"] for r in rows) == sum(
+            reading_value(s, d, t)
+            for s in range(6)
+            for d in range(10)
+            for t in range(4)
+        )
+        assert not os.path.exists(out + "/_staging")
+
+    def test_overwrite_replaces_parts(self, spark, tmp_path):
+        import glob
+        import json
+
+        out = str(tmp_path / "sink")
+        df = self._telemetry(spark)
+        df.write.format("jsonl_dir").mode("append").option(
+            "path", out
+        ).save()
+        df.limit(7).coalesce(1).write.format("jsonl_dir").mode(
+            "overwrite"
+        ).option("path", out).save()
+        manifest = json.load(open(out + "/_SUCCESS"))
+        assert manifest["rows"] == 7
+        assert len(glob.glob(out + "/part-*.jsonl")) == len(
+            manifest["parts"]
+        )
+
+    def test_abort_leaves_destination_untouched(self, spark, tmp_path):
+        import glob
+        import os
+
+        from building_energy_data_pipeline_spark.sources.pydatasource import (
+            reading_value,
+        )
+
+        out = str(tmp_path / "sink")
+        df = self._telemetry(spark)
+        with pytest.raises(Exception, match="injected failure"):
+            (
+                df.write.format("jsonl_dir")
+                .mode("append")
+                .option("path", out)
+                .option(
+                    "fail_on_reading", str(reading_value(3, 5, 2))
+                )
+                .save()
+            )
+        assert glob.glob(out + "/part-*.jsonl") == []
+        assert not os.path.exists(out + "/_SUCCESS")
+        assert glob.glob(out + "/_staging/*") == []
+
+    def test_missing_path_rejected(self, spark):
+        df = self._telemetry(spark)
+        with pytest.raises(Exception, match="path"):
+            df.write.format("jsonl_dir").mode("append").save()

@@ -9,19 +9,28 @@ back to PIL, exactly like the BMP/PNG gates.
 
 Scope (documented, spec-cited):
 
-- **decode**: baseline sequential DCT (SOF0), 8-bit precision,
-  Huffman entropy coding, 1 or 3 components, per-component sampling
-  factors 1 or 2 (covers 4:4:4 / 4:2:2 / 4:2:0), restart markers
-  (DRI/RSTn), 8- and 16-bit DQT precision, multi-table DHT segments,
-  0xFF00 byte unstuffing. Progressive (SOF2), arithmetic coding
-  (SOF9+), 12-bit precision and hierarchical modes raise
-  ``NotImplementedError`` — unsupported VARIANTS, distinct from
-  corrupt payloads which raise ``ValueError`` (the multimodal error
-  contract, ADVICE r8).
-- **encode**: baseline SOF0, grayscale or 4:4:4 YCbCr, Annex K
-  quantization tables scaled by the public IJG quality formula,
-  Annex K.3 Huffman tables (unoptimized), edge-replication padding
-  to 8×8 blocks, no restart markers.
+- **decode**: baseline sequential DCT (SOF0/1) AND progressive
+  (SOF2 — spectral selection + successive approximation, EOB-run
+  coding, per-scan mutable Huffman tables; Annex G), 8-bit
+  precision, Huffman entropy coding, 1 or 3 components,
+  per-component sampling factors 1 or 2 (covers 4:4:4 / 4:2:2 /
+  4:2:0), single-component scans as non-interleaved (A.2.2),
+  restart markers (DRI/RSTn) in both modes, 8- and 16-bit DQT
+  precision, multi-table DHT segments, 0xFF00 byte unstuffing.
+  Arithmetic coding (SOF9+), 12-bit precision, lossless and
+  hierarchical modes raise ``NotImplementedError`` — unsupported
+  VARIANTS, distinct from corrupt payloads which raise
+  ``ValueError`` (the multimodal error contract, ADVICE r8).
+- **encode**: baseline SOF0 (grayscale, 4:4:4 or 4:2:0 YCbCr,
+  optional restart markers) plus a PROGRESSIVE encoder
+  (:func:`encode_jpeg_progressive`, spectral selection with
+  EOB-run coding and a custom EOBn-capable Huffman table) — the
+  self-test twin whose streams must decode pixel-identically to
+  the baseline layout; Annex K quantization tables scaled by the
+  public IJG quality formula, edge-replication padding to 8×8
+  blocks. Successive-approximation DECODE paths are pinned by
+  hand-built spec-derived streams in the tests (an SA encoder
+  would only test itself).
 
 Exactness property the q254 oracle leans on: a block-FLAT grayscale
 image with even pixel values round-trips bit-exactly at quality 50 —
@@ -574,14 +583,16 @@ def encode_jpeg(
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to an ``(h, w, 3)`` uint8 RGB array
-    (grayscale replicated across channels — the ``decode_image``
-    return contract shared with BMP/PNG).
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG to an
+    ``(h, w, 3)`` uint8 RGB array (grayscale replicated across
+    channels — the ``decode_image`` return contract shared with
+    BMP/PNG). Progressive streams accumulate coefficients across
+    scans in :class:`_ProgressiveState` and reconstruct at EOI.
 
     Raises ``ValueError`` for corrupt payloads and
     ``NotImplementedError`` for spec features outside the supported
-    subset (progressive SOF2, arithmetic coding, 12-bit precision,
-    sampling factors > 2).
+    subset (arithmetic coding, 12-bit precision, lossless and
+    hierarchical modes, sampling factors > 2).
     """
     if len(content) < 4 or content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -591,6 +602,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     ac_tables: dict[int, _HuffDecoder] = {}
     restart_interval = 0
     frame = None  # (h, w, [(cid, hs, vs, tq)])
+    progressive = False
+    coef_state: "_ProgressiveState | None" = None
 
     pos = 2
     data = content
@@ -607,6 +620,10 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             raise ValueError("duplicate SOI marker")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # TEM / bare RST between segments
+        if marker == 0xD9:  # EOI carries no length segment
+            if coef_state is not None:
+                return coef_state.reconstruct(qtables)
+            raise ValueError("EOI before scan data")
         if pos + 2 > len(data):
             raise ValueError("truncated marker segment header")
         seglen = struct.unpack(">H", data[pos : pos + 2])[0]
@@ -651,7 +668,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 dec = _HuffDecoder(bits, vals)
                 (dc_tables if tc == 0 else ac_tables)[th] = dec
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(
@@ -677,11 +694,13 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     f"{ncomp}-component JPEG not supported"
                 )
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG mode SOF{marker - 0xC0} (progressive/arithmetic/"
-                "hierarchical) not supported — baseline SOF0/SOF1 only"
+                f"JPEG mode SOF{marker - 0xC0} (arithmetic/lossless/"
+                "hierarchical) not supported — baseline SOF0/SOF1 "
+                "and progressive SOF2 only"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
@@ -689,6 +708,21 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs = body[1 + c * 2]
+                tables = body[2 + c * 2]
+                scan.append((cs, tables >> 4, tables & 0x0F))
+            if progressive:
+                ss, se = body[1 + ns * 2], body[2 + ns * 2]
+                ahal = body[3 + ns * 2]
+                if coef_state is None:
+                    coef_state = _ProgressiveState(frame)
+                pos = coef_state.decode_scan(
+                    data, pos, scan, ss, se, ahal >> 4, ahal & 0x0F,
+                    dc_tables, ac_tables, restart_interval,
+                )
+                continue
             if ns != len(frame[2]) and not (ns == 1):
                 raise ValueError(
                     f"scan has {ns} components, frame has "
@@ -700,17 +734,10 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     "multi-scan) baseline JPEG not supported — "
                     "single interleaved scan only"
                 )
-            scan = []
-            for c in range(ns):
-                cs = body[1 + c * 2]
-                tables = body[2 + c * 2]
-                scan.append((cs, tables >> 4, tables & 0x0F))
             return _decode_scan(
                 data, pos, frame, scan, qtables, dc_tables,
                 ac_tables, restart_interval,
             )
-        elif marker == 0xD9:
-            raise ValueError("EOI before scan data")
         # else: APPn/COM/unknown — skipped via seglen
 
 
@@ -794,7 +821,16 @@ def _decode_scan(
                         planes[cs][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
 
-    # assemble: upsample each component to full resolution, crop
+    return _assemble(frame, planes)
+
+
+def _assemble(frame, planes: dict) -> np.ndarray:
+    """Upsample each component plane to full resolution, crop to the
+    frame geometry, and convert to RGB (shared by the baseline and
+    progressive reconstruction paths)."""
+    h, w, comps = frame
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
     full = []
     for cid, hs, vs, tq in comps:
         p = planes[cid]
@@ -839,3 +875,526 @@ def _decode_block(reader, dc_dec, ac_dec, qtable, preds, cs) -> np.ndarray:
     coefs[ZIGZAG_FLAT] = zz * qtable.flatten()[ZIGZAG_FLAT]
     block = coefs.reshape(8, 8)
     return _DCT.T @ block @ _DCT + 128.0
+
+
+# --------------------------------------------------------------------------
+# Progressive mode (SOF2) — spectral selection + successive approximation
+# --------------------------------------------------------------------------
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Advance past the tail of an entropy-coded segment to the next
+    REAL marker (skipping stuffed 0xFF00 bytes and stray RSTn)."""
+    p = pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    raise ValueError("entropy-coded segment ran past end of stream")
+
+
+class _ProgressiveState:
+    """Accumulates DCT coefficients across a progressive JPEG's
+    scans (spec Annex G): spectral-selection bands land coefficient
+    ranges, successive-approximation scans land them one bit plane
+    at a time. ``reconstruct`` dequantizes + IDCTs once EOI arrives.
+
+    Coefficient arrays are zigzag-indexed ``(nby, nbx, 64)`` per
+    component, sized to the MCU-padded grid (interleaved DC scans
+    code padding blocks; non-interleaved scans touch only the
+    component's own ``ceil(dim/8)`` prefix).
+    """
+
+    def __init__(self, frame) -> None:
+        self.frame = frame
+        h, w, comps = frame
+        self.hmax = max(hs for _, hs, _, _ in comps)
+        self.vmax = max(vs for _, _, vs, _ in comps)
+        self.mcus_x = (w + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcus_y = (h + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+        self.coefs: dict = {}
+        self.ni_grid: dict = {}  # non-interleaved (nby, nbx) per comp
+        for cid, hs, vs, tq in comps:
+            self.coefs[cid] = np.zeros(
+                (self.mcus_y * vs, self.mcus_x * hs, 64), dtype=np.int64
+            )
+            comp_w = (w * hs + self.hmax - 1) // self.hmax
+            comp_h = (h * vs + self.vmax - 1) // self.vmax
+            self.ni_grid[cid] = (
+                (comp_h + 7) // 8,
+                (comp_w + 7) // 8,
+            )
+
+    # -- scan dispatch ----------------------------------------------------
+
+    def decode_scan(
+        self, data, pos, scan, ss, se, ah, al,
+        dc_tables, ac_tables, restart_interval,
+    ) -> int:
+        for cs, _, _ in scan:
+            if cs not in self.by_id:
+                raise ValueError(
+                    f"scan references unknown component {cs}"
+                )
+        if ss == 0:
+            if se != 0:
+                raise ValueError(
+                    f"progressive DC scan must have Se=0 (got {se})"
+                )
+            reader = self._dc_scan(
+                data, pos, scan, ah, al, dc_tables, restart_interval
+            )
+        else:
+            if len(scan) != 1:
+                raise ValueError(
+                    "progressive AC scans are single-component "
+                    f"(got {len(scan)})"
+                )
+            if not 1 <= ss <= se <= 63:
+                raise ValueError(
+                    f"bad spectral band Ss={ss}, Se={se}"
+                )
+            reader = self._ac_scan(
+                data, pos, scan[0], ss, se, ah, al, ac_tables,
+                restart_interval,
+            )
+        return _next_marker(data, reader.pos)
+
+    # -- DC scans ---------------------------------------------------------
+
+    def _dc_scan(
+        self, data, pos, scan, ah, al, dc_tables, restart_interval
+    ) -> _BitReader:
+        reader = _BitReader(data, pos)
+        preds = {cs: 0 for cs, _, _ in scan}
+        rst_index = 0
+        units = 0
+        if len(scan) > 1:  # interleaved over MCUs
+            for my in range(self.mcus_y):
+                for mx in range(self.mcus_x):
+                    if (
+                        restart_interval
+                        and units
+                        and units % restart_interval == 0
+                    ):
+                        reader.sync_restart(rst_index)
+                        rst_index = (rst_index + 1) % 8
+                        preds = {cs: 0 for cs, _, _ in scan}
+                    for cs, td, _ in scan:
+                        hs, vs, _ = self.by_id[cs]
+                        for v in range(vs):
+                            for u in range(hs):
+                                self._dc_unit(
+                                    reader, cs, my * vs + v,
+                                    mx * hs + u, ah, al, td,
+                                    dc_tables, preds,
+                                )
+                    units += 1
+        else:  # single component: non-interleaved block grid
+            cs, td, _ = scan[0]
+            nby, nbx = self.ni_grid[cs]
+            for by in range(nby):
+                for bx in range(nbx):
+                    if (
+                        restart_interval
+                        and units
+                        and units % restart_interval == 0
+                    ):
+                        reader.sync_restart(rst_index)
+                        rst_index = (rst_index + 1) % 8
+                        preds = {cs: 0}
+                    self._dc_unit(
+                        reader, cs, by, bx, ah, al, td, dc_tables,
+                        preds,
+                    )
+                    units += 1
+        return reader
+
+    def _dc_unit(
+        self, reader, cs, by, bx, ah, al, td, dc_tables, preds
+    ) -> None:
+        if ah == 0:  # first pass: DPCM at this precision, shifted
+            if td not in dc_tables:
+                raise ValueError(f"missing DC Huffman table {td}")
+            size = dc_tables[td].decode(reader)
+            if size > 11:
+                raise ValueError(f"invalid DC category {size}")
+            preds[cs] += _extend(reader.receive(size), size)
+            self.coefs[cs][by, bx, 0] = preds[cs] << al
+        else:  # refinement: one correction bit per block
+            if reader.read_bit():
+                self.coefs[cs][by, bx, 0] |= 1 << al
+
+    # -- AC scans ---------------------------------------------------------
+
+    def _ac_scan(
+        self, data, pos, comp_scan, ss, se, ah, al, ac_tables,
+        restart_interval,
+    ) -> _BitReader:
+        cs, _, ta = comp_scan
+        if ta not in ac_tables:
+            raise ValueError(f"missing AC Huffman table {ta}")
+        ac = ac_tables[ta]
+        reader = _BitReader(data, pos)
+        nby, nbx = self.ni_grid[cs]
+        eobrun = 0
+        rst_index = 0
+        units = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if (
+                    restart_interval
+                    and units
+                    and units % restart_interval == 0
+                ):
+                    reader.sync_restart(rst_index)
+                    rst_index = (rst_index + 1) % 8
+                    eobrun = 0
+                block = self.coefs[cs][by, bx]
+                if ah == 0:
+                    eobrun = self._ac_first(
+                        reader, ac, block, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = self._ac_refine(
+                        reader, ac, block, ss, se, al, eobrun
+                    )
+                units += 1
+        return reader
+
+    @staticmethod
+    def _ac_first(reader, ac, block, ss, se, al, eobrun) -> int:
+        """First pass over a spectral band (G.1.2.2): run-lengths,
+        EOB runs, new coefficients at precision ``al``."""
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = ac.decode(reader)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC run overflows spectral band")
+            block[k] = _extend(reader.receive(s), s) << al
+            k += 1
+        return eobrun
+
+    @staticmethod
+    def _ac_refine(reader, ac, block, ss, se, al, eobrun) -> int:
+        """Refinement pass (G.1.2.3): one bit of extra precision for
+        known coefficients, new +/-1<<al coefficients inserted at
+        zero-history positions. Matches the spec's correction-bit
+        ordering: while advancing over ``r`` ZERO-history positions,
+        every nonzero-history coefficient passed emits a correction
+        bit."""
+        p1 = 1 << al
+        m1 = -(1 << al)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = ac.decode(reader)
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    # r == 15: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "AC refinement magnitude must be 1 "
+                            f"(got {s})"
+                        )
+                    newval = p1 if reader.read_bit() else m1
+                while k <= se:
+                    c = int(block[k])
+                    if c != 0:
+                        if reader.read_bit() and (c & p1) == 0:
+                            block[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if newval and k <= se:
+                    block[k] = newval
+                k += 1
+        if eobrun > 0:
+            # end-of-band: correction bits for remaining nonzeros
+            while k <= se:
+                c = int(block[k])
+                if c != 0 and reader.read_bit() and (c & p1) == 0:
+                    block[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    # -- reconstruction -----------------------------------------------------
+
+    def reconstruct(self, qtables: dict) -> np.ndarray:
+        h, w, comps = self.frame
+        planes = {}
+        for cid, hs, vs, tq in comps:
+            if tq not in qtables:
+                raise ValueError(f"missing quantization table {tq}")
+            qzz = qtables[tq].flatten()[ZIGZAG_FLAT].astype(np.float64)
+            arr = self.coefs[cid]
+            nby, nbx = arr.shape[:2]
+            plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+            for by in range(nby):
+                for bx in range(nbx):
+                    zz = arr[by, bx] * qzz
+                    nat = np.zeros(64, dtype=np.float64)
+                    nat[ZIGZAG_FLAT] = zz
+                    plane[
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ] = _DCT.T @ nat.reshape(8, 8) @ _DCT + 128.0
+            planes[cid] = plane
+        return _assemble(self.frame, planes)
+
+
+# --------------------------------------------------------------------------
+# Progressive encoder (spectral selection, Ah=Al=0) — the self-test
+# twin of the progressive decoder: same quantized coefficients as the
+# baseline encoder, different entropy layout, so decode(progressive)
+# must equal decode(baseline) PIXEL-FOR-PIXEL. Successive-approximation
+# decode paths are pinned separately by hand-built streams in
+# tests/test_jpeg_codec.py (an SA encoder would only test itself).
+# --------------------------------------------------------------------------
+
+
+def _quantized_blocks(plane: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    """(h, w) uint8 plane (8-multiple dims) -> (nby, nbx, 64) int64
+    zigzag-ordered quantized coefficients."""
+    h, w = plane.shape
+    shifted = plane.astype(np.float64) - 128.0
+    out = np.zeros((h // 8, w // 8, 64), dtype=np.int64)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            quant = np.rint((_DCT @ block @ _DCT.T) / qtable).astype(
+                np.int64
+            )
+            out[by, bx] = quant.flatten()[ZIGZAG_FLAT]
+    return out
+
+
+def _flush_eobrun(writer: _BitWriter, ac_codes: dict, eobrun: int) -> int:
+    if eobrun > 0:
+        r = eobrun.bit_length() - 1
+        code, length = ac_codes[r << 4]
+        writer.write(code, length)
+        if r:
+            writer.write(eobrun - (1 << r), r)
+    return 0
+
+
+def _progressive_ac_table() -> tuple[list[int], list[int]]:
+    """AC Huffman spec for progressive scans: the Annex K tables lack
+    the EOBn symbols (``r<<4`` for r=1..14) progressive EOB-run
+    coding needs, so the encoder ships its OWN table — every (run,
+    size) pair, ZRL, and EOB0..EOB14, all at code length 9 (176
+    codes < 2^9 with the all-ones code free; flat lengths keep the
+    canonical construction trivially valid). Also means the decoder
+    gets exercised against a non-Annex-K DHT."""
+    vals = sorted(
+        {(r << 4) | s for r in range(16) for s in range(1, 11)}
+        | {0xF0}
+        | {r << 4 for r in range(15)}
+    )
+    bits = [0] * 16
+    bits[8] = len(vals)  # all codes 9 bits long
+    return bits, vals
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quality: int = 50,
+    bands: tuple = ((1, 5), (6, 63)),
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode grayscale or 4:4:4 RGB as a PROGRESSIVE (SOF2) JPEG
+    using spectral selection: one interleaved DC scan, then per
+    component one AC scan per ``bands`` entry, with spec-conforming
+    EOB-run coding across blocks. Quantized coefficients are
+    IDENTICAL to :func:`encode_jpeg` at the same quality, so the two
+    streams must decode to the same pixels — the cross-layout
+    equality the progressive decoder tests lean on."""
+    if arr.ndim == 2:
+        gray = True
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        gray = False
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) array, got {arr.shape}")
+    if arr.dtype != np.uint8:
+        raise ValueError(f"expected uint8 pixels, got {arr.dtype}")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError(f"image dimensions out of JPEG range: {h}x{w}")
+    for ks, ke in bands:
+        if not 1 <= ks <= ke <= 63:
+            raise ValueError(f"bad spectral band ({ks}, {ke})")
+
+    ql = scale_quant_table(QUANT_LUMA, quality)
+    qc = scale_quant_table(QUANT_CHROMA, quality)
+    dc_codes = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+                _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_bits, ac_vals = _progressive_ac_table()
+    ac_codes = [_build_codes(ac_bits, ac_vals)] * 2
+
+    if gray:
+        planes = [_pad_edge_to_blocks(arr, 8, 8)]
+    else:
+        ycc = rgb_to_ycbcr(arr)
+        planes = [
+            _pad_edge_to_blocks(ycc[..., c], 8, 8) for c in range(3)
+        ]
+    coefs = [
+        _quantized_blocks(p, ql if i == 0 else qc)
+        for i, p in enumerate(planes)
+    ]
+    nby, nbx = coefs[0].shape[:2]
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    out += _dqt_segment(0, ql)
+    if not gray:
+        out += _dqt_segment(1, qc)
+    sof = bytearray()
+    sof += struct.pack(">BHHB", 8, h, w, len(planes))
+    for i in range(len(planes)):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + bytes(sof)
+    out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht_segment(1, 0, ac_bits, ac_vals)
+    if not gray:
+        out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += _dht_segment(1, 1, ac_bits, ac_vals)
+
+    def sos_header(comp_ids_tables: list, ss: int, se: int) -> bytes:
+        body = bytearray([len(comp_ids_tables)])
+        for cid, tbl in comp_ids_tables:
+            body += bytes([cid, tbl])
+        body += bytes([ss, se, 0x00])  # Ah=Al=0
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + bytes(
+            body
+        )
+
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    # scan 1: interleaved DC, all components
+    out += sos_header(
+        [(i + 1, (0x00 if i == 0 else 0x11)) for i in
+         range(len(planes))],
+        0, 0,
+    )
+    writer = _BitWriter()
+    preds = [0] * len(planes)
+    units = 0
+    rst = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if (
+                restart_interval
+                and units
+                and units % restart_interval == 0
+            ):
+                out += writer.flush()
+                writer = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * len(planes)
+            for ci in range(len(planes)):
+                dc = int(coefs[ci][by, bx, 0])
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                size = _category(diff)
+                tbl = dc_codes[0 if ci == 0 else 1]
+                code, length = tbl[size]
+                writer.write(code, length)
+                if size:
+                    mag = diff if diff >= 0 else diff + (1 << size) - 1
+                    writer.write(mag & ((1 << size) - 1), size)
+            units += 1
+    out += writer.flush()
+
+    # AC scans: per component, per band, non-interleaved with EOBRUN
+    for ci in range(len(planes)):
+        act = ac_codes[0 if ci == 0 else 1]
+        for ks, ke in bands:
+            out += sos_header(
+                [(ci + 1, (0x00 if ci == 0 else 0x01))], ks, ke
+            )
+            writer = _BitWriter()
+            eobrun = 0
+            units = 0
+            rst = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if (
+                        restart_interval
+                        and units
+                        and units % restart_interval == 0
+                    ):
+                        # EOB runs cannot cross a restart boundary
+                        eobrun = _flush_eobrun(writer, act, eobrun)
+                        out += writer.flush()
+                        writer = _BitWriter()
+                        out += bytes([0xFF, 0xD0 + rst])
+                        rst = (rst + 1) % 8
+                    units += 1
+                    zz = coefs[ci][by, bx]
+                    nz = [
+                        k for k in range(ks, ke + 1) if zz[k] != 0
+                    ]
+                    if not nz:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            eobrun = _flush_eobrun(
+                                writer, act, eobrun
+                            )
+                        continue
+                    eobrun = _flush_eobrun(writer, act, eobrun)
+                    run = 0
+                    for k in range(ks, nz[-1] + 1):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, length = act[0xF0]
+                            writer.write(code, length)
+                            run -= 16
+                        s = _category(v)
+                        code, length = act[(run << 4) | s]
+                        writer.write(code, length)
+                        mag = v if v >= 0 else v + (1 << s) - 1
+                        writer.write(mag & ((1 << s) - 1), s)
+                        run = 0
+                    if nz[-1] < ke:
+                        eobrun = 1  # this block's tail is an EOB
+            _flush_eobrun(writer, act, eobrun)
+            out += writer.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -25,8 +25,10 @@ stride-padded — the Windows BITMAPINFOHEADER public spec),
 16-bit PCM) — and, since round 9, COMPRESSED formats:
 :func:`decode_png` / :func:`encode_png` (stdlib ``zlib`` inflate +
 numpy scanline unfiltering, all five filter types — the W3C PNG
-spec) plus baseline JPEG (``operators/jpeg_codec.py``: Annex K
-tables, Huffman entropy coding, numpy DCT — ITU-T T.81).
+spec) plus JPEG — baseline AND progressive SOF2 —
+(``operators/jpeg_codec.py``: Annex K tables, Huffman entropy
+coding, spectral selection + successive approximation, numpy DCT —
+ITU-T T.81).
 ``decode_image(..., use_real_codec=True)`` sniffs the ``BM`` magic /
 PNG signature / JPEG SOI and decodes natively before falling back to
 PIL. The default remains the **deterministic fake decoder**
@@ -1027,7 +1029,7 @@ def decode_image(
 
                 return decode_jpeg(content)
             except (NotImplementedError, ValueError) as exc:
-                # progressive/arithmetic/12-bit variants and corrupt
+                # arithmetic/12-bit/lossless variants and corrupt
                 # payloads — same fall-through contract as BMP/PNG
                 native_err = exc
         try:

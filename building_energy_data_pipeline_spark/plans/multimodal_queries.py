@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import multimodal
-from ..operators.jpeg_codec import encode_jpeg
+from ..operators.jpeg_codec import encode_jpeg, encode_jpeg_progressive
 from ..sources.readers import load_table
 from .registry import query
 
@@ -570,14 +570,16 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossy-codec decode through the driver contract: block-flat
     grayscale pattern pixels (``2·((media_id·7 + (y//8)·5 + (x//8)·3)
     % 128)`` — every 8×8 block constant, every value even) are
-    Huffman-encoded to genuine baseline JPEG payloads
-    (``operators/jpeg_codec.encode_jpeg``, Annex K tables at quality
-    50; a rotating ``restart_interval`` of 0/2/5 MCUs so roughly two
-    thirds of the payloads carry DRI + RSTn markers) in one
-    ``mapInPandas`` stage, decoded back by the pure-numpy baseline
-    JPEG decoder in the next, and reduced to integer channel sums
-    (grayscale replicates across channels, so ``sum_r = sum_g =
-    sum_b``).
+    Huffman-encoded to genuine JPEG payloads in one ``mapInPandas``
+    stage — EVEN media ids as baseline SOF0
+    (``operators/jpeg_codec.encode_jpeg``), ODD ids as PROGRESSIVE
+    SOF2 (``encode_jpeg_progressive``: interleaved DC scan + two
+    spectral-selection AC scans with EOB-run coding), both at Annex K
+    quality 50 with a rotating ``restart_interval`` of 0/2/5 so both
+    modes carry DRI + RSTn markers on most payloads — then decoded
+    back by the pure-numpy decoder in the next stage and reduced to
+    integer channel sums (grayscale replicates across channels, so
+    ``sum_r = sum_g = sum_b``).
 
     The oracle never sees a JPEG byte: it recomputes the sums from
     the closed-form pattern. A lossy codec gets a ZERO-TOLERANCE
@@ -586,10 +588,14 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Annex K DC quantizer 16 exactly for even ``v``, and every AC
     coefficient quantizes to zero — so the driver hash passes only if
     the marker walk, Huffman decode, dequantization, IDCT and
-    restart-marker resync reconstruct every pixel exactly
+    restart-marker resync reconstruct every pixel exactly — in BOTH
+    entropy layouts: the quantized coefficients are identical across
+    SOF0 and SOF2, so one closed-form oracle hash-checks the
+    sequential decoder AND the multi-scan progressive accumulator
     (``tests/test_jpeg_codec.py`` pins the subspace property itself,
-    plus lossy-path tolerance off it). Extends q249's PNG check to
-    the second compressed container; MP3/video remain gated.
+    hand-built successive-approximation streams, and lossy-path
+    tolerance off the subspace). Extends q249's PNG check to the
+    second compressed container; MP3 remains gated.
 
     Scale: identical economics to q249 — payloads are born,
     compressed and decoded inside one task; only ~40 bytes of
@@ -625,16 +631,16 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 arr = (
                     2 * ((mid * 7 + (y // 8) * 5 + (x // 8) * 3) % 128)
                 ).astype(np.uint8)
-                rows.append(
-                    {
-                        "media_id": mid,
-                        "content": encode_jpeg(
-                            arr,
-                            quality=50,
-                            restart_interval=(0, 2, 5)[mid % 3],
-                        ),
-                    }
-                )
+                rst = (0, 2, 5)[mid % 3]
+                if mid % 2:
+                    payload = encode_jpeg_progressive(
+                        arr, quality=50, restart_interval=rst
+                    )
+                else:
+                    payload = encode_jpeg(
+                        arr, quality=50, restart_interval=rst
+                    )
+                rows.append({"media_id": mid, "content": payload})
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     media = docs.mapInPandas(

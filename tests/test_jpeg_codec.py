@@ -197,10 +197,16 @@ class TestVariantAndCorruptionContract:
     def _enc(self) -> bytes:
         return encode_jpeg(np.full((8, 8), 100, dtype=np.uint8), 50)
 
-    def test_progressive_gated(self):
+    def test_arithmetic_and_lossless_gated(self):
+        """SOF2 became SUPPORTED (TestProgressive); the remaining
+        mode gates are arithmetic (SOF9+) and lossless/hierarchical."""
         enc = bytearray(self._enc())
-        enc[enc.index(b"\xff\xc0") + 1] = 0xC2  # SOF0 -> SOF2
-        with pytest.raises(NotImplementedError, match="progressive"):
+        enc[enc.index(b"\xff\xc0") + 1] = 0xC9  # arithmetic sequential
+        with pytest.raises(NotImplementedError, match="arithmetic"):
+            decode_jpeg(bytes(enc))
+        enc = bytearray(self._enc())
+        enc[enc.index(b"\xff\xc0") + 1] = 0xC3  # lossless
+        with pytest.raises(NotImplementedError, match="arithmetic"):
             decode_jpeg(bytes(enc))
 
     def test_twelve_bit_precision_gated(self):
@@ -392,3 +398,228 @@ class TestDistributed:
         assert set(got) == set(expected)
         for mid, (sr, sg, sb) in got.items():
             assert sr == sg == sb == expected[mid]
+
+
+class TestProgressive:
+    """Progressive (SOF2) decode — spectral selection proven by
+    cross-layout equality against the baseline path (same quantized
+    coefficients, different entropy layout: any deviation shows as a
+    pixel diff), successive approximation pinned by hand-built
+    streams with hand-computed expected coefficients (no
+    encoder/decoder mutual-inverse blind spot)."""
+
+    def test_cross_layout_equality_gray_and_color(self):
+        for seed in range(8):
+            rng = np.random.default_rng(seed)
+            h, w = int(rng.integers(1, 41)), int(rng.integers(1, 41))
+            q = int(rng.choice([30, 50, 75, 90]))
+            arr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            assert np.array_equal(
+                decode_jpeg(encode_jpeg(arr, q)),
+                decode_jpeg(jc.encode_jpeg_progressive(arr, q)),
+            ), (seed, h, w, q)
+        rng = np.random.default_rng(99)
+        rgb = rng.integers(0, 256, (19, 23, 3), dtype=np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(rgb, 75)),
+            decode_jpeg(jc.encode_jpeg_progressive(rgb, 75)),
+        )
+
+    def test_eobrun_spans_blocks(self):
+        """A flat 64x64 image leaves every AC band empty — the
+        encoder emits one EOBn symbol covering all 64 blocks, so the
+        decoder's EOBRUN>1 bookkeeping is on the line."""
+        arr = np.full((64, 64), 100, dtype=np.uint8)
+        d = decode_jpeg(jc.encode_jpeg_progressive(arr, 50))
+        assert (d == 100).all()
+
+    def test_many_band_split(self):
+        arr = ((np.arange(40 * 24) * 37) % 256).astype(
+            np.uint8
+        ).reshape(40, 24)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(arr, 85)),
+            decode_jpeg(jc.encode_jpeg_progressive(
+                arr, 85, bands=((1, 1), (2, 9), (10, 35), (36, 63))
+            )),
+        )
+
+    # -- hand-built successive-approximation streams -----------------
+
+    @staticmethod
+    def _headers(gray_qtable) -> bytes:
+        import struct
+
+        def seg(marker, body):
+            return marker + struct.pack(">H", 2 + len(body)) + body
+
+        dqt = b"\x00" + bytes(
+            int(v) for v in gray_qtable.flatten()[jc.ZIGZAG_FLAT]
+        )
+        sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        dht_dc = bytes([0x00]) + bytes(jc.DC_LUMA_BITS) + bytes(
+            jc.DC_LUMA_VALS
+        )
+        ac_bits, ac_vals = jc._progressive_ac_table()
+        dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+        return (
+            b"\xff\xd8"
+            + seg(b"\xff\xdb", dqt)
+            + seg(b"\xff\xc2", sof)
+            + seg(b"\xff\xc4", dht_dc)
+            + seg(b"\xff\xc4", dht_ac)
+        )
+
+    @staticmethod
+    def _sos(ss, se, ah, al) -> bytes:
+        import struct
+
+        body = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    def test_dc_successive_approximation_hand_built(self):
+        """v=102 flat gray at q50: true DC = -13. First scan at Al=1
+        sends -13 >> 1 = -7 (stored as -14); the refinement bit is
+        -13 & 1 = 1, restoring -13 exactly. Decoded image must be
+        flat 102."""
+        ql = jc.scale_quant_table(jc.QUANT_LUMA, 50)
+        dc = jc._build_codes(jc.DC_LUMA_BITS, jc.DC_LUMA_VALS)
+
+        w1 = jc._BitWriter()
+        size = 3  # category of -7
+        code, length = dc[size]
+        w1.write(code, length)
+        w1.write((-7 + (1 << size) - 1) & ((1 << size) - 1), size)
+        scan1 = self._sos(0, 0, 0, 1) + w1.flush()
+
+        w2 = jc._BitWriter()
+        w2.write(1, 1)  # the refinement bit
+        scan2 = self._sos(0, 0, 1, 0) + w2.flush()
+
+        stream = self._headers(ql) + scan1 + scan2 + b"\xff\xd9"
+        d = decode_jpeg(stream)
+        assert d.shape == (8, 8, 3)
+        assert (d == 102).all()
+
+    def test_ac_successive_approximation_hand_built(self):
+        """One 8x8 block, true zigzag coefs k1=5, k3=1, k5=-2.
+        First AC scan at Al=1 carries 5//2=2 and -2//2=-1 (k3's
+        magnitude vanishes); the Al=0 refinement inserts k3=+1 via a
+        (run=1,size=1) symbol, corrects k1 4->5 with a correction
+        bit, and leaves k5 at -2 via the EOB-run tail. Every bit
+        hand-derived from spec G.1.2.3."""
+        ql = jc.scale_quant_table(jc.QUANT_LUMA, 50)
+        dc = jc._build_codes(jc.DC_LUMA_BITS, jc.DC_LUMA_VALS)
+        ac_bits, ac_vals = jc._progressive_ac_table()
+        ac = jc._build_codes(ac_bits, ac_vals)
+
+        # scan 1: DC first, Al=0, DC=0 -> category 0 only
+        w = jc._BitWriter()
+        code, length = dc[0]
+        w.write(code, length)
+        dc_scan = self._sos(0, 0, 0, 0) + w.flush()
+
+        # scan 2: AC first, band 1..63, Al=1: k1=2, skip 3, k5=-1, EOB
+        w = jc._BitWriter()
+        code, length = ac[(0 << 4) | 2]  # r=0, size 2 -> value 2
+        w.write(code, length)
+        w.write(2, 2)
+        code, length = ac[(3 << 4) | 1]  # r=3, size 1 -> value -1
+        w.write(code, length)
+        w.write(0, 1)  # -1 in ones-complement-style magnitude bits
+        code, length = ac[0x00]  # EOB
+        w.write(code, length)
+        ac_first = self._sos(1, 63, 0, 1) + w.flush()
+
+        # scan 3: AC refine, band 1..63, Ah=1, Al=0
+        w = jc._BitWriter()
+        code, length = ac[(1 << 4) | 1]  # new coef after 1 zero-history
+        w.write(code, length)
+        w.write(1, 1)  # sign: positive
+        w.write(1, 1)  # correction bit for k1 (4 -> 5)
+        # (k2 consumes the run silently; new coef lands at k3)
+        code, length = ac[0x00]  # EOB -> EOBRUN=1
+        w.write(code, length)
+        w.write(0, 1)  # tail correction bit for k5 (-2 stays)
+        ac_refine = self._sos(1, 63, 1, 0) + w.flush()
+
+        stream = (
+            self._headers(ql) + dc_scan + ac_first + ac_refine
+            + b"\xff\xd9"
+        )
+        got = decode_jpeg(stream)[..., 0]
+
+        # reference: dequantize the hand-chosen coefs and IDCT
+        zz = np.zeros(64, dtype=np.float64)
+        zz[1], zz[3], zz[5] = 5, 1, -2
+        qzz = ql.flatten()[jc.ZIGZAG_FLAT].astype(np.float64)
+        nat = np.zeros(64)
+        nat[jc.ZIGZAG_FLAT] = zz * qzz
+        want = np.clip(
+            np.rint(jc._DCT.T @ nat.reshape(8, 8) @ jc._DCT + 128.0),
+            0, 255,
+        ).astype(np.uint8)
+        assert np.array_equal(got, want)
+
+    def test_progressive_with_restart_markers(self):
+        """DRI applies to every progressive scan: the DC scan resets
+        predictors at each RSTn and the AC scans flush their EOB run
+        before the boundary (spec: EOB runs cannot cross restarts)."""
+        rng = np.random.default_rng(7)
+        arr = rng.integers(0, 256, (33, 26), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(arr, 60))
+        for ri in (1, 3):
+            prog = decode_jpeg(
+                jc.encode_jpeg_progressive(arr, 60, restart_interval=ri)
+            )
+            assert np.array_equal(base, prog), ri
+        rgb = rng.integers(0, 256, (25, 18, 3), dtype=np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(rgb, 75)),
+            decode_jpeg(
+                jc.encode_jpeg_progressive(rgb, 75, restart_interval=3)
+            ),
+        )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        seed=st.integers(0, 2**32 - 1),
+        h=st.integers(1, 33),
+        w=st.integers(1, 33),
+        quality=st.sampled_from([30, 50, 75, 90]),
+        rst=st.sampled_from([0, 2]),
+    )
+    def test_fuzz_cross_layout_equality(self, seed, h, w, quality, rst):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(arr, quality)),
+            decode_jpeg(jc.encode_jpeg_progressive(
+                arr, quality, restart_interval=rst
+            )),
+        )
+
+    def test_progressive_error_contract(self):
+        ql = jc.scale_quant_table(jc.QUANT_LUMA, 50)
+        # multi-component AC scan is corrupt
+        import struct
+
+        bad_sos = b"\xff\xda" + struct.pack(">H", 10) + bytes(
+            [2, 1, 0x00, 1, 0x00, 1, 63, 0]
+        )
+        with pytest.raises(ValueError, match="single-component"):
+            decode_jpeg(self._headers(ql) + bad_sos + b"\xff\xd9")
+        # unknown component id in a scan
+        bad_sos2 = b"\xff\xda" + struct.pack(">H", 8) + bytes(
+            [1, 7, 0x00, 1, 63, 0]
+        )
+        with pytest.raises(ValueError, match="unknown component"):
+            decode_jpeg(self._headers(ql) + bad_sos2 + b"\xff\xd9")
+        # DC scan with Se != 0
+        with pytest.raises(ValueError, match="Se=0"):
+            decode_jpeg(
+                self._headers(ql) + self._sos(0, 5, 0, 0) + b"\xff\xd9"
+            )
+        # EOI with no scans at all
+        with pytest.raises(ValueError, match="EOI before"):
+            decode_jpeg(b"\xff\xd8\xff\xd9")

@@ -85,17 +85,85 @@ def repartition_for_payload(df: DataFrame, avg_row_bytes: int) -> DataFrame:
     return df.repartition(int(n))
 
 
+def _bmp_rle_indices(
+    data: bytes, w: int, height: int, four_bit: bool
+) -> np.ndarray:
+    """Decompress BI_RLE8/BI_RLE4 to a (height, w) index grid
+    (bottom-up row order as stored; the caller flips). Escapes per
+    the public spec: 0,0 = end of line; 0,1 = end of bitmap; 0,2 =
+    delta (dx, dy skip — skipped pixels stay 0); 0,n>=3 = absolute
+    run, padded to a word boundary. Encoded runs in RLE4 alternate
+    the value byte's two nibbles."""
+    out = np.zeros((height, w), dtype=np.uint8)
+    x, y = 0, 0
+    p = 0
+    while p + 1 < len(data):
+        cnt, val = data[p], data[p + 1]
+        p += 2
+        if cnt > 0:  # encoded run
+            if y >= height:
+                raise ValueError("RLE run outside bitmap")
+            if four_bit:
+                hi, lo = val >> 4, val & 0x0F
+                for i in range(cnt):
+                    if x < w:
+                        out[y, x] = hi if i % 2 == 0 else lo
+                    x += 1
+            else:
+                end = min(x + cnt, w)
+                if x < w:
+                    out[y, x:end] = val
+                x += cnt
+            continue
+        # escapes
+        if val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return out
+        elif val == 2:  # delta
+            if p + 1 >= len(data):
+                raise ValueError("truncated RLE delta")
+            x += data[p]
+            y += data[p + 1]
+            p += 2
+        else:  # absolute mode: val pixels follow
+            if y >= height:
+                raise ValueError("RLE absolute run outside bitmap")
+            if four_bit:
+                nbytes = (val + 1) // 2
+                if p + nbytes > len(data):
+                    raise ValueError("truncated RLE absolute run")
+                for i in range(val):
+                    b = data[p + i // 2]
+                    v = (b >> 4) if i % 2 == 0 else (b & 0x0F)
+                    if x < w:
+                        out[y, x] = v
+                    x += 1
+                p += nbytes + (nbytes & 1)  # word-aligned
+            else:
+                if p + val > len(data):
+                    raise ValueError("truncated RLE absolute run")
+                for i in range(val):
+                    if x < w:
+                        out[y, x] = data[p + i]
+                    x += 1
+                p += val + (val & 1)  # word-aligned
+    raise ValueError("RLE stream missing end-of-bitmap marker")
+
+
 def decode_bmp(content: bytes) -> np.ndarray:
     """Pure-numpy BMP decoder (public BITMAPFILEHEADER +
-    BITMAPINFOHEADER spec): uncompressed BI_RGB at 24/32 bits
-    (BGR(A) byte order, alpha dropped) or — since the round-9
-    continuation — 8-bit PALETTED (BGRX color table between the
-    headers and the pixel array, biClrUsed honored, 0 = full 256),
+    BITMAPINFOHEADER spec) → (h, w, 3) uint8 RGB. Covers the full
+    common spec as of the round-9 continuation: uncompressed BI_RGB
+    at 24/32 bits (BGR(A) byte order, alpha dropped) and at
+    1/4/8-bit paletted depths (MSB-first sub-byte packing, BGRX
+    color table, biClrUsed honored, 0 = full table), plus BI_RLE8
+    and BI_RLE4 compression (encoded/absolute/delta/EOL/EOB modes);
     bottom-up (positive height) or top-down (negative), rows padded
-    to 4-byte strides → (h, w, 3) uint8 RGB. Needs no external
-    codec, so the REAL decode path of :func:`decode_image` is
-    exercisable in codec-free environments. RLE-compressed and
-    1/2/4-bit BMPs raise ``NotImplementedError``."""
+    to 4-byte strides. Needs no external codec, so the REAL decode
+    path of :func:`decode_image` is exercisable in codec-free
+    environments. Only bitfield (BI_BITFIELDS) and 16-bit formats
+    raise ``NotImplementedError``."""
     if content[:2] != b"BM" or len(content) < 54:
         raise ValueError("not a BMP payload")
     (offset,) = struct.unpack_from("<I", content, 10)
@@ -115,17 +183,24 @@ def decode_bmp(content: bytes) -> np.ndarray:
     (bpp,) = struct.unpack_from("<H", content, 28)
     (compression,) = struct.unpack_from("<I", content, 30)
     (clr_used,) = struct.unpack_from("<I", content, 46)
-    if compression != 0 or bpp not in (8, 24, 32):
+    valid = {
+        (0, 1), (0, 4), (0, 8), (0, 24), (0, 32),
+        (1, 8), (2, 4),  # BI_RLE8, BI_RLE4
+    }
+    if (compression, bpp) not in valid:
         raise NotImplementedError(
-            f"only uncompressed 8-bit-paletted/24/32-bit BI_RGB "
-            f"supported (got bpp={bpp}, compression={compression})"
+            f"unsupported BMP variant (bpp={bpp}, "
+            f"compression={compression}) — BI_RGB 1/4/8/24/32-bit "
+            "and BI_RLE4/BI_RLE8 decode natively"
         )
     top_down, height = h < 0, abs(h)
     if w <= 0 or height == 0:
         raise ValueError(f"invalid BMP dimensions {w}x{h}")
+    if top_down and compression != 0:
+        raise ValueError("top-down RLE BMPs are invalid per spec")
     palette = None
-    if bpp == 8:
-        n_colors = clr_used or 256
+    if bpp <= 8:
+        n_colors = clr_used or (1 << bpp)
         if n_colors > 256:
             raise ValueError(f"invalid BMP color count {n_colors}")
         tbl_at = 14 + header_size
@@ -141,8 +216,19 @@ def decode_bmp(content: bytes) -> np.ndarray:
             .reshape(n_colors, 4)[:, [2, 1, 0]]  # BGRX -> RGB
             .copy()
         )
-    nb = 1 if bpp == 8 else bpp // 8
-    stride = (w * nb + 3) // 4 * 4
+
+    if compression != 0:  # RLE: decompress straight to indices
+        idx = _bmp_rle_indices(
+            content[offset:], w, height, four_bit=(compression == 2)
+        )
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            raise ValueError(
+                f"BMP palette index {int(idx.max())} out of range "
+                f"({palette.shape[0]} entries)"
+            )
+        return np.ascontiguousarray(palette[idx][::-1])
+
+    stride = (w * bpp + 31) // 32 * 4
     if offset + stride * height > len(content):
         raise ValueError(
             f"truncated BMP payload: need {offset + stride * height}"
@@ -152,7 +238,13 @@ def decode_bmp(content: bytes) -> np.ndarray:
         content, np.uint8, count=stride * height, offset=offset
     ).reshape(height, stride)
     if palette is not None:
-        idx = buf[:, :w]
+        if bpp == 8:
+            idx = buf[:, :w]
+        else:  # 1- or 4-bit: MSB-first sub-byte unpack
+            bits = np.unpackbits(buf, axis=1)
+            vals = bits.reshape(height, -1, bpp)
+            weights = 1 << np.arange(bpp - 1, -1, -1)
+            idx = (vals * weights).sum(axis=2)[:, :w]
         if int(idx.max(initial=0)) >= palette.shape[0]:
             raise ValueError(
                 f"BMP palette index {int(idx.max())} out of range "
@@ -160,6 +252,7 @@ def decode_bmp(content: bytes) -> np.ndarray:
             )
         rgb = palette[idx]
     else:
+        nb = bpp // 8
         px = buf[:, : w * nb].reshape(height, w, nb)
         rgb = px[..., [2, 1, 0]]  # stored BGR(A) -> RGB, alpha dropped
     if not top_down:

@@ -201,7 +201,10 @@ class TestPureNumpyCodecs:
         assert out[0, 0].tolist() == [1, 2, 3]  # RGB
         assert out[0, 1].tolist() == [10, 20, 30]
 
-    def test_bmp_rejects_compressed(self):
+    def test_bmp_rejects_bitfields_and_16bit(self):
+        """RLE8/RLE4 became SUPPORTED in the round-9 continuation
+        (TestBmpRleAndSubByte); the remaining gates are BI_BITFIELDS
+        and 16-bit pixel formats."""
         import struct
 
         from building_energy_data_pipeline_spark.operators.multimodal import (
@@ -209,8 +212,15 @@ class TestPureNumpyCodecs:
         )
 
         fh = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
-        ih = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 8, 1, 0, 0, 0, 0, 0)
-        with pytest.raises(NotImplementedError):
+        ih = struct.pack(
+            "<IiiHHIIiiII", 40, 1, 1, 1, 32, 3, 0, 0, 0, 0, 0
+        )  # BI_BITFIELDS
+        with pytest.raises(NotImplementedError, match="variant"):
+            decode_bmp(fh + ih)
+        ih = struct.pack(
+            "<IiiHHIIiiII", 40, 1, 1, 1, 16, 0, 0, 0, 0, 0, 0
+        )  # 16-bit RGB555
+        with pytest.raises(NotImplementedError, match="variant"):
             decode_bmp(fh + ih)
 
     def test_wav_roundtrip_mono_and_stereo(self):
@@ -1185,7 +1195,8 @@ class TestBmpPalette:
             decode_bmp(payload),
         )
 
-    def test_low_depths_still_gated(self):
+    def test_rle_on_top_down_rejected(self):
+        """Top-down RLE is invalid per spec — corrupt, not a gate."""
         import struct
 
         from building_energy_data_pipeline_spark.operators.multimodal import (
@@ -1193,10 +1204,10 @@ class TestBmpPalette:
         )
 
         payload = bytearray(self._bmp8(
-            np.zeros((1, 4), dtype=np.uint8), self._PAL
+            np.zeros((1, 4), dtype=np.uint8), self._PAL, top_down=True
         ))
-        struct.pack_into("<H", payload, 28, 4)  # biBitCount = 4
-        with pytest.raises(NotImplementedError, match="8-bit-paletted"):
+        struct.pack_into("<I", payload, 30, 1)  # BI_RLE8
+        with pytest.raises(ValueError, match="top-down RLE"):
             decode_bmp(bytes(payload))
 
 
@@ -1351,3 +1362,117 @@ class TestPngAdam7:
         # 4-bit: values 0xF, 0x3
         d = decode_png(mk(4, 2, [bytes([0xF3])]))
         assert d[0, :, 0].tolist() == [255, 51]
+
+
+class TestBmpRleAndSubByte:
+    """Round-9 continuation: 1/4-bit paletted and BI_RLE8/BI_RLE4
+    BMP decode — the decoder now covers the full common BMP spec
+    (gates left: BI_BITFIELDS + 16-bit)."""
+
+    _PAL = np.array(
+        [[9, 8, 7], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+        dtype=np.uint8,
+    )
+
+    @classmethod
+    def _header(cls, w, h, bpp, compression, n_colors, data_len):
+        import struct
+
+        offset = 14 + 40 + n_colors * 4
+        table = np.zeros((n_colors, 4), dtype=np.uint8)
+        table[:, [2, 1, 0]] = cls._PAL[:n_colors]
+        fh = struct.pack(
+            "<2sIHHI", b"BM", offset + data_len, 0, 0, offset
+        )
+        ih = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+            data_len, 2835, 2835, n_colors, 0,
+        )
+        return fh + ih + table.tobytes()
+
+    def test_one_bit_uncompressed(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_bmp,
+        )
+
+        idx = (np.arange(20) % 2).astype(np.uint8).reshape(2, 10)
+        rows = np.zeros((2, 4), dtype=np.uint8)
+        for r in range(2):
+            rows[r, :2] = np.frombuffer(
+                np.packbits(idx[r]).tobytes(), np.uint8
+            )
+        data = rows[::-1].tobytes()  # bottom-up
+        bmp = self._header(10, 2, 1, 0, 2, len(data)) + data
+        assert np.array_equal(decode_bmp(bmp), self._PAL[:2][idx])
+
+    def test_four_bit_uncompressed(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_bmp,
+        )
+
+        idx4 = np.array([[0, 1, 2], [3, 1, 0]], dtype=np.uint8)
+        rows = np.zeros((2, 4), dtype=np.uint8)
+        for r in range(2):
+            rows[r, 0] = (idx4[r, 0] << 4) | idx4[r, 1]
+            rows[r, 1] = idx4[r, 2] << 4
+        data = rows[::-1].tobytes()
+        bmp = self._header(3, 2, 4, 0, 4, len(data)) + data
+        assert np.array_equal(decode_bmp(bmp), self._PAL[idx4])
+
+    def test_rle8_runs_absolute_and_eol(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_bmp,
+        )
+
+        # bottom row: run 3 of idx1 + run 1 of idx2; top row:
+        # absolute [0,3,2,1]; word-aligned absolute payload
+        rle = bytes(
+            [3, 1, 1, 2, 0, 0, 0, 4, 0, 3, 2, 1, 0, 0, 0, 1]
+        )
+        bmp = self._header(4, 2, 8, 1, 4, len(rle)) + rle
+        want = self._PAL[np.array([[0, 3, 2, 1], [1, 1, 1, 2]])]
+        assert np.array_equal(decode_bmp(bmp), want)
+
+    def test_rle8_delta_leaves_zeros(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_bmp,
+        )
+
+        rle = bytes([2, 3, 0, 2, 1, 1, 2, 2, 0, 1])
+        bmp = self._header(4, 3, 8, 1, 4, len(rle)) + rle
+        exp = np.zeros((3, 4), dtype=np.uint8)
+        exp[0, :2] = 3  # bottom row
+        exp[1, 3] = 2  # after delta dx=1, dy=1
+        assert np.array_equal(decode_bmp(bmp), self._PAL[exp[::-1]])
+
+    def test_rle4_alternating_nibbles(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_bmp,
+        )
+
+        rle = bytes([5, 0x12, 0, 0, 0, 1])
+        bmp = self._header(5, 1, 4, 2, 4, len(rle)) + rle
+        assert np.array_equal(
+            decode_bmp(bmp)[0], self._PAL[np.array([1, 2, 1, 2, 1])]
+        )
+
+    def test_rle_error_contract(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_bmp,
+        )
+
+        # missing end-of-bitmap marker
+        rle = bytes([2, 1])
+        bmp = self._header(4, 1, 8, 1, 4, len(rle)) + rle
+        with pytest.raises(ValueError, match="end-of-bitmap"):
+            decode_bmp(bmp)
+        # truncated absolute run
+        rle = bytes([0, 4, 1, 2])
+        bmp = self._header(4, 1, 8, 1, 4, len(rle)) + rle
+        with pytest.raises(ValueError, match="truncated"):
+            decode_bmp(bmp)
+        # out-of-range palette index in an RLE run
+        rle = bytes([2, 9, 0, 1])
+        bmp = self._header(4, 1, 8, 1, 4, len(rle)) + rle
+        with pytest.raises(ValueError, match="out of range"):
+            decode_bmp(bmp)

@@ -615,6 +615,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 f"marker expected at byte {pos}, got 0x{data[pos]:02X}"
             )
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
         pos += 2
         if marker == 0xD8:  # stray SOI
             raise ValueError("duplicate SOI marker")
@@ -888,6 +891,9 @@ def _next_marker(data: bytes, pos: int) -> int:
     p = pos
     while p + 1 < len(data):
         if data[p] == 0xFF and data[p + 1] != 0x00:
+            if data[p + 1] == 0xFF:  # fill byte (spec B.1.1.2)
+                p += 1
+                continue
             if 0xD0 <= data[p + 1] <= 0xD7:
                 p += 2
                 continue

@@ -623,3 +623,24 @@ class TestProgressive:
         # EOI with no scans at all
         with pytest.raises(ValueError, match="EOI before"):
             decode_jpeg(b"\xff\xd8\xff\xd9")
+
+
+class TestFillBytes:
+    def test_fill_bytes_before_markers_tolerated(self):
+        """Spec B.1.1.2: any number of 0xFF fill bytes may precede a
+        marker — both the segment walk and the post-scan marker
+        search must skip them."""
+        arr = ((np.arange(16 * 16) * 37) % 256).astype(
+            np.uint8
+        ).reshape(16, 16)
+        enc = encode_jpeg(arr, 75)
+        base = decode_jpeg(enc)
+        i = enc.index(b"\xff\xc0")
+        assert np.array_equal(
+            decode_jpeg(enc[:i] + b"\xff\xff\xff" + enc[i:]), base
+        )
+        prog = jc.encode_jpeg_progressive(arr, 75)
+        j = prog.index(b"\xff\xda", prog.index(b"\xff\xda") + 2)
+        assert np.array_equal(
+            decode_jpeg(prog[:j] + b"\xff\xff" + prog[j:]), base
+        )

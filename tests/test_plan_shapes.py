@@ -1022,8 +1022,11 @@ class TestR9Shapes:
     def test_q249_pushdown_and_narrow_codec_chain(self, spark, sf_dir):
         """The documents scan must push the doc_id filter and prune to
         the 1 column the synth stage consumes; the encode→decode codec
-        chain is NARROW (the single exchange is the output sort) —
-        payloads are born, compressed, and decoded inside one task.
+        chain is NARROW — payloads are born, compressed, and decoded
+        inside one task. Two exchanges since the continuation session:
+        the metadata-row repartition that spreads the single test-scale
+        parquet split across slots BEFORE the Python stages (the 6x
+        sf0.1 win), plus the output sort.
         """
         from building_energy_data_pipeline_spark.ops.observe import (
             plan_lint,
@@ -1032,7 +1035,7 @@ class TestR9Shapes:
 
         df = REGISTRY["q249_png_roundtrip"].spark(spark, sf_dir)
         assert plan_lint(df) == []
-        assert shuffle_count(df) <= 1
+        assert shuffle_count(df) <= 2
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("MapInPandas") == 2  # encode stage + decode stage
         assert "PushedFilters" in plan

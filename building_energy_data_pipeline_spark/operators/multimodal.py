@@ -25,10 +25,13 @@ stride-padded — the Windows BITMAPINFOHEADER public spec),
 16-bit PCM) — and, since round 9, COMPRESSED formats:
 :func:`decode_png` / :func:`encode_png` (stdlib ``zlib`` inflate +
 numpy scanline unfiltering, all five filter types — the W3C PNG
-spec) plus JPEG — baseline AND progressive SOF2 —
+spec), JPEG — baseline AND progressive SOF2 —
 (``operators/jpeg_codec.py``: Annex K tables, Huffman entropy
 coding, spectral selection + successive approximation, numpy DCT —
-ITU-T T.81).
+ITU-T T.81), and GIF87a/89a (``operators/gif_codec.py``: LSB-first
+variable-width LZW, animation compositing, interlacing — the
+CompuServe/W3C spec; ``decode_frames`` sniffs GIF vs MJPEG-AVI per
+payload).
 ``decode_image(..., use_real_codec=True)`` sniffs the ``BM`` magic /
 PNG signature / JPEG SOI and decodes natively before falling back to
 PIL. The default remains the **deterministic fake decoder**
@@ -1125,6 +1128,15 @@ def decode_image(
                 # arithmetic/12-bit/lossless variants and corrupt
                 # payloads — same fall-through contract as BMP/PNG
                 native_err = exc
+        elif content[:4] == b"GIF8":
+            try:
+                from .gif_codec import decode_gif_first_frame
+
+                return decode_gif_first_frame(content)
+            except (NotImplementedError, ValueError) as exc:
+                # disposal-3 animations and corrupt payloads — same
+                # fall-through contract as the other containers
+                native_err = exc
         try:
             import io
 
@@ -1321,31 +1333,37 @@ DECODED_FRAME_SCHEMA = (
 
 
 def decode_frames(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
-    """Video frame extraction. The REAL path (round 9) decodes
-    Motion-JPEG AVI containers natively (:func:`decode_avi_mjpeg` —
-    RIFF walk + the pure-numpy baseline JPEG decoder) and returns one
-    row per frame with the raw RGB buffer as the payload; any other
-    container still requires ffmpeg bindings, absent in this
-    environment, and the default gate preserves the original
-    contract."""
+    """Animated-container frame extraction. The REAL path (round 9)
+    sniffs the container: Motion-JPEG AVI (:func:`decode_avi_mjpeg`
+    — RIFF walk + the pure-numpy baseline JPEG decoder) and animated
+    GIF (``gif_codec.decode_gif`` — LZW + 89a compositing) both
+    decode natively, one row per frame with the raw RGB buffer as
+    the payload; other codecs still require ffmpeg bindings, absent
+    in this environment, and the default gate preserves the
+    original contract."""
     if not use_real_codec:
         raise NotImplementedError(
             "general video frame decoding requires ffmpeg, not "
-            "available here; MJPEG-AVI payloads decode natively via "
-            "decode_frames(df, use_real_codec=True), and "
-            "sample_frame_plan() produces the distributed work plan "
-            "an ffmpeg stage would consume"
+            "available here; MJPEG-AVI and animated-GIF payloads "
+            "decode natively via decode_frames(df, "
+            "use_real_codec=True), and sample_frame_plan() produces "
+            "the distributed work plan an ffmpeg stage would consume"
         )
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
+
+        from .gif_codec import decode_gif
 
         cols = ["media_id", "frame_idx", "height", "width", "content"]
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 raw = bytes(content) if content is not None else b""
-                frames, _ = decode_avi_mjpeg(raw)
+                if raw[:4] == b"GIF8":
+                    frames, _ = decode_gif(raw)
+                else:
+                    frames, _ = decode_avi_mjpeg(raw)
                 for i, arr in enumerate(frames):
                     rows.append(
                         {

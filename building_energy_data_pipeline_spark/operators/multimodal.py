@@ -1036,15 +1036,20 @@ VIDEO_FRAME_SUM_SCHEMA = (
 )
 
 
-def mjpeg_frame_sums(df: DataFrame) -> DataFrame:
-    """Per-frame integer channel sums over MJPEG-AVI payloads — the
-    video member of the oracle-friendly checksum family (q53 images /
-    q102 audio / q254 JPEG stills): container walk + per-frame JPEG
-    decode run INSIDE the task via ``mapInPandas``; only ~50 bytes of
-    features per frame ever shuffle."""
+def container_frame_sums(df: DataFrame) -> DataFrame:
+    """Per-frame integer channel sums over ANIMATED-container
+    payloads — the video member of the oracle-friendly checksum
+    family (q53 images / q102 audio / q254 JPEG stills). The
+    container is sniffed per payload: MJPEG-AVI (RIFF walk +
+    per-frame JPEG decode) or animated GIF (LZW + 89a compositing);
+    either way the walk and decode run INSIDE the task via
+    ``mapInPandas`` and only ~50 bytes of features per frame ever
+    shuffle."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
+
+        from .gif_codec import decode_gif
 
         cols = [
             "media_id", "frame_idx", "height", "width",
@@ -1054,7 +1059,10 @@ def mjpeg_frame_sums(df: DataFrame) -> DataFrame:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 raw = bytes(content) if content is not None else b""
-                frames, _ = decode_avi_mjpeg(raw)
+                if raw[:4] == b"GIF8":
+                    frames, _ = decode_gif(raw)
+                else:
+                    frames, _ = decode_avi_mjpeg(raw)
                 for i, arr in enumerate(frames):
                     sums = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
                     rows.append(
@@ -1073,6 +1081,11 @@ def mjpeg_frame_sums(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(
         run, VIDEO_FRAME_SUM_SCHEMA
     )
+
+
+#: historical name from the AVI-only round-9 first pass; the sniffing
+#: generalization kept the callable identity for q255 and the tests
+mjpeg_frame_sums = container_frame_sums
 
 
 def decode_image(

@@ -30,7 +30,7 @@ from . import datasource_queries  # noqa: F401  (custom Python DataSource q253)
 #: at that index (the explicit sentinel tests assert against —
 #: ADVICE r4 #3: no comment parsing).
 DRIVER_WINDOW_SIZE = 50
-FIRST_BELOW_WINDOW = "q99_bigram_lm"
+FIRST_BELOW_WINDOW = "q98_rag_chunking"
 
 #: Registry prefix — ROTATION RULE (round 4+): any query whose
 #: plan-affecting code changed since its LAST driver row, and any
@@ -39,7 +39,7 @@ FIRST_BELOW_WINDOW = "q99_bigram_lm"
 #: Round-9 window (the authoritative list is _CURATED_ORDER below),
 #: filling exactly 50:
 #: - q01 (flagship, every round);
-#: - the EIGHT new round-9 queries: q249 PNG round-trip (the
+#: - the NINE new round-9 queries: q249 PNG round-trip (the
 #:   pure-stdlib compressed-codec decode, VERDICT r8 #4), q250
 #:   streaming session funnel (the q62 x q72 composition with
 #:   append-mode watermark eviction, VERDICT r8 #5), q251 streaming
@@ -56,7 +56,9 @@ FIRST_BELOW_WINDOW = "q99_bigram_lm"
 #:   per-frame JPEG decode, frame order hash-pinned — the video
 #:   modality's real decode), q256 IMA-ADPCM audio stats (compressed
 #:   audio; the DuckDB oracle replays the decoder state machine in a
-#:   recursive CTE);
+#:   recursive CTE), q257 GIF animation sums (LZW — the third
+#:   compression family — through the 89a compositing model,
+#:   interlacing exercised on odd media ids);
 #: - q246 WAU, whose plan CHANGED this round (within_bound now
 #:   floors the ABSOLUTE error instead of abs-ing the floored
 #:   signed error, symmetrizing the +/-3000 bp bound — ADVICE r8
@@ -64,12 +66,12 @@ FIRST_BELOW_WINDOW = "q99_bigram_lm"
 #: - the TWELVE remaining r3-vintage drains (last driver-hashed
 #:   round 3, queued first-below-boundary since round 8): q74, q75,
 #:   q77-q82, q88, q93-q95;
-#: - TWENTY-EIGHT r4-vintage drains, the oldest rows after those:
+#: - TWENTY-SEVEN r4-vintage drains, the oldest rows after those:
 #:   q02, q03, q08, q22, q23, q27-q34, q37, q44, q53, q54, q68,
-#:   q76, q83-q87, q91, q92, q96-q98 (q53 also re-proves the
-#:   multimodal module after this round's PNG/JPEG/AVI/ADPCM edits;
-#:   q99-q103 yielded their slots to q252-q256).
-#: The remaining FOURTEEN r4-vintage rows (q99-q107, q110, q111,
+#:   q76, q83-q87, q91, q92, q96, q97 (q53 also re-proves the
+#:   multimodal module after this round's PNG/JPEG/AVI/ADPCM/GIF
+#:   edits; q98-q103 yielded their slots to q252-q257).
+#: The remaining FIFTEEN r4-vintage rows (q98-q107, q110, q111,
 #: q114-q116) sit FIRST below the boundary, scheduled to drain in
 #: round 10 — after which every query's latest driver row is r5+;
 #: below those, the r5/r6/r7/r8 rows oldest-first as before.
@@ -85,6 +87,7 @@ _CURATED_ORDER = [
     "q254_jpeg_roundtrip",
     "q255_mjpeg_video_sums",
     "q256_adpcm_audio_stats",
+    "q257_gif_animation_sums",
     "q246_wau_hll_window",
     "q74_continuous_aggregate",
     "q75_ntile_segmentation",
@@ -131,8 +134,8 @@ _CURATED_ORDER = [
     "q102_audio_int_stats",
     "q101_ivf_recall",
     "q103_jsonl_roundtrip",
-    # ^ q99 is index 50 == FIRST_BELOW_WINDOW (q99/q100/q102's slots
-    # went to q254/q255/q256; they drain round 10 with the rest)
+    # ^ q98 is index 50 == FIRST_BELOW_WINDOW (q98-q100/q102's slots
+    # went to q254-q257; they drain round 10 with the rest)
     "q104_orc_roundtrip",
     "q105_merge_upsert",
     "q106_split_leakage",

@@ -408,6 +408,131 @@ def q255_mjpeg_video_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q257_gif_animation_sums",
+    headline=True,
+    oracle="""
+    WITH vid AS (
+      SELECT doc_id AS media_id,
+             CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+             CAST(6 + doc_id % 10 AS INTEGER) AS height,
+             CAST(5 + doc_id % 9 AS INTEGER) AS width
+      FROM documents WHERE doc_id % 3 = 2
+    ), fr AS (
+      SELECT media_id,
+             CAST(unnest(range(n_frames)) AS INTEGER) AS frame_idx,
+             height, width
+      FROM vid
+    )
+    SELECT media_id, frame_idx, height, width,
+           CAST(list_sum(flatten(list_transform(range(height), y ->
+                list_transform(range(width), x ->
+                  (((media_id + frame_idx * 3 + y * 5 + x * 7) % 8)
+                   * 37) % 256))))
+             AS BIGINT) AS sum_r,
+           CAST(list_sum(flatten(list_transform(range(height), y ->
+                list_transform(range(width), x ->
+                  (((media_id + frame_idx * 3 + y * 5 + x * 7) % 8)
+                   * 59) % 256))))
+             AS BIGINT) AS sum_g,
+           CAST(list_sum(flatten(list_transform(range(height), y ->
+                list_transform(range(width), x ->
+                  (((media_id + frame_idx * 3 + y * 5 + x * 7) % 8)
+                   * 83) % 256))))
+             AS BIGINT) AS sum_b
+    FROM fr
+    """,
+)
+def q257_gif_animation_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW-container decode through the driver contract: per
+    media an indexed ANIMATION — ``2 + media_id % 3`` full-canvas
+    frames whose palette indices follow ``(media_id + frame·3 + y·5
+    + x·7) % 8`` over a closed-form 8-color palette (``color c =
+    ((c·37)%256, (c·59)%256, (c·83)%256)``) — is written as a
+    genuine GIF89a (variable-width LSB-first LZW, graphic-control
+    blocks, 4-pass INTERLACING on odd media ids —
+    ``operators/gif_codec.encode_gif``) in one ``mapInPandas``
+    stage, then decoded back through the 89a compositing model by
+    ``container_frame_sums`` (which sniffs GIF vs MJPEG-AVI per
+    payload) and reduced to per-frame integer channel sums.
+
+    GIF is LOSSLESS, so unlike q254/q255 no special pattern subspace
+    is needed: the oracle recomputes the sums closed-form from the
+    index formula and palette, and the driver hash passes only if
+    LZW decode (dictionary growth, CLEAR handling, KwKwK), sub-block
+    reassembly, interlace reordering, palette lookup and frame ORDER
+    are all exact. Third compression family on the real decode path
+    (deflate → q249, DCT+Huffman → q254/q255, LZW → here).
+
+    Scale: the q255 economics — animations are born, LZW-compressed
+    and decoded inside one task; ~50 bytes of features per frame
+    shuffle for the final sort.
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas body import)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 2)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (2 + F.col("doc_id") % 3).cast("int").alias("n_frames"),
+            (6 + F.col("doc_id") % 10).cast("int").alias("height"),
+            (5 + F.col("doc_id") % 9).cast("int").alias("width"),
+        )
+        # spread the metadata rows across slots before the codec
+        # stages (q249's single-split note)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth_encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.gif_codec import encode_gif
+
+        palette = np.stack(
+            [
+                (np.arange(8) * 37) % 256,
+                (np.arange(8) * 59) % 256,
+                (np.arange(8) * 83) % 256,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            rows = []
+            for mid, n, h, w in zip(
+                pdf["media_id"], pdf["n_frames"],
+                pdf["height"], pdf["width"],
+            ):
+                mid, n, h, w = int(mid), int(n), int(h), int(w)
+                y, x = np.ogrid[0:h, 0:w]
+                frames = [
+                    ((mid + f * 3 + y * 5 + x * 7) % 8).astype(
+                        np.uint8
+                    )
+                    for f in range(n)
+                ]
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "content": encode_gif(
+                            frames,
+                            palette,
+                            delays_ms=[40] * n,
+                            interlace=bool(mid % 2),
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(
+        synth_encode, "media_id long, content binary"
+    )
+    return multimodal.container_frame_sums(media).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
 def _q256_oracle() -> str:
     """Recursive-CTE replay of the IMA ADPCM decoder: the step and
     index tables are rendered FROM the source module's constants (the

@@ -290,8 +290,8 @@ def test_window_composition_matches_documented_counts():
     """The rotation comment's counts, DERIVED not hand-written
     (ADVICE r7 #3: two r7 sync commits each landed a different wrong
     hand-counted number). The round-9 window is documented as
-    1 flagship + 8 new r9 queries + q246 (changed plan) + 12
-    r3-vintage drains + 28 r4-vintage drains = 50."""
+    1 flagship + 9 new r9 queries + q246 (changed plan) + 12
+    r3-vintage drains + 27 r4-vintage drains = 50."""
     from building_energy_data_pipeline_spark.plans import (
         DRIVER_WINDOW_SIZE,
         REGISTRY,
@@ -303,8 +303,8 @@ def test_window_composition_matches_documented_counts():
     def num(n: str) -> int:
         return int(n[1:4]) if n[1:4].isdigit() else int(n[1:3])
 
-    r9_new = [n for n in window if 249 <= num(n) <= 256]
-    assert len(r9_new) == 8
+    r9_new = [n for n in window if 249 <= num(n) <= 257]
+    assert len(r9_new) == 9
     changed = [n for n in window if n == "q246_wau_hll_window"]
     assert len(changed) == 1
     # the 12 r3-vintage drains queued since round 8 (the membership
@@ -328,11 +328,11 @@ def test_window_composition_matches_documented_counts():
         if n not in r9_new + changed + r3_drains
         and n != "q01_pricing_summary"
     ]
-    assert len(r4_drains) == 28
+    assert len(r4_drains) == 27
     assert "q02_filtered_scan" in r4_drains
-    assert "q98_rag_chunking" in r4_drains
+    assert "q97_repetition_filter" in r4_drains
     assert 1 + len(r9_new) + len(changed) + len(r3_drains) + len(
         r4_drains
     ) == DRIVER_WINDOW_SIZE
-    # registry growth this round: q249–q256 → 255 total (q89 unused)
-    assert len(REGISTRY) == 255
+    # registry growth this round: q249–q257 → 256 total (q89 unused)
+    assert len(REGISTRY) == 256

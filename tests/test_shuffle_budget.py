@@ -96,6 +96,7 @@ SHUFFLE_BUDGET = {
     "q254_jpeg_roundtrip": 2,
     "q255_mjpeg_video_sums": 2,
     "q256_adpcm_audio_stats": 2,
+    "q257_gif_animation_sums": 2,
 }
 
 

@@ -165,8 +165,10 @@ def decode_bmp(content: bytes) -> np.ndarray:
     bottom-up (positive height) or top-down (negative), rows padded
     to 4-byte strides. Needs no external codec, so the REAL decode
     path of :func:`decode_image` is exercisable in codec-free
-    environments. Only bitfield (BI_BITFIELDS) and 16-bit formats
-    raise ``NotImplementedError``."""
+    environments. Also 16-bit RGB555 and BI_BITFIELDS (explicit
+    16/32-bit channel masks, scaled to full range). The only gates
+    left are BITMAPCOREHEADER files and the embedded-JPEG/PNG
+    compression modes."""
     if content[:2] != b"BM" or len(content) < 54:
         raise ValueError("not a BMP payload")
     (offset,) = struct.unpack_from("<I", content, 10)
@@ -187,19 +189,30 @@ def decode_bmp(content: bytes) -> np.ndarray:
     (compression,) = struct.unpack_from("<I", content, 30)
     (clr_used,) = struct.unpack_from("<I", content, 46)
     valid = {
-        (0, 1), (0, 4), (0, 8), (0, 24), (0, 32),
+        (0, 1), (0, 4), (0, 8), (0, 16), (0, 24), (0, 32),
         (1, 8), (2, 4),  # BI_RLE8, BI_RLE4
+        (3, 16), (3, 32),  # BI_BITFIELDS
     }
     if (compression, bpp) not in valid:
         raise NotImplementedError(
             f"unsupported BMP variant (bpp={bpp}, "
-            f"compression={compression}) — BI_RGB 1/4/8/24/32-bit "
-            "and BI_RLE4/BI_RLE8 decode natively"
+            f"compression={compression})"
         )
+    masks = None
+    if compression == 3:  # BI_BITFIELDS: explicit channel masks
+        # header_size 40: three DWORD masks follow the info header;
+        # V4/V5 headers (>= 108) carry them at the same position
+        if 14 + header_size + 12 > len(content) and header_size == 40:
+            raise ValueError("truncated BI_BITFIELDS masks")
+        masks = struct.unpack_from("<III", content, 14 + 40)
+        if any(m == 0 for m in masks):
+            raise ValueError(f"zero BI_BITFIELDS channel mask {masks}")
+    elif bpp == 16:  # plain 16-bit BI_RGB defaults to RGB555
+        masks = (0x7C00, 0x03E0, 0x001F)
     top_down, height = h < 0, abs(h)
     if w <= 0 or height == 0:
         raise ValueError(f"invalid BMP dimensions {w}x{h}")
-    if top_down and compression != 0:
+    if top_down and compression in (1, 2):
         raise ValueError("top-down RLE BMPs are invalid per spec")
     palette = None
     if bpp <= 8:
@@ -220,7 +233,7 @@ def decode_bmp(content: bytes) -> np.ndarray:
             .copy()
         )
 
-    if compression != 0:  # RLE: decompress straight to indices
+    if compression in (1, 2):  # RLE: decompress straight to indices
         idx = _bmp_rle_indices(
             content[offset:], w, height, four_bit=(compression == 2)
         )
@@ -254,6 +267,24 @@ def decode_bmp(content: bytes) -> np.ndarray:
                 f"({palette.shape[0]} entries)"
             )
         rgb = palette[idx]
+    elif masks is not None:
+        # 16/32-bit masked pixels (RGB555 default or BI_BITFIELDS):
+        # per-channel extract + scale to the full 8-bit range
+        nb = bpp // 8
+        words = (
+            buf[:, : w * nb]
+            .reshape(height, w, nb)
+            .astype(np.uint32)
+        )
+        vals = np.zeros((height, w), dtype=np.uint32)
+        for i in range(nb):
+            vals |= words[..., i] << (8 * i)  # little-endian
+        rgb = np.zeros((height, w, 3), dtype=np.uint8)
+        for c, mask in enumerate(masks):
+            shift = (mask & -mask).bit_length() - 1
+            maxval = mask >> shift
+            chan = (vals & mask) >> shift
+            rgb[..., c] = (chan * 255 // maxval).astype(np.uint8)
     else:
         nb = bpp // 8
         px = buf[:, : w * nb].reshape(height, w, nb)

@@ -201,10 +201,11 @@ class TestPureNumpyCodecs:
         assert out[0, 0].tolist() == [1, 2, 3]  # RGB
         assert out[0, 1].tolist() == [10, 20, 30]
 
-    def test_bmp_rejects_bitfields_and_16bit(self):
-        """RLE8/RLE4 became SUPPORTED in the round-9 continuation
-        (TestBmpRleAndSubByte); the remaining gates are BI_BITFIELDS
-        and 16-bit pixel formats."""
+    def test_bmp_remaining_gates(self):
+        """Everything common became SUPPORTED across round 9
+        (RLE8/RLE4, sub-byte palettes, 16-bit, BI_BITFIELDS); the
+        decoder's remaining gates are BITMAPCOREHEADER files and the
+        embedded-JPEG/PNG compression modes (BI_JPEG/BI_PNG)."""
         import struct
 
         from building_energy_data_pipeline_spark.operators.multimodal import (
@@ -213,15 +214,13 @@ class TestPureNumpyCodecs:
 
         fh = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
         ih = struct.pack(
-            "<IiiHHIIiiII", 40, 1, 1, 1, 32, 3, 0, 0, 0, 0, 0
-        )  # BI_BITFIELDS
+            "<IiiHHIIiiII", 40, 1, 1, 1, 24, 4, 0, 0, 0, 0, 0
+        )  # BI_JPEG embedded
         with pytest.raises(NotImplementedError, match="variant"):
             decode_bmp(fh + ih)
-        ih = struct.pack(
-            "<IiiHHIIiiII", 40, 1, 1, 1, 16, 0, 0, 0, 0, 0, 0
-        )  # 16-bit RGB555
-        with pytest.raises(NotImplementedError, match="variant"):
-            decode_bmp(fh + ih)
+        core = struct.pack("<IHHHH", 12, 1, 1, 1, 24)
+        with pytest.raises(NotImplementedError, match="CORE"):
+            decode_bmp(fh + core + b"\x00" * 40)
 
     def test_wav_roundtrip_mono_and_stereo(self):
         from building_energy_data_pipeline_spark.operators.multimodal import (
@@ -1476,3 +1475,91 @@ class TestBmpRleAndSubByte:
         bmp = self._header(4, 1, 8, 1, 4, len(rle)) + rle
         with pytest.raises(ValueError, match="out of range"):
             decode_bmp(bmp)
+
+
+class TestBmp16BitAndBitfields:
+    """Round-9 continuation: 16-bit RGB555 (BI_RGB default masks)
+    and BI_BITFIELDS (explicit masks, 16/32-bit) — the BMP decoder
+    now covers every common pixel format."""
+
+    @staticmethod
+    def _bmp16(px_u16, compression=0, masks=None):
+        import struct
+
+        h, w = px_u16.shape
+        stride = (w * 2 + 3) // 4 * 4
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        le = px_u16.astype("<u2")
+        rows[:, : w * 2] = np.frombuffer(
+            le.tobytes(), np.uint8
+        ).reshape(h, w * 2)
+        data = rows[::-1].tobytes()
+        extra = b"" if masks is None else struct.pack("<III", *masks)
+        offset = 14 + 40 + len(extra)
+        fh = struct.pack(
+            "<2sIHHI", b"BM", offset + len(data), 0, 0, offset
+        )
+        ih = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 16, compression,
+            len(data), 0, 0, 0, 0,
+        )
+        return fh + ih + extra + data
+
+    def test_rgb555_default_masks(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_bmp,
+        )
+
+        px = np.array(
+            [[(31 << 10) | 31, (16 << 10) | (16 << 5) | 16]],
+            dtype=np.uint16,
+        )
+        got = decode_bmp(self._bmp16(px))
+        assert got[0, 0].tolist() == [255, 0, 255]  # magenta
+        assert got[0, 1].tolist() == [16 * 255 // 31] * 3  # gray
+
+    def test_rgb565_bitfields(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_bmp,
+        )
+
+        px = np.array([[(20 << 11) | (40 << 5) | 10]], dtype=np.uint16)
+        got = decode_bmp(
+            self._bmp16(
+                px, compression=3, masks=(0xF800, 0x07E0, 0x001F)
+            )
+        )
+        assert got[0, 0].tolist() == [
+            20 * 255 // 31, 40 * 255 // 63, 10 * 255 // 31,
+        ]
+
+    def test_32bit_bitfields(self):
+        import struct
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_bmp,
+        )
+
+        data = struct.pack("<I", (77 << 16) | (88 << 8) | 99)
+        offset = 14 + 40 + 12
+        fh = struct.pack("<2sIHHI", b"BM", offset + 4, 0, 0, offset)
+        ih = struct.pack(
+            "<IiiHHIIiiII", 40, 1, 1, 1, 32, 3, 4, 0, 0, 0, 0
+        )
+        masks = struct.pack(
+            "<III", 0x00FF0000, 0x0000FF00, 0x000000FF
+        )
+        assert decode_bmp(fh + ih + masks + data)[0, 0].tolist() == [
+            77, 88, 99,
+        ]
+
+    def test_zero_mask_rejected(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_bmp,
+        )
+
+        px = np.array([[0]], dtype=np.uint16)
+        with pytest.raises(ValueError, match="zero BI_BITFIELDS"):
+            decode_bmp(
+                self._bmp16(px, compression=3, masks=(0, 0x07E0, 0x1F))
+            )

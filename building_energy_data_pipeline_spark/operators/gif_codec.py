@@ -235,11 +235,6 @@ def decode_gif(content: bytes) -> tuple[list, list]:
                 delay_ms = struct.unpack_from("<H", body, 1)[0] * 10
                 disposal = (gc_flags >> 2) & 0x07
                 transparent = body[3] if gc_flags & 0x01 else None
-                if disposal == 3:
-                    raise NotImplementedError(
-                        "GIF disposal method 3 (restore to previous) "
-                        "not supported"
-                    )
             # other labels (comment/plain text/application): skipped
         elif block == 0x2C:  # image descriptor
             if pos + 9 > len(content):
@@ -285,6 +280,11 @@ def decode_gif(content: bytes) -> tuple[list, list]:
                     f"GIF index {int(idx.max())} out of color-table "
                     f"range ({table.shape[0]} entries)"
                 )
+            saved = (
+                canvas[top : top + fh, left : left + fw].copy()
+                if disposal == 3
+                else None
+            )
             region = canvas[top : top + fh, left : left + fw]
             pixels = table[idx]
             if transparent is not None:
@@ -298,6 +298,8 @@ def decode_gif(content: bytes) -> tuple[list, list]:
                 canvas[top : top + fh, left : left + fw] = background[
                     top : top + fh, left : left + fw
                 ]
+            elif disposal == 3:  # restore previous (pre-draw) pixels
+                canvas[top : top + fh, left : left + fw] = saved
             transparent = None
             disposal = 0
         else:

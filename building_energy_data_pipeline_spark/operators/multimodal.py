@@ -154,6 +154,60 @@ def _bmp_rle_indices(
     raise ValueError("RLE stream missing end-of-bitmap marker")
 
 
+def _decode_bmp_core(content: bytes, offset: int) -> np.ndarray:
+    """OS/2 BITMAPCOREHEADER BMPs (12-byte header: uint16 w/h,
+    always bottom-up, no compression; palette entries are 3-byte
+    BGR, not 4-byte BGRX). Depths 1/4/8 (paletted) and 24-bit."""
+    if offset < 14 + 12:
+        raise ValueError(
+            f"invalid BMP pixel offset {offset} (core headers end "
+            "at 26)"
+        )
+    w, h, planes, bpp = struct.unpack_from("<HHHH", content, 18)
+    if w == 0 or h == 0:
+        raise ValueError(f"invalid BMP dimensions {w}x{h}")
+    if bpp not in (1, 4, 8, 24):
+        raise ValueError(f"illegal core-BMP bit depth {bpp}")
+    palette = None
+    if bpp <= 8:
+        n_colors = 1 << bpp
+        tbl_at = 14 + 12
+        if tbl_at + n_colors * 3 > min(offset, len(content)):
+            raise ValueError(
+                f"core-BMP color table ({n_colors} entries) overruns "
+                "the pixel offset"
+            )
+        palette = (
+            np.frombuffer(
+                content, np.uint8, count=n_colors * 3, offset=tbl_at
+            )
+            .reshape(n_colors, 3)[:, [2, 1, 0]]  # BGR -> RGB
+            .copy()
+        )
+    stride = (w * bpp + 31) // 32 * 4
+    if offset + stride * h > len(content):
+        raise ValueError(
+            f"truncated BMP payload: need {offset + stride * h} "
+            f"bytes, have {len(content)}"
+        )
+    buf = np.frombuffer(
+        content, np.uint8, count=stride * h, offset=offset
+    ).reshape(h, stride)
+    if palette is not None:
+        if bpp == 8:
+            idx = buf[:, :w]
+        else:
+            bits = np.unpackbits(buf, axis=1)
+            vals = bits.reshape(h, -1, bpp)
+            weights = 1 << np.arange(bpp - 1, -1, -1)
+            idx = (vals * weights).sum(axis=2)[:, :w]
+        rgb = palette[idx]
+    else:
+        px = buf[:, : w * 3].reshape(h, w, 3)
+        rgb = px[..., [2, 1, 0]]
+    return np.ascontiguousarray(rgb[::-1])  # always bottom-up
+
+
 def decode_bmp(content: bytes) -> np.ndarray:
     """Pure-numpy BMP decoder (public BITMAPFILEHEADER +
     BITMAPINFOHEADER spec) → (h, w, 3) uint8 RGB. Covers the full
@@ -165,18 +219,22 @@ def decode_bmp(content: bytes) -> np.ndarray:
     bottom-up (positive height) or top-down (negative), rows padded
     to 4-byte strides. Needs no external codec, so the REAL decode
     path of :func:`decode_image` is exercisable in codec-free
-    environments. Also 16-bit RGB555 and BI_BITFIELDS (explicit
-    16/32-bit channel masks, scaled to full range). The only gates
-    left are BITMAPCOREHEADER files and the embedded-JPEG/PNG
-    compression modes."""
-    if content[:2] != b"BM" or len(content) < 54:
+    environments. Also 16-bit RGB555, BI_BITFIELDS (explicit
+    16/32-bit channel masks, scaled to full range), OS/2
+    BITMAPCOREHEADER files (:func:`_decode_bmp_core`), and the
+    embedded BI_JPEG/BI_PNG compression modes (routed to the
+    engine's OWN codecs) — the full practical BMP spec; only
+    exotica like BI_ALPHABITFIELDS still gate."""
+    if content[:2] != b"BM" or len(content) < 26:
         raise ValueError("not a BMP payload")
     (offset,) = struct.unpack_from("<I", content, 10)
     (header_size,) = struct.unpack_from("<I", content, 14)
+    if header_size == 12:  # OS/2 BITMAPCOREHEADER
+        return _decode_bmp_core(content, offset)
     if header_size < 40:
-        raise NotImplementedError(
-            "BITMAPCOREHEADER BMPs are not supported"
-        )
+        raise ValueError(f"invalid BMP header size {header_size}")
+    if len(content) < 54:
+        raise ValueError("truncated BMP info header")
     if offset < 14 + header_size:
         # a corrupt bfOffBits inside the headers would silently
         # decode header bytes as pixels (r8 review)
@@ -188,6 +246,12 @@ def decode_bmp(content: bytes) -> np.ndarray:
     (bpp,) = struct.unpack_from("<H", content, 28)
     (compression,) = struct.unpack_from("<I", content, 30)
     (clr_used,) = struct.unpack_from("<I", content, 46)
+    if compression == 4:  # BI_JPEG: the pixel array IS a JPEG stream
+        from .jpeg_codec import decode_jpeg
+
+        return decode_jpeg(content[offset:])
+    if compression == 5:  # BI_PNG
+        return decode_png(content[offset:])
     valid = {
         (0, 1), (0, 4), (0, 8), (0, 16), (0, 24), (0, 32),
         (1, 8), (2, 4),  # BI_RLE8, BI_RLE4

@@ -88,6 +88,28 @@ class TestDecodeGif:
         exp[1:3, 1:3] = PAL[3]
         assert np.array_equal(frames[1], exp)
 
+    def test_disposal_three_restores_previous(self):
+        """Disposal 3 (restore to previous): the frame's pixels are
+        rolled back before the NEXT frame draws — frame 3 must not
+        see frame 2's rectangle."""
+        f0 = np.full((4, 4), 1, dtype=np.uint8)
+        f1 = np.full((2, 2), 2, dtype=np.uint8)
+        f2 = np.full((1, 1), 3, dtype=np.uint8)
+        g = bytearray(gc.encode_gif(
+            [f0, f1, f2], PAL, rects=[(0, 0), (1, 1), (0, 0)],
+            screen=(4, 4), disposal=1,
+        ))
+        first = g.find(b"\x21\xf9")
+        second = g.find(b"\x21\xf9", first + 2)
+        g[second + 3] = (g[second + 3] & ~0x1C) | (3 << 2)
+        frames, _ = gc.decode_gif(bytes(g))
+        exp2 = PAL[f0].copy()
+        exp2[1:3, 1:3] = PAL[2]
+        exp3 = PAL[f0].copy()
+        exp3[0, 0] = PAL[3]
+        assert np.array_equal(frames[1], exp2)
+        assert np.array_equal(frames[2], exp3)  # f1's pixels gone
+
     def test_error_contract(self):
         with pytest.raises(ValueError, match="not a GIF"):
             gc.decode_gif(b"NOTGIF")
@@ -99,12 +121,6 @@ class TestDecodeGif:
             gc.decode_gif(
                 gc.encode_gif([idx], PAL, rects=[(3, 3)], screen=(4, 4))
             )
-        # disposal method 3 gates
-        g = bytearray(gc.encode_gif([idx], PAL, disposal=1))
-        i = g.find(b"\x21\xf9") + 3
-        g[i] = (g[i] & ~0x1C) | (3 << 2)
-        with pytest.raises(NotImplementedError, match="disposal"):
-            gc.decode_gif(bytes(g))
         # encoder input validation
         with pytest.raises(ValueError, match="zero frames"):
             gc.encode_gif([], PAL)

@@ -202,10 +202,11 @@ class TestPureNumpyCodecs:
         assert out[0, 1].tolist() == [10, 20, 30]
 
     def test_bmp_remaining_gates(self):
-        """Everything common became SUPPORTED across round 9
-        (RLE8/RLE4, sub-byte palettes, 16-bit, BI_BITFIELDS); the
-        decoder's remaining gates are BITMAPCOREHEADER files and the
-        embedded-JPEG/PNG compression modes (BI_JPEG/BI_PNG)."""
+        """Everything the BMP spec commonly ships became SUPPORTED
+        across round 9 (RLE8/RLE4, sub-byte palettes, 16-bit,
+        BI_BITFIELDS, COREHEADER, embedded BI_JPEG/BI_PNG); only
+        exotic compressions (ALPHABITFIELDS, CMYK modes) still
+        gate."""
         import struct
 
         from building_energy_data_pipeline_spark.operators.multimodal import (
@@ -214,13 +215,10 @@ class TestPureNumpyCodecs:
 
         fh = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
         ih = struct.pack(
-            "<IiiHHIIiiII", 40, 1, 1, 1, 24, 4, 0, 0, 0, 0, 0
-        )  # BI_JPEG embedded
+            "<IiiHHIIiiII", 40, 1, 1, 1, 32, 6, 0, 0, 0, 0, 0
+        )  # BI_ALPHABITFIELDS
         with pytest.raises(NotImplementedError, match="variant"):
             decode_bmp(fh + ih)
-        core = struct.pack("<IHHHH", 12, 1, 1, 1, 24)
-        with pytest.raises(NotImplementedError, match="CORE"):
-            decode_bmp(fh + core + b"\x00" * 40)
 
     def test_wav_roundtrip_mono_and_stereo(self):
         from building_energy_data_pipeline_spark.operators.multimodal import (
@@ -1563,3 +1561,67 @@ class TestBmp16BitAndBitfields:
             decode_bmp(
                 self._bmp16(px, compression=3, masks=(0, 0x07E0, 0x1F))
             )
+
+
+class TestBmpCoreAndEmbedded:
+    """Round-9 continuation, final BMP pass: OS/2 BITMAPCOREHEADER
+    (12-byte header, 3-byte palette entries) and the embedded
+    BI_JPEG/BI_PNG compression modes, routed to the engine's own
+    codecs."""
+
+    def test_coreheader_paletted_and_truecolor(self):
+        import struct
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_bmp,
+        )
+
+        PAL = np.array(
+            [[9, 8, 7], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+            dtype=np.uint8,
+        )
+        idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+        tbl = np.zeros((256, 3), dtype=np.uint8)
+        tbl[:4, [2, 1, 0]] = PAL
+        rows = np.zeros((2, 4), dtype=np.uint8)
+        rows[:, :3] = idx
+        offset = 14 + 12 + 256 * 3
+        fh = struct.pack(
+            "<2sIHHI", b"BM", offset + rows.size, 0, 0, offset
+        )
+        ch = struct.pack("<IHHHH", 12, 3, 2, 1, 8)
+        got = decode_bmp(fh + ch + tbl.tobytes() + rows[::-1].tobytes())
+        assert np.array_equal(got, PAL[idx])
+        # 24-bit core: BGR triplets, bottom-up
+        rows = np.zeros((1, 8), dtype=np.uint8)
+        rows[0, :6] = [3, 2, 1, 30, 20, 10]
+        fh = struct.pack("<2sIHHI", b"BM", 26 + 8, 0, 0, 26)
+        ch = struct.pack("<IHHHH", 12, 2, 1, 1, 24)
+        got = decode_bmp(fh + ch + rows.tobytes())
+        assert got[0, 0].tolist() == [1, 2, 3]
+        assert got[0, 1].tolist() == [10, 20, 30]
+
+    def test_embedded_jpeg_and_png(self):
+        import struct
+
+        from building_energy_data_pipeline_spark.operators.jpeg_codec import (
+            encode_jpeg,
+        )
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_bmp,
+            encode_png,
+        )
+
+        jpg = encode_jpeg(np.full((8, 8), 100, dtype=np.uint8), 50)
+        fh = struct.pack("<2sIHHI", b"BM", 54 + len(jpg), 0, 0, 54)
+        ih = struct.pack(
+            "<IiiHHIIiiII", 40, 8, 8, 1, 0, 4, len(jpg), 0, 0, 0, 0
+        )
+        assert (decode_bmp(fh + ih + jpg) == 100).all()
+
+        png = encode_png(np.full((3, 3, 3), 42, dtype=np.uint8))
+        fh = struct.pack("<2sIHHI", b"BM", 54 + len(png), 0, 0, 54)
+        ih = struct.pack(
+            "<IiiHHIIiiII", 40, 3, 3, 1, 0, 5, len(png), 0, 0, 0, 0
+        )
+        assert (decode_bmp(fh + ih + png) == 42).all()

@@ -1625,3 +1625,51 @@ class TestBmpCoreAndEmbedded:
             "<IiiHHIIiiII", 40, 3, 3, 1, 0, 5, len(png), 0, 0, 0, 0
         )
         assert (decode_bmp(fh + ih + png) == 42).all()
+
+
+class TestAdpcmProperties:
+    """Hypothesis: the IMA encoder tracks its own reconstruction
+    (pred = the decoder's output by construction), so
+    decode(encode(x)) must equal that internal trajectory EXACTLY
+    for any input — the no-state-drift invariant that makes the
+    codec usable block-streamed."""
+
+    def test_decode_matches_encoder_trajectory(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            _adpcm_encode_sample,
+            decode_adpcm_wav,
+            encode_adpcm_wav,
+        )
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            seed=st.integers(0, 2**32 - 1),
+            n=st.integers(1, 600),
+            spb=st.sampled_from([9, 33, 505]),
+            scale=st.sampled_from([1, 50, 5000, 30000]),
+        )
+        def run(seed, n, spb, scale):
+            rng = np.random.default_rng(seed)
+            pcm = np.clip(
+                (rng.standard_normal(n) * scale), -32768, 32767
+            ).astype(np.int16)
+            dec, _ = decode_adpcm_wav(encode_adpcm_wav(pcm, 8000, spb))
+            assert dec.shape[0] == n
+            # replay the encoder's own trajectory
+            want = []
+            index = 0
+            for start in range(0, n, spb):
+                chunk = pcm[start : start + spb]
+                pred = int(chunk[0])
+                want.append(pred)
+                for s in chunk[1:]:
+                    _, pred, index = _adpcm_encode_sample(
+                        int(s), pred, index
+                    )
+                    want.append(pred)
+            assert dec[:, 0].tolist() == want
+
+        run()

@@ -55,6 +55,23 @@ def main() -> None:
 
     from building_energy_data_pipeline_spark import caching
 
+    # Bench protocol — warm-up (VERDICT r9 #3): the tiny-table read
+    # above does NOT absorb first-session costs (executor-thread pool
+    # spin-up at local[32], shuffle/codegen infrastructure, Arrow
+    # init), and min-of-3 INSIDE one query's loop cannot either, so
+    # whatever query is timed FIRST inherited them — round 9's driver
+    # run recorded the flagship q01 at 4.57 s vs a 0.84 s quiet-pair
+    # run of identical code. Execute the first headline query once
+    # UNTIMED so first-slot cost lands nowhere.
+    try:
+        caching.release_caches()
+        REGISTRY[HEADLINE[0]].spark(spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        caching.release_caches()
+    except Exception as exc:  # noqa: BLE001 — warm-up must never kill the run
+        print(f"bench: warm-up failed (continuing): {exc}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     # three timed runs per query, keep the min: run 1 pays whole-stage

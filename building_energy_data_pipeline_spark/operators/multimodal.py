@@ -264,9 +264,13 @@ def decode_bmp(content: bytes) -> np.ndarray:
         )
     masks = None
     if compression == 3:  # BI_BITFIELDS: explicit channel masks
-        # header_size 40: three DWORD masks follow the info header;
-        # V4/V5 headers (>= 108) carry them at the same position
-        if 14 + header_size + 12 > len(content) and header_size == 40:
+        # masks are read at byte 54 regardless of header flavor
+        # (header_size 40: three DWORDs follow the info header; V4/V5
+        # headers >= 108 carry them at the same position), so 66
+        # bytes are required whenever they are read — a corrupt
+        # header_size in 41..107 must raise ValueError, not escape as
+        # struct.error (ADVICE r9 #2)
+        if 14 + 40 + 12 > len(content):
             raise ValueError("truncated BI_BITFIELDS masks")
         masks = struct.unpack_from("<III", content, 14 + 40)
         if any(m == 0 for m in masks):
@@ -1242,8 +1246,9 @@ def decode_image(
 
                 return decode_gif_first_frame(content)
             except (NotImplementedError, ValueError) as exc:
-                # disposal-3 animations and corrupt payloads — same
-                # fall-through contract as the other containers
+                # corrupt payloads (all four disposal methods decode
+                # natively) — same fall-through contract as the other
+                # containers
                 native_err = exc
         try:
             import io

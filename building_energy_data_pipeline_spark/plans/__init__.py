@@ -30,112 +30,46 @@ from . import datasource_queries  # noqa: F401  (custom Python DataSource q253)
 #: at that index (the explicit sentinel tests assert against —
 #: ADVICE r4 #3: no comment parsing).
 DRIVER_WINDOW_SIZE = 50
-FIRST_BELOW_WINDOW = "q98_rag_chunking"
+FIRST_BELOW_WINDOW = "q137_association_lift"
 
 #: Registry prefix — ROTATION RULE (round 4+): any query whose
 #: plan-affecting code changed since its LAST driver row, and any
 #: query with no driver row yet, goes INSIDE the 50-entry window;
 #: remaining slots refresh the queries with the oldest green rows.
-#: Round-9 window (the authoritative list is _CURATED_ORDER below),
+#: Round-10 window (the authoritative list is _CURATED_ORDER below),
 #: filling exactly 50:
 #: - q01 (flagship, every round);
-#: - the NINE new round-9 queries: q249 PNG round-trip (the
-#:   pure-stdlib compressed-codec decode, VERDICT r8 #4), q250
-#:   streaming session funnel (the q62 x q72 composition with
-#:   append-mode watermark eviction, VERDICT r8 #5), q251 streaming
-#:   bloom-gated ingest dedup (the q159 x q96 composition, VERDICT
-#:   r8 stretch #8), q252 chained-stateful attribution rollup
-#:   (stream-stream join feeding a windowed aggregation in ONE
-#:   streaming query — two composed state stores, the q100 shape
-#:   without the sink round-trip), q253 custom Python DataSource
-#:   scan (Spark 4 connector API: filter pushdown into Python +
-#:   one-InputPartition-per-shard parallel generation), q254 JPEG
-#:   round-trip (pure-numpy baseline JPEG on its DC-only lossless
-#:   subspace — the SECOND compressed container, zero-tolerance
-#:   oracle), q255 MJPEG-AVI video sums (RIFF container walk +
-#:   per-frame JPEG decode, frame order hash-pinned — the video
-#:   modality's real decode), q256 IMA-ADPCM audio stats (compressed
-#:   audio; the DuckDB oracle replays the decoder state machine in a
-#:   recursive CTE), q257 GIF animation sums (LZW — the third
-#:   compression family — through the 89a compositing model,
-#:   interlacing exercised on odd media ids);
-#: - q246 WAU, whose plan CHANGED this round (within_bound now
-#:   floors the ABSOLUTE error instead of abs-ing the floored
-#:   signed error, symmetrizing the +/-3000 bp bound — ADVICE r8
-#:   #1);
-#: - the TWELVE remaining r3-vintage drains (last driver-hashed
-#:   round 3, queued first-below-boundary since round 8): q74, q75,
-#:   q77-q82, q88, q93-q95;
-#: - TWENTY-SEVEN r4-vintage drains, the oldest rows after those:
-#:   q02, q03, q08, q22, q23, q27-q34, q37, q44, q53, q54, q68,
-#:   q76, q83-q87, q91, q92, q96, q97 (q53 also re-proves the
-#:   multimodal module after this round's PNG/JPEG/AVI/ADPCM/GIF
-#:   edits; q98-q103 yielded their slots to q252-q257).
-#: The remaining FIFTEEN r4-vintage rows (q98-q107, q110, q111,
-#: q114-q116) sit FIRST below the boundary, scheduled to drain in
-#: round 10 — after which every query's latest driver row is r5+;
-#: below those, the r5/r6/r7/r8 rows oldest-first as before.
+#: - q258 python-datasource STREAM (new this round, VERDICT r9 #5:
+#:   the SimpleDataSourceStreamReader twin executed as a real
+#:   Structured Streaming job and hash-matched against the batch
+#:   oracle);
+#: - q253, whose registration path changed this round (the
+#:   _register fallback gained the Spark-Connect guard and the
+#:   explicit version-assumption error — ADVICE r9 #4 — and the
+#:   stream reader's read() now returns iterators, fixing the
+#:   post-drain TypeError in the engine's prefetch cache);
+#: - the FIFTEEN r4-vintage drains (last driver-hashed round 4,
+#:   queued first-below-boundary since round 9 — VERDICT r9 #2):
+#:   q98-q107, q110, q111, q114-q116;
+#: - THIRTY-TWO r5-vintage drains, the oldest rows after those:
+#:   q04-q06, q09, q17, q18, q21, q30, q35, q36, q108, q109, q112,
+#:   q113, q117-q134.
+#: The remaining FOURTEEN r5-vintage rows (q137, q138, q140-q151)
+#: sit FIRST below the boundary, scheduled to drain in round 11 —
+#: after which every query's latest driver row is r6+; below those,
+#: the r6/r7/r8/r9 rows oldest-first as before.
 #: Ordering is evidence curation, not semantics: every query runs
 #: identically wherever it sits.
 _CURATED_ORDER = [
     "q01_pricing_summary",
-    "q249_png_roundtrip",
-    "q250_streaming_session_funnel",
-    "q251_streaming_bloom_gate",
-    "q252_streaming_attribution_rollup",
+    "q258_python_datasource_stream",
     "q253_python_datasource_scan",
-    "q254_jpeg_roundtrip",
-    "q255_mjpeg_video_sums",
-    "q256_adpcm_audio_stats",
-    "q257_gif_animation_sums",
-    "q246_wau_hll_window",
-    "q74_continuous_aggregate",
-    "q75_ntile_segmentation",
-    "q77_modern_aggregates",
-    "q78_random_sample",
-    "q79_stratified_sample",
-    "q80_sliding_window",
-    "q81_first_nth_value",
-    "q82_lateral_topk",
-    "q88_source_mixture",
-    "q93_sink_roundtrip",
-    "q94_footer_rowcounts",
-    "q95_crossmodal_quality_norms",
-    "q02_filtered_scan",
-    "q03_top_revenue_orders",
-    "q08_unpivot_metrics",
-    "q22_pagination",
-    "q23_systematic_sample",
-    "q27_fingerprint_dedup",
-    "q28_minhash_lsh_pairs",
-    "q29_simhash",
-    "q31_token_counts",
-    "q32_lang_id",
-    "q33_quality_scores",
-    "q34_ann_bruteforce",
-    "q37_embedding_neardup",
-    "q44_neardup_clusters",
-    "q53_multimodal_image_features",
-    "q54_frame_sample_plan",
-    "q68_fuzzy_blocked_join",
-    "q76_text_canonicalize",
-    "q83_sequence_packing",
-    "q84_decontamination_overlap",
-    "q85_token_dominance",
-    "q86_boilerplate_ngrams",
-    "q87_embedding_quantization",
-    "q91_quantized_topk",
-    "q92_corpus_curation",
-    "q96_streaming_dedup",
-    "q97_repetition_filter",
     "q98_rag_chunking",
     "q99_bigram_lm",
     "q100_stream_stream_join",
     "q102_audio_int_stats",
     "q101_ivf_recall",
     "q103_jsonl_roundtrip",
-    # ^ q98 is index 50 == FIRST_BELOW_WINDOW (q98-q100/q102's slots
-    # went to q254-q257; they drain round 10 with the rest)
     "q104_orc_roundtrip",
     "q105_merge_upsert",
     "q106_split_leakage",
@@ -336,6 +270,54 @@ _CURATED_ORDER = [
     "q245_rfm_approx_thresholds",
     "q247_ivm_rollup_cube",
     "q248_latency_approx_quantiles",
+    "q249_png_roundtrip",
+    "q250_streaming_session_funnel",
+    "q251_streaming_bloom_gate",
+    "q252_streaming_attribution_rollup",
+    "q254_jpeg_roundtrip",
+    "q255_mjpeg_video_sums",
+    "q256_adpcm_audio_stats",
+    "q257_gif_animation_sums",
+    "q246_wau_hll_window",
+    "q74_continuous_aggregate",
+    "q75_ntile_segmentation",
+    "q77_modern_aggregates",
+    "q78_random_sample",
+    "q79_stratified_sample",
+    "q80_sliding_window",
+    "q81_first_nth_value",
+    "q82_lateral_topk",
+    "q88_source_mixture",
+    "q93_sink_roundtrip",
+    "q94_footer_rowcounts",
+    "q95_crossmodal_quality_norms",
+    "q02_filtered_scan",
+    "q03_top_revenue_orders",
+    "q08_unpivot_metrics",
+    "q22_pagination",
+    "q23_systematic_sample",
+    "q27_fingerprint_dedup",
+    "q28_minhash_lsh_pairs",
+    "q29_simhash",
+    "q31_token_counts",
+    "q32_lang_id",
+    "q33_quality_scores",
+    "q34_ann_bruteforce",
+    "q37_embedding_neardup",
+    "q44_neardup_clusters",
+    "q53_multimodal_image_features",
+    "q54_frame_sample_plan",
+    "q68_fuzzy_blocked_join",
+    "q76_text_canonicalize",
+    "q83_sequence_packing",
+    "q84_decontamination_overlap",
+    "q85_token_dominance",
+    "q86_boilerplate_ngrams",
+    "q87_embedding_quantization",
+    "q91_quantized_topk",
+    "q92_corpus_curation",
+    "q96_streaming_dedup",
+    "q97_repetition_filter",
 ]
 
 

@@ -163,19 +163,23 @@ class TelemetryStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"day": 0}
 
-    def read(self, start: dict) -> tuple[list[tuple], dict]:
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         day = int(start["day"])
+        # a list_iterator, never a generator: the engine's prefetch
+        # cache copy.copy()s the returned iterator for replay
+        # (generators don't copy), and the NO-ADVANCE path calls
+        # next(it) expecting StopIteration — a bare list raises
+        # TypeError there (datasource_internal.add_result_to_cache),
+        # killing the stream the first trigger after the source
+        # drains
         if day >= self.days:
-            return [], {"day": day}
-        # a LIST, not a generator: the engine's prefetch cache
-        # copy.copy()s the returned iterator for replay, and
-        # generators don't pickle
+            return iter(()), {"day": day}
         rows = [
             (s, day, slot, reading_value(s, day, slot))
             for s in range(self.n_sensors)
             for slot in range(self.slots)
         ]
-        return rows, {"day": day + 1}
+        return iter(rows), {"day": day + 1}
 
     def readBetweenOffsets(
         self, start: dict, end: dict
@@ -252,6 +256,20 @@ class JsonDirWriter(DataSourceWriter):
     - ``abort`` (driver, any task failed) deletes whatever was
       staged; the destination is untouched.
 
+    The HARD abort invariant is destination-scoped: no
+    ``part-*.jsonl`` appears at the top level and no ``_SUCCESS`` is
+    written. Staging residue is only TRANSIENT: Spark calls ``abort``
+    while straggler tasks may still be running (task cancellation is
+    asynchronous), so a not-yet-interrupted task can legally re-stage
+    its part AFTER the driver's first sweep — no two-phase protocol
+    can make staging cleanup synchronous (ADVICE r9 #1). ``abort``
+    therefore drains with a bounded re-sweep loop (two consecutive
+    empty checks), and each JOB stages under its own
+    ``_staging/<job_id>/`` namespace (the id is minted driver-side in
+    ``__init__`` and shipped to tasks inside the pickled writer), so
+    concurrent jobs against one destination never sweep each other's
+    in-flight parts.
+
     Local-filesystem staging keeps the protocol inspectable in
     tests; a production variant swaps the file ops for an object
     store's multipart/rename API — the message flow is identical.
@@ -260,6 +278,8 @@ class JsonDirWriter(DataSourceWriter):
     """
 
     def __init__(self, options: dict, overwrite: bool) -> None:
+        import uuid
+
         self.path = options.get("path") or options.get("__path__")
         if not self.path:
             raise ValueError(
@@ -267,18 +287,27 @@ class JsonDirWriter(DataSourceWriter):
                 "(.option('path', ...) or .save(path))"
             )
         self.overwrite = overwrite
+        # minted ONCE on the driver, before the writer is pickled to
+        # tasks: every task of this job stages under the same
+        # job-unique directory, and commit/abort sweep ONLY it
+        self.job_id = uuid.uuid4().hex
         self.fail_on_reading = (
             int(options["fail_on_reading"])
             if "fail_on_reading" in options
             else None
         )
 
+    def _staging_dir(self) -> str:
+        import os
+
+        return os.path.join(self.path, "_staging", self.job_id)
+
     def write(self, iterator) -> PartFileCommit:
         import json
         import os
         import uuid
 
-        staging = os.path.join(self.path, "_staging")
+        staging = self._staging_dir()
         os.makedirs(staging, exist_ok=True)
         fname = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
         n = 0
@@ -327,19 +356,43 @@ class JsonDirWriter(DataSourceWriter):
 
     def abort(self, messages) -> None:
         import os
+        import time
 
         for msg in messages:
             if msg is not None and os.path.exists(msg.staged):
                 os.remove(msg.staged)
-        self._clean_staging()
+        # Straggler drain: Spark invokes abort while task cancellation
+        # is still asynchronous, so a not-yet-interrupted task can
+        # re-create this job's staging dir and land its part AFTER the
+        # first sweep. Re-sweep until two consecutive checks find the
+        # job's namespace absent (bounded — a hung task past the
+        # deadline leaves only transient staging residue, never
+        # anything under the destination's visible surface).
+        deadline = time.monotonic() + 10.0
+        clean_streak = 0
+        while clean_streak < 2 and time.monotonic() < deadline:
+            self._clean_staging()
+            if os.path.isdir(self._staging_dir()):
+                clean_streak = 0
+            else:
+                clean_streak += 1
+            if clean_streak < 2:
+                time.sleep(0.1)
 
     def _clean_staging(self) -> None:
         import os
         import shutil
 
-        staging = os.path.join(self.path, "_staging")
+        staging = self._staging_dir()
         if os.path.isdir(staging):
             shutil.rmtree(staging, ignore_errors=True)
+        # drop the shared _staging parent only when no other job's
+        # namespace is live under it
+        parent = os.path.dirname(staging)
+        try:
+            os.rmdir(parent)  # fails (harmlessly) unless empty
+        except OSError:
+            pass
 
 
 class JsonDirSink(DataSource):
@@ -362,6 +415,15 @@ def register_jsonl_dir_sink(spark) -> None:
 
 
 def _register(spark, source_cls) -> None:
+    if not hasattr(spark, "_jsparkSession"):
+        # Spark Connect (no JVM handle): the mis-scoped-exists-check
+        # bug is a classic-mode artifact, so the public API is all we
+        # have AND all we need
+        try:
+            spark.dataSource.register(source_cls)
+        except Exception:
+            pass  # already registered in this session
+        return
     mgr = spark._jsparkSession.sessionState().dataSourceManager()
     if mgr.dataSourceExists(source_cls.name()):
         return
@@ -371,13 +433,29 @@ def _register(spark, source_cls) -> None:
         pass  # mis-scoped ALREADY_EXISTS from a sibling session
     if mgr.dataSourceExists(source_cls.name()):
         return
-    from pyspark.sql.udf import _wrap_function
+    # Last resort for the cloned-session hole: perform the same JVM
+    # registration the public API does, directly against THIS
+    # session's manager. Private-API surface (observed stable on
+    # classic-mode Spark 4.1.x) — if an internals rename breaks it,
+    # fail with the version assumption spelled out rather than a bare
+    # AttributeError (ADVICE r9 #4).
+    try:
+        from pyspark.sql.udf import _wrap_function
 
-    sc = spark.sparkContext
-    wrapped = _wrap_function(sc, source_cls)
-    jds = getattr(
-        sc._jvm,
-        "org.apache.spark.sql.execution.datasources.v2.python"
-        ".UserDefinedPythonDataSource",
-    )(wrapped)
-    mgr.registerDataSource(source_cls.name(), jds)
+        sc = spark.sparkContext
+        wrapped = _wrap_function(sc, source_cls)
+        jds = getattr(
+            sc._jvm,
+            "org.apache.spark.sql.execution.datasources.v2.python"
+            ".UserDefinedPythonDataSource",
+        )(wrapped)
+        mgr.registerDataSource(source_cls.name(), jds)
+    except Exception as exc:  # noqa: BLE001 — re-raise with context
+        raise RuntimeError(
+            f"could not register data source "
+            f"{source_cls.name()!r} into this session's "
+            f"DataSourceManager; the direct-registration fallback "
+            f"assumes classic-mode Spark 4.1.x internals "
+            f"(pyspark.sql.udf._wrap_function + "
+            f"UserDefinedPythonDataSource). Underlying error: {exc}"
+        ) from exc

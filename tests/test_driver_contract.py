@@ -289,9 +289,9 @@ def test_curated_window_holds_exactly_fifty_entries():
 def test_window_composition_matches_documented_counts():
     """The rotation comment's counts, DERIVED not hand-written
     (ADVICE r7 #3: two r7 sync commits each landed a different wrong
-    hand-counted number). The round-9 window is documented as
-    1 flagship + 9 new r9 queries + q246 (changed plan) + 12
-    r3-vintage drains + 27 r4-vintage drains = 50."""
+    hand-counted number). The round-10 window is documented as
+    1 flagship + q258 (new) + q253 (changed registration path) + 15
+    r4-vintage drains + 32 r5-vintage drains = 50."""
     from building_energy_data_pipeline_spark.plans import (
         DRIVER_WINDOW_SIZE,
         REGISTRY,
@@ -299,40 +299,39 @@ def test_window_composition_matches_documented_counts():
 
     window = list(REGISTRY)[:DRIVER_WINDOW_SIZE]
     assert window[0] == "q01_pricing_summary"
-
-    def num(n: str) -> int:
-        return int(n[1:4]) if n[1:4].isdigit() else int(n[1:3])
-
-    r9_new = [n for n in window if 249 <= num(n) <= 257]
-    assert len(r9_new) == 9
-    changed = [n for n in window if n == "q246_wau_hll_window"]
-    assert len(changed) == 1
-    # the 12 r3-vintage drains queued since round 8 (the membership
-    # is a frozen historical fact — CORRECTNESS_r03's residue — so
-    # an explicit set, not a numeric range: r4 numbers interleave)
-    r3_set = {
-        "q74_continuous_aggregate", "q75_ntile_segmentation",
-        "q77_modern_aggregates", "q78_random_sample",
-        "q79_stratified_sample", "q80_sliding_window",
-        "q81_first_nth_value", "q82_lateral_topk",
-        "q88_source_mixture", "q93_sink_roundtrip",
-        "q94_footer_rowcounts", "q95_crossmodal_quality_norms",
+    assert window[1] == "q258_python_datasource_stream"  # new r10
+    assert window[2] == "q253_python_datasource_scan"  # changed path
+    # the 15 r4-vintage drains queued first-below-boundary since
+    # round 9 (the membership is a frozen historical fact —
+    # CORRECTNESS_r04's residue — so an explicit set)
+    r4_set = {
+        "q98_rag_chunking", "q99_bigram_lm",
+        "q100_stream_stream_join", "q101_ivf_recall",
+        "q102_audio_int_stats", "q103_jsonl_roundtrip",
+        "q104_orc_roundtrip", "q105_merge_upsert",
+        "q106_split_leakage", "q107_kmeans_step",
+        "q110_temperature_mixture", "q111_bucketed_join",
+        "q114_shuffle_shard", "q115_streaming_cdc_apply",
+        "q116_join_key_skew",
     }
-    r3_drains = [n for n in window if n in r3_set]
-    assert len(r3_drains) == 12
-    # the 33 oldest r4 rows (numbers interleave with the r3 family,
+    r4_drains = [n for n in window if n in r4_set]
+    assert len(r4_drains) == 15
+    # the 32 oldest r5 rows fill the remainder (numbers interleave,
     # so count them as the window remainder and pin the extremes)
-    r4_drains = [
+    r5_drains = [
         n
         for n in window
-        if n not in r9_new + changed + r3_drains
-        and n != "q01_pricing_summary"
+        if n not in r4_set
+        and n
+        not in {
+            "q01_pricing_summary",
+            "q258_python_datasource_stream",
+            "q253_python_datasource_scan",
+        }
     ]
-    assert len(r4_drains) == 27
-    assert "q02_filtered_scan" in r4_drains
-    assert "q97_repetition_filter" in r4_drains
-    assert 1 + len(r9_new) + len(changed) + len(r3_drains) + len(
-        r4_drains
-    ) == DRIVER_WINDOW_SIZE
-    # registry growth this round: q249–q257 → 256 total (q89 unused)
-    assert len(REGISTRY) == 256
+    assert len(r5_drains) == 32
+    assert "q04_exists_semi_join" in r5_drains
+    assert "q134_length_bucketed_batches" in r5_drains
+    assert 3 + len(r4_drains) + len(r5_drains) == DRIVER_WINDOW_SIZE
+    # registry growth this round: q258 → 257 total (q89 unused)
+    assert len(REGISTRY) == 257

@@ -1562,6 +1562,30 @@ class TestBmp16BitAndBitfields:
                 self._bmp16(px, compression=3, masks=(0, 0x07E0, 0x1F))
             )
 
+    def test_truncated_masks_rejected_any_header_size(self):
+        """ADVICE r9 #2: the truncation guard must fire for EVERY
+        header_size that reads masks at byte 54 — a corrupt BMP
+        claiming header_size 41..107 with compression=3 and fewer
+        than 66 bytes must raise ValueError (the decode_image
+        fall-through contract), never struct.error."""
+        import struct
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_bmp,
+        )
+
+        for header_size in (40, 41, 64, 107):
+            offset = 14 + header_size + 12
+            fh = struct.pack("<2sIHHI", b"BM", offset, 0, 0, offset)
+            ih = struct.pack(
+                "<IiiHHIIiiII", header_size, 1, 1, 1, 16, 3,
+                0, 0, 0, 0, 0,
+            )
+            payload = (fh + ih)[:54]  # ends before the masks
+            assert len(payload) < 66
+            with pytest.raises(ValueError, match="truncated BI_BITFIELDS"):
+                decode_bmp(payload)
+
 
 class TestBmpCoreAndEmbedded:
     """Round-9 continuation, final BMP pass: OS/2 BITMAPCOREHEADER

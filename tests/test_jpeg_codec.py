@@ -197,11 +197,13 @@ class TestVariantAndCorruptionContract:
     def _enc(self) -> bytes:
         return encode_jpeg(np.full((8, 8), 100, dtype=np.uint8), 50)
 
-    def test_arithmetic_and_lossless_gated(self):
-        """SOF2 became SUPPORTED (TestProgressive); the remaining
-        mode gates are arithmetic (SOF9+) and lossless/hierarchical."""
+    def test_arithmetic_progressive_and_lossless_gated(self):
+        """SOF2 became supported (TestProgressive) and sequential
+        arithmetic SOF9 in round 10 (TestArithmetic); the remaining
+        mode gates are progressive-arithmetic (SOF10+) and
+        lossless/hierarchical."""
         enc = bytearray(self._enc())
-        enc[enc.index(b"\xff\xc0") + 1] = 0xC9  # arithmetic sequential
+        enc[enc.index(b"\xff\xc0") + 1] = 0xCA  # progressive arith
         with pytest.raises(NotImplementedError, match="arithmetic"):
             decode_jpeg(bytes(enc))
         enc = bytearray(self._enc())
@@ -644,3 +646,146 @@ class TestFillBytes:
         assert np.array_equal(
             decode_jpeg(prog[:j] + b"\xff\xff" + prog[j:]), base
         )
+
+
+class TestArithmetic:
+    """SOF9 arithmetic coding (Annex D QM-coder + Annex F decision
+    trees): cross-layout decode equality against the baseline
+    Huffman encoder from identical quantized coefficients, the
+    DC-only lossless subspace, restart markers, DAC parsing, the
+    compression advantage, and the corruption contract. Interop with
+    external codecs is untestable here (no libjpeg/PIL) — the
+    round-trip proof is internal by design, the same honesty note as
+    the progressive SA streams."""
+
+    def test_cross_layout_equality_gray(self):
+        rng = np.random.default_rng(7)
+        for _ in range(10):
+            h, w = int(rng.integers(1, 50)), int(rng.integers(1, 50))
+            arr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            base = decode_jpeg(encode_jpeg(arr, 50))
+            arith = decode_jpeg(jc.encode_jpeg_arithmetic(arr, 50))
+            assert np.array_equal(base, arith)
+
+    def test_cross_layout_equality_color_both_subsamplings(self):
+        rng = np.random.default_rng(11)
+        for sub in ("444", "420"):
+            arr = rng.integers(0, 256, (21, 34, 3), dtype=np.uint8)
+            base = decode_jpeg(encode_jpeg(arr, 50, sub))
+            arith = decode_jpeg(
+                jc.encode_jpeg_arithmetic(arr, 50, sub)
+            )
+            assert np.array_equal(base, arith)
+
+    def test_lossless_subspace_exact(self):
+        arr = _block_flat_gray(5, 24, 40)
+        got = decode_jpeg(jc.encode_jpeg_arithmetic(arr, 50))
+        assert np.array_equal(got[..., 0], arr)
+        assert np.array_equal(got[..., 1], arr)
+
+    def test_restart_markers_round_trip(self):
+        rng = np.random.default_rng(13)
+        arr = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+        for rst in (1, 2, 5):
+            enc = jc.encode_jpeg_arithmetic(
+                arr, 50, restart_interval=rst
+            )
+            assert b"\xff\xdd" in enc  # DRI present
+            assert b"\xff\xd0" in enc  # at least RST0 fired
+            assert np.array_equal(
+                decode_jpeg(enc), decode_jpeg(encode_jpeg(arr, 50))
+            )
+
+    def test_stream_declares_sof9_and_dac(self):
+        enc = jc.encode_jpeg_arithmetic(
+            _block_flat_gray(1, 16, 16), 50
+        )
+        assert b"\xff\xc9" in enc  # SOF9
+        assert b"\xff\xcc" in enc  # DAC
+        assert b"\xff\xc4" not in enc  # no Huffman tables
+
+    def test_nondefault_dac_conditioning_round_trips(self):
+        """The decoder must honor DAC values, not assume defaults:
+        re-point the DAC at a different Kx and a wider DC band and
+        check the stream still decodes (encoder twin built with the
+        same conditioning by patching the emitted segment is not
+        possible — instead decode a stream whose DAC matches what
+        the encoder actually used, then corrupt the DAC and confirm
+        the result CHANGES, proving the values are read)."""
+        rng = np.random.default_rng(17)
+        arr = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+        enc = bytearray(jc.encode_jpeg_arithmetic(arr, 50))
+        good = decode_jpeg(bytes(enc))
+        i = bytes(enc).index(b"\xff\xcc")
+        # DAC layout: FF CC len(2) then [Tc/Tb, Cs] pairs — flip the
+        # AC Kx (5 -> 63); entry order (0,0,0x10), (1,0,5)
+        assert enc[i + 5] == 0x10  # DC conditioning value (L=0,U=1)
+        assert enc[i + 6] == 0x10  # second pair's Tc/Tb (class 1)
+        assert enc[i + 7] == 5  # AC Kx
+        enc[i + 7] = 63
+        changed = decode_jpeg(bytes(enc))
+        assert not np.array_equal(good, changed)
+
+    def test_compression_beats_huffman_on_natural_content(self):
+        y, x = np.mgrid[0:64, 0:64]
+        img = ((y * 2 + x * 3) % 256).astype(np.uint8)
+        huff = encode_jpeg(img, 75)
+        arith = jc.encode_jpeg_arithmetic(img, 75)
+        assert len(arith) < len(huff)
+
+    def test_truncated_arithmetic_stream_valueerror_or_decodes(self):
+        """Zero-fill past the scan end is SPEC behavior (D.2.6), so
+        a truncated stream may decode to garbage rather than raise —
+        but it must never crash with a non-contract exception."""
+        enc = jc.encode_jpeg_arithmetic(
+            _block_flat_gray(3, 16, 16), 50
+        )
+        for cut in (len(enc) // 2, len(enc) - 3):
+            try:
+                out = decode_jpeg(enc[:cut])
+                assert out.dtype == np.uint8
+            except ValueError:
+                pass
+
+    def test_progressive_arithmetic_still_gated(self):
+        """SOF10 remains NotImplementedError (variant gate), and the
+        gate message no longer claims sequential arithmetic is
+        unsupported."""
+        enc = bytearray(
+            jc.encode_jpeg_arithmetic(_block_flat_gray(2, 8, 8), 50)
+        )
+        i = bytes(enc).index(b"\xff\xc9")
+        enc[i + 1] = 0xCA  # SOF9 -> SOF10
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(enc))
+
+    @given(
+        seed=st.integers(0, 10_000),
+        h=st.integers(1, 33),
+        w=st.integers(1, 33),
+        rst=st.sampled_from([0, 0, 0, 2, 4]),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_fuzz_cross_layout_equality(self, seed, h, w, rst):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        base = decode_jpeg(
+            encode_jpeg(arr, 50, restart_interval=rst)
+        )
+        arith = decode_jpeg(
+            jc.encode_jpeg_arithmetic(arr, 50, restart_interval=rst)
+        )
+        assert np.array_equal(base, arith)
+
+    def test_qm_state_table_shape(self):
+        """113 adaptive states + the fixed bin; every transition
+        stays in range and the fixed bin self-loops without
+        adapting."""
+        tab = jc._ARITH_TAB
+        assert len(tab) == 114
+        for qe, nmps, nlps, sw in tab:
+            assert 0 < qe <= 0x5B12
+            assert 0 <= nmps <= 113 and 0 <= nlps <= 113
+            assert sw in (0, 1)
+        assert tab[113][1] == 113 and tab[113][2] == 113
+        assert tab[113][3] == 0

@@ -11,18 +11,20 @@ Scope (documented, spec-cited):
 
 - **decode**: baseline sequential DCT (SOF0/1), progressive
   (SOF2 — spectral selection + successive approximation, EOB-run
-  coding, per-scan mutable Huffman tables; Annex G), AND
+  coding, per-scan mutable Huffman tables; Annex G),
   arithmetic-coded sequential DCT (SOF9 — the Annex D QM-coder
-  with DAC conditioning, round-10), 8-bit precision, 1 or 3
-  components, per-component sampling factors 1 or 2 (covers
-  4:4:4 / 4:2:2 / 4:2:0), single-component scans as
-  non-interleaved (A.2.2), restart markers (DRI/RSTn) in all
-  modes, 8- and 16-bit DQT precision, multi-table DHT segments,
-  0xFF00 byte unstuffing. Progressive-arithmetic (SOF10), 12-bit
-  precision, lossless and hierarchical modes raise
-  ``NotImplementedError`` — unsupported VARIANTS, distinct from
-  corrupt payloads which raise ``ValueError`` (the multimodal
-  error contract, ADVICE r8).
+  with DAC conditioning, round-10), LOSSLESS (SOF3 — Annex H
+  spatial DPCM, all seven predictors, 2..16-bit precision, point
+  transform; round-10), and 12-BIT extended sequential (SOF1,
+  level shift 2048; round-10), 1 or 3 components, per-component
+  sampling factors 1 or 2 (covers 4:4:4 / 4:2:2 / 4:2:0),
+  single-component scans as non-interleaved (A.2.2), restart
+  markers (DRI/RSTn) in all modes, 8- and 16-bit DQT precision,
+  multi-table DHT segments, 0xFF00 byte unstuffing.
+  Progressive-arithmetic (SOF10), differential and hierarchical
+  modes raise ``NotImplementedError`` — unsupported VARIANTS,
+  distinct from corrupt payloads which raise ``ValueError`` (the
+  multimodal error contract, ADVICE r8).
 - **encode**: baseline SOF0 (grayscale, 4:4:4 or 4:2:0 YCbCr,
   optional restart markers), a PROGRESSIVE encoder
   (:func:`encode_jpeg_progressive`, spectral selection with
@@ -609,6 +611,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     frame = None  # (h, w, [(cid, hs, vs, tq)])
     progressive = False
     arithmetic = False
+    precision = 8
     coef_state: "_ProgressiveState | None" = None
 
     pos = 2
@@ -680,9 +683,13 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
             # SOF0/1 baseline, SOF2 progressive, SOF9 arithmetic seq
             prec = body[0]
-            if prec != 8:
+            if prec == 12 and marker == 0xC1:
+                precision = 12  # extended sequential allows 12-bit
+            elif prec != 8:
                 raise NotImplementedError(
-                    f"{prec}-bit precision JPEG not supported"
+                    f"{prec}-bit precision SOF{marker - 0xC0} JPEG "
+                    "not supported (12-bit only via extended "
+                    "sequential SOF1)"
                 )
             h, w = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
@@ -706,13 +713,29 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             frame = (h, w, comps)
             progressive = marker == 0xC2
             arithmetic = marker == 0xC9
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA,
+        elif marker == 0xC3:  # SOF3 lossless: re-walk via the raw
+            # decoder, then scale to the uint8 RGB return contract
+            raw, prec = decode_jpeg_lossless_raw(content)
+            if prec > 8:
+                raw = (raw >> (prec - 8)).astype(np.uint8)
+            elif prec < 8:
+                raw = (
+                    raw.astype(np.int64) * 255 // ((1 << prec) - 1)
+                ).astype(np.uint8)
+            else:
+                raw = raw.astype(np.uint8)
+            if raw.shape[2] == 1:
+                g = raw[..., 0]
+                return np.stack([g, g, g], axis=-1)
+            return raw  # 3-component lossless = direct RGB (Annex H
+            # leaves color to the application; our encoder writes RGB)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG mode SOF{marker - 0xC0} (progressive-"
-                "arithmetic/lossless/hierarchical) not supported — "
-                "baseline SOF0/SOF1, progressive SOF2, and "
-                "arithmetic sequential SOF9 only"
+                "arithmetic/differential/hierarchical) not supported "
+                "— baseline SOF0/SOF1, progressive SOF2, arithmetic "
+                "sequential SOF9, and lossless SOF3 only"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             i = 0
@@ -763,7 +786,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 )
             return _decode_scan(
                 data, pos, frame, scan, qtables, dc_tables,
-                ac_tables, restart_interval,
+                ac_tables, restart_interval, precision,
             )
         # else: APPn/COM/unknown — skipped via seglen
 
@@ -777,6 +800,7 @@ def _decode_scan(
     dc_tables,
     ac_tables,
     restart_interval: int,
+    precision: int = 8,
 ) -> np.ndarray:
     h, w, comps = frame
     by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
@@ -841,13 +865,18 @@ def _decode_scan(
                     for u in range(hs):
                         block = _decode_block(
                             reader, dc_tables[td], ac_tables[ta],
-                            qt, preds, cs,
+                            qt, preds, cs, precision,
                         )
                         y0 = (my * vs + v) * 8
                         x0 = (mx * hs + u) * 8
                         planes[cs][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
 
+    if precision > 8:
+        # fold the extended dynamic range back to the uint8 RGB
+        # return contract before upsampling/color conversion
+        for cid in planes:
+            planes[cid] = planes[cid] / float(1 << (precision - 8))
     return _assemble(frame, planes)
 
 
@@ -876,10 +905,12 @@ def _assemble(frame, planes: dict) -> np.ndarray:
     return ycbcr_to_rgb(ycc)
 
 
-def _decode_block(reader, dc_dec, ac_dec, qtable, preds, cs) -> np.ndarray:
+def _decode_block(
+    reader, dc_dec, ac_dec, qtable, preds, cs, precision: int = 8
+) -> np.ndarray:
     zz = np.zeros(64, dtype=np.int64)
     size = dc_dec.decode(reader)
-    if size > 11:
+    if size > (11 if precision == 8 else 15):
         raise ValueError(f"invalid DC category {size}")
     diff = _extend(reader.receive(size), size)
     preds[cs] += diff
@@ -901,7 +932,8 @@ def _decode_block(reader, dc_dec, ac_dec, qtable, preds, cs) -> np.ndarray:
     coefs = np.zeros(64, dtype=np.float64)
     coefs[ZIGZAG_FLAT] = zz * qtable.flatten()[ZIGZAG_FLAT]
     block = coefs.reshape(8, 8)
-    return _DCT.T @ block @ _DCT + 128.0
+    # level shift is 2^(P-1) (A.3.1): 128 at 8-bit, 2048 at 12-bit
+    return _DCT.T @ block @ _DCT + float(1 << (precision - 1))
 
 
 # --------------------------------------------------------------------------
@@ -2083,5 +2115,433 @@ def encode_jpeg_arithmetic(
                         )
             mcu_count += 1
     out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Lossless JPEG (SOF3 — Annex H spatial DPCM, Huffman entropy coding)
+# --------------------------------------------------------------------------
+#
+# The fourth JPEG process on the real path: no DCT, no quantization —
+# each sample is predicted from its decoded neighbors (the seven
+# Annex H.1.2.1 predictors selected by Ss in the scan header), the
+# difference is Huffman-coded with the DC-table category scheme
+# (SSSS up to 16, where 16 carries no extra bits and means 32768),
+# and reconstruction is exact modulo 2^16. Supported: 2..16-bit
+# precision, 1 or 3 components (1×1 sampling), interleaved or
+# single-component scans, point transform Pt, restart markers.
+# A 3-component lossless frame is returned as direct RGB — T.81
+# leaves color interpretation to the application and JFIF's YCbCr
+# convention covers only the DCT processes; the self-test encoder
+# writes RGB, so the contract is internally consistent (and
+# documented for external streams).
+
+#: Annex H.1.2.1 predictor formulas, selected by Ss (1..7);
+#: 0 = no prediction (only legal in hierarchical mode, rejected)
+def _lossless_predict(a: int, b: int, c: int, sel: int) -> int:
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    if sel == 7:
+        return (a + b) >> 1
+    raise ValueError(f"invalid lossless predictor {sel}")
+
+
+def decode_jpeg_lossless_raw(content: bytes) -> tuple[np.ndarray, int]:
+    """Decode an SOF3 lossless JPEG to ``((h, w, ncomp) uint16, P)``
+    — the exact stored samples at their declared precision (the
+    raw twin :func:`decode_jpeg` scales to the uint8 RGB contract)."""
+    if len(content) < 4 or content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    dc_tables: dict[int, _HuffDecoder] = {}
+    restart_interval = 0
+    frame = None  # (P, h, w, [(cid, hs, vs)])
+    pos = 2
+    data = content
+    while True:
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG: no SOS before EOF")
+        if data[pos] != 0xFF:
+            raise ValueError(
+                f"marker expected at byte {pos}, got 0x{data[pos]:02X}"
+            )
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("EOI before lossless scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(data):
+            raise ValueError("truncated marker segment header")
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError(f"bad segment length {seglen} at {pos}")
+        body = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xC4:
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                if i + 17 + n > len(body):
+                    raise ValueError("truncated DHT")
+                if tc == 0:
+                    dc_tables[th] = _HuffDecoder(
+                        bits, list(body[i + 17 : i + 17 + n])
+                    )
+                i += 17 + n
+        elif marker == 0xC3:  # SOF3 lossless
+            prec = body[0]
+            if not 2 <= prec <= 16:
+                raise ValueError(f"bad lossless precision {prec}")
+            h, w = struct.unpack(">HH", body[1:5])
+            if h == 0 or w == 0:
+                raise ValueError("zero image dimension in SOF3")
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"{ncomp}-component lossless JPEG not supported"
+                )
+            comps = []
+            for c in range(ncomp):
+                cid = body[6 + c * 3]
+                hv = body[7 + c * 3]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "lossless sampling factors other than 1x1 "
+                        "not supported"
+                    )
+                comps.append(cid)
+            frame = (prec, h, w, comps)
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF3")
+            prec, h, w, comps = frame
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                scan.append((body[1 + c * 2], body[2 + c * 2] >> 4))
+            sel = body[1 + ns * 2]  # Ss = predictor selector
+            pt = body[3 + ns * 2] & 0x0F  # Al = point transform
+            if not 1 <= sel <= 7:
+                raise ValueError(
+                    f"invalid lossless predictor selector {sel}"
+                )
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "per-component lossless scans not supported — "
+                    "single interleaved scan only"
+                )
+            for cs, td in scan:
+                if cs not in comps:
+                    raise ValueError(
+                        f"scan references unknown component {cs}"
+                    )
+                if td not in dc_tables:
+                    raise ValueError(
+                        "scan references missing Huffman table"
+                    )
+            return (
+                _decode_scan_lossless(
+                    data, pos, frame, scan, dc_tables, sel, pt,
+                    restart_interval,
+                ),
+                prec,
+            )
+        # else: APPn/COM/DQT(ignored for lossless)/unknown — skipped
+
+
+def _decode_scan_lossless(
+    data, pos, frame, scan, dc_tables, sel, pt, restart_interval
+) -> np.ndarray:
+    prec, h, w, comps = frame
+    out = np.zeros((h, w, len(comps)), dtype=np.int64)
+    reader = _BitReader(data, pos)
+    default = 1 << (prec - pt - 1)
+    mask = 0xFFFF  # differences are modulo 2^16 (H.1.2.3)
+    count = 0
+    rst_index = 0
+    # H.1.2.2: the start of the scan AND of each restart interval is
+    # treated as a "first line" — its first sample predicts from the
+    # default, the remainder of that line from Ra; later lines start
+    # from Rb and use the selected predictor elsewhere
+    first_y, start_x = 0, 0
+
+    def diff_of(dec) -> int:
+        ssss = dec.decode(reader)
+        if ssss == 16:  # no extra bits (table H.2)
+            return 32768
+        if ssss > 16:
+            raise ValueError(f"invalid lossless category {ssss}")
+        return _extend(reader.receive(ssss), ssss)
+
+    decs = [dc_tables[td] for _, td in scan]
+    for y in range(h):
+        for x in range(w):
+            if (
+                restart_interval
+                and count
+                and count % restart_interval == 0
+            ):
+                reader.sync_restart(rst_index)
+                rst_index = (rst_index + 1) % 8
+                first_y, start_x = y, x
+            for ci in range(len(scan)):
+                plane = out[..., ci]
+                if y == first_y:
+                    px = (
+                        default
+                        if x == start_x
+                        else int(plane[y, x - 1])
+                    )
+                elif x == 0:
+                    px = int(plane[y - 1, 0])
+                else:
+                    a = int(plane[y, x - 1])
+                    b = int(plane[y - 1, x])
+                    c = int(plane[y - 1, x - 1])
+                    px = _lossless_predict(a, b, c, sel)
+                v = (px + diff_of(decs[ci])) & mask
+                plane[y, x] = v & ((1 << 16) - 1)
+            count += 1
+    maxv = (1 << prec) - 1
+    if (out < 0).any() or (out > maxv).any():
+        # modulo arithmetic keeps legal streams in range; excursions
+        # mean corruption
+        out &= maxv
+    return (out.astype(np.uint16) << pt).astype(np.uint16)
+
+
+def encode_jpeg_lossless(
+    arr: np.ndarray,
+    predictor: int = 4,
+    precision: int = 8,
+    point_transform: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode ``(h, w)`` grayscale or ``(h, w, 3)`` RGB (uint8, or
+    uint16 for precision > 8) to an SOF3 LOSSLESS JPEG — Annex H
+    DPCM with the chosen predictor, DC-category Huffman coding,
+    optional point transform and restart markers. Decoding returns
+    the input EXACTLY (the first codec in the module with a
+    bit-exact contract on arbitrary inputs, no subspace argument
+    needed)."""
+    if arr.ndim == 2:
+        planes = [arr]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        planes = [arr[..., i] for i in range(3)]
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) array, got {arr.shape}")
+    if not 2 <= precision <= 16:
+        raise ValueError(f"precision must be 2..16, got {precision}")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor must be 1..7, got {predictor}")
+    if not 0 <= point_transform < precision:
+        raise ValueError(
+            f"point transform {point_transform} out of range for "
+            f"{precision}-bit samples"
+        )
+    maxv = (1 << precision) - 1
+    if any(int(p.max(initial=0)) > maxv for p in planes):
+        raise ValueError(
+            f"samples exceed {precision}-bit range"
+        )
+    h, w = planes[0].shape
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError(f"image dimensions out of JPEG range: {h}x{w}")
+
+    # one Huffman table serving categories 0..16 (flat 5-bit codes —
+    # simple, canonical, and valid; lossless tables are free-form)
+    bits = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    vals = list(range(17))
+    codes = _build_codes(bits, vals)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    sof = bytearray()
+    sof += struct.pack(">BHHB", precision, h, w, len(planes))
+    for i in range(len(planes)):
+        sof += bytes([i + 1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + bytes(sof)
+    out += _dht_segment(0, 0, bits, vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytearray([len(planes)])
+    for i in range(len(planes)):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([predictor, 0, point_transform])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
+
+    shifted = [
+        (p.astype(np.int64) >> point_transform) for p in planes
+    ]
+    default = 1 << (precision - point_transform - 1)
+    writer = _BitWriter()
+    count = 0
+    rst_index = 0
+    first_y, start_x = 0, 0  # H.1.2.2 "first line" state (see decode)
+    for y in range(h):
+        for x in range(w):
+            if (
+                restart_interval
+                and count
+                and count % restart_interval == 0
+            ):
+                out += writer.flush()
+                writer = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst_index])
+                rst_index = (rst_index + 1) % 8
+                first_y, start_x = y, x
+            for plane in shifted:
+                if y == first_y:
+                    px = (
+                        default
+                        if x == start_x
+                        else int(plane[y, x - 1])
+                    )
+                elif x == 0:
+                    px = int(plane[y - 1, 0])
+                else:
+                    px = _lossless_predict(
+                        int(plane[y, x - 1]),
+                        int(plane[y - 1, x]),
+                        int(plane[y - 1, x - 1]),
+                        predictor,
+                    )
+                diff = (int(plane[y, x]) - px) & 0xFFFF
+                if diff >= 0x8000:  # re-center to signed
+                    diff -= 0x10000
+                if diff == -32768:
+                    diff = 32768  # category 16, no extra bits
+                ssss = _category(diff)
+                code, length = codes[ssss]
+                writer.write(code, length)
+                if 0 < ssss < 16:
+                    mag = (
+                        diff
+                        if diff >= 0
+                        else diff + (1 << ssss) - 1
+                    )
+                    writer.write(mag & ((1 << ssss) - 1), ssss)
+            count += 1
+    out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# 12-bit precision (SOF1 extended sequential — Annex A.1/A.3.1)
+# --------------------------------------------------------------------------
+
+
+def _dqt_segment16(tid: int, qtable: np.ndarray) -> bytes:
+    """16-bit-precision DQT (Pq=1) — required once quantizer values
+    exceed 255, the normal case at 12-bit sample precision."""
+    payload = bytes([(1 << 4) | tid]) + b"".join(
+        struct.pack(">H", int(v))
+        for v in qtable.flatten()[ZIGZAG_FLAT]
+    )
+    return b"\xff\xdb" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def encode_jpeg_12bit(
+    arr: np.ndarray,
+    quality: int = 50,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode ``(h, w)`` 12-bit grayscale (uint16, values < 4096) to
+    an EXTENDED SEQUENTIAL JPEG (SOF1, P=12) — the precision the
+    spec reserves for SOF1+ (baseline SOF0 is 8-bit only; real-world
+    12-bit streams are typically medical/scientific grayscale, which
+    is the scope here). Level shift 2048, Annex K luminance table
+    ×16 in a 16-bit DQT (Pq=1), DC categories to 15 via a flat
+    5-bit Huffman table and the full (run, size≤14) AC alphabet via
+    a flat 8-bit table — simple, canonical, all-ones-free codes
+    (a self-test twin optimizes for verifiability, not ratio).
+    ``decode_jpeg`` folds the result back to the uint8 RGB contract
+    (samples >> 4); the flat-even-block exactness property carries
+    over: a block-flat image with values ≡ 0 (mod 32) round-trips
+    through the 12-bit path to exactly ``v >> 4``."""
+    if arr.ndim != 2:
+        raise ValueError(f"expected (h,w) grayscale, got {arr.shape}")
+    if arr.dtype != np.uint16:
+        raise ValueError(f"expected uint16 samples, got {arr.dtype}")
+    if int(arr.max(initial=0)) > 4095:
+        raise ValueError("samples exceed 12-bit range")
+    h, w = arr.shape
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError(f"image dimensions out of JPEG range: {h}x{w}")
+
+    qt = scale_quant_table(QUANT_LUMA, quality) * 16
+    dc_bits = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(17))
+    ac_vals = [0x00, 0xF0] + [
+        (run << 4) | size
+        for run in range(16)
+        for size in range(1, 15)
+    ]
+    ac_bits = [0, 0, 0, 0, 0, 0, 0, len(ac_vals), 0, 0, 0, 0, 0, 0, 0, 0]
+    dc_codes = _build_codes(dc_bits, dc_vals)
+    ac_codes = _build_codes(ac_bits, ac_vals)
+
+    mcus_x, mcus_y = (w + 7) // 8, (h + 7) // 8
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _dqt_segment16(0, qt)
+    sof = struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc1" + struct.pack(">H", 2 + len(sof)) + sof
+    out += _dht_segment(0, 0, dc_bits, dc_vals)
+    out += _dht_segment(1, 0, ac_bits, ac_vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    padded = np.pad(
+        arr,
+        ((0, mcus_y * 8 - h), (0, mcus_x * 8 - w)),
+        mode="edge",
+    ).astype(np.float64) - 2048.0
+
+    writer = _BitWriter()
+    pred = 0
+    mcu_count = 0
+    rst_index = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                out += writer.flush()
+                writer = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst_index])
+                rst_index = (rst_index + 1) % 8
+                pred = 0
+            block = padded[
+                my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8
+            ]
+            pred = _emit_block(
+                writer, block, qt, dc_codes, ac_codes, pred
+            )
+            mcu_count += 1
+    out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)

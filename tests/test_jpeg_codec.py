@@ -197,18 +197,18 @@ class TestVariantAndCorruptionContract:
     def _enc(self) -> bytes:
         return encode_jpeg(np.full((8, 8), 100, dtype=np.uint8), 50)
 
-    def test_arithmetic_progressive_and_lossless_gated(self):
-        """SOF2 became supported (TestProgressive) and sequential
-        arithmetic SOF9 in round 10 (TestArithmetic); the remaining
-        mode gates are progressive-arithmetic (SOF10+) and
-        lossless/hierarchical."""
+    def test_remaining_sof_modes_gated(self):
+        """SOF2 became supported (TestProgressive), sequential
+        arithmetic SOF9 and lossless SOF3 in round 10; the remaining
+        mode gates are progressive-arithmetic (SOF10+),
+        differential, and hierarchical."""
         enc = bytearray(self._enc())
         enc[enc.index(b"\xff\xc0") + 1] = 0xCA  # progressive arith
         with pytest.raises(NotImplementedError, match="arithmetic"):
             decode_jpeg(bytes(enc))
         enc = bytearray(self._enc())
-        enc[enc.index(b"\xff\xc0") + 1] = 0xC3  # lossless
-        with pytest.raises(NotImplementedError, match="arithmetic"):
+        enc[enc.index(b"\xff\xc0") + 1] = 0xC7  # differential lossless
+        with pytest.raises(NotImplementedError, match="differential"):
             decode_jpeg(bytes(enc))
 
     def test_twelve_bit_precision_gated(self):
@@ -789,3 +789,185 @@ class TestArithmetic:
             assert sw in (0, 1)
         assert tab[113][1] == 113 and tab[113][2] == 113
         assert tab[113][3] == 0
+
+
+class TestLossless:
+    """SOF3 lossless JPEG (Annex H spatial DPCM): the first codec in
+    the module with a BIT-EXACT contract on arbitrary inputs — no
+    subspace argument needed. All seven predictors, 8/12/16-bit
+    precision, point transform, restart markers (with the H.1.2.2
+    first-line-after-restart predictor rules), category-16
+    differences, and the uint8 RGB return contract."""
+
+    def test_exact_round_trip_all_predictors_gray_and_rgb(self):
+        rng = np.random.default_rng(31)
+        for pred in range(1, 8):
+            arr = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+            raw, prec = jc.decode_jpeg_lossless_raw(
+                jc.encode_jpeg_lossless(arr, pred)
+            )
+            assert prec == 8
+            assert np.array_equal(raw[..., 0], arr)
+            rgb = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+            assert np.array_equal(
+                decode_jpeg(jc.encode_jpeg_lossless(rgb, pred)), rgb
+            )
+
+    def test_high_precision_round_trip(self):
+        rng = np.random.default_rng(37)
+        for prec in (12, 16):
+            arr = rng.integers(
+                0, 1 << prec, (10, 14), dtype=np.uint16
+            )
+            raw, p = jc.decode_jpeg_lossless_raw(
+                jc.encode_jpeg_lossless(arr, 4, precision=prec)
+            )
+            assert p == prec
+            assert np.array_equal(raw[..., 0], arr)
+
+    def test_point_transform_quantizes_low_bits(self):
+        rng = np.random.default_rng(41)
+        arr = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+        raw, _ = jc.decode_jpeg_lossless_raw(
+            jc.encode_jpeg_lossless(arr, 1, point_transform=2)
+        )
+        assert np.array_equal(raw[..., 0], (arr >> 2) << 2)
+
+    def test_restart_markers_round_trip(self):
+        rng = np.random.default_rng(43)
+        arr = rng.integers(0, 256, (20, 30), dtype=np.uint8)
+        # interval 64 restarts MID-line (w=30): exercises the
+        # H.1.2.2 "rest of the restart line predicts from Ra" rule
+        enc = jc.encode_jpeg_lossless(arr, 5, restart_interval=64)
+        assert b"\xff\xd0" in enc
+        raw, _ = jc.decode_jpeg_lossless_raw(enc)
+        assert np.array_equal(raw[..., 0], arr)
+
+    def test_category_16_difference(self):
+        arr = np.array([[0, 65535], [65535, 0]], dtype=np.uint16)
+        raw, _ = jc.decode_jpeg_lossless_raw(
+            jc.encode_jpeg_lossless(arr, 1, precision=16)
+        )
+        assert np.array_equal(raw[..., 0], arr)
+
+    def test_gray_rgb_return_contract(self):
+        rng = np.random.default_rng(47)
+        g = rng.integers(0, 256, (5, 5), dtype=np.uint8)
+        out = decode_jpeg(jc.encode_jpeg_lossless(g, 4))
+        assert out.shape == (5, 5, 3)
+        assert np.array_equal(out[..., 0], g)
+        assert np.array_equal(out[..., 1], g)
+
+    def test_twelve_bit_decode_jpeg_scales_to_uint8(self):
+        rng = np.random.default_rng(53)
+        arr = rng.integers(0, 4096, (6, 7), dtype=np.uint16)
+        out = decode_jpeg(
+            jc.encode_jpeg_lossless(arr, 2, precision=12)
+        )
+        assert np.array_equal(out[..., 0], (arr >> 4).astype(np.uint8))
+
+    def test_rejects_bad_arguments(self):
+        arr = np.zeros((4, 4), dtype=np.uint8)
+        with pytest.raises(ValueError, match="predictor"):
+            jc.encode_jpeg_lossless(arr, 0)
+        with pytest.raises(ValueError, match="predictor"):
+            jc.encode_jpeg_lossless(arr, 8)
+        with pytest.raises(ValueError, match="precision"):
+            jc.encode_jpeg_lossless(arr, 1, precision=17)
+        with pytest.raises(ValueError, match="point transform"):
+            jc.encode_jpeg_lossless(arr, 1, point_transform=8)
+        with pytest.raises(ValueError, match="range"):
+            jc.encode_jpeg_lossless(
+                np.full((4, 4), 255, dtype=np.uint8), 1, precision=7
+            )
+
+    def test_corrupt_stream_contract(self):
+        enc = bytearray(
+            jc.encode_jpeg_lossless(
+                np.arange(64, dtype=np.uint8).reshape(8, 8), 4
+            )
+        )
+        # invalid predictor selector in SOS
+        # SOS layout: FF DA len(2) ns [cs td] Ss Se AhAl — for the
+        # 1-component stream Ss sits at i+7
+        i = bytes(enc).index(b"\xff\xda")
+        bad = bytearray(enc)
+        bad[i + 7] = 0  # Ss = 0 (only legal hierarchically)
+        with pytest.raises(ValueError, match="predictor"):
+            decode_jpeg(bytes(bad))
+        # truncated entropy stream
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(enc[: len(enc) // 2]))
+
+    @given(
+        seed=st.integers(0, 10_000),
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        pred=st.integers(1, 7),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_fuzz_exact_round_trip(self, seed, h, w, pred):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        raw, _ = jc.decode_jpeg_lossless_raw(
+            jc.encode_jpeg_lossless(arr, pred)
+        )
+        assert np.array_equal(raw[..., 0], arr)
+
+
+class TestTwelveBit:
+    """SOF1 extended sequential at 12-bit precision: level shift
+    2048, 16-bit DQT (Pq=1), DC categories to 15, AC sizes to 14;
+    `decode_jpeg` folds back to the uint8 contract via >> 4. SOF0
+    at 12-bit stays rejected (baseline is 8-bit by spec)."""
+
+    def test_flat_even_block_subspace_exact(self):
+        rng = np.random.default_rng(61)
+        vals = (rng.integers(0, 128, (3, 4)) * 32).astype(np.uint16)
+        arr = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+        dec = decode_jpeg(jc.encode_jpeg_12bit(arr, 50))
+        assert np.array_equal(
+            dec[..., 0], (arr >> 4).astype(np.uint8)
+        )
+
+    def test_smooth_content_q90_within_one(self):
+        y, x = np.mgrid[0:32, 0:40]
+        img = ((y * 53 + x * 31) % 4096).astype(np.uint16)
+        dec = decode_jpeg(jc.encode_jpeg_12bit(img, 90))
+        err = np.abs(
+            dec[..., 0].astype(int) - (img >> 4).astype(int)
+        )
+        assert err.max() <= 2
+
+    def test_restart_markers_do_not_change_pixels(self):
+        y, x = np.mgrid[0:24, 0:24]
+        img = ((y * 7 + x * 11) % 4096).astype(np.uint16)
+        plain = decode_jpeg(jc.encode_jpeg_12bit(img, 90))
+        rst = decode_jpeg(
+            jc.encode_jpeg_12bit(img, 90, restart_interval=2)
+        )
+        assert np.array_equal(plain, rst)
+
+    def test_sixteen_bit_dqt_emitted(self):
+        arr = np.zeros((8, 8), dtype=np.uint16)
+        enc = jc.encode_jpeg_12bit(arr, 50)
+        i = enc.index(b"\xff\xdb")
+        assert enc[i + 4] >> 4 == 1  # Pq = 1 (16-bit entries)
+        assert b"\xff\xc1" in enc  # SOF1
+
+    def test_twelve_bit_sof0_rejected(self):
+        enc = bytearray(
+            jc.encode_jpeg_12bit(np.zeros((8, 8), dtype=np.uint16), 50)
+        )
+        i = bytes(enc).index(b"\xff\xc1")
+        enc[i + 1] = 0xC0
+        with pytest.raises(NotImplementedError, match="12-bit"):
+            decode_jpeg(bytes(enc))
+
+    def test_range_and_dtype_validation(self):
+        with pytest.raises(ValueError, match="uint16"):
+            jc.encode_jpeg_12bit(np.zeros((4, 4), dtype=np.uint8))
+        with pytest.raises(ValueError, match="12-bit"):
+            jc.encode_jpeg_12bit(
+                np.full((4, 4), 5000, dtype=np.uint16)
+            )

@@ -18,13 +18,15 @@ Scope (documented, spec-cited):
   transform; round-10), and 12-BIT extended sequential (SOF1,
   level shift 2048; round-10), 1 or 3 components, per-component
   sampling factors 1 or 2 (covers 4:4:4 / 4:2:2 / 4:2:0),
-  single-component scans as non-interleaved (A.2.2), restart
-  markers (DRI/RSTn) in all modes, 8- and 16-bit DQT precision,
-  multi-table DHT segments, 0xFF00 byte unstuffing.
-  Progressive-arithmetic (SOF10), differential and hierarchical
-  modes raise ``NotImplementedError`` — unsupported VARIANTS,
-  distinct from corrupt payloads which raise ``ValueError`` (the
-  multimodal error contract, ADVICE r8).
+  NON-INTERLEAVED scans (A.2.2 — single-component frames AND
+  multi-component frames sent one scan per component, assembled
+  at EOI; round-10), restart markers (DRI/RSTn) in all modes, 8-
+  and 16-bit DQT precision, multi-table DHT segments, 0xFF00 byte
+  unstuffing. Progressive-arithmetic (SOF10), partial interleaved
+  subset scans (A.2.3), differential and hierarchical modes raise
+  ``NotImplementedError`` — unsupported VARIANTS, distinct from
+  corrupt payloads which raise ``ValueError`` (the multimodal
+  error contract, ADVICE r8).
 - **encode**: baseline SOF0 (grayscale, 4:4:4 or 4:2:0 YCbCr,
   optional restart markers), a PROGRESSIVE encoder
   (:func:`encode_jpeg_progressive`, spectral selection with
@@ -449,10 +451,16 @@ def encode_jpeg(
     quality: int = 50,
     subsampling: str = "444",
     restart_interval: int = 0,
+    interleave: bool = True,
 ) -> bytes:
     """Encode ``(h, w)`` grayscale or ``(h, w, 3)`` RGB uint8 to a
     baseline JFIF JPEG — SOF0, Annex K tables scaled by ``quality``,
-    edge-replication block padding, interleaved single scan.
+    edge-replication block padding, interleaved single scan (or,
+    with ``interleave=False`` on color input, ONE SCAN PER
+    COMPONENT in the A.2.2 non-interleaved arrangement — each scan
+    walks its component's own ``ceil(dim/8)`` block grid and restart
+    numbering resets per scan; the decoder's multi-scan sequential
+    path is testable against real streams because of this knob).
 
     ``subsampling``: ``"444"`` (1×1 chroma) or ``"420"`` (2×2 luma
     sampling factor, 2×2-box-averaged chroma) — ignored for
@@ -529,6 +537,49 @@ def encode_jpeg(
 
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    if not interleave and not gray:
+        # A.2.2 non-interleaved: one scan per component on its own
+        # ceil(dim/8) block grid, restart numbering reset per scan
+        for i, (plane, hs, vs, qt, dct, act) in enumerate(comps):
+            sos = bytes(
+                [1, i + 1, 0x00 if i == 0 else 0x11, 0, 63, 0]
+            )
+            out += (
+                b"\xff\xda"
+                + struct.pack(">H", 2 + len(sos))
+                + sos
+            )
+            padded = (
+                _pad_edge_to_blocks(plane, 8, 8).astype(np.float64)
+                - 128.0
+            )
+            nby, nbx = padded.shape[0] // 8, padded.shape[1] // 8
+            writer = _BitWriter()
+            pred = 0
+            unit = 0
+            rst = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if (
+                        restart_interval
+                        and unit
+                        and unit % restart_interval == 0
+                    ):
+                        out += writer.flush()
+                        writer = _BitWriter()
+                        out += bytes([0xFF, 0xD0 + rst])
+                        rst = (rst + 1) % 8
+                        pred = 0
+                    pred = _emit_block(
+                        writer,
+                        padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                        qt, dct, act, pred,
+                    )
+                    unit += 1
+            out += writer.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
 
     sos = bytearray([len(comps)])
     for i in range(len(comps)):
@@ -613,6 +664,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     arithmetic = False
     precision = 8
     coef_state: "_ProgressiveState | None" = None
+    seq_planes: dict | None = None  # A.2.2 per-component scans
 
     pos = 2
     data = content
@@ -635,6 +687,23 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         if marker == 0xD9:  # EOI carries no length segment
             if coef_state is not None:
                 return coef_state.reconstruct(qtables)
+            if seq_planes is not None:
+                missing = [
+                    cid
+                    for cid, *_ in frame[2]
+                    if cid not in seq_planes
+                ]
+                if missing:
+                    raise ValueError(
+                        f"EOI before components {missing} were "
+                        "scanned"
+                    )
+                if precision > 8:
+                    for cid in seq_planes:
+                        seq_planes[cid] = seq_planes[cid] / float(
+                            1 << (precision - 8)
+                        )
+                return _assemble(frame, seq_planes)
             raise ValueError("EOI before scan data")
         if pos + 2 > len(data):
             raise ValueError("truncated marker segment header")
@@ -769,16 +838,31 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 )
                 continue
             if ns != len(frame[2]) and not (ns == 1):
-                raise ValueError(
-                    f"scan has {ns} components, frame has "
-                    f"{len(frame[2])}"
+                # a 2-of-3 interleaved subset scan is legal per
+                # A.2.3 but unsupported — variant, not corruption
+                raise NotImplementedError(
+                    f"partial interleaved scan ({ns} of "
+                    f"{len(frame[2])} components) not supported — "
+                    "full interleave or one component per scan"
                 )
             if ns == 1 and len(frame[2]) > 1:
-                raise NotImplementedError(
-                    "sequential per-component (non-interleaved "
-                    "multi-scan) baseline JPEG not supported — "
-                    "single interleaved scan only"
+                # A.2.2 non-interleaved: each component arrives in
+                # its own scan; decode into persistent planes and
+                # keep walking until EOI assembles the frame
+                if arithmetic:
+                    raise NotImplementedError(
+                        "non-interleaved multi-component arithmetic "
+                        "scans not supported — single interleaved "
+                        "scan only"
+                    )
+                if seq_planes is None:
+                    seq_planes = {}
+                pos = _decode_scan(
+                    data, pos, frame, scan, qtables, dc_tables,
+                    ac_tables, restart_interval, precision,
+                    seq_planes,
                 )
+                continue
             if arithmetic:
                 return _decode_scan_arith(
                     data, pos, frame, scan, qtables, conditioning,
@@ -801,7 +885,14 @@ def _decode_scan(
     ac_tables,
     restart_interval: int,
     precision: int = 8,
-) -> np.ndarray:
+    planes: dict | None = None,
+) -> "np.ndarray | int":
+    """Decode one entropy-coded scan. With ``planes=None`` (the
+    single-interleaved-scan fast path) the frame is assembled and
+    returned; with a caller-provided ``planes`` dict (the A.2.2
+    non-interleaved multi-scan path) the scan's components are
+    decoded INTO it and the byte position of the next marker is
+    returned so the caller can continue the segment walk."""
     h, w, comps = frame
     by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
     hmax = max(hs for _, hs, _, _ in comps)
@@ -829,8 +920,13 @@ def _decode_scan(
         cid: ((1, 1) if non_interleaved else (hs, vs))
         for cid, hs, vs, tq in comps
     }
-    planes = {}
+    partial = planes is not None
+    if planes is None:
+        planes = {}
+    scan_ids = {cs for cs, _, _ in scan}
     for cid, hs, vs, tq in comps:
+        if cid not in scan_ids and partial:
+            continue  # another scan owns this component's plane
         ehs, evs = eff[cid]
         planes[cid] = np.zeros(
             (mcus_y * evs * 8, mcus_x * ehs * 8), dtype=np.float64
@@ -872,6 +968,8 @@ def _decode_scan(
                         planes[cs][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
 
+    if partial:
+        return _next_marker(data, reader.pos)
     if precision > 8:
         # fold the extended dynamic range back to the uint8 RGB
         # return contract before upsampling/color conversion

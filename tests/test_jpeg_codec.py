@@ -238,26 +238,21 @@ class TestVariantAndCorruptionContract:
         enc[enc.index(b"\xff\xc0") + 11] = 0x22  # declare 2x2
         assert np.array_equal(decode_jpeg(bytes(enc)), base)
 
-    def test_multi_scan_baseline_gated(self):
-        """Sequential per-component scans (ns=1 on a 3-component
-        frame) gate as NotImplementedError, and a scan/frame
-        component-count mismatch is corruption."""
+    def test_incomplete_multi_scan_frame_is_corrupt(self):
+        """Non-interleaved scans became SUPPORTED (round 10,
+        TestNonInterleavedSequential); the corruption contract now:
+        a frame whose EOI arrives before every component has been
+        scanned is ValueError (here: an interleaved stream rewritten
+        into a single Y-only scan — Cb/Cr never arrive)."""
         rgb = np.zeros((8, 8, 3), dtype=np.uint8)
         enc = bytearray(encode_jpeg(rgb, 75))
         sos = enc.index(b"\xff\xda")
-        # rewrite SOS to a single-component scan on the 3-comp frame
         new_sos = bytes(
             [0xFF, 0xDA, 0, 8, 1, 1, 0x00, 0, 63, 0]
         )
         patched = bytes(enc[:sos]) + new_sos + bytes(enc[sos + 12:])
-        with pytest.raises(NotImplementedError, match="multi-scan"):
-            decode_jpeg(patched)
-        # ns=2 on a 3-component frame: neither interleaved-complete
-        # nor single-component -> corrupt
-        enc2 = bytearray(encode_jpeg(rgb, 75))
-        enc2[enc2.index(b"\xff\xda") + 4] = 2
         with pytest.raises(ValueError):
-            decode_jpeg(bytes(enc2))
+            decode_jpeg(patched)
 
     def test_corruption_is_valueerror(self):
         enc = self._enc()
@@ -971,3 +966,67 @@ class TestTwelveBit:
             jc.encode_jpeg_12bit(
                 np.full((4, 4), 5000, dtype=np.uint16)
             )
+
+
+class TestNonInterleavedSequential:
+    """A.2.2 non-interleaved baseline: a color image sent as one
+    scan PER COMPONENT (each on its own ceil(dim/8) block grid,
+    restart numbering reset per scan). Pixels must equal the
+    interleaved layout exactly — identical quantized coefficients,
+    different scan arrangement."""
+
+    def test_equal_to_interleaved_both_subsamplings(self):
+        rng = np.random.default_rng(67)
+        for sub in ("444", "420"):
+            rgb = rng.integers(0, 256, (21, 27, 3), dtype=np.uint8)
+            inter = decode_jpeg(encode_jpeg(rgb, 50, sub))
+            non = decode_jpeg(
+                encode_jpeg(rgb, 50, sub, interleave=False)
+            )
+            assert np.array_equal(inter, non)
+
+    def test_stream_has_three_scans(self):
+        rgb = np.zeros((16, 16, 3), dtype=np.uint8)
+        enc = encode_jpeg(rgb, 50, interleave=False)
+        assert enc.count(b"\xff\xda") == 3
+
+    def test_restart_markers_per_scan(self):
+        rng = np.random.default_rng(71)
+        rgb = rng.integers(0, 256, (30, 30, 3), dtype=np.uint8)
+        non = decode_jpeg(
+            encode_jpeg(
+                rgb, 50, "420", restart_interval=3, interleave=False
+            )
+        )
+        inter = decode_jpeg(
+            encode_jpeg(rgb, 50, "420", restart_interval=3)
+        )
+        assert np.array_equal(inter, non)
+
+    def test_truncated_multi_scan_raises(self):
+        rgb = np.zeros((16, 16, 3), dtype=np.uint8)
+        enc = encode_jpeg(rgb, 50, interleave=False)
+        # cut after the second scan's SOS: EOI never arrives
+        second = enc.index(b"\xff\xda", enc.index(b"\xff\xda") + 2)
+        with pytest.raises(ValueError):
+            decode_jpeg(enc[: second + 10])
+
+    def test_partial_interleaved_subset_gated(self):
+        """A 2-of-3 interleaved subset scan is legal spec (A.2.3)
+        but unsupported — must be NotImplementedError, not
+        ValueError."""
+        rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+        enc = bytearray(encode_jpeg(rgb, 50))
+        i = bytes(enc).index(b"\xff\xda")
+        # rewrite the SOS: 2 components instead of 3 (len shrinks 2)
+        old_len = (enc[i + 2] << 8) | enc[i + 3]
+        sos = bytes([2, 1, 0x00, 2, 0x11, 0, 63, 0])
+        new = (
+            bytes(enc[:i])
+            + b"\xff\xda"
+            + struct.pack(">H", 2 + len(sos))
+            + sos
+            + bytes(enc[i + 2 + old_len :])
+        )
+        with pytest.raises(NotImplementedError, match="partial"):
+            decode_jpeg(new)

@@ -22,11 +22,13 @@ Scope (documented, spec-cited):
   multi-component frames sent one scan per component, assembled
   at EOI; round-10), restart markers (DRI/RSTn) in all modes, 8-
   and 16-bit DQT precision, multi-table DHT segments, 0xFF00 byte
-  unstuffing. Progressive-arithmetic (SOF10), partial interleaved
-  subset scans (A.2.3), differential and hierarchical modes raise
-  ``NotImplementedError`` — unsupported VARIANTS, distinct from
-  corrupt payloads which raise ``ValueError`` (the multimodal
-  error contract, ADVICE r8).
+  unstuffing — and PROGRESSIVE-ARITHMETIC (SOF10, Annex G.2: all
+  four scan procedures QM-coded — DC first/refine, AC first/refine
+  with the gated EOB decision; round-10). Partial interleaved
+  subset scans (A.2.3), arithmetic lossless (SOF11), differential
+  and hierarchical modes raise ``NotImplementedError`` —
+  unsupported VARIANTS, distinct from corrupt payloads which raise
+  ``ValueError`` (the multimodal error contract, ADVICE r8).
 - **encode**: baseline SOF0 (grayscale, 4:4:4 or 4:2:0 YCbCr,
   optional restart markers), a PROGRESSIVE encoder
   (:func:`encode_jpeg_progressive`, spectral selection with
@@ -749,8 +751,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 dec = _HuffDecoder(bits, vals)
                 (dc_tables if tc == 0 else ac_tables)[th] = dec
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
-            # SOF0/1 baseline, SOF2 progressive, SOF9 arithmetic seq
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 baseline, SOF2 progressive, SOF9 arithmetic
+            # sequential, SOF10 arithmetic progressive
             prec = body[0]
             if prec == 12 and marker == 0xC1:
                 precision = 12  # extended sequential allows 12-bit
@@ -780,8 +783,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     f"{ncomp}-component JPEG not supported"
                 )
             frame = (h, w, comps)
-            progressive = marker == 0xC2
-            arithmetic = marker == 0xC9
+            progressive = marker in (0xC2, 0xCA)
+            arithmetic = marker in (0xC9, 0xCA)
         elif marker == 0xC3:  # SOF3 lossless: re-walk via the raw
             # decoder, then scale to the uint8 RGB return contract
             raw, prec = decode_jpeg_lossless_raw(content)
@@ -798,13 +801,13 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 return np.stack([g, g, g], axis=-1)
             return raw  # 3-component lossless = direct RGB (Annex H
             # leaves color to the application; our encoder writes RGB)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCA,
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG mode SOF{marker - 0xC0} (progressive-"
-                "arithmetic/differential/hierarchical) not supported "
-                "— baseline SOF0/SOF1, progressive SOF2, arithmetic "
-                "sequential SOF9, and lossless SOF3 only"
+                f"JPEG mode SOF{marker - 0xC0} (differential/"
+                "hierarchical/arithmetic-lossless) not supported — "
+                "baseline SOF0/SOF1, progressive SOF2/SOF10, "
+                "arithmetic sequential SOF9, and lossless SOF3 only"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             i = 0
@@ -832,10 +835,18 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 ahal = body[3 + ns * 2]
                 if coef_state is None:
                     coef_state = _ProgressiveState(frame)
-                pos = coef_state.decode_scan(
-                    data, pos, scan, ss, se, ahal >> 4, ahal & 0x0F,
-                    dc_tables, ac_tables, restart_interval,
-                )
+                if arithmetic:
+                    pos = coef_state.decode_scan_arith(
+                        data, pos, scan, ss, se,
+                        ahal >> 4, ahal & 0x0F,
+                        conditioning, restart_interval,
+                    )
+                else:
+                    pos = coef_state.decode_scan(
+                        data, pos, scan, ss, se,
+                        ahal >> 4, ahal & 0x0F,
+                        dc_tables, ac_tables, restart_interval,
+                    )
                 continue
             if ns != len(frame[2]) and not (ns == 1):
                 # a 2-of-3 interleaved subset scan is legal per
@@ -1303,6 +1314,149 @@ class _ProgressiveState:
                 k += 1
             eobrun -= 1
         return eobrun
+
+    # -- arithmetic entropy layer (SOF10, Annex G.2) ----------------------
+
+    def decode_scan_arith(
+        self, data, pos, scan, ss, se, ah, al,
+        conditioning, restart_interval,
+    ) -> int:
+        """Progressive-ARITHMETIC scan (G.2): the same four scan
+        shapes as the Huffman layer with the QM-coder underneath —
+        DC first uses the sequential DPCM decision trees at the
+        scan's precision, DC refinement codes one fixed-bin bit per
+        block, AC first runs the sequential band walk with values
+        shifted by Al, AC refinement follows the
+        correction-bit/newly-nonzero protocol with the EOB decision
+        gated past the previous stage's end-of-block. Statistics
+        reset per scan and per restart."""
+        for cs, _, _ in scan:
+            if cs not in self.by_id:
+                raise ValueError(
+                    f"scan references unknown component {cs}"
+                )
+        dec = _ArithDecoder(data, pos)
+        dc_stats, ac_stats, fixed = _arith_new_stats(
+            scan, conditioning
+        )
+        if ss == 0:
+            if se != 0:
+                raise ValueError(
+                    f"progressive DC scan must have Se=0 (got {se})"
+                )
+            self._dc_scan_arith(
+                dec, scan, ah, al, conditioning, dc_stats, fixed,
+                restart_interval,
+            )
+        else:
+            if len(scan) != 1:
+                raise ValueError(
+                    "progressive AC scans are single-component "
+                    f"(got {len(scan)})"
+                )
+            if not 1 <= ss <= se <= 63:
+                raise ValueError(
+                    f"bad spectral band Ss={ss}, Se={se}"
+                )
+            self._ac_scan_arith(
+                dec, scan[0], ss, se, ah, al, conditioning,
+                ac_stats, fixed, restart_interval,
+            )
+        return _next_marker(data, dec.pos)
+
+    def _dc_scan_arith(
+        self, dec, scan, ah, al, conditioning, dc_stats, fixed,
+        restart_interval,
+    ) -> None:
+        preds = {cs: 0 for cs, _, _ in scan}
+        dc_ctx = {cs: 0 for cs, _, _ in scan}
+        rst_index = 0
+        units = 0
+
+        def maybe_restart():
+            nonlocal rst_index, preds, dc_ctx, dc_stats, fixed
+            if (
+                restart_interval
+                and units
+                and units % restart_interval == 0
+            ):
+                dec.sync_restart(rst_index)
+                rst_index = (rst_index + 1) % 8
+                ds, _, _ = _arith_new_stats(scan, conditioning)
+                dc_stats.clear()
+                dc_stats.update(ds)
+                fixed[0] = _FIXED_BIN
+                preds = {cs: 0 for cs, _, _ in scan}
+                dc_ctx = {cs: 0 for cs, _, _ in scan}
+
+        def dc_unit(cs, td, by, bx):
+            if ah == 0:
+                cond = conditioning.get((0, td), 0x10)
+                _arith_decode_dc(
+                    dec, dc_stats[td], preds, dc_ctx, cs,
+                    cond & 0x0F, cond >> 4,
+                )
+                self.coefs[cs][by, bx, 0] = preds[cs] << al
+            else:  # refinement: one fixed-bin bit per block (G.2.2)
+                if dec.decode(fixed, 0):
+                    self.coefs[cs][by, bx, 0] |= 1 << al
+
+        if len(scan) > 1:  # interleaved over MCUs
+            for my in range(self.mcus_y):
+                for mx in range(self.mcus_x):
+                    maybe_restart()
+                    for cs, td, _ in scan:
+                        hs, vs, _ = self.by_id[cs]
+                        for v in range(vs):
+                            for u in range(hs):
+                                dc_unit(
+                                    cs, td, my * vs + v, mx * hs + u
+                                )
+                    units += 1
+        else:
+            cs, td, _ = scan[0]
+            nby, nbx = self.ni_grid[cs]
+            for by in range(nby):
+                for bx in range(nbx):
+                    maybe_restart()
+                    dc_unit(cs, td, by, bx)
+                    units += 1
+
+    def _ac_scan_arith(
+        self, dec, comp_scan, ss, se, ah, al, conditioning,
+        ac_stats, fixed, restart_interval,
+    ) -> None:
+        cs, _, ta = comp_scan
+        kx = conditioning.get((1, ta), 5)
+        nby, nbx = self.ni_grid[cs]
+        rst_index = 0
+        units = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if (
+                    restart_interval
+                    and units
+                    and units % restart_interval == 0
+                ):
+                    dec.sync_restart(rst_index)
+                    rst_index = (rst_index + 1) % 8
+                    _, acs, _ = _arith_new_stats(
+                        [comp_scan], conditioning
+                    )
+                    ac_stats.clear()
+                    ac_stats.update(acs)
+                    fixed[0] = _FIXED_BIN
+                block = self.coefs[cs][by, bx]
+                if ah == 0:
+                    _arith_decode_ac_band(
+                        dec, ac_stats[ta], fixed, block, ss, se,
+                        kx, al,
+                    )
+                else:
+                    _arith_refine_ac_band(
+                        dec, ac_stats[ta], fixed, block, ss, se, al
+                    )
+                units += 1
 
     # -- reconstruction -----------------------------------------------------
 
@@ -1811,14 +1965,9 @@ def _arith_new_stats(scan, conditioning):
     return dc_stats, ac_stats, fixed
 
 
-def _arith_decode_block(
-    dec, dc_st, ac_st, fixed, qtable, preds, dc_ctx, cs, dc_l, dc_u, kx
-) -> np.ndarray:
-    """One 8×8 block: DC DPCM decision tree (F.2.4.1) + AC zigzag
-    walk (F.2.4.2) → dequant → IDCT (the Huffman `_decode_block`
-    shape with the entropy layer swapped)."""
-    zz = np.zeros(64, dtype=np.int64)
-    # ---- DC (Figures F.19-F.24, decode direction)
+def _arith_decode_dc(dec, dc_st, preds, dc_ctx, cs, dc_l, dc_u) -> None:
+    """DC DPCM decision tree, decode direction (F.2.4.1, Figures
+    F.19-F.24): updates ``preds[cs]`` and the conditioning context."""
     s0 = dc_ctx[cs]
     if dec.decode(dc_st, s0):
         sign = dec.decode(dc_st, s0 + 1)
@@ -1849,18 +1998,24 @@ def _arith_decode_block(
         preds[cs] += -v if sign else v
     else:
         dc_ctx[cs] = 0
-    zz[0] = preds[cs]
-    # ---- AC (Figure F.20 decode direction)
-    k = 1
-    while k <= 63:
+
+
+def _arith_decode_ac_band(
+    dec, ac_st, fixed, out, ss, se, kx, al=0
+) -> None:
+    """AC zigzag walk, decode direction (F.2.4.2 / G.2 first pass):
+    writes decoded values (shifted left by ``al``) into ``out[k]``
+    for the spectral band ``ss..se``."""
+    k = ss
+    while k <= se:
         st = 3 * (k - 1)
         if dec.decode(ac_st, st):
             break  # EOB
         while dec.decode(ac_st, st + 1) == 0:
             st += 3
             k += 1
-            if k > 63:
-                raise ValueError("arithmetic AC run overflows block")
+            if k > se:
+                raise ValueError("arithmetic AC run overflows band")
         sign = dec.decode(fixed, 0)
         st += 2
         m = dec.decode(ac_st, st)
@@ -1882,8 +2037,57 @@ def _arith_decode_block(
             if dec.decode(ac_st, st):
                 v |= m
         v += 1
-        zz[k] = -v if sign else v
+        out[k] = (-v if sign else v) << al
         k += 1
+
+
+def _arith_refine_ac_band(dec, ac_st, fixed, block, ss, se, al) -> None:
+    """AC successive-approximation refinement, decode direction
+    (G.2.3 / the jdarith shape): nonzero-history coefficients take a
+    correction bit at SC = st+2, zero-history positions decide
+    newly-nonzero at st+1 with the sign in the fixed bin; the EOB
+    decision fires only past the previous stage's end-of-block."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    kex = 0
+    for kk in range(se, 0, -1):
+        if int(block[kk]):
+            kex = kk
+            break
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(ac_st, st):
+                break  # EOB
+        while True:
+            c = int(block[k])
+            if c:
+                if dec.decode(ac_st, st + 2):
+                    block[k] = c + (p1 if c >= 0 else m1)
+                break
+            if dec.decode(ac_st, st + 1):
+                block[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError(
+                    "arithmetic AC refinement overflows band"
+                )
+        k += 1
+
+
+def _arith_decode_block(
+    dec, dc_st, ac_st, fixed, qtable, preds, dc_ctx, cs, dc_l, dc_u, kx
+) -> np.ndarray:
+    """One 8×8 block: DC DPCM decision tree (F.2.4.1) + AC zigzag
+    walk (F.2.4.2) → dequant → IDCT (the Huffman `_decode_block`
+    shape with the entropy layer swapped)."""
+    zz = np.zeros(64, dtype=np.int64)
+    _arith_decode_dc(dec, dc_st, preds, dc_ctx, cs, dc_l, dc_u)
+    zz[0] = preds[cs]
+    _arith_decode_ac_band(dec, ac_st, fixed, zz, 1, 63, kx)
     coefs = np.zeros(64, dtype=np.float64)
     coefs[ZIGZAG_FLAT] = zz * qtable.flatten()[ZIGZAG_FLAT]
     return _DCT.T @ coefs.reshape(8, 8) @ _DCT + 128.0
@@ -1977,20 +2181,13 @@ def _decode_scan_arith(
     return _assemble(frame, planes)
 
 
-def _arith_emit_block(
-    enc, dc_st, ac_st, fixed, block, qtable, preds, dc_ctx, cs,
-    dc_l, dc_u, kx,
+def _arith_encode_dc(
+    enc, dc_st, preds, dc_ctx, cs, dc_val, dc_l, dc_u
 ) -> None:
-    """FDCT + quantize + arithmetic-entropy-encode one level-shifted
-    block (F.1.4.4.1 DC / F.1.4.4.2 AC — the `_emit_block` shape
-    with the entropy layer swapped; quantization identical, which is
-    what makes arithmetic and Huffman layouts decode pixel-equal)."""
-    coefs = _DCT @ block @ _DCT.T
-    quant = np.rint(coefs / qtable).astype(np.int64)
-    zz = quant.flatten()[ZIGZAG_FLAT]
-    # ---- DC
-    v = int(zz[0]) - preds[cs]
-    preds[cs] = int(zz[0])
+    """DC DPCM decision tree, encode direction (F.1.4.4.1):
+    ``dc_val`` is the (possibly point-transformed) quantized DC."""
+    v = dc_val - preds[cs]
+    preds[cs] = dc_val
     s0 = dc_ctx[cs]
     if v == 0:
         enc.encode(dc_st, s0, 0)
@@ -2025,22 +2222,34 @@ def _arith_emit_block(
         while m > 1:
             m >>= 1
             enc.encode(dc_st, st, 1 if (v & m) else 0)
-    # ---- AC
+
+
+def _arith_encode_ac_band(
+    enc, ac_st, fixed, zz, ss, se, kx, al=0
+) -> None:
+    """AC zigzag walk, encode direction (F.1.4.4.2 / G.1.3 first
+    pass): values are point-transformed by ``al`` (magnitude shift,
+    sign preserved) before category coding."""
+
+    def tval(k: int) -> int:
+        v = int(zz[k])
+        return -((-v) >> al) if v < 0 else v >> al
+
     ke = 0
-    for k in range(63, 0, -1):
-        if zz[k]:
+    for k in range(se, ss - 1, -1):
+        if tval(k):
             ke = k
             break
-    k = 1
+    k = ss
     while k <= ke:
         st = 3 * (k - 1)
         enc.encode(ac_st, st, 0)  # not EOB here
-        while int(zz[k]) == 0:
+        while tval(k) == 0:
             enc.encode(ac_st, st + 1, 0)
             st += 3
             k += 1
         enc.encode(ac_st, st + 1, 1)
-        v = int(zz[k])
+        v = tval(k)
         sign = 1 if v < 0 else 0
         if sign:
             v = -v
@@ -2067,9 +2276,70 @@ def _arith_emit_block(
             m >>= 1
             enc.encode(ac_st, st, 1 if (v & m) else 0)
         k += 1
-    if ke < 63:
+    if ke < se:
         st = 3 * (k - 1)
         enc.encode(ac_st, st, 1)  # EOB
+
+
+def _arith_refine_ac_band_encode(
+    enc, ac_st, fixed, zz, ss, se, ah, al
+) -> None:
+    """AC successive-approximation refinement, encode direction
+    (G.1.3.3 / the jcarith shape): the mirror of
+    `_arith_refine_ac_band`."""
+
+    def mag(k: int, shift: int) -> int:
+        v = int(zz[k])
+        return (-v if v < 0 else v) >> shift
+
+    ke = 0
+    for k in range(se, ss - 1, -1):
+        if mag(k, al):
+            ke = k
+            break
+    kex = 0
+    for k in range(ke, ss - 1, -1):
+        if mag(k, ah):
+            kex = k
+            break
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.encode(ac_st, st, 0)  # EOB decision: not yet
+        while True:
+            t = mag(k, al)
+            if t:
+                if t >> 1:  # previously nonzero: correction bit
+                    enc.encode(ac_st, st + 2, t & 1)
+                else:  # newly nonzero: flag + fixed-bin sign
+                    enc.encode(ac_st, st + 1, 1)
+                    enc.encode(fixed, 0, 1 if int(zz[k]) < 0 else 0)
+                break
+            enc.encode(ac_st, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+    if k <= se:
+        st = 3 * (k - 1)
+        enc.encode(ac_st, st, 1)  # EOB
+
+
+def _arith_emit_block(
+    enc, dc_st, ac_st, fixed, block, qtable, preds, dc_ctx, cs,
+    dc_l, dc_u, kx,
+) -> None:
+    """FDCT + quantize + arithmetic-entropy-encode one level-shifted
+    block (F.1.4.4.1 DC / F.1.4.4.2 AC — the `_emit_block` shape
+    with the entropy layer swapped; quantization identical, which is
+    what makes arithmetic and Huffman layouts decode pixel-equal)."""
+    coefs = _DCT @ block @ _DCT.T
+    quant = np.rint(coefs / qtable).astype(np.int64)
+    zz = quant.flatten()[ZIGZAG_FLAT]
+    _arith_encode_dc(
+        enc, dc_st, preds, dc_ctx, cs, int(zz[0]), dc_l, dc_u
+    )
+    _arith_encode_ac_band(enc, ac_st, fixed, zz, 1, 63, kx)
 
 
 def _dac_segment(entries: list[tuple[int, int, int]]) -> bytes:
@@ -2641,5 +2911,142 @@ def encode_jpeg_12bit(
             )
             mcu_count += 1
     out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive_arithmetic(
+    arr: np.ndarray,
+    quality: int = 50,
+    bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """Encode grayscale or 4:4:4 RGB as a PROGRESSIVE-ARITHMETIC
+    (SOF10, Annex G.2) JPEG exercising ALL FOUR scan procedures:
+    an interleaved DC first scan at Al=1, a DC refinement scan
+    (fixed-bin correction bits), per-component AC first scans per
+    ``bands`` entry at Al=1 (QM-coded band walks), and a
+    per-component AC refinement scan over 1..63 (correction-bit /
+    newly-nonzero protocol with the EOB decision gated past the
+    previous stage's end-of-block). Quantized coefficients are
+    IDENTICAL to :func:`encode_jpeg` at the same quality, so the
+    stream must decode pixel-equal to every other layout — the
+    fourth entropy arrangement under the same cross-layout proof."""
+    if arr.ndim == 2:
+        gray = True
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        gray = False
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) array, got {arr.shape}")
+    if arr.dtype != np.uint8:
+        raise ValueError(f"expected uint8 pixels, got {arr.dtype}")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError(f"image dimensions out of JPEG range: {h}x{w}")
+    for ks, ke in bands:
+        if not 1 <= ks <= ke <= 63:
+            raise ValueError(f"bad spectral band ({ks}, {ke})")
+
+    ql = scale_quant_table(QUANT_LUMA, quality)
+    qc = scale_quant_table(QUANT_CHROMA, quality)
+    if gray:
+        planes = [_pad_edge_to_blocks(arr, 8, 8)]
+    else:
+        ycc = rgb_to_ycbcr(arr)
+        planes = [
+            _pad_edge_to_blocks(ycc[..., c], 8, 8) for c in range(3)
+        ]
+    coefs = [
+        _quantized_blocks(p, ql if i == 0 else qc)
+        for i, p in enumerate(planes)
+    ]
+    nby, nbx = coefs[0].shape[:2]
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    out += _dqt_segment(0, ql)
+    if not gray:
+        out += _dqt_segment(1, qc)
+    sof = bytearray()
+    sof += struct.pack(">BHHB", 8, h, w, len(planes))
+    for i in range(len(planes)):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    out += b"\xff\xca" + struct.pack(">H", 2 + len(sof)) + bytes(sof)
+    dac = [(0, 0, 0x10), (1, 0, 5)]
+    if not gray:
+        dac += [(0, 1, 0x10), (1, 1, 5)]
+    out += _dac_segment(dac)
+    conditioning = {(tc, tb): cs for tc, tb, cs in dac}
+
+    def sos_header(comp_ids_tables: list, ss: int, se: int,
+                   ah: int, al: int) -> bytes:
+        body = bytearray([len(comp_ids_tables)])
+        for cid, tbl in comp_ids_tables:
+            body += bytes([cid, (tbl << 4) | tbl])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + bytes(
+            body
+        )
+
+    all_comps = [(i + 1, 0 if i == 0 else 1) for i in range(len(planes))]
+
+    # --- scan 1: interleaved DC first, Al=1
+    out += sos_header(all_comps, 0, 0, 0, 1)
+    enc = _ArithEncoder()
+    scan = [(cid, tbl, tbl) for cid, tbl in all_comps]
+    dc_stats, _, _ = _arith_new_stats(scan, conditioning)
+    preds = {cid: 0 for cid, _ in all_comps}
+    dc_ctx = {cid: 0 for cid, _ in all_comps}
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci, (cid, tbl) in enumerate(all_comps):
+                _arith_encode_dc(
+                    enc, dc_stats[tbl], preds, dc_ctx, cid,
+                    int(coefs[ci][by, bx, 0]) >> 1, 0, 1,
+                )
+    out += enc.flush()
+
+    # --- scan 2: interleaved DC refinement, Ah=1 Al=0
+    out += sos_header(all_comps, 0, 0, 1, 0)
+    enc = _ArithEncoder()
+    fixed = bytearray([_FIXED_BIN])
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci, (cid, tbl) in enumerate(all_comps):
+                enc.encode(fixed, 0, int(coefs[ci][by, bx, 0]) & 1)
+    out += enc.flush()
+
+    # --- per component: AC first scans (Al=1), then AC refinement
+    for ci, (cid, tbl) in enumerate(all_comps):
+        for ks, ke in bands:
+            out += sos_header([(cid, tbl)], ks, ke, 0, 1)
+            enc = _ArithEncoder()
+            _, ac_stats, fixed = _arith_new_stats(
+                [(cid, tbl, tbl)], conditioning
+            )
+            for by in range(nby):
+                for bx in range(nbx):
+                    _arith_encode_ac_band(
+                        enc, ac_stats[tbl], fixed,
+                        coefs[ci][by, bx], ks, ke, 5, 1,
+                    )
+            out += enc.flush()
+    for ci, (cid, tbl) in enumerate(all_comps):
+        out += sos_header([(cid, tbl)], 1, 63, 1, 0)
+        enc = _ArithEncoder()
+        _, ac_stats, fixed = _arith_new_stats(
+            [(cid, tbl, tbl)], conditioning
+        )
+        for by in range(nby):
+            for bx in range(nbx):
+                _arith_refine_ac_band_encode(
+                    enc, ac_stats[tbl], fixed,
+                    coefs[ci][by, bx], 1, 63, 1, 0,
+                )
+        out += enc.flush()
+
     out += b"\xff\xd9"
     return bytes(out)

@@ -198,18 +198,16 @@ class TestVariantAndCorruptionContract:
         return encode_jpeg(np.full((8, 8), 100, dtype=np.uint8), 50)
 
     def test_remaining_sof_modes_gated(self):
-        """SOF2 became supported (TestProgressive), sequential
-        arithmetic SOF9 and lossless SOF3 in round 10; the remaining
-        mode gates are progressive-arithmetic (SOF10+),
-        differential, and hierarchical."""
-        enc = bytearray(self._enc())
-        enc[enc.index(b"\xff\xc0") + 1] = 0xCA  # progressive arith
-        with pytest.raises(NotImplementedError, match="arithmetic"):
-            decode_jpeg(bytes(enc))
-        enc = bytearray(self._enc())
-        enc[enc.index(b"\xff\xc0") + 1] = 0xC7  # differential lossless
-        with pytest.raises(NotImplementedError, match="differential"):
-            decode_jpeg(bytes(enc))
+        """Round 10 closed SOF3/SOF9/SOF10/12-bit-SOF1; what remains
+        gated is the differential/hierarchical family (SOF5-7,
+        SOF13-15) and arithmetic lossless (SOF11)."""
+        for sof in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+            enc = bytearray(self._enc())
+            enc[enc.index(b"\xff\xc0") + 1] = sof
+            with pytest.raises(
+                NotImplementedError, match="differential|hierarch"
+            ):
+                decode_jpeg(bytes(enc))
 
     def test_twelve_bit_precision_gated(self):
         enc = bytearray(self._enc())
@@ -742,16 +740,16 @@ class TestArithmetic:
             except ValueError:
                 pass
 
-    def test_progressive_arithmetic_still_gated(self):
-        """SOF10 remains NotImplementedError (variant gate), and the
-        gate message no longer claims sequential arithmetic is
+    def test_arithmetic_lossless_still_gated(self):
+        """SOF11 (arithmetic lossless) remains NotImplementedError;
+        the gate message no longer claims SOF9/SOF10 are
         unsupported."""
         enc = bytearray(
             jc.encode_jpeg_arithmetic(_block_flat_gray(2, 8, 8), 50)
         )
         i = bytes(enc).index(b"\xff\xc9")
-        enc[i + 1] = 0xCA  # SOF9 -> SOF10
-        with pytest.raises(NotImplementedError):
+        enc[i + 1] = 0xCB  # SOF9 -> SOF11
+        with pytest.raises(NotImplementedError, match="hierarch"):
             decode_jpeg(bytes(enc))
 
     @given(
@@ -1030,3 +1028,70 @@ class TestNonInterleavedSequential:
         )
         with pytest.raises(NotImplementedError, match="partial"):
             decode_jpeg(new)
+
+
+class TestProgressiveArithmetic:
+    """SOF10 (Annex G.2): the fourth entropy arrangement under the
+    same cross-layout proof — DC first/refine and AC first/refine
+    scans all QM-coded. Pixels must equal the baseline layout
+    exactly (identical quantized coefficients)."""
+
+    def test_cross_layout_equality_gray(self):
+        rng = np.random.default_rng(83)
+        for _ in range(6):
+            h, w = int(rng.integers(1, 45)), int(rng.integers(1, 45))
+            g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            base = decode_jpeg(encode_jpeg(g, 50))
+            pa = decode_jpeg(
+                jc.encode_jpeg_progressive_arithmetic(g, 50)
+            )
+            assert np.array_equal(base, pa)
+
+    def test_cross_layout_equality_color(self):
+        rng = np.random.default_rng(89)
+        rgb = rng.integers(0, 256, (22, 19, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(rgb, 50))
+        pa = decode_jpeg(
+            jc.encode_jpeg_progressive_arithmetic(rgb, 50)
+        )
+        assert np.array_equal(base, pa)
+
+    def test_stream_structure(self):
+        rgb = np.zeros((16, 16, 3), dtype=np.uint8)
+        enc = jc.encode_jpeg_progressive_arithmetic(rgb, 50)
+        assert b"\xff\xca" in enc  # SOF10
+        assert b"\xff\xcc" in enc  # DAC
+        assert b"\xff\xc4" not in enc  # no Huffman tables
+        # DC first + DC refine + 3 comps x (2 AC first + 1 refine)
+        assert enc.count(b"\xff\xda") == 2 + 3 * 3
+
+    def test_lossless_subspace_exact(self):
+        arr = _block_flat_gray(9, 24, 32)
+        got = decode_jpeg(
+            jc.encode_jpeg_progressive_arithmetic(arr, 50)
+        )
+        assert np.array_equal(got[..., 0], arr)
+
+    def test_all_four_layouts_agree(self):
+        """One image, four entropy arrangements, one pixel result."""
+        rng = np.random.default_rng(97)
+        g = rng.integers(0, 256, (33, 29), dtype=np.uint8)
+        outs = [
+            decode_jpeg(encode_jpeg(g, 50)),
+            decode_jpeg(jc.encode_jpeg_progressive(g, 50)),
+            decode_jpeg(jc.encode_jpeg_arithmetic(g, 50)),
+            decode_jpeg(jc.encode_jpeg_progressive_arithmetic(g, 50)),
+        ]
+        for other in outs[1:]:
+            assert np.array_equal(outs[0], other)
+
+    @given(seed=st.integers(0, 10_000), h=st.integers(1, 25),
+           w=st.integers(1, 25))
+    @settings(max_examples=15, deadline=None)
+    def test_fuzz_cross_layout_equality(self, seed, h, w):
+        rng = np.random.default_rng(seed)
+        g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(g, 50)),
+            decode_jpeg(jc.encode_jpeg_progressive_arithmetic(g, 50)),
+        )

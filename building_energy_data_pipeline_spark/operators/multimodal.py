@@ -693,13 +693,19 @@ def encode_png(arr: np.ndarray, filter_strategy: str = "none") -> bytes:
 
 
 def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
-    """Pure-struct RIFF/WAVE parser for 16-bit PCM: walks the chunk
-    list (chunks pad to even offsets), requires ``fmt`` audio format
-    1 with 16 bits/sample, and returns ``((n_frames, channels) int16,
-    sample_rate)``. Mono IMA ADPCM (format 0x11) routes to
-    :func:`decode_adpcm_wav` — the compressed-audio path, round 9;
-    other compressed formats raise ``NotImplementedError`` (they
-    need libsndfile).
+    """Pure-struct RIFF/WAVE parser: walks the chunk list (chunks
+    pad to even offsets) and returns ``((n_frames, channels) int16,
+    sample_rate)``. Formats (round 10 completed the practical set):
+    integer PCM at 8 (unsigned, rescaled), 16 (native), 24 and 32
+    bits (high-16 taken — the int16 return contract is lossy for
+    wider words, documented); IEEE float 32/64 (format 3, [-1, 1]
+    scaled to int16 with clipping); G.711 µ-law (7) and A-law (6)
+    via the public G.711 segment-expansion formulas; mono IMA ADPCM
+    (0x11) routed to :func:`decode_adpcm_wav` — the compressed-audio
+    path, round 9; and WAVE_FORMAT_EXTENSIBLE (0xFFFE), unwrapped to
+    the SubFormat tag carried in the fmt extension. MP3-in-WAV and
+    other codec formats raise ``NotImplementedError`` (they need
+    libsndfile/ffmpeg-class dependencies).
 
     Deliberately NOT the stdlib ``wave`` module: this parser keeps
     the operator contract's exception types (``ValueError`` /
@@ -714,7 +720,7 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     flagged the previous silent last-wins)."""
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_body, data = 12, None, b"", None
     while pos + 8 <= len(content):
         cid = content[pos : pos + 4]
         (size,) = struct.unpack_from("<I", content, pos + 4)
@@ -725,27 +731,128 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
                     f"malformed WAV fmt chunk ({len(body)} bytes)"
                 )
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body  # kept raw for EXTENSIBLE SubFormat
         elif cid == b"data" and data is None:
             data = body  # first data chunk wins (see docstring)
         pos += 8 + size + (size & 1)  # chunks pad to even
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    audio_format, channels, sample_rate, _, _, bits = fmt
+    audio_format, channels, sample_rate, _, _, bits = fmt[:6]
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real tag is the first two
+        # bytes of the SubFormat GUID in the fmt extension
+        # (offset 16: cbSize(2) + validBits(2) + channelMask(4) +
+        # GUID — the tag is the GUID's leading uint16)
+        body = fmt_body
+        if len(body) < 26:
+            raise ValueError(
+                "WAVE_FORMAT_EXTENSIBLE fmt chunk too short"
+            )
+        audio_format = struct.unpack_from("<H", body, 24)[0]
     if audio_format == 0x11:
         # compressed path (round 9): mono 4-bit IMA ADPCM decodes
         # natively — re-walk via the block-structured decoder
         return decode_adpcm_wav(content)
-    if audio_format != 1 or bits != 16:
-        raise NotImplementedError(
-            f"only 16-bit PCM and IMA-ADPCM WAV supported "
-            f"(format={audio_format}, bits={bits})"
-        )
     if channels < 1:
         raise ValueError("malformed WAV: zero channels")
-    pcm = np.frombuffer(
-        data[: len(data) // (2 * channels) * 2 * channels], dtype="<i2"
+
+    def frames(raw: np.ndarray) -> np.ndarray:
+        n = len(raw) // channels * channels
+        return raw[:n].reshape(-1, channels)
+
+    if audio_format == 1:  # integer PCM
+        if bits == 16:
+            pcm = np.frombuffer(
+                data[: len(data) // 2 * 2], dtype="<i2"
+            )
+            return frames(pcm), sample_rate
+        if bits == 8:  # unsigned by spec; rescale to int16
+            u8 = np.frombuffer(data, dtype=np.uint8)
+            return (
+                frames(
+                    ((u8.astype(np.int16) - 128) << 8).astype(
+                        np.int16
+                    )
+                ),
+                sample_rate,
+            )
+        if bits == 24:  # 3-byte little-endian; high 16 kept
+            n = len(data) // 3 * 3
+            b = np.frombuffer(data[:n], dtype=np.uint8).reshape(-1, 3)
+            hi16 = (
+                b[:, 1].astype(np.uint16)
+                | (b[:, 2].astype(np.uint16) << 8)
+            ).astype(np.int16)
+            return frames(hi16), sample_rate
+        if bits == 32:  # high 16 kept
+            i32 = np.frombuffer(
+                data[: len(data) // 4 * 4], dtype="<i4"
+            )
+            return frames((i32 >> 16).astype(np.int16)), sample_rate
+        raise NotImplementedError(
+            f"{bits}-bit integer PCM WAV not supported"
+        )
+    if audio_format == 3:  # IEEE float, [-1, 1]
+        if bits == 32:
+            f = np.frombuffer(
+                data[: len(data) // 4 * 4], dtype="<f4"
+            ).astype(np.float64)
+        elif bits == 64:
+            f = np.frombuffer(
+                data[: len(data) // 8 * 8], dtype="<f8"
+            )
+        else:
+            raise ValueError(f"bad float WAV bit width {bits}")
+        pcm = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(
+            np.int16
+        )
+        return frames(pcm), sample_rate
+    if audio_format in (6, 7):  # G.711 A-law / mu-law
+        table = (
+            _ALAW_TABLE if audio_format == 6 else _MULAW_TABLE
+        )
+        return frames(table[np.frombuffer(data, dtype=np.uint8)]), (
+            sample_rate
+        )
+    raise NotImplementedError(
+        f"WAV codec format {audio_format} ({bits}-bit) not "
+        "supported natively — needs libsndfile/ffmpeg-class "
+        "dependencies (MP3-in-WAV and friends)"
     )
-    return pcm.reshape(-1, channels), sample_rate
+
+
+def _g711_mulaw_expand(u: int) -> int:
+    """G.711 mu-law byte → linear (the public Sun g711.c formula:
+    complement, rebias mantissa, shift by segment, sign)."""
+    u = ~u & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _g711_alaw_expand(a: int) -> int:
+    """G.711 A-law byte → linear (toggle the even bits with 0x55,
+    expand the 4-bit mantissa within its segment; bit 7 set means
+    POSITIVE in A-law)."""
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t += 0x108
+        t <<= seg - 1
+    return t if (a & 0x80) else -t
+
+
+_MULAW_TABLE = np.array(
+    [_g711_mulaw_expand(i) for i in range(256)], dtype=np.int16
+)
+_ALAW_TABLE = np.array(
+    [_g711_alaw_expand(i) for i in range(256)], dtype=np.int16
+)
 
 
 #: IMA ADPCM tables (public IMA spec / RFC 3551 DVI4 lineage)

@@ -1697,3 +1697,149 @@ class TestAdpcmProperties:
             assert dec[:, 0].tolist() == want
 
         run()
+
+
+class TestWavFormatFamily:
+    """Round-10 completion of the practical WAV format set: integer
+    PCM at 8/24/32 bits, IEEE float 32/64, G.711 mu-law/A-law
+    (public segment-expansion formulas, anchor values pinned), and
+    WAVE_FORMAT_EXTENSIBLE unwrapping. MP3-in-WAV stays gated."""
+
+    @staticmethod
+    def _wav(fmt_tag, channels, rate, bits, payload, ext_sub=None):
+        import struct
+
+        if ext_sub is not None:
+            ext = (
+                struct.pack("<HHI", 22, bits, 0)
+                + struct.pack("<H", ext_sub)
+                + b"\x00\x00"
+                + b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+            )
+            body = struct.pack(
+                "<HHIIHH", 0xFFFE, channels, rate,
+                rate * channels * max(bits, 8) // 8,
+                channels * max(bits, 8) // 8, bits,
+            ) + ext
+        else:
+            body = struct.pack(
+                "<HHIIHH", fmt_tag, channels, rate,
+                rate * channels * max(bits, 8) // 8,
+                channels * max(bits, 8) // 8, bits,
+            )
+        chunks = (
+            b"fmt " + struct.pack("<I", len(body)) + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+        chunks += (
+            b"data" + struct.pack("<I", len(payload)) + payload
+            + (b"\x00" if len(payload) & 1 else b"")
+        )
+        return (
+            b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+            + chunks
+        )
+
+    def test_mulaw_anchor_values(self):
+        """Public G.711 facts: 0xFF/0x7F are +0/-0, 0x80/0x00 are
+        the +/- extremes at 32124."""
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_wav,
+        )
+
+        pcm, sr = decode_wav(
+            self._wav(7, 1, 8000, 8, bytes([0xFF, 0x7F, 0x80, 0x00]))
+        )
+        assert sr == 8000
+        assert pcm.ravel().tolist() == [0, 0, 32124, -32124]
+
+    def test_g711_sign_symmetry_and_alaw_extremes(self):
+        from building_energy_data_pipeline_spark.operators import (
+            multimodal as M,
+        )
+
+        for tbl in (M._MULAW_TABLE, M._ALAW_TABLE):
+            assert all(
+                int(tbl[i]) == -int(tbl[i ^ 0x80]) for i in range(256)
+            )
+        assert int(M._ALAW_TABLE.max()) == 32256  # known A-law peak
+        # A-law has no zero code: quietest codes decode to +/-8
+        assert int(np.abs(M._ALAW_TABLE).min()) == 8
+
+    def test_8bit_pcm_unsigned_rescaled(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_wav,
+        )
+
+        pcm, _ = decode_wav(
+            self._wav(1, 2, 44100, 8, bytes([0, 128, 255, 64]))
+        )
+        assert pcm.tolist() == [[-32768, 0], [32512, -16384]]
+
+    def test_24bit_pcm_high_word(self):
+        import struct
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_wav,
+        )
+
+        data = b"".join(
+            struct.pack("<i", v)[0:3]
+            for v in (0x123456, -0x123456)
+        )
+        pcm, _ = decode_wav(self._wav(1, 1, 8000, 24, data))
+        # high 16 bits with floor semantics (v >> 8)
+        assert pcm.ravel().tolist() == [
+            0x123456 >> 8, -0x123456 >> 8,
+        ]
+
+    def test_32bit_int_and_floats(self):
+        import struct
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_wav,
+        )
+
+        pcm, _ = decode_wav(
+            self._wav(
+                1, 1, 8000, 32,
+                struct.pack("<ii", 0x7FFF0000, -0x10000),
+            )
+        )
+        assert pcm.ravel().tolist() == [32767, -1]
+        pcm, _ = decode_wav(
+            self._wav(3, 1, 8000, 32, struct.pack("<ff", 0.5, -1.0))
+        )
+        assert pcm.ravel().tolist() == [16384, -32767]
+        pcm, _ = decode_wav(
+            self._wav(3, 1, 8000, 64, struct.pack("<dd", 0.25, 2.0))
+        )
+        assert pcm.ravel().tolist() == [8192, 32767]  # 2.0 clips
+
+    def test_extensible_unwraps_subformat(self):
+        import struct
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_wav,
+        )
+
+        pcm, _ = decode_wav(
+            self._wav(
+                None, 1, 8000, 16,
+                struct.pack("<hh", 1000, -1000), ext_sub=1,
+            )
+        )
+        assert pcm.ravel().tolist() == [1000, -1000]
+        # mu-law via EXTENSIBLE too
+        pcm, _ = decode_wav(
+            self._wav(None, 1, 8000, 8, bytes([0x80]), ext_sub=7)
+        )
+        assert pcm.ravel().tolist() == [32124]
+
+    def test_mp3_in_wav_still_gated(self):
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_wav,
+        )
+
+        with pytest.raises(NotImplementedError, match="codec"):
+            decode_wav(self._wav(0x55, 1, 8000, 0, b""))

@@ -30,7 +30,7 @@ from . import datasource_queries  # noqa: F401  (custom Python DataSource q253)
 #: at that index (the explicit sentinel tests assert against —
 #: ADVICE r4 #3: no comment parsing).
 DRIVER_WINDOW_SIZE = 50
-FIRST_BELOW_WINDOW = "q134_length_bucketed_batches"
+FIRST_BELOW_WINDOW = "q133_label_silhouette"
 
 #: Registry prefix — ROTATION RULE (round 4+): any query whose
 #: plan-affecting code changed since its LAST driver row, and any
@@ -47,6 +47,10 @@ FIRST_BELOW_WINDOW = "q134_length_bucketed_batches"
 #:   (VERDICT r9 #8 stretch: a third entropy layout — ARITHMETIC
 #:   SOF9, the Annex D QM-coder — rotates in alongside baseline and
 #:   progressive, same lossless-subspace oracle);
+#: - q256 ADPCM audio stats, whose decode path changed this round
+#:   (decode_wav's format dispatch was completed — 8/24/32-bit PCM,
+#:   float, G.711, EXTENSIBLE — and the 0x11 ADPCM routing moved
+#:   inside the new dispatch);
 #: - q253, whose registration path changed this round (the
 #:   _register fallback gained the Spark-Connect guard and the
 #:   explicit version-assumption error — ADVICE r9 #4 — and the
@@ -55,10 +59,10 @@ FIRST_BELOW_WINDOW = "q134_length_bucketed_batches"
 #: - the FIFTEEN r4-vintage drains (last driver-hashed round 4,
 #:   queued first-below-boundary since round 9 — VERDICT r9 #2):
 #:   q98-q107, q110, q111, q114-q116;
-#: - THIRTY-ONE r5-vintage drains, the oldest rows after those:
+#: - THIRTY r5-vintage drains, the oldest rows after those:
 #:   q04-q06, q09, q17, q18, q21, q30, q35, q36, q108, q109, q112,
-#:   q113, q117-q133.
-#: The remaining FIFTEEN r5-vintage rows (q134, q137, q138,
+#:   q113, q117-q132.
+#: The remaining SIXTEEN r5-vintage rows (q133, q134, q137, q138,
 #: q140-q151) sit FIRST below the boundary, scheduled to drain in
 #: round 11 —
 #: after which every query's latest driver row is r6+; below those,
@@ -70,6 +74,7 @@ _CURATED_ORDER = [
     "q258_python_datasource_stream",
     "q253_python_datasource_scan",
     "q254_jpeg_roundtrip",
+    "q256_adpcm_audio_stats",
     "q98_rag_chunking",
     "q99_bigram_lm",
     "q100_stream_stream_join",
@@ -281,7 +286,6 @@ _CURATED_ORDER = [
     "q251_streaming_bloom_gate",
     "q252_streaming_attribution_rollup",
     "q255_mjpeg_video_sums",
-    "q256_adpcm_audio_stats",
     "q257_gif_animation_sums",
     "q246_wau_hll_window",
     "q74_continuous_aggregate",

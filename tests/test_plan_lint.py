@@ -95,7 +95,7 @@ def test_every_registered_plan_is_clean_and_within_shuffle_snapshot(
        pinned in `tests/shuffle_budgets_all.json` (the full-registry
        extension of the hand-annotated headline budgets in
        `test_shuffle_budget.py`): a refactor that adds an exchange to
-       ANY of the 247 queries fails here with the delta, and a NEW
+       ANY registered query fails here with the delta, and a NEW
        query cannot register without adding its snapshot row.
 
     Snapshot counts are cold-slot plans (caches released per query,

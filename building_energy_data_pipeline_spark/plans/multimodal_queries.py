@@ -26,7 +26,9 @@ from ..operators import multimodal
 from ..operators.jpeg_codec import (
     encode_jpeg,
     encode_jpeg_arithmetic,
+    encode_jpeg_lossless,
     encode_jpeg_progressive,
+    encode_jpeg_progressive_arithmetic,
 )
 from ..sources.readers import load_table
 from .registry import query
@@ -700,37 +702,42 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     grayscale pattern pixels (``2·((media_id·7 + (y//8)·5 + (x//8)·3)
     % 128)`` — every 8×8 block constant, every value even) are
     encoded to genuine JPEG payloads in one ``mapInPandas`` stage
-    under a THREE-WAY entropy-layout rotation on ``(media_id//3)%3``
-    — baseline SOF0 (``operators/jpeg_codec.encode_jpeg``),
+    under a FIVE-WAY process rotation on ``(media_id//3)%5`` —
+    baseline SOF0 (``operators/jpeg_codec.encode_jpeg``),
     PROGRESSIVE SOF2 (``encode_jpeg_progressive``: interleaved DC
-    scan + two spectral-selection AC scans with EOB-run coding), and
+    scan + two spectral-selection AC scans with EOB-run coding),
     ARITHMETIC SOF9 (``encode_jpeg_arithmetic``: the Annex D
-    QM-coder with DAC conditioning — round-10, VERDICT r9 #8) — all
-    at Annex K quality 50 with a decorrelated rotating
-    ``restart_interval`` of 0/2/5 so every layout carries DRI + RSTn
+    QM-coder with DAC conditioning), PROGRESSIVE-ARITHMETIC SOF10
+    (``encode_jpeg_progressive_arithmetic``: all four G.2 scan
+    procedures), and LOSSLESS SOF3 (``encode_jpeg_lossless``:
+    Annex H spatial DPCM, the predictor rotating over all seven) —
+    the DCT layouts at Annex K quality 50 with a decorrelated
+    rotating ``restart_interval`` of 0/2/5 so they carry DRI + RSTn
     markers on most payloads — then decoded back by the pure-numpy
     decoder in the next stage and reduced to integer channel sums
     (grayscale replicates across channels, so ``sum_r = sum_g =
     sum_b``).
 
     The oracle never sees a JPEG byte: it recomputes the sums from
-    the closed-form pattern. A lossy codec gets a ZERO-TOLERANCE
-    oracle because the pattern lives on the codec's lossless
-    subspace — a flat block's DCT is DC-only, ``8·(v-128)`` divides
-    the Annex K DC quantizer 16 exactly for even ``v``, and every AC
-    coefficient quantizes to zero — so the driver hash passes only if
-    the marker walk, entropy decode (Huffman trees, progressive
-    accumulation, OR the QM-coder's adaptive state machine),
-    dequantization, IDCT and restart-marker resync reconstruct every
-    pixel exactly — in all THREE entropy layouts: the quantized
-    coefficients are identical across SOF0/SOF2/SOF9, so one
-    closed-form oracle hash-checks the sequential decoder, the
-    multi-scan progressive accumulator, AND the arithmetic decoder
+    the closed-form pattern. The lossy processes get a
+    ZERO-TOLERANCE oracle because the pattern lives on the codec's
+    lossless subspace — a flat block's DCT is DC-only, ``8·(v-128)``
+    divides the Annex K DC quantizer 16 exactly for even ``v``, and
+    every AC coefficient quantizes to zero (SOF3 is exact on ANY
+    input, so the pattern is trivially in its domain) — so the
+    driver hash passes only if the marker walk, entropy decode
+    (Huffman trees, progressive accumulation, the QM-coder's
+    adaptive state machine in both sequential and progressive
+    arrangements, or the DPCM predictor chain), dequantization,
+    IDCT and restart-marker resync reconstruct every pixel exactly —
+    in all FIVE processes: the quantized coefficients are identical
+    across SOF0/SOF2/SOF9/SOF10, so one closed-form oracle
+    hash-checks every decoder the module ships
     (``tests/test_jpeg_codec.py`` pins the subspace property itself,
     hand-built successive-approximation streams, cross-layout decode
-    equality on random images, and lossy-path tolerance off the
-    subspace). Extends q249's PNG check to the second compressed
-    container; MP3 remains gated.
+    equality on random images, bit-exact lossless round-trips, and
+    lossy-path tolerance off the subspace). Extends q249's PNG check
+    to the second compressed container; MP3 remains gated.
 
     Scale: identical economics to q249 — payloads are born,
     compressed and decoded inside one task; only ~40 bytes of
@@ -767,10 +774,10 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     2 * ((mid * 7 + (y // 8) * 5 + (x // 8) * 3) % 128)
                 ).astype(np.uint8)
                 # media ids are ≡ 2 (mod 3) after the doc filter, so
-                # rotate layout on (mid//3)%3 and decorrelate the
-                # restart interval on (mid//9)%3
-                rst = (0, 2, 5)[(mid // 9) % 3]
-                layout = (mid // 3) % 3
+                # rotate layout on (mid//3)%5 and decorrelate the
+                # restart interval on (mid//15)%3
+                rst = (0, 2, 5)[(mid // 15) % 3]
+                layout = (mid // 3) % 5
                 if layout == 0:
                     payload = encode_jpeg(
                         arr, quality=50, restart_interval=rst
@@ -779,9 +786,19 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payload = encode_jpeg_progressive(
                         arr, quality=50, restart_interval=rst
                     )
-                else:
+                elif layout == 2:
                     payload = encode_jpeg_arithmetic(
                         arr, quality=50, restart_interval=rst
+                    )
+                elif layout == 3:
+                    payload = encode_jpeg_progressive_arithmetic(
+                        arr, quality=50
+                    )
+                else:  # lossless SOF3 — exact on ANY input, so the
+                    # subspace pattern is trivially in its domain
+                    payload = encode_jpeg_lossless(
+                        arr, predictor=1 + mid % 7,
+                        restart_interval=rst,
                     )
                 rows.append({"media_id": mid, "content": payload})
             yield pd.DataFrame(rows, columns=["media_id", "content"])

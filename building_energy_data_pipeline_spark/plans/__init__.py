@@ -44,9 +44,10 @@ FIRST_BELOW_WINDOW = "q133_label_silhouette"
 #:   Structured Streaming job and hash-matched against the batch
 #:   oracle);
 #: - q254 JPEG round-trip, whose payload mix changed this round
-#:   (VERDICT r9 #8 stretch: a third entropy layout — ARITHMETIC
-#:   SOF9, the Annex D QM-coder — rotates in alongside baseline and
-#:   progressive, same lossless-subspace oracle);
+#:   (VERDICT r9 #8 stretch and beyond: a FIVE-WAY process rotation
+#:   — baseline SOF0, progressive SOF2, arithmetic SOF9 (the Annex
+#:   D QM-coder), progressive-arithmetic SOF10, and lossless SOF3 —
+#:   same lossless-subspace oracle);
 #: - q256 ADPCM audio stats, whose decode path changed this round
 #:   (decode_wav's format dispatch was completed — 8/24/32-bit PCM,
 #:   float, G.711, EXTENSIBLE — and the 0x11 ADPCM routing moved

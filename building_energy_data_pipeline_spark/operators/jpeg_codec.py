@@ -20,15 +20,18 @@ Scope (documented, spec-cited):
   sampling factors 1 or 2 (covers 4:4:4 / 4:2:2 / 4:2:0),
   NON-INTERLEAVED scans (A.2.2 — single-component frames AND
   multi-component frames sent one scan per component, assembled
-  at EOI; round-10), restart markers (DRI/RSTn) in all modes, 8-
-  and 16-bit DQT precision, multi-table DHT segments, 0xFF00 byte
-  unstuffing — and PROGRESSIVE-ARITHMETIC (SOF10, Annex G.2: all
-  four scan procedures QM-coded — DC first/refine, AC first/refine
-  with the gated EOB decision; round-10). Partial interleaved
-  subset scans (A.2.3), arithmetic lossless (SOF11), differential
-  and hierarchical modes raise ``NotImplementedError`` —
-  unsupported VARIANTS, distinct from corrupt payloads which raise
-  ``ValueError`` (the multimodal error contract, ADVICE r8).
+  at EOI) and INTERLEAVED SUBSET scans (A.2.3 — any partition of
+  the components across scans, each multi-component group walking
+  the frame's MCU grid; both round-10), restart markers
+  (DRI/RSTn) in all modes, 8- and 16-bit DQT precision,
+  multi-table DHT segments, 0xFF00 byte unstuffing — and
+  PROGRESSIVE-ARITHMETIC (SOF10, Annex G.2: all four scan
+  procedures QM-coded — DC first/refine, AC first/refine with the
+  gated EOB decision; round-10). Arithmetic lossless (SOF11),
+  differential and hierarchical modes raise
+  ``NotImplementedError`` — unsupported VARIANTS, distinct from
+  corrupt payloads which raise ``ValueError`` (the multimodal
+  error contract, ADVICE r8).
 - **encode**: baseline SOF0 (grayscale, 4:4:4 or 4:2:0 YCbCr,
   optional restart markers), a PROGRESSIVE encoder
   (:func:`encode_jpeg_progressive`, spectral selection with
@@ -454,6 +457,7 @@ def encode_jpeg(
     subsampling: str = "444",
     restart_interval: int = 0,
     interleave: bool = True,
+    scan_plan: "tuple | None" = None,
 ) -> bytes:
     """Encode ``(h, w)`` grayscale or ``(h, w, 3)`` RGB uint8 to a
     baseline JFIF JPEG — SOF0, Annex K tables scaled by ``quality``,
@@ -463,6 +467,11 @@ def encode_jpeg(
     walks its component's own ``ceil(dim/8)`` block grid and restart
     numbering resets per scan; the decoder's multi-scan sequential
     path is testable against real streams because of this knob).
+    ``scan_plan`` generalizes further to A.2.3: a tuple of tuples of
+    component INDICES — e.g. ``((0,), (1, 2))`` sends Y alone
+    (non-interleaved grid) then Cb+Cr as one interleaved SUBSET scan
+    walking the frame's MCU grid; every component must appear
+    exactly once across the plan.
 
     ``subsampling``: ``"444"`` (1×1 chroma) or ``"420"`` (2×2 luma
     sampling factor, 2×2-box-averaged chroma) — ignored for
@@ -540,45 +549,110 @@ def encode_jpeg(
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
-    if not interleave and not gray:
-        # A.2.2 non-interleaved: one scan per component on its own
-        # ceil(dim/8) block grid, restart numbering reset per scan
-        for i, (plane, hs, vs, qt, dct, act) in enumerate(comps):
-            sos = bytes(
-                [1, i + 1, 0x00 if i == 0 else 0x11, 0, 63, 0]
+    if scan_plan is None and not interleave and not gray:
+        scan_plan = tuple((i,) for i in range(len(comps)))
+    if scan_plan is not None and not gray:
+        flat = [i for g in scan_plan for i in g]
+        if sorted(flat) != list(range(len(comps))):
+            raise ValueError(
+                f"scan_plan must cover each component exactly once, "
+                f"got {scan_plan}"
             )
+        # full-MCU-coverage padded planes for the interleaved-subset
+        # groups (padding blocks are coded, as in the single-scan
+        # interleaved arrangement)
+        mcu_shifted = []
+        for plane, hs, vs, qt, dct, act in comps:
+            full_h, full_w = mcus_y * vs * 8, mcus_x * hs * 8
+            ph, pw = plane.shape
+            mcu_shifted.append(
+                np.pad(
+                    plane,
+                    ((0, full_h - ph), (0, full_w - pw)),
+                    mode="edge",
+                ).astype(np.float64)
+                - 128.0
+            )
+        for group in scan_plan:
+            sos = bytearray([len(group)])
+            for i in group:
+                sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+            sos += bytes([0, 63, 0])
             out += (
                 b"\xff\xda"
                 + struct.pack(">H", 2 + len(sos))
-                + sos
+                + bytes(sos)
             )
-            padded = (
-                _pad_edge_to_blocks(plane, 8, 8).astype(np.float64)
-                - 128.0
-            )
-            nby, nbx = padded.shape[0] // 8, padded.shape[1] // 8
             writer = _BitWriter()
-            pred = 0
             unit = 0
             rst = 0
-            for by in range(nby):
-                for bx in range(nbx):
-                    if (
-                        restart_interval
-                        and unit
-                        and unit % restart_interval == 0
-                    ):
-                        out += writer.flush()
-                        writer = _BitWriter()
-                        out += bytes([0xFF, 0xD0 + rst])
-                        rst = (rst + 1) % 8
-                        pred = 0
-                    pred = _emit_block(
-                        writer,
-                        padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
-                        qt, dct, act, pred,
+            if len(group) == 1:
+                # A.2.2: the component's own ceil(dim/8) block grid
+                i = group[0]
+                plane, hs, vs, qt, dct, act = comps[i]
+                padded = (
+                    _pad_edge_to_blocks(plane, 8, 8).astype(
+                        np.float64
                     )
-                    unit += 1
+                    - 128.0
+                )
+                nby, nbx = (
+                    padded.shape[0] // 8,
+                    padded.shape[1] // 8,
+                )
+                pred = 0
+                for by in range(nby):
+                    for bx in range(nbx):
+                        if (
+                            restart_interval
+                            and unit
+                            and unit % restart_interval == 0
+                        ):
+                            out += writer.flush()
+                            writer = _BitWriter()
+                            out += bytes([0xFF, 0xD0 + rst])
+                            rst = (rst + 1) % 8
+                            pred = 0
+                        pred = _emit_block(
+                            writer,
+                            padded[
+                                by * 8 : by * 8 + 8,
+                                bx * 8 : bx * 8 + 8,
+                            ],
+                            qt, dct, act, pred,
+                        )
+                        unit += 1
+            else:
+                # A.2.3: interleaved SUBSET scan over the frame's
+                # MCU grid, hs x vs blocks per member component
+                gpreds = {i: 0 for i in group}
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        if (
+                            restart_interval
+                            and unit
+                            and unit % restart_interval == 0
+                        ):
+                            out += writer.flush()
+                            writer = _BitWriter()
+                            out += bytes([0xFF, 0xD0 + rst])
+                            rst = (rst + 1) % 8
+                            gpreds = {i: 0 for i in group}
+                        for i in group:
+                            _, hs, vs, qt, dct, act = comps[i]
+                            for v in range(vs):
+                                for u in range(hs):
+                                    y0 = (my * vs + v) * 8
+                                    x0 = (mx * hs + u) * 8
+                                    gpreds[i] = _emit_block(
+                                        writer,
+                                        mcu_shifted[i][
+                                            y0 : y0 + 8,
+                                            x0 : x0 + 8,
+                                        ],
+                                        qt, dct, act, gpreds[i],
+                                    )
+                        unit += 1
             out += writer.flush()
         out += b"\xff\xd9"
         return bytes(out)
@@ -848,23 +922,15 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                         dc_tables, ac_tables, restart_interval,
                     )
                 continue
-            if ns != len(frame[2]) and not (ns == 1):
-                # a 2-of-3 interleaved subset scan is legal per
-                # A.2.3 but unsupported — variant, not corruption
-                raise NotImplementedError(
-                    f"partial interleaved scan ({ns} of "
-                    f"{len(frame[2])} components) not supported — "
-                    "full interleave or one component per scan"
-                )
-            if ns == 1 and len(frame[2]) > 1:
-                # A.2.2 non-interleaved: each component arrives in
-                # its own scan; decode into persistent planes and
-                # keep walking until EOI assembles the frame
+            if ns < len(frame[2]):
+                # A.2.2 non-interleaved (ns=1) or A.2.3 interleaved
+                # SUBSET scans (1 < ns < Nf): each scan decodes into
+                # persistent planes; EOI assembles the frame
                 if arithmetic:
                     raise NotImplementedError(
-                        "non-interleaved multi-component arithmetic "
-                        "scans not supported — single interleaved "
-                        "scan only"
+                        "multi-scan (non-interleaved / subset) "
+                        "arithmetic sequential not supported — "
+                        "single interleaved scan only"
                     )
                 if seq_planes is None:
                     seq_planes = {}

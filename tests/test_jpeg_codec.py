@@ -1009,25 +1009,37 @@ class TestNonInterleavedSequential:
         with pytest.raises(ValueError):
             decode_jpeg(enc[: second + 10])
 
-    def test_partial_interleaved_subset_gated(self):
-        """A 2-of-3 interleaved subset scan is legal spec (A.2.3)
-        but unsupported — must be NotImplementedError, not
-        ValueError."""
-        rgb = np.zeros((8, 8, 3), dtype=np.uint8)
-        enc = bytearray(encode_jpeg(rgb, 50))
-        i = bytes(enc).index(b"\xff\xda")
-        # rewrite the SOS: 2 components instead of 3 (len shrinks 2)
-        old_len = (enc[i + 2] << 8) | enc[i + 3]
-        sos = bytes([2, 1, 0x00, 2, 0x11, 0, 63, 0])
-        new = (
-            bytes(enc[:i])
-            + b"\xff\xda"
-            + struct.pack(">H", 2 + len(sos))
-            + sos
-            + bytes(enc[i + 2 + old_len :])
+    def test_subset_scans_equal_interleaved(self):
+        """A.2.3 interleaved SUBSET scans (2-of-3 components per
+        scan) decode pixel-equal to the single-scan interleaved
+        layout — both component orderings, both subsamplings,
+        including mid-plan restart markers."""
+        rng = np.random.default_rng(101)
+        for sub in ("444", "420"):
+            for plan in (((0,), (1, 2)), ((2, 0), (1,))):
+                rgb = rng.integers(0, 256, (21, 26, 3), dtype=np.uint8)
+                inter = decode_jpeg(encode_jpeg(rgb, 50, sub))
+                subset = decode_jpeg(
+                    encode_jpeg(rgb, 50, sub, scan_plan=plan)
+                )
+                assert np.array_equal(inter, subset)
+        rgb = rng.integers(0, 256, (30, 34, 3), dtype=np.uint8)
+        assert np.array_equal(
+            decode_jpeg(
+                encode_jpeg(
+                    rgb, 50, "420", restart_interval=2,
+                    scan_plan=((0,), (1, 2)),
+                )
+            ),
+            decode_jpeg(encode_jpeg(rgb, 50, "420", restart_interval=2)),
         )
-        with pytest.raises(NotImplementedError, match="partial"):
-            decode_jpeg(new)
+
+    def test_scan_plan_must_cover_each_component_once(self):
+        rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+        with pytest.raises(ValueError, match="scan_plan"):
+            encode_jpeg(rgb, 50, scan_plan=((0,), (1,)))
+        with pytest.raises(ValueError, match="scan_plan"):
+            encode_jpeg(rgb, 50, scan_plan=((0, 0, 1, 2),))
 
 
 class TestProgressiveArithmetic:

@@ -30,7 +30,7 @@ from . import datasource_queries  # noqa: F401  (custom Python DataSource q253)
 #: at that index (the explicit sentinel tests assert against —
 #: ADVICE r4 #3: no comment parsing).
 DRIVER_WINDOW_SIZE = 50
-FIRST_BELOW_WINDOW = "q133_label_silhouette"
+FIRST_BELOW_WINDOW = "q132_hard_negatives"
 
 #: Registry prefix — ROTATION RULE (round 4+): any query whose
 #: plan-affecting code changed since its LAST driver row, and any
@@ -48,6 +48,9 @@ FIRST_BELOW_WINDOW = "q133_label_silhouette"
 #:   — baseline SOF0, progressive SOF2, arithmetic SOF9 (the Annex
 #:   D QM-coder), progressive-arithmetic SOF10, and lossless SOF3 —
 #:   same lossless-subspace oracle);
+#: - q259 FLAC round-trip (NEW: the fourth compression family —
+#:   Rice-coded linear prediction — decoded distributed with an
+#:   exact lossless oracle);
 #: - q256 ADPCM audio stats, whose decode path changed this round
 #:   (decode_wav's format dispatch was completed — 8/24/32-bit PCM,
 #:   float, G.711, EXTENSIBLE — and the 0x11 ADPCM routing moved
@@ -60,12 +63,12 @@ FIRST_BELOW_WINDOW = "q133_label_silhouette"
 #: - the FIFTEEN r4-vintage drains (last driver-hashed round 4,
 #:   queued first-below-boundary since round 9 — VERDICT r9 #2):
 #:   q98-q107, q110, q111, q114-q116;
-#: - THIRTY r5-vintage drains, the oldest rows after those:
+#: - TWENTY-NINE r5-vintage drains, the oldest rows after those:
 #:   q04-q06, q09, q17, q18, q21, q30, q35, q36, q108, q109, q112,
-#:   q113, q117-q132.
-#: The remaining SIXTEEN r5-vintage rows (q133, q134, q137, q138,
-#: q140-q151) sit FIRST below the boundary, scheduled to drain in
-#: round 11 —
+#:   q113, q117-q131.
+#: The remaining SEVENTEEN r5-vintage rows (q132, q133, q134, q137,
+#: q138, q140-q151) sit FIRST below the boundary, scheduled to
+#: drain in round 11 —
 #: after which every query's latest driver row is r6+; below those,
 #: the r6/r7/r8/r9 rows oldest-first as before.
 #: Ordering is evidence curation, not semantics: every query runs
@@ -76,6 +79,7 @@ _CURATED_ORDER = [
     "q253_python_datasource_scan",
     "q254_jpeg_roundtrip",
     "q256_adpcm_audio_stats",
+    "q259_flac_roundtrip",
     "q98_rag_chunking",
     "q99_bigram_lm",
     "q100_stream_stream_join",

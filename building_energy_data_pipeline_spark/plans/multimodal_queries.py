@@ -809,3 +809,129 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_channel_sums(
         media, use_real_codec=True
     ).orderBy("media_id")
+
+
+@query(
+    "q259_flac_roundtrip",
+    headline=True,
+    oracle="""
+    WITH au AS (
+      SELECT doc_id AS media_id,
+             CAST(300 + (doc_id % 7) * 120 AS INTEGER) AS n
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(range(n), k ->
+                (media_id * 211 + k * 97) % 4001 - 2000))
+             AS BIGINT) AS sum_s,
+           CAST(list_sum(list_transform(range(n), k ->
+                abs((media_id * 211 + k * 97) % 4001 - 2000)))
+             AS BIGINT) AS sum_abs,
+           CAST(list_max(list_transform(range(n), k ->
+                abs((media_id * 211 + k * 97) % 4001 - 2000)))
+             AS BIGINT) AS peak
+    FROM au
+    ORDER BY media_id
+    """,
+)
+def q259_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-audio-codec round-trip through the driver
+    contract — the FOURTH compression family (Rice-coded linear
+    prediction, after deflate/DCT+Huffman+QM/LZW/ADPCM): closed-form
+    int16 samples (``(media_id·211 + k·97) % 4001 − 2000``) are
+    encoded to genuine FLAC streams in one ``mapInPandas`` stage
+    (``operators/flac_codec.encode_flac``: fixed-blocking frames,
+    per-frame best FIXED predictor order 0-4, Rice residuals,
+    CRC-8/CRC-16 and a SAMPLE-MD5-carrying STREAMINFO), then decoded
+    back by the pure-Python decoder in the next stage — which
+    re-verifies every frame CRC and the stream MD5 — and reduced to
+    integer sample statistics.
+
+    FLAC is LOSSLESS, so unlike q254/q256 the oracle needs no
+    subspace argument or state-machine replay: DuckDB recomputes the
+    statistics directly from the closed-form signal with ``range()``
+    transforms, and the hash passes only if the predictor
+    recursions, Rice partitions, UTF-8-style frame numbers, stereo-
+    free block walk, CRCs and MD5 all reconstruct every sample
+    bit-for-bit.
+
+    Scale: identical economics to the other codec queries — payloads
+    are born, compressed, and decoded inside one task; ~40 bytes of
+    statistics per stream shuffle for the final sort. The decode
+    stage is the template for scanning a 100 TB FLAC-archive column.
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas body import)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (300 + (F.col("doc_id") % 7) * 120).cast("int").alias("n"),
+        )
+        # spread the metadata rows across slots before the codec
+        # stages (q249's single-split note)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth_encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.flac_codec import encode_flac
+
+        for pdf in batches:
+            rows = []
+            for mid, n in zip(pdf["media_id"], pdf["n"]):
+                mid, n = int(mid), int(n)
+                k = np.arange(n, dtype=np.int64)
+                sig = ((mid * 211 + k * 97) % 4001 - 2000).astype(
+                    np.int16
+                )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "content": encode_flac(
+                            sig, 16000, block_size=192
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(
+        synth_encode, "media_id long, content binary"
+    )
+
+    def decode_stats(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.flac_codec import decode_flac
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                pcm, _, _ = decode_flac(bytes(content))
+                s = pcm[:, 0].astype(np.int64)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_samples": int(len(s)),
+                        "sum_s": int(s.sum()),
+                        "sum_abs": int(np.abs(s).sum()),
+                        "peak": int(np.abs(s).max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "sum_s", "sum_abs",
+                    "peak",
+                ],
+            )
+
+    return media.mapInPandas(
+        decode_stats,
+        "media_id long, n_samples long, sum_s long, "
+        "sum_abs long, peak long",
+    ).orderBy("media_id")

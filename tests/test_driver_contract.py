@@ -290,10 +290,10 @@ def test_window_composition_matches_documented_counts():
     """The rotation comment's counts, DERIVED not hand-written
     (ADVICE r7 #3: two r7 sync commits each landed a different wrong
     hand-counted number). The round-10 window is documented as
-    1 flagship + q258 (new) + q253 (changed registration path) +
-    q254 (changed payload mix: arithmetic SOF9 layout) + q256
-    (changed decode path: decode_wav format dispatch) + 15
-    r4-vintage drains + 30 r5-vintage drains = 50."""
+    1 flagship + q258 (new) + q259 (new) + q253 (changed
+    registration path) + q254 (changed payload mix: five-process
+    rotation) + q256 (changed decode path: decode_wav format
+    dispatch) + 15 r4-vintage drains + 29 r5-vintage drains = 50."""
     from building_energy_data_pipeline_spark.plans import (
         DRIVER_WINDOW_SIZE,
         REGISTRY,
@@ -303,8 +303,9 @@ def test_window_composition_matches_documented_counts():
     assert window[0] == "q01_pricing_summary"
     assert window[1] == "q258_python_datasource_stream"  # new r10
     assert window[2] == "q253_python_datasource_scan"  # changed path
-    assert window[3] == "q254_jpeg_roundtrip"  # arithmetic layout
+    assert window[3] == "q254_jpeg_roundtrip"  # five-way rotation
     assert window[4] == "q256_adpcm_audio_stats"  # decode_wav change
+    assert window[5] == "q259_flac_roundtrip"  # new r10 (FLAC)
     # the 15 r4-vintage drains queued first-below-boundary since
     # round 9 (the membership is a frozen historical fact —
     # CORRECTNESS_r04's residue — so an explicit set)
@@ -320,7 +321,7 @@ def test_window_composition_matches_documented_counts():
     }
     r4_drains = [n for n in window if n in r4_set]
     assert len(r4_drains) == 15
-    # the 30 oldest r5 rows fill the remainder (numbers interleave,
+    # the 29 oldest r5 rows fill the remainder (numbers interleave,
     # so count them as the window remainder and pin the extremes)
     r5_drains = [
         n
@@ -333,11 +334,12 @@ def test_window_composition_matches_documented_counts():
             "q253_python_datasource_scan",
             "q254_jpeg_roundtrip",
             "q256_adpcm_audio_stats",
+            "q259_flac_roundtrip",
         }
     ]
-    assert len(r5_drains) == 30
+    assert len(r5_drains) == 29
     assert "q04_exists_semi_join" in r5_drains
-    assert "q132_hard_negatives" in r5_drains
-    assert 5 + len(r4_drains) + len(r5_drains) == DRIVER_WINDOW_SIZE
-    # registry growth this round: q258 → 257 total (q89 unused)
-    assert len(REGISTRY) == 257
+    assert "q131_heavy_hitters" in r5_drains
+    assert 6 + len(r4_drains) + len(r5_drains) == DRIVER_WINDOW_SIZE
+    # registry growth this round: q258 + q259 → 258 total (q89 unused)
+    assert len(REGISTRY) == 258

@@ -97,6 +97,9 @@ SHUFFLE_BUDGET = {
     "q255_mjpeg_video_sums": 2,
     "q256_adpcm_audio_stats": 2,
     "q257_gif_animation_sums": 2,
+    # FLAC round-trip (round 10): the codec-stage metadata
+    # repartition + the final sort — the q254/q256 shape
+    "q259_flac_roundtrip": 2,
 }
 
 

@@ -582,7 +582,13 @@ def encode_flac(
         frame_no += 1
 
     info = bytearray()
-    info += struct.pack(">HH", block_size, min(block_size, n_total))
+    # STREAMINFO min/max block size: both the nominal block size —
+    # the spec allows the LAST frame to be shorter than min_blocksize
+    # without reflecting that here, and min <= max with min >= 16 must
+    # hold for a conformant third-party decoder (ADVICE r10 #1: the
+    # previous min(block_size, n_total) max field went below min — and
+    # below 16 — whenever n_total < block_size).
+    info += struct.pack(">HH", block_size, block_size)
     info += (0).to_bytes(3, "big") * 2  # min/max frame size unknown
     packed = (
         (sample_rate << 44)

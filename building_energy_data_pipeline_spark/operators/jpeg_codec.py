@@ -2756,9 +2756,13 @@ def _decode_scan_lossless(
             count += 1
     maxv = (1 << prec) - 1
     if (out < 0).any() or (out > maxv).any():
-        # modulo arithmetic keeps legal streams in range; excursions
-        # mean corruption
-        out &= maxv
+        # modulo-2^16 arithmetic keeps legal streams in range;
+        # excursions mean corruption — raise like every other decode
+        # path instead of silently masking (ADVICE r10 #4)
+        raise ValueError(
+            f"lossless scan decoded samples outside [0, {maxv}] for "
+            f"{prec}-bit precision: corrupt payload"
+        )
     return (out.astype(np.uint16) << pt).astype(np.uint16)
 
 

@@ -1043,6 +1043,13 @@ def decode_adpcm_wav(content: bytes) -> tuple[np.ndarray, int]:
     tag, channels, rate, _, block_align, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
+    if tag == 0xFFFE and len(fmt) >= 26:
+        # WAVE_FORMAT_EXTENSIBLE wrapper: unwrap to the SubFormat
+        # GUID's leading uint16, same as decode_wav — otherwise an
+        # EXTENSIBLE-wrapped 0x11 stream routed here by decode_wav's
+        # unwrapped dispatch re-reads the raw tag and raises a
+        # misleading "got format 0xFFFE" (ADVICE r10 #3)
+        tag = struct.unpack_from("<H", fmt, 24)[0]
     if tag != 0x11:
         raise NotImplementedError(
             f"decode_adpcm_wav handles IMA ADPCM (0x11) only, got "

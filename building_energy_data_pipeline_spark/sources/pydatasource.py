@@ -418,11 +418,21 @@ def _register(spark, source_cls) -> None:
     if not hasattr(spark, "_jsparkSession"):
         # Spark Connect (no JVM handle): the mis-scoped-exists-check
         # bug is a classic-mode artifact, so the public API is all we
-        # have AND all we need
+        # have AND all we need. Swallow ONLY the already-exists error
+        # — a genuine registration failure must surface here, not as
+        # a confusing "source not found" at read time (ADVICE r10 #2).
         try:
             spark.dataSource.register(source_cls)
-        except Exception:
-            pass  # already registered in this session
+        except Exception as exc:
+            msg = str(exc)
+            if (
+                "ALREADY_EXISTS" in msg
+                or "already exists" in msg.lower()
+                or getattr(exc, "getErrorClass", lambda: None)()
+                == "DATA_SOURCE_ALREADY_EXISTS"
+            ):
+                return  # registered earlier in this session
+            raise
         return
     mgr = spark._jsparkSession.sessionState().dataSourceManager()
     if mgr.dataSourceExists(source_cls.name()):

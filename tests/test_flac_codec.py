@@ -116,6 +116,22 @@ class TestContainerAnatomy:
         )
         assert np.array_equal(dec[:, 0], x)
 
+    def test_streaminfo_blocksize_bounds_short_stream(self):
+        """ADVICE r10 #1: a stream shorter than one block must still
+        write a conformant STREAMINFO — min_blocksize == max_blocksize
+        == the nominal block size (the spec lets the LAST frame run
+        short without shrinking these fields), never a max below the
+        min or below the spec floor of 16."""
+        import struct
+
+        x = np.arange(7, dtype=np.int16)  # n_total=7 < block_size
+        enc = fc.encode_flac(x, 8000, block_size=4096)
+        mn, mx = struct.unpack_from(">HH", enc, 8)
+        assert mn == mx == 4096
+        assert mn >= 16
+        dec, _, _ = fc.decode_flac(enc)
+        assert np.array_equal(dec[:, 0], x)
+
     def test_crc_tables_spec_anchors(self):
         # public CRC anchors: CRC-8/0x07 and CRC-16/0x8005 of "123456789"
         assert fc._crc8(b"123456789") == 0xF4

@@ -843,6 +843,20 @@ class TestLossless:
         )
         assert np.array_equal(raw[..., 0], arr)
 
+    def test_out_of_range_samples_raise(self):
+        """ADVICE r10 #4: the corrupt-payload = ValueError contract.
+        Encode a 16-bit sample above 255, then patch the SOF3
+        precision byte down to 8 — the modulo-2^16 reconstruction now
+        lands outside [0, 255], which a legal 8-bit stream cannot do,
+        so decode must raise instead of silently masking."""
+        arr = np.array([[40000]], dtype=np.uint16)
+        enc = bytearray(jc.encode_jpeg_lossless(arr, 1, precision=16))
+        sof = enc.index(b"\xff\xc3")
+        assert enc[sof + 4] == 16  # precision byte after marker+length
+        enc[sof + 4] = 8
+        with pytest.raises(ValueError, match="outside"):
+            jc.decode_jpeg_lossless_raw(bytes(enc))
+
     def test_gray_rgb_return_contract(self):
         rng = np.random.default_rng(47)
         g = rng.integers(0, 256, (5, 5), dtype=np.uint8)

@@ -1836,6 +1836,49 @@ class TestWavFormatFamily:
         )
         assert pcm.ravel().tolist() == [32124]
 
+    def test_extensible_wrapped_adpcm_decodes(self):
+        """ADVICE r10 #3: an EXTENSIBLE-wrapped IMA-ADPCM (0x11 in
+        the SubFormat GUID) must decode identically to the plain-tag
+        stream — previously decode_wav unwrapped the tag, routed to
+        decode_adpcm_wav, which re-read the raw 0xFFFE and raised a
+        misleading NotImplementedError."""
+        import struct
+
+        from building_energy_data_pipeline_spark.operators.multimodal import (
+            decode_wav,
+            encode_adpcm_wav,
+        )
+
+        rng = np.random.default_rng(5)
+        pcm = rng.integers(-3000, 3000, 777).astype(np.int16)
+        plain = encode_adpcm_wav(pcm, 8000, samples_per_block=129)
+        want, want_rate = decode_wav(plain)
+
+        # rebuild with the fmt chunk rewrapped as EXTENSIBLE: tag
+        # 0xFFFE, cbSize=22, Samples union = samples_per_block,
+        # channelMask=0, SubFormat GUID leading uint16 = 0x11
+        (fmt_size,) = struct.unpack_from("<I", plain, 16)
+        tag, ch, rate, byterate, align, bits = struct.unpack_from(
+            "<HHIIHH", plain, 20
+        )
+        assert tag == 0x11
+        rest = plain[20 + fmt_size + (fmt_size & 1):]  # fact+data
+        ext_fmt = struct.pack(
+            "<HHIIHHHHI",
+            0xFFFE, ch, rate, byterate, align, bits,
+            22, 129, 0,
+        ) + struct.pack("<H", 0x11) + b"\x00\x00" + (
+            b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+        )
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(ext_fmt))
+            + ext_fmt + rest
+        )
+        wrapped = b"RIFF" + struct.pack("<I", len(body)) + body
+        got, got_rate = decode_wav(wrapped)
+        assert got_rate == want_rate
+        assert np.array_equal(got, want)
+
     def test_mp3_in_wav_still_gated(self):
         from building_energy_data_pipeline_spark.operators.multimodal import (
             decode_wav,

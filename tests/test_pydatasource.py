@@ -317,3 +317,67 @@ class TestWritePath:
         df = self._telemetry(spark)
         with pytest.raises(Exception, match="path"):
             df.write.format("jsonl_dir").mode("append").save()
+
+
+class TestConnectRegistrationGuard:
+    """VERDICT r10 #6 + ADVICE r10 #2: the Spark-Connect branch of
+    ``_register`` (no ``_jsparkSession`` on the session object) must
+    (a) register through the public API, (b) swallow ONLY the
+    already-exists error, and (c) re-raise genuine failures instead
+    of deferring them to a confusing read-time "source not found".
+    Exercised with a JVM-free stand-in for a Connect session — the
+    branch under test never touches anything else on the object."""
+
+    class _FakeConnectSession:
+        # deliberately NO _jsparkSession attribute
+        def __init__(self, register_exc=None):
+            self.calls = []
+            self._exc = register_exc
+            outer = self
+
+            class _DS:
+                def register(self, cls):
+                    outer.calls.append(cls)
+                    if outer._exc is not None:
+                        raise outer._exc
+
+            self.dataSource = _DS()
+
+    def test_public_api_path_registers(self):
+        from building_energy_data_pipeline_spark.sources.pydatasource import (
+            SyntheticTelemetrySource,
+            _register,
+        )
+
+        fake = self._FakeConnectSession()
+        _register(fake, SyntheticTelemetrySource)
+        assert fake.calls == [SyntheticTelemetrySource]
+
+    def test_already_exists_swallowed(self):
+        from building_energy_data_pipeline_spark.sources.pydatasource import (
+            SyntheticTelemetrySource,
+            _register,
+        )
+
+        for exc in (
+            Exception(
+                "[DATA_SOURCE_ALREADY_EXISTS] Data source "
+                "'telemetry_days' already exists."
+            ),
+            Exception("Data source telemetry_days ALREADY_EXISTS"),
+        ):
+            fake = self._FakeConnectSession(register_exc=exc)
+            _register(fake, SyntheticTelemetrySource)  # must not raise
+            assert fake.calls == [SyntheticTelemetrySource]
+
+    def test_genuine_failure_reraised(self):
+        from building_energy_data_pipeline_spark.sources.pydatasource import (
+            SyntheticTelemetrySource,
+            _register,
+        )
+
+        fake = self._FakeConnectSession(
+            register_exc=RuntimeError("pickle failure: cannot serialize")
+        )
+        with pytest.raises(RuntimeError, match="pickle failure"):
+            _register(fake, SyntheticTelemetrySource)

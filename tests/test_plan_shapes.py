@@ -435,6 +435,26 @@ class TestRound6Shapes:
         # per key before the exchange completes)
         assert "WindowGroupLimit" in plan
 
+    def test_q260_no_cross_join_anywhere(self, spark, sf_dir):
+        # the ENTIRE point of the IVF bitext shape (VERDICT r10 #2):
+        # candidates come from the centroid-cell equi-join, so the
+        # only cross joins in the plan are the sanctioned one-row
+        # broadcast of the packed centroid array (BroadcastNestedLoop
+        # with a single-row side — the assign_centroids fold), never
+        # a CartesianProduct over data-scaled sides
+        from building_energy_data_pipeline_spark.plans.queries import (
+            REGISTRY,
+        )
+
+        df = REGISTRY["q260_bitext_margin_ivf"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        # same margin tail as q155: two k-NN denominator windows
+        # (group-limited before the exchange) + the algebraic top-1
+        n_windows = plan.count("Window [")
+        assert n_windows >= 2, plan
+        assert "WindowGroupLimit" in plan
+
     def test_q152_encode_stays_map_only(self, spark, sf_dir):
         # pq_encode is a pure projection over the corpus scan: no
         # exchange may partition on corpus rows (the codebook-side

@@ -41,7 +41,11 @@ SHUFFLE_BUDGET = {
     "q143_embedding_covariance": 0,
     "q150_power_iteration": 2,
     "q154_ivf_pq_recall": 11,
-    "q155_bitext_margin_mining": 3,
+    # bitext scale shape (r11, replaced q155 as the headline): two
+    # map-only cell assignments + the cell equi-join feed the same
+    # 3 keyed exchanges as the cross-join form (two k-NN denominator
+    # windows over the slot-staged pair table + the algebraic top-1)
+    "q260_bitext_margin_ivf": 3,
     "q165_quality_classifier": 1,
     "q36_asof_join": 1,
     "q45_rollup_acctbal": 1,

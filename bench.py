@@ -35,10 +35,45 @@ def _calibrate() -> float:
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        x = 0
-        for i in range(2_000_000):
-            x = (x * 1103515245 + 12345 + i) & 0x7FFFFFFF
+        _lcg_fold(2_000_000)
         best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def _lcg_fold(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x = (x * 1103515245 + 12345 + i) & 0x7FFFFFFF
+    return x
+
+
+def _calibrate_parallel(workers: int) -> float:
+    """The same LCG fold run on ``workers`` CPUs at once, timed
+    (min of 3) — the PARALLEL machine yardstick (VERDICT r10 #3).
+
+    Evidence for why a second yardstick: round 10's driver artifact
+    ran a uniform 1.34× (median) slower than the quiet committed
+    pair across plan-unchanged queries while single-thread
+    ``calib_sec`` moved only 1.05×, and the judge's own run was
+    1.46× at 1.15× — on a shared sandbox VM, *parallel* throughput
+    (co-tenant contention, cgroup throttling) swings far more than
+    any single thread can see, and Spark queries at local[32] feel
+    the parallel number. Processes, not threads: the GIL would
+    serialize a pure-Python fold across threads and measure nothing.
+    Per-worker iteration count matches ``_calibrate`` so on an idle
+    machine calib_par_sec ≈ calib_sec + spawn overhead; contention
+    shows up as calib_par_sec growing while calib_sec holds still.
+    """
+    import concurrent.futures as cf
+
+    best = float("inf")
+    with cf.ProcessPoolExecutor(max_workers=workers) as pool:
+        # warm the pool so process spawn isn't inside the timing
+        list(pool.map(_lcg_fold, [1] * workers))
+        for _ in range(3):
+            t0 = time.perf_counter()
+            list(pool.map(_lcg_fold, [2_000_000] * workers))
+            best = min(best, time.perf_counter() - t0)
     return round(best, 4)
 
 
@@ -167,6 +202,12 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     calib = _calibrate()
+    try:
+        n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        calib_par = _calibrate_parallel(max(1, n_cpus))
+    except Exception as exc:  # noqa: BLE001 — yardstick must not kill bench
+        print(f"bench: parallel calib failed: {exc}", file=sys.stderr)
+        calib_par = -1.0
     detail = {
         "metric": "headline_total",
         "value": total,
@@ -174,6 +215,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "calib_sec": calib,
+        "calib_par_sec": calib_par,
         # machine-speed-normalized timings (VERDICT r4 #5): seconds ÷
         # calib_sec. Cross-round deltas in queries_norm separate code
         # regressions from VM spread without hand math — a query whose
@@ -221,6 +263,7 @@ def main() -> None:
         "queries": {n: round(t, 3) for n, t in timings.items()},
         "sf": sf,
         "calib_sec": calib,
+        "calib_par_sec": calib_par,
         "value_norm": detail["value_norm"],
         "n_errors": len(errors),
         "detail_file": os.path.basename(detail_path),

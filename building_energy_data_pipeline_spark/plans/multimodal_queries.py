@@ -27,6 +27,7 @@ from ..operators.jpeg_codec import (
     encode_jpeg,
     encode_jpeg_arithmetic,
     encode_jpeg_lossless,
+    encode_jpeg_lossless_arith,
     encode_jpeg_progressive,
     encode_jpeg_progressive_arithmetic,
 )
@@ -702,15 +703,18 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     grayscale pattern pixels (``2·((media_id·7 + (y//8)·5 + (x//8)·3)
     % 128)`` — every 8×8 block constant, every value even) are
     encoded to genuine JPEG payloads in one ``mapInPandas`` stage
-    under a FIVE-WAY process rotation on ``(media_id//3)%5`` —
+    under a SIX-WAY process rotation on ``(media_id//3)%6`` —
     baseline SOF0 (``operators/jpeg_codec.encode_jpeg``),
     PROGRESSIVE SOF2 (``encode_jpeg_progressive``: interleaved DC
     scan + two spectral-selection AC scans with EOB-run coding),
     ARITHMETIC SOF9 (``encode_jpeg_arithmetic``: the Annex D
     QM-coder with DAC conditioning), PROGRESSIVE-ARITHMETIC SOF10
     (``encode_jpeg_progressive_arithmetic``: all four G.2 scan
-    procedures), and LOSSLESS SOF3 (``encode_jpeg_lossless``:
-    Annex H spatial DPCM, the predictor rotating over all seven) —
+    procedures), LOSSLESS SOF3 (``encode_jpeg_lossless``: Annex H
+    spatial DPCM, the predictor rotating over all seven), and —
+    round 11 — ARITHMETIC LOSSLESS SOF11
+    (``encode_jpeg_lossless_arith``: the same DPCM walk under the
+    QM-coder with the H.1.2 two-neighbor conditioning model) —
     the DCT layouts at Annex K quality 50 with a decorrelated
     rotating ``restart_interval`` of 0/2/5 so they carry DRI + RSTn
     markers on most payloads — then decoded back by the pure-numpy
@@ -730,7 +734,7 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     adaptive state machine in both sequential and progressive
     arrangements, or the DPCM predictor chain), dequantization,
     IDCT and restart-marker resync reconstruct every pixel exactly —
-    in all FIVE processes: the quantized coefficients are identical
+    in all SIX processes: the quantized coefficients are identical
     across SOF0/SOF2/SOF9/SOF10, so one closed-form oracle
     hash-checks every decoder the module ships
     (``tests/test_jpeg_codec.py`` pins the subspace property itself,
@@ -777,7 +781,7 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # rotate layout on (mid//3)%5 and decorrelate the
                 # restart interval on (mid//15)%3
                 rst = (0, 2, 5)[(mid // 15) % 3]
-                layout = (mid // 3) % 5
+                layout = (mid // 3) % 6
                 if layout == 0:
                     payload = encode_jpeg(
                         arr, quality=50, restart_interval=rst
@@ -794,9 +798,14 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payload = encode_jpeg_progressive_arithmetic(
                         arr, quality=50
                     )
-                else:  # lossless SOF3 — exact on ANY input, so the
-                    # subspace pattern is trivially in its domain
+                elif layout == 4:  # lossless SOF3 — exact on ANY
+                    # input, so the pattern is trivially in its domain
                     payload = encode_jpeg_lossless(
+                        arr, predictor=1 + mid % 7,
+                        restart_interval=rst,
+                    )
+                else:  # arithmetic lossless SOF11 (round 11)
+                    payload = encode_jpeg_lossless_arith(
                         arr, predictor=1 + mid % 7,
                         restart_interval=rst,
                     )

@@ -740,15 +740,16 @@ class TestArithmetic:
             except ValueError:
                 pass
 
-    def test_arithmetic_lossless_still_gated(self):
-        """SOF11 (arithmetic lossless) remains NotImplementedError;
-        the gate message no longer claims SOF9/SOF10 are
-        unsupported."""
+    def test_differential_still_gated(self):
+        """SOF5 (differential sequential) remains NotImplementedError
+        (SOF11 left this gate in round 11 — only the hierarchical/
+        differential family is still out of scope); the message names
+        everything that IS supported."""
         enc = bytearray(
             jc.encode_jpeg_arithmetic(_block_flat_gray(2, 8, 8), 50)
         )
         i = bytes(enc).index(b"\xff\xc9")
-        enc[i + 1] = 0xCB  # SOF9 -> SOF11
+        enc[i + 1] = 0xC5  # SOF9 -> SOF5
         with pytest.raises(NotImplementedError, match="hierarch"):
             decode_jpeg(bytes(enc))
 
@@ -1121,3 +1122,108 @@ class TestProgressiveArithmetic:
             decode_jpeg(encode_jpeg(g, 50)),
             decode_jpeg(jc.encode_jpeg_progressive_arithmetic(g, 50)),
         )
+
+
+class TestArithmeticLossless:
+    """SOF11 (round 11 — the last non-hierarchical T.81 process):
+    Annex H DPCM under the QM-coder with the H.1.2 two-neighbor
+    conditioning (25 contexts from the 5-way Da/Db classifications,
+    dual magnitude regions). Bit-exact on arbitrary inputs, like
+    SOF3 — and decode-equal to SOF3 from identical samples, the
+    cross-layout proof extended to the sixth entropy/mode pairing."""
+
+    def test_exact_round_trip_all_predictors_gray_and_rgb(self):
+        rng = np.random.default_rng(61)
+        for pred in range(1, 8):
+            arr = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+            raw, prec = jc.decode_jpeg_lossless_raw(
+                jc.encode_jpeg_lossless_arith(arr, pred)
+            )
+            assert prec == 8
+            assert np.array_equal(raw[..., 0], arr)
+        rgb = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+        assert np.array_equal(
+            decode_jpeg(jc.encode_jpeg_lossless_arith(rgb, 4)), rgb
+        )
+
+    def test_cross_layout_equality_with_sof3(self):
+        rng = np.random.default_rng(67)
+        arr = rng.integers(0, 4096, (12, 9), dtype=np.uint16)
+        a, pa = jc.decode_jpeg_lossless_raw(
+            jc.encode_jpeg_lossless_arith(arr, 6, precision=12)
+        )
+        h_, ph = jc.decode_jpeg_lossless_raw(
+            jc.encode_jpeg_lossless(arr, 6, precision=12)
+        )
+        assert pa == ph == 12
+        assert np.array_equal(a, h_)
+
+    def test_high_precision_and_category16_extremes(self):
+        arr = np.array([[0, 65535], [65535, 0]], dtype=np.uint16)
+        raw, _ = jc.decode_jpeg_lossless_raw(
+            jc.encode_jpeg_lossless_arith(arr, 1, precision=16)
+        )
+        assert np.array_equal(raw[..., 0], arr)
+
+    def test_point_transform_and_restart(self):
+        rng = np.random.default_rng(71)
+        arr = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+        raw, _ = jc.decode_jpeg_lossless_raw(
+            jc.encode_jpeg_lossless_arith(arr, 1, point_transform=2)
+        )
+        assert np.array_equal(raw[..., 0], (arr >> 2) << 2)
+        arr = rng.integers(0, 256, (20, 30), dtype=np.uint8)
+        # interval 64 restarts MID-line: both halves must reset the
+        # QM-coder, the stats area AND the neighbor-diff memory at
+        # the same sample
+        enc = jc.encode_jpeg_lossless_arith(arr, 5, restart_interval=64)
+        assert b"\xff\xd0" in enc
+        raw, _ = jc.decode_jpeg_lossless_raw(enc)
+        assert np.array_equal(raw[..., 0], arr)
+
+    def test_conditioning_compresses_smooth_content(self):
+        # a diagonal gradient has constant predictor-4 diffs: the
+        # adaptive zero-context should crush it far below the
+        # Huffman layout's fixed ~5.x bits/sample floor
+        smooth = np.add.outer(
+            np.arange(64), np.arange(64)
+        ).astype(np.uint8)
+        e_a = jc.encode_jpeg_lossless_arith(smooth, 4)
+        e_h = jc.encode_jpeg_lossless(smooth, 4)
+        assert len(e_a) < len(e_h) / 10
+        raw, _ = jc.decode_jpeg_lossless_raw(e_a)
+        assert np.array_equal(raw[..., 0], smooth)
+
+    def test_corruption_raises_never_wrong_pixels(self):
+        rng = np.random.default_rng(73)
+        arr = rng.integers(0, 256, (10, 10), dtype=np.uint8)
+        enc = bytearray(jc.encode_jpeg_lossless_arith(arr, 4))
+        sos = bytes(enc).index(b"\xff\xda")
+        # flip one bit mid-scan: either a ValueError (the contract)
+        # or a clean decode that must NOT silently differ in shape
+        flipped = 0
+        for off in range(sos + 12, min(sos + 24, len(enc) - 2)):
+            mut = bytearray(enc)
+            mut[off] ^= 0x40
+            flipped += 1
+            try:
+                raw, _ = jc.decode_jpeg_lossless_raw(bytes(mut))
+                assert raw.shape == (10, 10, 1)
+            except ValueError:
+                pass
+        assert flipped > 0
+
+    @given(
+        seed=st.integers(0, 10_000),
+        h=st.integers(1, 17),
+        w=st.integers(1, 17),
+        pred=st.integers(1, 7),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_fuzz_bit_exact(self, seed, h, w, pred):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        raw, _ = jc.decode_jpeg_lossless_raw(
+            jc.encode_jpeg_lossless_arith(arr, pred)
+        )
+        assert np.array_equal(raw[..., 0], arr)

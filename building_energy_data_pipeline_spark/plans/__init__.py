@@ -30,7 +30,7 @@ from . import datasource_queries  # noqa: F401  (custom Python DataSource q253)
 #: at that index (the explicit sentinel tests assert against —
 #: ADVICE r4 #3: no comment parsing).
 DRIVER_WINDOW_SIZE = 50
-FIRST_BELOW_WINDOW = "q50_topk_with_ties"
+FIRST_BELOW_WINDOW = "q48_range_join_bands"
 
 #: Registry numbering note (VERDICT r10 #7): **q89 is reserved, not
 #: missing** — it tags ``streaming_queries.run_gap_stats_v2``, the
@@ -53,6 +53,13 @@ FIRST_BELOW_WINDOW = "q50_topk_with_ties"
 #:   bitext twin — IVF-cell candidates replacing q155's cross join,
 #:   same integer margin tail, hash-exact oracle via the
 #:   closed-form cell restriction);
+#: - q261 semdedup-scaled (NEW: SemDeDup at the deployment cell
+#:   count — k = max(8, n // 250) seeded centroids evaluated at
+#:   runtime on BOTH engines, the scale-proof's pinned-k lesson
+#:   registered as a first-class oracle-checked query);
+#: - q129, whose code path changed (its verdict tail was extracted
+#:   into the shared ``_semdedup_verdict`` that q261 reuses; plan
+#:   unchanged, rule is rule);
 #: - q155, whose code path changed this round (its margin tail was
 #:   extracted into the shared ``_margin_topk_from_pairs`` that
 #:   q260 reuses; plan unchanged, rule is rule);
@@ -70,17 +77,19 @@ FIRST_BELOW_WINDOW = "q50_topk_with_ties"
 #:   #3: decode_adpcm_wav unwraps WAVE_FORMAT_EXTENSIBLE);
 #: - the SEVENTEEN r5-vintage drains (the last pre-r6 rows, VERDICT
 #:   r10 #1): q132, q133, q134, q137, q138, q140-q151;
-#: - TWENTY-FOUR r6-vintage drains, the oldest rows after those:
-#:   q07, q10-q16, q19, q20, q24-q26, q38-q43, q45-q49.
+#: - TWENTY-TWO r6-vintage drains, the oldest rows after those:
+#:   q07, q10-q16, q19, q20, q24-q26, q38-q43, q45-q47 (q48/q49
+#:   yielded their slots to q261/q129 and drain next round).
 #: After this round's driver run no query's latest row is older
 #: than r6; below the boundary sit the remaining r6 rows
-#: oldest-first (q50 first — the pinned sentinel), then r7/r8/r9/
+#: oldest-first (q48 first — the pinned sentinel), then r7/r8/r9/
 #: r10 as before.
 #: Ordering is evidence curation, not semantics: every query runs
 #: identically wherever it sits.
 _CURATED_ORDER = [
     "q01_pricing_summary",
     "q260_bitext_margin_ivf",
+    "q261_semdedup_scaled",
     "q155_bitext_margin_mining",
     "q259_flac_roundtrip",
     "q253_python_datasource_scan",
@@ -88,6 +97,7 @@ _CURATED_ORDER = [
     "q254_jpeg_roundtrip",
     "q256_adpcm_audio_stats",
     "q102_audio_int_stats",
+    "q129_semantic_dedup",
     "q132_hard_negatives",
     "q133_label_silhouette",
     "q134_length_bucketed_batches",

@@ -848,18 +848,18 @@ def q76_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_MIN_COS = 0.45
 
 
-def _semdedup_oracle() -> str:
+def _semdedup_tail_sql() -> str:
+    """The SemDeDup verdict tail shared by q129 (trained centroids)
+    and q261 (seeded, corpus-proportional k) — appended after an
+    ``assigned (vec_id, embedding, centroid_id)`` CTE: within-cell
+    pairs at the rounded-cosine threshold, lowest-id-wins dedup,
+    full keep/drop verdict."""
     cos = (
         f"{similarity.duck_dot_sql('a.embedding', 'b.embedding')}"
         f" / ({similarity.duck_norm_sql('a.embedding')}"
         f" * {similarity.duck_norm_sql('b.embedding')})"
     )
-    return f"""
-    WITH trained AS ({similarity.duck_kmeans_train_sql(
-        "embeddings", KMEANS_K, TRAIN_ITERS)}),
-    assigned AS ({similarity.duck_assign_sql(
-        "embeddings",
-        centroid_sql="SELECT vec_id, embedding FROM trained")}),
+    return f""",
     pairs AS (
       SELECT * FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -877,6 +877,62 @@ def _semdedup_oracle() -> str:
            d.dup_of, d.max_cos
     FROM assigned s LEFT JOIN dups d USING (vec_id)
     """
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+    WITH trained AS ({similarity.duck_kmeans_train_sql(
+        "embeddings", KMEANS_K, TRAIN_ITERS)}),
+    assigned AS ({similarity.duck_assign_sql(
+        "embeddings",
+        centroid_sql="SELECT vec_id, embedding FROM trained")}){_semdedup_tail_sql()}
+    """
+
+
+def _semdedup_verdict(assigned: DataFrame) -> DataFrame:
+    """SemDeDup verdict from an assigned ``(vec_id, centroid_id,
+    embedding, vnorm)`` table — the Spark half of the shared tail
+    (within-cell pairs, rounded-cosine threshold, lowest-id-wins):
+    q129 feeds it trained cells, q261 seeded corpus-proportional
+    cells, so the dedup rule cannot drift between the oracle-pinned
+    and deployment-shaped forms."""
+    a = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("vnorm").alias("na"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("vnorm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(similarity.cosine_expr("va", "vb", "na", "nb")), 6
+            ),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_MIN_COS)
+    )
+    dups = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.min("id_a").alias("dup_of"), F.max("cos").alias("max_cos")
+    )
+    return (
+        assigned.select("vec_id", "centroid_id")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.col("dup_of").isNull().alias("is_kept"),
+            "dup_of",
+            "max_cos",
+        )
+    )
 
 
 @query("q129_semantic_dedup", headline=True, oracle=_semdedup_oracle())
@@ -920,18 +976,6 @@ def q129_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             scale.spread_scan(emb, by=["vec_id"]), trained
         ).select("vec_id", "centroid_id", "embedding", "vnorm"),
     )
-    a = assigned.select(
-        "centroid_id",
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        F.col("vnorm").alias("na"),
-    )
-    b = assigned.select(
-        "centroid_id",
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        F.col("vnorm").alias("nb"),
-    )
     # while the slim assignment table fits a broadcast, the pair join
     # is map-side over the slot's hash-spread partitions, so the
     # k-distinct-key cardinality costs nothing; when clusters outgrow
@@ -939,31 +983,68 @@ def q129_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # becomes the bottleneck and the join should go through
     # scale.salted_join (q56's lever — A/B'd here: a wash at any
     # broadcastable scale)
-    pairs = (
-        a.join(b, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos",
-            F.round(
-                F.expr(similarity.cosine_expr("va", "vb", "na", "nb")), 6
-            ),
-        )
-        .filter(F.col("cos") >= SEMDEDUP_MIN_COS)
+    return _semdedup_verdict(assigned)
+
+
+#: q261 deployment sizing: one cell per ~this many vectors — the
+#: SemDeDup k ~ n / target_cluster_size rule, evaluated at runtime on
+#: BOTH engines (Spark: a footer-count scalar; DuckDB: a scalar
+#: subquery), so the registered query IS the deployment shape at
+#: every sf instead of pinning k to what an unrolled training oracle
+#: can afford
+SEMDEDUP_CELL_TARGET = 250
+
+
+@query(
+    "q261_semdedup_scaled",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id < greatest(
+        8, (SELECT COUNT(*) FROM embeddings) // {SEMDEDUP_CELL_TARGET})
+    ),
+    assigned AS ({similarity.duck_assign_sql(
+        "embeddings",
+        centroid_sql="SELECT vec_id, embedding FROM cent")}){_semdedup_tail_sql()}
+    """,
+)
+def q261_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the DEPLOYMENT cell count (round 11 — the
+    scale-proof's lesson registered as a first-class oracle-checked
+    query): q129 pins k={KMEANS_K} because its oracle unrolls the
+    k-means training loop in SQL, and the 10× scale-proof measured
+    that pinned-k wall growing ×27 (fixed cell count only divides
+    the quadratic pair space by a constant). Here the cell count
+    SCALES WITH THE CORPUS — k = max(8, n // {SEMDEDUP_CELL_TARGET})
+    seeded centroids, the SemDeDup k ≈ n/target_cluster_size sizing
+    rule — computed identically on both engines (Spark reads n from
+    parquet footers, the oracle from a scalar subquery), so the
+    oracle stays closed-form at any sf with no training loop to
+    unroll. The verdict tail (within-cell pairs at the rounded-cos
+    ≥ {SEMDEDUP_MIN_COS} threshold, lowest-id-wins) is shared code
+    with q129 (`_semdedup_verdict` / `_semdedup_tail_sql`), so the
+    dedup rule cannot drift between the trained and deployment
+    shapes.
+
+    Scale: per-cell population stays ~{SEMDEDUP_CELL_TARGET} as the
+    corpus grows, so the pair space is ~n·target — linear (measured
+    ×2.5 wall at 10× data vs q129's ×27, SCALEPROOF.json). The
+    assignment is the map-only broadcast fold; the cell equi-join
+    shuffles on uniform cell ids; seeds stand in for trained
+    centroids exactly as q35 stands beside q119.
+    """
+    from ..caching import slot_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = max(8, emb.count() // SEMDEDUP_CELL_TARGET)
+    cents = emb.filter(F.col("vec_id") < k)
+    assigned = slot_persist(
+        "similarity.semdedup_scaled_assigned",
+        similarity.assign_centroids(
+            scale.spread_scan(emb, by=["vec_id"]), cents
+        ).select("vec_id", "centroid_id", "embedding", "vnorm"),
     )
-    dups = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
-        F.min("id_a").alias("dup_of"), F.max("cos").alias("max_cos")
-    )
-    return (
-        assigned.select("vec_id", "centroid_id")
-        .join(dups, "vec_id", "left")
-        .select(
-            "vec_id",
-            "centroid_id",
-            F.col("dup_of").isNull().alias("is_kept"),
-            "dup_of",
-            "max_cos",
-        )
-    )
+    return _semdedup_verdict(assigned)
 
 
 # ---------------------------------------------------------------------------

@@ -290,11 +290,11 @@ def test_window_composition_matches_documented_counts():
     """The rotation comment's counts, DERIVED not hand-written
     (ADVICE r7 #3: two r7 sync commits each landed a different wrong
     hand-counted number). The round-11 window is documented as
-    1 flagship + q260 (new) + q155 (shared margin-tail refactor) +
-    q259 (encode change) + q253/q258 (registration-path change) +
-    q254 (decode change + SOF11 payload mix) + q256/q102
-    (decode-dispatch change) + 17 r5-vintage drains + 24 r6-vintage
-    drains = 50."""
+    1 flagship + q260/q261 (new) + q155/q129 (shared-tail
+    refactors) + q259 (encode change) + q253/q258
+    (registration-path change) + q254 (decode change + SOF11
+    payload mix) + q256/q102 (decode-dispatch change) + 17
+    r5-vintage drains + 22 r6-vintage drains = 50."""
     from building_energy_data_pipeline_spark.plans import (
         DRIVER_WINDOW_SIZE,
         REGISTRY,
@@ -304,6 +304,7 @@ def test_window_composition_matches_documented_counts():
     changed = [
         "q01_pricing_summary",
         "q260_bitext_margin_ivf",      # new r11 (VERDICT r10 #2)
+        "q261_semdedup_scaled",        # new r11 (scale-proof lesson)
         "q155_bitext_margin_mining",   # margin tail extracted
         "q259_flac_roundtrip",         # STREAMINFO encode change
         "q253_python_datasource_scan",     # Connect-branch change
@@ -311,6 +312,7 @@ def test_window_composition_matches_documented_counts():
         "q254_jpeg_roundtrip",         # lossless decode + SOF11 mix
         "q256_adpcm_audio_stats",      # EXTENSIBLE ADPCM unwrap
         "q102_audio_int_stats",        # EXTENSIBLE ADPCM unwrap
+        "q129_semantic_dedup",         # verdict tail extracted
     ]
     assert window[: len(changed)] == changed
     # the 17 r5-vintage drains (the last pre-r6 rows — VERDICT r10
@@ -332,11 +334,11 @@ def test_window_composition_matches_documented_counts():
     r6_drains = [
         n for n in window if n not in r5_set and n not in changed
     ]
-    assert len(r6_drains) == 24
+    assert len(r6_drains) == 22
     assert "q07_event_gaps" in r6_drains
-    assert "q49_nation_intersect_except" in r6_drains
+    assert "q47_grouping_sets" in r6_drains
     assert len(changed) + len(r5_drains) + len(r6_drains) == DRIVER_WINDOW_SIZE
-    # registry growth this round: q260 → 259 total (q89 reserved for
-    # the protobuf-gated transformWithState twin, documented in
-    # plans/__init__.py)
-    assert len(REGISTRY) == 259
+    # registry growth this round: q260 + q261 → 260 total (q89
+    # reserved for the protobuf-gated transformWithState twin,
+    # documented in plans/__init__.py)
+    assert len(REGISTRY) == 260

@@ -2264,10 +2264,20 @@ def q155_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: q260 cell parameters: the q35 seed-centroid convention (closed-form
-#: in DuckDB — no training loop in the oracle) with 2-cell multiprobe
-#: on the source side
-BITEXT_CENTROID_PRED = ANN_CENTROID_PRED
+#: q260 cell parameters: seed centroids (the q35 convention — no
+#: training loop in the oracle) at a CORPUS-PROPORTIONAL count, the
+#: IVF k ~ n / target_cell_size sizing rule evaluated at runtime on
+#: both engines (the q261 trick) so the REGISTERED query is the
+#: deployment shape — a pinned k would only divide the quadratic
+#: pair space by a constant (measured: the k=8 ablation row in
+#: SCALEPROOF.json grows ×157 in candidate pairs at 10× data where
+#: this scaled form grows ×9.8, linear). 2-cell multiprobe on the
+#: source side.
+BITEXT_CELL_TARGET = 250
+BITEXT_CENTROID_PRED = (
+    f"vec_id < greatest(8, (SELECT COUNT(*) FROM embeddings)"
+    f" // {BITEXT_CELL_TARGET})"
+)
 BITEXT_NPROBE = 2
 
 
@@ -2285,10 +2295,14 @@ def q260_bitext_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     join instead of the all-pairs cross join — targets partition
     into their nearest-centroid cell (map-only broadcast fold),
     sources probe their {BITEXT_NPROBE} nearest cells, and only
-    co-celled pairs are scored. Pair count falls from |src|·|tgt| to
-    ~nprobe/k of it; at 100× data the cell join grows near-linearly
-    where q155's cross join grows quadratically (the 10× scale-proof
-    table in COVERAGE.md measures exactly this pair).
+    co-celled pairs are scored. The cell count scales with the
+    corpus — k = max(8, n // {BITEXT_CELL_TARGET}) seed centroids,
+    computed identically on both engines (Spark from parquet
+    footers, the oracle from a scalar subquery) — so per-cell
+    population stays ~{BITEXT_CELL_TARGET} and the candidate-pair
+    space grows LINEARLY where q155's cross join grows
+    quadratically (measured exactly: SCALEPROOF.json's pair counts,
+    ×9.8 vs ×100 at 10× data; a pinned k=8 ablation grows ×157).
 
     The margin denominators pool over the SAME restricted candidate
     set — how FAISS-backed production miners take them (from the ANN
@@ -2310,7 +2324,8 @@ def q260_bitext_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "lang", "embedding")
     src = je.filter(F.expr(BITEXT_SRC_PRED))
     tgt = je.filter(~F.expr(BITEXT_SRC_PRED))
-    centroids = emb.filter(F.expr(BITEXT_CENTROID_PRED))
+    k = max(8, emb.count() // BITEXT_CELL_TARGET)
+    centroids = emb.filter(F.col("vec_id") < k)
     return similarity.bitext_margin_ivf(
         src,
         tgt,

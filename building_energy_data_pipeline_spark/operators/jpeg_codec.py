@@ -27,13 +27,16 @@ Scope (documented, spec-cited):
   multi-table DHT segments, 0xFF00 byte unstuffing — and
   PROGRESSIVE-ARITHMETIC (SOF10, Annex G.2: all four scan
   procedures QM-coded — DC first/refine, AC first/refine with the
-  gated EOB decision; round-10) and ARITHMETIC LOSSLESS (SOF11,
+  gated EOB decision; round-10), ARITHMETIC LOSSLESS (SOF11,
   Annex H DPCM + the QM-coder under the H.1.2 two-neighbor
-  conditioning model; round-11 — the last non-hierarchical T.81
-  process). Differential and hierarchical modes raise
-  ``NotImplementedError`` — unsupported VARIANTS, distinct from
-  corrupt payloads which raise ``ValueError`` (the multimodal
-  error contract, ADVICE r8).
+  conditioning model; round-11), and HIERARCHICAL mode (Annex J:
+  DHP/EXP markers, resolution pyramid, SOF7/SOF15 lossless
+  differential frames under either entropy coder — bit-exact
+  end-to-end; round-11). The only T.81 residue: DCT frames inside
+  hierarchical streams (differential sequential/progressive,
+  SOF5/6/13/14, and lossy pyramids) raise ``NotImplementedError``
+  — unsupported VARIANTS, distinct from corrupt payloads which
+  raise ``ValueError`` (the multimodal error contract, ADVICE r8).
 - **encode**: baseline SOF0 (grayscale, 4:4:4 or 4:2:0 YCbCr,
   optional restart markers), a PROGRESSIVE encoder
   (:func:`encode_jpeg_progressive`, spectral selection with
@@ -861,6 +864,21 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             frame = (h, w, comps)
             progressive = marker in (0xC2, 0xCA)
             arithmetic = marker in (0xC9, 0xCA)
+        elif marker == 0xDE:  # DHP: hierarchical — re-walk via the
+            # hierarchical raw decoder, then scale like lossless
+            raw, prec = decode_jpeg_hierarchical_raw(content)
+            if prec > 8:
+                raw = (raw >> (prec - 8)).astype(np.uint8)
+            elif prec < 8:
+                raw = (
+                    raw.astype(np.int64) * 255 // ((1 << prec) - 1)
+                ).astype(np.uint8)
+            else:
+                raw = raw.astype(np.uint8)
+            if raw.shape[2] == 1:
+                g = raw[..., 0]
+                return np.stack([g, g, g], axis=-1)
+            return raw
         elif marker in (0xC3, 0xCB):  # SOF3/SOF11 lossless: re-walk
             # via the raw decoder, then scale to the uint8 RGB
             # return contract
@@ -881,10 +899,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         elif marker in (0xC5, 0xC6, 0xC7,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG mode SOF{marker - 0xC0} (differential/"
-                "hierarchical) not supported — baseline SOF0/SOF1, "
-                "progressive SOF2/SOF10, arithmetic sequential SOF9, "
-                "and lossless SOF3/SOF11 only"
+                f"differential frame SOF{marker - 0xC0} outside a "
+                "hierarchical stream — differential frames are only "
+                "legal after DHP (Annex J), where the lossless ones "
+                "(SOF7/SOF15) decode; differential DCT frames "
+                "(SOF5/6/13/14) are not supported"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             i = 0
@@ -3206,6 +3225,455 @@ def _decode_scan_lossless_arith(
             f"{prec}-bit precision: corrupt payload"
         )
     return (out.astype(np.uint16) << pt).astype(np.uint16)
+
+
+# --------------------------------------------------------------------------
+# Hierarchical mode (Annex J) with LOSSLESS differential frames —
+# DHP / EXP markers, SOF3/SOF11 first frame, SOF7/SOF15 differential
+# frames (round-11; closes every T.81 mode except differential-DCT
+# refinement frames)
+# --------------------------------------------------------------------------
+#
+# A hierarchical stream is a resolution pyramid: DHP declares the
+# full-size frame, the first (non-differential) frame codes the
+# smallest level with the ordinary lossless process, and each later
+# frame first EXP-expands the reconstructed reference by 2× (the
+# J.1.1.2 bilinear midpoint filter: out[2i] = in[i], out[2i+1] =
+# (in[i] + in[i+1] + 1) >> 1, edge-replicated, cropped to the new
+# frame's dimensions) and then codes the DIFFERENCE image with the
+# lossless entropy machinery under zero prediction (the reference IS
+# the prediction — J.1/H.1: differential frames use no spatial
+# predictor). Because the final frame is differential-lossless, the
+# full-resolution reconstruction is BIT-EXACT. Downsampling is the
+# encoder's choice per the spec (decimation here); interop is
+# untestable in-sandbox, so as with the other arithmetic/lossless
+# processes both halves share one convention and the round-trip
+# proof is internal. Restart markers are not emitted in hierarchical
+# frames (supported everywhere else; a DRI before a hierarchical
+# scan raises NotImplementedError, an unsupported VARIANT).
+
+
+def _expand_ref(ref: np.ndarray, th: int, tw: int, eh: int, ev: int) -> np.ndarray:
+    """J.1.1.2 reference expansion: double the flagged dimensions
+    with midpoint interpolation, then crop to the target frame."""
+    out = ref.astype(np.int64)
+    if ev:
+        h, w = out.shape
+        up = np.zeros((2 * h, w), dtype=np.int64)
+        up[0::2] = out
+        nxt = np.vstack([out[1:], out[-1:]])  # edge-replicated below
+        up[1::2] = (out + nxt + 1) >> 1
+        out = up
+    if eh:
+        h, w = out.shape
+        up = np.zeros((h, 2 * w), dtype=np.int64)
+        up[:, 0::2] = out
+        nxt = np.hstack([out[:, 1:], out[:, -1:]])
+        up[:, 1::2] = (out + nxt + 1) >> 1
+        out = up
+    if out.shape[0] < th or out.shape[1] < tw:
+        raise ValueError(
+            f"EXP expansion {out.shape} cannot reach frame {th}x{tw}"
+        )
+    return out[:th, :tw]
+
+
+def _hier_code_diff_huff(writer: _BitWriter, codes: dict, diff: int) -> None:
+    """One modulo-2^16 recentred difference through the DC-category
+    Huffman coding (the lossless scan's convention)."""
+    if diff == -32768:
+        diff = 32768
+    ssss = _category(diff)
+    code, length = codes[ssss]
+    writer.write(code, length)
+    if 0 < ssss < 16:
+        mag = diff if diff >= 0 else diff + (1 << ssss) - 1
+        writer.write(mag & ((1 << ssss) - 1), ssss)
+
+
+def encode_jpeg_hierarchical(
+    arr: np.ndarray,
+    precision: int = 8,
+    levels: int = 2,
+    predictor: int = 1,
+    arithmetic: bool = False,
+) -> bytes:
+    """Encode ``(h, w)`` grayscale or ``(h, w, 3)`` RGB (uint8, or
+    uint16 for precision > 8) as a HIERARCHICAL lossless JPEG
+    (Annex J): a ``levels``-deep decimation pyramid, the smallest
+    level coded with the ordinary lossless process (SOF3, or SOF11
+    when ``arithmetic``), each larger level EXP-expanded from the
+    reconstruction and coded as a differential lossless frame (SOF7
+    / SOF15). End-to-end BIT-EXACT on any input."""
+    if arr.ndim == 2:
+        planes = [arr]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        planes = [arr[..., i] for i in range(3)]
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) array, got {arr.shape}")
+    if not 2 <= precision <= 16:
+        raise ValueError(f"precision must be 2..16, got {precision}")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor must be 1..7, got {predictor}")
+    maxv = (1 << precision) - 1
+    if any(int(p.max(initial=0)) > maxv for p in planes):
+        raise ValueError(f"samples exceed {precision}-bit range")
+    h, w = planes[0].shape
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError(f"image dimensions out of JPEG range: {h}x{w}")
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+
+    # dims per level, full-res last; clamp depth so the top stays >= 1px
+    dims = [(h, w)]
+    for _ in range(levels - 1):
+        ph, pw = dims[-1]
+        if ph == 1 and pw == 1:
+            break
+        dims.append(((ph + 1) // 2, (pw + 1) // 2))
+    dims.reverse()
+
+    def down(p: np.ndarray) -> np.ndarray:
+        return p[::2, ::2]  # decimation (encoder's choice, J.1.1.1)
+
+    pyramid = [[p.astype(np.int64) for p in planes]]
+    for _ in range(len(dims) - 1):
+        pyramid.append([down(p) for p in pyramid[-1]])
+    pyramid.reverse()  # smallest first, aligned with dims
+
+    nc = len(planes)
+    out = bytearray()
+    out += b"\xff\xd8"
+    dhp = bytearray()
+    dhp += struct.pack(">BHHB", precision, h, w, nc)
+    for i in range(nc):
+        dhp += bytes([i + 1, 0x11, 0])
+    out += b"\xff\xde" + struct.pack(">H", 2 + len(dhp)) + bytes(dhp)
+    if arithmetic:
+        out += _dac_segment([(0, 0, 0x10)])
+        codes = None
+    else:
+        bits = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+        vals = list(range(17))
+        out += _dht_segment(0, 0, bits, vals)
+        codes = _build_codes(bits, vals)
+
+    ref: list[np.ndarray] | None = None
+    for li, (lh, lw) in enumerate(dims):
+        level = pyramid[li]
+        differential = ref is not None
+        if differential:
+            out += b"\xff\xdf" + struct.pack(">HB", 3, 0x11)  # EXP 1,1
+            ref = [_expand_ref(r, lh, lw, 1, 1) for r in ref]
+        sofm = (
+            (0xCF if differential else 0xCB)
+            if arithmetic
+            else (0xC7 if differential else 0xC3)
+        )
+        sof = bytearray()
+        sof += struct.pack(">BHHB", precision, lh, lw, nc)
+        for i in range(nc):
+            sof += bytes([i + 1, 0x11, 0])
+        out += bytes([0xFF, sofm]) + struct.pack(">H", 2 + len(sof)) + bytes(sof)
+        sos = bytearray([nc])
+        for i in range(nc):
+            sos += bytes([i + 1, 0x00])
+        # Ss carries the predictor in non-differential lossless frames
+        # and 0 in differential frames (no spatial prediction)
+        sos += bytes([0 if differential else predictor, 0, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
+
+        default = 1 << (precision - 1)
+        if arithmetic:
+            enc = _ArithEncoder()
+            st = bytearray(_LL_STAT_BINS)
+            prev = [np.zeros(lw, dtype=np.int64) for _ in range(nc)]
+            cur = [np.zeros(lw, dtype=np.int64) for _ in range(nc)]
+        else:
+            writer = _BitWriter()
+        for y in range(lh):
+            if arithmetic and y:
+                for c in range(nc):
+                    prev[c], cur[c] = cur[c], prev[c]
+                    cur[c][:] = 0
+            for x in range(lw):
+                for c in range(nc):
+                    plane = level[c]
+                    if differential:
+                        px = int(ref[c][y, x])
+                    elif y == 0:
+                        px = default if x == 0 else int(plane[y, x - 1])
+                    elif x == 0:
+                        px = int(plane[y - 1, 0])
+                    else:
+                        px = _lossless_predict(
+                            int(plane[y, x - 1]),
+                            int(plane[y - 1, x]),
+                            int(plane[y - 1, x - 1]),
+                            predictor,
+                        )
+                    diff = (int(plane[y, x]) - px) & 0xFFFF
+                    if diff >= 0x8000:
+                        diff -= 0x10000
+                    if arithmetic:
+                        if diff == -32768:
+                            diff = 32768
+                        ca = _lossless_diff_cat(
+                            int(cur[c][x - 1]) if x > 0 else 0, 0, 1
+                        )
+                        cb = _lossless_diff_cat(int(prev[c][x]), 0, 1)
+                        s0 = 4 * (ca + 5 * cb)
+                        xbase = _LL_X_LARGE if cb >= 3 else _LL_X_SMALL
+                        _arith_encode_lossless_diff(enc, st, s0, xbase, diff)
+                        cur[c][x] = diff
+                    else:
+                        _hier_code_diff_huff(writer, codes, diff)
+        out += enc.flush() if arithmetic else writer.flush()
+        ref = level  # lossless: reconstruction == source
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _skip_entropy(data: bytes, pos: int) -> int:
+    """Advance past an entropy-coded segment to the next real marker
+    (skipping 0xFF00 stuffing and RSTn)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    raise ValueError("truncated JPEG: entropy segment runs past EOF")
+
+
+def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
+    """Decode a hierarchical lossless JPEG (DHP + SOF3/SOF11 first
+    frame + EXP/SOF7/SOF15 differential frames) to ``((h, w, ncomp)
+    uint16, P)`` — the twin of :func:`decode_jpeg_lossless_raw` for
+    Annex J streams."""
+    if len(content) < 4 or content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    data = content
+    pos = 2
+    dc_tables: dict[int, _HuffDecoder] = {}
+    conditioning: dict[tuple[int, int], int] = {}
+    full = None  # (P, H, W, ncomp) from DHP
+    frame = None  # (P, h, w, comps, differential, arithmetic)
+    pending_exp = None
+    restart_interval = 0
+    ref: list[np.ndarray] | None = None
+    while True:
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG: no EOI")
+        if data[pos] != 0xFF:
+            raise ValueError(
+                f"marker expected at byte {pos}, got 0x{data[pos]:02X}"
+            )
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        pos += 2
+        if marker == 0xD9:  # EOI
+            if ref is None or full is None:
+                raise ValueError("hierarchical stream ended before a scan")
+            ph, hh, ww, nc = full
+            if any(r.shape != (hh, ww) for r in ref):
+                raise ValueError(
+                    "hierarchical stream ended below DHP resolution"
+                )
+            out = np.stack(ref, axis=-1)
+            maxv = (1 << ph) - 1
+            if (out < 0).any() or (out > maxv).any():
+                raise ValueError(
+                    f"hierarchical samples outside [0, {maxv}]: corrupt "
+                    "payload"
+                )
+            return out.astype(np.uint16), ph
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(data):
+            raise ValueError("truncated marker segment header")
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError(f"bad segment length {seglen} at {pos}")
+        body = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDE:  # DHP
+            prec = body[0]
+            if not 2 <= prec <= 16:
+                raise ValueError(f"bad hierarchical precision {prec}")
+            hh, ww = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"{nc}-component hierarchical JPEG not supported"
+                )
+            full = (prec, hh, ww, nc)
+        elif marker == 0xDF:  # EXP
+            pending_exp = (body[0] >> 4, body[0] & 0x0F)
+        elif marker == 0xC4:
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                if tc == 0:
+                    dc_tables[th] = _HuffDecoder(
+                        bits, list(body[i + 17 : i + 17 + n])
+                    )
+                i += 17 + n
+        elif marker == 0xCC:
+            i = 0
+            while i + 2 <= len(body):
+                conditioning[(body[i] >> 4, body[i] & 0x0F)] = body[i + 1]
+                i += 2
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker in (0xC3, 0xC7, 0xCB, 0xCF):
+            if full is None:
+                raise ValueError("hierarchical frame before DHP")
+            prec = body[0]
+            lh, lw = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            if nc != full[3]:
+                raise ValueError(
+                    "frame component count differs from DHP"
+                )
+            frame = (
+                prec, lh, lw, nc,
+                marker in (0xC7, 0xCF),   # differential
+                marker in (0xCB, 0xCF),   # arithmetic
+            )
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC9, 0xCA,
+                        0xCD, 0xCE):
+            raise NotImplementedError(
+                "hierarchical mode here supports lossless frames only "
+                "(SOF3/SOF7/SOF11/SOF15) — DCT frames inside a "
+                "hierarchical stream are not supported"
+            )
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before any hierarchical frame")
+            if restart_interval:
+                raise NotImplementedError(
+                    "restart markers inside hierarchical frames not "
+                    "supported"
+                )
+            prec, lh, lw, nc, differential, arith = frame
+            ns = body[0]
+            if ns != nc:
+                raise NotImplementedError(
+                    "per-component hierarchical scans not supported"
+                )
+            scan = [
+                (body[1 + c * 2], body[2 + c * 2] >> 4) for c in range(ns)
+            ]
+            sel = body[1 + ns * 2]
+            pt = body[3 + ns * 2] & 0x0F
+            if pt:
+                raise NotImplementedError(
+                    "point transform in hierarchical frames not supported"
+                )
+            if differential:
+                if ref is None:
+                    raise ValueError(
+                        "differential frame with no reference"
+                    )
+                if pending_exp is not None:
+                    eh, ev = pending_exp
+                    ref = [
+                        _expand_ref(r, lh, lw, eh, ev) for r in ref
+                    ]
+                    pending_exp = None
+                if any(r.shape != (lh, lw) for r in ref):
+                    raise ValueError(
+                        "reference/frame dimension mismatch"
+                    )
+            elif not 1 <= sel <= 7:
+                raise ValueError(
+                    f"invalid lossless predictor selector {sel}"
+                )
+            if not arith and any(
+                td not in dc_tables for _, td in scan
+            ):
+                raise ValueError("scan references missing Huffman table")
+            planes = [
+                np.zeros((lh, lw), dtype=np.int64) for _ in range(nc)
+            ]
+            default = 1 << (prec - 1)
+            if arith:
+                dec = _ArithDecoder(data, pos)
+                st = bytearray(_LL_STAT_BINS)
+                prev = [np.zeros(lw, dtype=np.int64) for _ in range(nc)]
+                cur = [np.zeros(lw, dtype=np.int64) for _ in range(nc)]
+            else:
+                reader = _BitReader(data, pos)
+                decs = [dc_tables[td] for _, td in scan]
+            for y in range(lh):
+                if arith and y:
+                    for c in range(nc):
+                        prev[c], cur[c] = cur[c], prev[c]
+                        cur[c][:] = 0
+                for x in range(lw):
+                    for c in range(nc):
+                        plane = planes[c]
+                        if differential:
+                            px = int(ref[c][y, x])
+                        elif y == 0:
+                            px = (
+                                default if x == 0
+                                else int(plane[y, x - 1])
+                            )
+                        elif x == 0:
+                            px = int(plane[y - 1, 0])
+                        else:
+                            px = _lossless_predict(
+                                int(plane[y, x - 1]),
+                                int(plane[y - 1, x]),
+                                int(plane[y - 1, x - 1]),
+                                sel,
+                            )
+                        if arith:
+                            ca = _lossless_diff_cat(
+                                int(cur[c][x - 1]) if x > 0 else 0, 0, 1
+                            )
+                            cb = _lossless_diff_cat(
+                                int(prev[c][x]), 0, 1
+                            )
+                            s0 = 4 * (ca + 5 * cb)
+                            xbase = (
+                                _LL_X_LARGE if cb >= 3 else _LL_X_SMALL
+                            )
+                            diff = _arith_decode_lossless_diff(
+                                dec, st, s0, xbase
+                            )
+                            cur[c][x] = diff
+                        else:
+                            ssss = decs[c].decode(reader)
+                            if ssss == 16:
+                                diff = 32768
+                            elif ssss > 16:
+                                raise ValueError(
+                                    f"invalid lossless category {ssss}"
+                                )
+                            else:
+                                diff = _extend(
+                                    reader.receive(ssss), ssss
+                                )
+                        plane[y, x] = (px + diff) & 0xFFFF
+            maxv = (1 << prec) - 1
+            for p in planes:
+                if (p < 0).any() or (p > maxv).any():
+                    raise ValueError(
+                        f"hierarchical scan decoded samples outside "
+                        f"[0, {maxv}]: corrupt payload"
+                    )
+            ref = planes
+            frame = None
+            pos = _skip_entropy(data, pos)
+        # else: APPn/COM/unknown — skipped
 
 
 # --------------------------------------------------------------------------

@@ -72,7 +72,9 @@ FIRST_BELOW_WINDOW = "q48_range_join_bands"
 #: - q254 JPEG round-trip (decode change — ADVICE r10 #4: lossless
 #:   out-of-range samples now raise ValueError per the corruption
 #:   contract instead of masking — and the round-11 stretch widened
-#:   the payload mix to SIX layouts with arithmetic-lossless SOF11);
+#:   the payload mix to SEVEN layouts: arithmetic-lossless SOF11
+#:   and the Annex J hierarchical pyramid with SOF7/SOF15 lossless
+#:   differential frames);
 #: - q256 + q102 audio stats (decode-dispatch change — ADVICE r10
 #:   #3: decode_adpcm_wav unwraps WAVE_FORMAT_EXTENSIBLE);
 #: - the SEVENTEEN r5-vintage drains (the last pre-r6 rows, VERDICT

@@ -26,6 +26,7 @@ from ..operators import multimodal
 from ..operators.jpeg_codec import (
     encode_jpeg,
     encode_jpeg_arithmetic,
+    encode_jpeg_hierarchical,
     encode_jpeg_lossless,
     encode_jpeg_lossless_arith,
     encode_jpeg_progressive,
@@ -703,7 +704,7 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     grayscale pattern pixels (``2·((media_id·7 + (y//8)·5 + (x//8)·3)
     % 128)`` — every 8×8 block constant, every value even) are
     encoded to genuine JPEG payloads in one ``mapInPandas`` stage
-    under a SIX-WAY process rotation on ``(media_id//3)%6`` —
+    under a SEVEN-WAY process rotation on ``(media_id//3)%7`` —
     baseline SOF0 (``operators/jpeg_codec.encode_jpeg``),
     PROGRESSIVE SOF2 (``encode_jpeg_progressive``: interleaved DC
     scan + two spectral-selection AC scans with EOB-run coding),
@@ -714,7 +715,11 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     spatial DPCM, the predictor rotating over all seven), and —
     round 11 — ARITHMETIC LOSSLESS SOF11
     (``encode_jpeg_lossless_arith``: the same DPCM walk under the
-    QM-coder with the H.1.2 two-neighbor conditioning model) —
+    QM-coder with the H.1.2 two-neighbor conditioning model) plus
+    HIERARCHICAL mode (``encode_jpeg_hierarchical``: Annex J
+    DHP/EXP pyramid, SOF3-or-SOF11 first frame, SOF7/SOF15 lossless
+    differential frames — alternating entropy coders on
+    ``(media_id//21)%2``) —
     the DCT layouts at Annex K quality 50 with a decorrelated
     rotating ``restart_interval`` of 0/2/5 so they carry DRI + RSTn
     markers on most payloads — then decoded back by the pure-numpy
@@ -734,7 +739,7 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     adaptive state machine in both sequential and progressive
     arrangements, or the DPCM predictor chain), dequantization,
     IDCT and restart-marker resync reconstruct every pixel exactly —
-    in all SIX processes: the quantized coefficients are identical
+    in all SEVEN processes: the quantized coefficients are identical
     across SOF0/SOF2/SOF9/SOF10, so one closed-form oracle
     hash-checks every decoder the module ships
     (``tests/test_jpeg_codec.py`` pins the subspace property itself,
@@ -781,7 +786,7 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # rotate layout on (mid//3)%5 and decorrelate the
                 # restart interval on (mid//15)%3
                 rst = (0, 2, 5)[(mid // 15) % 3]
-                layout = (mid // 3) % 6
+                layout = (mid // 3) % 7
                 if layout == 0:
                     payload = encode_jpeg(
                         arr, quality=50, restart_interval=rst
@@ -804,10 +809,17 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                         arr, predictor=1 + mid % 7,
                         restart_interval=rst,
                     )
-                else:  # arithmetic lossless SOF11 (round 11)
+                elif layout == 5:  # arithmetic lossless SOF11
                     payload = encode_jpeg_lossless_arith(
                         arr, predictor=1 + mid % 7,
                         restart_interval=rst,
+                    )
+                else:  # hierarchical pyramid (round 11): lossless
+                    # differential frames, both entropy coders
+                    payload = encode_jpeg_hierarchical(
+                        arr, levels=2 + mid % 2,
+                        predictor=1 + mid % 7,
+                        arithmetic=(mid // 21) % 2 == 1,
                     )
                 rows.append({"media_id": mid, "content": payload})
             yield pd.DataFrame(rows, columns=["media_id", "content"])

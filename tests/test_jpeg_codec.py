@@ -1227,3 +1227,116 @@ class TestArithmeticLossless:
             jc.encode_jpeg_lossless_arith(arr, pred)
         )
         assert np.array_equal(raw[..., 0], arr)
+
+
+class TestHierarchical:
+    """Annex J hierarchical mode (round 11): DHP/EXP markers, a
+    decimation pyramid, the smallest level coded with the ordinary
+    lossless process and every larger level as a LOSSLESS
+    differential frame (SOF7 Huffman / SOF15 arithmetic) against the
+    J.1.1.2 bilinear-expanded reference — bit-exact end-to-end."""
+
+    def test_exact_round_trip_depths_and_coders(self):
+        rng = np.random.default_rng(83)
+        for arith in (False, True):
+            for levels in (1, 2, 3):
+                arr = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+                raw, prec = jc.decode_jpeg_hierarchical_raw(
+                    jc.encode_jpeg_hierarchical(
+                        arr, levels=levels, arithmetic=arith
+                    )
+                )
+                assert prec == 8
+                assert np.array_equal(raw[..., 0], arr)
+
+    def test_rgb_and_marker_anatomy(self):
+        rng = np.random.default_rng(89)
+        rgb = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+        enc = jc.encode_jpeg_hierarchical(rgb, levels=3)
+        for m in (b"\xff\xde", b"\xff\xdf", b"\xff\xc3", b"\xff\xc7"):
+            assert m in enc  # DHP, EXP, first frame, differential
+        assert np.array_equal(decode_jpeg(enc), rgb)
+
+    def test_sixteen_bit_deep_arithmetic_pyramid(self):
+        rng = np.random.default_rng(97)
+        arr = rng.integers(0, 1 << 16, (21, 15), dtype=np.uint16)
+        enc = jc.encode_jpeg_hierarchical(
+            arr, precision=16, levels=4, arithmetic=True
+        )
+        assert b"\xff\xcb" in enc and b"\xff\xcf" in enc
+        raw, p = jc.decode_jpeg_hierarchical_raw(enc)
+        assert p == 16
+        assert np.array_equal(raw[..., 0], arr)
+
+    def test_expansion_is_the_spec_midpoint_filter(self):
+        # out[2i] = in[i]; out[2i+1] = (in[i] + in[i+1] + 1) >> 1,
+        # edge-replicated, cropped to the frame
+        ref = np.array([[0, 10], [20, 30]], dtype=np.int64)
+        up = jc._expand_ref(ref, 4, 4, 1, 1)
+        want = np.array(
+            [[0, 5, 10, 10],
+             [10, 15, 20, 20],
+             [20, 25, 30, 30],
+             [20, 25, 30, 30]],
+            dtype=np.int64,
+        )
+        assert np.array_equal(up, want)
+        # odd-crop: a 2x2 reference expanding into a 3x3 frame
+        assert np.array_equal(
+            jc._expand_ref(ref, 3, 3, 1, 1), want[:3, :3]
+        )
+
+    def test_pyramid_compresses_smooth_content(self):
+        smooth = np.add.outer(
+            np.arange(64), np.arange(64)
+        ).astype(np.uint8)
+        e = jc.encode_jpeg_hierarchical(smooth, levels=3, arithmetic=True)
+        assert len(e) < smooth.size / 10
+        raw, _ = jc.decode_jpeg_hierarchical_raw(e)
+        assert np.array_equal(raw[..., 0], smooth)
+
+    def test_bare_differential_frame_still_gated(self):
+        # a differential frame OUTSIDE a hierarchical stream is the
+        # remaining NotImplementedError surface
+        enc = bytearray(jc.encode_jpeg_lossless(
+            np.zeros((4, 4), dtype=np.uint8), 1
+        ))
+        i = bytes(enc).index(b"\xff\xc3")
+        enc[i + 1] = 0xC7
+        with pytest.raises(NotImplementedError, match="hierarchical"):
+            decode_jpeg(bytes(enc))
+
+    def test_corruption_raises_never_wrong_shape(self):
+        rng = np.random.default_rng(101)
+        arr = rng.integers(0, 256, (10, 10), dtype=np.uint8)
+        enc = bytearray(jc.encode_jpeg_hierarchical(arr, levels=2))
+        sos = bytes(enc).index(b"\xff\xda")
+        flipped = 0
+        for off in range(sos + 12, min(sos + 20, len(enc) - 2)):
+            mut = bytearray(enc)
+            mut[off] ^= 0x20
+            flipped += 1
+            try:
+                raw, _ = jc.decode_jpeg_hierarchical_raw(bytes(mut))
+                assert raw.shape == (10, 10, 1)
+            except ValueError:
+                pass
+        assert flipped > 0
+
+    @given(
+        seed=st.integers(0, 10_000),
+        h=st.integers(1, 17),
+        w=st.integers(1, 17),
+        levels=st.integers(1, 3),
+        arith=st.booleans(),
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_fuzz_bit_exact(self, seed, h, w, levels, arith):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        raw, _ = jc.decode_jpeg_hierarchical_raw(
+            jc.encode_jpeg_hierarchical(
+                arr, levels=levels, arithmetic=arith
+            )
+        )
+        assert np.array_equal(raw[..., 0], arr)

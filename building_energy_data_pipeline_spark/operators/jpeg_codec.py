@@ -32,10 +32,18 @@ Scope (documented, spec-cited):
   conditioning model; round-11), and HIERARCHICAL mode (Annex J:
   DHP/EXP markers, resolution pyramid, SOF7/SOF15 lossless
   differential frames under either entropy coder — bit-exact
-  end-to-end; round-11). The only T.81 residue: DCT frames inside
-  hierarchical streams (differential sequential/progressive,
-  SOF5/6/13/14, and lossy pyramids) raise ``NotImplementedError``
-  — unsupported VARIANTS, distinct from corrupt payloads which
+  end-to-end; round-11) — including DCT frames inside hierarchical
+  streams (round-11 continuation): a non-differential first frame
+  (sequential SOF0/SOF1/SOF9 or progressive SOF2/SOF10) plus
+  DIFFERENTIAL frames in BOTH arrangements — sequential (SOF5
+  Huffman / SOF13 arithmetic) and progressive (SOF6 / SOF14,
+  spectral-selection scan sets with DC coded without prediction) —
+  so a lossy DCT pyramid with a final lossless differential
+  correction frame round-trips BIT-EXACTLY. With that, EVERY T.81
+  frame type decodes; what still raises ``NotImplementedError`` is
+  unsupported VARIANTS (subsampled/12-bit DCT frames, restart
+  markers, per-component scans and point transform inside
+  hierarchical streams), distinct from corrupt payloads which
   raise ``ValueError`` (the multimodal error contract, ADVICE r8).
 - **encode**: baseline SOF0 (grayscale, 4:4:4 or 4:2:0 YCbCr,
   optional restart markers), a PROGRESSIVE encoder
@@ -377,6 +385,20 @@ def _emit_block(
     coefs = _DCT @ block @ _DCT.T
     quant = np.rint(coefs / qtable).astype(np.int64)
     zz = quant.flatten()[ZIGZAG_FLAT]
+    return _emit_zz(writer, zz, dc_codes, ac_codes, pred)
+
+
+def _emit_zz(
+    writer: _BitWriter,
+    zz: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    pred: int,
+) -> int:
+    """Entropy tail of :func:`_emit_block` from PRE-QUANTIZED zigzag
+    coefficients (hierarchical DCT frames quantize separately so the
+    encoder can reuse the exact coefficients for its decoder-equal
+    reconstruction); returns the updated DC predictor."""
     # DC: DPCM + category + magnitude bits
     diff = int(zz[0]) - pred
     pred = int(zz[0])
@@ -902,8 +924,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 f"differential frame SOF{marker - 0xC0} outside a "
                 "hierarchical stream — differential frames are only "
                 "legal after DHP (Annex J), where the lossless ones "
-                "(SOF7/SOF15) decode; differential DCT frames "
-                "(SOF5/6/13/14) are not supported"
+                "(SOF7/SOF15) and the sequential-DCT ones "
+                "(SOF5/SOF13) decode; differential PROGRESSIVE "
+                "frames (SOF6/SOF14) are not supported"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             i = 0
@@ -1165,10 +1188,17 @@ class _ProgressiveState:
     component, sized to the MCU-padded grid (interleaved DC scans
     code padding blocks; non-interleaved scans touch only the
     component's own ``ceil(dim/8)`` prefix).
+
+    With ``differential=True`` (SOF6/SOF14 frames inside a
+    hierarchical stream) the DC coefficient is coded WITHOUT
+    prediction — the first DC pass stores the coded value directly
+    and the DPCM predictor stays pinned at zero, the same convention
+    as the differential sequential frames (J.1/F.1.4).
     """
 
-    def __init__(self, frame) -> None:
+    def __init__(self, frame, differential: bool = False) -> None:
         self.frame = frame
+        self.differential = differential
         h, w, comps = frame
         self.hmax = max(hs for _, hs, _, _ in comps)
         self.vmax = max(vs for _, _, vs, _ in comps)
@@ -1280,9 +1310,13 @@ class _ProgressiveState:
             if td not in dc_tables:
                 raise ValueError(f"missing DC Huffman table {td}")
             size = dc_tables[td].decode(reader)
-            if size > 11:
+            if size > (15 if self.differential else 11):
                 raise ValueError(f"invalid DC category {size}")
-            preds[cs] += _extend(reader.receive(size), size)
+            d = _extend(reader.receive(size), size)
+            if self.differential:  # DC coded without prediction
+                self.coefs[cs][by, bx, 0] = d << al
+                return
+            preds[cs] += d
             self.coefs[cs][by, bx, 0] = preds[cs] << al
         else:  # refinement: one correction bit per block
             if reader.read_bit():
@@ -1485,6 +1519,8 @@ class _ProgressiveState:
                     cond & 0x0F, cond >> 4,
                 )
                 self.coefs[cs][by, bx, 0] = preds[cs] << al
+                if self.differential:  # DC coded without prediction
+                    preds[cs] = 0
             else:  # refinement: one fixed-bin bit per block (G.2.2)
                 if dec.decode(fixed, 0):
                     self.coefs[cs][by, bx, 0] |= 1 << al
@@ -3448,21 +3484,57 @@ def _skip_entropy(data: bytes, pos: int) -> int:
 
 
 def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
-    """Decode a hierarchical lossless JPEG (DHP + SOF3/SOF11 first
-    frame + EXP/SOF7/SOF15 differential frames) to ``((h, w, ncomp)
+    """Decode a hierarchical JPEG (Annex J) to ``((h, w, ncomp)
     uint16, P)`` — the twin of :func:`decode_jpeg_lossless_raw` for
-    Annex J streams."""
+    Annex J streams. Frames inside the DHP pyramid may be LOSSLESS
+    (SOF3/SOF11 first frame, SOF7/SOF15 differential) or SEQUENTIAL
+    DCT (SOF0/SOF1/SOF9 first frame, SOF5/SOF13 differential —
+    round-11 continuation; 8-bit, 1×1 sampling, the module's own
+    hierarchical-DCT convention: reconstruction is dequantize →
+    float64 IDCT → rint, clamped to ``[0, 2^P-1]`` after each frame's
+    reference update, shared verbatim with the encoder so a final
+    lossless differential frame makes the stream bit-exact)."""
     if len(content) < 4 or content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     data = content
     pos = 2
     dc_tables: dict[int, _HuffDecoder] = {}
+    ac_tables: dict[int, _HuffDecoder] = {}
+    qtables: dict[int, np.ndarray] = {}
     conditioning: dict[tuple[int, int], int] = {}
     full = None  # (P, H, W, ncomp) from DHP
-    frame = None  # (P, h, w, comps, differential, arithmetic)
+    frame = None  # (P, h, w, nc, differential, arithmetic, dct,
+    #               comps, progressive)
     pending_exp = None
     restart_interval = 0
     ref: list[np.ndarray] | None = None
+    # open progressive DCT frame, accumulating across its scans:
+    # [state, prec, lh, lw, differential, qtable]
+    prog: list | None = None
+
+    def finalize_prog() -> None:
+        """A progressive DCT frame ends at the next SOF/EXP/EOI:
+        reconstruct its accumulated coefficients (the same shared
+        dequantize->IDCT->rint->clamp path as sequential frames) and
+        fold them into the reference."""
+        nonlocal prog, ref, frame
+        if prog is None:
+            return
+        state, fprec, flh, flw, fdiff, qt = prog
+        grids = [state.coefs[cid] for cid, _, _, _ in state.frame[2]]
+        recon = _hier_dct_recon_planes(
+            grids, qt, flh, flw, 0.0 if fdiff else 128.0
+        )
+        maxv = (1 << fprec) - 1
+        if fdiff:
+            ref = [
+                np.clip(r + d, 0, maxv) for r, d in zip(ref, recon)
+            ]
+        else:
+            ref = [np.clip(p, 0, maxv) for p in recon]
+        prog = None
+        frame = None
+
     while True:
         if pos + 1 >= len(data):
             raise ValueError("truncated JPEG: no EOI")
@@ -3476,6 +3548,7 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
             continue
         pos += 2
         if marker == 0xD9:  # EOI
+            finalize_prog()
             if ref is None or full is None:
                 raise ValueError("hierarchical stream ended before a scan")
             ph, hh, ww, nc = full
@@ -3512,6 +3585,7 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                 )
             full = (prec, hh, ww, nc)
         elif marker == 0xDF:  # EXP
+            finalize_prog()
             pending_exp = (body[0] >> 4, body[0] & 0x0F)
         elif marker == 0xC4:
             i = 0
@@ -3519,11 +3593,32 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                 tc, th = body[i] >> 4, body[i] & 0x0F
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
+                dec = _HuffDecoder(bits, list(body[i + 17 : i + 17 + n]))
                 if tc == 0:
-                    dc_tables[th] = _HuffDecoder(
-                        bits, list(body[i + 17 : i + 17 + n])
-                    )
+                    dc_tables[th] = dec
+                else:
+                    ac_tables[th] = dec
                 i += 17 + n
+        elif marker == 0xDB:  # DQT — DCT frames only (lossless
+            # hierarchical frames carry no quantization tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                step = 64 if pq == 0 else 128
+                if pq > 1:
+                    raise ValueError(f"bad DQT precision {pq}")
+                if i + step > len(body):
+                    raise ValueError("truncated DQT")
+                vals = (
+                    np.frombuffer(body[i : i + 64], dtype=np.uint8)
+                    if pq == 0
+                    else np.frombuffer(body[i : i + 128], dtype=">u2")
+                ).astype(np.int64)
+                i += step
+                table = np.zeros(64, dtype=np.int64)
+                table[ZIGZAG_FLAT] = vals
+                qtables[tq] = table.reshape(8, 8)
         elif marker == 0xCC:
             i = 0
             while i + 2 <= len(body):
@@ -3531,7 +3626,12 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                 i += 2
         elif marker == 0xDD:
             restart_interval = struct.unpack(">H", body[:2])[0]
-        elif marker in (0xC3, 0xC7, 0xCB, 0xCF):
+        elif marker in (0xC3, 0xC7, 0xCB, 0xCF,   # lossless
+                        0xC0, 0xC1, 0xC9,          # non-diff seq DCT
+                        0xC5, 0xCD,                # differential seq DCT
+                        0xC2, 0xCA,                # non-diff prog DCT
+                        0xC6, 0xCE):               # diff prog DCT
+            finalize_prog()
             if full is None:
                 raise ValueError("hierarchical frame before DHP")
             prec = body[0]
@@ -3541,17 +3641,33 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError(
                     "frame component count differs from DHP"
                 )
+            dct = marker not in (0xC3, 0xC7, 0xCB, 0xCF)
+            progressive = marker in (0xC2, 0xCA, 0xC6, 0xCE)
+            comps = [
+                (
+                    body[6 + 3 * c],
+                    body[7 + 3 * c] >> 4,
+                    body[7 + 3 * c] & 0x0F,
+                    body[8 + 3 * c],
+                )
+                for c in range(nc)
+            ]
+            if dct:
+                if prec != 8:
+                    raise NotImplementedError(
+                        "DCT frames inside hierarchical streams are "
+                        "supported at 8-bit precision only"
+                    )
+                if any(hs != 1 or vs != 1 for _, hs, vs, _ in comps):
+                    raise NotImplementedError(
+                        "subsampled DCT frames inside hierarchical "
+                        "streams not supported (1x1 only)"
+                    )
             frame = (
                 prec, lh, lw, nc,
-                marker in (0xC7, 0xCF),   # differential
-                marker in (0xCB, 0xCF),   # arithmetic
-            )
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC9, 0xCA,
-                        0xCD, 0xCE):
-            raise NotImplementedError(
-                "hierarchical mode here supports lossless frames only "
-                "(SOF3/SOF7/SOF11/SOF15) — DCT frames inside a "
-                "hierarchical stream are not supported"
+                marker in (0xC7, 0xCF, 0xC5, 0xCD, 0xC6, 0xCE),
+                marker in (0xCB, 0xCF, 0xC9, 0xCD, 0xCA, 0xCE),
+                dct, comps, progressive,
             )
         elif marker == 0xDA:
             if frame is None:
@@ -3561,18 +3677,23 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                     "restart markers inside hierarchical frames not "
                     "supported"
                 )
-            prec, lh, lw, nc, differential, arith = frame
+            (prec, lh, lw, nc, differential, arith, dct, fcomps,
+             progressive) = frame
             ns = body[0]
-            if ns != nc:
+            if not progressive and ns != nc:
                 raise NotImplementedError(
                     "per-component hierarchical scans not supported"
                 )
             scan = [
-                (body[1 + c * 2], body[2 + c * 2] >> 4) for c in range(ns)
+                (body[1 + c * 2], body[2 + c * 2] >> 4,
+                 body[2 + c * 2] & 0x0F)
+                for c in range(ns)
             ]
             sel = body[1 + ns * 2]
-            pt = body[3 + ns * 2] & 0x0F
-            if pt:
+            se_v = body[2 + ns * 2]
+            ahal = body[3 + ns * 2]
+            pt = ahal & 0x0F
+            if pt and not progressive:
                 raise NotImplementedError(
                     "point transform in hierarchical frames not supported"
                 )
@@ -3591,12 +3712,66 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                     raise ValueError(
                         "reference/frame dimension mismatch"
                     )
-            elif not 1 <= sel <= 7:
+            elif not dct and not 1 <= sel <= 7:
                 raise ValueError(
                     f"invalid lossless predictor selector {sel}"
                 )
+            if dct and progressive:
+                if prog is None:
+                    # first scan of the frame: pin the (shared)
+                    # quantizer and open the coefficient accumulator
+                    qts = []
+                    for cid, _, _, tq in fcomps:
+                        if tq not in qtables:
+                            raise ValueError(
+                                f"missing quantization table {tq}"
+                            )
+                        qts.append(qtables[tq].astype(np.int64))
+                    if any((q != qts[0]).any() for q in qts[1:]):
+                        raise NotImplementedError(
+                            "per-component quantization tables in "
+                            "hierarchical DCT frames not supported "
+                            "(one shared table)"
+                        )
+                    prog = [
+                        _ProgressiveState(
+                            (lh, lw, fcomps),
+                            differential=differential,
+                        ),
+                        prec, lh, lw, differential, qts[0],
+                    ]
+                state = prog[0]
+                ah, al = ahal >> 4, ahal & 0x0F
+                if arith:
+                    pos = state.decode_scan_arith(
+                        data, pos, scan, sel, se_v, ah, al,
+                        conditioning, 0,
+                    )
+                else:
+                    pos = state.decode_scan(
+                        data, pos, scan, sel, se_v, ah, al,
+                        dc_tables, ac_tables, 0,
+                    )
+                continue
+            if dct:
+                recon = _hier_dct_scan(
+                    data, pos, lh, lw, scan, fcomps, qtables,
+                    dc_tables, ac_tables, conditioning,
+                    differential, arith,
+                )
+                maxv = (1 << prec) - 1
+                if differential:
+                    ref = [
+                        np.clip(r + d, 0, maxv)
+                        for r, d in zip(ref, recon)
+                    ]
+                else:
+                    ref = [np.clip(p, 0, maxv) for p in recon]
+                frame = None
+                pos = _skip_entropy(data, pos)
+                continue
             if not arith and any(
-                td not in dc_tables for _, td in scan
+                td not in dc_tables for _, td, _ in scan
             ):
                 raise ValueError("scan references missing Huffman table")
             planes = [
@@ -3610,7 +3785,7 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                 cur = [np.zeros(lw, dtype=np.int64) for _ in range(nc)]
             else:
                 reader = _BitReader(data, pos)
-                decs = [dc_tables[td] for _, td in scan]
+                decs = [dc_tables[td] for _, td, _ in scan]
             for y in range(lh):
                 if arith and y:
                     for c in range(nc):
@@ -3674,6 +3849,545 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
             frame = None
             pos = _skip_entropy(data, pos)
         # else: APPn/COM/unknown — skipped
+
+
+# --------------------------------------------------------------------------
+# Hierarchical mode with DCT frames (Annex J, round-11 continuation):
+# SOF0/SOF9 non-differential first frame, SOF5/SOF13 DIFFERENTIAL
+# SEQUENTIAL DCT frames, optional final SOF7/SOF15 lossless
+# differential correction frame => bit-exact lossy-pyramid streams
+# --------------------------------------------------------------------------
+#
+# Composition, not new machinery: the frame walk / EXP expansion is
+# the lossless-hierarchical decoder's, the per-block entropy layers
+# are the SOF0 Huffman tail (`_emit_zz`) and the SOF9 QM-coder
+# decision trees (`_arith_encode_dc`/`_arith_encode_ac_band`), and
+# the final correction frame is the existing SOF7/SOF15 path. What
+# differential DCT changes (J.1/F.1.4): the frame codes a DIFFERENCE
+# image — no level shift, and the DC coefficient is coded WITHOUT
+# prediction (the spatial reference IS the prediction), i.e. the
+# "DC difference" fed to either entropy coder is the DC value itself
+# (prediction pinned to zero on both halves; the QM conditioning
+# context still chains on the previously coded value, symmetric).
+# Encoder and decoder share ONE reconstruction function
+# (`_hier_dct_recon_planes`: dequantize -> float64 IDCT -> rint ->
+# crop, clamped to [0, 255] after each reference update), so the
+# encoder's reference for the next differential frame is exactly the
+# decoder's — which is what makes the final lossless differential
+# frame close the stream bit-exactly on ANY input. Annex J leaves
+# the inverse-DCT precision and clamping convention to the
+# implementation; external interop is untestable in this sandbox
+# (no libjpeg/PIL), so as with SOF9/SOF10/SOF11 both halves share
+# the convention and the round-trip proof is internal.
+#
+# Components are coded independently at 1x1 sampling with the scaled
+# Annex K luminance table and NO color transform (RGB planes direct,
+# the lossless-hierarchical convention) so the final lossless
+# correction operates on the same component values the DCT stages
+# approximated.
+
+#: DC Huffman table for hierarchical DCT frames: categories 0..12
+#: (differential DC reaches +-2040 -> cat 11; non-differential DPCM
+#: reaches +-2048 -> cat 12), zero shortest. Canonical, all-ones
+#: codeword unused (Annex C).
+DC_HDIFF_BITS = [0, 1, 2, 0, 10, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+DC_HDIFF_VALS = list(range(13))
+
+#: AC Huffman table for hierarchical DCT frames: EOB and the common
+#: low-run/low-size symbols short, every (run, size<=12) symbol
+#: covered (difference-image AC reaches +-2040 -> cat 11; one spare)
+#: plus the EOB1..EOB14 run symbols progressive band scans need.
+#: Annex K's tables stop at size 10, too small for difference images.
+_AC_HDIFF_SHORT = [0x01, 0x02, 0x03, 0x11, 0x12, 0x21, 0x31, 0xF0]
+AC_HDIFF_BITS = [0, 1, 0, 0, 8, 0, 0, 0, 199, 0, 0, 0, 0, 0, 0, 0]
+AC_HDIFF_VALS = [0x00] + _AC_HDIFF_SHORT + sorted(
+    {
+        (r << 4) | s
+        for r in range(16)
+        for s in range(1, 13)
+        if ((r << 4) | s) not in _AC_HDIFF_SHORT
+    }
+    | {r << 4 for r in range(1, 15)}  # EOBn
+)
+
+
+def _hier_dct_recon_planes(
+    qblocks: list[np.ndarray],
+    qtable: np.ndarray,
+    lh: int,
+    lw: int,
+    shift: float,
+) -> list[np.ndarray]:
+    """Dequantize + IDCT per-component ``(nby, nbx, 64)`` zigzag
+    coefficient grids and crop to ``(lh, lw)`` int64 planes — THE
+    reconstruction both encoder and decoder run, verbatim."""
+    qflat = qtable.flatten()[ZIGZAG_FLAT].astype(np.float64)
+    out = []
+    for zzb in qblocks:
+        nby, nbx, _ = zzb.shape
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        for by in range(nby):
+            for bx in range(nbx):
+                coefs = np.zeros(64, dtype=np.float64)
+                coefs[ZIGZAG_FLAT] = zzb[by, bx] * qflat
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT.T @ coefs.reshape(8, 8) @ _DCT
+                )
+        out.append(
+            np.rint(plane[:lh, :lw] + shift).astype(np.int64)
+        )
+    return out
+
+
+def _hier_read_zz(reader, dc_dec, ac_dec) -> np.ndarray:
+    """One block's zigzag coefficients, Huffman direction — ``zz[0]``
+    is the RAW coded DC value (the caller applies DPCM prediction, or
+    none in differential frames)."""
+    zz = np.zeros(64, dtype=np.int64)
+    size = dc_dec.decode(reader)
+    if size > 15:
+        raise ValueError(f"invalid DC category {size}")
+    zz[0] = _extend(reader.receive(size), size)
+    k = 1
+    while k < 64:
+        rs = ac_dec.decode(reader)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        zz[k] = _extend(reader.receive(size), size)
+        k += 1
+    return zz
+
+
+def _hier_dct_scan(
+    data: bytes,
+    pos: int,
+    lh: int,
+    lw: int,
+    scan: list,
+    fcomps: list,
+    qtables: dict,
+    dc_tables: dict,
+    ac_tables: dict,
+    conditioning: dict,
+    differential: bool,
+    arith: bool,
+) -> list[np.ndarray]:
+    """Decode one sequential-DCT scan inside a hierarchical stream
+    (1×1 sampling, single interleaved scan) and return the
+    reconstructed int64 planes — +128-shifted pixels for a
+    non-differential frame, raw differences for a differential one
+    (the caller adds the reference and clamps)."""
+    by_id = {cid: tq for cid, _, _, tq in fcomps}
+    nby, nbx = (lh + 7) // 8, (lw + 7) // 8
+    qts = []
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError(f"scan references unknown component {cs}")
+        tq = by_id[cs]
+        if tq not in qtables:
+            raise ValueError(f"missing quantization table {tq}")
+        qts.append(qtables[tq].astype(np.int64))
+        if not arith and (td not in dc_tables or ta not in ac_tables):
+            raise ValueError("scan references missing Huffman table")
+    if any((q != qts[0]).any() for q in qts[1:]):
+        raise NotImplementedError(
+            "per-component quantization tables in hierarchical DCT "
+            "frames not supported (one shared table)"
+        )
+    grids = [
+        np.zeros((nby, nbx, 64), dtype=np.int64) for _ in scan
+    ]
+    if arith:
+        dec = _ArithDecoder(data, pos)
+        dc_stats, ac_stats, fixed = _arith_new_stats(scan, conditioning)
+        preds = {cs: 0 for cs, _, _ in scan}
+        dc_ctx = {cs: 0 for cs, _, _ in scan}
+    else:
+        reader = _BitReader(data, pos)
+        preds = {cs: 0 for cs, _, _ in scan}
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci, (cs, td, ta) in enumerate(scan):
+                if arith:
+                    dc_cond = conditioning.get((0, td), 0x10)
+                    dc_l, dc_u = dc_cond & 0x0F, dc_cond >> 4
+                    kx = conditioning.get((1, ta), 5)
+                    zz = np.zeros(64, dtype=np.int64)
+                    _arith_decode_dc(
+                        dec, dc_stats[td], preds, dc_ctx, cs,
+                        dc_l, dc_u,
+                    )
+                    zz[0] = preds[cs]
+                    if differential:
+                        preds[cs] = 0  # DC coded without prediction
+                    _arith_decode_ac_band(
+                        dec, ac_stats[ta], fixed, zz, 1, 63, kx
+                    )
+                else:
+                    zz = _hier_read_zz(
+                        reader, dc_tables[td], ac_tables[ta]
+                    )
+                    if not differential:
+                        preds[cs] += int(zz[0])
+                        zz[0] = preds[cs]
+                grids[ci][by, bx] = zz
+    return _hier_dct_recon_planes(
+        grids, qts[0], lh, lw, 0.0 if differential else 128.0
+    )
+
+
+def encode_jpeg_hierarchical_dct(
+    arr: np.ndarray,
+    quality: int = 50,
+    levels: int = 2,
+    arithmetic: bool = False,
+    final_lossless: bool = True,
+    progressive: bool = False,
+) -> bytes:
+    """Encode ``(h, w)`` grayscale or ``(h, w, 3)`` RGB uint8 as a
+    HIERARCHICAL JPEG whose pyramid levels are DCT frames (Annex J
+    with DCT processes): the smallest level as a non-differential
+    frame, each larger level EXP-expanded from the reconstruction
+    and coded as a DIFFERENTIAL DCT frame at the scaled Annex K
+    luminance quality, and — with ``final_lossless`` (the default) —
+    one final full-resolution LOSSLESS differential frame
+    (SOF7 / SOF15, no EXP) that corrects the residual quantization
+    error, making the stream BIT-EXACT on any input. With
+    ``final_lossless=False`` the stream is an ordinary lossy
+    pyramid.
+
+    ``progressive=False`` emits sequential frames (SOF0/SOF9 first,
+    SOF5/SOF13 differential); ``progressive=True`` emits PROGRESSIVE
+    frames (SOF2/SOF10 first, SOF6/SOF14 differential — the last
+    T.81 frame family) as spectral-selection scan sets: one
+    interleaved DC scan (DC coded WITHOUT prediction in differential
+    frames) then per-component AC band scans (1–5, 6–63) with
+    EOB-run coding under Huffman and the G.2 band walks under the
+    QM-coder. Components are RGB planes direct at 1×1 sampling (see
+    the section note)."""
+    if arr.ndim == 2:
+        planes = [arr]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        planes = [arr[..., i] for i in range(3)]
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) array, got {arr.shape}")
+    if arr.dtype != np.uint8:
+        raise ValueError(f"expected uint8 pixels, got {arr.dtype}")
+    h, w = planes[0].shape
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError(f"image dimensions out of JPEG range: {h}x{w}")
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+    planes = [p.astype(np.int64) for p in planes]
+    nc = len(planes)
+
+    dims = [(h, w)]
+    for _ in range(levels - 1):
+        ph, pw = dims[-1]
+        if ph == 1 and pw == 1:
+            break
+        dims.append(((ph + 1) // 2, (pw + 1) // 2))
+    dims.reverse()
+    pyramid = [planes]
+    for _ in range(len(dims) - 1):
+        pyramid.append([p[::2, ::2] for p in pyramid[-1]])
+    pyramid.reverse()  # smallest first, aligned with dims
+
+    qt = scale_quant_table(QUANT_LUMA, quality)
+    out = bytearray()
+    out += b"\xff\xd8"
+    dhp = bytearray()
+    dhp += struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        dhp += bytes([i + 1, 0x11, 0])
+    out += b"\xff\xde" + struct.pack(">H", 2 + len(dhp)) + bytes(dhp)
+    out += _dqt_segment(0, qt)
+    if arithmetic:
+        out += _dac_segment([(0, 0, 0x10), (1, 0, 5)])
+        dc_codes = ac_codes = ll_codes = None
+    else:
+        out += _dht_segment(0, 0, DC_HDIFF_BITS, DC_HDIFF_VALS)
+        out += _dht_segment(1, 0, AC_HDIFF_BITS, AC_HDIFF_VALS)
+        dc_codes = _build_codes(DC_HDIFF_BITS, DC_HDIFF_VALS)
+        ac_codes = _build_codes(AC_HDIFF_BITS, AC_HDIFF_VALS)
+        ll_codes = None
+        if final_lossless:
+            ll_bits = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+            ll_vals = list(range(17))
+            out += _dht_segment(0, 1, ll_bits, ll_vals)
+            ll_codes = _build_codes(ll_bits, ll_vals)
+
+    def sof_seg(sofm: int, lh: int, lw: int) -> bytes:
+        sof = bytearray()
+        sof += struct.pack(">BHHB", 8, lh, lw, nc)
+        for i in range(nc):
+            sof += bytes([i + 1, 0x11, 0])
+        return (
+            bytes([0xFF, sofm])
+            + struct.pack(">H", 2 + len(sof))
+            + bytes(sof)
+        )
+
+    def sos_seg(comp_tables: list, ss: int, se: int) -> bytes:
+        sos = bytearray([len(comp_tables)])
+        for cid, tbl in comp_tables:
+            sos += bytes([cid, tbl])
+        sos += bytes([ss, se, 0x00])  # Ah=Al=0 always here
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
+
+    ref: list[np.ndarray] | None = None
+    for li, (lh, lw) in enumerate(dims):
+        level = pyramid[li]
+        differential = ref is not None
+        if differential:
+            out += b"\xff\xdf" + struct.pack(">HB", 3, 0x11)  # EXP 1,1
+            ref = [_expand_ref(r, lh, lw, 1, 1) for r in ref]
+            src = [lvl - r for lvl, r in zip(level, ref)]
+            shift = 0.0
+        else:
+            src = level
+            shift = 128.0
+        if progressive:
+            sofm = (
+                (0xCE if differential else 0xCA)
+                if arithmetic
+                else (0xC6 if differential else 0xC2)
+            )
+        else:
+            sofm = (
+                (0xCD if differential else 0xC9)
+                if arithmetic
+                else (0xC5 if differential else 0xC0)
+            )
+        out += sof_seg(sofm, lh, lw)
+        if not progressive:
+            out += sos_seg([(i + 1, 0x00) for i in range(nc)], 0, 63)
+        qblocks = []
+        for p in src:
+            pp = _pad_edge_to_blocks(p.astype(np.float64) - shift, 8, 8)
+            nby, nbx = pp.shape[0] // 8, pp.shape[1] // 8
+            g = np.zeros((nby, nbx, 64), dtype=np.int64)
+            for by in range(nby):
+                for bx in range(nbx):
+                    block = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    quant = np.rint(
+                        (_DCT @ block @ _DCT.T) / qt
+                    ).astype(np.int64)
+                    g[by, bx] = quant.flatten()[ZIGZAG_FLAT]
+            qblocks.append(g)
+        nby, nbx = qblocks[0].shape[:2]
+        if progressive:
+            # DC scan: interleaved, all components, Ss=Se=0 —
+            # differential frames code DC without prediction
+            out += sos_seg([(i + 1, 0x00) for i in range(nc)], 0, 0)
+            if arithmetic:
+                enc = _ArithEncoder()
+                scan0 = [(c + 1, 0, 0) for c in range(nc)]
+                dc_stats, _, fixed = _arith_new_stats(scan0, {})
+                preds = {c + 1: 0 for c in range(nc)}
+                dc_ctx = {c + 1: 0 for c in range(nc)}
+                for by in range(nby):
+                    for bx in range(nbx):
+                        for c in range(nc):
+                            _arith_encode_dc(
+                                enc, dc_stats[0], preds, dc_ctx,
+                                c + 1, int(qblocks[c][by, bx, 0]),
+                                0, 1,
+                            )
+                            if differential:
+                                preds[c + 1] = 0
+                out += enc.flush()
+            else:
+                writer = _BitWriter()
+                preds = {c: 0 for c in range(nc)}
+                for by in range(nby):
+                    for bx in range(nbx):
+                        for c in range(nc):
+                            dc = int(qblocks[c][by, bx, 0])
+                            diff = dc - (
+                                0 if differential else preds[c]
+                            )
+                            if not differential:
+                                preds[c] = dc
+                            size = _category(diff)
+                            code, length = dc_codes[size]
+                            writer.write(code, length)
+                            if size:
+                                mag = (
+                                    diff if diff >= 0
+                                    else diff + (1 << size) - 1
+                                )
+                                writer.write(
+                                    mag & ((1 << size) - 1), size
+                                )
+                out += writer.flush()
+            # AC scans: per component, per spectral band, with
+            # EOB-run coding (Huffman) / band walks (arithmetic)
+            for c in range(nc):
+                for ks, ke in ((1, 5), (6, 63)):
+                    out += sos_seg([(c + 1, 0x00)], ks, ke)
+                    if arithmetic:
+                        enc = _ArithEncoder()
+                        _, ac_stats, fixed = _arith_new_stats(
+                            [(c + 1, 0, 0)], {}
+                        )
+                        for by in range(nby):
+                            for bx in range(nbx):
+                                _arith_encode_ac_band(
+                                    enc, ac_stats[0], fixed,
+                                    qblocks[c][by, bx], ks, ke, 5,
+                                )
+                        out += enc.flush()
+                    else:
+                        writer = _BitWriter()
+                        eobrun = 0
+                        for by in range(nby):
+                            for bx in range(nbx):
+                                zz = qblocks[c][by, bx]
+                                nz = [
+                                    k for k in range(ks, ke + 1)
+                                    if zz[k] != 0
+                                ]
+                                if not nz:
+                                    eobrun += 1
+                                    if eobrun == 0x7FFF:
+                                        eobrun = _flush_eobrun(
+                                            writer, ac_codes, eobrun
+                                        )
+                                    continue
+                                eobrun = _flush_eobrun(
+                                    writer, ac_codes, eobrun
+                                )
+                                run = 0
+                                for k in range(ks, nz[-1] + 1):
+                                    v = int(zz[k])
+                                    if v == 0:
+                                        run += 1
+                                        continue
+                                    while run > 15:
+                                        code, length = ac_codes[0xF0]
+                                        writer.write(code, length)
+                                        run -= 16
+                                    s = _category(v)
+                                    code, length = ac_codes[
+                                        (run << 4) | s
+                                    ]
+                                    writer.write(code, length)
+                                    mag = (
+                                        v if v >= 0
+                                        else v + (1 << s) - 1
+                                    )
+                                    writer.write(
+                                        mag & ((1 << s) - 1), s
+                                    )
+                                    run = 0
+                                if nz[-1] < ke:
+                                    eobrun = 1
+                        _flush_eobrun(writer, ac_codes, eobrun)
+                        out += writer.flush()
+        elif arithmetic:
+            enc = _ArithEncoder()
+            scan0 = [(c + 1, 0, 0) for c in range(nc)]
+            dc_stats, ac_stats, fixed = _arith_new_stats(scan0, {})
+            preds = {c + 1: 0 for c in range(nc)}
+            dc_ctx = {c + 1: 0 for c in range(nc)}
+            for by in range(nby):
+                for bx in range(nbx):
+                    for c in range(nc):
+                        zz = qblocks[c][by, bx]
+                        _arith_encode_dc(
+                            enc, dc_stats[0], preds, dc_ctx, c + 1,
+                            int(zz[0]), 0, 1,
+                        )
+                        if differential:
+                            preds[c + 1] = 0
+                        _arith_encode_ac_band(
+                            enc, ac_stats[0], fixed, zz, 1, 63, 5
+                        )
+            out += enc.flush()
+        else:
+            writer = _BitWriter()
+            preds = {c: 0 for c in range(nc)}
+            for by in range(nby):
+                for bx in range(nbx):
+                    for c in range(nc):
+                        zz = qblocks[c][by, bx]
+                        pred = 0 if differential else preds[c]
+                        newp = _emit_zz(
+                            writer, zz, dc_codes, ac_codes, pred
+                        )
+                        if not differential:
+                            preds[c] = newp
+            out += writer.flush()
+        recon = _hier_dct_recon_planes(qblocks, qt, lh, lw, shift)
+        if differential:
+            ref = [
+                np.clip(r + d, 0, 255) for r, d in zip(ref, recon)
+            ]
+        else:
+            ref = [np.clip(p, 0, 255) for p in recon]
+
+    if final_lossless:
+        # full-resolution lossless differential correction frame
+        # (no EXP: same size as the last DCT frame) — the SOF7/SOF15
+        # entropy walk of `encode_jpeg_hierarchical`, differential
+        # branch only (prediction = reference, modulo-2^16 recentred)
+        sofm = 0xCF if arithmetic else 0xC7
+        sof = bytearray()
+        sof += struct.pack(">BHHB", 8, h, w, nc)
+        for i in range(nc):
+            sof += bytes([i + 1, 0x11, 0])
+        out += bytes([0xFF, sofm])
+        out += struct.pack(">H", 2 + len(sof)) + bytes(sof)
+        sos = bytearray([nc])
+        for i in range(nc):
+            sos += bytes([i + 1, 0x00 if arithmetic else 0x10])
+        sos += bytes([0, 0, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
+        if arithmetic:
+            enc = _ArithEncoder()
+            st = bytearray(_LL_STAT_BINS)
+            prev = [np.zeros(w, dtype=np.int64) for _ in range(nc)]
+            cur = [np.zeros(w, dtype=np.int64) for _ in range(nc)]
+        else:
+            writer = _BitWriter()
+        for y in range(h):
+            if arithmetic and y:
+                for c in range(nc):
+                    prev[c], cur[c] = cur[c], prev[c]
+                    cur[c][:] = 0
+            for x in range(w):
+                for c in range(nc):
+                    diff = (
+                        int(planes[c][y, x]) - int(ref[c][y, x])
+                    ) & 0xFFFF
+                    if diff >= 0x8000:
+                        diff -= 0x10000
+                    if arithmetic:
+                        if diff == -32768:
+                            diff = 32768
+                        ca = _lossless_diff_cat(
+                            int(cur[c][x - 1]) if x > 0 else 0, 0, 1
+                        )
+                        cb = _lossless_diff_cat(int(prev[c][x]), 0, 1)
+                        s0 = 4 * (ca + 5 * cb)
+                        xbase = _LL_X_LARGE if cb >= 3 else _LL_X_SMALL
+                        _arith_encode_lossless_diff(
+                            enc, st, s0, xbase, diff
+                        )
+                        cur[c][x] = diff
+                    else:
+                        _hier_code_diff_huff(writer, ll_codes, diff)
+        out += enc.flush() if arithmetic else writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # --------------------------------------------------------------------------

@@ -72,9 +72,13 @@ FIRST_BELOW_WINDOW = "q48_range_join_bands"
 #: - q254 JPEG round-trip (decode change — ADVICE r10 #4: lossless
 #:   out-of-range samples now raise ValueError per the corruption
 #:   contract instead of masking — and the round-11 stretch widened
-#:   the payload mix to SEVEN layouts: arithmetic-lossless SOF11
-#:   and the Annex J hierarchical pyramid with SOF7/SOF15 lossless
-#:   differential frames);
+#:   the payload mix to EIGHT layouts: arithmetic-lossless SOF11,
+#:   the Annex J hierarchical pyramid with SOF7/SOF15 lossless
+#:   differential frames, and the hierarchical-DCT pyramid — lossy
+#:   sequential (SOF0/SOF9 + SOF5/SOF13) or progressive
+#:   (SOF2/SOF10 + SOF6/SOF14) stages closed bit-exact by a final
+#:   lossless correction frame — the last T.81 frame families;
+#:   every T.81 frame type now decodes);
 #: - q256 + q102 audio stats (decode-dispatch change — ADVICE r10
 #:   #3: decode_adpcm_wav unwraps WAVE_FORMAT_EXTENSIBLE);
 #: - the SEVENTEEN r5-vintage drains (the last pre-r6 rows, VERDICT

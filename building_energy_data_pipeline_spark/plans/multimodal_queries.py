@@ -27,6 +27,7 @@ from ..operators.jpeg_codec import (
     encode_jpeg,
     encode_jpeg_arithmetic,
     encode_jpeg_hierarchical,
+    encode_jpeg_hierarchical_dct,
     encode_jpeg_lossless,
     encode_jpeg_lossless_arith,
     encode_jpeg_progressive,
@@ -704,7 +705,7 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     grayscale pattern pixels (``2·((media_id·7 + (y//8)·5 + (x//8)·3)
     % 128)`` — every 8×8 block constant, every value even) are
     encoded to genuine JPEG payloads in one ``mapInPandas`` stage
-    under a SEVEN-WAY process rotation on ``(media_id//3)%7`` —
+    under an EIGHT-WAY process rotation on ``(media_id//3)%8`` —
     baseline SOF0 (``operators/jpeg_codec.encode_jpeg``),
     PROGRESSIVE SOF2 (``encode_jpeg_progressive``: interleaved DC
     scan + two spectral-selection AC scans with EOB-run coding),
@@ -719,7 +720,14 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     HIERARCHICAL mode (``encode_jpeg_hierarchical``: Annex J
     DHP/EXP pyramid, SOF3-or-SOF11 first frame, SOF7/SOF15 lossless
     differential frames — alternating entropy coders on
-    ``(media_id//21)%2``) —
+    ``(media_id//21)%2``) plus — the round-11 continuation, closing
+    the last T.81 frame families — HIERARCHICAL DCT
+    (``encode_jpeg_hierarchical_dct``: a LOSSY DCT pyramid —
+    sequential SOF0/SOF9 + SOF5/SOF13 differential frames, or
+    PROGRESSIVE SOF2/SOF10 + SOF6/SOF14 differential frames on
+    ``(media_id//48)%2`` — whose final SOF7/SOF15 lossless
+    differential correction frame makes the stream bit-exact on ANY
+    input; entropy coders alternate on ``(media_id//24)%2``) —
     the DCT layouts at Annex K quality 50 with a decorrelated
     rotating ``restart_interval`` of 0/2/5 so they carry DRI + RSTn
     markers on most payloads — then decoded back by the pure-numpy
@@ -783,10 +791,10 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     2 * ((mid * 7 + (y // 8) * 5 + (x // 8) * 3) % 128)
                 ).astype(np.uint8)
                 # media ids are ≡ 2 (mod 3) after the doc filter, so
-                # rotate layout on (mid//3)%5 and decorrelate the
+                # rotate layout on (mid//3)%8 and decorrelate the
                 # restart interval on (mid//15)%3
                 rst = (0, 2, 5)[(mid // 15) % 3]
-                layout = (mid // 3) % 7
+                layout = (mid // 3) % 8
                 if layout == 0:
                     payload = encode_jpeg(
                         arr, quality=50, restart_interval=rst
@@ -814,12 +822,22 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                         arr, predictor=1 + mid % 7,
                         restart_interval=rst,
                     )
-                else:  # hierarchical pyramid (round 11): lossless
-                    # differential frames, both entropy coders
+                elif layout == 6:  # hierarchical pyramid (round 11):
+                    # lossless differential frames, both entropy coders
                     payload = encode_jpeg_hierarchical(
                         arr, levels=2 + mid % 2,
                         predictor=1 + mid % 7,
                         arithmetic=(mid // 21) % 2 == 1,
+                    )
+                else:  # hierarchical DCT pyramid (round-11
+                    # continuation): lossy DCT stages — sequential
+                    # SOF0/SOF9+SOF5/SOF13 or progressive
+                    # SOF2/SOF10+SOF6/SOF14 — whose final lossless
+                    # correction frame makes it exact on ANY input
+                    payload = encode_jpeg_hierarchical_dct(
+                        arr, quality=50, levels=2 + mid % 2,
+                        arithmetic=(mid // 24) % 2 == 1,
+                        progressive=(mid // 48) % 2 == 1,
                     )
                 rows.append({"media_id": mid, "content": payload})
             yield pd.DataFrame(rows, columns=["media_id", "content"])

@@ -1340,3 +1340,207 @@ class TestHierarchical:
             )
         )
         assert np.array_equal(raw[..., 0], arr)
+
+
+class TestHierarchicalDCT:
+    """Annex J hierarchical mode with SEQUENTIAL DCT frames (round-11
+    continuation — the last T.81 frame family): a non-differential
+    DCT first frame (SOF0/SOF9), differential sequential DCT frames
+    (SOF5/SOF13) coding the EXP-expanded-reference difference image
+    with no level shift and DC coded WITHOUT prediction, and a final
+    lossless differential correction frame (SOF7/SOF15) that makes
+    the lossy pyramid round-trip BIT-EXACT."""
+
+    def test_exact_round_trip_depths_and_coders(self):
+        rng = np.random.default_rng(103)
+        for arith in (False, True):
+            for levels in (1, 2, 3):
+                arr = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+                raw, prec = jc.decode_jpeg_hierarchical_raw(
+                    jc.encode_jpeg_hierarchical_dct(
+                        arr, levels=levels, arithmetic=arith
+                    )
+                )
+                assert prec == 8
+                assert np.array_equal(raw[..., 0], arr)
+
+    def test_rgb_and_marker_anatomy(self):
+        rng = np.random.default_rng(107)
+        rgb = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+        enc = jc.encode_jpeg_hierarchical_dct(rgb, levels=3)
+        for m in (
+            b"\xff\xde",  # DHP
+            b"\xff\xdb",  # DQT (DCT frames carry a quantizer)
+            b"\xff\xc0",  # non-differential first frame
+            b"\xff\xdf",  # EXP
+            b"\xff\xc5",  # differential sequential DCT
+            b"\xff\xc7",  # final lossless correction
+        ):
+            assert m in enc
+        assert np.array_equal(decode_jpeg(enc), rgb)
+        ea = jc.encode_jpeg_hierarchical_dct(rgb, levels=2, arithmetic=True)
+        for m in (b"\xff\xc9", b"\xff\xcd", b"\xff\xcf", b"\xff\xcc"):
+            assert m in ea  # SOF9, SOF13, SOF15, DAC
+        assert np.array_equal(decode_jpeg(ea), rgb)
+
+    def test_lossy_pyramid_without_correction(self):
+        # smooth content: close but not exact; the correction frame
+        # is what buys exactness
+        y, x = np.ogrid[0:32, 0:32]
+        arr = ((y * 3 + x * 2) % 200 + 20).astype(np.uint8)
+        e = jc.encode_jpeg_hierarchical_dct(
+            arr, levels=2, final_lossless=False
+        )
+        assert b"\xff\xc7" not in e
+        raw, _ = jc.decode_jpeg_hierarchical_raw(e)
+        err = np.abs(raw[..., 0].astype(int) - arr.astype(int))
+        assert err.max() <= 16 and err.mean() < 4
+
+    def test_block_flat_even_subspace_exact_even_when_lossy(self):
+        # the q254 exactness argument survives the pyramid when every
+        # LEVEL is DC-only: a constant even image decimates to itself
+        arr = np.full((24, 24), 108, dtype=np.uint8)
+        for arith in (False, True):
+            e = jc.encode_jpeg_hierarchical_dct(
+                arr, levels=3, arithmetic=arith, final_lossless=False
+            )
+            raw, _ = jc.decode_jpeg_hierarchical_raw(e)
+            assert np.array_equal(raw[..., 0], arr)
+
+    def test_sequential_scan_under_progressive_sof_is_corrupt(self):
+        # flipping SOF0 -> SOF2 makes the sequential Ss=0/Se=63 SOS
+        # an ill-formed progressive DC scan: ValueError (corruption),
+        # not a silent misparse — progressive frames themselves now
+        # DECODE inside hierarchical streams (see
+        # TestHierarchicalProgressive)
+        arr = np.full((8, 8), 90, dtype=np.uint8)
+        enc = bytearray(jc.encode_jpeg_hierarchical_dct(arr, levels=1))
+        enc[bytes(enc).index(b"\xff\xc0") + 1] = 0xC2
+        with pytest.raises(ValueError, match="Se=0"):
+            jc.decode_jpeg_hierarchical_raw(bytes(enc))
+
+    def test_subsampled_dct_frame_gated(self):
+        # sampling factors other than 1x1 in a hierarchical DCT
+        # frame are the remaining unsupported VARIANT
+        arr = np.full((8, 8), 90, dtype=np.uint8)
+        enc = bytearray(jc.encode_jpeg_hierarchical_dct(arr, levels=1))
+        sof = bytes(enc).index(b"\xff\xc0")
+        # component sampling byte: SOF payload = len(2) P(1) Y(2)
+        # X(2) Nf(1) then [cid, HV, Tq] — HV at sof+11
+        enc[sof + 11] = 0x22
+        with pytest.raises(NotImplementedError, match="1x1"):
+            jc.decode_jpeg_hierarchical_raw(bytes(enc))
+
+    def test_corruption_raises_never_wrong_shape(self):
+        rng = np.random.default_rng(109)
+        arr = rng.integers(0, 256, (10, 10), dtype=np.uint8)
+        enc = bytearray(jc.encode_jpeg_hierarchical_dct(arr, levels=2))
+        sos = bytes(enc).index(b"\xff\xda")
+        flipped = 0
+        for off in range(sos + 12, min(sos + 20, len(enc) - 2)):
+            mut = bytearray(enc)
+            mut[off] ^= 0x20
+            flipped += 1
+            try:
+                raw, _ = jc.decode_jpeg_hierarchical_raw(bytes(mut))
+                assert raw.shape == (10, 10, 1)
+            except ValueError:
+                pass
+        assert flipped > 0
+
+    @given(
+        seed=st.integers(0, 10_000),
+        h=st.integers(1, 17),
+        w=st.integers(1, 17),
+        levels=st.integers(1, 3),
+        arith=st.booleans(),
+        quality=st.sampled_from([25, 50, 90]),
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_fuzz_bit_exact(self, seed, h, w, levels, arith, quality):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        raw, _ = jc.decode_jpeg_hierarchical_raw(
+            jc.encode_jpeg_hierarchical_dct(
+                arr, quality=quality, levels=levels, arithmetic=arith
+            )
+        )
+        assert np.array_equal(raw[..., 0], arr)
+
+
+class TestHierarchicalProgressive:
+    """Annex J hierarchical mode with PROGRESSIVE DCT frames — the
+    final T.81 frame family: SOF2/SOF10 non-differential first
+    frame, SOF6/SOF14 DIFFERENTIAL PROGRESSIVE frames (spectral
+    selection scan sets, DC coded WITHOUT prediction), closed
+    bit-exact by the SOF7/SOF15 lossless correction frame. With this
+    every T.81 frame type decodes; remaining gates are variants
+    (subsampling/precision/restarts inside hierarchical streams)."""
+
+    def test_exact_round_trip_depths_and_coders(self):
+        rng = np.random.default_rng(113)
+        for arith in (False, True):
+            for levels in (1, 2, 3):
+                arr = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+                raw, prec = jc.decode_jpeg_hierarchical_raw(
+                    jc.encode_jpeg_hierarchical_dct(
+                        arr, levels=levels, arithmetic=arith,
+                        progressive=True,
+                    )
+                )
+                assert prec == 8
+                assert np.array_equal(raw[..., 0], arr)
+
+    def test_rgb_and_marker_anatomy(self):
+        rng = np.random.default_rng(127)
+        rgb = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+        enc = jc.encode_jpeg_hierarchical_dct(
+            rgb, levels=2, progressive=True
+        )
+        for m in (b"\xff\xc2", b"\xff\xc6", b"\xff\xc7"):
+            assert m in enc  # SOF2, SOF6, final SOF7
+        # one DC scan + 2 bands x 3 comps per DCT frame + the
+        # lossless correction scan, twice (two pyramid levels)
+        assert enc.count(b"\xff\xda") == 2 * 7 + 1
+        assert np.array_equal(decode_jpeg(enc), rgb)
+        ea = jc.encode_jpeg_hierarchical_dct(
+            rgb, levels=2, progressive=True, arithmetic=True
+        )
+        for m in (b"\xff\xca", b"\xff\xce", b"\xff\xcf"):
+            assert m in ea  # SOF10, SOF14, SOF15
+        assert np.array_equal(decode_jpeg(ea), rgb)
+
+    def test_progressive_equals_sequential_pixels_when_lossy(self):
+        # identical quantized coefficients -> identical lossy
+        # reconstruction, progressive vs sequential frame layouts
+        y, x = np.ogrid[0:24, 0:24]
+        arr = ((y * 5 + x * 3) % 211 + 20).astype(np.uint8)
+        seq = jc.decode_jpeg_hierarchical_raw(
+            jc.encode_jpeg_hierarchical_dct(
+                arr, levels=2, final_lossless=False
+            )
+        )[0]
+        prog = jc.decode_jpeg_hierarchical_raw(
+            jc.encode_jpeg_hierarchical_dct(
+                arr, levels=2, final_lossless=False, progressive=True
+            )
+        )[0]
+        assert np.array_equal(seq, prog)
+
+    @given(
+        seed=st.integers(0, 10_000),
+        h=st.integers(1, 17),
+        w=st.integers(1, 17),
+        levels=st.integers(1, 3),
+        arith=st.booleans(),
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_fuzz_bit_exact(self, seed, h, w, levels, arith):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        raw, _ = jc.decode_jpeg_hierarchical_raw(
+            jc.encode_jpeg_hierarchical_dct(
+                arr, levels=levels, arithmetic=arith, progressive=True
+            )
+        )
+        assert np.array_equal(raw[..., 0], arr)

@@ -47,6 +47,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -395,8 +396,118 @@ class JsonDirWriter(DataSourceWriter):
             pass
 
 
+class JsonDirStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of :class:`JsonDirWriter` — the connector
+    API's FOURTH quadrant (batch read / stream read / batch write /
+    STREAM WRITE). Per micro-batch the engine calls ``write`` once
+    per task (staging exactly like the batch writer: parts land
+    under the query-unique ``_staging/<writer_id>/`` namespace,
+    never under the destination surface) and then exactly one of
+    ``commit(messages, batchId)`` / ``abort(messages, batchId)`` on
+    the driver.
+
+    Exactly-once at the sink: Structured Streaming REPLAYS a batch
+    after failure, so ``commit`` is IDEMPOTENT PER ``batchId`` — a
+    batch's parts are renamed to ``batch-<id>-part-NNNNN.jsonl`` and
+    recorded in a ``_commits/<id>.json`` manifest; a replayed commit
+    first deletes the parts its previous manifest names, so readers
+    that trust the manifests (``committed_rows`` below) never
+    double-count. ``abort`` restores the batch-writer invariant: the
+    destination surface gains nothing, staging is drained with the
+    same bounded re-sweep (task cancellation is asynchronous)."""
+
+    def __init__(self, options: dict) -> None:
+        import uuid
+
+        self.path = options.get("path") or options.get("__path__")
+        if not self.path:
+            raise ValueError(
+                "jsonl_dir sink requires a path "
+                "(.option('path', ...) or .start(path))"
+            )
+        self.writer_id = uuid.uuid4().hex
+        self.fail_on_reading = (
+            int(options["fail_on_reading"])
+            if "fail_on_reading" in options
+            else None
+        )
+
+    def _staging_dir(self) -> str:
+        import os
+
+        return os.path.join(self.path, "_staging", self.writer_id)
+
+    # task-side staging and the namespace sweep: identical contract
+    # to the batch writer, shared verbatim
+    write = JsonDirWriter.write
+    _clean_staging = JsonDirWriter._clean_staging
+
+    def _manifest(self, batch_id: int) -> str:
+        import os
+
+        return os.path.join(
+            self.path, "_commits", f"{int(batch_id)}.json"
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        manifest = self._manifest(batchId)
+        if os.path.exists(manifest):
+            # replayed batch: drop the previous attempt's parts so
+            # the manifest view stays exactly-once
+            with open(manifest, encoding="utf-8") as fh:
+                for part in json.load(fh)["parts"]:
+                    old = os.path.join(self.path, part)
+                    if os.path.exists(old):
+                        os.remove(old)
+        parts, total = [], 0
+        for i, msg in enumerate(m for m in messages if m is not None):
+            final = os.path.join(
+                self.path, f"batch-{int(batchId)}-part-{i:05d}.jsonl"
+            )
+            os.replace(msg.staged, final)
+            parts.append(os.path.basename(final))
+            total += msg.rows
+        os.makedirs(os.path.dirname(manifest), exist_ok=True)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"parts": parts, "rows": total}, fh)
+        os.replace(tmp, manifest)
+        self._clean_staging()
+
+    def abort(self, messages, batchId: int) -> None:
+        JsonDirWriter.abort(self, messages)
+
+
+def committed_rows(path: str) -> list[dict]:
+    """Read a :class:`JsonDirStreamWriter` destination through its
+    commit manifests — the exactly-once view (parts without a
+    manifest entry, e.g. from a replayed batch's first attempt, are
+    invisible)."""
+    import glob
+    import json
+    import os
+
+    rows: list[dict] = []
+    for manifest in sorted(
+        glob.glob(os.path.join(path, "_commits", "*.json")),
+        key=lambda p: int(os.path.splitext(os.path.basename(p))[0]),
+    ):
+        with open(manifest, encoding="utf-8") as fh:
+            meta = json.load(fh)
+        for part in meta["parts"]:
+            with open(
+                os.path.join(path, part), encoding="utf-8"
+            ) as fh:
+                rows.extend(json.loads(line) for line in fh)
+    return rows
+
+
 class JsonDirSink(DataSource):
-    """``df.write.format("jsonl_dir").option("path", ...)`` after
+    """``df.write.format("jsonl_dir").option("path", ...)`` (batch)
+    or ``df.writeStream.format("jsonl_dir")`` (streaming) after
     :func:`register_jsonl_dir_sink` — the write-capable half of the
     connector surface (the telemetry source is the read half)."""
 
@@ -406,6 +517,9 @@ class JsonDirSink(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonDirWriter:
         return JsonDirWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonDirStreamWriter:
+        return JsonDirStreamWriter(self.options)
 
 
 def register_jsonl_dir_sink(spark) -> None:

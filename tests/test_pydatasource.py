@@ -381,3 +381,135 @@ class TestConnectRegistrationGuard:
         )
         with pytest.raises(RuntimeError, match="pickle failure"):
             _register(fake, SyntheticTelemetrySource)
+
+
+class TestStreamWritePath:
+    """The connector API's FOURTH quadrant (round-11 continuation):
+    the streaming staged-commit sink — a full custom-source →
+    custom-sink Python pipeline, per-batch commit manifests giving
+    readers an exactly-once view, idempotent replayed-batch commit,
+    and the abort invariant."""
+
+    def test_custom_source_to_custom_sink_exactly_once(
+        self, spark, tmp_path
+    ):
+        import glob
+        import os
+        import time
+
+        from building_energy_data_pipeline_spark.sources.pydatasource import (
+            committed_rows,
+            reading_value,
+            register_jsonl_dir_sink,
+        )
+
+        register_telemetry_source(spark)
+        register_jsonl_dir_sink(spark)
+        out = str(tmp_path / "ssink")
+        stream = (
+            spark.readStream.format("synthetic_telemetry")
+            .options(**OPTS)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("jsonl_dir")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        expected = 6 * 10 * 4
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if (
+                    os.path.isdir(out)
+                    and len(committed_rows(out)) >= expected
+                ):
+                    break
+                time.sleep(1)
+        finally:
+            q.stop()
+        rows = committed_rows(out)
+        # exactly once, not merely at-least-once
+        assert len(rows) == expected
+        assert (
+            len({(r["sensor"], r["day"], r["slot"]) for r in rows})
+            == expected
+        )
+        assert sum(r["reading"] for r in rows) == sum(
+            reading_value(s, d, t)
+            for s in range(6)
+            for d in range(10)
+            for t in range(4)
+        )
+        # commit-manifest accounting: every visible part is named by
+        # exactly one manifest; staging fully drained
+        import json
+
+        named = [
+            p
+            for m in glob.glob(out + "/_commits/*.json")
+            for p in json.load(open(m))["parts"]
+        ]
+        on_disk = [
+            os.path.basename(p)
+            for p in glob.glob(out + "/batch-*-part-*.jsonl")
+        ]
+        assert sorted(named) == sorted(on_disk)
+        # NOTE no `_staging` absence assert: q.stop() is not an
+        # abort — a batch staged at the instant of stop leaves
+        # transient staging residue (the same async-cancellation
+        # reality the batch writer documents). The invariant is the
+        # destination SURFACE: only manifest-named parts, checked
+        # above.
+
+    def test_replayed_batch_commit_is_idempotent(self, tmp_path):
+        import glob
+        import json
+        import os
+
+        from pyspark.sql import Row
+
+        from building_energy_data_pipeline_spark.sources.pydatasource import (
+            JsonDirStreamWriter,
+            committed_rows,
+        )
+
+        out = str(tmp_path / "d")
+        os.makedirs(out)
+        w = JsonDirStreamWriter({"path": out})
+        first = w.write(iter([Row(v=1), Row(v=2)]))
+        w.commit([first], batchId=5)
+        assert [r["v"] for r in committed_rows(out)] == [1, 2]
+        # the engine replays batch 5 after a failure: the second
+        # commit REPLACES the first attempt's parts
+        second = w.write(iter([Row(v=1), Row(v=2), Row(v=3)]))
+        w.commit([second], batchId=5)
+        rows = committed_rows(out)
+        assert [r["v"] for r in rows] == [1, 2, 3]
+        manifest = json.load(open(out + "/_commits/5.json"))
+        assert manifest["rows"] == 3
+        # exactly the manifest's parts on disk — the stale attempt
+        # is gone
+        assert sorted(
+            os.path.basename(p)
+            for p in glob.glob(out + "/batch-5-part-*.jsonl")
+        ) == sorted(manifest["parts"])
+
+    def test_stream_abort_leaves_destination_untouched(self, tmp_path):
+        import os
+
+        from pyspark.sql import Row
+
+        from building_energy_data_pipeline_spark.sources.pydatasource import (
+            JsonDirStreamWriter,
+        )
+
+        out = str(tmp_path / "d")
+        os.makedirs(out)
+        w = JsonDirStreamWriter({"path": out})
+        staged = w.write(iter([Row(v=9)]))
+        assert os.path.exists(staged.staged)
+        w.abort([staged], batchId=0)
+        assert os.listdir(out) == []  # no parts, no manifests,
+        # no staging residue

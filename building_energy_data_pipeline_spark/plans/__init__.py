@@ -30,7 +30,7 @@ from . import datasource_queries  # noqa: F401  (custom Python DataSource q253)
 #: at that index (the explicit sentinel tests assert against —
 #: ADVICE r4 #3: no comment parsing).
 DRIVER_WINDOW_SIZE = 50
-FIRST_BELOW_WINDOW = "q48_range_join_bands"
+FIRST_BELOW_WINDOW = "q47_grouping_sets"
 
 #: Registry numbering note (VERDICT r10 #7): **q89 is reserved, not
 #: missing** — it tags ``streaming_queries.run_gap_stats_v2``, the
@@ -81,14 +81,19 @@ FIRST_BELOW_WINDOW = "q48_range_join_bands"
 #:   every T.81 frame type now decodes);
 #: - q256 + q102 audio stats (decode-dispatch change — ADVICE r10
 #:   #3: decode_adpcm_wav unwraps WAVE_FORMAT_EXTENSIBLE);
+#: - q262 state-store read (NEW, continuation session: the streaming
+#:   aggregation's CHECKPOINTED STATE — written by the RocksDB
+#:   provider — read back via Spark's state data source and
+#:   hash-matched to the batch oracle);
 #: - the SEVENTEEN r5-vintage drains (the last pre-r6 rows, VERDICT
 #:   r10 #1): q132, q133, q134, q137, q138, q140-q151;
-#: - TWENTY-TWO r6-vintage drains, the oldest rows after those:
-#:   q07, q10-q16, q19, q20, q24-q26, q38-q43, q45-q47 (q48/q49
-#:   yielded their slots to q261/q129 and drain next round).
+#: - TWENTY-ONE r6-vintage drains, the oldest rows after those:
+#:   q07, q10-q16, q19, q20, q24-q26, q38-q43, q45-q46 (q47 —
+#:   like q48/q49 before it — yielded its slot to q262 and drains
+#:   next round).
 #: After this round's driver run no query's latest row is older
 #: than r6; below the boundary sit the remaining r6 rows
-#: oldest-first (q48 first — the pinned sentinel), then r7/r8/r9/
+#: oldest-first (q47 first — the pinned sentinel), then r7/r8/r9/
 #: r10 as before.
 #: Ordering is evidence curation, not semantics: every query runs
 #: identically wherever it sits.
@@ -96,6 +101,7 @@ _CURATED_ORDER = [
     "q01_pricing_summary",
     "q260_bitext_margin_ivf",
     "q261_semdedup_scaled",
+    "q262_state_store_read",
     "q155_bitext_margin_mining",
     "q259_flac_roundtrip",
     "q253_python_datasource_scan",
@@ -142,7 +148,8 @@ _CURATED_ORDER = [
     "q43_type_pivot",
     "q45_rollup_acctbal",
     "q46_cube_orders",
-    "q47_grouping_sets",
+    "q47_grouping_sets",  # FIRST_BELOW_WINDOW — yielded its slot to
+    # q262 and drains next round with q48/q49
     "q48_range_join_bands",
     "q49_nation_intersect_except",
     "q50_topk_with_ties",

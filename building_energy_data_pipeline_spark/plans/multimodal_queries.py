@@ -747,7 +747,7 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     adaptive state machine in both sequential and progressive
     arrangements, or the DPCM predictor chain), dequantization,
     IDCT and restart-marker resync reconstruct every pixel exactly —
-    in all SEVEN processes: the quantized coefficients are identical
+    in all EIGHT processes: the quantized coefficients are identical
     across SOF0/SOF2/SOF9/SOF10, so one closed-form oracle
     hash-checks every decoder the module ships
     (``tests/test_jpeg_codec.py`` pins the subspace property itself,

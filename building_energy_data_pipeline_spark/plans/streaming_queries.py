@@ -2093,3 +2093,102 @@ def q252_streaming_attribution_rollup(
         )
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+#: live checkpoint dir per state-reader query tag: the returned
+#: DataFrame reads the checkpoint LAZILY (the driver collects after
+#: the query function returns), so the dir must outlive the call —
+#: each invocation deletes the PREVIOUS one, keeping at most one per
+#: tag per session.
+_STATE_CKPTS: dict[str, str] = {}
+
+
+@query(
+    "q262_state_store_read",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {dec_sum_sql("value")} AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q262_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATE STORE itself as the query result (round-11
+    continuation): a streaming aggregation over the events table
+    runs to completion under the **RocksDB state store provider**
+    (``streaming/statestore.enable_rocksdb_state`` — changelog
+    checkpointing on, the production backend), its memory sink is
+    DISCARDED, and the answer is recovered from the CHECKPOINT via
+    Spark's state data source (``statestore.read_state``): the
+    ``key``/``value`` structs of the final state, flattened and
+    finished with the same post-aggregation rounding ``dec_sum``
+    applies.
+
+    What the hash proves that q52 does not: the provider swap
+    (HDFS-backed → RocksDB) and the state data source's decode of
+    RocksDB's files are both value-exact — state written by the
+    production backend reads back byte-equivalent to the batch
+    aggregate DuckDB computes. This is the audit path a 100 TB
+    deployment uses to inspect stuck keys or backfill from a
+    checkpoint without replaying the stream.
+
+    Scale: state = one row per event_type; reading state is a
+    normal batch scan partitioned by the store's shuffle partitions
+    — at production cardinalities the read distributes like any
+    parquet scan, no driver funnel.
+    """
+    import shutil
+
+    from ..functions.scalar import ROUND_TO
+    from ..streaming.statestore import (
+        enable_rocksdb_state,
+        read_state,
+        restore_state_conf,
+    )
+
+    prev_dir = _STATE_CKPTS.pop("q262", None)
+    if prev_dir is not None:
+        shutil.rmtree(prev_dir, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="q262_state_")
+    _STATE_CKPTS["q262"] = ckpt
+
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+    )
+    previous = enable_rocksdb_state(spark)
+    try:
+        q = (
+            stream.writeStream.format("noop")  # sink discarded: the
+            .outputMode("update")              # STATE is the result
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "q262: stream did not drain within 300s"
+            )
+    finally:
+        restore_state_conf(spark, previous)
+
+    # value struct = the aggregation's physical buffers: count
+    # (long), sum (decimal(38,6) — dec_sum's pre-rounding buffer)
+    return (
+        read_state(spark, ckpt)
+        .select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").alias("n_events"),
+            F.round(F.col("value.sum"), ROUND_TO)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

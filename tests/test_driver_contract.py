@@ -290,11 +290,11 @@ def test_window_composition_matches_documented_counts():
     """The rotation comment's counts, DERIVED not hand-written
     (ADVICE r7 #3: two r7 sync commits each landed a different wrong
     hand-counted number). The round-11 window is documented as
-    1 flagship + q260/q261 (new) + q155/q129 (shared-tail
+    1 flagship + q260/q261/q262 (new) + q155/q129 (shared-tail
     refactors) + q259 (encode change) + q253/q258
-    (registration-path change) + q254 (decode change + SOF11
-    payload mix) + q256/q102 (decode-dispatch change) + 17
-    r5-vintage drains + 22 r6-vintage drains = 50."""
+    (registration-path change) + q254 (decode change + SOF11/
+    hierarchical payload mix) + q256/q102 (decode-dispatch change)
+    + 17 r5-vintage drains + 21 r6-vintage drains = 50."""
     from building_energy_data_pipeline_spark.plans import (
         DRIVER_WINDOW_SIZE,
         REGISTRY,
@@ -305,6 +305,7 @@ def test_window_composition_matches_documented_counts():
         "q01_pricing_summary",
         "q260_bitext_margin_ivf",      # new r11 (VERDICT r10 #2)
         "q261_semdedup_scaled",        # new r11 (scale-proof lesson)
+        "q262_state_store_read",       # new r11 continuation
         "q155_bitext_margin_mining",   # margin tail extracted
         "q259_flac_roundtrip",         # STREAMINFO encode change
         "q253_python_datasource_scan",     # Connect-branch change
@@ -330,15 +331,16 @@ def test_window_composition_matches_documented_counts():
     }
     r5_drains = [n for n in window if n in r5_set]
     assert len(r5_drains) == 17
-    # the 24 oldest r6 rows fill the remainder
+    # the oldest r6 rows fill the remainder (q47 yielded its slot
+    # to q262 and is the below-window sentinel)
     r6_drains = [
         n for n in window if n not in r5_set and n not in changed
     ]
-    assert len(r6_drains) == 22
+    assert len(r6_drains) == 21
     assert "q07_event_gaps" in r6_drains
-    assert "q47_grouping_sets" in r6_drains
+    assert "q47_grouping_sets" not in window
     assert len(changed) + len(r5_drains) + len(r6_drains) == DRIVER_WINDOW_SIZE
-    # registry growth this round: q260 + q261 → 260 total (q89
-    # reserved for the protobuf-gated transformWithState twin,
+    # registry growth this round: q260 + q261 + q262 → 261 total
+    # (q89 reserved for the protobuf-gated transformWithState twin,
     # documented in plans/__init__.py)
-    assert len(REGISTRY) == 260
+    assert len(REGISTRY) == 261

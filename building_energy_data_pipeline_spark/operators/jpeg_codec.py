@@ -923,10 +923,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             raise NotImplementedError(
                 f"differential frame SOF{marker - 0xC0} outside a "
                 "hierarchical stream — differential frames are only "
-                "legal after DHP (Annex J), where the lossless ones "
-                "(SOF7/SOF15) and the sequential-DCT ones "
-                "(SOF5/SOF13) decode; differential PROGRESSIVE "
-                "frames (SOF6/SOF14) are not supported"
+                "legal after DHP (Annex J), where every differential "
+                "family (lossless SOF7/SOF15, sequential DCT "
+                "SOF5/SOF13, progressive DCT SOF6/SOF14) decodes"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             i = 0
@@ -1125,16 +1124,16 @@ def _assemble(frame, planes: dict) -> np.ndarray:
     return ycbcr_to_rgb(ycc)
 
 
-def _decode_block(
-    reader, dc_dec, ac_dec, qtable, preds, cs, precision: int = 8
-) -> np.ndarray:
+def _hier_read_zz(reader, dc_dec, ac_dec, max_dc_cat: int = 15) -> np.ndarray:
+    """One block's zigzag coefficients, Huffman direction — the
+    shared DC-category + AC run/size entropy walk. ``zz[0]`` is the
+    RAW coded DC value (the caller applies DPCM prediction, or none
+    in differential hierarchical frames)."""
     zz = np.zeros(64, dtype=np.int64)
     size = dc_dec.decode(reader)
-    if size > (11 if precision == 8 else 15):
+    if size > max_dc_cat:
         raise ValueError(f"invalid DC category {size}")
-    diff = _extend(reader.receive(size), size)
-    preds[cs] += diff
-    zz[0] = preds[cs]
+    zz[0] = _extend(reader.receive(size), size)
     k = 1
     while k < 64:
         rs = ac_dec.decode(reader)
@@ -1149,6 +1148,18 @@ def _decode_block(
             raise ValueError("AC run overflows block")
         zz[k] = _extend(reader.receive(size), size)
         k += 1
+    return zz
+
+
+def _decode_block(
+    reader, dc_dec, ac_dec, qtable, preds, cs, precision: int = 8
+) -> np.ndarray:
+    zz = _hier_read_zz(
+        reader, dc_dec, ac_dec,
+        max_dc_cat=11 if precision == 8 else 15,
+    )
+    preds[cs] += int(zz[0])
+    zz[0] = preds[cs]
     coefs = np.zeros(64, dtype=np.float64)
     coefs[ZIGZAG_FLAT] = zz * qtable.flatten()[ZIGZAG_FLAT]
     block = coefs.reshape(8, 8)
@@ -3680,6 +3691,11 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
             (prec, lh, lw, nc, differential, arith, dct, fcomps,
              progressive) = frame
             ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError(
+                    f"truncated SOS: {ns} components declared in a "
+                    f"{len(body)}-byte header"
+                )
             if not progressive and ns != nc:
                 raise NotImplementedError(
                     "per-component hierarchical scans not supported"
@@ -3937,32 +3953,6 @@ def _hier_dct_recon_planes(
             np.rint(plane[:lh, :lw] + shift).astype(np.int64)
         )
     return out
-
-
-def _hier_read_zz(reader, dc_dec, ac_dec) -> np.ndarray:
-    """One block's zigzag coefficients, Huffman direction — ``zz[0]``
-    is the RAW coded DC value (the caller applies DPCM prediction, or
-    none in differential frames)."""
-    zz = np.zeros(64, dtype=np.int64)
-    size = dc_dec.decode(reader)
-    if size > 15:
-        raise ValueError(f"invalid DC category {size}")
-    zz[0] = _extend(reader.receive(size), size)
-    k = 1
-    while k < 64:
-        rs = ac_dec.decode(reader)
-        run, size = rs >> 4, rs & 0x0F
-        if size == 0:
-            if run == 15:  # ZRL
-                k += 16
-                continue
-            break  # EOB
-        k += run
-        if k > 63:
-            raise ValueError("AC run overflows block")
-        zz[k] = _extend(reader.receive(size), size)
-        k += 1
-    return zz
 
 
 def _hier_dct_scan(

@@ -454,14 +454,18 @@ class JsonDirStreamWriter(DataSourceStreamWriter):
         import os
 
         manifest = self._manifest(batchId)
+        stale: list[str] = []
         if os.path.exists(manifest):
-            # replayed batch: drop the previous attempt's parts so
-            # the manifest view stays exactly-once
+            # replayed batch: remember (don't yet touch) the previous
+            # attempt's parts so the manifest view stays exactly-once
             with open(manifest, encoding="utf-8") as fh:
-                for part in json.load(fh)["parts"]:
-                    old = os.path.join(self.path, part)
-                    if os.path.exists(old):
-                        os.remove(old)
+                stale = json.load(fh)["parts"]
+        # crash-ordering: rename the new parts FIRST (deterministic
+        # names, so a replay overwrites its predecessor in place),
+        # atomically swap the manifest SECOND, and only then delete
+        # stale parts the new manifest no longer names — at every
+        # intermediate point the on-disk manifest names only files
+        # that exist, so `committed_rows` never dangles.
         parts, total = [], 0
         for i, msg in enumerate(m for m in messages if m is not None):
             final = os.path.join(
@@ -475,6 +479,11 @@ class JsonDirStreamWriter(DataSourceStreamWriter):
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump({"parts": parts, "rows": total}, fh)
         os.replace(tmp, manifest)
+        for part in stale:
+            if part not in parts:
+                old = os.path.join(self.path, part)
+                if os.path.exists(old):
+                    os.remove(old)
         self._clean_staging()
 
     def abort(self, messages, batchId: int) -> None:

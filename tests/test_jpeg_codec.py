@@ -1544,3 +1544,20 @@ class TestHierarchicalProgressive:
             )
         )
         assert np.array_equal(raw[..., 0], arr)
+
+
+def test_hierarchical_sos_corrupt_ns_raises_valueerror():
+    # a flipped Ns byte must classify as CORRUPTION (ValueError),
+    # never an IndexError escaping the multimodal gate contract
+    arr = np.full((10, 10), 77, dtype=np.uint8)
+    for progressive in (False, True):
+        enc = bytearray(
+            jc.encode_jpeg_hierarchical_dct(
+                arr, levels=2, progressive=progressive
+            )
+        )
+        sos = bytes(enc).index(b"\xff\xda")
+        mut = bytearray(enc)
+        mut[sos + 4] ^= 0xFF  # Ns
+        with pytest.raises(ValueError):
+            jc.decode_jpeg_hierarchical_raw(bytes(mut))

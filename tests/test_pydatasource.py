@@ -513,3 +513,35 @@ class TestStreamWritePath:
         w.abort([staged], batchId=0)
         assert os.listdir(out) == []  # no parts, no manifests,
         # no staging residue
+
+
+def test_failed_replay_commit_never_dangles_manifest(tmp_path):
+    # crash-ordering contract: at every intermediate point of a
+    # replayed commit the on-disk manifest names only files that
+    # exist, so committed_rows never raises FileNotFoundError
+    import os
+
+    import pytest
+    from pyspark.sql import Row
+
+    from building_energy_data_pipeline_spark.sources.pydatasource import (
+        JsonDirStreamWriter,
+        committed_rows,
+    )
+
+    out = str(tmp_path / "d")
+    os.makedirs(out)
+    w = JsonDirStreamWriter({"path": out})
+    first = [w.write(iter([Row(v=1)])), w.write(iter([Row(v=2)]))]
+    w.commit(first, batchId=5)
+    assert sorted(r["v"] for r in committed_rows(out)) == [1, 2]
+    # replay whose second part's staged file has vanished: the
+    # rename loop raises BEFORE the manifest is touched
+    ok = w.write(iter([Row(v=10)]))
+    gone = w.write(iter([Row(v=20)]))
+    os.remove(gone.staged)
+    with pytest.raises(FileNotFoundError):
+        w.commit([ok, gone], batchId=5)
+    # the surviving manifest still resolves — no dangling parts
+    rows = committed_rows(out)
+    assert len(rows) == 2

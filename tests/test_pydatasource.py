@@ -545,3 +545,75 @@ def test_failed_replay_commit_never_dangles_manifest(tmp_path):
     # the surviving manifest still resolves — no dangling parts
     rows = committed_rows(out)
     assert len(rows) == 2
+
+
+def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
+    """Kill a custom-source -> custom-sink stream mid-way and restart
+    it from the same checkpoint: the replayable offsets
+    (readBetweenOffsets) plus the idempotent per-batch commit must
+    yield EXACTLY the full row set across the two runs — no gap at
+    the kill point, no duplicate from the replayed batch."""
+    import os
+    import time
+
+    from building_energy_data_pipeline_spark.sources.pydatasource import (
+        committed_rows,
+        reading_value,
+        register_jsonl_dir_sink,
+    )
+
+    register_telemetry_source(spark)
+    register_jsonl_dir_sink(spark)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            spark.readStream.format("synthetic_telemetry")
+            .options(**OPTS)
+            .load()
+            .writeStream.format("jsonl_dir")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    expected = 6 * 10 * 4
+    q = start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            # kill as soon as the FIRST batch commits, maximizing
+            # the uncommitted remainder the restart must recover
+            if os.path.isdir(out) and len(committed_rows(out)) >= 24:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()  # mid-stream kill
+    partial = len(committed_rows(out))
+    assert partial > 0
+    if partial >= expected:  # pathologically fast drain: the kill
+        # missed the mid-stream window; exactly-once-across-restart
+        # is unobservable this run
+        pytest.skip("stream drained before the mid-stream kill")
+    q2 = start()  # restart from the same checkpoint
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if len(committed_rows(out)) >= expected:
+                break
+            time.sleep(1)
+    finally:
+        q2.stop()
+    rows = committed_rows(out)
+    assert len(rows) == expected  # no gap, no duplicates
+    assert (
+        len({(r["sensor"], r["day"], r["slot"]) for r in rows})
+        == expected
+    )
+    assert sum(r["reading"] for r in rows) == sum(
+        reading_value(s, d, t)
+        for s in range(6)
+        for d in range(10)
+        for t in range(4)
+    )

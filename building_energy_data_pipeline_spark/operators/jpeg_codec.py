@@ -3975,6 +3975,19 @@ def _hier_dct_scan(
     non-differential frame, raw differences for a differential one
     (the caller adds the reference and clamps)."""
     by_id = {cid: tq for cid, _, _, tq in fcomps}
+    # ADVICE r11 #2: planes are decoded in SCAN order but the caller
+    # zips them with the frame-ordered reference — map each scan
+    # entry back to its frame-component index so a stream whose SOS
+    # lists components in a different order than the SOF decodes
+    # correctly instead of silently swapping planes, and require the
+    # interleaved scan to cover each frame component exactly once.
+    frame_order = [cid for cid, _, _, _ in fcomps]
+    scan_ids = [cs for cs, _, _ in scan]
+    if sorted(scan_ids) != sorted(frame_order):
+        raise ValueError(
+            "hierarchical DCT scan must cover each frame component "
+            f"exactly once: frame {frame_order}, scan {scan_ids}"
+        )
     nby, nbx = (lh + 7) // 8, (lw + 7) // 8
     qts = []
     for cs, td, ta in scan:
@@ -4021,16 +4034,24 @@ def _hier_dct_scan(
                         dec, ac_stats[ta], fixed, zz, 1, 63, kx
                     )
                 else:
+                    # ADVICE r11 #3: T.81 Table F.1 caps 8-bit DC
+                    # categories at 11 (non-differential DPCM) / 12
+                    # (differential, coded without prediction) — the
+                    # lenient default of 15 let corrupt streams
+                    # clamp-decode instead of raising.
                     zz = _hier_read_zz(
-                        reader, dc_tables[td], ac_tables[ta]
+                        reader, dc_tables[td], ac_tables[ta],
+                        max_dc_cat=12 if differential else 11,
                     )
                     if not differential:
                         preds[cs] += int(zz[0])
                         zz[0] = preds[cs]
                 grids[ci][by, bx] = zz
-    return _hier_dct_recon_planes(
+    planes = _hier_dct_recon_planes(
         grids, qts[0], lh, lw, 0.0 if differential else 128.0
     )
+    by_cs = dict(zip(scan_ids, planes))
+    return [by_cs[cid] for cid in frame_order]
 
 
 def encode_jpeg_hierarchical_dct(

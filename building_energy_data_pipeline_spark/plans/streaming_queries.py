@@ -12,6 +12,7 @@ demonstrated rather than asserted.
 
 from __future__ import annotations
 
+import atexit
 import tempfile
 import uuid
 
@@ -2099,8 +2100,22 @@ def q252_streaming_attribution_rollup(
 #: DataFrame reads the checkpoint LAZILY (the driver collects after
 #: the query function returns), so the dir must outlive the call —
 #: each invocation deletes the PREVIOUS one, keeping at most one per
-#: tag per session.
+#: tag per session, and an atexit sweep removes whatever is still
+#: registered when the driver process ends (ADVICE r11 #4: without
+#: it a long-lived session leaked one RocksDB checkpoint dir per
+#: tag under /tmp at exit).
 _STATE_CKPTS: dict[str, str] = {}
+
+
+def _sweep_state_ckpts() -> None:
+    import shutil
+
+    while _STATE_CKPTS:
+        _, path = _STATE_CKPTS.popitem()
+        shutil.rmtree(path, ignore_errors=True)
+
+
+atexit.register(_sweep_state_ckpts)
 
 
 @query(

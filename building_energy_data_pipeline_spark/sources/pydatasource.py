@@ -408,13 +408,21 @@ class JsonDirStreamWriter(DataSourceStreamWriter):
 
     Exactly-once at the sink: Structured Streaming REPLAYS a batch
     after failure, so ``commit`` is IDEMPOTENT PER ``batchId`` — a
-    batch's parts are renamed to ``batch-<id>-part-NNNNN.jsonl`` and
-    recorded in a ``_commits/<id>.json`` manifest; a replayed commit
-    first deletes the parts its previous manifest names, so readers
-    that trust the manifests (``committed_rows`` below) never
-    double-count. ``abort`` restores the batch-writer invariant: the
-    destination surface gains nothing, staging is drained with the
-    same bounded re-sweep (task cancellation is asynchronous)."""
+    batch's parts are renamed to ``batch-<id>-part-NNNNN.jsonl``
+    (replay attempt N > 0 gets an ``-aN-`` infix so attempts NEVER
+    share names) and recorded in a ``_commits/<id>.json`` manifest;
+    the atomic manifest swap is the single commit point, after which
+    every part the manifest does not name is swept. Readers that
+    trust the manifests (``committed_rows`` below) therefore never
+    dangle AND never double-count, even mid-replay (ADVICE r11 #1:
+    with shared part names, a crash after the renames but before the
+    swap left the old manifest naming a leftover part whose rows
+    duplicated the overwritten ones). A crash between the swap and
+    the sweep orphans the old attempt's unreferenced files only
+    until the next commit of the same ``batchId`` re-sweeps them.
+    ``abort`` restores the batch-writer invariant: the destination
+    surface gains nothing, staging is drained with the same bounded
+    re-sweep (task cancellation is asynchronous)."""
 
     def __init__(self, options: dict) -> None:
         import uuid
@@ -450,26 +458,33 @@ class JsonDirStreamWriter(DataSourceStreamWriter):
         )
 
     def commit(self, messages, batchId: int) -> None:
+        import glob
         import json
         import os
 
         manifest = self._manifest(batchId)
-        stale: list[str] = []
+        attempt = 0
         if os.path.exists(manifest):
-            # replayed batch: remember (don't yet touch) the previous
-            # attempt's parts so the manifest view stays exactly-once
             with open(manifest, encoding="utf-8") as fh:
-                stale = json.load(fh)["parts"]
-        # crash-ordering: rename the new parts FIRST (deterministic
-        # names, so a replay overwrites its predecessor in place),
-        # atomically swap the manifest SECOND, and only then delete
-        # stale parts the new manifest no longer names — at every
+                attempt = int(json.load(fh).get("attempt", 0)) + 1
+        # crash-ordering (ADVICE r11 #1): attempts never share part
+        # names, so renaming this attempt's parts cannot clobber
+        # files the live manifest still names — at every
         # intermediate point the on-disk manifest names only files
-        # that exist, so `committed_rows` never dangles.
+        # that exist and whose contents are exactly ONE complete
+        # attempt. The manifest swap is the single atomic commit
+        # point; everything the current manifest does not name is
+        # garbage, swept below and re-swept by the next commit of
+        # the same batchId (a crash between swap and sweep orphans
+        # files only until that replay; a crashed attempt's partial
+        # renames are overwritten in place when the attempt number
+        # is reused).
+        infix = "" if attempt == 0 else f"a{attempt}-"
         parts, total = [], 0
         for i, msg in enumerate(m for m in messages if m is not None):
             final = os.path.join(
-                self.path, f"batch-{int(batchId)}-part-{i:05d}.jsonl"
+                self.path,
+                f"batch-{int(batchId)}-{infix}part-{i:05d}.jsonl",
             )
             os.replace(msg.staged, final)
             parts.append(os.path.basename(final))
@@ -477,13 +492,20 @@ class JsonDirStreamWriter(DataSourceStreamWriter):
         os.makedirs(os.path.dirname(manifest), exist_ok=True)
         tmp = manifest + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump({"parts": parts, "rows": total}, fh)
+            json.dump(
+                {"parts": parts, "rows": total, "attempt": attempt},
+                fh,
+            )
         os.replace(tmp, manifest)
-        for part in stale:
-            if part not in parts:
-                old = os.path.join(self.path, part)
-                if os.path.exists(old):
+        keep = set(parts)
+        for old in glob.glob(
+            os.path.join(self.path, f"batch-{int(batchId)}-*")
+        ):
+            if os.path.basename(old) not in keep:
+                try:
                     os.remove(old)
+                except FileNotFoundError:
+                    pass
         self._clean_staging()
 
     def abort(self, messages, batchId: int) -> None:

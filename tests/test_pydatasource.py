@@ -489,11 +489,14 @@ class TestStreamWritePath:
         assert [r["v"] for r in rows] == [1, 2, 3]
         manifest = json.load(open(out + "/_commits/5.json"))
         assert manifest["rows"] == 3
+        assert manifest["attempt"] == 1  # replay = attempt 1, its
+        # parts carry the -a1- infix so they never clobbered the
+        # first attempt's files (ADVICE r11 #1)
         # exactly the manifest's parts on disk — the stale attempt
-        # is gone
+        # is swept
         assert sorted(
             os.path.basename(p)
-            for p in glob.glob(out + "/batch-5-part-*.jsonl")
+            for p in glob.glob(out + "/batch-5-*.jsonl")
         ) == sorted(manifest["parts"])
 
     def test_stream_abort_leaves_destination_untouched(self, tmp_path):
@@ -536,15 +539,30 @@ def test_failed_replay_commit_never_dangles_manifest(tmp_path):
     w.commit(first, batchId=5)
     assert sorted(r["v"] for r in committed_rows(out)) == [1, 2]
     # replay whose second part's staged file has vanished: the
-    # rename loop raises BEFORE the manifest is touched
+    # rename loop raises BEFORE the manifest is touched — and the
+    # partial rename landed under an attempt-unique name, so the
+    # committed VIEW is untouched, not just non-dangling (ADVICE
+    # r11 #1: with shared names the crashed replay's first part
+    # overwrote a manifest-named file and double-counted)
     ok = w.write(iter([Row(v=10)]))
     gone = w.write(iter([Row(v=20)]))
     os.remove(gone.staged)
     with pytest.raises(FileNotFoundError):
         w.commit([ok, gone], batchId=5)
-    # the surviving manifest still resolves — no dangling parts
-    rows = committed_rows(out)
-    assert len(rows) == 2
+    assert sorted(r["v"] for r in committed_rows(out)) == [1, 2]
+    # the next successful replay of the same batch sweeps the
+    # crashed attempt's orphan and every prior attempt's parts
+    import glob
+
+    retry = w.write(iter([Row(v=10), Row(v=20)]))
+    w.commit([retry], batchId=5)
+    assert sorted(r["v"] for r in committed_rows(out)) == [10, 20]
+    import json
+
+    manifest = json.load(open(out + "/_commits/5.json"))
+    assert sorted(
+        os.path.basename(p) for p in glob.glob(out + "/batch-5-*")
+    ) == sorted(manifest["parts"])
 
 
 def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path):

@@ -77,6 +77,97 @@ def _calibrate_parallel(workers: int) -> float:
     return round(best, 4)
 
 
+def _canonical_detail() -> dict | None:
+    """The committed BENCH_DETAIL.json at HEAD — the quiet-pair
+    canonical the contention verdict compares against. ``git show``
+    rather than the file on disk: every sf0.1 run overwrites the
+    working-tree copy, so disk is whatever ran last."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "show", "HEAD:BENCH_DETAIL.json"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            timeout=10,
+        )
+        if out.returncode != 0:
+            return None
+        return json.loads(out.stdout)
+    except Exception:  # noqa: BLE001 — advisory signal only
+        return None
+
+
+def _contention_verdict(
+    calibs: list[float],
+    calib_par: float,
+    spreads: list[float],
+    sf: float,
+) -> dict:
+    """Machine-readable contention verdict (VERDICT r11 #3): the
+    quiet-pair adjudication policy lived only in COVERAGE.md prose
+    and builder discipline — this makes a noisy run discountable
+    MECHANICALLY. Three signals, each advisory, OR-ed:
+
+    - ``drift``: the single-thread calibration fold run at the
+      start, middle, and end of the bench moves > 5 % — co-tenant
+      load arrived or left mid-run (a deterministic fold on a quiet
+      machine repeats within ~1 %).
+    - ``spread``: median over queries of the relative gap between
+      each query's two FASTEST of three timed runs > 20 % — quiet
+      runs repeat within a few percent once codegen is warm (the
+      slowest of the three is excluded: run 1 legitimately pays
+      whole-stage-codegen compilation).
+    - ``canonical``: same-machine comparison against the committed
+      BENCH_DETAIL.json at HEAD — single-thread calib OR the
+      32-process parallel calib > 2 % slower than the canonical's.
+      Round-11 evidence for the thresholds: the driver's contended
+      artifact ran calib 0.2778 / par 0.4303 vs the quiet pair's
+      0.2716 / 0.4183 (+2.3 % / +2.9 %) while the headline moved
+      +13.6 % — contention shows in the yardsticks faintly and in
+      parallel wall-clock loudly. Skipped (null) when the canonical
+      is from a visibly different machine (calib ratio off by
+      > 15 %) or a different sf.
+    """
+    sig: dict = {}
+    drift = max(calibs) / min(calibs) if calibs else 1.0
+    sig["calib_samples"] = calibs
+    sig["calib_drift"] = round(drift, 4)
+    med_spread = (
+        sorted(spreads)[len(spreads) // 2] if spreads else 0.0
+    )
+    sig["repeat_spread_median"] = round(med_spread, 4)
+    sig["calib_vs_canonical"] = None
+    sig["calib_par_vs_canonical"] = None
+    canon = _canonical_detail()
+    if (
+        canon
+        and canon.get("sf") == sf
+        and canon.get("calib_sec", 0) > 0
+    ):
+        r = min(calibs) / canon["calib_sec"]
+        if 0.85 <= r <= 1.15:  # same machine generation
+            sig["calib_vs_canonical"] = round(r, 4)
+            if calib_par > 0 and canon.get("calib_par_sec", 0) > 0:
+                sig["calib_par_vs_canonical"] = round(
+                    calib_par / canon["calib_par_sec"], 4
+                )
+    flags = {
+        "drift": drift > 1.05,
+        "spread": med_spread > 0.20,
+        "canonical": any(
+            v is not None and v > 1.02
+            for v in (
+                sig["calib_vs_canonical"],
+                sig["calib_par_vs_canonical"],
+            )
+        ),
+    }
+    sig["flags"] = flags
+    sig["contended"] = any(flags.values())
+    return sig
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -107,8 +198,10 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — warm-up must never kill the run
         print(f"bench: warm-up failed (continuing): {exc}", file=sys.stderr)
 
+    calib_samples = [_calibrate()]  # start-of-run yardstick
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    spreads: list[float] = []
     # three timed runs per query, keep the min: run 1 pays whole-stage
     # codegen compilation (~0.5-1 s/query, a constant that vanishes
     # at real scale); the min of the rest is the steady-state
@@ -119,7 +212,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
-        best = float("inf")
+        runs: list[float] = []
         try:
             # every query starts from empty persist slots so its
             # timing never measures a predecessor's warm cache
@@ -130,8 +223,14 @@ def main() -> None:
                 spec.spark(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                best = min(best, time.perf_counter() - t0)
+                runs.append(time.perf_counter() - t0)
+            best = min(runs)
             timings[name] = round(best, 4)
+            # contention signal: relative gap between the two FASTEST
+            # runs (the slowest of the 3 is excluded — run 1 pays
+            # codegen compilation legitimately)
+            a, b = sorted(runs)[:2]
+            spreads.append(b / a - 1.0 if a > 0 else 0.0)
             # cold-path honesty (VERDICT r4 #8): for slot-using
             # queries the min-of-3 above is a WARM-slot number (runs
             # 2-3 reuse the persisted intermediate — the declared
@@ -150,6 +249,8 @@ def main() -> None:
             timings[name] = -1.0
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
+
+    calib_samples.append(_calibrate())  # mid-run yardstick
 
     # Ingest path (the reference's transform_data: wide→long melt →
     # parquet, src/data_transformation/data_transformer.py:367-389) —
@@ -201,7 +302,8 @@ def main() -> None:
         shutil.rmtree(out, ignore_errors=True)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
-    calib = _calibrate()
+    calib_samples.append(_calibrate())  # end-of-run yardstick
+    calib = min(calib_samples)
     try:
         n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         calib_par = _calibrate_parallel(max(1, n_cpus))
@@ -225,6 +327,9 @@ def main() -> None:
             for n, t in timings.items()
         },
         "value_norm": round(total / calib, 3),
+        "contention": _contention_verdict(
+            [round(c, 4) for c in calib_samples], calib_par, spreads, sf
+        ),
     }
     if cold:
         # first-invocation (cold persist slots, warm JIT) seconds for
@@ -265,6 +370,10 @@ def main() -> None:
         "calib_sec": calib,
         "calib_par_sec": calib_par,
         "value_norm": detail["value_norm"],
+        # machine-readable run-quality verdict (VERDICT r11 #3): a
+        # true here means discount this artifact per the quiet-pair
+        # policy — signals in the detail file's "contention" block
+        "contended": detail["contention"]["contended"],
         "n_errors": len(errors),
         "detail_file": os.path.basename(detail_path),
     }

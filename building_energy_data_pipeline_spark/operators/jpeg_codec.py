@@ -39,12 +39,21 @@ Scope (documented, spec-cited):
   Huffman / SOF13 arithmetic) and progressive (SOF6 / SOF14,
   spectral-selection scan sets with DC coded without prediction) —
   so a lossy DCT pyramid with a final lossless differential
-  correction frame round-trips BIT-EXACTLY. With that, EVERY T.81
-  frame type decodes; what still raises ``NotImplementedError`` is
-  unsupported VARIANTS (subsampled/12-bit DCT frames, restart
-  markers, per-component scans and point transform inside
-  hierarchical streams), distinct from corrupt payloads which
-  raise ``ValueError`` (the multimodal error contract, ADVICE r8).
+  correction frame round-trips BIT-EXACTLY. Round 12 closed the
+  hierarchical VARIANT gates (VERDICT r11 #4): per-component
+  lossless scans (plain SOF3/SOF11 frames AND lossless frames
+  inside hierarchical streams accumulate any scan-per-component
+  split, keyed by component id), point transform in hierarchical
+  frames (non-differential frames code ``sample >> Pt``,
+  differential frames reconstruct ``ref + (diff << Pt)`` — the
+  classic Pt-refinement pyramid), and restart markers inside
+  hierarchical frames (lossless, sequential-DCT, and progressive
+  scan paths). With that, EVERY T.81 frame type decodes; what
+  still raises ``NotImplementedError`` is two narrow variants —
+  subsampled or 12-bit DCT frames inside hierarchical streams,
+  and per-component scans of a sequential-DCT hierarchical
+  frame — distinct from corrupt payloads which raise
+  ``ValueError`` (the multimodal error contract, ADVICE r8).
 - **encode**: baseline SOF0 (grayscale, 4:4:4 or 4:2:0 YCbCr,
   optional restart markers), a PROGRESSIVE encoder
   (:func:`encode_jpeg_progressive`, spectral selection with
@@ -2672,6 +2681,11 @@ def decode_jpeg_lossless_raw(content: bytes) -> tuple[np.ndarray, int]:
     arithmetic = False
     restart_interval = 0
     frame = None  # (P, h, w, [(cid, hs, vs)])
+    # decoded planes by component id — a frame may spread its
+    # components over several scans (non-interleaved / per-component,
+    # B.2.3), so scans ACCUMULATE here until every frame component
+    # has a plane (closed the :2762 gate, VERDICT r11 #4)
+    planes: dict[int, np.ndarray] = {}
     pos = 2
     data = content
     while True:
@@ -2758,11 +2772,9 @@ def decode_jpeg_lossless_raw(content: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError(
                     f"invalid lossless predictor selector {sel}"
                 )
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "per-component lossless scans not supported — "
-                    "single interleaved scan only"
-                )
+            scan_ids = [cs for cs, _ in scan]
+            if len(set(scan_ids)) != len(scan_ids):
+                raise ValueError("duplicate component in scan")
             for cs, td in scan:
                 if cs not in comps:
                     raise ValueError(
@@ -2773,28 +2785,38 @@ def decode_jpeg_lossless_raw(content: bytes) -> tuple[np.ndarray, int]:
                         "scan references missing Huffman table"
                     )
             if arithmetic:
-                return (
-                    _decode_scan_lossless_arith(
-                        data, pos, frame, scan, sel, pt,
-                        restart_interval, conditioning,
-                    ),
-                    prec,
+                decoded = _decode_scan_lossless_arith(
+                    data, pos, frame, scan, sel, pt,
+                    restart_interval, conditioning,
                 )
-            return (
-                _decode_scan_lossless(
+            else:
+                decoded = _decode_scan_lossless(
                     data, pos, frame, scan, dc_tables, sel, pt,
                     restart_interval,
-                ),
-                prec,
-            )
+                )
+            # channels come back in SCAN order; key them by component
+            # id so per-component scans accumulate and a full scan
+            # whose SOS order differs from the SOF order still lands
+            # each plane on its own component
+            for i, cs in enumerate(scan_ids):
+                planes[cs] = decoded[..., i]
+            if all(c in planes for c in comps):
+                return (
+                    np.stack([planes[c] for c in comps], axis=-1),
+                    prec,
+                )
+            pos = _skip_entropy(data, pos)
         # else: APPn/COM/DQT(ignored for lossless)/unknown — skipped
 
 
 def _decode_scan_lossless(
     data, pos, frame, scan, dc_tables, sel, pt, restart_interval
 ) -> np.ndarray:
+    """One lossless scan's samples, channels in SCAN order — the
+    scan may cover any subset of the frame's components (the caller
+    accumulates per-component scans)."""
     prec, h, w, comps = frame
-    out = np.zeros((h, w, len(comps)), dtype=np.int64)
+    out = np.zeros((h, w, len(scan)), dtype=np.int64)
     reader = _BitReader(data, pos)
     default = 1 << (prec - pt - 1)
     mask = 0xFFFF  # differences are modulo 2^16 (H.1.2.3)
@@ -2861,6 +2883,7 @@ def encode_jpeg_lossless(
     precision: int = 8,
     point_transform: int = 0,
     restart_interval: int = 0,
+    interleave: bool = True,
 ) -> bytes:
     """Encode ``(h, w)`` grayscale or ``(h, w, 3)`` RGB (uint8, or
     uint16 for precision > 8) to an SOF3 LOSSLESS JPEG — Annex H
@@ -2868,7 +2891,10 @@ def encode_jpeg_lossless(
     optional point transform and restart markers. Decoding returns
     the input EXACTLY (the first codec in the module with a
     bit-exact contract on arbitrary inputs, no subspace argument
-    needed)."""
+    needed). ``interleave=False`` emits one SOS per component
+    (B.2.3 non-interleaved order — the :2762 decode gate's twin,
+    closed round 12); each scan restarts the DPCM walk and the RSTn
+    modulo count."""
     if arr.ndim == 2:
         planes = [arr]
     elif arr.ndim == 3 and arr.shape[2] == 3:
@@ -2909,65 +2935,71 @@ def encode_jpeg_lossless(
     out += _dht_segment(0, 0, bits, vals)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    sos = bytearray([len(planes)])
-    for i in range(len(planes)):
-        sos += bytes([i + 1, 0x00])
-    sos += bytes([predictor, 0, point_transform])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
-
-    shifted = [
+    shifted_all = [
         (p.astype(np.int64) >> point_transform) for p in planes
     ]
     default = 1 << (precision - point_transform - 1)
-    writer = _BitWriter()
-    count = 0
-    rst_index = 0
-    first_y, start_x = 0, 0  # H.1.2.2 "first line" state (see decode)
-    for y in range(h):
-        for x in range(w):
-            if (
-                restart_interval
-                and count
-                and count % restart_interval == 0
-            ):
-                out += writer.flush()
-                writer = _BitWriter()
-                out += bytes([0xFF, 0xD0 + rst_index])
-                rst_index = (rst_index + 1) % 8
-                first_y, start_x = y, x
-            for plane in shifted:
-                if y == first_y:
-                    px = (
-                        default
-                        if x == start_x
-                        else int(plane[y, x - 1])
-                    )
-                elif x == 0:
-                    px = int(plane[y - 1, 0])
-                else:
-                    px = _lossless_predict(
-                        int(plane[y, x - 1]),
-                        int(plane[y - 1, x]),
-                        int(plane[y - 1, x - 1]),
-                        predictor,
-                    )
-                diff = (int(plane[y, x]) - px) & 0xFFFF
-                if diff >= 0x8000:  # re-center to signed
-                    diff -= 0x10000
-                if diff == -32768:
-                    diff = 32768  # category 16, no extra bits
-                ssss = _category(diff)
-                code, length = codes[ssss]
-                writer.write(code, length)
-                if 0 < ssss < 16:
-                    mag = (
-                        diff
-                        if diff >= 0
-                        else diff + (1 << ssss) - 1
-                    )
-                    writer.write(mag & ((1 << ssss) - 1), ssss)
-            count += 1
-    out += writer.flush()
+    scans = (
+        [list(range(len(planes)))]
+        if interleave
+        else [[i] for i in range(len(planes))]
+    )
+    for members in scans:
+        sos = bytearray([len(members)])
+        for i in members:
+            sos += bytes([i + 1, 0x00])
+        sos += bytes([predictor, 0, point_transform])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
+        shifted = [shifted_all[i] for i in members]
+        writer = _BitWriter()
+        count = 0
+        rst_index = 0
+        first_y, start_x = 0, 0  # H.1.2.2 "first line" state (see decode)
+        for y in range(h):
+            for x in range(w):
+                if (
+                    restart_interval
+                    and count
+                    and count % restart_interval == 0
+                ):
+                    out += writer.flush()
+                    writer = _BitWriter()
+                    out += bytes([0xFF, 0xD0 + rst_index])
+                    rst_index = (rst_index + 1) % 8
+                    first_y, start_x = y, x
+                for plane in shifted:
+                    if y == first_y:
+                        px = (
+                            default
+                            if x == start_x
+                            else int(plane[y, x - 1])
+                        )
+                    elif x == 0:
+                        px = int(plane[y - 1, 0])
+                    else:
+                        px = _lossless_predict(
+                            int(plane[y, x - 1]),
+                            int(plane[y - 1, x]),
+                            int(plane[y - 1, x - 1]),
+                            predictor,
+                        )
+                    diff = (int(plane[y, x]) - px) & 0xFFFF
+                    if diff >= 0x8000:  # re-center to signed
+                        diff -= 0x10000
+                    if diff == -32768:
+                        diff = 32768  # category 16, no extra bits
+                    ssss = _category(diff)
+                    code, length = codes[ssss]
+                    writer.write(code, length)
+                    if 0 < ssss < 16:
+                        mag = (
+                            diff
+                            if diff >= 0
+                            else diff + (1 << ssss) - 1
+                        )
+                        writer.write(mag & ((1 << ssss) - 1), ssss)
+                count += 1
+        out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -3081,6 +3113,7 @@ def encode_jpeg_lossless_arith(
     precision: int = 8,
     point_transform: int = 0,
     restart_interval: int = 0,
+    interleave: bool = True,
 ) -> bytes:
     """Encode ``(h, w)`` grayscale or ``(h, w, 3)`` RGB (uint8, or
     uint16 for precision > 8) to an SOF11 ARITHMETIC LOSSLESS JPEG —
@@ -3088,7 +3121,9 @@ def encode_jpeg_lossless_arith(
     :func:`encode_jpeg_lossless` with the Huffman entropy layer
     replaced by the QM-coder under the H.1.2 two-neighbor
     conditioning model. DAC declares the default DC conditioning
-    (L=0, U=1) explicitly."""
+    (L=0, U=1) explicitly. ``interleave=False`` emits one SOS per
+    component; each scan starts a fresh QM coder, statistics area,
+    DPCM walk, and RSTn count (the non-interleaved twin, B.2.3)."""
     if arr.ndim == 2:
         planes = [arr]
     elif arr.ndim == 3 and arr.shape[2] == 3:
@@ -3121,80 +3156,88 @@ def encode_jpeg_lossless_arith(
     out += _dac_segment([(0, 0, 0x10)])  # L=0 / U=1, declared
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    sos = bytearray([len(planes)])
-    for i in range(len(planes)):
-        sos += bytes([i + 1, 0x00])  # arithmetic DC table 0
-    sos += bytes([predictor, 0, point_transform])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
 
-    shifted = [
+    shifted_all = [
         (p.astype(np.int64) >> point_transform) for p in planes
     ]
     default = 1 << (precision - point_transform - 1)
-    nc = len(planes)
     dc_l, dc_u = 0, 1
-    enc = _ArithEncoder()
-    st = bytearray(_LL_STAT_BINS)
-    # per-component difference memory for the H.1.2 conditioning:
-    # cur[c][x] is this row's coded diff, prev[c][x] the row above's
-    prev = [np.zeros(w, dtype=np.int64) for _ in range(nc)]
-    cur = [np.zeros(w, dtype=np.int64) for _ in range(nc)]
-    count = 0
-    rst_index = 0
-    first_y, start_x = 0, 0
-    for y in range(h):
-        if y and y != first_y:
-            for c in range(nc):
-                prev[c], cur[c] = cur[c], prev[c]
-                cur[c][:] = 0
-        for x in range(w):
-            if (
-                restart_interval
-                and count
-                and count % restart_interval == 0
-            ):
-                out += enc.flush()
-                out += bytes([0xFF, 0xD0 + rst_index])
-                rst_index = (rst_index + 1) % 8
-                enc = _ArithEncoder()
-                st = bytearray(_LL_STAT_BINS)
-                first_y, start_x = y, x
-                for c in range(nc):  # neighbor diffs reset with stats
-                    prev[c][:] = 0
+    scans = (
+        [list(range(len(planes)))]
+        if interleave
+        else [[i] for i in range(len(planes))]
+    )
+    for members in scans:
+        sos = bytearray([len(members)])
+        for i in members:
+            sos += bytes([i + 1, 0x00])  # arithmetic DC table 0
+        sos += bytes([predictor, 0, point_transform])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
+        shifted = [shifted_all[i] for i in members]
+        nc = len(members)
+        enc = _ArithEncoder()
+        st = bytearray(_LL_STAT_BINS)
+        # per-component difference memory for the H.1.2 conditioning:
+        # cur[c][x] is this row's coded diff, prev[c][x] the row
+        # above's
+        prev = [np.zeros(w, dtype=np.int64) for _ in range(nc)]
+        cur = [np.zeros(w, dtype=np.int64) for _ in range(nc)]
+        count = 0
+        rst_index = 0
+        first_y, start_x = 0, 0
+        for y in range(h):
+            if y and y != first_y:
+                for c in range(nc):
+                    prev[c], cur[c] = cur[c], prev[c]
                     cur[c][:] = 0
-            for c, plane in enumerate(shifted):
-                if y == first_y:
-                    px = (
-                        default
-                        if x == start_x
-                        else int(plane[y, x - 1])
+            for x in range(w):
+                if (
+                    restart_interval
+                    and count
+                    and count % restart_interval == 0
+                ):
+                    out += enc.flush()
+                    out += bytes([0xFF, 0xD0 + rst_index])
+                    rst_index = (rst_index + 1) % 8
+                    enc = _ArithEncoder()
+                    st = bytearray(_LL_STAT_BINS)
+                    first_y, start_x = y, x
+                    for c in range(nc):  # neighbor diffs reset with stats
+                        prev[c][:] = 0
+                        cur[c][:] = 0
+                for c, plane in enumerate(shifted):
+                    if y == first_y:
+                        px = (
+                            default
+                            if x == start_x
+                            else int(plane[y, x - 1])
+                        )
+                    elif x == 0:
+                        px = int(plane[y - 1, 0])
+                    else:
+                        px = _lossless_predict(
+                            int(plane[y, x - 1]),
+                            int(plane[y - 1, x]),
+                            int(plane[y - 1, x - 1]),
+                            predictor,
+                        )
+                    diff = (int(plane[y, x]) - px) & 0xFFFF
+                    if diff >= 0x8000:
+                        diff -= 0x10000
+                    if diff == -32768:
+                        diff = 32768  # modulo-2^16 twin of category 16
+                    ca = _lossless_diff_cat(
+                        int(cur[c][x - 1]) if x > start_x or y > first_y
+                        and x > 0 else 0,
+                        dc_l, dc_u,
                     )
-                elif x == 0:
-                    px = int(plane[y - 1, 0])
-                else:
-                    px = _lossless_predict(
-                        int(plane[y, x - 1]),
-                        int(plane[y - 1, x]),
-                        int(plane[y - 1, x - 1]),
-                        predictor,
-                    )
-                diff = (int(plane[y, x]) - px) & 0xFFFF
-                if diff >= 0x8000:
-                    diff -= 0x10000
-                if diff == -32768:
-                    diff = 32768  # modulo-2^16 twin of category 16
-                ca = _lossless_diff_cat(
-                    int(cur[c][x - 1]) if x > start_x or y > first_y
-                    and x > 0 else 0,
-                    dc_l, dc_u,
-                )
-                cb = _lossless_diff_cat(int(prev[c][x]), dc_l, dc_u)
-                s0 = 4 * (ca + 5 * cb)
-                xbase = _LL_X_LARGE if cb >= 3 else _LL_X_SMALL
-                _arith_encode_lossless_diff(enc, st, s0, xbase, diff)
-                cur[c][x] = diff
-            count += 1
-    out += enc.flush()
+                    cb = _lossless_diff_cat(int(prev[c][x]), dc_l, dc_u)
+                    s0 = 4 * (ca + 5 * cb)
+                    xbase = _LL_X_LARGE if cb >= 3 else _LL_X_SMALL
+                    _arith_encode_lossless_diff(enc, st, s0, xbase, diff)
+                    cur[c][x] = diff
+                count += 1
+        out += enc.flush()
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -3204,9 +3247,10 @@ def _decode_scan_lossless_arith(
 ) -> np.ndarray:
     """Arithmetic twin of :func:`_decode_scan_lossless` — identical
     prediction walk, QM-coded differences under the H.1.2
-    two-neighbor conditioning (see the section comment)."""
+    two-neighbor conditioning (see the section comment). Channels
+    in SCAN order, any component subset."""
     prec, h, w, comps = frame
-    nc = len(comps)
+    nc = len(scan)
     out = np.zeros((h, w, nc), dtype=np.int64)
     dec = _ArithDecoder(data, pos)
     default = 1 << (prec - pt - 1)
@@ -3295,9 +3339,9 @@ def _decode_scan_lossless_arith(
 # encoder's choice per the spec (decimation here); interop is
 # untestable in-sandbox, so as with the other arithmetic/lossless
 # processes both halves share one convention and the round-trip
-# proof is internal. Restart markers are not emitted in hierarchical
-# frames (supported everywhere else; a DRI before a hierarchical
-# scan raises NotImplementedError, an unsupported VARIANT).
+# proof is internal. Round 12: restart markers, point transform,
+# and per-component scans are supported INSIDE hierarchical frames
+# too (encode + decode, every combination fuzz-tested bit-exact).
 
 
 def _expand_ref(ref: np.ndarray, th: int, tw: int, eh: int, ev: int) -> np.ndarray:
@@ -3344,6 +3388,9 @@ def encode_jpeg_hierarchical(
     levels: int = 2,
     predictor: int = 1,
     arithmetic: bool = False,
+    point_transform: int = 0,
+    restart_interval: int = 0,
+    interleave: bool = True,
 ) -> bytes:
     """Encode ``(h, w)`` grayscale or ``(h, w, 3)`` RGB (uint8, or
     uint16 for precision > 8) as a HIERARCHICAL lossless JPEG
@@ -3351,7 +3398,17 @@ def encode_jpeg_hierarchical(
     level coded with the ordinary lossless process (SOF3, or SOF11
     when ``arithmetic``), each larger level EXP-expanded from the
     reconstruction and coded as a differential lossless frame (SOF7
-    / SOF15). End-to-end BIT-EXACT on any input."""
+    / SOF15). End-to-end BIT-EXACT on any input.
+
+    Round-12 variants (the :3687/:3700/:3713 decode gates' twins):
+    ``point_transform`` > 0 codes every frame EXCEPT the last at
+    reduced precision — non-differential frames code ``sample >>
+    Pt``, differential frames code ``(level - ref) >> Pt`` (clamped
+    so the reconstruction stays in range) and reconstruct ``ref +
+    (diff << Pt)`` — with the final full-resolution frame at Pt = 0
+    restoring bit-exactness; ``restart_interval`` > 0 emits DRI and
+    RSTn inside every frame's scans; ``interleave=False`` emits one
+    scan per component (B.2.3)."""
     if arr.ndim == 2:
         planes = [arr]
     elif arr.ndim == 3 and arr.shape[2] == 3:
@@ -3404,11 +3461,16 @@ def encode_jpeg_hierarchical(
         vals = list(range(17))
         out += _dht_segment(0, 0, bits, vals)
         codes = _build_codes(bits, vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
     ref: list[np.ndarray] | None = None
     for li, (lh, lw) in enumerate(dims):
         level = pyramid[li]
         differential = ref is not None
+        # the LAST frame always codes at Pt = 0 so the stream stays
+        # bit-exact; earlier frames may code at reduced precision
+        pt = 0 if li == len(dims) - 1 else point_transform
         if differential:
             out += b"\xff\xdf" + struct.pack(">HB", 3, 0x11)  # EXP 1,1
             ref = [_expand_ref(r, lh, lw, 1, 1) for r in ref]
@@ -3422,61 +3484,123 @@ def encode_jpeg_hierarchical(
         for i in range(nc):
             sof += bytes([i + 1, 0x11, 0])
         out += bytes([0xFF, sofm]) + struct.pack(">H", 2 + len(sof)) + bytes(sof)
-        sos = bytearray([nc])
-        for i in range(nc):
-            sos += bytes([i + 1, 0x00])
-        # Ss carries the predictor in non-differential lossless frames
-        # and 0 in differential frames (no spatial prediction)
-        sos += bytes([0 if differential else predictor, 0, 0])
-        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
 
-        default = 1 << (precision - 1)
-        if arithmetic:
-            enc = _ArithEncoder()
-            st = bytearray(_LL_STAT_BINS)
-            prev = [np.zeros(lw, dtype=np.int64) for _ in range(nc)]
-            cur = [np.zeros(lw, dtype=np.int64) for _ in range(nc)]
+        # what this frame's scans code, and the reconstruction the
+        # decoder derives (the ref for the next level) — shared math
+        # with the decode path
+        if differential:
+            coded = [
+                np.clip((lv - rf) >> pt, -(rf >> pt), (maxv - rf) >> pt)
+                for lv, rf in zip(level, ref)
+            ]
+            recon = [
+                rf + (cd << pt) for rf, cd in zip(ref, coded)
+            ]
         else:
-            writer = _BitWriter()
-        for y in range(lh):
-            if arithmetic and y:
-                for c in range(nc):
-                    prev[c], cur[c] = cur[c], prev[c]
-                    cur[c][:] = 0
-            for x in range(lw):
-                for c in range(nc):
-                    plane = level[c]
-                    if differential:
-                        px = int(ref[c][y, x])
-                    elif y == 0:
-                        px = default if x == 0 else int(plane[y, x - 1])
-                    elif x == 0:
-                        px = int(plane[y - 1, 0])
-                    else:
-                        px = _lossless_predict(
-                            int(plane[y, x - 1]),
-                            int(plane[y - 1, x]),
-                            int(plane[y - 1, x - 1]),
-                            predictor,
-                        )
-                    diff = (int(plane[y, x]) - px) & 0xFFFF
-                    if diff >= 0x8000:
-                        diff -= 0x10000
-                    if arithmetic:
-                        if diff == -32768:
-                            diff = 32768
-                        ca = _lossless_diff_cat(
-                            int(cur[c][x - 1]) if x > 0 else 0, 0, 1
-                        )
-                        cb = _lossless_diff_cat(int(prev[c][x]), 0, 1)
-                        s0 = 4 * (ca + 5 * cb)
-                        xbase = _LL_X_LARGE if cb >= 3 else _LL_X_SMALL
-                        _arith_encode_lossless_diff(enc, st, s0, xbase, diff)
-                        cur[c][x] = diff
-                    else:
-                        _hier_code_diff_huff(writer, codes, diff)
-        out += enc.flush() if arithmetic else writer.flush()
-        ref = level  # lossless: reconstruction == source
+            coded = [lv >> pt for lv in level]
+            recon = [cd << pt for cd in coded]
+
+        default = 1 << (precision - pt - 1)
+        scans = (
+            [list(range(nc))]
+            if interleave
+            else [[c] for c in range(nc)]
+        )
+        for members in scans:
+            sos = bytearray([len(members)])
+            for i in members:
+                sos += bytes([i + 1, 0x00])
+            # Ss carries the predictor in non-differential lossless
+            # frames and 0 in differential frames (no spatial
+            # prediction); Al carries the point transform
+            sos += bytes([0 if differential else predictor, 0, pt])
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
+            ncs = len(members)
+            planes_s = [coded[i] for i in members]
+            if arithmetic:
+                enc = _ArithEncoder()
+                st = bytearray(_LL_STAT_BINS)
+                prev = [np.zeros(lw, dtype=np.int64) for _ in range(ncs)]
+                cur = [np.zeros(lw, dtype=np.int64) for _ in range(ncs)]
+            else:
+                writer = _BitWriter()
+            count = 0
+            rst_index = 0
+            first_y, start_x = 0, 0
+            for y in range(lh):
+                if arithmetic and y and y != first_y:
+                    for c in range(ncs):
+                        prev[c], cur[c] = cur[c], prev[c]
+                        cur[c][:] = 0
+                for x in range(lw):
+                    if (
+                        restart_interval
+                        and count
+                        and count % restart_interval == 0
+                    ):
+                        if arithmetic:
+                            out += enc.flush()
+                            out += bytes([0xFF, 0xD0 + rst_index])
+                            enc = _ArithEncoder()
+                            st = bytearray(_LL_STAT_BINS)
+                            for c in range(ncs):
+                                prev[c][:] = 0
+                                cur[c][:] = 0
+                        else:
+                            out += writer.flush()
+                            writer = _BitWriter()
+                            out += bytes([0xFF, 0xD0 + rst_index])
+                        rst_index = (rst_index + 1) % 8
+                        first_y, start_x = y, x
+                    for c in range(ncs):
+                        plane = planes_s[c]
+                        if differential:
+                            diff = int(plane[y, x])
+                        else:
+                            if y == first_y:
+                                px = (
+                                    default if x == start_x
+                                    else int(plane[y, x - 1])
+                                )
+                            elif x == 0:
+                                px = int(plane[y - 1, 0])
+                            else:
+                                px = _lossless_predict(
+                                    int(plane[y, x - 1]),
+                                    int(plane[y - 1, x]),
+                                    int(plane[y - 1, x - 1]),
+                                    predictor,
+                                )
+                            diff = int(plane[y, x]) - px
+                        diff &= 0xFFFF
+                        if diff >= 0x8000:
+                            diff -= 0x10000
+                        if arithmetic:
+                            if diff == -32768:
+                                diff = 32768
+                            ca = _lossless_diff_cat(
+                                int(cur[c][x - 1])
+                                if x > start_x
+                                or (y > first_y and x > 0)
+                                else 0,
+                                0, 1,
+                            )
+                            cb = _lossless_diff_cat(
+                                int(prev[c][x]), 0, 1
+                            )
+                            s0 = 4 * (ca + 5 * cb)
+                            xbase = (
+                                _LL_X_LARGE if cb >= 3 else _LL_X_SMALL
+                            )
+                            _arith_encode_lossless_diff(
+                                enc, st, s0, xbase, diff
+                            )
+                            cur[c][x] = diff
+                        else:
+                            _hier_code_diff_huff(writer, codes, diff)
+                    count += 1
+            out += enc.flush() if arithmetic else writer.flush()
+        ref = recon
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -3522,6 +3646,9 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
     # open progressive DCT frame, accumulating across its scans:
     # [state, prec, lh, lw, differential, qtable]
     prog: list | None = None
+    # open lossless frame's decoded planes by component id — a frame
+    # may spread its components over several scans (B.2.3)
+    hier_planes: dict[int, np.ndarray] = {}
 
     def finalize_prog() -> None:
         """A progressive DCT frame ends at the next SOF/EXP/EOI:
@@ -3680,14 +3807,10 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                 marker in (0xCB, 0xCF, 0xC9, 0xCD, 0xCA, 0xCE),
                 dct, comps, progressive,
             )
+            hier_planes = {}  # a new frame abandons any partial one
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("SOS before any hierarchical frame")
-            if restart_interval:
-                raise NotImplementedError(
-                    "restart markers inside hierarchical frames not "
-                    "supported"
-                )
             (prec, lh, lw, nc, differential, arith, dct, fcomps,
              progressive) = frame
             ns = body[0]
@@ -3696,9 +3819,11 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                     f"truncated SOS: {ns} components declared in a "
                     f"{len(body)}-byte header"
                 )
-            if not progressive and ns != nc:
+            if dct and not progressive and ns != nc:
                 raise NotImplementedError(
-                    "per-component hierarchical scans not supported"
+                    "per-component sequential-DCT scans inside "
+                    "hierarchical frames not supported (lossless and "
+                    "progressive frames accept them)"
                 )
             scan = [
                 (body[1 + c * 2], body[2 + c * 2] >> 4,
@@ -3709,9 +3834,11 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
             se_v = body[2 + ns * 2]
             ahal = body[3 + ns * 2]
             pt = ahal & 0x0F
-            if pt and not progressive:
-                raise NotImplementedError(
-                    "point transform in hierarchical frames not supported"
+            if pt and dct and not progressive:
+                # point transform applies to lossless and progressive
+                # scans only; sequential DCT scans pin Al = 0 (B.2.3)
+                raise ValueError(
+                    "Al shall be zero in sequential DCT scans"
                 )
             if differential:
                 if ref is None:
@@ -3761,19 +3888,19 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                 if arith:
                     pos = state.decode_scan_arith(
                         data, pos, scan, sel, se_v, ah, al,
-                        conditioning, 0,
+                        conditioning, restart_interval,
                     )
                 else:
                     pos = state.decode_scan(
                         data, pos, scan, sel, se_v, ah, al,
-                        dc_tables, ac_tables, 0,
+                        dc_tables, ac_tables, restart_interval,
                     )
                 continue
             if dct:
                 recon = _hier_dct_scan(
                     data, pos, lh, lw, scan, fcomps, qtables,
                     dc_tables, ac_tables, conditioning,
-                    differential, arith,
+                    differential, arith, restart_interval,
                 )
                 maxv = (1 << prec) - 1
                 if differential:
@@ -3790,31 +3917,71 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                 td not in dc_tables for _, td, _ in scan
             ):
                 raise ValueError("scan references missing Huffman table")
-            planes = [
-                np.zeros((lh, lw), dtype=np.int64) for _ in range(nc)
+            # lossless hierarchical scan — any component subset
+            # (per-component scans accumulate in hier_planes until
+            # the frame is complete), optional point transform
+            # (non-differential: samples coded at prec-Pt and shifted
+            # up; differential: diff << Pt added to the reference)
+            # and restart markers (round 12 — closed the :3687/:3700/
+            # :3713 gates)
+            frame_ids = [cid for cid, _, _, _ in fcomps]
+            scan_ids = [cs for cs, _, _ in scan]
+            if len(set(scan_ids)) != len(scan_ids):
+                raise ValueError("duplicate component in scan")
+            for cs in scan_ids:
+                if cs not in frame_ids:
+                    raise ValueError(
+                        f"scan references unknown component {cs}"
+                    )
+            ref_of = (
+                {cid: ref[i] for i, cid in enumerate(frame_ids)}
+                if differential
+                else {}
+            )
+            ncs = len(scan)
+            splanes = [
+                np.zeros((lh, lw), dtype=np.int64) for _ in scan
             ]
-            default = 1 << (prec - 1)
+            default = 1 << (prec - pt - 1)
             if arith:
                 dec = _ArithDecoder(data, pos)
                 st = bytearray(_LL_STAT_BINS)
-                prev = [np.zeros(lw, dtype=np.int64) for _ in range(nc)]
-                cur = [np.zeros(lw, dtype=np.int64) for _ in range(nc)]
+                prev = [np.zeros(lw, dtype=np.int64) for _ in scan]
+                cur = [np.zeros(lw, dtype=np.int64) for _ in scan]
             else:
                 reader = _BitReader(data, pos)
                 decs = [dc_tables[td] for _, td, _ in scan]
+            count = 0
+            rst_index = 0
+            first_y, start_x = 0, 0
             for y in range(lh):
-                if arith and y:
-                    for c in range(nc):
+                if arith and y and y != first_y:
+                    for c in range(ncs):
                         prev[c], cur[c] = cur[c], prev[c]
                         cur[c][:] = 0
                 for x in range(lw):
-                    for c in range(nc):
-                        plane = planes[c]
+                    if (
+                        restart_interval
+                        and count
+                        and count % restart_interval == 0
+                    ):
+                        if arith:
+                            dec.sync_restart(rst_index)
+                            st = bytearray(_LL_STAT_BINS)
+                            for c in range(ncs):
+                                prev[c][:] = 0
+                                cur[c][:] = 0
+                        else:
+                            reader.sync_restart(rst_index)
+                        rst_index = (rst_index + 1) % 8
+                        first_y, start_x = y, x
+                    for c in range(ncs):
+                        plane = splanes[c]
                         if differential:
-                            px = int(ref[c][y, x])
-                        elif y == 0:
+                            px = 0  # the reference IS the prediction
+                        elif y == first_y:
                             px = (
-                                default if x == 0
+                                default if x == start_x
                                 else int(plane[y, x - 1])
                             )
                         elif x == 0:
@@ -3828,7 +3995,11 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                             )
                         if arith:
                             ca = _lossless_diff_cat(
-                                int(cur[c][x - 1]) if x > 0 else 0, 0, 1
+                                int(cur[c][x - 1])
+                                if x > start_x
+                                or (y > first_y and x > 0)
+                                else 0,
+                                0, 1,
                             )
                             cb = _lossless_diff_cat(
                                 int(prev[c][x]), 0, 1
@@ -3853,17 +4024,36 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                                 diff = _extend(
                                     reader.receive(ssss), ssss
                                 )
-                        plane[y, x] = (px + diff) & 0xFFFF
-            maxv = (1 << prec) - 1
-            for p in planes:
+                        if differential:
+                            plane[y, x] = (
+                                int(ref_of[scan_ids[c]][y, x])
+                                + (diff << pt)
+                            ) & 0xFFFF
+                        else:
+                            plane[y, x] = (px + diff) & 0xFFFF
+                    count += 1
+            # differential planes are full-precision; non-differential
+            # decode in the point-transformed domain and shift up
+            maxv = (
+                (1 << prec) - 1
+                if differential
+                else (1 << (prec - pt)) - 1
+            )
+            for p in splanes:
                 if (p < 0).any() or (p > maxv).any():
                     raise ValueError(
                         f"hierarchical scan decoded samples outside "
                         f"[0, {maxv}]: corrupt payload"
                     )
-            ref = planes
-            frame = None
+            for c, cs in enumerate(scan_ids):
+                hier_planes[cs] = (
+                    splanes[c] if differential else splanes[c] << pt
+                )
             pos = _skip_entropy(data, pos)
+            if all(cid in hier_planes for cid in frame_ids):
+                ref = [hier_planes[cid] for cid in frame_ids]
+                hier_planes = {}
+                frame = None
         # else: APPn/COM/unknown — skipped
 
 
@@ -3968,12 +4158,17 @@ def _hier_dct_scan(
     conditioning: dict,
     differential: bool,
     arith: bool,
+    restart_interval: int = 0,
 ) -> list[np.ndarray]:
     """Decode one sequential-DCT scan inside a hierarchical stream
     (1×1 sampling, single interleaved scan) and return the
     reconstructed int64 planes — +128-shifted pixels for a
     non-differential frame, raw differences for a differential one
-    (the caller adds the reference and clamps)."""
+    (the caller adds the reference and clamps). ``restart_interval``
+    > 0 expects RSTn every that many MCUs (one block per component
+    at 1×1): Huffman re-byte-aligns and zeroes the DC predictors;
+    the QM coder restarts with fresh statistics (round 12, the
+    :3687 gate)."""
     by_id = {cid: tq for cid, _, _, tq in fcomps}
     # ADVICE r11 #2: planes are decoded in SCAN order but the caller
     # zips them with the frame-ordered reference — map each scan
@@ -4015,8 +4210,26 @@ def _hier_dct_scan(
     else:
         reader = _BitReader(data, pos)
         preds = {cs: 0 for cs, _, _ in scan}
+    mcu_count = 0
+    rst_index = 0
     for by in range(nby):
         for bx in range(nbx):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                if arith:
+                    dec.sync_restart(rst_index)
+                    dc_stats, ac_stats, fixed = _arith_new_stats(
+                        scan, conditioning
+                    )
+                    dc_ctx = {cs: 0 for cs, _, _ in scan}
+                else:
+                    reader.sync_restart(rst_index)
+                rst_index = (rst_index + 1) % 8
+                preds = {cs: 0 for cs, _, _ in scan}
+            mcu_count += 1
             for ci, (cs, td, ta) in enumerate(scan):
                 if arith:
                     dc_cond = conditioning.get((0, td), 0x10)
@@ -4061,6 +4274,7 @@ def encode_jpeg_hierarchical_dct(
     arithmetic: bool = False,
     final_lossless: bool = True,
     progressive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode ``(h, w)`` grayscale or ``(h, w, 3)`` RGB uint8 as a
     HIERARCHICAL JPEG whose pyramid levels are DCT frames (Annex J
@@ -4082,7 +4296,16 @@ def encode_jpeg_hierarchical_dct(
     frames) then per-component AC band scans (1–5, 6–63) with
     EOB-run coding under Huffman and the G.2 band walks under the
     QM-coder. Components are RGB planes direct at 1×1 sampling (see
-    the section note)."""
+    the section note).
+
+    ``restart_interval`` > 0 (round 12, the :3687 gate's twin) emits
+    DRI and RSTn inside the SEQUENTIAL frames' scans and the final
+    lossless frame — one restart every that many MCUs (= blocks at
+    1×1) / samples respectively, resetting DC predictors (Huffman)
+    or the whole QM coder (arithmetic). Progressive frames ignore it
+    (this encoder never splits progressive scans; the decoder's
+    progressive restart path is the non-hierarchical one, already
+    exercised)."""
     if arr.ndim == 2:
         planes = [arr]
     elif arr.ndim == 3 and arr.shape[2] == 3:
@@ -4134,6 +4357,10 @@ def encode_jpeg_hierarchical_dct(
             ll_vals = list(range(17))
             out += _dht_segment(0, 1, ll_bits, ll_vals)
             ll_codes = _build_codes(ll_bits, ll_vals)
+    if progressive:
+        restart_interval = 0  # see docstring: sequential-only here
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
     def sof_seg(sofm: int, lh: int, lw: int) -> bytes:
         sof = bytearray()
@@ -4309,8 +4536,25 @@ def encode_jpeg_hierarchical_dct(
             dc_stats, ac_stats, fixed = _arith_new_stats(scan0, {})
             preds = {c + 1: 0 for c in range(nc)}
             dc_ctx = {c + 1: 0 for c in range(nc)}
+            mcu_count = 0
+            rst_index = 0
             for by in range(nby):
                 for bx in range(nbx):
+                    if (
+                        restart_interval
+                        and mcu_count
+                        and mcu_count % restart_interval == 0
+                    ):
+                        out += enc.flush()
+                        out += bytes([0xFF, 0xD0 + rst_index])
+                        rst_index = (rst_index + 1) % 8
+                        enc = _ArithEncoder()
+                        dc_stats, ac_stats, fixed = _arith_new_stats(
+                            scan0, {}
+                        )
+                        preds = {c + 1: 0 for c in range(nc)}
+                        dc_ctx = {c + 1: 0 for c in range(nc)}
+                    mcu_count += 1
                     for c in range(nc):
                         zz = qblocks[c][by, bx]
                         _arith_encode_dc(
@@ -4326,8 +4570,21 @@ def encode_jpeg_hierarchical_dct(
         else:
             writer = _BitWriter()
             preds = {c: 0 for c in range(nc)}
+            mcu_count = 0
+            rst_index = 0
             for by in range(nby):
                 for bx in range(nbx):
+                    if (
+                        restart_interval
+                        and mcu_count
+                        and mcu_count % restart_interval == 0
+                    ):
+                        out += writer.flush()
+                        writer = _BitWriter()
+                        out += bytes([0xFF, 0xD0 + rst_index])
+                        rst_index = (rst_index + 1) % 8
+                        preds = {c: 0 for c in range(nc)}
+                    mcu_count += 1
                     for c in range(nc):
                         zz = qblocks[c][by, bx]
                         pred = 0 if differential else preds[c]
@@ -4369,12 +4626,34 @@ def encode_jpeg_hierarchical_dct(
             cur = [np.zeros(w, dtype=np.int64) for _ in range(nc)]
         else:
             writer = _BitWriter()
+        count = 0
+        rst_index = 0
+        first_y, start_x = 0, 0
         for y in range(h):
-            if arithmetic and y:
+            if arithmetic and y and y != first_y:
                 for c in range(nc):
                     prev[c], cur[c] = cur[c], prev[c]
                     cur[c][:] = 0
             for x in range(w):
+                if (
+                    restart_interval
+                    and count
+                    and count % restart_interval == 0
+                ):
+                    if arithmetic:
+                        out += enc.flush()
+                        out += bytes([0xFF, 0xD0 + rst_index])
+                        enc = _ArithEncoder()
+                        st = bytearray(_LL_STAT_BINS)
+                        for c in range(nc):
+                            prev[c][:] = 0
+                            cur[c][:] = 0
+                    else:
+                        out += writer.flush()
+                        writer = _BitWriter()
+                        out += bytes([0xFF, 0xD0 + rst_index])
+                    rst_index = (rst_index + 1) % 8
+                    first_y, start_x = y, x
                 for c in range(nc):
                     diff = (
                         int(planes[c][y, x]) - int(ref[c][y, x])
@@ -4385,7 +4664,11 @@ def encode_jpeg_hierarchical_dct(
                         if diff == -32768:
                             diff = 32768
                         ca = _lossless_diff_cat(
-                            int(cur[c][x - 1]) if x > 0 else 0, 0, 1
+                            int(cur[c][x - 1])
+                            if x > start_x
+                            or (y > first_y and x > 0)
+                            else 0,
+                            0, 1,
                         )
                         cb = _lossless_diff_cat(int(prev[c][x]), 0, 1)
                         s0 = 4 * (ca + 5 * cb)
@@ -4396,6 +4679,7 @@ def encode_jpeg_hierarchical_dct(
                         cur[c][x] = diff
                     else:
                         _hier_code_diff_huff(writer, ll_codes, diff)
+                count += 1
         out += enc.flush() if arithmetic else writer.flush()
     out += b"\xff\xd9"
     return bytes(out)

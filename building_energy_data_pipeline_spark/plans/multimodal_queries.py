@@ -735,6 +735,17 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (grayscale replicates across channels, so ``sum_r = sum_g =
     sum_b``).
 
+    Round 12 closed the hierarchical variant gates (VERDICT r11 #4)
+    and rotates them into the payload mix: the lossless layouts
+    (SOF3/SOF11 and the hierarchical pyramid) alternate
+    per-component scans on ``(mid//9)%2`` and point transform
+    ``Pt=(mid//27)%2`` (the pattern's values are even, so ``Pt=1``
+    drops only zero bits in the plain layouts; the hierarchical
+    Pt-refinement pyramid ends with a ``Pt=0`` frame and is exact
+    on any input), the hierarchical pyramid additionally carries
+    the rotating restart interval, and the sequential hierarchical
+    DCT arrangements carry DRI + RSTn too.
+
     The oracle never sees a JPEG byte: it recomputes the sums from
     the closed-form pattern. The lossy processes get a
     ZERO-TOLERANCE oracle because the pattern lives on the codec's
@@ -812,32 +823,51 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                         arr, quality=50
                     )
                 elif layout == 4:  # lossless SOF3 — exact on ANY
-                    # input, so the pattern is trivially in its domain
+                    # input, so the pattern is trivially in its
+                    # domain; round-12 variant axes: per-component
+                    # scans (B.2.3) and point transform (pattern
+                    # values are EVEN, so Pt=1 drops only zero bits —
+                    # still exact)
                     payload = encode_jpeg_lossless(
                         arr, predictor=1 + mid % 7,
                         restart_interval=rst,
+                        interleave=(mid // 9) % 2 == 0,
+                        point_transform=(mid // 27) % 2,
                     )
                 elif layout == 5:  # arithmetic lossless SOF11
                     payload = encode_jpeg_lossless_arith(
                         arr, predictor=1 + mid % 7,
                         restart_interval=rst,
+                        interleave=(mid // 9) % 2 == 0,
+                        point_transform=(mid // 27) % 2,
                     )
                 elif layout == 6:  # hierarchical pyramid (round 11):
-                    # lossless differential frames, both entropy coders
+                    # lossless differential frames, both entropy
+                    # coders; round-12 variant axes: restart markers,
+                    # per-component scans, and the Pt-refinement
+                    # pyramid (non-final frames at Pt=1, final frame
+                    # Pt=0 — exact on ANY input) inside the
+                    # hierarchical stream
                     payload = encode_jpeg_hierarchical(
                         arr, levels=2 + mid % 2,
                         predictor=1 + mid % 7,
                         arithmetic=(mid // 21) % 2 == 1,
+                        restart_interval=rst,
+                        interleave=(mid // 9) % 2 == 0,
+                        point_transform=(mid // 27) % 2,
                     )
                 else:  # hierarchical DCT pyramid (round-11
                     # continuation): lossy DCT stages — sequential
                     # SOF0/SOF9+SOF5/SOF13 or progressive
                     # SOF2/SOF10+SOF6/SOF14 — whose final lossless
-                    # correction frame makes it exact on ANY input
+                    # correction frame makes it exact on ANY input;
+                    # round 12 adds restart markers in the
+                    # sequential arrangements
                     payload = encode_jpeg_hierarchical_dct(
                         arr, quality=50, levels=2 + mid % 2,
                         arithmetic=(mid // 24) % 2 == 1,
                         progressive=(mid // 48) % 2 == 1,
+                        restart_interval=rst,
                     )
                 rows.append({"media_id": mid, "content": payload})
             yield pd.DataFrame(rows, columns=["media_id", "content"])

@@ -30,7 +30,7 @@ from . import datasource_queries  # noqa: F401  (custom Python DataSource q253)
 #: at that index (the explicit sentinel tests assert against —
 #: ADVICE r4 #3: no comment parsing).
 DRIVER_WINDOW_SIZE = 50
-FIRST_BELOW_WINDOW = "q47_grouping_sets"
+FIRST_BELOW_WINDOW = "q182_benford_audit"
 
 #: Registry numbering note (VERDICT r10 #7): **q89 is reserved, not
 #: missing** — it tags ``streaming_queries.run_gap_stats_v2``, the
@@ -46,110 +46,43 @@ FIRST_BELOW_WINDOW = "q47_grouping_sets"
 #: plan-affecting code changed since its LAST driver row, and any
 #: query with no driver row yet, goes INSIDE the 50-entry window;
 #: remaining slots refresh the queries with the oldest green rows.
-#: Round-11 window (the authoritative list is _CURATED_ORDER below),
+#: Round-12 window (the authoritative list is _CURATED_ORDER below),
 #: filling exactly 50:
 #: - q01 (flagship, every round);
-#: - q260 bitext-margin-IVF (NEW, VERDICT r10 #2: the scale-safe
-#:   bitext twin — IVF-cell candidates replacing q155's cross join,
-#:   same integer margin tail, hash-exact oracle via the
-#:   closed-form cell restriction);
-#: - q261 semdedup-scaled (NEW: SemDeDup at the deployment cell
-#:   count — k = max(8, n // 250) seeded centroids evaluated at
-#:   runtime on BOTH engines, the scale-proof's pinned-k lesson
-#:   registered as a first-class oracle-checked query);
-#: - q129, whose code path changed (its verdict tail was extracted
-#:   into the shared ``_semdedup_verdict`` that q261 reuses; plan
-#:   unchanged, rule is rule);
-#: - q155, whose code path changed this round (its margin tail was
-#:   extracted into the shared ``_margin_topk_from_pairs`` that
-#:   q260 reuses; plan unchanged, rule is rule);
-#: - q259 FLAC round-trip (encode change — ADVICE r10 #1: STREAMINFO
-#:   min/max block size now both the nominal block size, conformant
-#:   when n_total < block_size);
-#: - q253 + q258 python-datasource scan/stream (registration-path
-#:   change — ADVICE r10 #2: the Spark-Connect branch now swallows
-#:   ONLY already-exists and re-raises genuine failures);
-#: - q254 JPEG round-trip (decode change — ADVICE r10 #4: lossless
-#:   out-of-range samples now raise ValueError per the corruption
-#:   contract instead of masking — and the round-11 stretch widened
-#:   the payload mix to EIGHT layouts: arithmetic-lossless SOF11,
-#:   the Annex J hierarchical pyramid with SOF7/SOF15 lossless
-#:   differential frames, and the hierarchical-DCT pyramid — lossy
-#:   sequential (SOF0/SOF9 + SOF5/SOF13) or progressive
-#:   (SOF2/SOF10 + SOF6/SOF14) stages closed bit-exact by a final
-#:   lossless correction frame — the last T.81 frame families;
-#:   every T.81 frame type now decodes);
-#: - q256 + q102 audio stats (decode-dispatch change — ADVICE r10
-#:   #3: decode_adpcm_wav unwraps WAVE_FORMAT_EXTENSIBLE);
-#: - q262 state-store read (NEW, continuation session: the streaming
-#:   aggregation's CHECKPOINTED STATE — written by the RocksDB
-#:   provider — read back via Spark's state data source and
-#:   hash-matched to the batch oracle);
-#: - the SEVENTEEN r5-vintage drains (the last pre-r6 rows, VERDICT
-#:   r10 #1): q132, q133, q134, q137, q138, q140-q151;
-#: - TWENTY-ONE r6-vintage drains, the oldest rows after those:
-#:   q07, q10-q16, q19, q20, q24-q26, q38-q43, q45-q46 (q47 —
-#:   like q48/q49 before it — yielded its slot to q262 and drains
-#:   next round).
+#: - q263 session-state read (NEW, VERDICT r11 #5: q62's dynamic-gap
+#:   session_window aggregation run to completion under RocksDB in
+#:   complete mode, sink discarded, and the answer recovered from
+#:   the CHECKPOINTED sessionWindowStateStoreSaveExec state via the
+#:   state data source — the second distinct store layout read back
+#:   hash-exact; stream-stream JOIN state, the third, is covered by
+#:   the test_streaming.py unit against q100's checkpoint);
+#: - q254 JPEG round-trip (payload-mix change — VERDICT r11 #4: the
+#:   hierarchical variant gates closed this round, and the mix now
+#:   rotates per-component scans, point transform Pt=1 (exact: the
+#:   pattern's values are even / the hierarchical refinement pyramid
+#:   ends at Pt=0), and restart markers inside hierarchical frames);
+#: - q262 state-store read (module lifecycle change — ADVICE r11 #4:
+#:   live checkpoint dirs now atexit-swept; plan unchanged, rule is
+#:   rule);
+#: - the TWENTY-SEVEN r6-vintage drains (VERDICT r11 #1, the
+#:   rotation policy's next tranche, led by the pinned sentinel):
+#:   q47-q52, q55-q60, q69-q71, q90, q135/q136/q139, q152-q154,
+#:   q156-q160;
+#: - NINETEEN r7-vintage refreshes, the oldest rows after those:
+#:   q161, q164-q181 (q182 — the new pinned sentinel — drains next
+#:   round with q183+).
 #: After this round's driver run no query's latest row is older
-#: than r6; below the boundary sit the remaining r6 rows
-#: oldest-first (q47 first — the pinned sentinel), then r7/r8/r9/
-#: r10 as before.
+#: than r7; below the boundary sit the remaining r7 rows
+#: oldest-first (q182 first — the pinned sentinel), then r8/r9/
+#: r10/r11 vintages oldest-first.
 #: Ordering is evidence curation, not semantics: every query runs
 #: identically wherever it sits.
 _CURATED_ORDER = [
     "q01_pricing_summary",
-    "q260_bitext_margin_ivf",
-    "q261_semdedup_scaled",
-    "q262_state_store_read",
-    "q155_bitext_margin_mining",
-    "q259_flac_roundtrip",
-    "q253_python_datasource_scan",
-    "q258_python_datasource_stream",
+    "q263_session_state_read",
     "q254_jpeg_roundtrip",
-    "q256_adpcm_audio_stats",
-    "q102_audio_int_stats",
-    "q129_semantic_dedup",
-    "q132_hard_negatives",
-    "q133_label_silhouette",
-    "q134_length_bucketed_batches",
-    "q137_association_lift",
-    "q138_source_overlap",
-    "q140_budget_waterfill",
-    "q141_retention_cohorts",
-    "q142_length_outliers",
-    "q143_embedding_covariance",
-    "q144_dsir_proxy",
-    "q145_split_drift",
-    "q146_embedding_coverage",
-    "q147_neardup_transitivity",
-    "q148_bm25_retrieval",
-    "q149_winnowing_pairs",
-    "q150_power_iteration",
-    "q151_label_kappa",
-    "q07_event_gaps",
-    "q10_cross_join_constants",
-    "q11_union_halves",
-    "q12_nation_key_set_ops",
-    "q13_regional_rollup",
-    "q14_json_extract",
-    "q15_string_functions",
-    "q16_monthly_orders",
-    "q19_column_stats",
-    "q20_monotonicity_check",
-    "q24_minmax_normalize",
-    "q25_hourly_rollup",
-    "q26_exact_dedup",
-    "q38_percentiles_by_type",
-    "q39_user_journey_drift",
-    "q40_batch_bounds_json",
-    "q41_moving_average",
-    "q42_sessionize",
-    "q43_type_pivot",
-    "q45_rollup_acctbal",
-    "q46_cube_orders",
-    "q47_grouping_sets",  # FIRST_BELOW_WINDOW — yielded its slot to
-    # q262 and drains next round with q48/q49
+    "q262_state_store_read",
+    "q47_grouping_sets",
     "q48_range_join_bands",
     "q49_nation_intersect_except",
     "q50_topk_with_ties",
@@ -195,7 +128,7 @@ _CURATED_ORDER = [
     "q179_kcore_peeling",
     "q180_cusum_drift",
     "q181_hourly_acf",
-    "q182_benford_audit",
+    "q182_benford_audit",  # FIRST_BELOW_WINDOW — drains next round
     "q183_last_touch_attribution",
     "q184_seasonal_naive_backtest",
     "q185_hll_set_algebra",
@@ -358,9 +291,55 @@ _CURATED_ORDER = [
     "q126_streaming_index_update",
     "q127_balanced_sample",
     "q128_vocab_oov",
-    "q129_semantic_dedup",
     "q130_segment_dedup",
     "q131_heavy_hitters",
+    "q260_bitext_margin_ivf",
+    "q261_semdedup_scaled",
+    "q155_bitext_margin_mining",
+    "q259_flac_roundtrip",
+    "q253_python_datasource_scan",
+    "q258_python_datasource_stream",
+    "q256_adpcm_audio_stats",
+    "q102_audio_int_stats",
+    "q129_semantic_dedup",
+    "q132_hard_negatives",
+    "q133_label_silhouette",
+    "q134_length_bucketed_batches",
+    "q137_association_lift",
+    "q138_source_overlap",
+    "q140_budget_waterfill",
+    "q141_retention_cohorts",
+    "q142_length_outliers",
+    "q143_embedding_covariance",
+    "q144_dsir_proxy",
+    "q145_split_drift",
+    "q146_embedding_coverage",
+    "q147_neardup_transitivity",
+    "q148_bm25_retrieval",
+    "q149_winnowing_pairs",
+    "q150_power_iteration",
+    "q151_label_kappa",
+    "q07_event_gaps",
+    "q10_cross_join_constants",
+    "q11_union_halves",
+    "q12_nation_key_set_ops",
+    "q13_regional_rollup",
+    "q14_json_extract",
+    "q15_string_functions",
+    "q16_monthly_orders",
+    "q19_column_stats",
+    "q20_monotonicity_check",
+    "q24_minmax_normalize",
+    "q25_hourly_rollup",
+    "q26_exact_dedup",
+    "q38_percentiles_by_type",
+    "q39_user_journey_drift",
+    "q40_batch_bounds_json",
+    "q41_moving_average",
+    "q42_sessionize",
+    "q43_type_pivot",
+    "q45_rollup_acctbal",
+    "q46_cube_orders",
 ]
 
 

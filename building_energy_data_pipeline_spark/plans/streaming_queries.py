@@ -2207,3 +2207,129 @@ def q262_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q263_session_state_read",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ev
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events,
+           {dec_sum_sql("value")} AS sum_value
+    FROM sess
+    GROUP BY user_id, sess_id
+    ORDER BY user_id, session_start
+    """,
+)
+def q263_session_state_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-WINDOW state read back from the checkpoint (round 12,
+    VERDICT r11 #5): q62's dynamic-gap ``session_window`` aggregation
+    runs to completion under the RocksDB provider in COMPLETE mode
+    (no watermark, so no eviction — every merged session survives in
+    the store), the memory sink is discarded, and the answer is
+    recovered from the CHECKPOINTED STATE via Spark's state data
+    source.
+
+    What the hash proves beyond q262 (which reads a plain groupBy
+    aggregation's store): the ``sessionWindowStateStoreSaveExec``
+    operator keeps a DIFFERENT physical layout — key =
+    ``(user_id, sessionStartTime)``, value = the merged
+    ``session_window`` struct plus the min/max/count/sum aggregation
+    buffers — and the state source's decode of that layout under
+    RocksDB is value-exact against the relational session derivation
+    DuckDB computes (gap ≥ 30 min starts a new session, window end
+    exclusive). Session MERGES happen inside the store, so a correct
+    read also proves merged-session consolidation: one state row per
+    final session, 1:1 with the oracle's rows.
+
+    This is the audit path for the heaviest stateful operator a
+    100 TB streaming deployment runs — inspecting open sessions, or
+    backfilling session stats from a checkpoint without replaying
+    the stream. Stream-stream JOIN state (the other distinct store
+    format, four stores per join side) is covered by the
+    ``test_streaming.py`` state-read unit against q100's checkpoint.
+
+    Scale: one state row per merged session; the read distributes
+    like a parquet scan over the store's shuffle partitions — no
+    driver funnel. (In production the same aggregation runs in
+    append mode WITH a watermark, where closed sessions are evicted
+    after emission and the store holds only open sessions — this
+    query's complete-mode shape exists so the oracle can check EVERY
+    session, not just the watermark survivors.)
+    """
+    import shutil
+
+    from ..functions.scalar import ROUND_TO
+    from ..streaming.statestore import (
+        enable_rocksdb_state,
+        read_state,
+        restore_state_conf,
+    )
+
+    prev_dir = _STATE_CKPTS.pop("q263", None)
+    if prev_dir is not None:
+        shutil.rmtree(prev_dir, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="q263_state_")
+    _STATE_CKPTS["q263"] = ckpt
+
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+    )
+    previous = enable_rocksdb_state(spark)
+    try:
+        q = (
+            stream.writeStream.format("noop")  # sink discarded: the
+            .outputMode("complete")            # STATE is the result
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "q263: stream did not drain within 300s"
+            )
+    finally:
+        restore_state_conf(spark, previous)
+
+    # value struct = session_window + the aggregation's physical
+    # buffers: min/max (timestamps), count (long), sum (decimal)
+    return (
+        read_state(spark, ckpt)
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.min").alias("session_start"),
+            F.col("value.max").alias("session_end"),
+            F.col("value.count").alias("n_events"),
+            F.round(F.col("value.sum"), ROUND_TO)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("user_id", "session_start")
+    )

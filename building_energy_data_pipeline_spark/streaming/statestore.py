@@ -141,16 +141,26 @@ def read_state(
     batch_id: int | None = None,
     operator_id: int = 0,
     store_name: str | None = None,
+    join_side: str | None = None,
 ):
     """The keyed state of a streaming query's checkpoint as a batch
     DataFrame (Spark's ``statestore`` data source): ``key`` /
     ``value`` structs (the operator's physical state layout — e.g. a
     streaming ``sum`` aggregate exposes its buffer column named
-    ``sum``) plus ``partition_id``. Reads ANY provider's checkpoint,
-    RocksDB included — state debugging, audits ("which keys are
-    stuck?") and backfills stop requiring a running query. Defaults
-    to the latest committed batch; pass ``batch_id`` for time
-    travel back to any retained snapshot."""
+    ``sum``; a session-window aggregation keys on ``(group cols,
+    sessionStartTime)`` and carries the merged ``session_window``
+    plus the aggregation buffers) plus ``partition_id``. Reads ANY
+    provider's checkpoint, RocksDB included — state debugging,
+    audits ("which keys are stuck?") and backfills stop requiring a
+    running query. Defaults to the latest committed batch; pass
+    ``batch_id`` for time travel back to any retained snapshot.
+
+    Stream-stream JOIN state spreads over four stores per join
+    (``left/right-keyToNumValues`` and ``-keyWithIndexToValue``);
+    pass ``join_side`` ("left" / "right") and the source stitches
+    that side's buffered rows back together — ``value`` is the
+    buffered input row itself. ``store_name`` reads one raw store
+    instead (e.g. the key→count map)."""
     reader = spark.read.format("statestore")
     if batch_id is not None:
         reader = reader.option("batchId", batch_id)
@@ -158,4 +168,10 @@ def read_state(
         reader = reader.option("operatorId", operator_id)
     if store_name is not None:
         reader = reader.option("storeName", store_name)
+    if join_side is not None:
+        if join_side not in ("left", "right"):
+            raise ValueError(
+                f"join_side must be 'left' or 'right', got {join_side!r}"
+            )
+        reader = reader.option("joinSide", join_side)
     return reader.load(checkpoint)

@@ -289,12 +289,11 @@ def test_curated_window_holds_exactly_fifty_entries():
 def test_window_composition_matches_documented_counts():
     """The rotation comment's counts, DERIVED not hand-written
     (ADVICE r7 #3: two r7 sync commits each landed a different wrong
-    hand-counted number). The round-11 window is documented as
-    1 flagship + q260/q261/q262 (new) + q155/q129 (shared-tail
-    refactors) + q259 (encode change) + q253/q258
-    (registration-path change) + q254 (decode change + SOF11/
-    hierarchical payload mix) + q256/q102 (decode-dispatch change)
-    + 17 r5-vintage drains + 21 r6-vintage drains = 50."""
+    hand-counted number). The round-12 window is documented as
+    1 flagship + q263 (new: session-window state read) + q254
+    (hierarchical-variant payload mix) + q262 (checkpoint-lifecycle
+    change) + 27 r6-vintage drains (VERDICT r11 #1's tranche, led by
+    the pinned sentinel q47) + 19 r7-vintage refreshes = 50."""
     from building_energy_data_pipeline_spark.plans import (
         DRIVER_WINDOW_SIZE,
         REGISTRY,
@@ -303,44 +302,44 @@ def test_window_composition_matches_documented_counts():
     window = list(REGISTRY)[:DRIVER_WINDOW_SIZE]
     changed = [
         "q01_pricing_summary",
-        "q260_bitext_margin_ivf",      # new r11 (VERDICT r10 #2)
-        "q261_semdedup_scaled",        # new r11 (scale-proof lesson)
-        "q262_state_store_read",       # new r11 continuation
-        "q155_bitext_margin_mining",   # margin tail extracted
-        "q259_flac_roundtrip",         # STREAMINFO encode change
-        "q253_python_datasource_scan",     # Connect-branch change
-        "q258_python_datasource_stream",   # Connect-branch change
-        "q254_jpeg_roundtrip",         # lossless decode + SOF11 mix
-        "q256_adpcm_audio_stats",      # EXTENSIBLE ADPCM unwrap
-        "q102_audio_int_stats",        # EXTENSIBLE ADPCM unwrap
-        "q129_semantic_dedup",         # verdict tail extracted
+        "q263_session_state_read",  # new r12 (VERDICT r11 #5)
+        "q254_jpeg_roundtrip",      # hierarchical-variant mix
+        "q262_state_store_read",    # atexit ckpt sweep (ADVICE #4)
     ]
     assert window[: len(changed)] == changed
-    # the 17 r5-vintage drains (the last pre-r6 rows — VERDICT r10
-    # #1; membership is CORRECTNESS_r05's frozen residue)
-    r5_set = {
-        "q132_hard_negatives", "q133_label_silhouette",
-        "q134_length_bucketed_batches", "q137_association_lift",
-        "q138_source_overlap", "q140_budget_waterfill",
-        "q141_retention_cohorts", "q142_length_outliers",
-        "q143_embedding_covariance", "q144_dsir_proxy",
-        "q145_split_drift", "q146_embedding_coverage",
-        "q147_neardup_transitivity", "q148_bm25_retrieval",
-        "q149_winnowing_pairs", "q150_power_iteration",
-        "q151_label_kappa",
+    # the 27 r6-vintage drains (VERDICT r11 #1: the next tranche;
+    # membership is the CORRECTNESS files' frozen residue — every
+    # row whose latest green driver entry was round 6)
+    r6_set = {
+        "q47_grouping_sets", "q48_range_join_bands",
+        "q49_nation_intersect_except", "q50_topk_with_ties",
+        "q51_approx_distinct", "q52_streaming_hourly_rollup",
+        "q55_correlated_subqueries", "q56_salted_skew_join",
+        "q57_full_outer_join", "q58_recursive_spine",
+        "q59_explode_tokens", "q60_vector_norms",
+        "q69_sql_unpivot", "q70_histogram", "q71_snapshot_diff",
+        "q90_incremental_dedup", "q135_bpe_merge_step",
+        "q136_bpe_train", "q139_bpe_transfer", "q152_pq_encode",
+        "q153_ivf_pq", "q154_ivf_pq_recall", "q156_countmin_sketch",
+        "q157_streaming_sketch_maintenance",
+        "q158_approx_quantile_bound", "q159_bloom_join_prune",
+        "q160_stream_enrich",
     }
-    r5_drains = [n for n in window if n in r5_set]
-    assert len(r5_drains) == 17
-    # the oldest r6 rows fill the remainder (q47 yielded its slot
-    # to q262 and is the below-window sentinel)
-    r6_drains = [
-        n for n in window if n not in r5_set and n not in changed
+    r6_drains = [n for n in window if n in r6_set]
+    assert len(r6_drains) == 27
+    assert "q47_grouping_sets" in r6_drains  # last round's sentinel
+    # the oldest r7 rows fill the remainder
+    r7_refreshes = [
+        n for n in window if n not in r6_set and n not in changed
     ]
-    assert len(r6_drains) == 21
-    assert "q07_event_gaps" in r6_drains
-    assert "q47_grouping_sets" not in window
-    assert len(changed) + len(r5_drains) + len(r6_drains) == DRIVER_WINDOW_SIZE
-    # registry growth this round: q260 + q261 + q262 → 261 total
-    # (q89 reserved for the protobuf-gated transformWithState twin,
-    # documented in plans/__init__.py)
-    assert len(REGISTRY) == 261
+    assert len(r7_refreshes) == 19
+    assert "q161_cdc_chunking" in r7_refreshes
+    assert "q182_benford_audit" not in window  # the new sentinel
+    assert (
+        len(changed) + len(r6_drains) + len(r7_refreshes)
+        == DRIVER_WINDOW_SIZE
+    )
+    # registry growth this round: q263 → 262 total (q89 reserved for
+    # the protobuf-gated transformWithState twin, documented in
+    # plans/__init__.py)
+    assert len(REGISTRY) == 262

@@ -573,3 +573,108 @@ class TestStateDataSource:
         )
         # every group the query emitted is a key in the store
         assert keys == emitted
+
+    def test_join_state_reads_buffered_rows_per_side(
+        self, spark, tmp_path, sf_dir
+    ):
+        """Stream-stream JOIN state (VERDICT r11 #5): the four
+        symmetricHashJoin stores of q100's view->purchase join, read
+        back per side via joinSide — every buffered row must be an
+        actual input row of that side, the newest row of each side
+        must still be buffered (the watermark trails it by the
+        horizon), and the raw key->count store must agree with the
+        stitched view's key multiset."""
+        from collections import Counter
+
+        from building_energy_data_pipeline_spark.sources.readers import (
+            read_events_stream,
+        )
+        from building_energy_data_pipeline_spark.streaming import (
+            enable_rocksdb_state,
+            read_state,
+            read_state_metadata,
+            restore_state_conf,
+        )
+
+        views = (
+            read_events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "view")
+            .select("user_id", F.col("ts").alias("v_ts"))
+            .withWatermark("v_ts", "1 hour")
+        )
+        purchases = (
+            read_events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        joined = views.join(
+            purchases,
+            F.expr(
+                "user_id = p_user AND p_ts >= v_ts"
+                " AND p_ts <= v_ts + interval 30 minutes"
+            ),
+        )
+        ck = str(tmp_path / "ck")
+        previous = enable_rocksdb_state(spark)
+        try:
+            q = (
+                joined.writeStream.format("noop")
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300)
+        finally:
+            restore_state_conf(spark, previous)
+
+        meta = read_state_metadata(spark, ck)
+        stores = {
+            (r["operatorName"], r["stateStoreName"])
+            for r in meta.collect()
+        }
+        assert stores == {
+            ("symmetricHashJoin", "left-keyToNumValues"),
+            ("symmetricHashJoin", "left-keyWithIndexToValue"),
+            ("symmetricHashJoin", "right-keyToNumValues"),
+            ("symmetricHashJoin", "right-keyWithIndexToValue"),
+        }
+
+        from building_energy_data_pipeline_spark.sources.readers import (
+            load_table,
+        )
+
+        events = load_table(spark, sf_dir, "events")
+        for side, etype, ucol, tcol in (
+            ("left", "view", "user_id", "v_ts"),
+            ("right", "purchase", "p_user", "p_ts"),
+        ):
+            inp = {
+                (r["user_id"], r["ts"])
+                for r in events.filter(
+                    F.col("event_type") == etype
+                ).collect()
+            }
+            buffered = [
+                (r["value"][ucol], r["value"][tcol])
+                for r in read_state(
+                    spark, ck, join_side=side
+                ).collect()
+            ]
+            assert buffered, f"{side} side buffered no rows"
+            assert set(buffered) <= inp  # state rows ARE input rows
+            # the newest row of each side can never have been evicted
+            assert max(t for _, t in inp) == max(t for _, t in buffered)
+            # the raw key->count store agrees with the stitched view
+            counts = Counter(u for u, _ in buffered)
+            raw = read_state(
+                spark, ck, store_name=f"{side}-keyToNumValues"
+            ).collect()
+            raw_counts = {
+                r["key"][0]: r["value"][0] for r in raw if r["value"][0]
+            }
+            assert raw_counts == dict(counts)

@@ -46,13 +46,16 @@ Scope (documented, spec-cited):
   split, keyed by component id), point transform in hierarchical
   frames (non-differential frames code ``sample >> Pt``,
   differential frames reconstruct ``ref + (diff << Pt)`` — the
-  classic Pt-refinement pyramid), and restart markers inside
+  classic Pt-refinement pyramid), restart markers inside
   hierarchical frames (lossless, sequential-DCT, and progressive
-  scan paths). With that, EVERY T.81 frame type decodes; what
-  still raises ``NotImplementedError`` is two narrow variants —
-  subsampled or 12-bit DCT frames inside hierarchical streams,
-  and per-component scans of a sequential-DCT hierarchical
-  frame — distinct from corrupt payloads which raise
+  scan paths), and 12-BIT sequential-DCT pyramids (16-bit DQT,
+  level shift 2048, Table F.1 DC caps 15/16), with per-component
+  scan splits of sequential-DCT hierarchical frames accumulating
+  coefficient grids per frame. With that, EVERY T.81 frame type
+  decodes; what still raises ``NotImplementedError`` is two
+  narrow variants — subsampled DCT frames inside hierarchical
+  streams, and 12-bit PROGRESSIVE frames inside hierarchical
+  streams — distinct from corrupt payloads which raise
   ``ValueError`` (the multimodal error contract, ADVICE r8).
 - **encode**: baseline SOF0 (grayscale, 4:4:4 or 4:2:0 YCbCr,
   optional restart markers), a PROGRESSIVE encoder
@@ -1142,7 +1145,10 @@ def _hier_read_zz(reader, dc_dec, ac_dec, max_dc_cat: int = 15) -> np.ndarray:
     size = dc_dec.decode(reader)
     if size > max_dc_cat:
         raise ValueError(f"invalid DC category {size}")
-    zz[0] = _extend(reader.receive(size), size)
+    if size == 16:  # 12-bit differential only: no extra bits (F.1.2.1.1)
+        zz[0] = 32768
+    else:
+        zz[0] = _extend(reader.receive(size), size)
     k = 1
     while k < 64:
         rs = ac_dec.decode(reader)
@@ -3649,6 +3655,8 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
     # open lossless frame's decoded planes by component id — a frame
     # may spread its components over several scans (B.2.3)
     hier_planes: dict[int, np.ndarray] = {}
+    # open sequential-DCT frame's quantized grids, same contract
+    dct_grids: dict[int, np.ndarray] = {}
 
     def finalize_prog() -> None:
         """A progressive DCT frame ends at the next SOF/EXP/EOI:
@@ -3791,10 +3799,16 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                 for c in range(nc)
             ]
             if dct:
-                if prec != 8:
+                if prec not in (8, 12):
                     raise NotImplementedError(
                         "DCT frames inside hierarchical streams are "
-                        "supported at 8-bit precision only"
+                        "supported at 8- or 12-bit precision only"
+                    )
+                if prec == 12 and progressive:
+                    raise NotImplementedError(
+                        "12-bit PROGRESSIVE DCT frames inside "
+                        "hierarchical streams not supported "
+                        "(sequential arrangements only)"
                     )
                 if any(hs != 1 or vs != 1 for _, hs, vs, _ in comps):
                     raise NotImplementedError(
@@ -3808,6 +3822,7 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                 dct, comps, progressive,
             )
             hier_planes = {}  # a new frame abandons any partial one
+            dct_grids = {}
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("SOS before any hierarchical frame")
@@ -3818,12 +3833,6 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError(
                     f"truncated SOS: {ns} components declared in a "
                     f"{len(body)}-byte header"
-                )
-            if dct and not progressive and ns != nc:
-                raise NotImplementedError(
-                    "per-component sequential-DCT scans inside "
-                    "hierarchical frames not supported (lossless and "
-                    "progressive frames accept them)"
                 )
             scan = [
                 (body[1 + c * 2], body[2 + c * 2] >> 4,
@@ -3897,21 +3906,46 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                     )
                 continue
             if dct:
-                recon = _hier_dct_scan(
-                    data, pos, lh, lw, scan, fcomps, qtables,
-                    dc_tables, ac_tables, conditioning,
-                    differential, arith, restart_interval,
+                # sequential-DCT scans accumulate quantized grids
+                # per component until the frame is complete (any
+                # scan split, B.2.3 — round-12 second pass), then
+                # reconstruct with the frame-shared quantizer
+                dct_grids.update(
+                    _hier_dct_scan(
+                        data, pos, lh, lw, scan, fcomps, qtables,
+                        dc_tables, ac_tables, conditioning,
+                        differential, arith, restart_interval,
+                        precision=prec,
+                    )
                 )
-                maxv = (1 << prec) - 1
-                if differential:
-                    ref = [
-                        np.clip(r + d, 0, maxv)
-                        for r, d in zip(ref, recon)
-                    ]
-                else:
-                    ref = [np.clip(p, 0, maxv) for p in recon]
-                frame = None
                 pos = _skip_entropy(data, pos)
+                if all(cid in dct_grids for cid, _, _, _ in fcomps):
+                    qts = [
+                        qtables[tq].astype(np.int64)
+                        for _, _, _, tq in fcomps
+                    ]
+                    if any((q != qts[0]).any() for q in qts[1:]):
+                        raise NotImplementedError(
+                            "per-component quantization tables in "
+                            "hierarchical DCT frames not supported "
+                            "(one shared table)"
+                        )
+                    recon = _hier_dct_recon_planes(
+                        [dct_grids[cid] for cid, _, _, _ in fcomps],
+                        qts[0], lh, lw,
+                        0.0 if differential
+                        else float(1 << (prec - 1)),
+                    )
+                    maxv = (1 << prec) - 1
+                    if differential:
+                        ref = [
+                            np.clip(r + d, 0, maxv)
+                            for r, d in zip(ref, recon)
+                        ]
+                    else:
+                        ref = [np.clip(p, 0, maxv) for p in recon]
+                    dct_grids = {}
+                    frame = None
                 continue
             if not arith and any(
                 td not in dc_tables for _, td, _ in scan
@@ -4116,6 +4150,23 @@ AC_HDIFF_VALS = [0x00] + _AC_HDIFF_SHORT + sorted(
     | {r << 4 for r in range(1, 15)}  # EOBn
 )
 
+#: 12-bit twins (round 12): DC categories reach 15 (non-diff) / 16
+#: (diff) per Table F.1, so a flat 5-bit table over 0..16; AC sizes
+#: reach 14, so a flat 8-bit table over every (run, size<=14) symbol
+#: plus EOB/ZRL/EOBn — 240 codewords, all-ones free by construction.
+DC_HDIFF12_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+DC_HDIFF12_VALS = list(range(17))
+AC_HDIFF12_VALS = [0x00, 0xF0] + sorted(
+    {
+        (r << 4) | s
+        for r in range(16)
+        for s in range(1, 15)
+    }
+    | {r << 4 for r in range(1, 15)}  # EOBn
+)
+AC_HDIFF12_BITS = [0, 0, 0, 0, 0, 0, 0, len(AC_HDIFF12_VALS),
+                   0, 0, 0, 0, 0, 0, 0, 0]
+
 
 def _hier_dct_recon_planes(
     qblocks: list[np.ndarray],
@@ -4159,30 +4210,28 @@ def _hier_dct_scan(
     differential: bool,
     arith: bool,
     restart_interval: int = 0,
-) -> list[np.ndarray]:
+    precision: int = 8,
+) -> dict[int, np.ndarray]:
     """Decode one sequential-DCT scan inside a hierarchical stream
-    (1×1 sampling, single interleaved scan) and return the
-    reconstructed int64 planes — +128-shifted pixels for a
-    non-differential frame, raw differences for a differential one
-    (the caller adds the reference and clamps). ``restart_interval``
-    > 0 expects RSTn every that many MCUs (one block per component
-    at 1×1): Huffman re-byte-aligns and zeroes the DC predictors;
-    the QM coder restarts with fresh statistics (round 12, the
-    :3687 gate)."""
+    (1×1 sampling) and return the quantized-coefficient grids KEYED
+    BY COMPONENT ID — the caller accumulates them per frame (a
+    frame may spread its components over several scans, B.2.3;
+    round-12 second pass) and reconstructs once complete.
+    ``restart_interval`` > 0 expects RSTn every that many MCUs (one
+    block per scan component at 1×1): Huffman re-byte-aligns and
+    zeroes the DC predictors; the QM coder restarts with fresh
+    statistics (round 12, the :3687 gate). ``precision`` 8 or 12
+    sets the T.81 Table F.1 DC-category caps (8-bit: 11 / 12
+    differential; 12-bit: 15 / 16)."""
     by_id = {cid: tq for cid, _, _, tq in fcomps}
-    # ADVICE r11 #2: planes are decoded in SCAN order but the caller
-    # zips them with the frame-ordered reference — map each scan
-    # entry back to its frame-component index so a stream whose SOS
-    # lists components in a different order than the SOF decodes
-    # correctly instead of silently swapping planes, and require the
-    # interleaved scan to cover each frame component exactly once.
+    # ADVICE r11 #2: grids are decoded in SCAN order but keyed back
+    # by component id, so a stream whose SOS lists components in a
+    # different order than the SOF (or splits them across scans)
+    # decodes correctly instead of silently swapping planes.
     frame_order = [cid for cid, _, _, _ in fcomps]
     scan_ids = [cs for cs, _, _ in scan]
-    if sorted(scan_ids) != sorted(frame_order):
-        raise ValueError(
-            "hierarchical DCT scan must cover each frame component "
-            f"exactly once: frame {frame_order}, scan {scan_ids}"
-        )
+    if len(set(scan_ids)) != len(scan_ids):
+        raise ValueError("duplicate component in scan")
     nby, nbx = (lh + 7) // 8, (lw + 7) // 8
     qts = []
     for cs, td, ta in scan:
@@ -4247,24 +4296,24 @@ def _hier_dct_scan(
                         dec, ac_stats[ta], fixed, zz, 1, 63, kx
                     )
                 else:
-                    # ADVICE r11 #3: T.81 Table F.1 caps 8-bit DC
-                    # categories at 11 (non-differential DPCM) / 12
-                    # (differential, coded without prediction) — the
+                    # ADVICE r11 #3: T.81 Table F.1 caps DC
+                    # categories per precision and frame kind — the
                     # lenient default of 15 let corrupt streams
                     # clamp-decode instead of raising.
+                    if precision == 8:
+                        cap = 12 if differential else 11
+                    else:
+                        cap = 16 if differential else 15
                     zz = _hier_read_zz(
                         reader, dc_tables[td], ac_tables[ta],
-                        max_dc_cat=12 if differential else 11,
+                        max_dc_cat=cap,
                     )
                     if not differential:
                         preds[cs] += int(zz[0])
                         zz[0] = preds[cs]
                 grids[ci][by, bx] = zz
-    planes = _hier_dct_recon_planes(
-        grids, qts[0], lh, lw, 0.0 if differential else 128.0
-    )
-    by_cs = dict(zip(scan_ids, planes))
-    return [by_cs[cid] for cid in frame_order]
+    del frame_order  # keyed return — the caller orders by fcomps
+    return dict(zip(scan_ids, grids))
 
 
 def encode_jpeg_hierarchical_dct(
@@ -4275,6 +4324,8 @@ def encode_jpeg_hierarchical_dct(
     final_lossless: bool = True,
     progressive: bool = False,
     restart_interval: int = 0,
+    precision: int = 8,
+    interleave: bool = True,
 ) -> bytes:
     """Encode ``(h, w)`` grayscale or ``(h, w, 3)`` RGB uint8 as a
     HIERARCHICAL JPEG whose pyramid levels are DCT frames (Annex J
@@ -4312,8 +4363,25 @@ def encode_jpeg_hierarchical_dct(
         planes = [arr[..., i] for i in range(3)]
     else:
         raise ValueError(f"expected (h,w) or (h,w,3) array, got {arr.shape}")
-    if arr.dtype != np.uint8:
-        raise ValueError(f"expected uint8 pixels, got {arr.dtype}")
+    if precision == 8:
+        if arr.dtype != np.uint8:
+            raise ValueError(f"expected uint8 pixels, got {arr.dtype}")
+    elif precision == 12:
+        # 12-bit DCT pyramids (round 12): sequential arrangements
+        # only — the progressive scan machinery is 8-bit-calibrated
+        if progressive:
+            raise ValueError(
+                "12-bit hierarchical DCT supports sequential "
+                "arrangements only"
+            )
+        if arr.dtype != np.uint16:
+            raise ValueError(
+                f"expected uint16 samples at 12-bit, got {arr.dtype}"
+            )
+        if int(arr.max(initial=0)) > 4095:
+            raise ValueError("samples exceed 12-bit range")
+    else:
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
     h, w = planes[0].shape
     if h == 0 or w == 0 or h > 65535 or w > 65535:
         raise ValueError(f"image dimensions out of JPEG range: {h}x{w}")
@@ -4321,6 +4389,7 @@ def encode_jpeg_hierarchical_dct(
         raise ValueError(f"levels must be >= 1, got {levels}")
     planes = [p.astype(np.int64) for p in planes]
     nc = len(planes)
+    maxv = (1 << precision) - 1
 
     dims = [(h, w)]
     for _ in range(levels - 1):
@@ -4334,23 +4403,33 @@ def encode_jpeg_hierarchical_dct(
         pyramid.append([p[::2, ::2] for p in pyramid[-1]])
     pyramid.reverse()  # smallest first, aligned with dims
 
+    # 12-bit: quantizer values x16 overflow a byte -> 16-bit DQT
+    # (Pq=1), exactly the SOF1 extended-sequential convention
     qt = scale_quant_table(QUANT_LUMA, quality)
+    if precision == 12:
+        qt = qt * 16
     out = bytearray()
     out += b"\xff\xd8"
     dhp = bytearray()
-    dhp += struct.pack(">BHHB", 8, h, w, nc)
+    dhp += struct.pack(">BHHB", precision, h, w, nc)
     for i in range(nc):
         dhp += bytes([i + 1, 0x11, 0])
     out += b"\xff\xde" + struct.pack(">H", 2 + len(dhp)) + bytes(dhp)
-    out += _dqt_segment(0, qt)
+    out += _dqt_segment(0, qt) if precision == 8 else _dqt_segment16(0, qt)
+    if precision == 8:
+        dc_bits, dc_vals = DC_HDIFF_BITS, DC_HDIFF_VALS
+        ac_bits, ac_vals = AC_HDIFF_BITS, AC_HDIFF_VALS
+    else:
+        dc_bits, dc_vals = DC_HDIFF12_BITS, DC_HDIFF12_VALS
+        ac_bits, ac_vals = AC_HDIFF12_BITS, AC_HDIFF12_VALS
     if arithmetic:
         out += _dac_segment([(0, 0, 0x10), (1, 0, 5)])
         dc_codes = ac_codes = ll_codes = None
     else:
-        out += _dht_segment(0, 0, DC_HDIFF_BITS, DC_HDIFF_VALS)
-        out += _dht_segment(1, 0, AC_HDIFF_BITS, AC_HDIFF_VALS)
-        dc_codes = _build_codes(DC_HDIFF_BITS, DC_HDIFF_VALS)
-        ac_codes = _build_codes(AC_HDIFF_BITS, AC_HDIFF_VALS)
+        out += _dht_segment(0, 0, dc_bits, dc_vals)
+        out += _dht_segment(1, 0, ac_bits, ac_vals)
+        dc_codes = _build_codes(dc_bits, dc_vals)
+        ac_codes = _build_codes(ac_bits, ac_vals)
         ll_codes = None
         if final_lossless:
             ll_bits = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
@@ -4364,7 +4443,7 @@ def encode_jpeg_hierarchical_dct(
 
     def sof_seg(sofm: int, lh: int, lw: int) -> bytes:
         sof = bytearray()
-        sof += struct.pack(">BHHB", 8, lh, lw, nc)
+        sof += struct.pack(">BHHB", precision, lh, lw, nc)
         for i in range(nc):
             sof += bytes([i + 1, 0x11, 0])
         return (
@@ -4391,7 +4470,7 @@ def encode_jpeg_hierarchical_dct(
             shift = 0.0
         else:
             src = level
-            shift = 128.0
+            shift = float(1 << (precision - 1))
         if progressive:
             sofm = (
                 (0xCE if differential else 0xCA)
@@ -4405,8 +4484,6 @@ def encode_jpeg_hierarchical_dct(
                 else (0xC5 if differential else 0xC0)
             )
         out += sof_seg(sofm, lh, lw)
-        if not progressive:
-            out += sos_seg([(i + 1, 0x00) for i in range(nc)], 0, 63)
         qblocks = []
         for p in src:
             pp = _pad_edge_to_blocks(p.astype(np.float64) - shift, 8, 8)
@@ -4531,76 +4608,94 @@ def encode_jpeg_hierarchical_dct(
                         _flush_eobrun(writer, ac_codes, eobrun)
                         out += writer.flush()
         elif arithmetic:
-            enc = _ArithEncoder()
-            scan0 = [(c + 1, 0, 0) for c in range(nc)]
-            dc_stats, ac_stats, fixed = _arith_new_stats(scan0, {})
-            preds = {c + 1: 0 for c in range(nc)}
-            dc_ctx = {c + 1: 0 for c in range(nc)}
-            mcu_count = 0
-            rst_index = 0
-            for by in range(nby):
-                for bx in range(nbx):
-                    if (
-                        restart_interval
-                        and mcu_count
-                        and mcu_count % restart_interval == 0
-                    ):
-                        out += enc.flush()
-                        out += bytes([0xFF, 0xD0 + rst_index])
-                        rst_index = (rst_index + 1) % 8
-                        enc = _ArithEncoder()
-                        dc_stats, ac_stats, fixed = _arith_new_stats(
-                            scan0, {}
-                        )
-                        preds = {c + 1: 0 for c in range(nc)}
-                        dc_ctx = {c + 1: 0 for c in range(nc)}
-                    mcu_count += 1
-                    for c in range(nc):
-                        zz = qblocks[c][by, bx]
-                        _arith_encode_dc(
-                            enc, dc_stats[0], preds, dc_ctx, c + 1,
-                            int(zz[0]), 0, 1,
-                        )
-                        if differential:
-                            preds[c + 1] = 0
-                        _arith_encode_ac_band(
-                            enc, ac_stats[0], fixed, zz, 1, 63, 5
-                        )
-            out += enc.flush()
+            seq_scans = (
+                [list(range(nc))]
+                if interleave
+                else [[c] for c in range(nc)]
+            )
+            for members in seq_scans:
+                out += sos_seg(
+                    [(c + 1, 0x00) for c in members], 0, 63
+                )
+                enc = _ArithEncoder()
+                scan0 = [(c + 1, 0, 0) for c in members]
+                dc_stats, ac_stats, fixed = _arith_new_stats(scan0, {})
+                preds = {c + 1: 0 for c in members}
+                dc_ctx = {c + 1: 0 for c in members}
+                mcu_count = 0
+                rst_index = 0
+                for by in range(nby):
+                    for bx in range(nbx):
+                        if (
+                            restart_interval
+                            and mcu_count
+                            and mcu_count % restart_interval == 0
+                        ):
+                            out += enc.flush()
+                            out += bytes([0xFF, 0xD0 + rst_index])
+                            rst_index = (rst_index + 1) % 8
+                            enc = _ArithEncoder()
+                            dc_stats, ac_stats, fixed = (
+                                _arith_new_stats(scan0, {})
+                            )
+                            preds = {c + 1: 0 for c in members}
+                            dc_ctx = {c + 1: 0 for c in members}
+                        mcu_count += 1
+                        for c in members:
+                            zz = qblocks[c][by, bx]
+                            _arith_encode_dc(
+                                enc, dc_stats[0], preds, dc_ctx,
+                                c + 1, int(zz[0]), 0, 1,
+                            )
+                            if differential:
+                                preds[c + 1] = 0
+                            _arith_encode_ac_band(
+                                enc, ac_stats[0], fixed, zz, 1, 63, 5
+                            )
+                out += enc.flush()
         else:
-            writer = _BitWriter()
-            preds = {c: 0 for c in range(nc)}
-            mcu_count = 0
-            rst_index = 0
-            for by in range(nby):
-                for bx in range(nbx):
-                    if (
-                        restart_interval
-                        and mcu_count
-                        and mcu_count % restart_interval == 0
-                    ):
-                        out += writer.flush()
-                        writer = _BitWriter()
-                        out += bytes([0xFF, 0xD0 + rst_index])
-                        rst_index = (rst_index + 1) % 8
-                        preds = {c: 0 for c in range(nc)}
-                    mcu_count += 1
-                    for c in range(nc):
-                        zz = qblocks[c][by, bx]
-                        pred = 0 if differential else preds[c]
-                        newp = _emit_zz(
-                            writer, zz, dc_codes, ac_codes, pred
-                        )
-                        if not differential:
-                            preds[c] = newp
-            out += writer.flush()
+            seq_scans = (
+                [list(range(nc))]
+                if interleave
+                else [[c] for c in range(nc)]
+            )
+            for members in seq_scans:
+                out += sos_seg(
+                    [(c + 1, 0x00) for c in members], 0, 63
+                )
+                writer = _BitWriter()
+                preds = {c: 0 for c in members}
+                mcu_count = 0
+                rst_index = 0
+                for by in range(nby):
+                    for bx in range(nbx):
+                        if (
+                            restart_interval
+                            and mcu_count
+                            and mcu_count % restart_interval == 0
+                        ):
+                            out += writer.flush()
+                            writer = _BitWriter()
+                            out += bytes([0xFF, 0xD0 + rst_index])
+                            rst_index = (rst_index + 1) % 8
+                            preds = {c: 0 for c in members}
+                        mcu_count += 1
+                        for c in members:
+                            zz = qblocks[c][by, bx]
+                            pred = 0 if differential else preds[c]
+                            newp = _emit_zz(
+                                writer, zz, dc_codes, ac_codes, pred
+                            )
+                            if not differential:
+                                preds[c] = newp
+                out += writer.flush()
         recon = _hier_dct_recon_planes(qblocks, qt, lh, lw, shift)
         if differential:
             ref = [
-                np.clip(r + d, 0, 255) for r, d in zip(ref, recon)
+                np.clip(r + d, 0, maxv) for r, d in zip(ref, recon)
             ]
         else:
-            ref = [np.clip(p, 0, 255) for p in recon]
+            ref = [np.clip(p, 0, maxv) for p in recon]
 
     if final_lossless:
         # full-resolution lossless differential correction frame
@@ -4609,7 +4704,7 @@ def encode_jpeg_hierarchical_dct(
         # branch only (prediction = reference, modulo-2^16 recentred)
         sofm = 0xCF if arithmetic else 0xC7
         sof = bytearray()
-        sof += struct.pack(">BHHB", 8, h, w, nc)
+        sof += struct.pack(">BHHB", precision, h, w, nc)
         for i in range(nc):
             sof += bytes([i + 1, 0x11, 0])
         out += bytes([0xFF, sofm])

@@ -861,13 +861,20 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # SOF0/SOF9+SOF5/SOF13 or progressive
                     # SOF2/SOF10+SOF6/SOF14 — whose final lossless
                     # correction frame makes it exact on ANY input;
-                    # round 12 adds restart markers in the
-                    # sequential arrangements
+                    # round 12 adds restart markers and 12-BIT
+                    # sequential pyramids (samples << 4 on the wire;
+                    # decode_jpeg's uint8 fold shifts them back, so
+                    # the channel sums are unchanged)
+                    prog_f = (mid // 48) % 2 == 1
+                    use12 = not prog_f and (mid // 96) % 2 == 1
                     payload = encode_jpeg_hierarchical_dct(
-                        arr, quality=50, levels=2 + mid % 2,
+                        (arr.astype(np.uint16) << 4) if use12 else arr,
+                        quality=50, levels=2 + mid % 2,
                         arithmetic=(mid // 24) % 2 == 1,
-                        progressive=(mid // 48) % 2 == 1,
+                        progressive=prog_f,
                         restart_interval=rst,
+                        precision=12 if use12 else 8,
+                        interleave=(mid // 9) % 2 == 0,
                     )
                 rows.append({"media_id": mid, "content": payload})
             yield pd.DataFrame(rows, columns=["media_id", "content"])

@@ -83,119 +83,130 @@ WORDS = [
 ]
 
 
-def synth(spark, out_dir: str, m: int) -> None:
+def synth(spark, out_dir: str, m: int, tables: set | None = None) -> None:
     """Write documents/embeddings/events/lineitem parquet at ``m``
-    times sf0.1's row counts, all closed-form from ``spark.range``."""
+    times sf0.1's row counts, all closed-form from ``spark.range``.
+    ``tables`` restricts generation (the m=100 candidate-pair tier
+    needs only documents + embeddings)."""
+
+    def wanted(t: str) -> bool:
+        return tables is None or t in tables
+
     os.makedirs(out_dir, exist_ok=True)
     pool = "array(" + ", ".join(f"'{w}'" for w in WORDS) + ")"
 
-    # documents: 5000*m rows, ~50 tokens each; id%20==7 copies the
-    # previous id's token sequence minus one token (constant near-dup
-    # rate => linear true-pair growth)
-    n_docs = 5000 * m
-    base = "CASE WHEN id % 20 = 7 THEN id - 1 ELSE id END"
-    length = f"40 + ({base}) * 2654435761 % 21"
-    tail = "CASE WHEN id % 20 = 7 THEN 1 ELSE 0 END"
-    # word index via murmur hash — NOT a linear congruence: a linear
-    # form in (base, i) collapses mod 31 to one cyclic progression,
-    # giving the whole corpus only 31 distinct shingles and a
-    # degenerate everything-matches-everything LSH (caught in the
-    # mult-2 sanity run: q28 took 45 s on the m=1 leg vs ~1 s on the
-    # real sf0.1 data)
-    text = (
-        f"array_join(transform(sequence(1, cast({length} - {tail} as int)),"
-        f" i -> element_at({pool},"
-        f" cast(pmod(hash(cast({base} as bigint), i), 31) as int) + 1)), ' ')"
-    )
-    (
-        spark.range(n_docs)
-        .repartition(32)
-        .select(
-            F.col("id").alias("doc_id"),
-            F.expr(text).alias("text"),
-            F.expr(
-                "element_at(array('en','en','en','en','en','en','en','en',"
-                "'fr','fr','fr','es','es','es','de','de','de','zh','zh','zh'),"
-                " cast(id * 40503 % 20 as int) + 1)"
-            ).alias("lang"),
-            F.expr("concat('src', cast(id % 20 as string))").alias("source"),
+    if wanted('documents'):
+        # documents: 5000*m rows, ~50 tokens each; id%20==7 copies the
+        # previous id's token sequence minus one token (constant near-dup
+        # rate => linear true-pair growth)
+        n_docs = 5000 * m
+        base = "CASE WHEN id % 20 = 7 THEN id - 1 ELSE id END"
+        length = f"40 + ({base}) * 2654435761 % 21"
+        tail = "CASE WHEN id % 20 = 7 THEN 1 ELSE 0 END"
+        # word index via murmur hash — NOT a linear congruence: a linear
+        # form in (base, i) collapses mod 31 to one cyclic progression,
+        # giving the whole corpus only 31 distinct shingles and a
+        # degenerate everything-matches-everything LSH (caught in the
+        # mult-2 sanity run: q28 took 45 s on the m=1 leg vs ~1 s on the
+        # real sf0.1 data)
+        text = (
+            f"array_join(transform(sequence(1, cast({length} - {tail} as int)),"
+            f" i -> element_at({pool},"
+            f" cast(pmod(hash(cast({base} as bigint), i), 31) as int) + 1)), ' ')"
         )
-        .withColumn("n_chars", F.length("text"))
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "documents.parquet"))
-    )
+        (
+            spark.range(n_docs)
+            .repartition(32)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.expr(text).alias("text"),
+                F.expr(
+                    "element_at(array('en','en','en','en','en','en','en','en',"
+                    "'fr','fr','fr','es','es','es','de','de','de','zh','zh','zh'),"
+                    " cast(id * 40503 % 20 as int) + 1)"
+                ).alias("lang"),
+                F.expr("concat('src', cast(id % 20 as string))").alias("source"),
+            )
+            .withColumn("n_chars", F.length("text"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "documents.parquet"))
+        )
 
-    # embeddings: 2000*m rows, 64-dim float32 around 97*m cluster
-    # directions + per-id jitter (topics scale with the corpus)
-    n_emb = 2000 * m
-    n_clusters = 97 * m
-    emb = (
-        f"transform(sequence(0, 63), j -> cast("
-        f" sin((id * 2654435761 % {n_clusters}) * 0.61 + j * 0.37) * 0.9"
-        f" + sin(id * 1.7 + j * 0.91) * 0.15 as float))"
-    )
-    (
-        spark.range(n_emb)
-        .repartition(32)
-        .select(
-            F.col("id").alias("vec_id"),
-            F.expr(emb).alias("embedding"),
-            F.expr("cast(id % 10 as int)").alias("label"),
+    if wanted('embeddings'):
+        # embeddings: 2000*m rows, 64-dim float32 around 97*m cluster
+        # directions + per-id jitter (topics scale with the corpus)
+        n_emb = 2000 * m
+        n_clusters = 97 * m
+        emb = (
+            f"transform(sequence(0, 63), j -> cast("
+            f" sin((id * 2654435761 % {n_clusters}) * 0.61 + j * 0.37) * 0.9"
+            f" + sin(id * 1.7 + j * 0.91) * 0.15 as float))"
         )
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "embeddings.parquet"))
-    )
+        (
+            spark.range(n_emb)
+            .repartition(32)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.expr(emb).alias("embedding"),
+                F.expr("cast(id % 10 as int)").alias("label"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "embeddings.parquet"))
+        )
 
-    # events: 100000*m rows across the same 42-day window (density
-    # scales, horizon does not), users scale with m
-    n_events = 100_000 * m
-    span_us = 42 * 86_400 * 1_000_000
-    (
-        spark.range(n_events)
-        .repartition(32)
-        .select(
-            F.col("id").alias("event_id"),
-            F.expr(
-                f"timestampadd(MICROSECOND,"
-                f" cast(id * cast({span_us} as double) / {n_events} as bigint),"
-                f" timestamp_ntz'2024-01-01 00:00:00')"
-            ).alias("ts"),
-            F.expr(f"cast(id * 2654435761 % {1500 * m} as bigint)").alias(
-                "user_id"
-            ),
-            F.expr(
-                "element_at(array('view','click','signup','purchase','error'),"
-                " cast(id * 7919 % 5 as int) + 1)"
-            ).alias("event_type"),
-            F.expr("round(cast(id * 104729 % 20000 as double) / 100, 2)").alias(
-                "value"
-            ),
-            F.expr(
-                "concat('{\"k\": ', cast(id % 100 as string), '}')"
-            ).alias("props"),
+    if wanted('events'):
+        # events: 100000*m rows across the same 42-day window (density
+        # scales, horizon does not), users scale with m
+        n_events = 100_000 * m
+        span_us = 42 * 86_400 * 1_000_000
+        (
+            spark.range(n_events)
+            .repartition(32)
+            .select(
+                F.col("id").alias("event_id"),
+                F.expr(
+                    f"timestampadd(MICROSECOND,"
+                    f" cast(id * cast({span_us} as double) / {n_events} as bigint),"
+                    f" timestamp_ntz'2024-01-01 00:00:00')"
+                ).alias("ts"),
+                F.expr(f"cast(id * 2654435761 % {1500 * m} as bigint)").alias(
+                    "user_id"
+                ),
+                F.expr(
+                    "element_at(array('view','click','signup','purchase','error'),"
+                    " cast(id * 7919 % 5 as int) + 1)"
+                ).alias("event_type"),
+                F.expr("round(cast(id * 104729 % 20000 as double) / 100, 2)").alias(
+                    "value"
+                ),
+                F.expr(
+                    "concat('{\"k\": ', cast(id % 100 as string), '}')"
+                ).alias("props"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "events.parquet"))
         )
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "events.parquet"))
-    )
 
-    # lineitem (q173's columns): ~4 lines/order, part space 20000*m —
-    # constant co-purchase degree, linear edge growth
-    n_lines = 600_000 * m
-    (
-        spark.range(n_lines)
-        .repartition(32)
-        .select(
-            F.expr("cast(id / 4 as bigint)").alias("l_orderkey"),
-            F.expr(
-                f"cast(id * 2654435761 % {20_000 * m} as bigint)"
-            ).alias("l_partkey"),
-            F.expr(
-                "date_add(date'1995-01-01', cast(id * 40503 % 2500 as int))"
-            ).alias("l_shipdate"),
+    if wanted('lineitem'):
+        # lineitem (q173's columns): ~4 lines/order, part space 20000*m —
+        # constant co-purchase degree, linear edge growth
+        n_lines = 600_000 * m
+        (
+            spark.range(n_lines)
+            .repartition(32)
+            .select(
+                F.expr("cast(id / 4 as bigint)").alias("l_orderkey"),
+                F.expr(
+                    f"cast(id * 2654435761 % {20_000 * m} as bigint)"
+                ).alias("l_partkey"),
+                F.expr(
+                    "date_add(date'1995-01-01', cast(id * 40503 % 2500 as int))"
+                ).alias("l_shipdate"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "lineitem.parquet"))
         )
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "lineitem.parquet"))
-    )
+
 
 
 def _run(spark, fn, sf_dir: str) -> dict:
@@ -219,6 +230,119 @@ def _run(spark, fn, sf_dir: str) -> dict:
         "shuffle_mb": round(shuffle_bytes / 1e6, 3),
         "rows": r["result"],
     }
+
+
+def _streaming_probes(spark, sf_dir: str) -> dict:
+    """Drain three stateful streaming shapes over the leg's events
+    and record the state-store footprint (VERDICT r11 #7):
+
+    - ``windowed_rollup`` — 1-day tumbling window x event_type
+      count/sum (q52/q252's rollup stage): state rows = windows x
+      groups, CONSTANT as event density grows.
+    - ``wau_approx_distinct`` — 7-day sliding window
+      approx_count_distinct(user_id) (q246's shape): state rows =
+      windows; sketch registers bound the per-row size even as the
+      user population grows 10x.
+    - ``dedup_ids`` — dropDuplicates on event_id under a watermark
+      (q96/q252's dedup stage): the honest contrast — keys ARE event
+      ids, so state tracks the in-horizon event volume; at true
+      scale the watermark horizon (not history) bounds it.
+
+    Metrics per probe: final-progress stateOperators totals
+    (``numRowsTotal``, ``stateMemory`` bytes), summed RocksDB custom
+    metrics, and the checkpoint's changelog file count (changelog
+    checkpointing is ON — per-batch deltas, not snapshots)."""
+    import glob as _glob
+
+    from building_energy_data_pipeline_spark.streaming.statestore import (
+        enable_rocksdb_state,
+        restore_state_conf,
+    )
+
+    events = (
+        spark.readStream.schema(
+            spark.read.parquet(
+                os.path.join(sf_dir, "events.parquet")
+            ).schema
+        )
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+        # the generator writes TIMESTAMP_NTZ (the testdata vintage);
+        # watermarks need the session-zoned type
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+    probes = {
+        "windowed_rollup": (
+            events.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s")),
+            "update",
+        ),
+        "wau_approx_distinct": (
+            events.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "7 days", "1 day"))
+            .agg(F.approx_count_distinct("user_id").alias("wau")),
+            "update",
+        ),
+        "dedup_ids": (
+            events.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n")),
+            "update",
+        ),
+    }
+    out: dict[str, dict] = {}
+    previous = enable_rocksdb_state(spark)
+    try:
+        for name, (df, mode) in probes.items():
+            ck = tempfile.mkdtemp(prefix=f"scaleproof_{name}_")
+            try:
+                q = (
+                    df.writeStream.format("noop")
+                    .outputMode(mode)
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                if not q.awaitTermination(600):
+                    q.stop()
+                    raise TimeoutError(f"{name} did not drain")
+                prog = q.lastProgress or {}
+                rows = removed = mem = 0
+                for op in prog.get("stateOperators", []):
+                    rows += int(op.get("numRowsTotal", 0))
+                    removed += int(op.get("numRowsRemoved", 0))
+                    mem += int(op.get("memoryUsedBytes", 0) or 0)
+                from building_energy_data_pipeline_spark.streaming.statestore import (  # noqa: E501
+                    rocksdb_metrics,
+                )
+
+                rdb = rocksdb_metrics(q)
+                changelogs = len(
+                    _glob.glob(
+                        os.path.join(ck, "state", "**", "*.changelog"),
+                        recursive=True,
+                    )
+                )
+                out[name] = {
+                    # survivors after the final watermark GC — the
+                    # key-cardinality-in-horizon number
+                    "state_rows": rows,
+                    # evicted in the final batch — proof GC ran
+                    "rows_removed_last_batch": removed,
+                    "state_memory_bytes": mem,
+                    "rocksdb_bytes_written": rdb.get(
+                        "rocksdbTotalBytesWritten", 0
+                    ),
+                    "changelog_files": changelogs,
+                    "batches": int(prog.get("batchId", -1)) + 1,
+                }
+            finally:
+                shutil.rmtree(ck, ignore_errors=True)
+    finally:
+        restore_state_conf(spark, previous)
+    return out
 
 
 def main() -> int:
@@ -358,7 +482,31 @@ def main() -> int:
         pair_counts = {
             f"m{m}": candidate_pairs(spark, d) for m, d in legs.items()
         }
+        # the 100x tier (VERDICT r11 #2): candidate-pair COUNTS only —
+        # no query execution, just the cell assignment + join count on
+        # a documents+embeddings-only leg — the machine-independent
+        # witness that the k-scaled exponent stays ~1 two decades up
+        if args.mult >= 10:
+            m100_dir = os.path.join(scratch, "m100")
+            t0 = time.time()
+            synth(spark, m100_dir, 100,
+                  tables={"documents", "embeddings"})
+            print(f"synth m=100 (docs+emb): {time.time() - t0:.1f}s",
+                  file=sys.stderr)
+            pair_counts["m100"] = candidate_pairs(spark, m100_dir)
+            shutil.rmtree(m100_dir, ignore_errors=True)
         print(f"candidate pairs: {pair_counts}", file=sys.stderr)
+
+        # streaming state growth (VERDICT r11 #7): drain stateful
+        # streams over both legs and record the state-store footprint
+        # from the final progress — the 100 TB claim for the GC-ing
+        # queries is that state tracks KEY CARDINALITY (windows x
+        # groups, registers per day), not event volume
+        streaming = {
+            f"m{m}": _streaming_probes(spark, d)
+            for m, d in legs.items()
+        }
+        print(f"streaming state: {streaming}", file=sys.stderr)
         for name, fn in probes.items():
             results[name] = {}
             for m, d in legs.items():
@@ -386,8 +534,46 @@ def main() -> int:
         for leg, pc in pair_counts.items():
             print(f"  {leg}: {pc}")
 
-        out = {"mult": mult, "results": results,
-               "bitext_candidate_pairs": pair_counts}
+        out = {
+            "mult": mult,
+            "results": results,
+            "bitext_candidate_pairs": pair_counts,
+            "streaming_state": streaming,
+            # provenance IN the artifact (VERDICT r11 #2: the
+            # pre-runtime-scaled-k history lived only in a code
+            # comment and the stale rows contradicted the registered
+            # plans)
+            "provenance": {
+                "generator": "scaleproof.py (this repo, same commit)",
+                "q260_q261_note": (
+                    "q260_bitext_margin_ivf and q129's scaled twin "
+                    "q261 evaluate k = max(8, n // cell_target) AT "
+                    "RUNTIME since commit 0d4750a; every row in this "
+                    "file was measured against that registered "
+                    "shape. q129_semantic_dedup deliberately pins "
+                    "k=8 (its oracle unrolls the k-means training "
+                    "in SQL) — it and q155's all-pairs cross join "
+                    "are the PINNED-K / RECALL=1 ABLATIONS, kept to "
+                    "show what the scaled shapes avoid."
+                ),
+                "m100_note": (
+                    "the m100 bitext_candidate_pairs leg counts "
+                    "cell-join candidates only (no query "
+                    "execution) on a documents+embeddings-only "
+                    "synthesis — the exponent witness at 100x."
+                ),
+                "streaming_note": (
+                    "streaming_state drains each probe with "
+                    "availableNow under the RocksDB provider and "
+                    "records the final progress' stateOperators "
+                    "totals plus checkpoint changelog file counts; "
+                    "windowed_rollup and wau_approx_distinct are "
+                    "key-cardinality-bounded (expect ~1x rows at "
+                    "10x events), dedup_ids is the honest contrast "
+                    "(keys = event ids, watermark-horizon bounded)."
+                ),
+            },
+        }
         with open("SCALEPROOF.json", "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
         print("\nwrote SCALEPROOF.json", file=sys.stderr)

@@ -1686,32 +1686,70 @@ class TestHierarchicalVariants:
         with pytest.raises(ValueError, match="Al shall be zero"):
             jc.decode_jpeg_hierarchical_raw(bytes(enc))
 
-    def test_per_component_dct_scan_still_gated(self):
-        # the remaining honest gate: splitting a sequential-DCT
-        # hierarchical frame into per-component scans
-        arr = np.full((10, 10, 3), 90, dtype=np.uint8)
-        enc = bytearray(
+    def test_per_component_dct_scans_round_trip(self):
+        # round-12 second pass: sequential-DCT hierarchical frames
+        # split into one scan per component (B.2.3), both entropy
+        # coders, with restarts — grids accumulate per frame and
+        # reconstruct once complete
+        rng = np.random.default_rng(79)
+        arr = rng.integers(0, 256, (20, 18, 3), dtype=np.uint8)
+        for arith in (False, True):
+            for ri in (0, 4):
+                enc = jc.encode_jpeg_hierarchical_dct(
+                    arr, levels=2, arithmetic=arith,
+                    restart_interval=ri, interleave=False,
+                )
+                assert enc.count(b"\xff\xda") > 3  # split scans
+                dec, _ = jc.decode_jpeg_hierarchical_raw(enc)
+                assert (dec == arr).all(), (arith, ri)
+        # combined with 12-bit precision and restarts
+        g = rng.integers(0, 4096, (15, 13, 3), dtype=np.uint16)
+        enc = jc.encode_jpeg_hierarchical_dct(
+            g, levels=2, precision=12, restart_interval=3,
+            interleave=False,
+        )
+        dec, p = jc.decode_jpeg_hierarchical_raw(enc)
+        assert p == 12
+        assert (dec == g).all()
+
+    def test_hierarchical_dct_12bit_sequential(self):
+        # round-12 second pass: 12-bit DCT pyramids (16-bit DQT,
+        # level shift 2048, Table F.1 caps 15/16) under both entropy
+        # coders, with restarts, closed bit-exact by the final
+        # lossless frame
+        rng = np.random.default_rng(71)
+        g = rng.integers(0, 4096, (19, 17), dtype=np.uint16)
+        rgb = rng.integers(0, 4096, (16, 14, 3), dtype=np.uint16)
+        for arith in (False, True):
+            for ri in (0, 3):
+                for arr in (g, rgb):
+                    enc = jc.encode_jpeg_hierarchical_dct(
+                        arr, levels=2, arithmetic=arith,
+                        restart_interval=ri, precision=12,
+                    )
+                    dec, p = jc.decode_jpeg_hierarchical_raw(enc)
+                    want = arr if arr.ndim == 3 else arr[..., None]
+                    assert p == 12
+                    assert (dec == want).all(), (arith, ri, arr.shape)
+
+    def test_hierarchical_dct_12bit_progressive_gated(self):
+        import pytest as _pytest
+
+        g = np.zeros((8, 8), dtype=np.uint16)
+        with _pytest.raises(ValueError, match="sequential"):
             jc.encode_jpeg_hierarchical_dct(
-                arr, levels=2, final_lossless=False
+                g, precision=12, progressive=True
             )
+
+    def test_decode_jpeg_folds_12bit_hierarchical_to_uint8(self):
+        # the q254 payload trick: uint8 pattern << 4 encoded at
+        # 12-bit, folded back by decode_jpeg's >> (P-8) — identical
+        # pixels to the 8-bit path
+        rng = np.random.default_rng(73)
+        a8 = rng.integers(0, 256, (14, 12), dtype=np.uint8)
+        enc = jc.encode_jpeg_hierarchical_dct(
+            a8.astype(np.uint16) << 4, levels=2, precision=12
         )
-        sos = bytes(enc).index(b"\xff\xda")
-        # rewrite Ns=3 scan header into an Ns=1 header in place is
-        # not length-preserving; instead assert the decoder's gate
-        # message directly by building the condition: patch Ns down
-        # and the length field accordingly
-        ln = (enc[sos + 2] << 8) | enc[sos + 3]
-        new_body = bytes([1]) + bytes(enc[sos + 5 : sos + 7]) + bytes(
-            enc[sos + 4 + 1 + 2 * enc[sos + 4] :
-                sos + 4 + 1 + 2 * enc[sos + 4] + 3]
-        )
-        patched = (
-            bytes(enc[: sos + 2])
-            + (2 + len(new_body)).to_bytes(2, "big")
-            + new_body
-            + bytes(enc[sos + 2 + ln :])
-        )
-        with pytest.raises(
-            NotImplementedError, match="per-component sequential-DCT"
-        ):
-            jc.decode_jpeg_hierarchical_raw(patched)
+        rgb = jc.decode_jpeg(enc)
+        assert (rgb[..., 0] == a8).all()
+        assert (rgb[..., 1] == a8).all()

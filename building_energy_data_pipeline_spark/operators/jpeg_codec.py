@@ -49,14 +49,14 @@ Scope (documented, spec-cited):
   classic Pt-refinement pyramid), restart markers inside
   hierarchical frames (lossless, sequential-DCT, and progressive
   scan paths), and 12-BIT sequential-DCT pyramids (16-bit DQT,
-  level shift 2048, Table F.1 DC caps 15/16), with per-component
-  scan splits of sequential-DCT hierarchical frames accumulating
-  coefficient grids per frame. With that, EVERY T.81 frame type
-  decodes; what still raises ``NotImplementedError`` is two
-  narrow variants — subsampled DCT frames inside hierarchical
-  streams, and 12-bit PROGRESSIVE frames inside hierarchical
-  streams — distinct from corrupt payloads which raise
-  ``ValueError`` (the multimodal error contract, ADVICE r8).
+  level shift 2048, Table F.1 DC caps 15/16, sequential AND
+  progressive arrangements), with per-component scan splits of
+  sequential-DCT hierarchical frames accumulating coefficient
+  grids per frame. With that, EVERY T.81 frame type decodes; the
+  single remaining ``NotImplementedError`` variant is subsampled
+  DCT frames inside hierarchical streams — distinct from corrupt
+  payloads which raise ``ValueError`` (the multimodal error
+  contract, ADVICE r8).
 - **encode**: baseline SOF0 (grayscale, 4:4:4 or 4:2:0 YCbCr,
   optional restart markers), a PROGRESSIVE encoder
   (:func:`encode_jpeg_progressive`, spectral selection with
@@ -1222,9 +1222,12 @@ class _ProgressiveState:
     as the differential sequential frames (J.1/F.1.4).
     """
 
-    def __init__(self, frame, differential: bool = False) -> None:
+    def __init__(
+        self, frame, differential: bool = False, precision: int = 8
+    ) -> None:
         self.frame = frame
         self.differential = differential
+        self.precision = precision
         h, w, comps = frame
         self.hmax = max(hs for _, hs, _, _ in comps)
         self.vmax = max(vs for _, _, vs, _ in comps)
@@ -1336,9 +1339,18 @@ class _ProgressiveState:
             if td not in dc_tables:
                 raise ValueError(f"missing DC Huffman table {td}")
             size = dc_tables[td].decode(reader)
-            if size > (15 if self.differential else 11):
+            # Table F.1 caps by precision and frame kind (12-bit
+            # hierarchical progressive, round 12)
+            if self.precision == 12:
+                cap = 16 if self.differential else 15
+            else:
+                cap = 15 if self.differential else 11
+            if size > cap:
                 raise ValueError(f"invalid DC category {size}")
-            d = _extend(reader.receive(size), size)
+            if size == 16:  # 12-bit differential: no extra bits
+                d = 32768
+            else:
+                d = _extend(reader.receive(size), size)
             if self.differential:  # DC coded without prediction
                 self.coefs[cs][by, bx, 0] = d << al
                 return
@@ -3669,7 +3681,8 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
         state, fprec, flh, flw, fdiff, qt = prog
         grids = [state.coefs[cid] for cid, _, _, _ in state.frame[2]]
         recon = _hier_dct_recon_planes(
-            grids, qt, flh, flw, 0.0 if fdiff else 128.0
+            grids, qt, flh, flw,
+            0.0 if fdiff else float(1 << (fprec - 1)),
         )
         maxv = (1 << fprec) - 1
         if fdiff:
@@ -3804,12 +3817,6 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                         "DCT frames inside hierarchical streams are "
                         "supported at 8- or 12-bit precision only"
                     )
-                if prec == 12 and progressive:
-                    raise NotImplementedError(
-                        "12-bit PROGRESSIVE DCT frames inside "
-                        "hierarchical streams not supported "
-                        "(sequential arrangements only)"
-                    )
                 if any(hs != 1 or vs != 1 for _, hs, vs, _ in comps):
                     raise NotImplementedError(
                         "subsampled DCT frames inside hierarchical "
@@ -3889,6 +3896,7 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                         _ProgressiveState(
                             (lh, lw, fcomps),
                             differential=differential,
+                            precision=prec,
                         ),
                         prec, lh, lw, differential, qts[0],
                     ]
@@ -4367,13 +4375,6 @@ def encode_jpeg_hierarchical_dct(
         if arr.dtype != np.uint8:
             raise ValueError(f"expected uint8 pixels, got {arr.dtype}")
     elif precision == 12:
-        # 12-bit DCT pyramids (round 12): sequential arrangements
-        # only — the progressive scan machinery is 8-bit-calibrated
-        if progressive:
-            raise ValueError(
-                "12-bit hierarchical DCT supports sequential "
-                "arrangements only"
-            )
         if arr.dtype != np.uint16:
             raise ValueError(
                 f"expected uint16 samples at 12-bit, got {arr.dtype}"

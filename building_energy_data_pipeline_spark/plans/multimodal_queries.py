@@ -866,7 +866,7 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # decode_jpeg's uint8 fold shifts them back, so
                     # the channel sums are unchanged)
                     prog_f = (mid // 48) % 2 == 1
-                    use12 = not prog_f and (mid // 96) % 2 == 1
+                    use12 = (mid // 96) % 2 == 1
                     payload = encode_jpeg_hierarchical_dct(
                         (arr.astype(np.uint16) << 4) if use12 else arr,
                         quality=50, levels=2 + mid % 2,

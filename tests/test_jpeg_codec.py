@@ -1732,14 +1732,20 @@ class TestHierarchicalVariants:
                     assert p == 12
                     assert (dec == want).all(), (arith, ri, arr.shape)
 
-    def test_hierarchical_dct_12bit_progressive_gated(self):
-        import pytest as _pytest
-
-        g = np.zeros((8, 8), dtype=np.uint16)
-        with _pytest.raises(ValueError, match="sequential"):
-            jc.encode_jpeg_hierarchical_dct(
-                g, precision=12, progressive=True
+    def test_hierarchical_dct_12bit_progressive(self):
+        # third pass: 12-bit PROGRESSIVE pyramids (SOF2/SOF10 +
+        # SOF6/SOF14 at P=12 — Table F.1 caps 15/16 in the DC scan,
+        # the 12-bit AC alphabet in the band scans), both coders
+        rng = np.random.default_rng(83)
+        rgb = rng.integers(0, 4096, (16, 14, 3), dtype=np.uint16)
+        for arith in (False, True):
+            enc = jc.encode_jpeg_hierarchical_dct(
+                rgb, levels=2, arithmetic=arith,
+                progressive=True, precision=12,
             )
+            dec, p = jc.decode_jpeg_hierarchical_raw(enc)
+            assert p == 12
+            assert (dec == rgb).all(), arith
 
     def test_decode_jpeg_folds_12bit_hierarchical_to_uint8(self):
         # the q254 payload trick: uint8 pattern << 4 encoded at

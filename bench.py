@@ -30,10 +30,17 @@ def _calibrate() -> float:
     stick so cross-round query deltas can be separated into "code
     changed" vs "machine changed": comparable machines produce
     comparable calib times, and a query regression that tracks the
-    calib ratio is machine noise, not a plan change. Min of 3.
+    calib ratio is machine noise, not a plan change.
+
+    One UNTIMED warm fold then min of 5 (round 12): measured on this
+    VM, a cold first fold runs 5–10 % slow (frequency/scheduler
+    ramp) and min-of-3 without warm-up left a ~10 % sample band that
+    tripped the contention drift signal on ambient wobble; warmed
+    min-of-5 tightens repeat samples to ~3 %.
     """
+    _lcg_fold(2_000_000)  # warm: ramp the core before timing
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         _lcg_fold(2_000_000)
         best = min(best, time.perf_counter() - t0)
@@ -110,9 +117,11 @@ def _contention_verdict(
     MECHANICALLY. Three signals, each advisory, OR-ed:
 
     - ``drift``: the single-thread calibration fold run at the
-      start, middle, and end of the bench moves > 5 % — co-tenant
-      load arrived or left mid-run (a deterministic fold on a quiet
-      machine repeats within ~1 %).
+      start, middle, and end of the bench moves > 8 % — co-tenant
+      load arrived or left mid-run (the warmed min-of-5 fold
+      repeats within ~3 % on this VM class even in its wobbly
+      moods; 5 % sat exactly at the ambient band and flagged every
+      run, round-12 measurement).
     - ``spread``: median over queries of the relative gap between
       each query's two FASTEST of three timed runs > 20 % — quiet
       runs repeat within a few percent once codegen is warm (the
@@ -153,7 +162,7 @@ def _contention_verdict(
                     calib_par / canon["calib_par_sec"], 4
                 )
     flags = {
-        "drift": drift > 1.05,
+        "drift": drift > 1.08,
         "spread": med_spread > 0.20,
         "canonical": any(
             v is not None and v > 1.02

@@ -52,11 +52,21 @@ Scope (documented, spec-cited):
   level shift 2048, Table F.1 DC caps 15/16, sequential AND
   progressive arrangements), with per-component scan splits of
   sequential-DCT hierarchical frames accumulating coefficient
-  grids per frame. With that, EVERY T.81 frame type decodes; the
-  single remaining ``NotImplementedError`` variant is subsampled
-  DCT frames inside hierarchical streams — distinct from corrupt
-  payloads which raise ``ValueError`` (the multimodal error
-  contract, ADVICE r8).
+  grids per frame — and SUBSAMPLED DCT frames inside hierarchical
+  streams (the last variant gate, round-12 third pass):
+  components carry their A.1.1 dims through every frame
+  (MCU-interleaved or per-component scans), EXP expands per
+  component, the final lossless frame corrects each decimated
+  plane exactly, and the raw return replicates planes up to the
+  DHP grid. With that, EVERY T.81 frame type AND the round-11
+  verdict's full variant list decode; the residual
+  ``NotImplementedError`` surfaces are three narrow
+  sub-combinations — interleaved lossless scans over SUBSAMPLED
+  components (the per-component split, which this encoder emits,
+  is the supported form), subsampled PROGRESSIVE hierarchical
+  frames, and per-component quantization tables in hierarchical
+  DCT frames — distinct from corrupt payloads which raise
+  ``ValueError`` (the multimodal error contract, ADVICE r8).
 - **encode**: baseline SOF0 (grayscale, 4:4:4 or 4:2:0 YCbCr,
   optional restart markers), a PROGRESSIVE encoder
   (:func:`encode_jpeg_progressive`, spectral selection with
@@ -3661,6 +3671,9 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
     pending_exp = None
     restart_interval = 0
     ref: list[np.ndarray] | None = None
+    # the component list of the frame that produced ``ref`` — its
+    # sampling factors drive the EOI upsample (round 12)
+    ref_comps: list | None = None
     # open progressive DCT frame, accumulating across its scans:
     # [state, prec, lh, lw, differential, qtable]
     prog: list | None = None
@@ -3675,7 +3688,7 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
         reconstruct its accumulated coefficients (the same shared
         dequantize->IDCT->rint->clamp path as sequential frames) and
         fold them into the reference."""
-        nonlocal prog, ref, frame
+        nonlocal prog, ref, frame, ref_comps
         if prog is None:
             return
         state, fprec, flh, flw, fdiff, qt = prog
@@ -3691,6 +3704,7 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
             ]
         else:
             ref = [np.clip(p, 0, maxv) for p in recon]
+        ref_comps = state.frame[2]
         prog = None
         frame = None
 
@@ -3711,11 +3725,25 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
             if ref is None or full is None:
                 raise ValueError("hierarchical stream ended before a scan")
             ph, hh, ww, nc = full
-            if any(r.shape != (hh, ww) for r in ref):
-                raise ValueError(
-                    "hierarchical stream ended below DHP resolution"
-                )
-            out = np.stack(ref, axis=-1)
+            # subsampled components (round 12) sit at their own dims
+            # at the DHP grid — replicate up for the raw return, the
+            # sequential decoder's convention
+            full_dims = _hier_comp_dims(hh, ww, ref_comps)
+            planes_out = []
+            for r, (cid, hs, vs, _) in zip(ref, ref_comps):
+                if r.shape != full_dims[cid]:
+                    raise ValueError(
+                        "hierarchical stream ended below DHP "
+                        "resolution"
+                    )
+                hmax = max(h2 for _, h2, _, _ in ref_comps)
+                vmax = max(v2 for _, _, v2, _ in ref_comps)
+                if vs < vmax:
+                    r = np.repeat(r, vmax // vs, axis=0)
+                if hs < hmax:
+                    r = np.repeat(r, hmax // hs, axis=1)
+                planes_out.append(r[:hh, :ww])
+            out = np.stack(planes_out, axis=-1)
             maxv = (1 << ph) - 1
             if (out < 0).any() or (out > maxv).any():
                 raise ValueError(
@@ -3811,16 +3839,27 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                 )
                 for c in range(nc)
             ]
+            if any(
+                hs not in (1, 2) or vs not in (1, 2)
+                for _, hs, vs, _ in comps
+            ):
+                raise NotImplementedError(
+                    "sampling factors other than 1 or 2 not "
+                    "supported in hierarchical frames"
+                )
             if dct:
                 if prec not in (8, 12):
                     raise NotImplementedError(
                         "DCT frames inside hierarchical streams are "
                         "supported at 8- or 12-bit precision only"
                     )
-                if any(hs != 1 or vs != 1 for _, hs, vs, _ in comps):
+                if progressive and any(
+                    hs != 1 or vs != 1 for _, hs, vs, _ in comps
+                ):
                     raise NotImplementedError(
-                        "subsampled DCT frames inside hierarchical "
-                        "streams not supported (1x1 only)"
+                        "subsampled PROGRESSIVE DCT frames inside "
+                        "hierarchical streams not supported "
+                        "(sequential arrangements only)"
                     )
             frame = (
                 prec, lh, lw, nc,
@@ -3856,6 +3895,7 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError(
                     "Al shall be zero in sequential DCT scans"
                 )
+            fdims = _hier_comp_dims(lh, lw, fcomps)
             if differential:
                 if ref is None:
                     raise ValueError(
@@ -3864,10 +3904,14 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                 if pending_exp is not None:
                     eh, ev = pending_exp
                     ref = [
-                        _expand_ref(r, lh, lw, eh, ev) for r in ref
+                        _expand_ref(r, *fdims[cid], eh, ev)
+                        for r, (cid, _, _, _) in zip(ref, fcomps)
                     ]
                     pending_exp = None
-                if any(r.shape != (lh, lw) for r in ref):
+                if any(
+                    r.shape != fdims[cid]
+                    for r, (cid, _, _, _) in zip(ref, fcomps)
+                ):
                     raise ValueError(
                         "reference/frame dimension mismatch"
                     )
@@ -3938,12 +3982,19 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                             "hierarchical DCT frames not supported "
                             "(one shared table)"
                         )
-                    recon = _hier_dct_recon_planes(
-                        [dct_grids[cid] for cid, _, _, _ in fcomps],
-                        qts[0], lh, lw,
+                    shift = (
                         0.0 if differential
-                        else float(1 << (prec - 1)),
+                        else float(1 << (prec - 1))
                     )
+                    # per-component reconstruction at each
+                    # component's own dims (subsampling, round 12)
+                    recon = [
+                        _hier_dct_recon_planes(
+                            [dct_grids[cid]], qts[0],
+                            *fdims[cid], shift,
+                        )[0]
+                        for cid, _, _, _ in fcomps
+                    ]
                     maxv = (1 << prec) - 1
                     if differential:
                         ref = [
@@ -3952,6 +4003,7 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                         ]
                     else:
                         ref = [np.clip(p, 0, maxv) for p in recon]
+                    ref_comps = fcomps
                     dct_grids = {}
                     frame = None
                 continue
@@ -3981,27 +4033,42 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                 else {}
             )
             ncs = len(scan)
+            # walk dims (subsampling, round 12): a single-component
+            # scan walks ITS dims; an interleaved scan requires every
+            # member at full frame dims (H.2's MCU sample interleave
+            # for subsampled members is not implemented — split the
+            # scan per component instead)
+            if ncs == 1:
+                wlk_h, wlk_w = fdims[scan_ids[0]]
+            else:
+                if any(fdims[cs] != (lh, lw) for cs in scan_ids):
+                    raise NotImplementedError(
+                        "interleaved lossless scans over subsampled "
+                        "components not supported — send one scan "
+                        "per component"
+                    )
+                wlk_h, wlk_w = lh, lw
             splanes = [
-                np.zeros((lh, lw), dtype=np.int64) for _ in scan
+                np.zeros((wlk_h, wlk_w), dtype=np.int64) for _ in scan
             ]
             default = 1 << (prec - pt - 1)
             if arith:
                 dec = _ArithDecoder(data, pos)
                 st = bytearray(_LL_STAT_BINS)
-                prev = [np.zeros(lw, dtype=np.int64) for _ in scan]
-                cur = [np.zeros(lw, dtype=np.int64) for _ in scan]
+                prev = [np.zeros(wlk_w, dtype=np.int64) for _ in scan]
+                cur = [np.zeros(wlk_w, dtype=np.int64) for _ in scan]
             else:
                 reader = _BitReader(data, pos)
                 decs = [dc_tables[td] for _, td, _ in scan]
             count = 0
             rst_index = 0
             first_y, start_x = 0, 0
-            for y in range(lh):
+            for y in range(wlk_h):
                 if arith and y and y != first_y:
                     for c in range(ncs):
                         prev[c], cur[c] = cur[c], prev[c]
                         cur[c][:] = 0
-                for x in range(lw):
+                for x in range(wlk_w):
                     if (
                         restart_interval
                         and count
@@ -4094,6 +4161,7 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
             pos = _skip_entropy(data, pos)
             if all(cid in hier_planes for cid in frame_ids):
                 ref = [hier_planes[cid] for cid in frame_ids]
+                ref_comps = fcomps
                 hier_planes = {}
                 frame = None
         # else: APPn/COM/unknown — skipped
@@ -4176,6 +4244,21 @@ AC_HDIFF12_BITS = [0, 0, 0, 0, 0, 0, 0, len(AC_HDIFF12_VALS),
                    0, 0, 0, 0, 0, 0, 0, 0]
 
 
+def _hier_comp_dims(lh: int, lw: int, comps: list) -> dict:
+    """Per-component data dimensions at frame size ``(lh, lw)``
+    (A.1.1: ``ceil(dim * sampling / max_sampling)``) — the geometry
+    every subsampled hierarchical path shares (round 12)."""
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    return {
+        cid: (
+            (lh * vs + vmax - 1) // vmax,
+            (lw * hs + hmax - 1) // hmax,
+        )
+        for cid, hs, vs, _ in comps
+    }
+
+
 def _hier_dct_recon_planes(
     qblocks: list[np.ndarray],
     qtable: np.ndarray,
@@ -4185,7 +4268,9 @@ def _hier_dct_recon_planes(
 ) -> list[np.ndarray]:
     """Dequantize + IDCT per-component ``(nby, nbx, 64)`` zigzag
     coefficient grids and crop to ``(lh, lw)`` int64 planes — THE
-    reconstruction both encoder and decoder run, verbatim."""
+    reconstruction both encoder and decoder run, verbatim. For
+    subsampled components call per component with ITS dims (grids
+    may be MCU-padded; the crop discards the padding)."""
     qflat = qtable.flatten()[ZIGZAG_FLAT].astype(np.float64)
     out = []
     for zzb in qblocks:
@@ -4236,11 +4321,12 @@ def _hier_dct_scan(
     # by component id, so a stream whose SOS lists components in a
     # different order than the SOF (or splits them across scans)
     # decodes correctly instead of silently swapping planes.
-    frame_order = [cid for cid, _, _, _ in fcomps]
+    by_hv = {cid: (hs, vs) for cid, hs, vs, _ in fcomps}
+    hmax = max(hs for _, hs, _, _ in fcomps)
+    vmax = max(vs for _, _, vs, _ in fcomps)
     scan_ids = [cs for cs, _, _ in scan]
     if len(set(scan_ids)) != len(scan_ids):
         raise ValueError("duplicate component in scan")
-    nby, nbx = (lh + 7) // 8, (lw + 7) // 8
     qts = []
     for cs, td, ta in scan:
         if cs not in by_id:
@@ -4256,9 +4342,44 @@ def _hier_dct_scan(
             "per-component quantization tables in hierarchical DCT "
             "frames not supported (one shared table)"
         )
-    grids = [
-        np.zeros((nby, nbx, 64), dtype=np.int64) for _ in scan
-    ]
+    # geometry (round 12, subsampling): an interleaved scan walks
+    # the frame's MCU grid with hs x vs blocks per component per
+    # MCU (grids come back MCU-padded — the reconstruction crop
+    # discards the padding); a single-component scan walks that
+    # component's own ceil(dim/8) block grid (A.2.2)
+    cdims = _hier_comp_dims(lh, lw, fcomps)
+    if len(scan) == 1:
+        ch, cw = cdims[scan_ids[0]]
+        nby, nbx = (ch + 7) // 8, (cw + 7) // 8
+        grids = {scan_ids[0]: np.zeros((nby, nbx, 64), dtype=np.int64)}
+        # one block = one MCU for the restart count
+        mcu_units = [
+            [(scan_ids[0], scan[0][1], scan[0][2], by, bx)]
+            for by in range(nby)
+            for bx in range(nbx)
+        ]
+    else:
+        mcus_y = (lh + 8 * vmax - 1) // (8 * vmax)
+        mcus_x = (lw + 8 * hmax - 1) // (8 * hmax)
+        grids = {}
+        for cs in scan_ids:
+            hs, vs = by_hv[cs]
+            grids[cs] = np.zeros(
+                (mcus_y * vs, mcus_x * hs, 64), dtype=np.int64
+            )
+        mcu_units = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                unit = []
+                for cs, td, ta in scan:
+                    hs, vs = by_hv[cs]
+                    for v in range(vs):
+                        for u in range(hs):
+                            unit.append(
+                                (cs, td, ta,
+                                 my * vs + v, mx * hs + u)
+                            )
+                mcu_units.append(unit)
     if arith:
         dec = _ArithDecoder(data, pos)
         dc_stats, ac_stats, fixed = _arith_new_stats(scan, conditioning)
@@ -4269,59 +4390,57 @@ def _hier_dct_scan(
         preds = {cs: 0 for cs, _, _ in scan}
     mcu_count = 0
     rst_index = 0
-    for by in range(nby):
-        for bx in range(nbx):
-            if (
-                restart_interval
-                and mcu_count
-                and mcu_count % restart_interval == 0
-            ):
-                if arith:
-                    dec.sync_restart(rst_index)
-                    dc_stats, ac_stats, fixed = _arith_new_stats(
-                        scan, conditioning
-                    )
-                    dc_ctx = {cs: 0 for cs, _, _ in scan}
+    for unit in mcu_units:
+        if (
+            restart_interval
+            and mcu_count
+            and mcu_count % restart_interval == 0
+        ):
+            if arith:
+                dec.sync_restart(rst_index)
+                dc_stats, ac_stats, fixed = _arith_new_stats(
+                    scan, conditioning
+                )
+                dc_ctx = {cs: 0 for cs, _, _ in scan}
+            else:
+                reader.sync_restart(rst_index)
+            rst_index = (rst_index + 1) % 8
+            preds = {cs: 0 for cs, _, _ in scan}
+        mcu_count += 1
+        for cs, td, ta, by, bx in unit:
+            if arith:
+                dc_cond = conditioning.get((0, td), 0x10)
+                dc_l, dc_u = dc_cond & 0x0F, dc_cond >> 4
+                kx = conditioning.get((1, ta), 5)
+                zz = np.zeros(64, dtype=np.int64)
+                _arith_decode_dc(
+                    dec, dc_stats[td], preds, dc_ctx, cs,
+                    dc_l, dc_u,
+                )
+                zz[0] = preds[cs]
+                if differential:
+                    preds[cs] = 0  # DC coded without prediction
+                _arith_decode_ac_band(
+                    dec, ac_stats[ta], fixed, zz, 1, 63, kx
+                )
+            else:
+                # ADVICE r11 #3: T.81 Table F.1 caps DC
+                # categories per precision and frame kind — the
+                # lenient default of 15 let corrupt streams
+                # clamp-decode instead of raising.
+                if precision == 8:
+                    cap = 12 if differential else 11
                 else:
-                    reader.sync_restart(rst_index)
-                rst_index = (rst_index + 1) % 8
-                preds = {cs: 0 for cs, _, _ in scan}
-            mcu_count += 1
-            for ci, (cs, td, ta) in enumerate(scan):
-                if arith:
-                    dc_cond = conditioning.get((0, td), 0x10)
-                    dc_l, dc_u = dc_cond & 0x0F, dc_cond >> 4
-                    kx = conditioning.get((1, ta), 5)
-                    zz = np.zeros(64, dtype=np.int64)
-                    _arith_decode_dc(
-                        dec, dc_stats[td], preds, dc_ctx, cs,
-                        dc_l, dc_u,
-                    )
+                    cap = 16 if differential else 15
+                zz = _hier_read_zz(
+                    reader, dc_tables[td], ac_tables[ta],
+                    max_dc_cat=cap,
+                )
+                if not differential:
+                    preds[cs] += int(zz[0])
                     zz[0] = preds[cs]
-                    if differential:
-                        preds[cs] = 0  # DC coded without prediction
-                    _arith_decode_ac_band(
-                        dec, ac_stats[ta], fixed, zz, 1, 63, kx
-                    )
-                else:
-                    # ADVICE r11 #3: T.81 Table F.1 caps DC
-                    # categories per precision and frame kind — the
-                    # lenient default of 15 let corrupt streams
-                    # clamp-decode instead of raising.
-                    if precision == 8:
-                        cap = 12 if differential else 11
-                    else:
-                        cap = 16 if differential else 15
-                    zz = _hier_read_zz(
-                        reader, dc_tables[td], ac_tables[ta],
-                        max_dc_cat=cap,
-                    )
-                    if not differential:
-                        preds[cs] += int(zz[0])
-                        zz[0] = preds[cs]
-                grids[ci][by, bx] = zz
-    del frame_order  # keyed return — the caller orders by fcomps
-    return dict(zip(scan_ids, grids))
+            grids[cs][by, bx] = zz
+    return grids
 
 
 def encode_jpeg_hierarchical_dct(
@@ -4334,6 +4453,7 @@ def encode_jpeg_hierarchical_dct(
     restart_interval: int = 0,
     precision: int = 8,
     interleave: bool = True,
+    sampling: tuple | None = None,
 ) -> bytes:
     """Encode ``(h, w)`` grayscale or ``(h, w, 3)`` RGB uint8 as a
     HIERARCHICAL JPEG whose pyramid levels are DCT frames (Annex J
@@ -4364,7 +4484,20 @@ def encode_jpeg_hierarchical_dct(
     or the whole QM coder (arithmetic). Progressive frames ignore it
     (this encoder never splits progressive scans; the decoder's
     progressive restart path is the non-hierarchical one, already
-    exercised)."""
+    exercised).
+
+    ``sampling`` (round-12 third pass — the LAST variant gate) gives
+    one ``(hs, vs)`` per component (1 or 2 each): every frame of the
+    pyramid carries each component at ``ceil(dim * s / s_max)``
+    (A.1.1), coded in MCU-interleaved scans (or per-component scans
+    with ``interleave=False``), EXP-expanded per component, and
+    corrected by a final lossless frame sent as per-component scans
+    at each component's own dims. The stream is bit-exact ON THE
+    DECIMATED COMPONENT PLANES (the decoder's raw return replicates
+    them up to the DHP grid — subsampling genuinely discards the
+    dropped samples, so exactness vs the full-resolution input holds
+    only for inputs constant on each sampling cell). Sequential
+    arrangements only."""
     if arr.ndim == 2:
         planes = [arr]
     elif arr.ndim == 3 and arr.shape[2] == 3:
@@ -4391,6 +4524,42 @@ def encode_jpeg_hierarchical_dct(
     planes = [p.astype(np.int64) for p in planes]
     nc = len(planes)
     maxv = (1 << precision) - 1
+    if sampling is None:
+        sampling = tuple((1, 1) for _ in range(nc))
+    else:
+        sampling = tuple((int(h2), int(v2)) for h2, v2 in sampling)
+        if len(sampling) != nc:
+            raise ValueError(
+                f"sampling needs one (hs, vs) per component: "
+                f"{len(sampling)} given for {nc}"
+            )
+        if any(
+            h2 not in (1, 2) or v2 not in (1, 2) for h2, v2 in sampling
+        ):
+            raise ValueError("sampling factors must be 1 or 2")
+        if progressive and any(s != (1, 1) for s in sampling):
+            raise ValueError(
+                "subsampled hierarchical DCT supports sequential "
+                "arrangements only"
+            )
+    hs_max = max(h2 for h2, _ in sampling)
+    vs_max = max(v2 for _, v2 in sampling)
+    trivial_samp = all(s == (1, 1) for s in sampling)
+
+    def comp_dims(lh: int, lw: int) -> list[tuple[int, int]]:
+        return [
+            (
+                (lh * v2 + vs_max - 1) // vs_max,
+                (lw * h2 + hs_max - 1) // hs_max,
+            )
+            for h2, v2 in sampling
+        ]
+
+    def pad_edge_to(p: np.ndarray, th: int, tw: int) -> np.ndarray:
+        return np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+            mode="edge",
+        )
 
     dims = [(h, w)]
     for _ in range(levels - 1):
@@ -4414,7 +4583,8 @@ def encode_jpeg_hierarchical_dct(
     dhp = bytearray()
     dhp += struct.pack(">BHHB", precision, h, w, nc)
     for i in range(nc):
-        dhp += bytes([i + 1, 0x11, 0])
+        h2, v2 = sampling[i]
+        dhp += bytes([i + 1, (h2 << 4) | v2, 0])
     out += b"\xff\xde" + struct.pack(">H", 2 + len(dhp)) + bytes(dhp)
     out += _dqt_segment(0, qt) if precision == 8 else _dqt_segment16(0, qt)
     if precision == 8:
@@ -4446,7 +4616,8 @@ def encode_jpeg_hierarchical_dct(
         sof = bytearray()
         sof += struct.pack(">BHHB", precision, lh, lw, nc)
         for i in range(nc):
-            sof += bytes([i + 1, 0x11, 0])
+            h2, v2 = sampling[i]
+            sof += bytes([i + 1, (h2 << 4) | v2, 0])
         return (
             bytes([0xFF, sofm])
             + struct.pack(">H", 2 + len(sof))
@@ -4462,11 +4633,21 @@ def encode_jpeg_hierarchical_dct(
 
     ref: list[np.ndarray] | None = None
     for li, (lh, lw) in enumerate(dims):
-        level = pyramid[li]
+        cdims = comp_dims(lh, lw)
+        # each component at its own dims (decimated from the level's
+        # full-resolution plane — the encoder's subsampling choice)
+        level = [
+            pyramid[li][c][:: vs_max // sampling[c][1],
+                           :: hs_max // sampling[c][0]]
+            for c in range(nc)
+        ]
         differential = ref is not None
         if differential:
             out += b"\xff\xdf" + struct.pack(">HB", 3, 0x11)  # EXP 1,1
-            ref = [_expand_ref(r, lh, lw, 1, 1) for r in ref]
+            ref = [
+                _expand_ref(r, *cdims[c], 1, 1)
+                for c, r in enumerate(ref)
+            ]
             src = [lvl - r for lvl, r in zip(level, ref)]
             shift = 0.0
         else:
@@ -4485,9 +4666,19 @@ def encode_jpeg_hierarchical_dct(
                 else (0xC5 if differential else 0xC0)
             )
         out += sof_seg(sofm, lh, lw)
+        # MCU geometry of this frame (1x1: one block per MCU)
+        mcus_y = (lh + 8 * vs_max - 1) // (8 * vs_max)
+        mcus_x = (lw + 8 * hs_max - 1) // (8 * hs_max)
         qblocks = []
-        for p in src:
-            pp = _pad_edge_to_blocks(p.astype(np.float64) - shift, 8, 8)
+        for c, p in enumerate(src):
+            h2, v2 = sampling[c]
+            # pad to the MCU grid (superset of the component's own
+            # ceil(dim/8) grid) so interleaved scans can emit every
+            # padded block and per-component scans the real prefix
+            pp = pad_edge_to(
+                p.astype(np.float64) - shift,
+                mcus_y * v2 * 8, mcus_x * h2 * 8,
+            )
             nby, nbx = pp.shape[0] // 8, pp.shape[1] // 8
             g = np.zeros((nby, nbx, 64), dtype=np.int64)
             for by in range(nby):
@@ -4608,25 +4799,55 @@ def encode_jpeg_hierarchical_dct(
                                     eobrun = 1
                         _flush_eobrun(writer, ac_codes, eobrun)
                         out += writer.flush()
-        elif arithmetic:
+        else:
+            # sequential arrangement: interleaved MCU walk (hs x vs
+            # blocks per component per MCU) or per-component scans
+            # over each component's own block grid — mirrors the
+            # decoder's _hier_dct_scan geometry exactly
+            def scan_units(members: list) -> list:
+                if len(members) == 1:
+                    c0 = members[0]
+                    rby = (cdims[c0][0] + 7) // 8
+                    rbx = (cdims[c0][1] + 7) // 8
+                    return [
+                        [(c0, by, bx)]
+                        for by in range(rby)
+                        for bx in range(rbx)
+                    ]
+                units = []
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        u = []
+                        for c in members:
+                            h2, v2 = sampling[c]
+                            for v in range(v2):
+                                for uu in range(h2):
+                                    u.append(
+                                        (c, my * v2 + v, mx * h2 + uu)
+                                    )
+                        units.append(u)
+                return units
+
             seq_scans = (
                 [list(range(nc))]
                 if interleave
                 else [[c] for c in range(nc)]
             )
-            for members in seq_scans:
-                out += sos_seg(
-                    [(c + 1, 0x00) for c in members], 0, 63
-                )
-                enc = _ArithEncoder()
-                scan0 = [(c + 1, 0, 0) for c in members]
-                dc_stats, ac_stats, fixed = _arith_new_stats(scan0, {})
-                preds = {c + 1: 0 for c in members}
-                dc_ctx = {c + 1: 0 for c in members}
-                mcu_count = 0
-                rst_index = 0
-                for by in range(nby):
-                    for bx in range(nbx):
+            if arithmetic:
+                for members in seq_scans:
+                    out += sos_seg(
+                        [(c + 1, 0x00) for c in members], 0, 63
+                    )
+                    enc = _ArithEncoder()
+                    scan0 = [(c + 1, 0, 0) for c in members]
+                    dc_stats, ac_stats, fixed = _arith_new_stats(
+                        scan0, {}
+                    )
+                    preds = {c + 1: 0 for c in members}
+                    dc_ctx = {c + 1: 0 for c in members}
+                    mcu_count = 0
+                    rst_index = 0
+                    for unit in scan_units(members):
                         if (
                             restart_interval
                             and mcu_count
@@ -4642,7 +4863,7 @@ def encode_jpeg_hierarchical_dct(
                             preds = {c + 1: 0 for c in members}
                             dc_ctx = {c + 1: 0 for c in members}
                         mcu_count += 1
-                        for c in members:
+                        for c, by, bx in unit:
                             zz = qblocks[c][by, bx]
                             _arith_encode_dc(
                                 enc, dc_stats[0], preds, dc_ctx,
@@ -4653,23 +4874,17 @@ def encode_jpeg_hierarchical_dct(
                             _arith_encode_ac_band(
                                 enc, ac_stats[0], fixed, zz, 1, 63, 5
                             )
-                out += enc.flush()
-        else:
-            seq_scans = (
-                [list(range(nc))]
-                if interleave
-                else [[c] for c in range(nc)]
-            )
-            for members in seq_scans:
-                out += sos_seg(
-                    [(c + 1, 0x00) for c in members], 0, 63
-                )
-                writer = _BitWriter()
-                preds = {c: 0 for c in members}
-                mcu_count = 0
-                rst_index = 0
-                for by in range(nby):
-                    for bx in range(nbx):
+                    out += enc.flush()
+            else:
+                for members in seq_scans:
+                    out += sos_seg(
+                        [(c + 1, 0x00) for c in members], 0, 63
+                    )
+                    writer = _BitWriter()
+                    preds = {c: 0 for c in members}
+                    mcu_count = 0
+                    rst_index = 0
+                    for unit in scan_units(members):
                         if (
                             restart_interval
                             and mcu_count
@@ -4681,7 +4896,7 @@ def encode_jpeg_hierarchical_dct(
                             rst_index = (rst_index + 1) % 8
                             preds = {c: 0 for c in members}
                         mcu_count += 1
-                        for c in members:
+                        for c, by, bx in unit:
                             zz = qblocks[c][by, bx]
                             pred = 0 if differential else preds[c]
                             newp = _emit_zz(
@@ -4689,8 +4904,13 @@ def encode_jpeg_hierarchical_dct(
                             )
                             if not differential:
                                 preds[c] = newp
-                out += writer.flush()
-        recon = _hier_dct_recon_planes(qblocks, qt, lh, lw, shift)
+                    out += writer.flush()
+        recon = [
+            _hier_dct_recon_planes(
+                [qblocks[c]], qt, *cdims[c], shift
+            )[0]
+            for c in range(nc)
+        ]
         if differential:
             ref = [
                 np.clip(r + d, 0, maxv) for r, d in zip(ref, recon)
@@ -4702,81 +4922,104 @@ def encode_jpeg_hierarchical_dct(
         # full-resolution lossless differential correction frame
         # (no EXP: same size as the last DCT frame) — the SOF7/SOF15
         # entropy walk of `encode_jpeg_hierarchical`, differential
-        # branch only (prediction = reference, modulo-2^16 recentred)
+        # branch only (prediction = reference, modulo-2^16 recentred).
+        # With subsampling (or interleave=False) it is sent as one
+        # scan per component at each component's own dims — the
+        # correction operates on the DECIMATED planes the DCT stages
+        # approximated.
         sofm = 0xCF if arithmetic else 0xC7
         sof = bytearray()
         sof += struct.pack(">BHHB", precision, h, w, nc)
         for i in range(nc):
-            sof += bytes([i + 1, 0x11, 0])
+            h2, v2 = sampling[i]
+            sof += bytes([i + 1, (h2 << 4) | v2, 0])
         out += bytes([0xFF, sofm])
         out += struct.pack(">H", 2 + len(sof)) + bytes(sof)
-        sos = bytearray([nc])
-        for i in range(nc):
-            sos += bytes([i + 1, 0x00 if arithmetic else 0x10])
-        sos += bytes([0, 0, 0])
-        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
-        if arithmetic:
-            enc = _ArithEncoder()
-            st = bytearray(_LL_STAT_BINS)
-            prev = [np.zeros(w, dtype=np.int64) for _ in range(nc)]
-            cur = [np.zeros(w, dtype=np.int64) for _ in range(nc)]
-        else:
-            writer = _BitWriter()
-        count = 0
-        rst_index = 0
-        first_y, start_x = 0, 0
-        for y in range(h):
-            if arithmetic and y and y != first_y:
-                for c in range(nc):
-                    prev[c], cur[c] = cur[c], prev[c]
-                    cur[c][:] = 0
-            for x in range(w):
-                if (
-                    restart_interval
-                    and count
-                    and count % restart_interval == 0
-                ):
-                    if arithmetic:
-                        out += enc.flush()
-                        out += bytes([0xFF, 0xD0 + rst_index])
-                        enc = _ArithEncoder()
-                        st = bytearray(_LL_STAT_BINS)
-                        for c in range(nc):
-                            prev[c][:] = 0
-                            cur[c][:] = 0
-                    else:
-                        out += writer.flush()
-                        writer = _BitWriter()
-                        out += bytes([0xFF, 0xD0 + rst_index])
-                    rst_index = (rst_index + 1) % 8
-                    first_y, start_x = y, x
-                for c in range(nc):
-                    diff = (
-                        int(planes[c][y, x]) - int(ref[c][y, x])
-                    ) & 0xFFFF
-                    if diff >= 0x8000:
-                        diff -= 0x10000
-                    if arithmetic:
-                        if diff == -32768:
-                            diff = 32768
-                        ca = _lossless_diff_cat(
-                            int(cur[c][x - 1])
-                            if x > start_x
-                            or (y > first_y and x > 0)
-                            else 0,
-                            0, 1,
-                        )
-                        cb = _lossless_diff_cat(int(prev[c][x]), 0, 1)
-                        s0 = 4 * (ca + 5 * cb)
-                        xbase = _LL_X_LARGE if cb >= 3 else _LL_X_SMALL
-                        _arith_encode_lossless_diff(
-                            enc, st, s0, xbase, diff
-                        )
-                        cur[c][x] = diff
-                    else:
-                        _hier_code_diff_huff(writer, ll_codes, diff)
-                count += 1
-        out += enc.flush() if arithmetic else writer.flush()
+        full_cdims = comp_dims(h, w)
+        comp_full = [
+            planes[c][:: vs_max // sampling[c][1],
+                      :: hs_max // sampling[c][0]]
+            for c in range(nc)
+        ]
+        ll_scans = (
+            [list(range(nc))]
+            if (interleave and trivial_samp)
+            else [[c] for c in range(nc)]
+        )
+        for members in ll_scans:
+            sos = bytearray([len(members)])
+            for i in members:
+                sos += bytes([i + 1, 0x00 if arithmetic else 0x10])
+            sos += bytes([0, 0, 0])
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + bytes(sos)
+            wh, ww2 = (h, w) if len(members) > 1 else full_cdims[members[0]]
+            mn = len(members)
+            if arithmetic:
+                enc = _ArithEncoder()
+                st = bytearray(_LL_STAT_BINS)
+                prev = [np.zeros(ww2, dtype=np.int64) for _ in range(mn)]
+                cur = [np.zeros(ww2, dtype=np.int64) for _ in range(mn)]
+            else:
+                writer = _BitWriter()
+            count = 0
+            rst_index = 0
+            first_y, start_x = 0, 0
+            for y in range(wh):
+                if arithmetic and y and y != first_y:
+                    for ci in range(mn):
+                        prev[ci], cur[ci] = cur[ci], prev[ci]
+                        cur[ci][:] = 0
+                for x in range(ww2):
+                    if (
+                        restart_interval
+                        and count
+                        and count % restart_interval == 0
+                    ):
+                        if arithmetic:
+                            out += enc.flush()
+                            out += bytes([0xFF, 0xD0 + rst_index])
+                            enc = _ArithEncoder()
+                            st = bytearray(_LL_STAT_BINS)
+                            for ci in range(mn):
+                                prev[ci][:] = 0
+                                cur[ci][:] = 0
+                        else:
+                            out += writer.flush()
+                            writer = _BitWriter()
+                            out += bytes([0xFF, 0xD0 + rst_index])
+                        rst_index = (rst_index + 1) % 8
+                        first_y, start_x = y, x
+                    for ci, c in enumerate(members):
+                        diff = (
+                            int(comp_full[c][y, x]) - int(ref[c][y, x])
+                        ) & 0xFFFF
+                        if diff >= 0x8000:
+                            diff -= 0x10000
+                        if arithmetic:
+                            if diff == -32768:
+                                diff = 32768
+                            ca = _lossless_diff_cat(
+                                int(cur[ci][x - 1])
+                                if x > start_x
+                                or (y > first_y and x > 0)
+                                else 0,
+                                0, 1,
+                            )
+                            cb = _lossless_diff_cat(
+                                int(prev[ci][x]), 0, 1
+                            )
+                            s0 = 4 * (ca + 5 * cb)
+                            xbase = (
+                                _LL_X_LARGE if cb >= 3 else _LL_X_SMALL
+                            )
+                            _arith_encode_lossless_diff(
+                                enc, st, s0, xbase, diff
+                            )
+                            cur[ci][x] = diff
+                        else:
+                            _hier_code_diff_huff(writer, ll_codes, diff)
+                    count += 1
+            out += enc.flush() if arithmetic else writer.flush()
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -867,14 +867,32 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # the channel sums are unchanged)
                     prog_f = (mid // 48) % 2 == 1
                     use12 = (mid // 96) % 2 == 1
+                    # subsampled 4:2:0-style pyramids (the last
+                    # closed gate): the pattern is 8x8-block-flat,
+                    # so 2x decimation + replication reproduces it
+                    # EXACTLY (block size 8 is even) — the oracle's
+                    # channel sums are unchanged on the replicated
+                    # RGB payload
+                    use_samp = not prog_f and (mid // 192) % 2 == 1
+                    src_arr = (
+                        arr.astype(np.uint16) << 4 if use12 else arr
+                    )
+                    if use_samp:
+                        src_arr = np.repeat(
+                            src_arr[..., None], 3, axis=-1
+                        )
                     payload = encode_jpeg_hierarchical_dct(
-                        (arr.astype(np.uint16) << 4) if use12 else arr,
+                        src_arr,
                         quality=50, levels=2 + mid % 2,
                         arithmetic=(mid // 24) % 2 == 1,
                         progressive=prog_f,
                         restart_interval=rst,
                         precision=12 if use12 else 8,
                         interleave=(mid // 9) % 2 == 0,
+                        sampling=(
+                            ((1, 1), (2, 2), (2, 2))
+                            if use_samp else None
+                        ),
                     )
                 rows.append({"media_id": mid, "content": payload})
             yield pd.DataFrame(rows, columns=["media_id", "content"])

@@ -58,15 +58,17 @@ Scope (documented, spec-cited):
   (MCU-interleaved or per-component scans), EXP expands per
   component, the final lossless frame corrects each decimated
   plane exactly, and the raw return replicates planes up to the
-  DHP grid. With that, EVERY T.81 frame type AND the round-11
-  verdict's full variant list decode; the residual
-  ``NotImplementedError`` surfaces are three narrow
-  sub-combinations — interleaved lossless scans over SUBSAMPLED
-  components (the per-component split, which this encoder emits,
-  is the supported form), subsampled PROGRESSIVE hierarchical
-  frames, and per-component quantization tables in hierarchical
-  DCT frames — distinct from corrupt payloads which raise
-  ``ValueError`` (the multimodal error contract, ADVICE r8).
+  DHP grid — plus per-component QUANTIZATION TABLES in
+  hierarchical DCT frames (the standard luma/chroma two-table
+  practice, each component dequantized with its own table). With
+  that, EVERY T.81 frame type AND the round-11 verdict's full
+  variant list decode; the residual ``NotImplementedError``
+  surfaces are two narrow sub-combinations — interleaved lossless
+  scans over SUBSAMPLED components (the per-component split,
+  which this encoder emits, is the supported form) and subsampled
+  PROGRESSIVE hierarchical frames — distinct from corrupt
+  payloads which raise ``ValueError`` (the multimodal error
+  contract, ADVICE r8).
 - **encode**: baseline SOF0 (grayscale, 4:4:4 or 4:2:0 YCbCr,
   optional restart markers), a PROGRESSIVE encoder
   (:func:`encode_jpeg_progressive`, spectral selection with
@@ -3691,12 +3693,14 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
         nonlocal prog, ref, frame, ref_comps
         if prog is None:
             return
-        state, fprec, flh, flw, fdiff, qt = prog
-        grids = [state.coefs[cid] for cid, _, _, _ in state.frame[2]]
-        recon = _hier_dct_recon_planes(
-            grids, qt, flh, flw,
-            0.0 if fdiff else float(1 << (fprec - 1)),
-        )
+        state, fprec, flh, flw, fdiff, qts = prog
+        shift = 0.0 if fdiff else float(1 << (fprec - 1))
+        recon = [
+            _hier_dct_recon_planes(
+                [state.coefs[cid]], qts[cid], flh, flw, shift
+            )[0]
+            for cid, _, _, _ in state.frame[2]
+        ]
         maxv = (1 << fprec) - 1
         if fdiff:
             ref = [
@@ -3921,28 +3925,23 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                 )
             if dct and progressive:
                 if prog is None:
-                    # first scan of the frame: pin the (shared)
+                    # first scan of the frame: pin each component's
                     # quantizer and open the coefficient accumulator
-                    qts = []
+                    # (per-component tables, round-12 fourth pass)
+                    qts = {}
                     for cid, _, _, tq in fcomps:
                         if tq not in qtables:
                             raise ValueError(
                                 f"missing quantization table {tq}"
                             )
-                        qts.append(qtables[tq].astype(np.int64))
-                    if any((q != qts[0]).any() for q in qts[1:]):
-                        raise NotImplementedError(
-                            "per-component quantization tables in "
-                            "hierarchical DCT frames not supported "
-                            "(one shared table)"
-                        )
+                        qts[cid] = qtables[tq].astype(np.int64)
                     prog = [
                         _ProgressiveState(
                             (lh, lw, fcomps),
                             differential=differential,
                             precision=prec,
                         ),
-                        prec, lh, lw, differential, qts[0],
+                        prec, lh, lw, differential, qts,
                     ]
                 state = prog[0]
                 ah, al = ahal >> 4, ahal & 0x0F
@@ -3972,28 +3971,25 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                 )
                 pos = _skip_entropy(data, pos)
                 if all(cid in dct_grids for cid, _, _, _ in fcomps):
-                    qts = [
-                        qtables[tq].astype(np.int64)
-                        for _, _, _, tq in fcomps
-                    ]
-                    if any((q != qts[0]).any() for q in qts[1:]):
-                        raise NotImplementedError(
-                            "per-component quantization tables in "
-                            "hierarchical DCT frames not supported "
-                            "(one shared table)"
-                        )
+                    for _, _, _, tq in fcomps:
+                        if tq not in qtables:
+                            raise ValueError(
+                                f"missing quantization table {tq}"
+                            )
                     shift = (
                         0.0 if differential
                         else float(1 << (prec - 1))
                     )
                     # per-component reconstruction at each
-                    # component's own dims (subsampling, round 12)
+                    # component's own dims and with each
+                    # component's OWN quantizer (round 12)
                     recon = [
                         _hier_dct_recon_planes(
-                            [dct_grids[cid]], qts[0],
+                            [dct_grids[cid]],
+                            qtables[tq].astype(np.int64),
                             *fdims[cid], shift,
                         )[0]
-                        for cid, _, _, _ in fcomps
+                        for cid, _, _, tq in fcomps
                     ]
                     maxv = (1 << prec) - 1
                     if differential:
@@ -4327,21 +4323,14 @@ def _hier_dct_scan(
     scan_ids = [cs for cs, _, _ in scan]
     if len(set(scan_ids)) != len(scan_ids):
         raise ValueError("duplicate component in scan")
-    qts = []
     for cs, td, ta in scan:
         if cs not in by_id:
             raise ValueError(f"scan references unknown component {cs}")
         tq = by_id[cs]
         if tq not in qtables:
             raise ValueError(f"missing quantization table {tq}")
-        qts.append(qtables[tq].astype(np.int64))
         if not arith and (td not in dc_tables or ta not in ac_tables):
             raise ValueError("scan references missing Huffman table")
-    if any((q != qts[0]).any() for q in qts[1:]):
-        raise NotImplementedError(
-            "per-component quantization tables in hierarchical DCT "
-            "frames not supported (one shared table)"
-        )
     # geometry (round 12, subsampling): an interleaved scan walks
     # the frame's MCU grid with hs x vs blocks per component per
     # MCU (grids come back MCU-padded — the reconstruction crop
@@ -4454,6 +4443,7 @@ def encode_jpeg_hierarchical_dct(
     precision: int = 8,
     interleave: bool = True,
     sampling: tuple | None = None,
+    chroma_tables: bool = False,
 ) -> bytes:
     """Encode ``(h, w)`` grayscale or ``(h, w, 3)`` RGB uint8 as a
     HIERARCHICAL JPEG whose pyramid levels are DCT frames (Annex J
@@ -4578,6 +4568,20 @@ def encode_jpeg_hierarchical_dct(
     qt = scale_quant_table(QUANT_LUMA, quality)
     if precision == 12:
         qt = qt * 16
+    # per-component quantization tables (round-12 fourth pass):
+    # standard two-table practice — Annex K luminance for component
+    # 0, chrominance for the rest, declared as DQT 0 / DQT 1
+    if chroma_tables:
+        if nc < 2:
+            raise ValueError(
+                "chroma_tables needs a multi-component image"
+            )
+        qt_c = scale_quant_table(QUANT_CHROMA, quality)
+        if precision == 12:
+            qt_c = qt_c * 16
+        qtabs = [qt] + [qt_c] * (nc - 1)
+    else:
+        qtabs = [qt] * nc
     out = bytearray()
     out += b"\xff\xd8"
     dhp = bytearray()
@@ -4587,6 +4591,12 @@ def encode_jpeg_hierarchical_dct(
         dhp += bytes([i + 1, (h2 << 4) | v2, 0])
     out += b"\xff\xde" + struct.pack(">H", 2 + len(dhp)) + bytes(dhp)
     out += _dqt_segment(0, qt) if precision == 8 else _dqt_segment16(0, qt)
+    if chroma_tables:
+        out += (
+            _dqt_segment(1, qtabs[1])
+            if precision == 8
+            else _dqt_segment16(1, qtabs[1])
+        )
     if precision == 8:
         dc_bits, dc_vals = DC_HDIFF_BITS, DC_HDIFF_VALS
         ac_bits, ac_vals = AC_HDIFF_BITS, AC_HDIFF_VALS
@@ -4617,7 +4627,8 @@ def encode_jpeg_hierarchical_dct(
         sof += struct.pack(">BHHB", precision, lh, lw, nc)
         for i in range(nc):
             h2, v2 = sampling[i]
-            sof += bytes([i + 1, (h2 << 4) | v2, 0])
+            tq_i = 1 if chroma_tables and i > 0 else 0
+            sof += bytes([i + 1, (h2 << 4) | v2, tq_i])
         return (
             bytes([0xFF, sofm])
             + struct.pack(">H", 2 + len(sof))
@@ -4685,7 +4696,7 @@ def encode_jpeg_hierarchical_dct(
                 for bx in range(nbx):
                     block = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
                     quant = np.rint(
-                        (_DCT @ block @ _DCT.T) / qt
+                        (_DCT @ block @ _DCT.T) / qtabs[c]
                     ).astype(np.int64)
                     g[by, bx] = quant.flatten()[ZIGZAG_FLAT]
             qblocks.append(g)
@@ -4907,7 +4918,7 @@ def encode_jpeg_hierarchical_dct(
                     out += writer.flush()
         recon = [
             _hier_dct_recon_planes(
-                [qblocks[c]], qt, *cdims[c], shift
+                [qblocks[c]], qtabs[c], *cdims[c], shift
             )[0]
             for c in range(nc)
         ]

@@ -1825,3 +1825,36 @@ class TestHierarchicalVariants:
         rgb = jc.decode_jpeg(enc)
         assert (rgb[..., 0] == a8).all()
         assert (rgb[..., 1] == a8).all()
+
+    def test_per_component_quant_tables(self):
+        # round-12 fourth pass: the standard two-table practice —
+        # Annex K luminance for component 0 (DQT 0), chrominance for
+        # the rest (DQT 1) — through every hierarchical arrangement;
+        # reconstruction dequantizes each component with ITS table
+        rng = np.random.default_rng(107)
+        arr = rng.integers(0, 256, (18, 16, 3), dtype=np.uint8)
+        for arith in (False, True):
+            for prog in (False, True):
+                enc = jc.encode_jpeg_hierarchical_dct(
+                    arr, levels=2, arithmetic=arith,
+                    progressive=prog, chroma_tables=True,
+                )
+                assert enc.count(b"\xff\xdb") == 2
+                dec, _ = jc.decode_jpeg_hierarchical_raw(enc)
+                assert (dec == arr).all(), (arith, prog)
+        # composes with subsampling, 12-bit and restarts
+        g = rng.integers(0, 4096, (17, 15, 3), dtype=np.uint16)
+        samp = ((1, 1), (2, 2), (2, 2))
+        enc = jc.encode_jpeg_hierarchical_dct(
+            g, levels=2, precision=12, chroma_tables=True,
+            sampling=samp, restart_interval=3,
+        )
+        dec, p = jc.decode_jpeg_hierarchical_raw(enc)
+        assert p == 12
+        hh, ww = g.shape[:2]
+        for c, (hs, vs) in enumerate(samp):
+            want = g[..., c][:: 2 // vs, :: 2 // hs]
+            want = np.repeat(
+                np.repeat(want, 2 // vs, 0), 2 // hs, 1
+            )[:hh, :ww]
+            assert (dec[..., c] == want).all(), c

@@ -60,15 +60,17 @@ Scope (documented, spec-cited):
   plane exactly, and the raw return replicates planes up to the
   DHP grid — plus per-component QUANTIZATION TABLES in
   hierarchical DCT frames (the standard luma/chroma two-table
-  practice, each component dequantized with its own table). With
-  that, EVERY T.81 frame type AND the round-11 verdict's full
-  variant list decode; the residual ``NotImplementedError``
-  surfaces are two narrow sub-combinations — interleaved lossless
-  scans over SUBSAMPLED components (the per-component split,
-  which this encoder emits, is the supported form) and subsampled
-  PROGRESSIVE hierarchical frames — distinct from corrupt
-  payloads which raise ``ValueError`` (the multimodal error
-  contract, ADVICE r8).
+  practice, each component dequantized with its own table) and
+  subsampled PROGRESSIVE hierarchical frames (MCU-interleaved DC
+  scans, per-component AC band scans over each component's own
+  grid). With that, EVERY T.81 frame type AND the round-11
+  verdict's full variant list decode; the single residual
+  ``NotImplementedError`` surface in hierarchical streams is
+  interleaved LOSSLESS scans over SUBSAMPLED components (H.2's
+  MCU sample interleave — the per-component split, which this
+  encoder emits and the spec equally allows, is the supported
+  form) — distinct from corrupt payloads which raise
+  ``ValueError`` (the multimodal error contract, ADVICE r8).
 - **encode**: baseline SOF0 (grayscale, 4:4:4 or 4:2:0 YCbCr,
   optional restart markers), a PROGRESSIVE encoder
   (:func:`encode_jpeg_progressive`, spectral selection with
@@ -3695,9 +3697,10 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
             return
         state, fprec, flh, flw, fdiff, qts = prog
         shift = 0.0 if fdiff else float(1 << (fprec - 1))
+        pdims = _hier_comp_dims(flh, flw, state.frame[2])
         recon = [
             _hier_dct_recon_planes(
-                [state.coefs[cid]], qts[cid], flh, flw, shift
+                [state.coefs[cid]], qts[cid], *pdims[cid], shift
             )[0]
             for cid, _, _, _ in state.frame[2]
         ]
@@ -3856,14 +3859,6 @@ def decode_jpeg_hierarchical_raw(content: bytes) -> tuple[np.ndarray, int]:
                     raise NotImplementedError(
                         "DCT frames inside hierarchical streams are "
                         "supported at 8- or 12-bit precision only"
-                    )
-                if progressive and any(
-                    hs != 1 or vs != 1 for _, hs, vs, _ in comps
-                ):
-                    raise NotImplementedError(
-                        "subsampled PROGRESSIVE DCT frames inside "
-                        "hierarchical streams not supported "
-                        "(sequential arrangements only)"
                     )
             frame = (
                 prec, lh, lw, nc,
@@ -4527,11 +4522,6 @@ def encode_jpeg_hierarchical_dct(
             h2 not in (1, 2) or v2 not in (1, 2) for h2, v2 in sampling
         ):
             raise ValueError("sampling factors must be 1 or 2")
-        if progressive and any(s != (1, 1) for s in sampling):
-            raise ValueError(
-                "subsampled hierarchical DCT supports sequential "
-                "arrangements only"
-            )
     hs_max = max(h2 for h2, _ in sampling)
     vs_max = max(v2 for _, v2 in sampling)
     trivial_samp = all(s == (1, 1) for s in sampling)
@@ -4711,44 +4701,57 @@ def encode_jpeg_hierarchical_dct(
                 dc_stats, _, fixed = _arith_new_stats(scan0, {})
                 preds = {c + 1: 0 for c in range(nc)}
                 dc_ctx = {c + 1: 0 for c in range(nc)}
-                for by in range(nby):
-                    for bx in range(nbx):
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
                         for c in range(nc):
-                            _arith_encode_dc(
-                                enc, dc_stats[0], preds, dc_ctx,
-                                c + 1, int(qblocks[c][by, bx, 0]),
-                                0, 1,
-                            )
-                            if differential:
-                                preds[c + 1] = 0
+                            h2, v2 = sampling[c]
+                            for v in range(v2):
+                                for u in range(h2):
+                                    _arith_encode_dc(
+                                        enc, dc_stats[0], preds,
+                                        dc_ctx, c + 1,
+                                        int(qblocks[c][
+                                            my * v2 + v,
+                                            mx * h2 + u, 0,
+                                        ]),
+                                        0, 1,
+                                    )
+                                    if differential:
+                                        preds[c + 1] = 0
                 out += enc.flush()
             else:
                 writer = _BitWriter()
                 preds = {c: 0 for c in range(nc)}
-                for by in range(nby):
-                    for bx in range(nbx):
-                        for c in range(nc):
-                            dc = int(qblocks[c][by, bx, 0])
-                            diff = dc - (
-                                0 if differential else preds[c]
-                            )
-                            if not differential:
-                                preds[c] = dc
-                            size = _category(diff)
-                            code, length = dc_codes[size]
-                            writer.write(code, length)
-                            if size:
-                                mag = (
-                                    diff if diff >= 0
-                                    else diff + (1 << size) - 1
-                                )
-                                writer.write(
-                                    mag & ((1 << size) - 1), size
-                                )
+                dc_units = [
+                    (c, my * sampling[c][1] + v, mx * sampling[c][0] + u)
+                    for my in range(mcus_y)
+                    for mx in range(mcus_x)
+                    for c in range(nc)
+                    for v in range(sampling[c][1])
+                    for u in range(sampling[c][0])
+                ]
+                for c, by, bx in dc_units:
+                    dc = int(qblocks[c][by, bx, 0])
+                    diff = dc - (0 if differential else preds[c])
+                    if not differential:
+                        preds[c] = dc
+                    size = _category(diff)
+                    code, length = dc_codes[size]
+                    writer.write(code, length)
+                    if size:
+                        mag = (
+                            diff if diff >= 0
+                            else diff + (1 << size) - 1
+                        )
+                        writer.write(mag & ((1 << size) - 1), size)
                 out += writer.flush()
             # AC scans: per component, per spectral band, with
-            # EOB-run coding (Huffman) / band walks (arithmetic)
+            # EOB-run coding (Huffman) / band walks (arithmetic) —
+            # non-interleaved scans walk the component's own
+            # ceil(dim/8) grid (the DC scan covered the MCU padding)
             for c in range(nc):
+                rby = (cdims[c][0] + 7) // 8
+                rbx = (cdims[c][1] + 7) // 8
                 for ks, ke in ((1, 5), (6, 63)):
                     out += sos_seg([(c + 1, 0x00)], ks, ke)
                     if arithmetic:
@@ -4756,8 +4759,8 @@ def encode_jpeg_hierarchical_dct(
                         _, ac_stats, fixed = _arith_new_stats(
                             [(c + 1, 0, 0)], {}
                         )
-                        for by in range(nby):
-                            for bx in range(nbx):
+                        for by in range(rby):
+                            for bx in range(rbx):
                                 _arith_encode_ac_band(
                                     enc, ac_stats[0], fixed,
                                     qblocks[c][by, bx], ks, ke, 5,
@@ -4766,8 +4769,8 @@ def encode_jpeg_hierarchical_dct(
                     else:
                         writer = _BitWriter()
                         eobrun = 0
-                        for by in range(nby):
-                            for bx in range(nbx):
+                        for by in range(rby):
+                            for bx in range(rbx):
                                 zz = qblocks[c][by, bx]
                                 nz = [
                                     k for k in range(ks, ke + 1)

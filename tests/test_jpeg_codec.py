@@ -1858,3 +1858,34 @@ class TestHierarchicalVariants:
                 np.repeat(want, 2 // vs, 0), 2 // hs, 1
             )[:hh, :ww]
             assert (dec[..., c] == want).all(), c
+
+    def test_subsampled_progressive_hierarchical(self):
+        # round-12 fifth pass: subsampled components through the
+        # PROGRESSIVE hierarchical arrangements — MCU-interleaved DC
+        # scans over the padded grids, per-component AC band scans
+        # over each component's own ceil(dim/8) grid, per-component
+        # finalize crops
+        rng = np.random.default_rng(113)
+        arr = rng.integers(0, 256, (21, 19, 3), dtype=np.uint8)
+        samp = ((1, 1), (2, 2), (2, 2))
+
+        def expected(a):
+            hh, ww = a.shape[:2]
+            outs = []
+            for c, (hs, vs) in enumerate(samp):
+                p = a[..., c][:: 2 // vs, :: 2 // hs]
+                p = np.repeat(
+                    np.repeat(p, 2 // vs, 0), 2 // hs, 1
+                )[:hh, :ww]
+                outs.append(p)
+            return np.stack(outs, -1)
+
+        for arith in (False, True):
+            for ct in (False, True):
+                enc = jc.encode_jpeg_hierarchical_dct(
+                    arr, levels=2, arithmetic=arith,
+                    progressive=True, sampling=samp,
+                    chroma_tables=ct,
+                )
+                dec, _ = jc.decode_jpeg_hierarchical_raw(enc)
+                assert (dec == expected(arr)).all(), (arith, ct)

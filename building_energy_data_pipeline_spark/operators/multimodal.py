@@ -1259,41 +1259,49 @@ def container_frame_sums(df: DataFrame) -> DataFrame:
     ``mapInPandas`` and only ~50 bytes of features per frame ever
     shuffle."""
 
-    def run(batches: Iterator) -> Iterator:
-        import pandas as pd
-
-        from .gif_codec import decode_gif
-
-        cols = [
-            "media_id", "frame_idx", "height", "width",
-            "sum_r", "sum_g", "sum_b",
-        ]
-        for pdf in batches:
-            rows = []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                raw = bytes(content) if content is not None else b""
-                if raw[:4] == b"GIF8":
-                    frames, _ = decode_gif(raw)
-                else:
-                    frames, _ = decode_avi_mjpeg(raw)
-                for i, arr in enumerate(frames):
-                    sums = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
-                    rows.append(
-                        {
-                            "media_id": int(mid),
-                            "frame_idx": i,
-                            "height": arr.shape[0],
-                            "width": arr.shape[1],
-                            "sum_r": int(sums[0]),
-                            "sum_g": int(sums[1]),
-                            "sum_b": int(sums[2]),
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=cols)
-
     return df.select("media_id", "content").mapInPandas(
-        run, VIDEO_FRAME_SUM_SCHEMA
+        frame_sums_batches, VIDEO_FRAME_SUM_SCHEMA
     )
+
+
+def frame_sums_batches(batches: Iterator) -> Iterator:
+    """Batch-generator body of :func:`container_frame_sums`, exposed
+    module-level so a payload-SYNTHESIS generator can be composed in
+    front of it inside ONE ``mapInPandas`` stage (guide §4: the codec
+    queries previously ran synth and decode as two chained Python
+    stages, shipping every payload Python→JVM→Python for no reason —
+    fusing halves the boundary crossings and drops a plan node while
+    executing the identical decode code path)."""
+    import pandas as pd
+
+    from .gif_codec import decode_gif
+
+    cols = [
+        "media_id", "frame_idx", "height", "width",
+        "sum_r", "sum_g", "sum_b",
+    ]
+    for pdf in batches:
+        rows = []
+        for mid, content in zip(pdf["media_id"], pdf["content"]):
+            raw = bytes(content) if content is not None else b""
+            if raw[:4] == b"GIF8":
+                frames, _ = decode_gif(raw)
+            else:
+                frames, _ = decode_avi_mjpeg(raw)
+            for i, arr in enumerate(frames):
+                sums = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "frame_idx": i,
+                        "height": arr.shape[0],
+                        "width": arr.shape[1],
+                        "sum_r": int(sums[0]),
+                        "sum_g": int(sums[1]),
+                        "sum_b": int(sums[2]),
+                    }
+                )
+        yield pd.DataFrame(rows, columns=cols)
 
 
 #: historical name from the AVI-only round-9 first pass; the sniffing
@@ -1461,33 +1469,42 @@ def image_channel_sums(
     Means are ``sum / (height*width)`` when a caller wants them."""
 
     def run(batches: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                # NULL payload -> empty bytes, same convention as
-                # the audio path (decode_image md5-seeds from b'')
-                raw = bytes(content) if content is not None else b""
-                arr = decode_image(raw, use_real_codec)
-                sums = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
-                rows.append(
-                    {
-                        "media_id": int(mid),
-                        "height": arr.shape[0],
-                        "width": arr.shape[1],
-                        "sum_r": int(sums[0]),
-                        "sum_g": int(sums[1]),
-                        "sum_b": int(sums[2]),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[
-                "media_id", "height", "width", "sum_r", "sum_g", "sum_b",
-            ])
+        return channel_sums_batches(batches, use_real_codec)
 
     return df.select("media_id", "content").mapInPandas(
         run, IMAGE_CHECKSUM_SCHEMA
     )
+
+
+def channel_sums_batches(
+    batches: Iterator, use_real_codec: bool = False
+) -> Iterator:
+    """Batch-generator body of :func:`image_channel_sums`, exposed
+    module-level for single-stage composition with a payload-synthesis
+    generator (see :func:`frame_sums_batches` for the why)."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for mid, content in zip(pdf["media_id"], pdf["content"]):
+            # NULL payload -> empty bytes, same convention as
+            # the audio path (decode_image md5-seeds from b'')
+            raw = bytes(content) if content is not None else b""
+            arr = decode_image(raw, use_real_codec)
+            sums = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            rows.append(
+                {
+                    "media_id": int(mid),
+                    "height": arr.shape[0],
+                    "width": arr.shape[1],
+                    "sum_r": int(sums[0]),
+                    "sum_g": int(sums[1]),
+                    "sum_b": int(sums[2]),
+                }
+            )
+        yield pd.DataFrame(rows, columns=[
+            "media_id", "height", "width", "sum_r", "sum_g", "sum_b",
+        ])
 
 
 RESIZED_SCHEMA = "media_id long, height int, width int, content binary"
@@ -1630,38 +1647,47 @@ def audio_int_stats(df: DataFrame, container: str = "pcm") -> DataFrame:
         )
 
     def run(batches: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                raw = bytes(content) if content is not None else b""
-                if container == "wav":
-                    pcm = (
-                        decode_wav(raw)[0].ravel().astype(np.int64)
-                        if raw
-                        else np.zeros(0, dtype=np.int64)
-                    )
-                else:
-                    pcm = np.frombuffer(
-                        raw[: len(raw) // 2 * 2], dtype="<i2"
-                    ).astype(np.int64)
-                mag = np.abs(pcm)
-                rows.append(
-                    {
-                        "media_id": int(mid),
-                        "n_samples": len(pcm),
-                        "sum_abs": int(mag.sum()) if len(pcm) else 0,
-                        "peak": int(mag.max()) if len(pcm) else 0,
-                    }
-                )
-            yield pd.DataFrame(
-                rows, columns=["media_id", "n_samples", "sum_abs", "peak"]
-            )
+        return audio_stats_batches(batches, container)
 
     return df.select("media_id", "content").mapInPandas(
         run, AUDIO_INT_SCHEMA
     )
+
+
+def audio_stats_batches(
+    batches: Iterator, container: str = "pcm"
+) -> Iterator:
+    """Batch-generator body of :func:`audio_int_stats`, exposed
+    module-level for single-stage composition with a payload-synthesis
+    generator (see :func:`frame_sums_batches` for the why)."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for mid, content in zip(pdf["media_id"], pdf["content"]):
+            raw = bytes(content) if content is not None else b""
+            if container == "wav":
+                pcm = (
+                    decode_wav(raw)[0].ravel().astype(np.int64)
+                    if raw
+                    else np.zeros(0, dtype=np.int64)
+                )
+            else:
+                pcm = np.frombuffer(
+                    raw[: len(raw) // 2 * 2], dtype="<i2"
+                ).astype(np.int64)
+            mag = np.abs(pcm)
+            rows.append(
+                {
+                    "media_id": int(mid),
+                    "n_samples": len(pcm),
+                    "sum_abs": int(mag.sum()) if len(pcm) else 0,
+                    "peak": int(mag.max()) if len(pcm) else 0,
+                }
+            )
+        yield pd.DataFrame(
+            rows, columns=["media_id", "n_samples", "sum_abs", "peak"]
+        )
 
 
 AUDIO_FEATURE_SCHEMA = (

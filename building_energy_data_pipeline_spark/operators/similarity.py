@@ -91,7 +91,18 @@ def brute_force_topk(
 
     Output: ``query_id, neighbor_id, rank, cos`` (cos rounded to 6;
     rank on the raw double, ties broken by neighbor id).
+
+    r13: the corpus side goes through the conditional
+    :func:`operators.scale.spread_scan` (guide §2.5 input skew) —
+    the per-pair cosine is an interpreted higher-order fold, and on
+    a single-split scan the whole |corpus|×|Q| scoring ran as ONE
+    task (measured −38% on the q154 exact branch at sf0.1); at
+    warehouse scale the scan is multi-split and the fan-out is a
+    no-op.
     """
+    from .scale import spread_scan
+
+    corpus = spread_scan(corpus, cols=[id_col, vec_col], by=[id_col])
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
@@ -329,6 +340,11 @@ def ivf_topk(
     (recall < 1 when true neighbors live in unprobed buckets; raise
     ``nprobe`` to trade scan cost for recall — the q121 curve).
     """
+    from .scale import spread_scan
+
+    # conditional fan-out of the corpus before the interpreted
+    # assignment/cosine folds (brute_force_topk's r13 note)
+    corpus = spread_scan(corpus, cols=[id_col, vec_col], by=[id_col])
     c = assign_centroids(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
@@ -652,6 +668,11 @@ def quantized_topk(
     corpus scan, per-query top-k window; quantized codes shrink scan
     bytes 4×, which is the point at 100 TB.
     """
+    from .scale import spread_scan
+
+    # conditional fan-out before the interpreted quantize/dot folds
+    # (brute_force_topk's r13 note)
+    corpus = spread_scan(corpus, cols=[id_col, vec_col], by=[id_col])
     c = quantize(corpus, vec_col, "cq").select(
         F.col(id_col).alias("neighbor_id"), "cq"
     )
@@ -1113,6 +1134,12 @@ def pq_adc_topk(
     # the registered queries do; the fallback derives it once
     if m is None:
         m = codebooks.agg(F.max("sub_id")).first()[0] + 1
+    from .scale import spread_scan
+
+    # conditional fan-out before the interpreted ADC lookup folds
+    # (brute_force_topk's r13 note); codes_df carries only
+    # (id, codes) — metadata-narrow either way
+    codes_df = spread_scan(codes_df, by=[id_col])
     packed = _pack_codebooks(codebooks)
     dist = l2sq_expr("element_at(qsvs, s + 1)", "c")
     lut = f"""
@@ -1180,6 +1207,12 @@ def ivf_pq_topk(
     # the registered queries do; the fallback derives it once
     if m is None:
         m = codebooks.agg(F.max("sub_id")).first()[0] + 1
+    from .scale import spread_scan
+
+    # conditional fan-out of the corpus before the interpreted cell-
+    # and code-assignment folds (brute_force_topk's r13 note;
+    # measured −27% on the q154 approx branch at sf0.1)
+    corpus = spread_scan(corpus, cols=[id_col, vec_col], by=[id_col])
     index = assign_centroids(corpus, coarse_centroids, id_col, vec_col)
     packed = _pack_codebooks(codebooks)
     dist = l2sq_expr("element_at(svs, s + 1)", "c")

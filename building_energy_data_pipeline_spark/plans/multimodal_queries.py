@@ -292,12 +292,21 @@ def q249_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = docs.mapInPandas(
-        synth_encode, "media_id long, content binary"
+    def synth_sums(batches):
+        # r13: synth + decode fused into ONE mapInPandas stage (guide
+        # §4.1 — the split shipped every PNG payload Python→JVM→Python
+        # between two chained Python stages; the fused generator runs
+        # the IDENTICAL encode_png / image_channel_sums code), and the
+        # trailing orderBy dropped (guide §2.4 — an exchange+sort used
+        # only for output determinism; the driver's comparison sorts
+        # canonicalized rows, oracle-equivalence re-proven).
+        return multimodal.channel_sums_batches(
+            synth_encode(batches), use_real_codec=True
+        )
+
+    return docs.mapInPandas(
+        synth_sums, multimodal.IMAGE_CHECKSUM_SCHEMA
     )
-    return multimodal.image_channel_sums(
-        media, use_real_codec=True
-    ).orderBy("media_id")
 
 
 @query(
@@ -409,11 +418,13 @@ def q255_mjpeg_video_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = docs.mapInPandas(
-        synth_encode, "media_id long, content binary"
-    )
-    return multimodal.mjpeg_frame_sums(media).orderBy(
-        "media_id", "frame_idx"
+    def synth_sums(batches):
+        # r13: synth + container walk + decode fused into ONE
+        # mapInPandas stage; trailing orderBy dropped (q249's note)
+        return multimodal.frame_sums_batches(synth_encode(batches))
+
+    return docs.mapInPandas(
+        synth_sums, multimodal.VIDEO_FRAME_SUM_SCHEMA
     )
 
 
@@ -534,11 +545,13 @@ def q257_gif_animation_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = docs.mapInPandas(
-        synth_encode, "media_id long, content binary"
-    )
-    return multimodal.container_frame_sums(media).orderBy(
-        "media_id", "frame_idx"
+    def synth_sums(batches):
+        # r13: synth + LZW decode fused into ONE mapInPandas stage;
+        # trailing orderBy dropped (q249's note)
+        return multimodal.frame_sums_batches(synth_encode(batches))
+
+    return docs.mapInPandas(
+        synth_sums, multimodal.VIDEO_FRAME_SUM_SCHEMA
     )
 
 
@@ -663,12 +676,14 @@ def q256_adpcm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = docs.mapInPandas(
-        synth_encode, "media_id long, content binary"
-    )
-    return multimodal.audio_int_stats(media, container="wav").orderBy(
-        "media_id"
-    )
+    def synth_stats(batches):
+        # r13: synth + IMA state-machine decode fused into ONE
+        # mapInPandas stage; trailing orderBy dropped (q249's note)
+        return multimodal.audio_stats_batches(
+            synth_encode(batches), container="wav"
+        )
+
+    return docs.mapInPandas(synth_stats, multimodal.AUDIO_INT_SCHEMA)
 
 
 @query(
@@ -897,12 +912,16 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append({"media_id": mid, "content": payload})
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = docs.mapInPandas(
-        synth_encode, "media_id long, content binary"
+    def synth_sums(batches):
+        # r13: synth + the eight-process JPEG decode fused into ONE
+        # mapInPandas stage; trailing orderBy dropped (q249's note)
+        return multimodal.channel_sums_batches(
+            synth_encode(batches), use_real_codec=True
+        )
+
+    return docs.mapInPandas(
+        synth_sums, multimodal.IMAGE_CHECKSUM_SCHEMA
     )
-    return multimodal.image_channel_sums(
-        media, use_real_codec=True
-    ).orderBy("media_id")
 
 
 @query(
@@ -992,10 +1011,6 @@ def q259_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = docs.mapInPandas(
-        synth_encode, "media_id long, content binary"
-    )
-
     def decode_stats(batches):
         import numpy as np
         import pandas as pd
@@ -1024,8 +1039,13 @@ def q259_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return media.mapInPandas(
-        decode_stats,
+    def synth_stats(batches):
+        # r13: synth + Rice/LPC decode fused into ONE mapInPandas
+        # stage; trailing orderBy dropped (q249's note)
+        return decode_stats(synth_encode(batches))
+
+    return docs.mapInPandas(
+        synth_stats,
         "media_id long, n_samples long, sum_s long, "
         "sum_abs long, peak long",
-    ).orderBy("media_id")
+    )

@@ -40,7 +40,11 @@ SHUFFLE_BUDGET = {
     "q129_semantic_dedup": 2,
     "q143_embedding_covariance": 0,
     "q150_power_iteration": 2,
-    "q154_ivf_pq_recall": 11,
+    # r13: +2 — the conditional spread_scan fan-outs ahead of the
+    # exact-cosine and IVF-PQ assignment folds (single-split inputs
+    # only; no-op at warehouse scale). Bought −30-40% wall on both
+    # branches: the interpreted folds previously ran on ONE task.
+    "q154_ivf_pq_recall": 13,
     # bitext scale shape (r11, replaced q155 as the headline): two
     # map-only cell assignments + the cell equi-join feed the same
     # 3 keyed exchanges as the cross-join form (two k-NN denominator
@@ -93,17 +97,19 @@ SHUFFLE_BUDGET = {
     "q248_latency_approx_quantiles": 3,
     # codec family: scan -> repartition (spread the single metadata
     # split across slots before the Python stages — a production
-    # media scan already has file-granular splits) -> mapInPandas x2
-    # -> one final range-sort exchange; q255's per-frame explode
-    # happens INSIDE the Python stage, never as a shuffle
-    "q249_png_roundtrip": 2,
-    "q254_jpeg_roundtrip": 2,
-    "q255_mjpeg_video_sums": 2,
-    "q256_adpcm_audio_stats": 2,
-    "q257_gif_animation_sums": 2,
+    # media scan already has file-granular splits) -> ONE fused
+    # synth+decode mapInPandas stage (r13: the second Python stage
+    # and the determinism-only range-sort exchange are gone — guide
+    # §4.1/§2.4); q255's per-frame explode happens INSIDE the Python
+    # stage, never as a shuffle
+    "q249_png_roundtrip": 1,
+    "q254_jpeg_roundtrip": 1,
+    "q255_mjpeg_video_sums": 1,
+    "q256_adpcm_audio_stats": 1,
+    "q257_gif_animation_sums": 1,
     # FLAC round-trip (round 10): the codec-stage metadata
-    # repartition + the final sort — the q254/q256 shape
-    "q259_flac_roundtrip": 2,
+    # repartition only (r13: fused, sort dropped — the q254 shape)
+    "q259_flac_roundtrip": 1,
 }
 
 

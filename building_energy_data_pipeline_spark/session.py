@@ -53,6 +53,17 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
+        # Let the planner pick shuffled-hash over sort-merge when its
+        # size conditions fit (optimization guide §3.1/§9): skips both
+        # sides' sorts. Measured r13: −2…−11% on every SMJ-bearing
+        # headline query (−4% aggregate), no regressions beyond noise.
+        # The planner's build-side size checks still gate the choice,
+        # so the at-scale OOM risk profile is the documented SHJ one;
+        # SPARK_GRAFT_PREFER_SMJ=true restores the old default.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         # AQE: runtime shuffle-partition coalescing, skew-join splitting,
         # runtime broadcast conversion — the scale levers.
         .config("spark.sql.adaptive.enabled", "true")

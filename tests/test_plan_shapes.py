@@ -1041,12 +1041,15 @@ class TestR8SwapShapes:
 class TestR9Shapes:
     def test_q249_pushdown_and_narrow_codec_chain(self, spark, sf_dir):
         """The documents scan must push the doc_id filter and prune to
-        the 1 column the synth stage consumes; the encode→decode codec
-        chain is NARROW — payloads are born, compressed, and decoded
-        inside one task. Two exchanges since the continuation session:
-        the metadata-row repartition that spreads the single test-scale
-        parquet split across slots BEFORE the Python stages (the 6x
-        sf0.1 win), plus the output sort.
+        the 1 column the synth stage consumes; the codec chain is
+        NARROW — payloads are born, compressed, and decoded inside one
+        task. ONE exchange since r13: the metadata-row repartition that
+        spreads the single test-scale parquet split across slots
+        BEFORE the Python stage (the 6x sf0.1 win). The encode and
+        decode generators are FUSED into a single MapInPandas (guide
+        §4.1 — payloads no longer cross Python→JVM→Python between
+        stages) and the determinism-only output sort is gone (the
+        driver's comparison canonicalizes row order).
         """
         from building_energy_data_pipeline_spark.ops.observe import (
             plan_lint,
@@ -1055,9 +1058,9 @@ class TestR9Shapes:
 
         df = REGISTRY["q249_png_roundtrip"].spark(spark, sf_dir)
         assert plan_lint(df) == []
-        assert shuffle_count(df) <= 2
+        assert shuffle_count(df) <= 1
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("MapInPandas") == 2  # encode stage + decode stage
+        assert plan.count("MapInPandas") == 1  # fused synth+decode stage
         assert "PushedFilters" in plan
 
     def test_q250_q252_sinks_are_materialized_scans(self, spark, sf_dir):

@@ -110,6 +110,7 @@ def _contention_verdict(
     calib_par: float,
     spreads: list[float],
     sf: float,
+    value_norm: float | None = None,
 ) -> dict:
     """Machine-readable contention verdict (VERDICT r11 #3): the
     quiet-pair adjudication policy lived only in COVERAGE.md prose
@@ -137,6 +138,20 @@ def _contention_verdict(
       parallel wall-clock loudly. Skipped (null) when the canonical
       is from a visibly different machine (calib ratio off by
       > 15 %) or a different sf.
+    - ``normalized`` (r13, VERDICT r12 #3's blind-spot closer):
+      calibration-normalized headline (``value_norm`` = seconds ÷
+      calib_sec) > 8 % above the canonical's. Uniform whole-run
+      co-tenant load barely moves the single-thread fold and can
+      match the canonical's own mood on the other two comparisons,
+      but it halves PARALLEL throughput — so wall-clock rises while
+      calib_sec doesn't, and the normalized headline is exactly the
+      ratio that moves. Threshold from the r12 trio's 3.9 % quiet
+      value_norm spread (plus margin) and this round's measured
+      bursts (+15-60 % when calib_par degraded 2×). Advisory like
+      the rest: a genuine code regression also trips it — the
+      discount policy still requires an agreeing quiet run before
+      believing either direction. Same same-machine/sf gate as
+      ``canonical``; null when the canonical predates value_norm.
     """
     sig: dict = {}
     drift = max(calibs) / min(calibs) if calibs else 1.0
@@ -148,6 +163,7 @@ def _contention_verdict(
     sig["repeat_spread_median"] = round(med_spread, 4)
     sig["calib_vs_canonical"] = None
     sig["calib_par_vs_canonical"] = None
+    sig["value_norm_vs_canonical"] = None
     canon = _canonical_detail()
     if (
         canon
@@ -161,6 +177,10 @@ def _contention_verdict(
                 sig["calib_par_vs_canonical"] = round(
                     calib_par / canon["calib_par_sec"], 4
                 )
+            if value_norm and canon.get("value_norm", 0) > 0:
+                sig["value_norm_vs_canonical"] = round(
+                    value_norm / canon["value_norm"], 4
+                )
     flags = {
         "drift": drift > 1.08,
         "spread": med_spread > 0.20,
@@ -170,6 +190,10 @@ def _contention_verdict(
                 sig["calib_vs_canonical"],
                 sig["calib_par_vs_canonical"],
             )
+        ),
+        "normalized": (
+            sig["value_norm_vs_canonical"] is not None
+            and sig["value_norm_vs_canonical"] > 1.08
         ),
     }
     sig["flags"] = flags
@@ -337,7 +361,11 @@ def main() -> None:
         },
         "value_norm": round(total / calib, 3),
         "contention": _contention_verdict(
-            [round(c, 4) for c in calib_samples], calib_par, spreads, sf
+            [round(c, 4) for c in calib_samples],
+            calib_par,
+            spreads,
+            sf,
+            value_norm=round(total / calib, 3),
         ),
     }
     if cold:

@@ -55,7 +55,17 @@ def _input_files(df: DataFrame) -> frozenset[str]:
     analyzed plan is resolved but pre-substitution, so the listing is
     stable across invocations and still changes when the directory
     is rebuilt in place — the case the fingerprint exists to catch.
+
+    Memoized per DataFrame OBJECT (r13): the JVM plan walk costs
+    tens of ms and slot-using queries re-derive it on every build.
+    A DataFrame's plan is immutable, and a re-listing that must see
+    new files always arrives on a FRESH read (a new object) — the
+    shared objects ``sources.readers.load_table`` hands out are
+    stat-keyed, so a rebuilt table misses there first.
     """
+    memo = getattr(df, "_bedp_input_files", None)
+    if memo is not None:
+        return memo
     files: set[str] = set()
     leaves = df._jdf.queryExecution().analyzed().collectLeaves()  # noqa: SLF001
     it = leaves.iterator()
@@ -66,7 +76,9 @@ def _input_files(df: DataFrame) -> frozenset[str]:
                 files.add(f)
         except Exception:  # noqa: BLE001 — non-file leaf (range, local…)
             pass
-    return frozenset(files)
+    out = frozenset(files)
+    df._bedp_input_files = out  # noqa: SLF001
+    return out
 
 
 def _is_persisted(df: DataFrame) -> bool:
@@ -154,7 +166,13 @@ def plan_sig(df: DataFrame, *extra: object) -> object | None:
     matches) when the plan hash is unavailable.
     """
     try:
-        return hash((df.semanticHash(), _input_files(df)) + extra)
+        sh = getattr(df, "_bedp_semantic_hash", None)
+        if sh is None:
+            # memoized per object alongside _input_files (r13): the
+            # canonicalized-plan hash is a JVM analysis pass per call
+            sh = df.semanticHash()
+            df._bedp_semantic_hash = sh  # noqa: SLF001
+        return hash((sh, _input_files(df)) + extra)
     except Exception:  # noqa: BLE001 — never let caching break a caller
         return None
 

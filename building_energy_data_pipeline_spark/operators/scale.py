@@ -76,13 +76,19 @@ def spread_scan(
     shuffle total, same as the unconditioned plan).
 
     The partition probe (``df.rdd.getNumPartitions()``) plans the
-    subtree without running a job — driver-side ~10 ms, paid once per
-    query build.
+    subtree without running a job — driver-side ~50 ms on a fresh
+    frame. It runs on the INPUT frame, before the ``cols``
+    projection: a projection never changes the split count, and
+    probing the caller's frame lets ``DataFrame.rdd``'s per-object
+    memoization absorb the cost when callers hand in a shared frame
+    (``load_table``'s session-memoized scans — r13; a fresh
+    ``select`` object each build re-paid the planning every time).
     """
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    spread = df.rdd.getNumPartitions() < cores
     if cols is not None:
         df = df.select(*cols)
-    cores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= cores:
+    if not spread:
         return df
     if by:
         return df.repartition(cores, *[F.col(c) for c in by])

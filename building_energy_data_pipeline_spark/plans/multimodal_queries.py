@@ -236,7 +236,8 @@ def q249_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanline filter types — in one ``mapInPandas`` stage, then
     decoded back by the pure-stdlib PNG decoder
     (``operators/multimodal.decode_png`` via
-    ``image_channel_sums(use_real_codec=True)``) in the next, and
+    ``channel_sums_batches(use_real_codec=True)``, fused into the
+    SAME stage since r13), and
     reduced to integer channel sums.
 
     The oracle never sees a PNG byte: it recomputes the channel sums
@@ -352,7 +353,8 @@ def q255_mjpeg_video_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout, one baseline-JPEG ``00dc`` chunk per frame
     (``operators/multimodal.encode_avi_mjpeg``) — in one
     ``mapInPandas`` stage, then the container is walked and every
-    frame Huffman-decoded back by ``mjpeg_frame_sums`` in the next,
+    frame Huffman-decoded back by ``frame_sums_batches`` (fused into
+    the same stage since r13),
     emitting one row per (media, frame) with integer channel sums.
 
     The oracle recomputes the sums closed-form (the frames live on
@@ -746,7 +748,8 @@ def q254_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DCT layouts at Annex K quality 50 with a decorrelated
     rotating ``restart_interval`` of 0/2/5 so they carry DRI + RSTn
     markers on most payloads — then decoded back by the pure-numpy
-    decoder in the next stage and reduced to integer channel sums
+    decoder (fused into the same stage since r13) and reduced to
+    integer channel sums
     (grayscale replicates across channels, so ``sum_r = sum_g =
     sum_b``).
 
@@ -956,7 +959,8 @@ def q259_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/flac_codec.encode_flac``: fixed-blocking frames,
     per-frame best FIXED predictor order 0-4, Rice residuals,
     CRC-8/CRC-16 and a SAMPLE-MD5-carrying STREAMINFO), then decoded
-    back by the pure-Python decoder in the next stage — which
+    back by the pure-Python decoder (fused into the same stage since
+    r13) — which
     re-verifies every frame CRC and the stream MD5 — and reduced to
     integer sample statistics.
 

@@ -145,10 +145,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond TimestampType so every downstream consumer sees one
     type. Confs are set here (not only in the session factory) so the
     read works under any session, including the driver's plain one.
+
+    The built scan PLAN is memoized per session, keyed by the path's
+    stat (mtime_ns, size): every ``spark.read.parquet`` re-lists the
+    path, re-reads the footer schema, and ``_normalize_ts`` re-probes
+    the ``ts`` logical type with pyarrow — ~100 ms of pure driver-side
+    metadata work per call, per invocation (guide §6's file-listing-
+    cache point; r13 measured it at up to 0.3 s of every benched
+    query's per-run build). This caches only the immutable logical
+    scan definition — every action still computes from the parquet
+    files — and a rewritten file misses on the stat key. DataFrames
+    are immutable, so handing the same object to every caller is
+    safe; the dict dies with the session object.
     """
     ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    return _normalize_ts(spark.read.parquet(path), path)
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    except OSError:  # non-local FS → skip memoization
+        key = None
+    cache: dict | None = getattr(spark, "_bedp_table_plans", None)
+    if cache is None:
+        cache = {}
+        spark._bedp_table_plans = cache  # noqa: SLF001
+    if key is not None and key in cache:
+        return cache[key]
+    df = _normalize_ts(spark.read.parquet(path), path)
+    if key is not None:
+        cache[key] = df
+    return df
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

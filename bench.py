@@ -312,19 +312,28 @@ def main() -> None:
                 "l_tax",
             ],
         )
+        melted = li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "metric",
+            "val",
+        )
+        # split timing (r14, VERDICT r13 #8 — additions-only): the
+        # write-inclusive number is the contract entry and stays
+        # unchanged below; this extra noop-sink timing isolates the
+        # melt COMPUTE so the parquet-commit disk mood (observed
+        # 1.1→4.8 s swings on identical runs) stops polluting the
+        # only write-inclusive headline entry's interpretation.
+        best_melt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            melted.write.format("noop").mode("overwrite").save()
+            best_melt = min(best_melt, time.perf_counter() - t0)
+        timings["ingest_melt_only"] = round(best_melt, 4)
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            (
-                li.unpivot(
-                    ["l_orderkey", "l_linenumber"],
-                    ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-                    "metric",
-                    "val",
-                )
-                .write.mode("overwrite")
-                .parquet(out)
-            )
+            melted.write.mode("overwrite").parquet(out)
             best = min(best, time.perf_counter() - t0)
         timings["ingest_melt_write"] = round(best, 4)
     except Exception as exc:  # noqa: BLE001

@@ -334,13 +334,19 @@ def minhash_lsh_pairs(
 
     n = NUM_HASHES  # signature length is carried in the array itself
     staged = slot_persist("dedup.minhash_lsh_pairs", sigs)
-    # pinned bk-exchange: both self-join branches are then the SAME
-    # subtree and read ONE materialized exchange of slim exploded
-    # rows (AQE ReusedExchange) — without it the planner broadcasts
-    # one branch, which re-runs the whole minhash pipeline for it
+    # no pinned bk-exchange (r14): the pin predates the persist-slot
+    # staging — it existed so both self-join branches shared ONE
+    # materialized exchange instead of re-running the md5 pipeline
+    # per branch, but `staged` IS that shared materialization now, so
+    # a branch rebuild is just an InMemoryTableScan + explode. The
+    # pin cost a full shuffle of the exploded rows on EACH branch
+    # while the planner broadcast one side anyway (r13 plan: 2
+    # exchanges + 1 broadcast where 0 exchanges suffice); at scale
+    # the planner inserts the bk hash exchanges itself when the join
+    # goes shuffled — exactly the same wire bytes the pin forced.
     slim = staged.select(
         F.col(id_col), F.explode_outer("band_keys").alias("bk")
-    ).repartition(F.col("bk"))
+    )
     cand = (
         slim.select(F.col(id_col).alias("id_a"), "bk")
         .join(slim.select(F.col(id_col).alias("id_b"), "bk"), "bk")
@@ -418,14 +424,14 @@ def incremental_lsh_matches(
     staged = slot_persist(
         "dedup.incremental_lsh_matches", sigs, reuse=reuse_slot
     )
-    # pinned bk-exchange BEFORE the new-batch filter: corpus and
-    # probe sides are then the same subtree modulo a post-exchange
-    # filter, so both read ONE materialized slim exchange instead of
-    # re-running the signature pipeline per side (see
-    # minhash_lsh_pairs on the persist-slot staging)
+    # no pinned bk-exchange (r14): `staged` is the shared
+    # materialization both band branches read (InMemoryTableScan +
+    # explode per side — cheap); the former pin shuffled the exploded
+    # rows once per side on top of that while the planner broadcast
+    # one side anyway. See minhash_lsh_pairs for the full rationale.
     slim = staged.select(
         F.col(id_col), F.explode_outer("band_keys").alias("bk")
-    ).repartition(F.col("bk"))
+    )
     # ``cutoff`` may be a plain int OR a 1-row (cutoff) DataFrame —
     # the broadcast-scalar form keeps the registered query ONE job
     # (no driver-side first() probe; VERDICT r5 #6). The tiny

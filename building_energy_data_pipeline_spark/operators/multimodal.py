@@ -1662,6 +1662,14 @@ def audio_stats_batches(
     generator (see :func:`frame_sums_batches` for the why)."""
     import pandas as pd
 
+    if container not in ("pcm", "wav"):
+        # same guard as audio_int_stats (r8 review): a direct caller
+        # passing 'WAV'/'riff' would otherwise silently fall into the
+        # pcm branch and parse the 44-byte RIFF header as samples
+        raise ValueError(
+            f"unknown audio container {container!r}: use 'pcm' or 'wav'"
+        )
+
     for pdf in batches:
         rows = []
         for mid, content in zip(pdf["media_id"], pdf["content"]):

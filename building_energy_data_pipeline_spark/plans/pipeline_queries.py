@@ -325,9 +325,11 @@ def q91_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.expr("vec_id % 50 = 0"))
-    corpus = scale.spread_scan(emb, by=["vec_id"])  # see q34 note
+    # no query-level spread_scan (r14): quantized_topk fans out the
+    # projected corpus itself — the query-level call was a redundant
+    # second partition probe (see q34 note)
     return similarity.quantized_topk(
-        corpus, queries, "vec_id", "embedding", 3
+        emb, queries, "vec_id", "embedding", 3
     )
 
 

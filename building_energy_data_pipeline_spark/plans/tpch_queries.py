@@ -1097,12 +1097,13 @@ def q226_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order date). The original phrases this as an EXISTS (another
     supplier participated) plus a NOT EXISTS (no OTHER supplier was
     late) — two correlated self-joins against the fact table. The
-    engine decorrelates both into ONE per-order aggregate pass:
-    distinct participating suppliers and distinct late suppliers per
-    order, kept beside each late line; a line survives exactly when
-    ``n_supp ≥ 2 ∧ n_late_supp = 1`` (its own supplier then being
-    that one late supplier). Same truth table, one fact scan instead
-    of three.
+    engine decorrelates both into ONE per-order window pass: a line
+    survives exactly when its order has ≥2 distinct suppliers and
+    exactly 1 distinct late supplier (its own supplier then being
+    that one late supplier) — tested as min/max (in)equalities over
+    the per-order window, which cost four streaming buffers instead
+    of per-row distinct-set builds. Same truth table, one fact scan
+    instead of three.
 
     Scale: the orderkey join to orders (for the order date) is the
     one fact shuffle; the per-order supplier counts reuse that
@@ -1124,24 +1125,34 @@ def q226_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END"
         ).alias("late"),
     )
+    # survivor predicate via MIN/MAX windows, not collect_set sizes
+    # (r14, guide §1.2 per-task work): a line survives when its order
+    # has ≥2 distinct suppliers and EXACTLY 1 distinct late supplier.
+    # Over the same per-order window, "≥2 distinct suppliers" ⟺
+    # min(suppkey) ≠ max(suppkey), and — given the row itself is late,
+    # so at least one late supplier exists — "exactly 1 distinct late
+    # supplier" ⟺ min(late suppkey) = max(late suppkey) (the when()
+    # yields NULL on punctual rows; min/max ignore NULLs). Same truth
+    # table, but four cheap streaming min/max buffers replace two
+    # per-row hash-set builds over the whole fact table (the windows
+    # still share ONE exchange + sort on l_orderkey).
     w = W.partitionBy("l_orderkey")
+    late_supp = F.when(F.col("late") == 1, F.col("l_suppkey"))
     flagged = lines.select(
         "l_orderkey",
         "l_suppkey",
         "late",
-        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
-        F.size(
-            F.collect_set(
-                F.when(F.col("late") == 1, F.col("l_suppkey"))
-            ).over(w)
-        ).alias("n_late_supp"),
+        F.min("l_suppkey").over(w).alias("min_supp"),
+        F.max("l_suppkey").over(w).alias("max_supp"),
+        F.min(late_supp).over(w).alias("min_late"),
+        F.max(late_supp).over(w).alias("max_late"),
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         flagged.filter(
             (F.col("late") == 1)
-            & (F.col("n_supp") >= 2)
-            & (F.col("n_late_supp") == 1)
+            & (F.col("min_supp") != F.col("max_supp"))
+            & (F.col("min_late") == F.col("max_late"))
         )
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")

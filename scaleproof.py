@@ -298,6 +298,11 @@ def _streaming_probes(spark, sf_dir: str) -> dict:
         for name, (df, mode) in probes.items():
             ck = tempfile.mkdtemp(prefix=f"scaleproof_{name}_")
             try:
+                # drain wall (r14, VERDICT r13 #9): time from .start()
+                # to terminated — the availableNow end-to-end drain,
+                # checkpoint dir creation excluded (mkdtemp above),
+                # the streaming family's first measured perf baseline.
+                t0 = time.time()
                 q = (
                     df.writeStream.format("noop")
                     .outputMode(mode)
@@ -308,6 +313,7 @@ def _streaming_probes(spark, sf_dir: str) -> dict:
                 if not q.awaitTermination(600):
                     q.stop()
                     raise TimeoutError(f"{name} did not drain")
+                drain_wall = round(time.time() - t0, 3)
                 prog = q.lastProgress or {}
                 rows = removed = mem = 0
                 for op in prog.get("stateOperators", []):
@@ -326,6 +332,7 @@ def _streaming_probes(spark, sf_dir: str) -> dict:
                     )
                 )
                 out[name] = {
+                    "drain_wall_sec": drain_wall,
                     # survivors after the final watermark GC — the
                     # key-cardinality-in-horizon number
                     "state_rows": rows,

@@ -966,6 +966,17 @@ class TestR8SwapShapes:
                 assert "__pid" in ln, ln
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
+    def test_q226_window_has_no_set_buffers(self, plan_of):
+        """r14: the per-order survivor predicate runs on min/max
+        window functions (constant-size buffers), not collect_set
+        sizes — a collect_set reappearing in the window means the
+        O(distinct-suppliers) per-row set build is back, which is
+        the memory hazard on hot orders at warehouse scale."""
+        plan = plan_of("q226_waiting_orders")
+        assert "collect_set" not in plan
+        body = plan.split("== Physical Plan ==")[-1]
+        assert "Window" in body  # still the one-pass window shape
+
     def test_q245_sketch_is_partial_aggregable(self, plan_of):
         """The production side (approx_percentile) must fold map-side
         — a partial aggregate below the dim exchange carrying the

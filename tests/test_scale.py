@@ -153,6 +153,27 @@ class TestLshShufflePayload:
                 "are riding the band join again"
             )
 
+    @pytest.mark.parametrize(
+        "name", ["q28_minhash_lsh_pairs", "q90_incremental_dedup"]
+    )
+    def test_no_pinned_band_exchange(self, spark, sf_dir, name):
+        # r14: the pinned repartition(bk) is gone — it shuffled the
+        # exploded band rows once per self-join branch while the
+        # persist-slot staging already shares the signature
+        # materialization (and the planner broadcast one side anyway).
+        # A reappearing hashpartitioning(bk…) exchange means the dead
+        # pin came back, or a refactor lost the slot staging and the
+        # planner re-shuffled slim per branch.
+        from building_energy_data_pipeline_spark.plans.queries import REGISTRY
+
+        df = REGISTRY[name].spark(spark, sf_dir)
+        plan = explain_str(df)
+        body = plan.split("== Physical Plan ==")[-1]
+        assert "hashpartitioning(bk" not in body, (
+            f"{name}: a band-key exchange reappeared — the removed "
+            "repartition(bk) pin is back (or slot staging was lost)"
+        )
+
     def test_q28_single_signature_computation(self, spark, sf_dir):
         # all four consumers (two slim band branches, two payload
         # lookups) must read ONE persisted signature table (the
